@@ -1,0 +1,106 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over embedding columns (`array<float>`).
+ *
+ * Two tiers:
+ *  - brute-force cosine top-k: exact baseline; a broadcast
+ *    nested-loop join — fine when the QUERY side is small (the usual
+ *    shape: thousands of probes against billions of candidates,
+ *    partitioned by candidate).
+ *  - LSH-bucketed (random signed hyperplanes): each vector hashes to a
+ *    small bucket id; probes only meet candidates in their bucket, so
+ *    the join is an equi-join on bucket — the 100 TB scale path.
+ *
+ * Dot products fold left-to-right over the array (deterministic IEEE
+ * order) so an external oracle reproduces scores bit-for-bit; integer
+ * hyperplane weights keep the LSH bucketing exact.
+ */
+object Ann {
+
+  /** Sequential (index-order) dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cast float vectors to double once, up front. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /**
+   * Brute-force cosine top-k: for each probe vector, the k nearest
+   * candidates by cosine (rounded to 6 dp before ranking so ordering is
+   * reproducible), ties broken by candidate id.
+   */
+  def bruteForceTopK(probes: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val p = probes.select(col("vec_id").as("query_id"),
+      toDouble(col("embedding")).as("qv")).withColumn("qn", norm(col("qv")))
+    val c = candidates.select(col("vec_id").as("cand_id"),
+      toDouble(col("embedding")).as("cv")).withColumn("cn", norm(col("cv")))
+    val scored = p.join(broadcast(c), col("query_id") =!= col("cand_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"), col("cos"))
+  }
+
+  /**
+   * Signed-hyperplane LSH bucket id over `nBits` pseudo-random integer
+   * hyperplanes. Weight of plane j at dimension i (1-based) is
+   * `mod(j*2654435761 + i*40503, 2001) - 1000` — pure 64-bit integer
+   * arithmetic, reproducible anywhere.
+   */
+  def lshBucket(v: Column, nBits: Int): Column =
+    (0 until nBits).map { j =>
+      val proj = aggregate(
+        transform(v, (x, i) =>
+          x * (pmod(lit(j.toLong) * 2654435761L + (i + 1).cast("long") * 40503L,
+            lit(2001L)) - 1000L).cast("double")),
+        lit(0.0), (acc, p) => acc + p)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /**
+   * LSH-bucketed ANN: probes meet only same-bucket candidates; top-k
+   * per probe within the bucket. Equi-join on bucket → shuffle
+   * hash-join at scale instead of a cross product.
+   */
+  def lshTopK(probes: DataFrame, candidates: DataFrame, nBits: Int, k: Int): DataFrame = {
+    val p = probes.select(col("vec_id").as("query_id"),
+        toDouble(col("embedding")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("bucket", lshBucket(col("qv"), nBits))
+    val c = candidates.select(col("vec_id").as("cand_id"),
+        toDouble(col("embedding")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("bucket", lshBucket(col("cv"), nBits))
+    val scored = p.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("bucket"), col("cand_id"), col("rank"), col("cos"))
+  }
+
+  /** Embedding near-duplicate pairs: all pairs with cosine >= threshold. */
+  def cosinePairs(df: DataFrame, threshold: Double): DataFrame = {
+    val v = df.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+    v.as("a").join(broadcast(v.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        round(cosine(col("a.v"), col("b.v"), col("a.n"), col("b.n")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
+  }
+}

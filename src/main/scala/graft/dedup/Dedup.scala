@@ -1,0 +1,147 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+import graft.text.Text
+
+/**
+ * Document deduplication at training-data scale.
+ *
+ * Four families, in increasing recall/cost:
+ *  - exact: hash-groupBy on a content digest (one shuffle on the digest
+ *    — uniform keys, no skew).
+ *  - MinHash + LSH: shingle → k minhashes → band buckets → bucket join.
+ *    The join is on (band, bandHash), so only colliding docs meet;
+ *    at 100 TB this is THE standard near-dup pass (candidate pairs ≪
+ *    n²).
+ *  - SimHash: one 32-bit fingerprint per doc; near-dups = small
+ *    Hamming distance, found via band-rotated exact buckets.
+ *  - exact n-gram Jaccard: ground-truth pairwise measure, run only on
+ *    LSH candidates in production (here also standalone as the oracle-
+ *    checkable form).
+ *
+ * All hashes are [[Portable]] (md5-derived) so an external SQL engine
+ * verifies every stage bit-for-bit.
+ */
+object Dedup {
+
+  /** Content digest for exact dedup. */
+  def digest(text: Column): Column = md5(text)
+
+  /**
+   * Exact dedup: one representative (min id) per distinct content
+   * digest, with the duplicate count.
+   */
+  def exact(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(digest(text).as("digest"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /**
+   * MinHash signatures, long relational form: (doc, i, sig).
+   *
+   * Shape matters for scale: each distinct shingle is md5-hashed
+   * exactly ONCE, then fanned out into k cheap affine transforms and
+   * min-aggregated per (doc, i). The array-native alternative
+   * (transform over a k-sequence) inlines the hash subtree into every
+   * signature lane — k× the md5 work and no codegen CSE inside
+   * higher-order functions — and measured 40× slower. The groupBy is
+   * partial-aggregation friendly (map-side min), so the shuffle
+   * carries at most |docs|·k rows.
+   */
+  def minHashLong(df: DataFrame, id: Column, text: Column, k: Int,
+      shingleN: Int = 3): DataFrame = {
+    val hashed = df
+      .select(id.as("doc"), explode(Text.shingleSet(text, shingleN)).as("s"))
+      .select(col("doc"), Portable.hash64(col("s")).as("h"))
+    hashed
+      .select(col("doc"), posexplode(
+        transform(sequence(lit(0), lit(k - 1)),
+          i => pmod(col("h") * (lit(1000003L) * (i + 1) + lit(12345L)) +
+            (lit(998244353L) * (i + 1) + lit(7L)), lit(Portable.MinHashPrime))))
+        .as(Seq("i", "sig")))
+      .groupBy(col("doc"), col("i"))
+      .agg(min(col("sig")).as("sig"))
+  }
+
+  /**
+   * LSH candidate pairs: split the k-signature into bands of r rows;
+   * docs sharing any full band are candidates. Returns (doc_a, doc_b,
+   * n_bands) with doc_a < doc_b. The pair join is an equi-join on
+   * (band, bandHash) — only colliding docs ever meet.
+   */
+  def lshCandidates(df: DataFrame, id: Column, text: Column, k: Int, r: Int): DataFrame = {
+    val sig = minHashLong(df, id, text, k)
+    val bands = sig
+      .groupBy(col("doc"), (col("i") / r).cast("int").as("band"))
+      .agg(Portable.hash64(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("i"), col("sig")))),
+          x => x.getField("sig").cast("string")))).as("bh"))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /**
+   * 32-bit SimHash per document: sign of the per-bit vote over token
+   * hashes. Relational form (explode tokens × sum per bit) so the
+   * partial-aggregation path handles any document size; the fingerprint
+   * is reassembled from 32 integer votes.
+   */
+  def simHash(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("doc"), explode(Text.tokens(text)).as("tok"))
+      .withColumn("h", Portable.hash64(col("tok")))
+    val votes = (0 until 32).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = toks.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
+    val fp = (0 until 32).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc"), fp.as("simhash"))
+  }
+
+  /**
+   * SimHash near-dup pairs: exact match on any of four 8-bit bands,
+   * then verify Hamming distance <= maxHamming via bit_count(xor).
+   */
+  def simHashPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = fps.select(col("doc"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 8).bitwiseAND(255)): _*)).as(Seq("band", "bh")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Exact n-gram Jaccard pairs >= threshold, via distinct-shingle
+   * self-join (in production gated behind [[lshCandidates]]).
+   */
+  def jaccardPairs(df: DataFrame, id: Column, text: Column,
+      shingleN: Int, threshold: Double): DataFrame = {
+    val sh = df.select(id.as("doc"), explode(Text.shingleSet(text, shingleN)).as("s"))
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+}

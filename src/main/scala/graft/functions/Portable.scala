@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic, engine-portable primitives.
+ *
+ * Every hash here is defined purely in terms of md5-hex + integer
+ * arithmetic so an external SQL oracle (DuckDB) computes bit-identical
+ * values — that's what makes hash-sharding, MinHash, SimHash and LSH
+ * verifiable by the correctness gate instead of "trust me" code.
+ *
+ * At cluster scale these are all codegen'd Spark built-ins (md5, conv,
+ * substring, arithmetic), so the whole pipeline stays inside
+ * WholeStageCodegen; for pure-Spark jobs where oracle parity is not
+ * needed, xxhash64 is the cheaper drop-in.
+ */
+object Portable {
+
+  /**
+   * 32-bit-range non-negative hash as a long:
+   * first 8 hex chars of md5, parsed base-16.
+   * DuckDB equivalent: CAST('0x' || substr(md5(x), 1, 8) AS BIGINT).
+   */
+  def hash64(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** SQL fragment computing the identical value in DuckDB. */
+  def hash64Sql(expr: String): String =
+    s"CAST(CONCAT('0x', SUBSTR(md5(CAST($expr AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+  /**
+   * Family of k independent hashes: affine transforms of the base hash
+   * modulo a Mersenne-ish prime. Standard MinHash construction
+   * (Broder '97); coefficients fixed so both engines agree.
+   */
+  val MinHashPrime: Long = 4294967311L // smallest prime > 2^32
+
+  def affineHash(base: Column, i: Int): Column = {
+    val a = 1_000_003L * (i + 1) + 12345L
+    val b = 998_244_353L * (i + 1) + 7L
+    pmod(base * lit(a) + lit(b), lit(MinHashPrime))
+  }
+
+  def affineHashSql(baseExpr: String, i: Int): String = {
+    val a = 1_000_003L * (i + 1) + 12345L
+    val b = 998_244_353L * (i + 1) + 7L
+    // base is non-negative so plain MOD == pmod here.
+    s"MOD($baseExpr * $a + $b, ${MinHashPrime})"
+  }
+
+  /**
+   * Schema-registry envelope framing, hex-string form:
+   * MAGIC_BYTE(0x00) ‖ md5(schemaId) ‖ payload.
+   * Reference: datastream-common/.../AvroMessageEncoderUtil.java:33,42-51
+   * (encode prepends magic byte + 16-byte md5 of the schema id).
+   * Hex-string representation keeps the oracle comparison byte-exact.
+   */
+  def registryFrameHex(schemaId: Column, payload: Column): Column =
+    concat(lit("00"), md5(schemaId.cast("string")),
+      lower(hex(payload.cast("binary"))))
+
+  def registryFrameHexSql(schemaIdExpr: String, payloadExpr: String): String =
+    s"CONCAT('00', md5(CAST($schemaIdExpr AS VARCHAR)), lower(hex(CAST($payloadExpr AS BLOB))))"
+}

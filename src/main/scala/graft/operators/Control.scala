@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Control-plane query-shaped operators: dedup/reuse, set diffs,
+ * paging, and the scatter-gather diagnostics reduce.
+ */
+object Control {
+
+  /**
+   * Destination-reuse dedup (D1): among entities sharing a source,
+   * elect one canonical destination (the oldest entity's) and have
+   * every other entity reuse it — a keyed self-join against the
+   * per-source minimum.
+   * Reference: SourceBasedDeduper.java:66 + Coordinator.
+   * initializeDatastreamDestination :2406-2453.
+   *
+   * Scale note: the canonical side is a per-key aggregate (small);
+   * Spark broadcasts it automatically under AQE.
+   */
+  def destinationReuse(df: DataFrame, sourceCol: String, idCol: String): DataFrame = {
+    val canonical = df.groupBy(col(sourceCol))
+      .agg(min(col(idCol)).as("canonical_id"))
+    df.join(canonical, sourceCol)
+  }
+
+  /**
+   * BYOT destination-conflict check (D2): new destinations that
+   * intersect existing ones must be rejected — a semi-join.
+   * Reference: Coordinator.java:2416-2432.
+   */
+  def destinationConflicts(newDf: DataFrame, existing: DataFrame, destCol: String): DataFrame =
+    newDf.join(existing, Seq(destCol), "left_semi")
+
+  /**
+   * Assignment diff (D3): added = new \ old, removed = old \ new.
+   * Reference: Coordinator.getRemovedTasks/getAddedTasks :1090-1101.
+   */
+  def added(newDf: DataFrame, oldDf: DataFrame): DataFrame = newDf.except(oldDf)
+  def removed(newDf: DataFrame, oldDf: DataFrame): DataFrame = oldDf.except(newDf)
+
+  /**
+   * Paging (O4): `start`/`count` page over a deterministic order.
+   * Reference: DatastreamResources.getAll :853-877.
+   */
+  def page(df: DataFrame, orderKeys: Seq[Column], start: Int, count: Int): DataFrame =
+    df.orderBy(orderKeys: _*).offset(start).limit(count)
+
+  /**
+   * Diagnostics scatter-gather reduce (A10): per-instance partial
+   * status rolled up into one global answer — a two-level aggregation
+   * (partial per host, merge at the originator), which is exactly
+   * Spark's partial/final agg split, so map-side combine is free.
+   * Reference: DiagnosticsAware.java:21-36 +
+   * ServerComponentHealthAggregator.java.
+   */
+  def diagReduce(df: DataFrame, hostCol: Column, statusCol: Column, metric: Column): DataFrame = {
+    val perHost = df.groupBy(hostCol.as("host"), statusCol.as("status"))
+      .agg(count(lit(1)).as("n"), sum(metric).as("metric_sum"))
+    perHost.groupBy(col("status"))
+      .agg(
+        count(lit(1)).as("hosts"),
+        sum(col("n")).as("records"),
+        sum(col("metric_sum")).as("metric_total"))
+  }
+}

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/**
+ * Partitioning / distribution operators (P1-P3).
+ *
+ * At scale, partition assignment is a *column*, not a shuffle: the sink
+ * (e.g. Kafka) routes on the `partition` column, so none of these force
+ * a Spark exchange unless the caller explicitly co-locates.
+ */
+object Partitioning {
+
+  /**
+   * Identity partitioning (P1): destination partition = source
+   * partition. Reference: KafkaMirrorMakerConnectorTask.java:275-277.
+   */
+  def identity(sourcePartition: Column): Column = sourcePartition
+
+  /**
+   * Key-hash partitioning (P2): destination partition = hash(key) mod N
+   * — the default Kafka-producer behavior when no explicit partition is
+   * set. Reference: KafkaTransportProvider.java:140-145.
+   */
+  def byKey(key: Column, numPartitions: Int): Column =
+    pmod(Portable.hash64(key), lit(numPartitions.toLong))
+
+  /**
+   * Broadcast fan-out (P3/K2): replicate each record to every
+   * destination partition. Reference: KafkaTransportProvider.broadcast
+   * :152-186. Spark shape: explode a partition-id array — narrow (no
+   * shuffle), multiplies rows by N only at the sink edge.
+   */
+  def broadcastFanOut(df: DataFrame, numPartitions: Int): DataFrame =
+    df.withColumn("dest_partition",
+      explode(sequence(lit(0L), lit(numPartitions - 1L))))
+}

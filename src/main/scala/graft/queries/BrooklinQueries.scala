@@ -1,0 +1,319 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+import graft.operators.{Control, Filters, Observe, Partitioning, Translate}
+
+/**
+ * The reference's data-plane + control-plane operator inventory
+ * (SURVEY.md §2) expressed as batch queries over the shared testdata,
+ * each paired with an ANSI-SQL oracle (DuckDB dialect) computing the
+ * identical result. The `events` table stands in for the Kafka record
+ * stream: topic=event_type, partition=user_id mod 8, offset=event_id,
+ * key=user_id, value=props.
+ */
+object BrooklinQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  /** events → Kafka-record shape shared by several queries. */
+  private def kafkaShaped(events: DataFrame): DataFrame =
+    events.select(
+      col("event_type").as("topic"),
+      pmod(col("user_id"), lit(8L)).as("partition"),
+      col("event_id").as("offset"),
+      col("user_id").cast("string").as("key"),
+      col("props").as("value"),
+      col("ts"))
+
+  private val kafkaShapedSql =
+    """SELECT event_type AS topic, MOD(user_id, 8) AS partition,
+      |event_id AS "offset", CAST(user_id AS VARCHAR) AS key,
+      |props AS value, ts FROM events""".stripMargin.replace("\n", " ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A7-flavored flow aggregation — the basic scan+agg shape.
+    "q01_flow_agg" -> ((s, d) =>
+      t(s, d, "events").groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(length(col("props")).cast("long")).as("bytes"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))),
+
+    // T1/P1: mirror translate with metadata enrichment + dest-topic
+    // substitution + checkpoint string + identity partitioning.
+    "q02_mirror_translate" -> ((s, d) =>
+      Translate.mirror(kafkaShaped(t(s, d, "events")), "mirror.%s", "p-")),
+
+    // F3/S7: hash-shard predicate for parallel snapshot reads.
+    "q03_hash_shard" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(Filters.hashShard(
+          Seq(col("l_orderkey"), col("l_linenumber")), 8, Seq(0, 3)))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+
+    // F4/O1: composite-key seek + ordered chunk (the chunked-JDBC read).
+    "q04_seek_chunk" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(Filters.seekAfter(
+          Seq(col("l_orderkey"), col("l_linenumber")), Seq(1000L, 2)))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(500)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))),
+
+    // O2/O3: top-k by load.
+    "q05_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // O4: paging.
+    "q06_paging" -> ((s, d) =>
+      Control.page(t(s, d, "orders"),
+          Seq(col("o_orderkey")), start = 200, count = 100)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
+    // D1: destination-reuse dedup.
+    "q07_dest_reuse" -> ((s, d) =>
+      Control.destinationReuse(t(s, d, "documents"), "source", "doc_id")
+        .select(col("doc_id"), col("source"), col("canonical_id"))),
+
+    // D3: assignment diff (added = new \ old) at (user, day) task
+    // granularity.
+    "q08_assignment_diff" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .withColumn("day", date_trunc("day", col("ts")))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("day")).distinct()
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("day")).distinct()
+      Control.added(clicks, purchases)
+    }),
+
+    // P3/K2: broadcast fan-out to every destination partition.
+    "q09_broadcast_fanout" -> ((s, d) =>
+      Partitioning.broadcastFanOut(
+          t(s, d, "events").filter(col("event_id") < 100), 4)
+        .select(col("event_id"), col("dest_partition"))),
+
+    // A1: flushless safe-checkpoint low-watermark.
+    "q10_safe_checkpoints" -> ((s, d) =>
+      Observe.safeCheckpoints(t(s, d, "events"),
+          pmod(col("user_id"), lit(8L)), col("event_id"), col("value") < 30.0)
+        .withColumnRenamed("partition", "part")),
+
+    // A6: SLA latency windows.
+    "q11_sla_windows" -> ((s, d) =>
+      Observe.slaWindows(t(s, d, "events"),
+        latencyMs = col("value") * 1000,
+        windowExpr = date_trunc("hour", col("ts")))),
+
+    // A7: throughput metering per (window, route).
+    "q12_throughput" -> ((s, d) =>
+      Observe.throughput(t(s, d, "events"),
+        date_trunc("hour", col("ts")), col("event_type"), col("props"))),
+
+    // A10: diagnostics scatter-gather reduce (two-level agg).
+    "q13_diag_reduce" -> ((s, d) =>
+      Control.diagReduce(t(s, d, "events"),
+        hostCol = concat(lit("host-"), pmod(col("user_id"), lit(16L)).cast("string")),
+        statusCol = Translate.opcodeOf(col("event_type")),
+        metric = col("event_id"))),
+
+    // §2.9 scalar-function surface.
+    "q14_scalar_funcs" -> ((s, d) =>
+      t(s, d, "events").filter(col("event_id") < 50).select(
+        col("event_id"),
+        md5(col("props")).as("md5_hex"),
+        concat(lit("dest-"), col("event_type"), lit("-"),
+          pmod(col("user_id"), lit(4L)).cast("string")).as("dest"),
+        date_format(col("ts"), "yyyyMMddHHmmss").as("ts_code"),
+        get_json_object(col("props"), "$.k").as("k_val"),
+        col("event_type").rlike("^(click|view)$").as("is_click_view"))),
+
+    // T6: registry envelope framing (magic ‖ md5(schemaId) ‖ payload).
+    "q15_registry_frame" -> ((s, d) =>
+      t(s, d, "events").filter(col("event_id") < 1000).select(
+        col("event_id"),
+        Portable.registryFrameHex(col("user_id"), col("props")).as("framed_hex"))),
+
+    // T7: CDC opcode classification + exact decimal rollup.
+    "q16_cdc_opcodes" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(Translate.opcodeOf(col("event_type")).as("opcode"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("value_total"))),
+
+    // F5: TTL expiry filter (pushed to the scan).
+    "q17_ttl_filter" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(col("ts") < to_timestamp(lit("2024-01-08 00:00:00")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("event_id")).as("max_id"))),
+
+    // T3/S5: file-line translate.
+    "q18_file_lines" -> ((s, d) =>
+      Translate.fileLines(t(s, d, "documents"),
+        lineNo = col("doc_id"), line = col("text"),
+        ingestTs = to_timestamp(lit("2024-01-01 00:00:00")))),
+
+    // F1: topic whitelist regex.
+    "q19_topic_whitelist" -> ((s, d) =>
+      kafkaShaped(t(s, d, "events"))
+        .filter(Filters.topicWhitelist(col("topic"), "^(click|view)$"))
+        .groupBy(col("topic")).agg(count(lit(1)).as("n"))),
+
+    // P2: key-hash partitioning distribution.
+    "q20_key_partition" -> ((s, d) =>
+      kafkaShaped(t(s, d, "events"))
+        .groupBy(Partitioning.byKey(col("key"), 16).as("part"))
+        .agg(count(lit(1)).as("n"))),
+
+    // Star-schema join rollup: broadcast dims, exact decimal revenue.
+    "q21_revenue_by_nation" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val customer = t(s, d, "customer")
+      val nation = broadcast(t(s, d, "nation"))
+      val region = broadcast(t(s, d, "region"))
+      orders.join(customer, col("o_custkey") === col("c_custkey"))
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+    }))
+
+  private val h = Portable.hash64Sql _
+
+  val oracles: Map[String, String] = Map(
+    "q01_flow_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |CAST(SUM(length(props)) AS BIGINT) AS bytes,
+        |MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM events GROUP BY event_type""".stripMargin.replace("\n", " "),
+
+    "q02_mirror_translate" ->
+      s"""SELECT key, value, topic AS origin_topic,
+         |partition AS origin_partition, "offset" AS origin_offset,
+         |ts AS event_timestamp,
+         |CONCAT('mirror.', 'p-', topic) AS dest_topic,
+         |CONCAT_WS('-', topic, partition, "offset") AS checkpoint,
+         |partition AS dest_partition
+         |FROM ($kafkaShapedSql)""".stripMargin.replace("\n", " "),
+
+    "q03_hash_shard" ->
+      s"""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         |WHERE MOD(${h("CONCAT_WS('|', l_orderkey, l_linenumber)")}, 8) IN (0, 3)"""
+        .stripMargin.replace("\n", " "),
+
+    "q04_seek_chunk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE (l_orderkey > 1000) OR (l_orderkey = 1000 AND l_linenumber > 2)
+        |ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin.replace("\n", " "),
+
+    "q05_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin.replace("\n", " "),
+
+    "q06_paging" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 100 OFFSET 200""".stripMargin.replace("\n", " "),
+
+    "q07_dest_reuse" ->
+      """SELECT d.doc_id, d.source, c.canonical_id FROM documents d
+        |JOIN (SELECT source, MIN(doc_id) AS canonical_id FROM documents
+        |GROUP BY source) c USING (source)""".stripMargin.replace("\n", " "),
+
+    "q08_assignment_diff" ->
+      """SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        |WHERE event_type = 'click'
+        |EXCEPT SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        |WHERE event_type = 'purchase'""".stripMargin.replace("\n", " "),
+
+    "q09_broadcast_fanout" ->
+      """SELECT event_id, g.range AS dest_partition FROM events
+        |CROSS JOIN range(0, 4) g WHERE event_id < 100""".stripMargin.replace("\n", " "),
+
+    "q10_safe_checkpoints" ->
+      """SELECT MOD(user_id, 8) AS part,
+        |COALESCE(MIN(CASE WHEN NOT (value < 30.0) THEN event_id END) - 1,
+        |MAX(CASE WHEN value < 30.0 THEN event_id END)) AS safe_checkpoint
+        |FROM events GROUP BY 1""".stripMargin.replace("\n", " "),
+
+    "q11_sla_windows" ->
+      """SELECT date_trunc('hour', ts) AS win, COUNT(*) AS events,
+        |CAST(SUM(CASE WHEN value * 1000 <= 60000 THEN 1 ELSE 0 END) AS BIGINT) AS within_sla,
+        |CAST(SUM(CASE WHEN value * 1000 > 60000 THEN 1 ELSE 0 END) AS BIGINT) AS outside_sla,
+        |CAST(SUM(CASE WHEN value * 1000 > 180000 THEN 1 ELSE 0 END) AS BIGINT) AS outside_alt_sla
+        |FROM events GROUP BY 1""".stripMargin.replace("\n", " "),
+
+    "q12_throughput" ->
+      """SELECT date_trunc('hour', ts) AS win, event_type AS route,
+        |COUNT(*) AS events, CAST(SUM(length(props)) AS BIGINT) AS bytes
+        |FROM events GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+
+    "q13_diag_reduce" ->
+      """SELECT status, COUNT(*) AS hosts, CAST(SUM(n) AS BIGINT) AS records,
+        |CAST(SUM(metric_sum) AS BIGINT) AS metric_total FROM (
+        |SELECT CONCAT('host-', CAST(MOD(user_id, 16) AS VARCHAR)) AS host,
+        |CASE WHEN event_type IN ('create','insert','signup') THEN 'INSERT'
+        |WHEN event_type IN ('delete','drop','error') THEN 'DELETE'
+        |ELSE 'UPDATE' END AS status,
+        |COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS metric_sum
+        |FROM events GROUP BY 1, 2) GROUP BY status""".stripMargin.replace("\n", " "),
+
+    "q14_scalar_funcs" ->
+      """SELECT event_id, md5(props) AS md5_hex,
+        |CONCAT('dest-', event_type, '-', CAST(MOD(user_id, 4) AS VARCHAR)) AS dest,
+        |strftime(ts, '%Y%m%d%H%M%S') AS ts_code,
+        |json_extract_string(props, '$.k') AS k_val,
+        |regexp_matches(event_type, '^(click|view)$') AS is_click_view
+        |FROM events WHERE event_id < 50""".stripMargin.replace("\n", " "),
+
+    "q15_registry_frame" ->
+      s"""SELECT event_id,
+         |${Portable.registryFrameHexSql("user_id", "props")} AS framed_hex
+         |FROM events WHERE event_id < 1000""".stripMargin.replace("\n", " "),
+
+    "q16_cdc_opcodes" ->
+      """SELECT CASE WHEN event_type IN ('create','insert','signup') THEN 'INSERT'
+        |WHEN event_type IN ('delete','drop','error') THEN 'DELETE'
+        |ELSE 'UPDATE' END AS opcode, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_total
+        |FROM events GROUP BY 1""".stripMargin.replace("\n", " "),
+
+    "q17_ttl_filter" ->
+      """SELECT event_type, COUNT(*) AS n, MAX(event_id) AS max_id FROM events
+        |WHERE ts < TIMESTAMP '2024-01-08 00:00:00' GROUP BY event_type"""
+        .stripMargin.replace("\n", " "),
+
+    "q18_file_lines" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS key, text AS value,
+        |CAST(length(text) AS BIGINT) AS value_len,
+        |TIMESTAMP '2024-01-01 00:00:00' AS event_timestamp
+        |FROM documents""".stripMargin.replace("\n", " "),
+
+    "q19_topic_whitelist" ->
+      """SELECT event_type AS topic, COUNT(*) AS n FROM events
+        |WHERE regexp_matches(event_type, '^(click|view)$') GROUP BY 1"""
+        .stripMargin.replace("\n", " "),
+
+    "q20_key_partition" ->
+      s"""SELECT MOD(${h("CAST(user_id AS VARCHAR)")}, 16) AS part,
+         |COUNT(*) AS n FROM events GROUP BY 1""".stripMargin.replace("\n", " "),
+
+    "q21_revenue_by_nation" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin.replace("\n", " "))
+}

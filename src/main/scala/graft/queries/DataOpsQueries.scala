@@ -1,0 +1,339 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.functions.Portable
+import graft.multimodal.Multimodal
+import graft.text.Text
+
+/**
+ * Training-data pipeline operators (dedup, similarity search, text
+ * analysis, multimodal plumbing) over the `documents` and `embeddings`
+ * tables, each with a DuckDB oracle reproducing the exact result via
+ * the portable (md5-derived) hash and sequential-fold dot products.
+ */
+object DataOpsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.t(s, dir, name)
+
+  private val MinHashK = 16
+  private val LshRows = 4
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy on content digest.
+    "d01_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), col("doc_id"), col("text"))),
+
+    // MinHash signatures, long relational form (doc, i, sig).
+    "d02_minhash_sig" -> ((s, d) =>
+      Dedup.minHashLong(t(s, d, "documents"), col("doc_id"), col("text"), k = 8)
+        .withColumn("i", col("i").cast("long"))),
+
+    // MinHash + LSH banding: near-dup candidate pairs.
+    "d03_lsh_candidates" -> ((s, d) =>
+      Dedup.lshCandidates(t(s, d, "documents"), col("doc_id"), col("text"),
+        k = MinHashK, r = LshRows)),
+
+    // Exact n-gram Jaccard pairs (the LSH verification measure).
+    "d04_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(t(s, d, "documents"), col("doc_id"), col("text"),
+        shingleN = 3, threshold = 0.5)),
+
+    // 32-bit SimHash fingerprints.
+    "d05_simhash" -> ((s, d) =>
+      Dedup.simHash(t(s, d, "documents"), col("doc_id"), col("text"))),
+
+    // SimHash near-dup candidate pairs via 8-bit bands + Hamming
+    // verify (candidates feed an exact check like d04 downstream).
+    "d06_simhash_pairs" -> ((s, d) =>
+      Dedup.simHashPairs(
+        Dedup.simHash(t(s, d, "documents"), col("doc_id"), col("text")),
+        maxHamming = 2)),
+
+    // Embedding-cosine near-duplicate pairs.
+    "e01_cosine_pairs" -> ((s, d) =>
+      Ann.cosinePairs(t(s, d, "embeddings"), threshold = 0.4)),
+
+    // Brute-force cosine top-k (exact ANN baseline).
+    "e02_ann_brute" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Ann.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // LSH-bucketed ANN (the scale path).
+    "e03_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Ann.lshTopK(emb.filter(col("vec_id") < 10), emb, nBits = 4, k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // Language ID by marker-token profile.
+    "t01_langid" -> ((s, d) => {
+      val scores = Text.langScores(col("text"))
+      val scoreCols = scores.map { case (l, c) => c.cast("long").as(s"s_$l") }
+      val langs = scores.map(_._1)
+      val best = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+        case ((l, i), elseCol) =>
+          val ge = langs.drop(i + 1)
+            .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+          when(ge, lit(l)).otherwise(elseCol)
+      }
+      t(s, d, "documents")
+        .select(col("doc_id") +: col("lang").as("lang_true") +: scoreCols: _*)
+        .withColumn("predicted", best)
+    }),
+
+    // Quality scoring features.
+    "t02_quality" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        Text.meanTokenLen(col("text")).as("mean_token_len"),
+        Text.stopwordRatio(col("text")).as("stopword_ratio"),
+        Text.nonAlphaRatio(col("text")).as("nonalpha_ratio"),
+        Text.qualityScore(col("text")).as("quality"))),
+
+    // Token counting (whitespace + subword-ish).
+    "t03_token_stats" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        Text.subwordCount(col("text")).cast("long").as("n_subwords"),
+        size(array_distinct(Text.tokens(col("text")))).cast("long").as("n_distinct"))),
+
+    // Position-weighted document fingerprint.
+    "t04_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"), Text.fingerprint(col("text")).as("fp"))),
+
+    // Multimodal: batched (mapPartitions) stub decode over binary payloads.
+    "m01_media_decode" -> ((s, d) => Multimodal.decodeDocumentsAsMedia(s, d)),
+
+    // Multimodal: frame sampling (flatMap plumbing).
+    "m02_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents")
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "utf-8").as("payload"),
+          lit("video").as("media_type"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.sampleFrames(media, 4).toDF()
+    }))
+
+  // ---------------------------------------------------------------
+  // Oracle SQL (DuckDB dialect). Shared fragments keep the arithmetic
+  // in lock-step with the Spark expressions above.
+  // ---------------------------------------------------------------
+
+  private def h(expr: String) = Portable.hash64Sql(expr)
+
+  /** tokens CTE fragment: doc + filtered word list. */
+  private val wordsCte =
+    """w AS (SELECT doc_id AS doc, lang,
+      |list_filter(string_split(text, ' '), x -> len(x) > 0) AS w, text
+      |FROM documents)""".stripMargin.replace("\n", " ")
+
+  /** exploded 3-shingles (with duplicates). */
+  private val shinglesCte =
+    """sh AS (SELECT doc, unnest(CASE WHEN len(w) >= 3 THEN
+      |list_transform(generate_series(1, len(w) - 2),
+      |j -> concat_ws(' ', w[j], w[j+1], w[j+2])) ELSE [] END) AS s FROM w)"""
+      .stripMargin.replace("\n", " ")
+
+  private def affine(hExpr: String, iExpr: String) =
+    s"MOD($hExpr * (1000003 * ($iExpr + 1) + 12345) + (998244353 * ($iExpr + 1) + 7), ${Portable.MinHashPrime})"
+
+  private def minhashSigCte(k: Int) =
+    s"""hs AS (SELECT doc, s, ${h("s")} AS hv FROM sh),
+       |sig AS (SELECT doc, r.range AS i, MIN(${affine("hv", "r.range")}) AS sig
+       |FROM hs CROSS JOIN range(0, $k) r GROUP BY doc, r.range)"""
+      .stripMargin.replace("\n", " ")
+
+  private val stopIn = Text.Stopwords.map(w => s"x = '$w'").mkString(" OR ")
+
+  private def markerIn(ws: Seq[String]) = ws.map(w => s"x = '$w'").mkString(" OR ")
+
+  /** double[] cast + sequential-fold dot via 1-based index lambda. */
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_transform($a, (x, i) -> x * ($b)[i]), (acc, v) -> acc + v)"
+
+  private val vecCte =
+    "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
+
+  private val normCte =
+    s"n AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nr FROM v)"
+
+  private def lshProjWeight(jExpr: String) =
+    s"CAST(MOD($jExpr * 2654435761 + i * 40503, 2001) - 1000 AS DOUBLE)"
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      """SELECT md5(text) AS digest, MIN(doc_id) AS keep_id,
+        |COUNT(*) AS n_copies FROM documents GROUP BY 1""".stripMargin.replace("\n", " "),
+
+    "d02_minhash_sig" ->
+      s"""WITH $wordsCte, $shinglesCte, ${minhashSigCte(8)}
+         |SELECT doc, i, sig FROM sig""".stripMargin.replace("\n", " "),
+
+    "d03_lsh_candidates" ->
+      s"""WITH $wordsCte, $shinglesCte, ${minhashSigCte(MinHashK)},
+         |bands AS (SELECT doc, i // $LshRows AS band,
+         |${h("string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)")} AS bh
+         |FROM sig GROUP BY doc, i // $LshRows)
+         |SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_bands
+         |FROM bands a JOIN bands b
+         |ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc
+         |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+
+    "d04_jaccard_pairs" ->
+      s"""WITH $wordsCte, $shinglesCte,
+         |shd AS (SELECT DISTINCT doc, s FROM sh),
+         |sizes AS (SELECT doc, COUNT(*) AS n FROM shd GROUP BY doc),
+         |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
+         |FROM shd a JOIN shd b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
+         |FROM inter JOIN sizes na ON na.doc = doc_a
+         |JOIN sizes nb ON nb.doc = doc_b
+         |WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.5"""
+        .stripMargin.replace("\n", " "),
+
+    "d05_simhash" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT doc, unnest(w) AS tok FROM w),
+         |th AS (SELECT doc, ${h("tok")} AS hv FROM tok),
+         |votes AS (SELECT doc, r.range AS j,
+         |SUM(CASE WHEN (hv >> CAST(r.range AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |FROM th CROSS JOIN range(0, 32) r GROUP BY doc, r.range)
+         |SELECT doc, CAST(SUM(CASE WHEN vote > 0
+         |THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM votes GROUP BY doc""".stripMargin.replace("\n", " "),
+
+    "d06_simhash_pairs" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT doc, unnest(w) AS tok FROM w),
+         |th AS (SELECT doc, ${h("tok")} AS hv FROM tok),
+         |votes AS (SELECT doc, r.range AS j,
+         |SUM(CASE WHEN (hv >> CAST(r.range AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |FROM th CROSS JOIN range(0, 32) r GROUP BY doc, r.range),
+         |fp AS (SELECT doc, CAST(SUM(CASE WHEN vote > 0
+         |THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM votes GROUP BY doc),
+         |bands AS (SELECT doc, simhash, r.range AS band,
+         |(simhash >> CAST(r.range * 8 AS INTEGER)) & 255 AS bh
+         |FROM fp CROSS JOIN range(0, 4) r)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+         |CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM bands a JOIN bands b
+         |ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc)
+         |WHERE hamming <= 2""".stripMargin.replace("\n", " "),
+
+    "e01_cosine_pairs" ->
+      s"""WITH $vecCte, $normCte
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |round(${dotSql("a.e", "b.e")} / (a.nr * b.nr), 6) AS cos
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE round(${dotSql("a.e", "b.e")} / (a.nr * b.nr), 6) >= 0.4"""
+        .stripMargin.replace("\n", " "),
+
+    "e02_ann_brute" ->
+      s"""WITH $vecCte, $normCte,
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |round(${dotSql("q.e", "c.e")} / (q.nr * c.nr), 6) AS cos
+         |FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         |SELECT query_id, cand_id, rank, cos FROM (
+         |SELECT query_id, cand_id, cos, ROW_NUMBER() OVER
+         |(PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM scored)
+         |WHERE rank <= 5""".stripMargin.replace("\n", " "),
+
+    "e03_ann_lsh" ->
+      s"""WITH $vecCte, $normCte,
+         |proj AS (SELECT vec_id, r.range AS j,
+         |list_reduce(list_transform(e, (x, i) -> x * ${lshProjWeight("r.range")}),
+         |(acc, v) -> acc + v) AS p
+         |FROM v CROSS JOIN range(0, 4) r),
+         |buckets AS (SELECT vec_id, CAST(SUM(CASE WHEN p > 0
+         |THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+         |FROM proj GROUP BY vec_id),
+         |nb AS (SELECT n.vec_id, e, nr, bucket FROM n JOIN buckets USING (vec_id)),
+         |scored AS (SELECT q.vec_id AS query_id, q.bucket AS bucket,
+         |c.vec_id AS cand_id,
+         |round(${dotSql("q.e", "c.e")} / (q.nr * c.nr), 6) AS cos
+         |FROM nb q JOIN nb c ON q.bucket = c.bucket
+         |AND q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         |SELECT query_id, bucket, cand_id, rank, cos FROM (
+         |SELECT query_id, bucket, cand_id, cos, ROW_NUMBER() OVER
+         |(PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM scored)
+         |WHERE rank <= 3""".stripMargin.replace("\n", " "),
+
+    "t01_langid" -> {
+      val langs = Text.LangMarkers.toSeq.sortBy(_._1)
+      val scoreExprs = langs.map { case (l, ws) =>
+        s"CAST(len(list_filter(w, x -> ${markerIn(ws)})) AS BIGINT) AS s_$l"
+      }.mkString(", ")
+      val names = langs.map(_._1)
+      val caseChain = names.init.zipWithIndex.map { case (l, i) =>
+        val ge = names.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $ge THEN '$l'"
+      }.mkString(" ")
+      s"""WITH $wordsCte,
+         |sc AS (SELECT doc AS doc_id, lang AS lang_true, $scoreExprs FROM w)
+         |SELECT *, CASE $caseChain ELSE '${names.last}' END AS predicted FROM sc"""
+        .stripMargin.replace("\n", " ")
+    },
+
+    "t02_quality" ->
+      s"""WITH $wordsCte
+         |SELECT doc AS doc_id,
+         |CAST(len(w) AS BIGINT) AS n_tokens,
+         |CAST(list_reduce(list_transform(w, x -> len(x)), (a, b) -> a + b) AS DOUBLE)
+         |/ CAST(len(w) AS DOUBLE) AS mean_token_len,
+         |CAST(len(list_filter(w, x -> $stopIn)) AS DOUBLE)
+         |/ CAST(len(w) AS DOUBLE) AS stopword_ratio,
+         |CAST(length(regexp_replace(text, '[a-z A-Z]', '', 'g')) AS DOUBLE)
+         |/ CAST(length(text) AS DOUBLE) AS nonalpha_ratio,
+         |round((least(CAST(len(w) AS DOUBLE) / 50.0, 1.0)
+         |+ (1.0 - CAST(length(regexp_replace(text, '[a-z A-Z]', '', 'g')) AS DOUBLE)
+         |/ CAST(length(text) AS DOUBLE))
+         |+ (1.0 - abs(CAST(len(list_filter(w, x -> $stopIn)) AS DOUBLE)
+         |/ CAST(len(w) AS DOUBLE) - 0.4))) / 3.0, 6) AS quality
+         |FROM w""".stripMargin.replace("\n", " "),
+
+    "t03_token_stats" ->
+      s"""WITH $wordsCte
+         |SELECT doc AS doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |CAST(len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+         |x -> len(x) > 0))
+         |+ length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_subwords,
+         |CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+         |FROM w""".stripMargin.replace("\n", " "),
+
+    "t04_fingerprint" ->
+      s"""WITH $wordsCte
+         |SELECT doc AS doc_id,
+         |CAST(list_reduce(list_transform(w, (x, i) -> ${h("x")} * i),
+         |(a, b) -> a + b) AS BIGINT) AS fp
+         |FROM w""".stripMargin.replace("\n", " "),
+
+    "m01_media_decode" -> {
+      val hv = h("text")
+      s"""SELECT doc_id AS media_id, 'image' AS media_type,
+         |CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+         |320 + MOD($hv, 1600) AS width,
+         |240 + MOD($hv // 7, 840) AS height,
+         |1 + MOD($hv, 3) AS channels,
+         |CASE WHEN MOD($hv, 2) = 0 THEN 'rgb' ELSE 'yuv' END AS format
+         |FROM documents""".stripMargin.replace("\n", " ")
+    },
+
+    "m02_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(r.range AS BIGINT) AS frame_no,
+        |SUBSTR(md5(text), CAST(r.range + 1 AS INTEGER), 8) AS frame_digest
+        |FROM documents CROSS JOIN range(0, 4) r""".stripMargin.replace("\n", " "))
+}

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.{PipelineSpec, PipelineStatus}
+
+/**
+ * Thin pipeline manager: the engine's control plane.
+ *
+ * One datastream spec = one StreamingQuery; the coordinator, ZooKeeper
+ * assignment, leader election and checkpoint providers of the reference
+ * (Coordinator.java, ZkAdapter.java, ZookeeperCheckpointProvider.java)
+ * collapse into the Spark driver + `checkpointLocation` offset/commit
+ * logs, per SURVEY.md §3.1/§7.1. What remains is CRUD + validation +
+ * destination-reuse dedup (SourceBasedDeduper.java:66) + lifecycle
+ * (pause = stop query keeping checkpoints; resume = restart from them —
+ * Spark's native replay contract).
+ */
+final class PipelineManager(spark: SparkSession, checkpointRoot: String) {
+
+  private val specs = TrieMap.empty[String, PipelineSpec]
+  private val queries = new ConcurrentHashMap[String, StreamingQuery]()
+
+  /** Validate + dedup + register (the "create datastream" DDL). */
+  def create(spec: PipelineSpec): PipelineSpec = {
+    require(spec.name.nonEmpty, "pipeline name required")
+    require(!specs.contains(spec.name), s"duplicate pipeline ${spec.name}")
+    require(spec.sourceConnection.nonEmpty, "source connection required")
+    // BYOT conflict (D2): a user-managed destination may serve one
+    // pipeline only (Coordinator.java:2416-2432).
+    val byotConflict = spec.destinationConnection.nonEmpty &&
+      specs.values.exists(_.destinationConnection == spec.destinationConnection)
+    require(!byotConflict, s"destination ${spec.destinationConnection} already in use")
+    // Destination-reuse dedup (D1): same source ⇒ share destination.
+    val deduped = specs.values.find(_.sourceConnection == spec.sourceConnection) match {
+      case Some(existing) if spec.destinationConnection.isEmpty =>
+        spec.copy(destinationConnection = existing.destinationConnection)
+      case _ if spec.destinationConnection.isEmpty =>
+        spec.copy(destinationConnection = s"dest-${spec.name}")
+      case _ => spec
+    }
+    val ready = deduped.copy(status = PipelineStatus.Ready)
+    specs.put(spec.name, ready)
+    ready
+  }
+
+  def get(name: String): Option[PipelineSpec] = specs.get(name)
+  def list(start: Int, count: Int): Seq[PipelineSpec] =
+    specs.values.toSeq.sortBy(_.name).slice(start, start + count)
+
+  /** Build the source DataFrame for a spec (batch-testable subset). */
+  private def source(spec: PipelineSpec): DataFrame = spec.connector match {
+    case "rate" =>
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", spec.sourcePartitions.max(1) * 10).load()
+    case "parquet" =>
+      val schema = spark.read.parquet(spec.sourceConnection).schema
+      spark.readStream.schema(schema).parquet(spec.sourceConnection)
+    case "kafka" =>
+      spark.readStream.format("kafka")
+        .option(
+          if (spec.sourceConnection.contains("*") || spec.sourceConnection.contains(".+"))
+            "subscribePattern" else "subscribe",
+          spec.sourceConnection)
+        .load()
+    case other => throw new IllegalArgumentException(s"unknown connector $other")
+  }
+
+  /**
+   * Start the query for a created spec with a transform chain.
+   * Checkpointing (the reference's ZookeeperCheckpointProvider) is the
+   * built-in offset/commit log under `checkpointRoot/name`.
+   */
+  def start(name: String, transform: DataFrame => DataFrame,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spec = specs.getOrElse(name, sys.error(s"unknown pipeline $name"))
+    val out = transform(source(spec))
+    val q = out.writeStream
+      .queryName(name)
+      .outputMode("append")
+      .format("memory")
+      .option("checkpointLocation", s"$checkpointRoot/$name")
+      .trigger(trigger)
+      .start()
+    queries.put(name, q)
+    q
+  }
+
+  /** Pause = stop the query; offsets stay in the checkpoint. */
+  def pause(name: String): Unit = {
+    Option(queries.remove(name)).foreach(_.stop())
+    specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Paused)))
+  }
+
+  /** Resume = restart from the same checkpointLocation. */
+  def resume(name: String, transform: DataFrame => DataFrame): StreamingQuery = {
+    specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Ready)))
+    start(name, transform)
+  }
+
+  def delete(name: String): Unit = {
+    Option(queries.remove(name)).foreach(_.stop())
+    specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Deleting)))
+    specs.remove(name)
+  }
+
+  /**
+   * Diagnostics scatter-gather (A10 / DiagnosticsAware.reduce): merge
+   * every active query's progress into one status row each.
+   */
+  def status(): Seq[(String, String, Long)] =
+    queries.asScala.toSeq.map { case (name, q) =>
+      val rows = Option(q.lastProgress).map(_.numInputRows).getOrElse(0L)
+      (name, if (q.isActive) "READY" else "STOPPED", rows)
+    }.sortBy(_._1)
+}

@@ -1,0 +1,110 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/**
+ * Text-analysis primitives for large-scale training-data pipelines:
+ * tokenization, shingling, quality scoring, language ID, and document
+ * fingerprinting. Everything is a codegen'd column expression — no
+ * UDFs — so the whole text pass stays inside WholeStageCodegen and
+ * scales as a single narrow scan over 100 TB of documents.
+ */
+object Text {
+
+  /** Whitespace tokens (single-space delimiter, empties dropped). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  /** Word n-gram shingles (1-based windows, matching SQL list indexing). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = tokens(text)
+    // Guard: Spark's sequence(1, 0) counts DOWN, so short docs need an
+    // explicit empty-array branch (DuckDB's generate_series(1,0) is []).
+    when(size(w) >= n,
+      transform(
+        sequence(lit(1), size(w) - (n - 1)),
+        j => concat_ws(" ", (0 until n).map(o => element_at(w, j + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct shingles — the set form used by Jaccard/MinHash. */
+  def shingleSet(text: Column, n: Int = 3): Column = array_distinct(shingles(text, n))
+
+  /** Token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alpha runs + digit runs + punct chars. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "[^a-zA-Z0-9]+"), t => length(t) > 0)) +
+      length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+
+  /**
+   * Quality features: token stats, mean word length, stopword ratio,
+   * non-alpha ratio — the standard cheap heuristics used to score web
+   * documents before training.
+   */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+  def meanTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    (aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+      size(t).cast("double"))
+  }
+
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    size(filter(t, x => x.isin(Stopwords.map(lit): _*))).cast("double") /
+      size(t).cast("double")
+  }
+
+  def nonAlphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[a-z A-Z]", "")).cast("double") /
+      length(text).cast("double")
+
+  /**
+   * Composite quality score in [0,1]: penalize too-short docs, extreme
+   * stopword ratios, and non-alpha noise. Deterministic arithmetic.
+   */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(50.0), lit(1.0))
+    val alphaScore = lit(1.0) - nonAlphaRatio(text)
+    val stopScore = lit(1.0) - abs(stopwordRatio(text) - lit(0.4))
+    round((lenScore + alphaScore + stopScore) / lit(3.0), 6)
+  }
+
+  /**
+   * N-gram-profile language ID: score each candidate language by
+   * marker-token hits and pick the best (deterministic tie-break on
+   * language code). Marker lists are a tiny literal table, so at scale
+   * this is a broadcast join against an exploded token stream — or,
+   * as here, a pure expression per language.
+   */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "value", "fast", "table"),
+    "fr" -> Seq("le", "la", "et", "spark", "scan"),
+    "de" -> Seq("der", "die", "und", "join", "column"),
+    "es" -> Seq("el", "los", "y", "merge", "group"),
+    "zh" -> Seq("query", "key", "small", "customer", "line"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val t = tokens(text)
+    LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      lang -> size(filter(t, x => x.isin(markers.map(lit): _*)))
+    }
+  }
+
+  /**
+   * Rolling/position-weighted document fingerprint:
+   * sum over tokens of hash(token) * (position) — order-sensitive,
+   * overflow-free (hash < 2^32, pos < 2^20), and identical in any
+   * engine with 64-bit integer arithmetic.
+   */
+  def fingerprint(text: Column): Column = {
+    val hs = transform(tokens(text), (w, i) => Portable.hash64(w) * (i + lit(1L)))
+    aggregate(hs, lit(0L), (acc, x) => acc + x)
+  }
+}

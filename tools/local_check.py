@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL
+in DuckDB against the sf tables and compare against the parquet dumped
+by graft.Verify (columns sorted by name, rows sorted, values hashed).
+
+Usage: local_check.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, math
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for f in glob.glob(f"{sfdir}/*.parquet"):
+    name = f.split("/")[-1].replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = []
+    for row in df.itertuples(index=False):
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("NaN")
+                else:
+                    vals.append(repr(v))
+            else:
+                vals.append(str(v))
+        rows.append("|".join(vals))
+    return cols, sorted(rows)
+
+fails = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        want = con.execute(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {str(e)[:200]}")
+        fails += 1
+        continue
+    try:
+        got = con.execute(
+            f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+    except Exception as e:
+        print(f"FAIL {name}: spark output missing: {str(e)[:120]}")
+        fails += 1
+        continue
+    wc, wr = canon(want)
+    gc, gr = canon(got)
+    if wc != gc:
+        print(f"FAIL {name}: columns differ spark={gc} oracle={wc}")
+        fails += 1
+        continue
+    if len(wr) != len(gr):
+        print(f"FAIL {name}: rows spark={len(gr)} oracle={len(wr)}")
+        fails += 1
+        continue
+    bad = [(a, b) for a, b in zip(gr, wr) if a != b]
+    if bad:
+        print(f"FAIL {name}: {len(bad)}/{len(wr)} rows differ; first: spark={bad[0][0][:160]} oracle={bad[0][1][:160]}")
+        fails += 1
+        continue
+    print(f"OK   {name}: {len(wr)} rows")
+
+print(f"\n{len(oracle) - fails}/{len(oracle)} queries match")
+sys.exit(1 if fails else 0)
