@@ -43,7 +43,11 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String) {
       case Some(existing) if spec.destinationConnection.isEmpty =>
         spec.copy(destinationConnection = existing.destinationConnection)
       case _ if spec.destinationConnection.isEmpty =>
-        spec.copy(destinationConnection = s"dest-${spec.name}")
+        // auto-provision a destination (the analog of the reference's
+        // Coordinator.createTopic): durable sinks get a real path.
+        spec.copy(destinationConnection =
+          if (spec.transport == "memory") s"dest-${spec.name}"
+          else s"$checkpointRoot/dest/${spec.name}")
       case _ => spec
     }
     val ready = deduped.copy(status = PipelineStatus.Ready)
@@ -82,13 +86,23 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String) {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val spec = specs.getOrElse(name, sys.error(s"unknown pipeline $name"))
     val out = transform(source(spec))
-    val q = out.writeStream
+    val writer = out.writeStream
       .queryName(name)
       .outputMode("append")
-      .format("memory")
       .option("checkpointLocation", s"$checkpointRoot/$name")
       .trigger(trigger)
-      .start()
+    // Transport selection (the reference's TransportProvider registry).
+    // Note: the memory sink cannot recover from a checkpoint — durable
+    // pipelines use parquet (or kafka in a real deployment).
+    val q = spec.transport match {
+      case "memory" => writer.format("memory").start()
+      case "parquet" =>
+        writer.format("parquet").option("path", spec.destinationConnection).start()
+      case "kafka" =>
+        writer.format("kafka").option("topic", spec.destinationConnection).start()
+      case "noop" => writer.format("noop").start()
+      case other => throw new IllegalArgumentException(s"unknown transport $other")
+    }
     queries.put(name, q)
     q
   }

@@ -1,0 +1,39 @@
+package graft.ann
+
+import graft.SparkTestBase
+
+class AnnSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),  // closest to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal to 0
+    (3L, Array(0.0f, 0.0f, 1.0f)),
+    (4L, Array(0.7f, 0.7f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k returns exact cosine ranking") {
+    val got = Ann.bruteForceTopK(vecs.filter($"vec_id" === 0L), vecs, k = 2)
+      .orderBy($"rank")
+      .select($"cand_id", $"cos").as[(Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 4L))
+    assert(got(0)._2 > 0.99)
+    assert(got(1)._2 > 0.70 && got(1)._2 < 0.72) // cos(45°)
+  }
+
+  test("cosinePairs finds only the high-similarity pairs") {
+    val got = Ann.cosinePairs(vecs, threshold = 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L)))
+  }
+
+  test("lsh bucket is deterministic and identical vectors share a bucket") {
+    val dup = Seq((10L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val all = vecs.union(dup)
+    val got = Ann.lshTopK(all.filter($"vec_id" === 10L), all, nBits = 4, k = 3)
+    val rows = got.select($"cand_id", $"cos").as[(Long, Double)].collect().toMap
+    // vec 0 is bit-identical to the probe → same bucket, cosine 1.0
+    assert(rows.get(0L).contains(1.0))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 1
+    (4L, "completely different words about spark engines and shuffles here")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under one representative") {
+    val got = Dedup.exact(docs, $"doc_id", $"text")
+      .as[(String, Long, Long)].collect()
+    assert(got.length == 3)
+    val dup = got.find(_._3 == 2L).get
+    assert(dup._2 == 1L) // representative = min id
+  }
+
+  test("minhash signature is identical for identical docs, close for near-dups") {
+    val sig = Dedup.minHashLong(docs, $"doc_id", $"text", k = 16)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(sig(1L) == sig(2L))
+    val agree13 = sig(1L).zip(sig(3L)).count { case (a, b) => a == b }
+    val agree14 = sig(1L).zip(sig(4L)).count { case (a, b) => a == b }
+    assert(agree13 > agree14)
+    assert(agree14 == 0)
+  }
+
+  test("lsh candidates surface the exact-dup pair") {
+    val pairs = Dedup.lshCandidates(docs, $"doc_id", $"text", k = 16, r = 4)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs share a fingerprint, unrelated docs differ") {
+    val fp = Dedup.simHash(docs, $"doc_id", $"text")
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(4L))
+    assert(fp.values.forall(v => v >= 0 && v < (1L << 32)))
+  }
+
+  test("jaccard pairs: dup pair at 1.0, near-dup pair high, others absent") {
+    val got = Dedup.jaccardPairs(docs, $"doc_id", $"text", shingleN = 3, threshold = 0.4)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) == 1.0)
+    assert(got((1L, 3L)) > 0.4 && got((1L, 3L)) < 1.0)
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+}

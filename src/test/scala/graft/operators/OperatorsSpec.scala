@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.Portable
+
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hashShard partitions every row into exactly one of P shards") {
+    val df = (1L to 200L).toDF("k")
+    val counts = (0 until 4).map { p =>
+      df.filter(Filters.hashShard(Seq($"k"), 4, Seq(p))).count()
+    }
+    assert(counts.sum == 200)
+    assert(counts.forall(_ > 20), s"badly skewed shards: $counts")
+  }
+
+  test("seekAfter resumes strictly past a composite key") {
+    val df = Seq((1, 1), (1, 2), (2, 1), (2, 2), (3, 1))
+      .toDF("k1", "k2")
+    val got = df.filter(Filters.seekAfter(Seq($"k1", $"k2"), Seq(1, 2)))
+      .orderBy($"k1", $"k2").as[(Int, Int)].collect().toSeq
+    assert(got == Seq((2, 1), (2, 2), (3, 1)))
+  }
+
+  test("mirror translate enriches origin metadata and substitutes destination") {
+    val df = Seq(("topicA", 3L, 42L, "K", "V", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("topic", "partition", "offset", "key", "value", "ts")
+    val row = Translate.mirror(df, "dest_%s", "pfx-").collect().head
+    assert(row.getAs[String]("dest_topic") == "dest_pfx-topicA")
+    assert(row.getAs[String]("checkpoint") == "topicA-3-42")
+    assert(row.getAs[Long]("dest_partition") == 3L) // identity partitioning
+    assert(row.getAs[String]("origin_topic") == "topicA")
+  }
+
+  test("broadcastFanOut replicates each record to every partition") {
+    val df = Seq(("a"), ("b")).toDF("key")
+    val out = Partitioning.broadcastFanOut(df, 3)
+    assert(out.count() == 6)
+    assert(out.groupBy("key").count().as[(String, Long)].collect()
+      .forall(_._2 == 3))
+  }
+
+  test("byKey matches portable hash mod N") {
+    val df = Seq("x").toDF("key")
+    val p = df.select(Partitioning.byKey($"key", 16)).as[Long].head()
+    // md5('x') = 9dd4e461268c8034f5c8564e155c67a6 → 0x9dd4e461 = 2647975009
+    assert(p == 2647975009L % 16)
+  }
+
+  test("safeCheckpoints: min in-flight minus one, else max acked") {
+    val df = Seq(
+      (0, 1L, true), (0, 2L, true), (0, 3L, false), (0, 4L, true),
+      (1, 1L, true), (1, 2L, true)
+    ).toDF("part", "off", "acked")
+    val got = Observe.safeCheckpoints(df, $"part", $"off", $"acked")
+      .as[(Int, Long)].collect().toMap
+    assert(got(0) == 2L) // 3 in flight → safe = 2
+    assert(got(1) == 2L) // nothing in flight → max acked
+  }
+
+  test("destinationReuse elects the oldest id per source") {
+    val df = Seq((1L, "s1"), (2L, "s1"), (3L, "s2")).toDF("id", "src")
+    val got = Control.destinationReuse(df, "src", "id")
+      .select($"id", $"canonical_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("registry frame is magic byte + md5(schemaId) + payload hex") {
+    val df = Seq(("42", "hi")).toDF("sid", "payload")
+    val hex = df.select(Portable.registryFrameHex($"sid", $"payload")).as[String].head()
+    assert(hex.startsWith("00"))
+    assert(hex.length == 2 + 32 + 4) // magic + md5 + 2 utf8 bytes
+    assert(hex.endsWith("6869"))     // 'h' 'i'
+  }
+}

@@ -1,0 +1,48 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class TextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tokens split on whitespace and drop empties") {
+    val got = Seq("a  b c").toDF("t")
+      .select(Text.tokens($"t")).as[Seq[String]].head()
+    assert(got == Seq("a", "b", "c"))
+  }
+
+  test("shingles are 1-based sliding word windows; short docs yield none") {
+    val got = Seq("a b c d").toDF("t")
+      .select(Text.shingles($"t", 3)).as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(Text.shingles($"t", 3)).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("fingerprint is order-sensitive") {
+    val fp = Seq("alpha beta", "beta alpha").toDF("t")
+      .select(Text.fingerprint($"t")).as[Long].collect()
+    assert(fp(0) != fp(1))
+  }
+
+  test("quality score stays in [0,1] on the real corpus") {
+    val q = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(Text.qualityScore($"text")).as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("langid marker scoring picks the language whose markers dominate") {
+    val df = Seq("le la et le la spark", "der die und der join").toDF("text")
+    val scores = Text.langScores($"text")
+    val cols = scores.map { case (l, c) => c.as(s"s_$l") }
+    val got = df.select(cols: _*).collect()
+    val langs = scores.map(_._1)
+    val best0 = langs(got(0).toSeq.map(_.asInstanceOf[Int]).zipWithIndex.maxBy(_._1)._2)
+    val best1 = langs(got(1).toSeq.map(_.asInstanceOf[Int]).zipWithIndex.maxBy(_._1)._2)
+    assert(best0 == "fr")
+    assert(best1 == "de")
+  }
+}
