@@ -22,9 +22,13 @@ import org.apache.spark.sql.functions._
  */
 object Ann {
 
-  /** Sequential (index-order) dot product of two double arrays. */
+  /**
+   * Sequential (index-order) dot product of two double arrays —
+   * a codegen'd native expression (see [[graft.functions.DotProduct]]);
+   * accumulation order matches the naive left fold bit-for-bit.
+   */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.dotProduct(a, b)
 
   /** Cast float vectors to double once, up front. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))

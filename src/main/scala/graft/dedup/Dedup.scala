@@ -50,19 +50,28 @@ object Dedup {
    * partial-aggregation friendly (map-side min), so the shuffle
    * carries at most |docs|·k rows.
    */
+  /** (doc, shingle) exploded with tokens materialized ONCE per row —
+    * see Text.shinglesOf for why the two-step projection matters. */
+  private def explodedShingles(df: DataFrame, id: Column, text: Column,
+      shingleN: Int): DataFrame =
+    df.select(id.as("doc"), Text.tokens(text).as("w"))
+      .select(col("doc"), explode(Text.shingleSetOf(col("w"), shingleN)).as("s"))
+
   def minHashLong(df: DataFrame, id: Column, text: Column, k: Int,
       shingleN: Int = 3): DataFrame = {
-    val hashed = df
-      .select(id.as("doc"), explode(Text.shingleSet(text, shingleN)).as("s"))
+    val hashed = explodedShingles(df, id, text, shingleN)
       .select(col("doc"), Portable.hash64(col("s")).as("h"))
+    // Single pass: k min-aggregates over one shingle row (map-side
+    // partial agg, no ×k row fan-out), then unpivot to (doc, i, sig).
+    val mins = (0 until k).map { i =>
+      min(pmod(col("h") * (1000003L * (i + 1) + 12345L) +
+        (998244353L * (i + 1) + 7L), lit(Portable.MinHashPrime))).as(s"s$i")
+    }
     hashed
-      .select(col("doc"), posexplode(
-        transform(sequence(lit(0), lit(k - 1)),
-          i => pmod(col("h") * (lit(1000003L) * (i + 1) + lit(12345L)) +
-            (lit(998244353L) * (i + 1) + lit(7L)), lit(Portable.MinHashPrime))))
-        .as(Seq("i", "sig")))
-      .groupBy(col("doc"), col("i"))
-      .agg(min(col("sig")).as("sig"))
+      .groupBy(col("doc"))
+      .agg(mins.head, mins.tail: _*)
+      .selectExpr("doc",
+        s"stack($k, ${(0 until k).map(i => s"$i, s$i").mkString(", ")}) AS (i, sig)")
   }
 
   /**
@@ -125,12 +134,38 @@ object Dedup {
   }
 
   /**
+   * Exact Jaccard verification of LSH candidate pairs — the production
+   * near-dup shape at 100 TB: the O(n²)-ish shingle self-join only ever
+   * runs over docs that already collided in a MinHash band, so the
+   * verify cost is |candidates|·|shingles| instead of all-pairs.
+   */
+  def jaccardOnCandidates(df: DataFrame, id: Column, text: Column,
+      shingleN: Int, threshold: Double, k: Int, r: Int): DataFrame = {
+    val cand = lshCandidates(df, id, text, k, r).select(col("doc_a"), col("doc_b"))
+    val sh = explodedShingles(df, id, text, shingleN)
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val inter = broadcast(cand)
+      .join(sh.as("a"), col("doc_a") === col("a.doc"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc") && col("a.s") === col("b.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /**
    * Exact n-gram Jaccard pairs >= threshold, via distinct-shingle
-   * self-join (in production gated behind [[lshCandidates]]).
+   * self-join (ground truth for small corpora; at scale use
+   * [[jaccardOnCandidates]]).
    */
   def jaccardPairs(df: DataFrame, id: Column, text: Column,
       shingleN: Int, threshold: Double): DataFrame = {
-    val sh = df.select(id.as("doc"), explode(Text.shingleSet(text, shingleN)).as("s"))
+    val sh = explodedShingles(df, id, text, shingleN)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))

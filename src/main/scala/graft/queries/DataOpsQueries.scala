@@ -38,10 +38,11 @@ object DataOpsQueries {
       Dedup.lshCandidates(t(s, d, "documents"), col("doc_id"), col("text"),
         k = MinHashK, r = LshRows)),
 
-    // Exact n-gram Jaccard pairs (the LSH verification measure).
+    // Exact n-gram Jaccard verification, gated by LSH candidates —
+    // the production near-dup pipeline shape (candidate gen → verify).
     "d04_jaccard_pairs" -> ((s, d) =>
-      Dedup.jaccardPairs(t(s, d, "documents"), col("doc_id"), col("text"),
-        shingleN = 3, threshold = 0.5)),
+      Dedup.jaccardOnCandidates(t(s, d, "documents"), col("doc_id"), col("text"),
+        shingleN = 3, threshold = 0.5, k = MinHashK, r = LshRows)),
 
     // 32-bit SimHash fingerprints.
     "d05_simhash" -> ((s, d) =>
@@ -191,11 +192,18 @@ object DataOpsQueries {
          |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
 
     "d04_jaccard_pairs" ->
-      s"""WITH $wordsCte, $shinglesCte,
+      s"""WITH $wordsCte, $shinglesCte, ${minhashSigCte(MinHashK)},
+         |bands AS (SELECT doc, i // $LshRows AS band,
+         |${h("string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)")} AS bh
+         |FROM sig GROUP BY doc, i // $LshRows),
+         |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |FROM bands a JOIN bands b
+         |ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc),
          |shd AS (SELECT DISTINCT doc, s FROM sh),
          |sizes AS (SELECT doc, COUNT(*) AS n FROM shd GROUP BY doc),
-         |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS inter
-         |FROM shd a JOIN shd b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2)
+         |inter AS (SELECT doc_a, doc_b, COUNT(*) AS inter
+         |FROM cand c JOIN shd a ON a.doc = c.doc_a
+         |JOIN shd b ON b.doc = c.doc_b AND b.s = a.s GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
          |CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
          |FROM inter JOIN sizes na ON na.doc = doc_a

@@ -18,9 +18,17 @@ object Text {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => length(t) > 0)
 
-  /** Word n-gram shingles (1-based windows, matching SQL list indexing). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val w = tokens(text)
+  /**
+   * Word n-gram shingles over an already-materialized token ARRAY
+   * column (1-based windows, matching SQL list indexing).
+   *
+   * Take an attribute reference, not `tokens(text)` inline: lambda
+   * bodies re-evaluate their subtrees per element, so an inlined
+   * tokenizer re-splits the document for every element_at — O(len ×
+   * shingles) work per row. Materialize tokens in a projection first
+   * (see [[shingles]]) and the generator touches the array only.
+   */
+  def shinglesOf(w: Column, n: Int = 3): Column =
     // Guard: Spark's sequence(1, 0) counts DOWN, so short docs need an
     // explicit empty-array branch (DuckDB's generate_series(1,0) is []).
     when(size(w) >= n,
@@ -28,10 +36,16 @@ object Text {
         sequence(lit(1), size(w) - (n - 1)),
         j => concat_ws(" ", (0 until n).map(o => element_at(w, j + o)): _*)))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Convenience form for small inputs/tests; prefer materializing
+    * tokens + [[shinglesOf]] in hot paths. */
+  def shingles(text: Column, n: Int = 3): Column = shinglesOf(tokens(text), n)
 
   /** Distinct shingles — the set form used by Jaccard/MinHash. */
   def shingleSet(text: Column, n: Int = 3): Column = array_distinct(shingles(text, n))
+
+  /** Distinct shingles from a token-array column. */
+  def shingleSetOf(w: Column, n: Int = 3): Column = array_distinct(shinglesOf(w, n))
 
   /** Token count. */
   def tokenCount(text: Column): Column = size(tokens(text))

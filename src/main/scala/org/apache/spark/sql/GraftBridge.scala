@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * Bridge into Spark's private[sql] Column↔Expression converters so the
+ * engine can expose custom Catalyst expressions through the public
+ * Column API (the supported pattern before Spark split Column from
+ * Expression; nothing here touches internals beyond the converters).
+ */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
