@@ -97,6 +97,47 @@ object Ann {
       .select(col("query_id"), col("bucket"), col("cand_id"), col("rank"), col("cos"))
   }
 
+  /**
+   * IVF-style ANN: candidates are bucketed by nearest centroid, probes
+   * search only their own cell (nprobe=1). Centroids here are the
+   * first `nList` vectors by id — deterministic stand-ins for a
+   * k-means codebook (training the codebook is an offline job; the
+   * assign/probe dataflow, which is what must scale, is identical).
+   * Assignment is a broadcast join against the tiny centroid set; the
+   * probe join is an equi-join on cell id.
+   */
+  def ivfTopK(probes: DataFrame, candidates: DataFrame, nList: Int, k: Int): DataFrame = {
+    val cents = candidates.filter(col("vec_id") < nList)
+      .select(col("vec_id").as("cent_id"), toDouble(col("embedding")).as("ce"))
+      .withColumn("cnr", norm(col("ce")))
+
+    def assign(df: DataFrame): DataFrame = {
+      val v = df.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .withColumn("nr", norm(col("v")))
+      val scored = v.join(broadcast(cents), lit(true))
+        .withColumn("acos", round(cosine(col("v"), col("ce"), col("nr"), col("cnr")), 6))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("acos").desc, col("cent_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("nr"), col("cent_id"))
+    }
+
+    val c = assign(candidates)
+      .withColumnRenamed("vec_id", "cand_id")
+      .withColumnRenamed("v", "cv").withColumnRenamed("nr", "cn")
+    val p = assign(probes)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("v", "qv").withColumnRenamed("nr", "qn")
+    val scored = p.join(c, Seq("cent_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cent_id"), col("cand_id"), col("rank"), col("cos"))
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine >= threshold. */
   def cosinePairs(df: DataFrame, threshold: Double): DataFrame = {
     val v = df.select(col("vec_id"), toDouble(col("embedding")).as("v"))

@@ -96,33 +96,39 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** SimHash width: 63 bits (2^63-1 is the signed-64 max, so the
+    * fingerprint and every shift stay overflow-free in any engine). */
+  val SimHashBits = 63
+  private val SimHashBandBits = 9 // 7 bands × 9 bits
+
   /**
-   * 32-bit SimHash per document: sign of the per-bit vote over token
-   * hashes. Relational form (explode tokens × sum per bit) so the
-   * partial-aggregation path handles any document size; the fingerprint
-   * is reassembled from 32 integer votes.
+   * 63-bit SimHash per document: sign of the per-bit vote over token
+   * hashes. Relational form (explode tokens, 63 conditional-sum
+   * aggregates in one pass) so the partial-aggregation path handles any
+   * document size; the fingerprint is reassembled from the votes.
    */
   def simHash(df: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = df.select(id.as("doc"), explode(Text.tokens(text)).as("tok"))
-      .withColumn("h", Portable.hash64(col("tok")))
-    val votes = (0 until 32).map { j =>
+      .withColumn("h", Portable.hash63(col("tok")))
+    val votes = (0 until SimHashBits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
     }
     val agg = toks.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
-    val fp = (0 until 32).map { j =>
+    val fp = (0 until SimHashBits).map { j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     agg.select(col("doc"), fp.as("simhash"))
   }
 
   /**
-   * SimHash near-dup pairs: exact match on any of four 8-bit bands,
+   * SimHash near-dup pairs: exact match on any of seven 9-bit bands,
    * then verify Hamming distance <= maxHamming via bit_count(xor).
    */
   def simHashPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
     val banded = fps.select(col("doc"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 8).bitwiseAND(255)): _*)).as(Seq("band", "bh")))
+      posexplode(array((0 until SimHashBits / SimHashBandBits).map(b =>
+        shiftright(col("simhash"), b * SimHashBandBits).bitwiseAND(511)): _*))
+        .as(Seq("band", "bh")))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

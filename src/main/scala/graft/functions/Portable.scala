@@ -31,6 +31,25 @@ object Portable {
     s"CAST(CONCAT('0x', SUBSTR(md5(CAST($expr AS VARCHAR)), 1, 8)) AS BIGINT)"
 
   /**
+   * 63-bit hash: low 32 bits from md5 hex chars 1-8, high 31 bits from
+   * chars 9-16. Max value 2^63-1 exactly — safe for signed-64
+   * arithmetic in any engine (DuckDB raises on 1<<63, so SimHash uses
+   * 63-bit fingerprints).
+   */
+  def hash63(c: Column): Column = {
+    val hexs = md5(c.cast("string"))
+    val lo = conv(substring(hexs, 1, 8), 16, 10).cast("long")
+    val hi = conv(substring(hexs, 9, 8), 16, 10).cast("long")
+    lo + pmod(hi, lit(2147483648L)) * 4294967296L
+  }
+
+  def hash63Sql(expr: String): String = {
+    val m = s"md5(CAST($expr AS VARCHAR))"
+    s"(CAST(CONCAT('0x', SUBSTR($m, 1, 8)) AS BIGINT) + " +
+      s"MOD(CAST(CONCAT('0x', SUBSTR($m, 9, 8)) AS BIGINT), 2147483648) * 4294967296)"
+  }
+
+  /**
    * Family of k independent hashes: affine transforms of the base hash
    * modulo a Mersenne-ish prime. Standard MinHash construction
    * (Broder '97); coefficients fixed so both engines agree.

@@ -150,10 +150,11 @@ object BrooklinQueries {
           count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("value_total"))),
 
-    // F5: TTL expiry filter (pushed to the scan).
+    // F5: TTL expiry filter, rewritten into raw-nanos space so the
+    // range predicate pushes into the parquet scan (see Tables).
+    // 2024-01-08T00:00:00Z = 1704672000000000 µs since epoch.
     "q17_ttl_filter" -> ((s, d) =>
-      t(s, d, "events")
-        .filter(col("ts") < to_timestamp(lit("2024-01-08 00:00:00")))
+      Tables.eventsBefore(s, d, 1704672000000000L)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), max(col("event_id")).as("max_id"))),
 

@@ -22,6 +22,7 @@ object DataOpsQueries {
 
   private val MinHashK = 16
   private val LshRows = 4
+  private val SimHamming = 10
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content digest.
@@ -48,12 +49,12 @@ object DataOpsQueries {
     "d05_simhash" -> ((s, d) =>
       Dedup.simHash(t(s, d, "documents"), col("doc_id"), col("text"))),
 
-    // SimHash near-dup candidate pairs via 8-bit bands + Hamming
+    // SimHash near-dup candidate pairs via 9-bit bands + Hamming
     // verify (candidates feed an exact check like d04 downstream).
     "d06_simhash_pairs" -> ((s, d) =>
       Dedup.simHashPairs(
         Dedup.simHash(t(s, d, "documents"), col("doc_id"), col("text")),
-        maxHamming = 2)),
+        maxHamming = SimHamming)),
 
     // Embedding-cosine near-duplicate pairs.
     "e01_cosine_pairs" -> ((s, d) =>
@@ -70,6 +71,13 @@ object DataOpsQueries {
     "e03_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Ann.lshTopK(emb.filter(col("vec_id") < 10), emb, nBits = 4, k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // IVF-bucketed ANN (centroid cells, nprobe=1).
+    "e04_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Ann.ivfTopK(emb.filter(col("vec_id") < 10), emb, nList = 8, k = 3)
         .withColumn("rank", col("rank").cast("long"))
     }),
 
@@ -172,6 +180,17 @@ object DataOpsQueries {
   private def lshProjWeight(jExpr: String) =
     s"CAST(MOD($jExpr * 2654435761 + i * 40503, 2001) - 1000 AS DOUBLE)"
 
+  /** 63-bit simhash fingerprint CTE chain (needs wordsCte). */
+  private val simhashFpCte =
+    s"""tok AS (SELECT doc, unnest(w) AS tok FROM w),
+       |th AS (SELECT doc, ${Portable.hash63Sql("tok")} AS hv FROM tok),
+       |votes AS (SELECT doc, r.range AS j,
+       |SUM(CASE WHEN (hv >> CAST(r.range AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+       |FROM th CROSS JOIN range(0, 63) r GROUP BY doc, r.range),
+       |fp AS (SELECT doc, CAST(SUM(CASE WHEN vote > 0
+       |THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM votes GROUP BY doc)""".stripMargin.replace("\n", " ")
+
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" ->
       """SELECT md5(text) AS digest, MIN(doc_id) AS keep_id,
@@ -212,35 +231,20 @@ object DataOpsQueries {
         .stripMargin.replace("\n", " "),
 
     "d05_simhash" ->
-      s"""WITH $wordsCte,
-         |tok AS (SELECT doc, unnest(w) AS tok FROM w),
-         |th AS (SELECT doc, ${h("tok")} AS hv FROM tok),
-         |votes AS (SELECT doc, r.range AS j,
-         |SUM(CASE WHEN (hv >> CAST(r.range AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-         |FROM th CROSS JOIN range(0, 32) r GROUP BY doc, r.range)
-         |SELECT doc, CAST(SUM(CASE WHEN vote > 0
-         |THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
-         |FROM votes GROUP BY doc""".stripMargin.replace("\n", " "),
+      s"""WITH $wordsCte, $simhashFpCte
+         |SELECT doc, simhash FROM fp""".stripMargin.replace("\n", " "),
 
     "d06_simhash_pairs" ->
-      s"""WITH $wordsCte,
-         |tok AS (SELECT doc, unnest(w) AS tok FROM w),
-         |th AS (SELECT doc, ${h("tok")} AS hv FROM tok),
-         |votes AS (SELECT doc, r.range AS j,
-         |SUM(CASE WHEN (hv >> CAST(r.range AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-         |FROM th CROSS JOIN range(0, 32) r GROUP BY doc, r.range),
-         |fp AS (SELECT doc, CAST(SUM(CASE WHEN vote > 0
-         |THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
-         |FROM votes GROUP BY doc),
+      s"""WITH $wordsCte, $simhashFpCte,
          |bands AS (SELECT doc, simhash, r.range AS band,
-         |(simhash >> CAST(r.range * 8 AS INTEGER)) & 255 AS bh
-         |FROM fp CROSS JOIN range(0, 4) r)
+         |(simhash >> CAST(r.range * 9 AS INTEGER)) & 511 AS bh
+         |FROM fp CROSS JOIN range(0, 7) r)
          |SELECT doc_a, doc_b, hamming FROM (
          |SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
          |CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
          |FROM bands a JOIN bands b
          |ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc)
-         |WHERE hamming <= 2""".stripMargin.replace("\n", " "),
+         |WHERE hamming <= $SimHamming""".stripMargin.replace("\n", " "),
 
     "e01_cosine_pairs" ->
       s"""WITH $vecCte, $normCte
@@ -277,6 +281,26 @@ object DataOpsQueries {
          |AND q.vec_id < 10 AND q.vec_id <> c.vec_id)
          |SELECT query_id, bucket, cand_id, rank, cos FROM (
          |SELECT query_id, bucket, cand_id, cos, ROW_NUMBER() OVER
+         |(PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM scored)
+         |WHERE rank <= 3""".stripMargin.replace("\n", " "),
+
+    "e04_ann_ivf" ->
+      s"""WITH $vecCte, $normCte,
+         |cents AS (SELECT vec_id AS cent_id, e AS ce, nr AS cnr FROM n WHERE vec_id < 8),
+         |sa AS (SELECT n.vec_id, c.cent_id,
+         |round(${dotSql("n.e", "c.ce")} / (n.nr * c.cnr), 6) AS acos
+         |FROM n CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, cent_id FROM (
+         |SELECT vec_id, cent_id, ROW_NUMBER() OVER
+         |(PARTITION BY vec_id ORDER BY acos DESC, cent_id) AS rn FROM sa) WHERE rn = 1),
+         |nb AS (SELECT n.vec_id, e, nr, a.cent_id FROM n JOIN asg a USING (vec_id)),
+         |scored AS (SELECT q.vec_id AS query_id, q.cent_id AS cent_id,
+         |c.vec_id AS cand_id,
+         |round(${dotSql("q.e", "c.e")} / (q.nr * c.nr), 6) AS cos
+         |FROM nb q JOIN nb c ON q.cent_id = c.cent_id
+         |AND q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         |SELECT query_id, cent_id, cand_id, rank, cos FROM (
+         |SELECT query_id, cent_id, cand_id, cos, ROW_NUMBER() OVER
          |(PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM scored)
          |WHERE rank <= 3""".stripMargin.replace("\n", " "),
 

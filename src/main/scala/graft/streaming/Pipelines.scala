@@ -27,6 +27,26 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String) {
 
   private val specs = TrieMap.empty[String, PipelineSpec]
   private val queries = new ConcurrentHashMap[String, StreamingQuery]()
+  // F2/A4: admission state — partitions currently paused per pipeline.
+  private val pausedPartitions = TrieMap.empty[String, Set[String]]
+  // A6/A7: last observed per-epoch metrics per pipeline (fed by the
+  // observe() aggregation through a StreamingQueryListener).
+  private val lastMetrics = TrieMap.empty[String, Map[String, Long]]
+
+  spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val row = e.progress.observedMetrics.get("graft_metrics")
+      if (row != null) {
+        lastMetrics.put(e.progress.name,
+          Map("events" -> row.getAs[Long]("events"),
+            "bytes" -> Option(row.getAs[Any]("bytes"))
+              .map(_.asInstanceOf[Long]).getOrElse(0L)))
+      }
+    }
+  })
 
   /** Validate + dedup + register (the "create datastream" DDL). */
   def create(spec: PipelineSpec): PipelineSpec = {
@@ -59,22 +79,53 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String) {
   def list(start: Int, count: Int): Seq[PipelineSpec] =
     specs.values.toSeq.sortBy(_.name).slice(start, start + count)
 
-  /** Build the source DataFrame for a spec (batch-testable subset). */
+  /**
+   * Build the source DataFrame for a spec (batch-testable subset).
+   *
+   * Flow control (A5): the reference pauses partitions when in-flight
+   * exceeds a threshold (KafkaMirrorMakerConnectorTask.java:316-333);
+   * Spark's equivalent is per-trigger admission — metadata keys
+   * `maxFilesPerTrigger` / `maxOffsetsPerTrigger` bound each
+   * micro-batch, which is the same backpressure contract enforced at
+   * the source instead of the producer.
+   */
   private def source(spec: PipelineSpec): DataFrame = spec.connector match {
     case "rate" =>
       spark.readStream.format("rate")
         .option("rowsPerSecond", spec.sourcePartitions.max(1) * 10).load()
     case "parquet" =>
       val schema = spark.read.parquet(spec.sourceConnection).schema
-      spark.readStream.schema(schema).parquet(spec.sourceConnection)
+      val reader = spark.readStream.schema(schema)
+      val withFlow = spec.metadata.get("maxFilesPerTrigger")
+        .fold(reader)(v => reader.option("maxFilesPerTrigger", v))
+      withFlow.parquet(spec.sourceConnection)
     case "kafka" =>
-      spark.readStream.format("kafka")
+      val reader = spark.readStream.format("kafka")
         .option(
           if (spec.sourceConnection.contains("*") || spec.sourceConnection.contains(".+"))
             "subscribePattern" else "subscribe",
           spec.sourceConnection)
-        .load()
+      spec.metadata.get("maxOffsetsPerTrigger")
+        .fold(reader)(v => reader.option("maxOffsetsPerTrigger", v)).load()
     case other => throw new IllegalArgumentException(s"unknown connector $other")
+  }
+
+  /**
+   * Paused-partition admission (F2/A4): records of paused partitions
+   * are filtered out before the sink. The reference reconciles its
+   * paused set pre-poll (AbstractKafkaBasedConnectorTask
+   * .preConsumerPollHook); here the set is applied on (re)start —
+   * pausing therefore restarts the query, which re-admits from the
+   * checkpoint without replaying delivered records.
+   */
+  def pausePartitions(name: String, partitionCol: String, values: Set[String],
+      transform: DataFrame => DataFrame): StreamingQuery = {
+    pausedPartitions.put(name, values)
+    Option(queries.remove(name)).foreach(_.stop())
+    start(name, df =>
+      transform(df).filter(
+        if (values.isEmpty) lit(true)
+        else !col(partitionCol).isin(values.toSeq: _*)))
   }
 
   /**
@@ -85,7 +136,18 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String) {
   def start(name: String, transform: DataFrame => DataFrame,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val spec = specs.getOrElse(name, sys.error(s"unknown pipeline $name"))
-    val out = transform(source(spec))
+    // A6/A7: per-epoch throughput metrics ride the query itself via
+    // observe() — no second pass over the data; the listener above
+    // collects them (the reference's EventProducer SLA counters).
+    val transformed = transform(source(spec))
+    val out =
+      if (transformed.columns.contains("value"))
+        transformed.observe("graft_metrics",
+          count(lit(1)).as("events"),
+          sum(length(col("value").cast("string")).cast("long")).as("bytes"))
+      else
+        transformed.observe("graft_metrics",
+          count(lit(1)).as("events"), max(lit(0L)).as("bytes"))
     val writer = out.writeStream
       .queryName(name)
       .outputMode("append")
@@ -101,11 +163,27 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String) {
       case "kafka" =>
         writer.format("kafka").option("topic", spec.destinationConnection).start()
       case "noop" => writer.format("noop").start()
+      case "directory" =>
+        // K5: directory sink — epoch-batched filesystem application
+        // (foreachBatch = the flush barrier of K3: the epoch commits
+        // only after the batch lands).
+        val dest = spec.destinationConnection
+        writer.foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(dest)
+        }.start()
       case other => throw new IllegalArgumentException(s"unknown transport $other")
     }
     queries.put(name, q)
     q
   }
+
+  /** Last observed per-epoch metrics for a pipeline (A6/A7). */
+  def metrics(name: String): Map[String, Long] =
+    lastMetrics.getOrElse(name, Map.empty)
+
+  /** Currently paused partitions (F2/A4 diagnostics surface). */
+  def paused(name: String): Set[String] =
+    pausedPartitions.getOrElse(name, Set.empty)
 
   /** Pause = stop the query; offsets stay in the checkpoint. */
   def pause(name: String): Unit = {

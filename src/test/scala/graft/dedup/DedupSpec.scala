@@ -45,7 +45,7 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(fp(1L) == fp(2L))
     assert(fp(1L) != fp(4L))
-    assert(fp.values.forall(v => v >= 0 && v < (1L << 32)))
+    assert(fp.values.forall(_ >= 0)) // 63-bit: always fits signed-64
   }
 
   test("jaccard pairs: dup pair at 1.0, near-dup pair high, others absent") {
