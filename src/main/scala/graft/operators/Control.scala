@@ -49,6 +49,27 @@ object Control {
     df.orderBy(orderKeys: _*).offset(start).limit(count)
 
   /**
+   * Load-based partition packing (O3/P4): sort partitions by
+   * throughput descending and deal them round-robin across tasks —
+   * the deterministic variant of the reference's greedy
+   * least-loaded-first assignment (equivalent when partition loads are
+   * of similar magnitude, and order-stable so an external oracle can
+   * reproduce it).
+   * Reference: LoadBasedPartitionAssigner.assignPartitions :80+
+   * (sort by bytes-in rate desc :50-52, pick least-loaded task).
+   *
+   * Scale note: the input is control-plane cardinality (one row per
+   * topic-partition, thousands at most), so the single-partition
+   * global window is deliberate — this never runs over event data.
+   */
+  def loadPack(df: DataFrame, rate: Column, tieBreak: Seq[Column], numTasks: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(rate.desc +: tieBreak.map(_.asc): _*)
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("task", pmod(col("rank") - 1, lit(numTasks.toLong)))
+  }
+
+  /**
    * Diagnostics scatter-gather reduce (A10): per-instance partial
    * status rolled up into one global answer — a two-level aggregation
    * (partial per host, merge at the originator), which is exactly

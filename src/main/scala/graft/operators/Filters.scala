@@ -67,4 +67,12 @@ object Filters {
    * Reference: EventProducer.java:53-54, :322-338.
    */
   def decodedOk(decoded: Column): Column = decoded.isNotNull
+
+  /**
+   * Registry-envelope validity (F6/T6): a framed payload decodes only
+   * when its magic byte is 0x00 — the decode-side check of
+   * AvroMessageEncoderUtil.decode (first byte must be MAGIC_BYTE).
+   */
+  def frameOk(frameHex: Column): Column =
+    substring(frameHex, 1, 2) === "00"
 }

@@ -34,6 +34,24 @@ object BrooklinQueries {
       |event_id AS "offset", CAST(user_id AS VARCHAR) AS key,
       |props AS value, ts FROM events""".stripMargin.replace("\n", " ")
 
+  /** Paused (topic-partition) admission set shared by q22. */
+  private val PausedSet = Seq("click-2", "view-5", "purchase-0")
+
+  /** Per-(topic, partition) bytes-in rate — the packing input (P4). */
+  private def partitionRates(s: SparkSession, d: String): DataFrame =
+    kafkaShaped(t(s, d, "events"))
+      .groupBy(col("topic"), col("partition"))
+      .agg(sum(length(col("value")).cast("long")).as("bytes_rate"))
+
+  private val partitionRatesSql =
+    s"""SELECT topic, partition, CAST(SUM(length(value)) AS BIGINT) AS bytes_rate
+       |FROM ($kafkaShapedSql) GROUP BY 1, 2""".stripMargin.replace("\n", " ")
+
+  private val loadPackSql =
+    s"""SELECT topic, partition, bytes_rate, rank, MOD(rank - 1, 4) AS task FROM (
+       |SELECT *, ROW_NUMBER() OVER (ORDER BY bytes_rate DESC, topic, partition) AS rank
+       |FROM ($partitionRatesSql))""".stripMargin.replace("\n", " ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A7-flavored flow aggregation — the basic scan+agg shape.
     "q01_flow_agg" -> ((s, d) =>
@@ -176,6 +194,98 @@ object BrooklinQueries {
         .groupBy(Partitioning.byKey(col("key"), 16).as("part"))
         .agg(count(lit(1)).as("n"))),
 
+    // F2/A4: paused-partition admission filter — records of paused
+    // (topic, partition) pairs are dropped before the sink.
+    "q22_paused_filter" -> ((s, d) =>
+      kafkaShaped(t(s, d, "events"))
+        .filter(Filters.notPaused(
+          concat_ws("-", col("topic"), col("partition")), PausedSet))
+        .groupBy(col("topic"), col("partition"))
+        .agg(count(lit(1)).as("n"), max(col("offset")).as("max_offset"))),
+
+    // F6: skip-on-serialization-error — frame every payload with the
+    // registry envelope, corrupt a deterministic subset's magic byte,
+    // and count delivered vs skipped per topic (EventProducer
+    // :322-338's dead-letter counter as a query).
+    "q23_serde_skip" -> ((s, d) => {
+      val framed = t(s, d, "events").select(
+        col("event_type").as("topic"),
+        concat(
+          when(pmod(col("event_id"), lit(7L)) === 0, lit("ff")).otherwise(lit("00")),
+          md5(col("user_id").cast("string")),
+          lower(hex(encode(col("props"), "utf-8")))).as("frame"))
+      framed.groupBy(col("topic")).agg(
+        count(when(Filters.frameOk(col("frame")), 1)).as("delivered"),
+        count(when(!Filters.frameOk(col("frame")), 1)).as("skipped"))
+    }),
+
+    // D2: BYOT destination-conflict check — proposed destinations that
+    // intersect existing ones (semi-join), rolled up per destination.
+    "q24_byot_conflict" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val existing = docs.filter(col("doc_id") < 250).select(col("source"))
+      val proposed = docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("source"))
+      Control.destinationConflicts(proposed, existing, "source")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_conflicts"))
+    }),
+
+    // T2: single-topic translate — source timestamp depends on the
+    // record's timestamp type (CREATE_TIME keeps the producer stamp,
+    // LOG_APPEND/NONE falls back to read time).
+    "q25_single_topic_translate" -> ((s, d) =>
+      Translate.singleTopic(
+          kafkaShaped(t(s, d, "events"))
+            .withColumn("timestamp_type", pmod(col("offset"), lit(2L))),
+          readTime = to_timestamp(lit("2024-02-01 00:00:00")))
+        .select(col("offset").as("event_id"), col("timestamp_type"),
+          col("source_timestamp"))),
+
+    // T4/S6: directory change event → envelope (key = path,
+    // value = change kind).
+    "q26_dir_events" -> ((s, d) => {
+      val m = pmod(col("doc_id"), lit(3L))
+      Translate.dirEvent(t(s, d, "documents"),
+        path = concat(lit("/data/"), col("source"), lit("/"),
+          col("doc_id").cast("string"), lit(".txt")),
+        kind = when(m === 0, lit("ENTRY_CREATE"))
+          .when(m === 1, lit("ENTRY_MODIFY"))
+          .otherwise(lit("ENTRY_DELETE")))
+    }),
+
+    // O3/P4: throughput-descending partition packing across tasks.
+    "q27_load_packing" -> ((s, d) =>
+      Control.loadPack(partitionRates(s, d),
+        col("bytes_rate"), Seq(col("topic"), col("partition")), numTasks = 4)),
+
+    // O2: least-loaded task selection over the packed assignment.
+    "q28_min_load_task" -> ((s, d) =>
+      Control.loadPack(partitionRates(s, d),
+          col("bytes_rate"), Seq(col("topic"), col("partition")), numTasks = 4)
+        .groupBy(col("task"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("bytes_rate")).as("load"))
+        .orderBy(col("load"), col("task")).limit(1)),
+
+    // A8: consumer-offset lag — latest vs committed offset per
+    // (topic, partition); committed = high-water mark at the cutoff.
+    "q29_offset_lag" -> ((s, d) =>
+      kafkaShaped(t(s, d, "events"))
+        .groupBy(col("topic"), col("partition"))
+        .agg(
+          max(col("offset")).as("latest"),
+          coalesce(
+            max(when(col("ts") < to_timestamp(lit("2024-01-08 00:00:00")),
+              col("offset"))), lit(-1L)).as("committed"))
+        .withColumn("lag", col("latest") - col("committed"))),
+
+    // A2: periodic offset-commit log — committed offset per
+    // (partition, commit interval).
+    "q30_commit_log" -> ((s, d) =>
+      kafkaShaped(t(s, d, "events"))
+        .groupBy(col("partition"),
+          date_trunc("hour", col("ts")).as("commit_window"))
+        .agg(max(col("offset")).as("committed_offset"), count(lit(1)).as("n"))),
+
     // Star-schema join rollup: broadcast dims, exact decimal revenue.
     "q21_revenue_by_nation" -> ((s, d) => {
       val orders = t(s, d, "orders")
@@ -309,6 +419,63 @@ object BrooklinQueries {
     "q20_key_partition" ->
       s"""SELECT MOD(${h("CAST(user_id AS VARCHAR)")}, 16) AS part,
          |COUNT(*) AS n FROM events GROUP BY 1""".stripMargin.replace("\n", " "),
+
+    "q22_paused_filter" -> {
+      val pausedIn = PausedSet.map(p => s"'$p'").mkString(", ")
+      s"""SELECT topic, partition, COUNT(*) AS n, MAX("offset") AS max_offset
+         |FROM ($kafkaShapedSql)
+         |WHERE CONCAT_WS('-', topic, partition) NOT IN ($pausedIn)
+         |GROUP BY 1, 2""".stripMargin.replace("\n", " ")
+    },
+
+    "q23_serde_skip" ->
+      """WITH f AS (SELECT event_type AS topic,
+        |CONCAT(CASE WHEN MOD(event_id, 7) = 0 THEN 'ff' ELSE '00' END,
+        |md5(CAST(user_id AS VARCHAR)), lower(hex(CAST(props AS BLOB)))) AS frame
+        |FROM events)
+        |SELECT topic,
+        |CAST(SUM(CASE WHEN SUBSTR(frame, 1, 2) = '00' THEN 1 ELSE 0 END) AS BIGINT) AS delivered,
+        |CAST(SUM(CASE WHEN SUBSTR(frame, 1, 2) <> '00' THEN 1 ELSE 0 END) AS BIGINT) AS skipped
+        |FROM f GROUP BY 1""".stripMargin.replace("\n", " "),
+
+    "q24_byot_conflict" ->
+      """SELECT source, COUNT(*) AS n_conflicts FROM documents p
+        |WHERE doc_id >= 250 AND EXISTS (SELECT 1 FROM documents e
+        |WHERE e.doc_id < 250 AND e.source = p.source)
+        |GROUP BY source""".stripMargin.replace("\n", " "),
+
+    "q25_single_topic_translate" ->
+      """SELECT event_id, MOD(event_id, 2) AS timestamp_type,
+        |CASE WHEN MOD(event_id, 2) = 1 THEN ts
+        |ELSE TIMESTAMP '2024-02-01 00:00:00' END AS source_timestamp
+        |FROM events""".stripMargin.replace("\n", " "),
+
+    "q26_dir_events" ->
+      """SELECT CONCAT('/data/', source, '/', CAST(doc_id AS VARCHAR), '.txt') AS key,
+        |CASE WHEN MOD(doc_id, 3) = 0 THEN 'ENTRY_CREATE'
+        |WHEN MOD(doc_id, 3) = 1 THEN 'ENTRY_MODIFY'
+        |ELSE 'ENTRY_DELETE' END AS value
+        |FROM documents""".stripMargin.replace("\n", " "),
+
+    "q27_load_packing" -> loadPackSql,
+
+    "q28_min_load_task" ->
+      s"""SELECT task, COUNT(*) AS n_parts, CAST(SUM(bytes_rate) AS BIGINT) AS load
+         |FROM ($loadPackSql) GROUP BY task
+         |ORDER BY load, task LIMIT 1""".stripMargin.replace("\n", " "),
+
+    "q29_offset_lag" ->
+      s"""SELECT topic, partition, MAX("offset") AS latest,
+         |COALESCE(MAX(CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00'
+         |THEN "offset" END), -1) AS committed,
+         |MAX("offset") - COALESCE(MAX(CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00'
+         |THEN "offset" END), -1) AS lag
+         |FROM ($kafkaShapedSql) GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+
+    "q30_commit_log" ->
+      s"""SELECT partition, date_trunc('hour', ts) AS commit_window,
+         |MAX("offset") AS committed_offset, COUNT(*) AS n
+         |FROM ($kafkaShapedSql) GROUP BY 1, 2""".stripMargin.replace("\n", " "),
 
     "q21_revenue_by_nation" ->
       """SELECT r_name, n_name, COUNT(*) AS n_orders,

@@ -68,6 +68,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
   }
 
+  test("loadPack deals partitions round-robin by descending rate") {
+    val df = Seq(("a", 100L), ("b", 90L), ("c", 80L), ("d", 70L), ("e", 60L))
+      .toDF("part", "rate")
+    val got = Control.loadPack(df, $"rate", Seq($"part"), numTasks = 2)
+      .select($"part", $"task").as[(String, Long)].collect().toMap
+    // rank order a..e → tasks 0,1,0,1,0
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 0L, "d" -> 1L, "e" -> 0L))
+  }
+
+  test("frameOk accepts only magic-byte 0x00 frames") {
+    val df = Seq("00abcd", "ffabcd").toDF("frame")
+    assert(df.filter(Filters.frameOk($"frame")).as[String].collect().toSeq
+      == Seq("00abcd"))
+  }
+
   test("registry frame is magic byte + md5(schemaId) + payload hex") {
     val df = Seq(("42", "hi")).toDF("sid", "payload")
     val hex = df.select(Portable.registryFrameHex($"sid", $"payload")).as[String].head()
