@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+import graft.streaming.FlowControl.{PartitionSignal, PauseDecision}
+
+/**
+ * A4/A5 stateful auto-pause: per-partition control loop over
+ * flatMapGroupsWithState, fed one micro-batch at a time so transition
+ * order is deterministic.
+ */
+class FlowControlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("autoPause emits PAUSE on error/overflow and RESUME after drain") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[PartitionSignal]
+    val decisions = FlowControl.autoPause(in.toDS(),
+      maxInFlight = 10L, minInFlight = 2L)
+
+    val ckpt = Files.createTempDirectory("graft-fc-").toString
+    val q = decisions.writeStream
+      .queryName("fc_decisions")
+      .outputMode("append")
+      .format("memory")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
+    def step(sig: PartitionSignal*): Unit = {
+      in.addData(sig)
+      q.processAllAvailable()
+    }
+    def got(): Seq[(String, String, Long)] =
+      spark.table("fc_decisions").as[PauseDecision].collect().toSeq
+        .map(d => (d.partition, d.action, d.inFlight))
+
+    // p0 overflows the max threshold → PAUSE.
+    step(PartitionSignal("p0", 11L, error = false))
+    assert(got() == Seq(("p0", "PAUSE", 11L)))
+
+    // Draining but still above min → stays paused, no new decision.
+    step(PartitionSignal("p0", -5L, error = false))
+    assert(got().size == 1)
+
+    // Below min → RESUME.
+    step(PartitionSignal("p0", -5L, error = false))
+    assert(got().toSet ==
+      Set(("p0", "PAUSE", 11L), ("p0", "RESUME", 1L)))
+
+    // Send error pauses regardless of in-flight; p1 independent of p0.
+    step(PartitionSignal("p1", 1L, error = true))
+    assert(got().count(_._1 == "p1") == 1)
+    assert(got().contains(("p1", "PAUSE", 1L)))
+
+    q.stop()
+  }
+}
