@@ -72,12 +72,107 @@ object StreamingQueries {
           .agg(
             count(lit(1)).as("n"),
             sum(col("value").cast("decimal(18,2)")).cast("double").as("value_total")),
-        mode = "complete")))
+        mode = "complete")),
+
+    // Event-time tumbling-window aggregation with a watermark, append
+    // mode: only windows finalized by the final watermark (= max event
+    // time at delay 0) are emitted — the oracle reproduces exactly that
+    // finalization rule. This is the A6 SLA rollup in its native
+    // streaming form.
+    "s03_windowed_watermark" -> ((s, d) =>
+      runToTable(
+        eventsStream(s, d)
+          .withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("win"), col("event_type"), col("n")),
+        mode = "append")),
+
+    // Stream-stream inner join: click → purchase attribution within a
+    // 1-hour event-time range. Inner joins under AvailableNow see the
+    // whole corpus, so the result equals the batch join.
+    "s04_stream_join" -> ((s, d) => {
+      val clicks = eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "0 seconds")
+      val purchases = eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "0 seconds")
+      runToTable(
+        clicks.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+          .select(col("user_id"), col("click_id"), col("purchase_id")),
+        mode = "append")
+    }),
+
+    // Streaming exact dedup: dropDuplicates over the state store. Only
+    // the key set is deterministic under parallel arrival, so that is
+    // what the query returns (D-family dedup in streaming form).
+    "s05_stream_dedup" -> ((s, d) =>
+      runToTable(
+        eventsStream(s, d)
+          .select(col("user_id"), col("event_type"))
+          .dropDuplicates("user_id", "event_type"),
+        mode = "append")),
+
+    // Session windows (1-hour inactivity gap) per user — a capability
+    // the reference lacks but the Spark engine exposes natively.
+    // Sessions still open at the final watermark stay in state and are
+    // not emitted; the oracle applies the same rule.
+    "s06_session_window" -> ((s, d) =>
+      runToTable(
+        eventsStream(s, d)
+          .withWatermark("ts", "0 seconds")
+          .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"), col("n")),
+        mode = "append")))
 
   val oracles: Map[String, String] = Map(
     "s01_stream_mirror" -> BrooklinQueries.oracles("q02_mirror_translate"),
     "s02_stream_agg" ->
       """SELECT event_type, COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_total
-        |FROM events GROUP BY event_type""".stripMargin.replace("\n", " "))
+        |FROM events GROUP BY event_type""".stripMargin.replace("\n", " "),
+
+    // Append-mode finalization: window emitted iff window_end <= final
+    // watermark (= MAX(ts) at 0-second delay).
+    "s03_windowed_watermark" ->
+      """SELECT date_trunc('hour', ts) AS win, event_type, COUNT(*) AS n
+        |FROM events
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT MAX(ts) FROM events)
+        |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+
+    "s04_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR"""
+        .stripMargin.replace("\n", " "),
+
+    "s05_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    // Gaps-and-islands sessionization; sessions whose end (last event
+    // + gap) exceeds the final watermark are still open → excluded.
+    "s06_session_window" ->
+      """WITH o AS (SELECT user_id, ts,
+        |CASE WHEN LAG(ts) OVER w IS NULL
+        |OR ts - LAG(ts) OVER w > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS brk
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts, SUM(brk) OVER
+        |(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |MAX(ts) + INTERVAL 1 HOUR AS session_end, COUNT(*) AS n
+        |FROM g GROUP BY user_id, sid
+        |HAVING MAX(ts) + INTERVAL 1 HOUR <= (SELECT MAX(ts) FROM events)"""
+        .stripMargin.replace("\n", " "))
 }
