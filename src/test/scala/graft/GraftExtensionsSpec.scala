@@ -1,0 +1,37 @@
+package graft
+
+/** SQL-registry surface: the extension functions resolve and compute
+  * the same values as their Column-API forms. Registered into the
+  * shared session (the post-construction path); the
+  * withExtensions/spark.sql.extensions path runs the same builders. */
+class GraftExtensionsSpec extends SparkTestBase {
+
+  test("extension functions are callable from SQL") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_hash64('x') AS h64,
+        |       graft_hash63('x') AS h63,
+        |       graft_registry_frame('42', 'hi') AS frame,
+        |       graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot
+        |""".stripMargin).collect().head
+    // md5('x') = 9dd4e461268c8034f5c8564e155c67a6
+    assert(row.getAs[Long]("h64") == java.lang.Long.parseLong("9dd4e461", 16))
+    assert(row.getAs[Long]("h63") ==
+      java.lang.Long.parseLong("9dd4e461", 16) +
+        (java.lang.Long.parseLong("268c8034", 16) % 2147483648L) * 4294967296L)
+    assert(row.getAs[String]("frame").startsWith("00"))
+    assert(row.getAs[String]("frame").endsWith("6869"))
+    assert(row.getAs[Double]("dot") == 11.0)
+
+    // Column-API ↔ SQL-registry parity on real data.
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(sf() + "/nation.parquet")
+      .select(col("n_name"))
+    val viaCol = df.select(graft.functions.Portable.hash64(col("n_name")))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSeq
+    df.createOrReplaceTempView("ext_nation")
+    val viaSql = spark.sql("SELECT graft_hash64(n_name) FROM ext_nation")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSeq
+    assert(viaCol == viaSql)
+  }
+}
