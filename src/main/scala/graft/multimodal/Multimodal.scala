@@ -86,6 +86,44 @@ object Multimodal {
   }
 
   /**
+   * Resize plumbing: fit decoded dimensions into a square box,
+   * preserving aspect ratio, in pure integer arithmetic (so any engine
+   * reproduces it exactly). A real implementation would hand
+   * (payload, out_width, out_height) to the codec; the metadata math —
+   * the part that routes work and sizes buffers — is the Spark side.
+   */
+  def resizeMeta(decoded: DataFrame, box: Int): DataFrame =
+    decoded
+      .withColumn("out_width",
+        expr(s"(width * $box) DIV GREATEST(width, height)"))
+      .withColumn("out_height",
+        expr(s"(height * $box) DIV GREATEST(width, height)"))
+
+  /** Extracted feature row: 4 unit-interval features per payload. */
+  final case class MediaFeatures(
+      media_id: Long, f0: Double, f1: Double, f2: Double, f3: Double)
+
+  /**
+   * Batched feature extraction (mapPartitions, one "model" instance
+   * per partition — the embedding-model shape). STUB features are
+   * md5-lane fractions in [0,1); division by 2^32 is exact in binary,
+   * so the distributed result is bit-identical to the SQL oracle.
+   */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition "model load" happens here (stubbed)
+      it.map { r =>
+        val d = md5Hex(r.payload)
+        def lane(i: Int): Double =
+          java.lang.Long.parseLong(d.substring(i * 8, i * 8 + 8), 16)
+            .toDouble / 4294967296.0
+        MediaFeatures(r.media_id, lane(0), lane(1), lane(2), lane(3))
+      }
+    }
+  }
+
+  /**
    * Demo pipeline over the documents table: treat the utf-8 text bytes
    * as an opaque payload, route into size buckets, batch-decode.
    */

@@ -286,6 +286,17 @@ object BrooklinQueries {
           date_trunc("hour", col("ts")).as("commit_window"))
         .agg(max(col("offset")).as("committed_offset"), count(lit(1)).as("n"))),
 
+    // T7/§7.3(2): CDC materialization — collapse the change log to its
+    // final state (last writer per key by scn; DELETE drops the key).
+    "q31_cdc_apply" -> ((s, d) =>
+      graft.streaming.CdcMerge.latestState(
+        t(s, d, "events").select(
+          col("user_id").as("key"),
+          col("event_id").as("scn"),
+          Translate.opcodeOf(col("event_type")).as("opcode"),
+          col("props").as("value")),
+        keyCols = Seq("key"), scnCol = "scn", opcodeCol = "opcode")),
+
     // Star-schema join rollup: broadcast dims, exact decimal revenue.
     "q21_revenue_by_nation" -> ((s, d) => {
       val orders = t(s, d, "orders")
@@ -476,6 +487,16 @@ object BrooklinQueries {
       s"""SELECT partition, date_trunc('hour', ts) AS commit_window,
          |MAX("offset") AS committed_offset, COUNT(*) AS n
          |FROM ($kafkaShapedSql) GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+
+    "q31_cdc_apply" ->
+      """SELECT key, scn, opcode, value FROM (
+        |SELECT user_id AS key, event_id AS scn,
+        |CASE WHEN event_type IN ('create','insert','signup') THEN 'INSERT'
+        |WHEN event_type IN ('delete','drop','error') THEN 'DELETE'
+        |ELSE 'UPDATE' END AS opcode, props AS value,
+        |ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |FROM events)
+        |WHERE rn = 1 AND opcode <> 'DELETE'""".stripMargin.replace("\n", " "),
 
     "q21_revenue_by_nation" ->
       """SELECT r_name, n_name, COUNT(*) AS n_orders,

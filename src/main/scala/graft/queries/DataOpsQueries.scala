@@ -132,6 +132,23 @@ object DataOpsQueries {
           lit("video").as("media_type"))
         .as[Multimodal.MediaRecord]
       Multimodal.sampleFrames(media, 4).toDF()
+    }),
+
+    // Multimodal: aspect-preserving resize metadata (integer math).
+    "m03_resize" -> ((s, d) =>
+      Multimodal.resizeMeta(Multimodal.decodeDocumentsAsMedia(s, d), box = 256)
+        .select(col("media_id"), col("width"), col("height"),
+          col("out_width"), col("out_height"))),
+
+    // Multimodal: batched feature extraction (mapPartitions model stub).
+    "m04_features" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents")
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "utf-8").as("payload"),
+          lit("image").as("media_type"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.extractFeatures(media).toDF()
     }))
 
   // ---------------------------------------------------------------
@@ -367,5 +384,25 @@ object DataOpsQueries {
     "m02_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(r.range AS BIGINT) AS frame_no,
         |SUBSTR(md5(text), CAST(r.range + 1 AS INTEGER), 8) AS frame_digest
-        |FROM documents CROSS JOIN range(0, 4) r""".stripMargin.replace("\n", " "))
+        |FROM documents CROSS JOIN range(0, 4) r""".stripMargin.replace("\n", " "),
+
+    "m03_resize" -> {
+      val hv = h("text")
+      s"""WITH dec AS (SELECT doc_id AS media_id,
+         |320 + MOD($hv, 1600) AS width,
+         |240 + MOD($hv // 7, 840) AS height
+         |FROM documents)
+         |SELECT media_id, width, height,
+         |(width * 256) // GREATEST(width, height) AS out_width,
+         |(height * 256) // GREATEST(width, height) AS out_height
+         |FROM dec""".stripMargin.replace("\n", " ")
+    },
+
+    "m04_features" -> {
+      def lane(i: Int) =
+        s"CAST(CONCAT('0x', SUBSTR(md5(text), ${i * 8 + 1}, 8)) AS BIGINT) / 4294967296.0"
+      s"""SELECT doc_id AS media_id, ${lane(0)} AS f0, ${lane(1)} AS f1,
+         |${lane(2)} AS f2, ${lane(3)} AS f3
+         |FROM documents""".stripMargin.replace("\n", " ")
+    })
 }
