@@ -37,4 +37,28 @@ object Partitioning {
   def broadcastFanOut(df: DataFrame, numPartitions: Int): DataFrame =
     df.withColumn("dest_partition",
       explode(sequence(lit(0L), lit(numPartitions - 1L))))
+
+  /**
+   * Salted two-phase aggregation — the skew-mitigation pattern for
+   * hot grouping keys (a handful of topics carrying most of a 100 TB
+   * event log). Phase 1 spreads each hot key over `salts` reducers via
+   * a salt derived from a high-cardinality column; phase 2 merges the
+   * partials. Results are identical to the direct groupBy (sums/counts
+   * are associative); the win is that no single reducer ever sees a
+   * whole hot key.
+   *
+   * `partials` maps each (sum-typed) measure to its phase-1 alias;
+   * phase 2 re-sums every alias.
+   */
+  def saltedAgg(df: DataFrame, groupKey: Column, saltSource: Column,
+      salts: Int, partials: Seq[(Column, String)]): DataFrame = {
+    val phase1 = df
+      .groupBy(groupKey.as("__k"),
+        pmod(Portable.hash64(saltSource), lit(salts.toLong)).as("__salt"))
+      .agg(partials.head._1.as(partials.head._2),
+        partials.tail.map { case (c, n) => c.as(n) }: _*)
+    phase1.groupBy(col("__k"))
+      .agg(sum(col(partials.head._2)).as(partials.head._2),
+        partials.tail.map { case (_, n) => sum(col(n)).as(n) }: _*)
+  }
 }

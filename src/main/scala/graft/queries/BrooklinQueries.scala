@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.operators.{Control, Filters, Observe, Partitioning, Translate}
+import graft.operators.{AsOfJoin, Control, Filters, Observe, Partitioning, Translate}
 
 /**
  * The reference's data-plane + control-plane operator inventory
@@ -297,6 +297,33 @@ object BrooklinQueries {
           col("props").as("value")),
         keyCols = Seq("key"), scnCol = "scn", opcodeCol = "opcode")),
 
+    // Skew mitigation: salted two-phase aggregation over the hot
+    // grouping key (identical result to the direct groupBy).
+    "q32_salted_agg" -> ((s, d) =>
+      Partitioning.saltedAgg(t(s, d, "events"),
+          groupKey = col("event_type"), saltSource = col("user_id"), salts = 16,
+          partials = Seq(
+            (count(lit(1)), "n"),
+            (sum(col("value").cast("decimal(18,2)")), "value_sum")))
+        .select(col("__k").as("event_type"), col("n"),
+          col("value_sum").cast("double").as("value_sum"))),
+
+    // Distributed as-of join: each click sees the latest purchase by
+    // the same user at or before its timestamp (union + window sweep,
+    // one shuffle, no range-join explosion).
+    "q33_asof_join" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("purchase_id"))
+      AsOfJoin.latestBefore(clicks, purchases,
+          key = "user_id", time = "ts", rightVals = Seq("purchase_id"))
+        .select(col("click_id"), col("user_id"), col("ts").as("click_ts"),
+          col("purchase_id"))
+    }),
+
     // Star-schema join rollup: broadcast dims, exact decimal revenue.
     "q21_revenue_by_nation" -> ((s, d) => {
       val orders = t(s, d, "orders")
@@ -497,6 +524,21 @@ object BrooklinQueries {
         |ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |FROM events)
         |WHERE rn = 1 AND opcode <> 'DELETE'""".stripMargin.replace("\n", " "),
+
+    "q32_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY event_type""".stripMargin.replace("\n", " "),
+
+    "q33_asof_join" ->
+      """WITH clicks AS (SELECT user_id, ts, event_id AS click_id
+        |FROM events WHERE event_type = 'click'),
+        |purchases AS (SELECT user_id, ts, MAX(event_id) AS purchase_id
+        |FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.click_id, c.user_id, c.ts AS click_ts, p.purchase_id
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |ON c.user_id = p.user_id AND p.ts <= c.ts"""
+        .stripMargin.replace("\n", " "),
 
     "q21_revenue_by_nation" ->
       """SELECT r_name, n_name, COUNT(*) AS n_orders,

@@ -83,6 +83,32 @@ class OperatorsSpec extends SparkTestBase {
       == Seq("00abcd"))
   }
 
+  test("saltedAgg equals the direct groupBy") {
+    val df = (1L to 500L).map(i => (s"k${i % 3}", i)).toDF("k", "v")
+    val direct = df.groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      .as[(String, Long, Long)].collect().toSet
+    val salted = Partitioning.saltedAgg(df, $"k", $"v", salts = 8,
+        Seq((count(lit(1)), "n"), (sum($"v"), "s")))
+      .select($"__k", $"n", $"s")
+      .as[(String, Long, Long)].collect().toSet
+    assert(salted == direct)
+  }
+
+  test("asof join attaches latest right row at or before left time") {
+    val clicks = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
+      .toDF("user_id", "ts", "click_id")
+    val purchases = Seq((1L, 10L, 900L), (1L, 15L, 901L), (2L, 6L, 902L))
+      .toDF("user_id", "ts", "purchase_id")
+    val got = AsOfJoin.latestBefore(clicks, purchases, "user_id", "ts",
+        Seq("purchase_id"))
+      .select($"click_id", $"purchase_id")
+      .as[(Long, Option[Long])].collect().toMap
+    // same-ts purchase visible (100→900); later click sees 901;
+    // user 2's purchase is after the click → null.
+    assert(got == Map(100L -> Some(900L), 101L -> Some(901L), 102L -> None))
+  }
+
   test("registry frame is magic byte + md5(schemaId) + payload hex") {
     val df = Seq(("42", "hi")).toDF("sid", "payload")
     val hex = df.select(Portable.registryFrameHex($"sid", $"payload")).as[String].head()
