@@ -21,18 +21,34 @@ object StreamingQueries {
 
   private val runId = new AtomicInteger(0)
 
-  private def runToTable(df: DataFrame, mode: String): DataFrame = {
+  /**
+   * Run a streaming plan to completion into a memory table.
+   *
+   * State partition count: a streaming query's state store is
+   * partitioned by `spark.sql.shuffle.partitions` AT FIRST RUN and
+   * fixed thereafter — a real deployment sizes it per pipeline (state
+   * volume / executor count), exactly like the reference sizes task
+   * counts per datastream. For this corpus the stateful demos are
+   * state-store-overhead-bound, so they run at 8 partitions; the conf
+   * is restored after the query finishes.
+   */
+  private def runToTable(df: DataFrame, mode: String,
+      statePartitions: Int = 8): DataFrame = {
     val spark = df.sparkSession
     val name = s"stream_out_${runId.incrementAndGet()}"
     val ckpt = Files.createTempDirectory("graft-ckpt-").toString
-    val q = df.writeStream
-      .queryName(name)
-      .outputMode(mode)
-      .format("memory")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = df.writeStream
+        .queryName(name)
+        .outputMode(mode)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
     spark.table(name)
   }
 
