@@ -23,7 +23,20 @@ import graft.model.{PipelineSpec, PipelineStatus}
  * (pause = stop query keeping checkpoints; resume = restart from them —
  * Spark's native replay contract).
  */
-final class PipelineManager(spark: SparkSession, checkpointRoot: String) {
+/**
+ * Pluggable control-plane hooks — the engine's SPI surface (SURVEY.md
+ * §2.10): Authorizer (reference: api/security/Authorizer.java, used
+ * Coordinator.java:2371-2393), update validation (Connector
+ * .validateUpdateDatastreams :86), and post-state-change action
+ * (postDatastreamStateChangeAction :163).
+ */
+final case class PipelineHooks(
+    authorize: (PipelineSpec, String) => Boolean = (_, _) => true,
+    validateUpdate: (PipelineSpec, PipelineSpec) => Unit = (_, _) => (),
+    onStateChange: (String, PipelineStatus.Value) => Unit = (_, _) => ())
+
+final class PipelineManager(spark: SparkSession, checkpointRoot: String,
+    hooks: PipelineHooks = PipelineHooks()) {
 
   private val specs = TrieMap.empty[String, PipelineSpec]
   private val queries = new ConcurrentHashMap[String, StreamingQuery]()
@@ -48,9 +61,12 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String) {
     }
   })
 
-  /** Validate + dedup + register (the "create datastream" DDL). */
-  def create(spec: PipelineSpec): PipelineSpec = {
+  /** Validate + authorize + dedup + register (the "create" DDL).
+    * Owner is checked by the Authorizer hook before any resource is
+    * provisioned (Coordinator.java:2371-2393 ordering). */
+  def create(spec: PipelineSpec, owner: String = "anonymous"): PipelineSpec = {
     require(spec.name.nonEmpty, "pipeline name required")
+    require(hooks.authorize(spec, owner), s"owner $owner not authorized for ${spec.name}")
     require(!specs.contains(spec.name), s"duplicate pipeline ${spec.name}")
     require(spec.sourceConnection.nonEmpty, "source connection required")
     // BYOT conflict (D2): a user-managed destination may serve one
@@ -72,7 +88,27 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String) {
     }
     val ready = deduped.copy(status = PipelineStatus.Ready)
     specs.put(spec.name, ready)
+    hooks.onStateChange(spec.name, PipelineStatus.Ready)
     ready
+  }
+
+  /**
+   * Update a registered spec (the reference's update path,
+   * DatastreamResources update :410 → validateUpdateDatastreams).
+   * The running query, if any, must be restarted by the caller to pick
+   * up the new spec — same restart contract as the reference.
+   */
+  def update(name: String, newSpec: PipelineSpec): PipelineSpec = {
+    val existing = specs.getOrElse(name, sys.error(s"unknown pipeline $name"))
+    require(newSpec.name == name, "pipeline name is immutable")
+    require(newSpec.sourceConnection.nonEmpty, "source connection required")
+    hooks.validateUpdate(existing, newSpec)
+    val updated = newSpec.copy(status = existing.status,
+      destinationConnection =
+        if (newSpec.destinationConnection.nonEmpty) newSpec.destinationConnection
+        else existing.destinationConnection)
+    specs.put(name, updated)
+    updated
   }
 
   def get(name: String): Option[PipelineSpec] = specs.get(name)
@@ -189,11 +225,13 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String) {
   def pause(name: String): Unit = {
     Option(queries.remove(name)).foreach(_.stop())
     specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Paused)))
+    hooks.onStateChange(name, PipelineStatus.Paused)
   }
 
   /** Resume = restart from the same checkpointLocation. */
   def resume(name: String, transform: DataFrame => DataFrame): StreamingQuery = {
     specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Ready)))
+    hooks.onStateChange(name, PipelineStatus.Ready)
     start(name, transform)
   }
 
@@ -201,6 +239,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String) {
     Option(queries.remove(name)).foreach(_.stop())
     specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Deleting)))
     specs.remove(name)
+    hooks.onStateChange(name, PipelineStatus.Deleting)
   }
 
   /**

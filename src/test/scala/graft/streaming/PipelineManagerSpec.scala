@@ -44,6 +44,36 @@ class PipelineManagerSpec extends SparkTestBase {
     assert(pm.list(0, 2).map(_.name) == Seq("a", "b"))
   }
 
+  test("SPI hooks: authorizer gates create, validateUpdate gates update, state changes observed") {
+    val changes = scala.collection.mutable.Buffer.empty[(String, PipelineStatus.Value)]
+    val pm = new PipelineManager(spark,
+      Files.createTempDirectory("graft-hooks-").toString,
+      PipelineHooks(
+        authorize = (_, owner) => owner != "mallory",
+        validateUpdate = (_, next) =>
+          require(next.connector != "forbidden", "connector change rejected"),
+        onStateChange = (n, s) => changes += ((n, s))))
+
+    intercept[IllegalArgumentException] {
+      pm.create(PipelineSpec("h1", "parquet", "memory", "/src/x"), owner = "mallory")
+    }
+    pm.create(PipelineSpec("h1", "parquet", "memory", "/src/x"), owner = "alice")
+    assert(changes.contains(("h1", PipelineStatus.Ready)))
+
+    // update: name immutable, validation hook consulted, dest retained
+    intercept[IllegalArgumentException] {
+      pm.update("h1", PipelineSpec("h1", "forbidden", "memory", "/src/x"))
+    }
+    val up = pm.update("h1", PipelineSpec("h1", "parquet", "memory", "/src/y"))
+    assert(up.sourceConnection == "/src/y")
+    assert(up.destinationConnection == "dest-h1") // auto-provisioned kept
+
+    pm.pause("h1")
+    assert(changes.contains(("h1", PipelineStatus.Paused)))
+    pm.delete("h1")
+    assert(changes.contains(("h1", PipelineStatus.Deleting)))
+  }
+
   test("pipeline delivers records, then resumes from checkpoint without replay") {
     val pm = newManager()
     val srcDir = Files.createTempDirectory("graft-src-").toString
