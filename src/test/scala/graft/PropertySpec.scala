@@ -1,0 +1,84 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Filters, Partitioning}
+
+/**
+ * Property-style laws for the operators whose correctness is
+ * algebraic rather than example-shaped — the upgrade over the
+ * reference's example-only TestNG suites (SURVEY.md §5). Inputs are
+ * drawn from a fixed-seed generator (deterministic across runs).
+ */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val Rounds = 8
+
+  test("hashShard: shards partition the input (complete, no overlap)") {
+    val rnd = new Random(41)
+    for (_ <- 1 to Rounds) {
+      val p = 2 + rnd.nextInt(7)
+      val xs = List.fill(60)(rnd.nextLong() % 1000)
+      val df = xs.toDF("k")
+      val perShard = (0 until p)
+        .map(i => df.filter(Filters.hashShard(Seq($"k"), p, Seq(i))).count())
+      assert(perShard.sum == xs.length, s"p=$p lost/doubled rows")
+    }
+  }
+
+  test("seekAfter: equivalent to lexicographic tuple comparison") {
+    val rnd = new Random(42)
+    for (_ <- 1 to Rounds) {
+      val xs = List.fill(40)((rnd.nextInt(9).toLong, rnd.nextInt(9).toLong))
+      val (a, b) = (rnd.nextInt(9).toLong, rnd.nextInt(9).toLong)
+      val got = xs.toDF("k1", "k2")
+        .filter(Filters.seekAfter(Seq($"k1", $"k2"), Seq(a, b)))
+        .as[(Long, Long)].collect().toSet
+      val want = xs.filter { case (x, y) => x > a || (x == a && y > b) }.toSet
+      assert(got == want, s"after=($a,$b)")
+    }
+  }
+
+  test("saltedAgg: equals direct groupBy for any data and salt count") {
+    val rnd = new Random(43)
+    for (_ <- 1 to Rounds) {
+      val xs = List.fill(50)(
+        (Seq("a", "b", "c")(rnd.nextInt(3)), rnd.nextInt(201).toLong - 100L))
+      val salts = 1 + rnd.nextInt(16)
+      val df = xs.toDF("k", "v")
+      val direct = df.groupBy($"k")
+        .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+        .as[(String, Long, Long)].collect().toSet
+      val salted = Partitioning.saltedAgg(df, $"k", $"v", salts,
+          Seq((count(lit(1)), "n"), (sum($"v"), "s")))
+        .select($"__k", $"n", $"s").as[(String, Long, Long)].collect().toSet
+      assert(salted == direct, s"salts=$salts")
+    }
+  }
+
+  test("asof join: equals per-row scan of the right side") {
+    val rnd = new Random(44)
+    for (_ <- 1 to Rounds) {
+      def rows() = List.fill(30)(
+        (1L + rnd.nextInt(4), rnd.nextInt(21).toLong, rnd.nextInt(1000).toLong))
+      // right side unique per (key, time): keep max value
+      val right = rows().groupBy(r => (r._1, r._2))
+        .map { case ((k, t), g) => (k, t, g.map(_._3).max) }.toList
+      val left = rows().zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) }
+      val got = AsOfJoin.latestBefore(
+          left.toDF("user_id", "ts", "click_id"),
+          right.toDF("user_id", "ts", "purchase_id"),
+          "user_id", "ts", Seq("purchase_id"))
+        .select($"click_id", $"purchase_id")
+        .as[(Long, Option[Long])].collect().toMap
+      val want = left.map { case (k, t, id) =>
+        id -> right.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+      }.toMap
+      assert(got == want)
+    }
+  }
+}
