@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+import graft.SparkEntry
+import graft.SparkTestBase
+
+/**
+ * Plan-shape regression tests: the properties that make these queries
+ * viable at 100 TB must survive to the executed plan, not live in
+ * comments. Each assertion here is something a reviewer would
+ * otherwise have to check by hand in .explain output.
+ */
+class PlanSpec extends SparkTestBase {
+
+  private def planOf(name: String): SparkPlan = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf("0.01"))
+    df.queryExecution.executedPlan
+  }
+
+  private def collectAll[A](p: SparkPlan)(pf: PartialFunction[SparkPlan, A]): Seq[A] = {
+    val expanded = p.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    expanded.flatMap(n => n.collect(pf)) ++ p.collect(pf)
+  }
+
+  private def scanFilters(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf("0.01"))
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q17 TTL filter is pushed into the parquet scan as a nanos range") {
+    val plan = scanFilters("q17_ttl_filter")
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("LessThan(ts"), "nanos-space range must reach the scan")
+  }
+
+  test("q21 star join broadcasts every dimension (no shuffle join)") {
+    val p = planOf("q21_revenue_by_nation")
+    val broadcasts = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(broadcasts.size >= 3, s"expected 3 broadcast joins, got ${broadcasts.size}")
+  }
+
+  test("q33 as-of join shuffles at most once (no range-join explosion)") {
+    val p = planOf("q33_asof_join")
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 2,
+      s"union+window as-of must not multiply shuffles: ${shuffles.size}")
+    val plan = p.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "as-of join must not degrade to a product join")
+  }
+
+  test("d03 LSH candidate join is an equi-join on (band, bandHash)") {
+    val plan = planOf("d03_lsh_candidates").toString
+    assert(!plan.contains("CartesianProduct"),
+      "LSH candidates must never be an all-pairs product")
+    assert(plan.contains("band"), "join keys must include the band")
+  }
+
+  test("q03 hash-shard filter stays in the scan stage (codegen, no shuffle)") {
+    val p = planOf("q03_hash_shard")
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty, "a pure shard filter must not shuffle")
+  }
+
+  test("q01 aggregation has a map-side partial before the exchange") {
+    val plan = planOf("q01_flow_agg").toString
+    // partial agg appears below the exchange: two HashAggregate levels
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "partial/final aggregate split expected")
+  }
+}
