@@ -165,6 +165,49 @@ object Dedup {
   }
 
   /**
+   * Connected components over near-dup candidate pairs — the final
+   * stage of a production dedup pipeline: pairs → duplicate GROUPS,
+   * one canonical id (the minimum member) per group.
+   *
+   * Algorithm: iterative min-label propagation (the standard
+   * large-graph CC on Spark): each round, every node takes the min of
+   * its own label and its neighbors' labels; converges in
+   * O(component diameter) rounds. Each round is one hash join + one
+   * aggregate — shuffle on the node id, no driver-side graph.
+   * `localCheckpoint` truncates lineage so plans stay O(1) per round.
+   *
+   * @param nodes one column `doc` — every doc gets a group (docs in no
+   *              pair become singletons)
+   * @param edges candidate pairs (aCol, bCol)
+   */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("doc"), col("doc").as("group_id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = sym
+        .join(labels, sym("src") === labels("doc"))
+        .groupBy(col("dst")).agg(min(col("group_id")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, labels("doc") === neighborMin("dst"), "left")
+        .select(labels("doc"),
+          least(col("group_id"), coalesce(col("nmin"), col("group_id")))
+            .as("group_id"))
+        .localCheckpoint()
+      converged = updated.join(labels.withColumnRenamed("group_id", "old"), "doc")
+        .filter(col("group_id") =!= col("old")).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
+  /**
    * Exact n-gram Jaccard pairs >= threshold, via distinct-shingle
    * self-join (ground truth for small corpora; at scale use
    * [[jaccardOnCandidates]]).

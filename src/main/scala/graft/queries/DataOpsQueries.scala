@@ -56,6 +56,16 @@ object DataOpsQueries {
         Dedup.simHash(t(s, d, "documents"), col("doc_id"), col("text")),
         maxHamming = SimHamming)),
 
+    // Dedup groups: connected components over the LSH candidate graph
+    // (pairs → duplicate groups; canonical id = min member).
+    "d07_dedup_groups" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.lshCandidates(docs, col("doc_id"), col("text"),
+        k = MinHashK, r = LshRows).select(col("doc_a"), col("doc_b"))
+      Dedup.connectedComponents(
+        docs.select(col("doc_id").as("doc")), pairs, "doc_a", "doc_b")
+    }),
+
     // Embedding-cosine near-duplicate pairs.
     "e01_cosine_pairs" -> ((s, d) =>
       Ann.cosinePairs(t(s, d, "embeddings"), threshold = 0.4)),
@@ -262,6 +272,23 @@ object DataOpsQueries {
          |FROM bands a JOIN bands b
          |ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc)
          |WHERE hamming <= $SimHamming""".stripMargin.replace("\n", " "),
+
+    "d07_dedup_groups" ->
+      s"""WITH RECURSIVE $wordsCte, $shinglesCte, ${minhashSigCte(MinHashK)},
+         |bands AS (SELECT doc, i // $LshRows AS band,
+         |${h("string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)")} AS bh
+         |FROM sig GROUP BY doc, i // $LshRows),
+         |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |FROM bands a JOIN bands b
+         |ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+         |UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach(doc, r) AS (
+         |SELECT doc_id, doc_id FROM documents
+         |UNION
+         |SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.doc)
+         |SELECT doc, MIN(r) AS group_id FROM reach GROUP BY doc"""
+        .stripMargin.replace("\n", " "),
 
     "e01_cosine_pairs" ->
       s"""WITH $vecCte, $normCte

@@ -5,6 +5,18 @@ import org.apache.spark.sql.functions._
 import graft.SparkTestBase
 
 class DedupSpec extends SparkTestBase {
+
+  test("connectedComponents groups chained pairs and keeps singletons") {
+    import spark.implicits._
+    val nodes = (1L to 7L).toDF("doc")
+    // components: {1,2,3} (chain), {5,6}, singletons {4}, {7}
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = graft.dedup.Dedup
+      .connectedComponents(nodes, edges, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
   import spark.implicits._
 
   private val docs = Seq(
