@@ -66,6 +66,18 @@ object DataOpsQueries {
         docs.select(col("doc_id").as("doc")), pairs, "doc_a", "doc_b")
     }),
 
+    // Deterministic train/val/test split: stable hash of the doc id
+    // buckets every row reproducibly (no RNG, no reshuffle drift when
+    // the corpus grows) — the standard split for training corpora.
+    "d08_train_split" -> ((s, d) => {
+      val bucket = pmod(Portable.hash64(col("doc_id")), lit(100L))
+      val split = when(bucket < 80, lit("train"))
+        .when(bucket < 90, lit("val")).otherwise(lit("test"))
+      t(s, d, "documents")
+        .groupBy(split.as("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
+    }),
+
     // Embedding-cosine near-duplicate pairs.
     "e01_cosine_pairs" -> ((s, d) =>
       Ann.cosinePairs(t(s, d, "embeddings"), threshold = 0.4)),
@@ -289,6 +301,12 @@ object DataOpsQueries {
          |SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.doc)
          |SELECT doc, MIN(r) AS group_id FROM reach GROUP BY doc"""
         .stripMargin.replace("\n", " "),
+
+    "d08_train_split" ->
+      s"""SELECT CASE WHEN MOD(${h("doc_id")}, 100) < 80 THEN 'train'
+         |WHEN MOD(${h("doc_id")}, 100) < 90 THEN 'val' ELSE 'test' END AS split,
+         |COUNT(*) AS n, MIN(doc_id) AS min_doc
+         |FROM documents GROUP BY 1""".stripMargin.replace("\n", " "),
 
     "e01_cosine_pairs" ->
       s"""WITH $vecCte, $normCte
