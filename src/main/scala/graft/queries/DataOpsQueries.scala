@@ -142,6 +142,19 @@ object DataOpsQueries {
       t(s, d, "documents").select(
         col("doc_id"), Text.fingerprint(col("text")).as("fp"))),
 
+    // Corpus length profile: exact interpolated quantiles of document
+    // length per language (percentile sorts within each group — the
+    // per-group distribution shape used to spot truncation/outliers).
+    "t05_length_quantiles" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(length(col("text"))).cast("long").as("min_len"),
+          expr("percentile(length(text), 0.5)").as("p50"),
+          expr("percentile(length(text), 0.9)").as("p90"),
+          max(length(col("text"))).cast("long").as("max_len"))),
+
     // Multimodal: batched (mapPartitions) stub decode over binary payloads.
     "m01_media_decode" -> ((s, d) => Multimodal.decodeDocumentsAsMedia(s, d)),
 
@@ -414,6 +427,14 @@ object DataOpsQueries {
          |CAST(list_reduce(list_transform(w, (x, i) -> ${h("x")} * i),
          |(a, b) -> a + b) AS BIGINT) AS fp
          |FROM w""".stripMargin.replace("\n", " "),
+
+    "t05_length_quantiles" ->
+      """SELECT lang, COUNT(*) AS n,
+        |CAST(MIN(length(text)) AS BIGINT) AS min_len,
+        |quantile_cont(length(text), 0.5) AS p50,
+        |quantile_cont(length(text), 0.9) AS p90,
+        |CAST(MAX(length(text)) AS BIGINT) AS max_len
+        |FROM documents GROUP BY lang""".stripMargin.replace("\n", " "),
 
     "m01_media_decode" -> {
       val hv = h("text")
