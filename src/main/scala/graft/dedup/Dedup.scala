@@ -204,6 +204,11 @@ object Dedup {
       labels = updated
       i += 1
     }
+    // Fail loudly instead of returning partially-propagated labels —
+    // a silently split duplicate group keeps redundant documents.
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(component diameter exceeds maxIter; raise it)")
     labels
   }
 

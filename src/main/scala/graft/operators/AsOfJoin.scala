@@ -32,6 +32,10 @@ object AsOfJoin {
   def latestBefore(left: DataFrame, right: DataFrame, key: String,
       time: String, rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    val collisions = rightVals.filter(leftCols.contains) ++
+      (if (leftCols.contains("__tag")) Seq("__tag") else Nil)
+    require(collisions.isEmpty,
+      s"left columns would be overwritten: ${collisions.mkString(", ")}")
     val lTagged = rightVals.foldLeft(
       left.withColumn("__tag", lit(1))) { (df, v) =>
       df.withColumn(v, lit(null).cast(right.schema(v).dataType))

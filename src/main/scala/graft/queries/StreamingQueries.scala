@@ -56,6 +56,14 @@ object StreamingQueries {
     // The file-stream source requires a directory; glob-filter the one
     // table out of the shared corpus dir. ts arrives as int64-nanos
     // (see Tables) and is truncated to micros here.
+    //
+    // The 0-second watermarks downstream assume the corpus arrives in
+    // ONE micro-batch (single file, no maxFilesPerTrigger): with
+    // multiple batches, rows older than a previous batch's max ts
+    // would be dropped as late. Production pipelines use a real
+    // lateness allowance; 0 s is the value that makes the FINAL
+    // watermark — and therefore the emitted-window set — exactly
+    // reproducible by the batch oracle.
     val schema = Tables.rawSchema(s, dir, "events")
     s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")

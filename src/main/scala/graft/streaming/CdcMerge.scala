@@ -42,26 +42,44 @@ object CdcMerge {
   /**
    * Apply one micro-batch of changes onto the parquet state at
    * `statePath`: untouched keys survive, changed keys take the batch's
-   * final image, DELETEs drop. Write lands in a scratch dir first and
-   * swaps in with a filesystem rename, so a reader never sees a
-   * half-written state and the input path is never overwritten while
-   * being read.
+   * final image, DELETEs drop.
+   *
+   * Crash safety: the new state lands in a scratch dir, the previous
+   * state is renamed aside to `.bak`, the scratch dir renamed in, and
+   * only then is the backup dropped. A crash at any point leaves
+   * either the old state or the backup on disk — [[currentState]]
+   * resolves whichever survives, so a replayed micro-batch (Spark's
+   * at-least-once foreachBatch contract) re-merges onto intact state
+   * instead of an empty table.
    */
   def applyBatch(spark: SparkSession, batch: DataFrame, statePath: String,
       keyCols: Seq[String], scnCol: String, opcodeCol: String): Unit = {
     val fs = new Path(statePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val state = new Path(statePath)
+    val backup = new Path(statePath + ".bak")
     val latest = latestState(batch, keyCols, scnCol, opcodeCol)
     val touched = batch.select(keyCols.map(col): _*).distinct()
-    val merged =
-      if (fs.exists(state)) {
-        val existing = spark.read.parquet(statePath)
+    val merged = currentState(spark, statePath) match {
+      case Some(existing) =>
         existing.join(touched, keyCols, "left_anti")
           .unionByName(latest.select(existing.columns.map(col): _*))
-      } else latest
+      case None => latest
+    }
     val tmp = new Path(statePath + ".tmp")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (fs.exists(state)) fs.delete(state, true)
+    fs.delete(backup, true)
+    if (fs.exists(state)) fs.rename(state, backup)
     fs.rename(tmp, state)
+    fs.delete(backup, true)
+  }
+
+  /** The live state: the main dir, or the backup if a crash happened
+    * between the two swap renames. */
+  def currentState(spark: SparkSession, statePath: String): Option[DataFrame] = {
+    val fs = new Path(statePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(statePath))) Some(spark.read.parquet(statePath))
+    else if (fs.exists(new Path(statePath + ".bak")))
+      Some(spark.read.parquet(statePath + ".bak"))
+    else None
   }
 }

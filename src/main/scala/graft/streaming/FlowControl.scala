@@ -25,8 +25,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  */
 object FlowControl {
 
-  /** One control signal per send attempt/ack: delta = +sent / -acked. */
-  case class PartitionSignal(partition: String, delta: Long, error: Boolean)
+  /** One control signal per send attempt/ack: delta = +sent / -acked.
+    * `seq` orders signals within a micro-batch (e.g. the source
+    * offset): flatMapGroupsWithState gives NO iterator-order guarantee
+    * inside a group, so the fold sorts by it — without a sequence the
+    * decision stream would be nondeterministic across replays. */
+  case class PartitionSignal(partition: String, delta: Long, error: Boolean,
+      seq: Long = 0L)
 
   case class FlowState(inFlight: Long, paused: Boolean)
 
@@ -45,7 +50,7 @@ object FlowControl {
         (part, events, state: GroupState[FlowState]) =>
           var st = state.getOption.getOrElse(FlowState(0L, paused = false))
           val out = Seq.newBuilder[PauseDecision]
-          events.foreach { e =>
+          events.toSeq.sortBy(_.seq).foreach { e =>
             val inFlight = math.max(0L, st.inFlight + e.delta)
             val shouldPause = e.error || inFlight > maxInFlight
             val next =

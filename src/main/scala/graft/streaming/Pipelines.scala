@@ -40,26 +40,40 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
 
   private val specs = TrieMap.empty[String, PipelineSpec]
   private val queries = new ConcurrentHashMap[String, StreamingQuery]()
-  // F2/A4: admission state — partitions currently paused per pipeline.
-  private val pausedPartitions = TrieMap.empty[String, Set[String]]
+  // F2/A4: admission state — (partition column, paused values) per
+  // pipeline; applied by start() on EVERY (re)start so the admission
+  // invariant survives pause/resume cycles.
+  private val pausedPartitions = TrieMap.empty[String, (String, Set[String])]
   // A6/A7: last observed per-epoch metrics per pipeline (fed by the
   // observe() aggregation through a StreamingQueryListener).
   private val lastMetrics = TrieMap.empty[String, Map[String, Long]]
 
-  spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+  private val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
       val row = e.progress.observedMetrics.get("graft_metrics")
-      if (row != null) {
+      // only queries owned by THIS manager — several managers can
+      // share one session without cross-polluting each other's metrics
+      if (row != null && queries.containsKey(e.progress.name)) {
         lastMetrics.put(e.progress.name,
           Map("events" -> row.getAs[Long]("events"),
             "bytes" -> Option(row.getAs[Any]("bytes"))
               .map(_.asInstanceOf[Long]).getOrElse(0L)))
       }
     }
-  })
+  }
+  spark.streams.addListener(listener)
+
+  /** Stop all queries and unregister the listener (managers are
+    * session-scoped resources; leaking listeners retains the manager
+    * and slows every future progress event). */
+  def close(): Unit = {
+    queries.values().asScala.foreach(q => if (q.isActive) q.stop())
+    queries.clear()
+    spark.streams.removeListener(listener)
+  }
 
   /** Validate + authorize + dedup + register (the "create" DDL).
     * Owner is checked by the Authorizer hook before any resource is
@@ -98,10 +112,15 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
    * The running query, if any, must be restarted by the caller to pick
    * up the new spec — same restart contract as the reference.
    */
-  def update(name: String, newSpec: PipelineSpec): PipelineSpec = {
+  def update(name: String, newSpec: PipelineSpec,
+      owner: String = "anonymous"): PipelineSpec = {
     val existing = specs.getOrElse(name, sys.error(s"unknown pipeline $name"))
     require(newSpec.name == name, "pipeline name is immutable")
     require(newSpec.sourceConnection.nonEmpty, "source connection required")
+    // same authorize-before-mutate ordering as create (the reference
+    // authorizes every mutating call, Coordinator.java:2371-2393)
+    require(hooks.authorize(newSpec, owner),
+      s"owner $owner not authorized to update $name")
     hooks.validateUpdate(existing, newSpec)
     val updated = newSpec.copy(status = existing.status,
       destinationConnection =
@@ -150,19 +169,26 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
    * Paused-partition admission (F2/A4): records of paused partitions
    * are filtered out before the sink. The reference reconciles its
    * paused set pre-poll (AbstractKafkaBasedConnectorTask
-   * .preConsumerPollHook); here the set is applied on (re)start —
-   * pausing therefore restarts the query, which re-admits from the
-   * checkpoint without replaying delivered records.
+   * .preConsumerPollHook); here the set is recorded and start()
+   * applies it on EVERY (re)start — including later pause()/resume()
+   * cycles — so the admission invariant cannot be dropped by a
+   * restart. Re-admission happens from the checkpoint without
+   * replaying delivered records.
    */
   def pausePartitions(name: String, partitionCol: String, values: Set[String],
       transform: DataFrame => DataFrame): StreamingQuery = {
-    pausedPartitions.put(name, values)
+    pausedPartitions.put(name, (partitionCol, values))
     Option(queries.remove(name)).foreach(_.stop())
-    start(name, df =>
-      transform(df).filter(
-        if (values.isEmpty) lit(true)
-        else !col(partitionCol).isin(values.toSeq: _*)))
+    start(name, transform)
   }
+
+  /** The admission filter start() applies from the recorded state. */
+  private def admission(name: String)(df: DataFrame): DataFrame =
+    pausedPartitions.get(name) match {
+      case Some((partitionCol, values)) if values.nonEmpty =>
+        df.filter(!col(partitionCol).isin(values.toSeq: _*))
+      case _ => df
+    }
 
   /**
    * Start the query for a created spec with a transform chain.
@@ -175,7 +201,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     // A6/A7: per-epoch throughput metrics ride the query itself via
     // observe() — no second pass over the data; the listener above
     // collects them (the reference's EventProducer SLA counters).
-    val transformed = transform(source(spec))
+    val transformed = admission(name)(transform(source(spec)))
     val out =
       if (transformed.columns.contains("value"))
         transformed.observe("graft_metrics",
@@ -219,7 +245,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
 
   /** Currently paused partitions (F2/A4 diagnostics surface). */
   def paused(name: String): Set[String] =
-    pausedPartitions.getOrElse(name, Set.empty)
+    pausedPartitions.get(name).map(_._2).getOrElse(Set.empty)
 
   /** Pause = stop the query; offsets stay in the checkpoint. */
   def pause(name: String): Unit = {

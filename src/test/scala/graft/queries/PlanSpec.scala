@@ -22,13 +22,14 @@ class PlanSpec extends SparkTestBase {
     df.queryExecution.executedPlan
   }
 
-  private def collectAll[A](p: SparkPlan)(pf: PartialFunction[SparkPlan, A]): Seq[A] = {
-    val expanded = p.collect {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case other => other
-    }
-    expanded.flatMap(n => n.collect(pf)) ++ p.collect(pf)
+  /** Visit every node exactly once, descending through AQE wrappers. */
+  private def flatten(n: SparkPlan): Seq[SparkPlan] = n match {
+    case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+    case _ => n +: n.children.flatMap(flatten)
   }
+
+  private def collectAll[A](p: SparkPlan)(pf: PartialFunction[SparkPlan, A]): Seq[A] =
+    flatten(p).collect(pf)
 
   private def scanFilters(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf("0.01"))

@@ -40,22 +40,30 @@ class FlowControlSpec extends SparkTestBase {
         .map(d => (d.partition, d.action, d.inFlight))
 
     // p0 overflows the max threshold → PAUSE.
-    step(PartitionSignal("p0", 11L, error = false))
+    step(PartitionSignal("p0", 11L, error = false, seq = 1L))
     assert(got() == Seq(("p0", "PAUSE", 11L)))
 
     // Draining but still above min → stays paused, no new decision.
-    step(PartitionSignal("p0", -5L, error = false))
+    step(PartitionSignal("p0", -5L, error = false, seq = 2L))
     assert(got().size == 1)
 
     // Below min → RESUME.
-    step(PartitionSignal("p0", -5L, error = false))
+    step(PartitionSignal("p0", -5L, error = false, seq = 3L))
     assert(got().toSet ==
       Set(("p0", "PAUSE", 11L), ("p0", "RESUME", 1L)))
 
     // Send error pauses regardless of in-flight; p1 independent of p0.
-    step(PartitionSignal("p1", 1L, error = true))
+    step(PartitionSignal("p1", 1L, error = true, seq = 4L))
     assert(got().count(_._1 == "p1") == 1)
     assert(got().contains(("p1", "PAUSE", 1L)))
+
+    // Many signals in ONE batch fold in seq order, not arrival order:
+    // p2 sees (+11, -10) → PAUSE at 11 then RESUME at 1.
+    step(
+      PartitionSignal("p2", -10L, error = false, seq = 6L),
+      PartitionSignal("p2", 11L, error = false, seq = 5L))
+    assert(got().filter(_._1 == "p2").toSet ==
+      Set(("p2", "PAUSE", 11L), ("p2", "RESUME", 1L)))
 
     q.stop()
   }

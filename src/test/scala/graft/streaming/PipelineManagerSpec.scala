@@ -60,7 +60,12 @@ class PipelineManagerSpec extends SparkTestBase {
     pm.create(PipelineSpec("h1", "parquet", "memory", "/src/x"), owner = "alice")
     assert(changes.contains(("h1", PipelineStatus.Ready)))
 
-    // update: name immutable, validation hook consulted, dest retained
+    // update: authorized like create, name immutable, validation hook
+    // consulted, dest retained
+    intercept[IllegalArgumentException] {
+      pm.update("h1", PipelineSpec("h1", "parquet", "memory", "/src/y"),
+        owner = "mallory")
+    }
     intercept[IllegalArgumentException] {
       pm.update("h1", PipelineSpec("h1", "forbidden", "memory", "/src/x"))
     }
@@ -135,6 +140,16 @@ class PipelineManagerSpec extends SparkTestBase {
     val got = spark.read.parquet(spec.destinationConnection)
       .select("k").as[Long].collect().toSet
     assert(got == Set(1L, 3L)) // p1 records held back
+
+    // the admission set survives a plain pause/resume cycle: new p1
+    // data stays held back even though resume() didn't restate it
+    pm.pause("pp")
+    Seq((4L, "p1"), (5L, "p0")).toDF("k", "part")
+      .write.mode(SaveMode.Append).parquet(srcDir)
+    pm.resume("pp", identity).awaitTermination()
+    val got2 = spark.read.parquet(spec.destinationConnection)
+      .select("k").as[Long].collect().toSet
+    assert(got2 == Set(1L, 3L, 5L), "paused partition leaked on resume")
     pm.delete("pp")
   }
 
