@@ -50,6 +50,25 @@ object Partitioning {
    * `partials` maps each (sum-typed) measure to its phase-1 alias;
    * phase 2 re-sums every alias.
    */
+  /**
+   * Salted equi-join for a skewed key — the join-side counterpart of
+   * [[saltedAgg]]: the fact side gets a salt derived from a
+   * high-cardinality column, the (small) build side is replicated once
+   * per salt, and the join key becomes (key, salt) — a hot key's rows
+   * now land on `salts` reducers instead of one. Result is identical
+   * to the plain join; cost is `salts`× the build side, which is the
+   * standard trade when AQE's skew handling can't kick in (e.g.
+   * pre-AQE stages or deliberately partitioned writes).
+   */
+  def saltedJoin(fact: DataFrame, build: DataFrame, key: String,
+      saltSource: Column, salts: Int): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(Portable.hash64(saltSource), lit(salts.toLong)))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   def saltedAgg(df: DataFrame, groupKey: Column, saltSource: Column,
       salts: Int, partials: Seq[(Column, String)]): DataFrame = {
     val phase1 = df

@@ -324,6 +324,19 @@ object BrooklinQueries {
           col("purchase_id"))
     }),
 
+    // Skew mitigation for joins: the hot fact key is salted and the
+    // small build side replicated per salt — result identical to the
+    // plain join (verified by the oracle), shuffle spread over salts.
+    "q34_salted_join" -> ((s, d) => {
+      val events = t(s, d, "events")
+      val dim = events.select(col("event_type")).distinct()
+        .withColumn("opcode", Translate.opcodeOf(col("event_type")))
+      Partitioning.saltedJoin(events, dim, "event_type",
+          saltSource = col("user_id"), salts = 8)
+        .groupBy(col("opcode"))
+        .agg(count(lit(1)).as("n"), max(col("event_id")).as("max_id"))
+    }),
+
     // Star-schema join rollup: broadcast dims, exact decimal revenue.
     "q21_revenue_by_nation" -> ((s, d) => {
       val orders = t(s, d, "orders")
@@ -539,6 +552,13 @@ object BrooklinQueries {
         |FROM clicks c ASOF LEFT JOIN purchases p
         |ON c.user_id = p.user_id AND p.ts <= c.ts"""
         .stripMargin.replace("\n", " "),
+
+    "q34_salted_join" ->
+      """SELECT CASE WHEN event_type IN ('create','insert','signup') THEN 'INSERT'
+        |WHEN event_type IN ('delete','drop','error') THEN 'DELETE'
+        |ELSE 'UPDATE' END AS opcode,
+        |COUNT(*) AS n, MAX(event_id) AS max_id
+        |FROM events GROUP BY 1""".stripMargin.replace("\n", " "),
 
     "q21_revenue_by_nation" ->
       """SELECT r_name, n_name, COUNT(*) AS n_orders,

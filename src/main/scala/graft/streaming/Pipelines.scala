@@ -233,6 +233,19 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         writer.foreachBatch { (batch: DataFrame, _: Long) =>
           batch.write.mode("append").parquet(dest)
         }.start()
+      case "cdc" =>
+        // T7 materialization: each epoch's change records upsert into
+        // the keyed state table (crash-safe swap in CdcMerge). Key/scn/
+        // opcode columns come from spec.metadata (defaults key/scn/
+        // opcode) — the downstream contract of the CDC envelope.
+        val dest = spec.destinationConnection
+        val keyCols = spec.metadata.getOrElse("cdcKeyCols", "key").split(",").toSeq
+        val scnCol = spec.metadata.getOrElse("cdcScnCol", "scn")
+        val opcodeCol = spec.metadata.getOrElse("cdcOpcodeCol", "opcode")
+        val sess = spark
+        writer.foreachBatch { (batch: DataFrame, _: Long) =>
+          CdcMerge.applyBatch(sess, batch, dest, keyCols, scnCol, opcodeCol)
+        }.start()
       case other => throw new IllegalArgumentException(s"unknown transport $other")
     }
     queries.put(name, q)

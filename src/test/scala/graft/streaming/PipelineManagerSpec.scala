@@ -153,6 +153,21 @@ class PipelineManagerSpec extends SparkTestBase {
     pm.delete("pp")
   }
 
+  test("cdc transport materializes change records into keyed state") {
+    val pm = newManager()
+    val srcDir = Files.createTempDirectory("graft-cdclog-").toString
+    Seq((1L, 1L, "INSERT", "a1"), (2L, 2L, "INSERT", "b2"),
+      (1L, 3L, "UPDATE", "a3"), (2L, 4L, "DELETE", ""))
+      .toDF("key", "scn", "opcode", "value")
+      .write.mode(SaveMode.Append).parquet(srcDir)
+    val spec = pm.create(PipelineSpec("cdc1", "parquet", "cdc", srcDir))
+    pm.start("cdc1", identity).awaitTermination()
+    val state = spark.read.parquet(spec.destinationConnection)
+      .select($"key", $"value").as[(Long, String)].collect().toMap
+    assert(state == Map(1L -> "a3"))
+    pm.delete("cdc1")
+  }
+
   test("directory transport applies batches through foreachBatch") {
     val pm = newManager()
     val srcDir = Files.createTempDirectory("graft-dir-").toString
