@@ -59,6 +59,23 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("saltedJoin: equals the plain join for any data and salt count") {
+    val rnd = new Random(45)
+    for (_ <- 1 to Rounds) {
+      val fact = List.fill(40)(
+        (Seq("x", "y", "z")(rnd.nextInt(3)), rnd.nextInt(1000).toLong))
+        .toDF("k", "v")
+      val build = List("x", "y", "z").map(k => (k, s"dim_$k")).toDF("k", "label")
+      val salts = 1 + rnd.nextInt(8)
+      val plain = fact.join(build, "k")
+        .as[(String, Long, String)].collect().sorted.toSeq
+      val salted = Partitioning.saltedJoin(fact, build, "k", $"v", salts)
+        .select($"k", $"v", $"label")
+        .as[(String, Long, String)].collect().sorted.toSeq
+      assert(salted == plain, s"salts=$salts")
+    }
+  }
+
   test("asof join: equals per-row scan of the right side") {
     val rnd = new Random(44)
     for (_ <- 1 to Rounds) {
