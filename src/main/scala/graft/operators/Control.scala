@@ -70,6 +70,27 @@ object Control {
   }
 
   /**
+   * Sticky assignment (O2/P4): tasks that already have an instance
+   * KEEP it (no movement on rebalance — the reference's stickiness
+   * guarantee, StickyMulticastStrategy.java:55-64); only tasks with no
+   * current owner are dealt round-robin across instances. A left join
+   * against the previous assignment plus one rank over the unassigned
+   * remainder — control-plane cardinality, one broadcast-size join.
+   */
+  def stickyAssign(tasks: DataFrame, previous: DataFrame, taskCol: String,
+      instanceCol: String, numInstances: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = tasks.join(previous, Seq(taskCol), "left")
+    val kept = joined.filter(col(instanceCol).isNotNull)
+    val w = Window.orderBy(col(taskCol))
+    val placed = joined.filter(col(instanceCol).isNull)
+      .drop(instanceCol)
+      .withColumn(instanceCol,
+        pmod(row_number().over(w).cast("long") - 1, lit(numInstances.toLong)))
+    kept.unionByName(placed.select(kept.columns.map(col): _*))
+  }
+
+  /**
    * Diagnostics scatter-gather reduce (A10): per-instance partial
    * status rolled up into one global answer — a two-level aggregation
    * (partial per host, merge at the originator), which is exactly

@@ -337,6 +337,19 @@ object BrooklinQueries {
         .agg(count(lit(1)).as("n"), max(col("event_id")).as("max_id"))
     }),
 
+    // O2/P4 stickiness: tasks keep their previous instance on
+    // rebalance; only newly-appeared tasks are dealt round-robin.
+    "q35_sticky_assign" -> ((s, d) => {
+      val tasks = kafkaShaped(t(s, d, "events"))
+        .select(concat_ws("-", col("topic"), col("partition")).as("task"))
+        .distinct()
+      // previous assignment covered only partitions 0-5
+      val previous = tasks
+        .filter(substring_index(col("task"), "-", -1).cast("long") < 6)
+        .withColumn("instance", pmod(Portable.hash64(col("task")), lit(4L)))
+      Control.stickyAssign(tasks, previous, "task", "instance", numInstances = 4)
+    }),
+
     // Star-schema join rollup: broadcast dims, exact decimal revenue.
     "q21_revenue_by_nation" -> ((s, d) => {
       val orders = t(s, d, "orders")
@@ -559,6 +572,19 @@ object BrooklinQueries {
         |ELSE 'UPDATE' END AS opcode,
         |COUNT(*) AS n, MAX(event_id) AS max_id
         |FROM events GROUP BY 1""".stripMargin.replace("\n", " "),
+
+    "q35_sticky_assign" ->
+      s"""WITH tasks AS (SELECT DISTINCT CONCAT_WS('-', topic, partition) AS task
+         |FROM ($kafkaShapedSql)),
+         |previous AS (SELECT task,
+         |MOD(${h("task")}, 4) AS instance FROM tasks
+         |WHERE CAST(string_split(task, '-')[-1] AS BIGINT) < 6),
+         |unassigned AS (SELECT t.task,
+         |MOD(ROW_NUMBER() OVER (ORDER BY t.task) - 1, 4) AS instance
+         |FROM tasks t LEFT JOIN previous p USING (task) WHERE p.instance IS NULL)
+         |SELECT task, instance FROM previous
+         |UNION ALL SELECT task, instance FROM unassigned"""
+        .stripMargin.replace("\n", " "),
 
     "q21_revenue_by_nation" ->
       """SELECT r_name, n_name, COUNT(*) AS n_orders,

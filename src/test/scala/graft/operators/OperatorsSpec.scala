@@ -68,6 +68,15 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
   }
 
+  test("stickyAssign keeps previous owners, deals only new tasks") {
+    val tasks = Seq("t1", "t2", "t3", "t4").toDF("task")
+    val previous = Seq(("t1", 3L), ("t3", 2L)).toDF("task", "instance")
+    val got = Control.stickyAssign(tasks, previous, "task", "instance", 2)
+      .as[(String, Long)].collect().toMap
+    assert(got("t1") == 3L && got("t3") == 2L) // untouched (sticky)
+    assert(got("t2") == 0L && got("t4") == 1L) // new: round-robin
+  }
+
   test("loadPack deals partitions round-robin by descending rate") {
     val df = Seq(("a", 100L), ("b", 90L), ("c", 80L), ("d", 70L), ("e", 60L))
       .toDF("part", "rate")
