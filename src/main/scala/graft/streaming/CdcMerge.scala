@@ -1,10 +1,12 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
 
 /**
  * CDC merge: apply old/new-image change records (T7 envelopes carrying
@@ -17,13 +19,35 @@ import org.apache.spark.sql.functions._
  * them is the downstream contract this engine completes.
  *
  * Spark-first shape: last-writer-wins per key by scn is one window
- * rank (or max_by) — partial-agg/shuffle on the key, no driver loop;
- * the streaming form applies the same reduction per micro-batch in
- * `foreachBatch` against a parquet state dir with an atomic
- * write-then-rename swap (Delta's MERGE INTO is the managed-table
- * equivalent).
+ * rank — partial-agg/shuffle on the key, no driver loop. The streaming
+ * form applies the same reduction per micro-batch in `foreachBatch`
+ * against a parquet state directory that is SPLIT INTO KEY-HASH
+ * BUCKETS: an epoch rewrites only the buckets whose keys it touches,
+ * so per-epoch write cost is O(|touched buckets|), not O(|state|) —
+ * at 100 TB an epoch touching a handful of keys rewrites a handful of
+ * bucket directories, never the full table (Delta's MERGE INTO is the
+ * managed-table equivalent; this is the same file-pruning idea with
+ * explicit buckets).
+ *
+ * Layout: `statePath/bNNNNN/` per bucket; scratch (`statePath.tmp/`)
+ * and move-aside backups (`statePath.bak/`) live OUTSIDE the state
+ * root so state readers never see half-written files.
+ *
+ * Crash safety per bucket: new bucket contents land in scratch, the
+ * previous bucket dir is renamed aside, scratch renamed in, and ONLY
+ * THEN is the backup dropped — at every instant either the bucket dir
+ * or its backup holds a complete copy. [[currentState]] resolves
+ * whichever survives. A replayed micro-batch (Spark's at-least-once
+ * foreachBatch contract) re-merges idempotently: last-writer-wins by
+ * scn makes re-applying the same changes a no-op.
  */
 object CdcMerge {
+
+  /** Default key-hash bucket count for the state directory. Sized so
+    * one bucket's state fits an executor comfortably; at larger state
+    * sizes pass a bigger count (buckets = parallel units AND the
+    * rewrite granularity). */
+  val DefaultBuckets = 16
 
   /**
    * Collapse a CDC log (key, scn, opcode, value...) to its final
@@ -39,47 +63,105 @@ object CdcMerge {
       .drop("__rn")
   }
 
-  /**
-   * Apply one micro-batch of changes onto the parquet state at
-   * `statePath`: untouched keys survive, changed keys take the batch's
-   * final image, DELETEs drop.
-   *
-   * Crash safety: the new state lands in a scratch dir, the previous
-   * state is renamed aside to `.bak`, the scratch dir renamed in, and
-   * only then is the backup dropped. A crash at any point leaves
-   * either the old state or the backup on disk — [[currentState]]
-   * resolves whichever survives, so a replayed micro-batch (Spark's
-   * at-least-once foreachBatch contract) re-merges onto intact state
-   * instead of an empty table.
-   */
-  def applyBatch(spark: SparkSession, batch: DataFrame, statePath: String,
-      keyCols: Seq[String], scnCol: String, opcodeCol: String): Unit = {
-    val fs = new Path(statePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val state = new Path(statePath)
-    val backup = new Path(statePath + ".bak")
-    val latest = latestState(batch, keyCols, scnCol, opcodeCol)
-    val touched = batch.select(keyCols.map(col): _*).distinct()
-    val merged = currentState(spark, statePath) match {
-      case Some(existing) =>
-        existing.join(touched, keyCols, "left_anti")
-          .unionByName(latest.select(existing.columns.map(col): _*))
-      case None => latest
+  private def bucketDir(statePath: String, b: Long) =
+    new Path(statePath, f"b$b%05d")
+  private def tmpDir(statePath: String, b: Long) =
+    new Path(s"$statePath.tmp", f"b$b%05d")
+  private def bakDir(statePath: String, b: Long) =
+    new Path(s"$statePath.bak", f"b$b%05d")
+
+  /** The live copy of one bucket: the bucket dir, or its backup if a
+    * crash happened between the two swap renames. */
+  private def liveBucket(fs: FileSystem, statePath: String, b: Long): Option[Path] = {
+    val main = bucketDir(statePath, b)
+    if (fs.exists(main)) Some(main)
+    else {
+      val bak = bakDir(statePath, b)
+      if (fs.exists(bak)) Some(bak) else None
     }
-    val tmp = new Path(statePath + ".tmp")
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(backup, true)
-    if (fs.exists(state)) fs.rename(state, backup)
-    fs.rename(tmp, state)
-    fs.delete(backup, true)
   }
 
-  /** The live state: the main dir, or the backup if a crash happened
-    * between the two swap renames. */
+  /**
+   * Atomically install `merged` as bucket `b`'s state.
+   *
+   * Ordering is the load-bearing part: the previous copy is deleted
+   * only AFTER the replacement is fully installed, and every rename is
+   * checked — a false return fails the epoch so Spark replays it
+   * instead of silently committing a half-swap.
+   */
+  private def installBucket(fs: FileSystem, merged: DataFrame,
+      statePath: String, b: Long): Unit = {
+    val state = bucketDir(statePath, b)
+    val tmp = tmpDir(statePath, b)
+    val bak = bakDir(statePath, b)
+    // Writing scratch materializes the merge — the old state (or its
+    // backup) is still being read here, so it must not move yet.
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(state)) {
+      // A backup alongside a live state dir is a stale leftover of a
+      // crash after install-but-before-cleanup; the state dir is newer.
+      if (fs.exists(bak)) require(fs.delete(bak, true), s"cannot clear stale $bak")
+      fs.mkdirs(bak.getParent)
+      require(fs.rename(state, bak), s"cannot move aside $state")
+    }
+    // If state was absent (first write, or recovering from a crash
+    // mid-swap) the existing .bak — the only live copy — stays put
+    // until the new state, merged FROM it, is installed.
+    fs.mkdirs(state.getParent)
+    require(fs.rename(tmp, state), s"cannot install $tmp as $state")
+    fs.delete(bak, true) // safe: state is installed; a leftover is handled above
+  }
+
+  /**
+   * Apply one micro-batch of changes onto the bucketed parquet state
+   * at `statePath`: untouched buckets are not read or written; within
+   * a touched bucket, untouched keys survive, changed keys take the
+   * batch's final image, DELETEs drop.
+   */
+  def applyBatch(spark: SparkSession, batch: DataFrame, statePath: String,
+      keyCols: Seq[String], scnCol: String, opcodeCol: String,
+      numBuckets: Int = DefaultBuckets): Unit = {
+    val fs = new Path(statePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketOf =
+      pmod(Portable.hash64(concat_ws("|", keyCols.map(col): _*)), lit(numBuckets.toLong))
+    val withBucket = batch.withColumn("__bucket", bucketOf)
+    // Touched-bucket ids: bounded by numBuckets — control-plane
+    // cardinality, not data cardinality, so the collect is safe.
+    val touched = withBucket.select("__bucket").distinct()
+      .collect().map(_.getLong(0)).sorted
+    touched.foreach { b =>
+      val bucketBatch = withBucket.filter(col("__bucket") === b).drop("__bucket")
+      val latest = latestState(bucketBatch, keyCols, scnCol, opcodeCol)
+      val touchedKeys = bucketBatch.select(keyCols.map(col): _*).distinct()
+      val merged = liveBucket(fs, statePath, b) match {
+        case Some(live) =>
+          val existing = spark.read.parquet(live.toString)
+          existing.join(touchedKeys, keyCols, "left_anti")
+            .unionByName(latest.select(existing.columns.map(col): _*))
+        case None => latest
+      }
+      installBucket(fs, merged, statePath, b)
+    }
+  }
+
+  /** The full live state: the union of every bucket's surviving copy.
+    * Falls back to a flat (non-bucketed) layout for state dirs written
+    * by older versions. */
   def currentState(spark: SparkSession, statePath: String): Option[DataFrame] = {
     val fs = new Path(statePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(statePath))) Some(spark.read.parquet(statePath))
-    else if (fs.exists(new Path(statePath + ".bak")))
-      Some(spark.read.parquet(statePath + ".bak"))
+    val root = new Path(statePath)
+    val bakRoot = new Path(statePath + ".bak")
+    def bucketIds(p: Path): Set[Long] =
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.matches("b\\d{5}"))
+        .map(_.getPath.getName.drop(1).toLong).toSet
+    val ids = bucketIds(root) ++ bucketIds(bakRoot)
+    if (ids.nonEmpty) {
+      val paths = ids.toSeq.sorted.flatMap(liveBucket(fs, statePath, _)).map(_.toString)
+      Some(spark.read.parquet(paths: _*))
+    } else if (fs.exists(root)) Some(spark.read.parquet(statePath))
+    else if (fs.exists(bakRoot)) Some(spark.read.parquet(bakRoot.toString))
     else None
   }
 }

@@ -44,7 +44,7 @@ class CdcMergeSpec extends SparkTestBase {
       .start()
 
     def state(): Map[Long, String] =
-      spark.read.parquet(statePath)
+      CdcMerge.currentState(spark, statePath).get
         .select($"key", $"value").as[(Long, String)].collect().toMap
 
     // epoch 1: two inserts
@@ -64,5 +64,68 @@ class CdcMergeSpec extends SparkTestBase {
     assert(state() == Map(1L -> "a3", 3L -> "c7"))
 
     q.stop()
+  }
+
+  private def fullState(statePath: String): Map[Long, String] =
+    CdcMerge.currentState(spark, statePath).get
+      .select($"key", $"value").as[(Long, String)].collect().toMap
+
+  test("recovers full state from a crash between move-aside and install") {
+    val statePath = Files.createTempDirectory("graft-cdc-crash-").toString + "/state"
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    CdcMerge.applyBatch(spark,
+      Seq(Change(1L, 1L, "INSERT", "a1"), Change(2L, 2L, "INSERT", "b2")).toDF(),
+      statePath, Seq("key"), "scn", "opcode", numBuckets = 4)
+
+    // Simulate the worst crash point of the swap: every bucket dir has
+    // been renamed aside but no replacement installed — only `.bak`
+    // copies exist. (The pre-fix code deleted the backup FIRST, so a
+    // crash here lost all state.)
+    fs.listStatus(new org.apache.hadoop.fs.Path(statePath)).foreach { s =>
+      val bak = new org.apache.hadoop.fs.Path(
+        statePath + ".bak", s.getPath.getName)
+      fs.mkdirs(bak.getParent)
+      assert(fs.rename(s.getPath, bak))
+    }
+    assert(fullState(statePath) == Map(1L -> "a1", 2L -> "b2"),
+      "backup copies must be readable as the live state")
+
+    // The next (replayed) epoch merges onto the surviving backups and
+    // re-installs; nothing is lost.
+    CdcMerge.applyBatch(spark,
+      Seq(Change(3L, 3L, "INSERT", "c3")).toDF(),
+      statePath, Seq("key"), "scn", "opcode", numBuckets = 4)
+    assert(fullState(statePath) == Map(1L -> "a1", 2L -> "b2", 3L -> "c3"))
+  }
+
+  test("an epoch touching one key rewrites only that key's bucket") {
+    val statePath = Files.createTempDirectory("graft-cdc-incr-").toString + "/state"
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buckets = 8
+    // Seed enough keys that several buckets exist.
+    CdcMerge.applyBatch(spark,
+      (1L to 40L).map(k => Change(k, k, "INSERT", s"v$k")).toDF(),
+      statePath, Seq("key"), "scn", "opcode", numBuckets = buckets)
+
+    def bucketFiles(): Map[String, Set[String]] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(statePath)).map { d =>
+        d.getPath.getName ->
+          fs.listStatus(d.getPath).map(_.getPath.getName).toSet
+      }.toMap
+    val before = bucketFiles()
+    assert(before.size > 1, "seed must span multiple buckets")
+
+    CdcMerge.applyBatch(spark,
+      Seq(Change(7L, 100L, "UPDATE", "v7b")).toDF(),
+      statePath, Seq("key"), "scn", "opcode", numBuckets = buckets)
+    val after = bucketFiles()
+    val changed = after.keySet.union(before.keySet)
+      .filter(b => before.get(b) != after.get(b))
+    assert(changed.size == 1,
+      s"one-key epoch must rewrite exactly one bucket, changed: $changed")
+    assert(fullState(statePath).get(7L).contains("v7b"))
   }
 }

@@ -162,7 +162,7 @@ class PipelineManagerSpec extends SparkTestBase {
       .write.mode(SaveMode.Append).parquet(srcDir)
     val spec = pm.create(PipelineSpec("cdc1", "parquet", "cdc", srcDir))
     pm.start("cdc1", identity).awaitTermination()
-    val state = spark.read.parquet(spec.destinationConnection)
+    val state = CdcMerge.currentState(spark, spec.destinationConnection).get
       .select($"key", $"value").as[(Long, String)].collect().toMap
     assert(state == Map(1L -> "a3"))
     pm.delete("cdc1")
