@@ -5,9 +5,12 @@ import java.util.concurrent.ConcurrentHashMap
 import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.BinaryType
 
 import graft.model.{PipelineSpec, PipelineStatus}
 
@@ -122,6 +125,18 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     require(hooks.authorize(newSpec, owner),
       s"owner $owner not authorized to update $name")
     hooks.validateUpdate(existing, newSpec)
+    // BYOT conflict (D2) holds on the update path too: re-pointing a
+    // pipeline at a destination another pipeline already uses would
+    // silently interleave two streams into one sink. The reference
+    // validates updates as strictly as creates (DatastreamResources
+    // update :410 → validateDatastreamsUpdate).
+    if (newSpec.destinationConnection.nonEmpty &&
+        newSpec.destinationConnection != existing.destinationConnection) {
+      val inUse = specs.values
+        .exists(_.destinationConnection == newSpec.destinationConnection)
+      require(!inUse,
+        s"destination ${newSpec.destinationConnection} already in use")
+    }
     val updated = newSpec.copy(status = existing.status,
       destinationConnection =
         if (newSpec.destinationConnection.nonEmpty) newSpec.destinationConnection
@@ -155,40 +170,126 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         .fold(reader)(v => reader.option("maxFilesPerTrigger", v))
       withFlow.parquet(spec.sourceConnection)
     case "kafka" =>
-      val reader = spark.readStream.format("kafka")
-        .option(
-          if (spec.sourceConnection.contains("*") || spec.sourceConnection.contains(".+"))
-            "subscribePattern" else "subscribe",
-          spec.sourceConnection)
-      spec.metadata.get("maxOffsetsPerTrigger")
-        .fold(reader)(v => reader.option("maxOffsetsPerTrigger", v)).load()
+      spark.readStream.format("kafka")
+        .options(PipelineManager.kafkaSourceOptions(spec)).load()
     case other => throw new IllegalArgumentException(s"unknown connector $other")
   }
 
+  /** Where a pipeline's held-back (paused-partition) records live. */
+  private def holdbackPath(name: String): String = s"$checkpointRoot/$name.holdback"
+
   /**
-   * Paused-partition admission (F2/A4): records of paused partitions
-   * are filtered out before the sink. The reference reconciles its
-   * paused set pre-poll (AbstractKafkaBasedConnectorTask
-   * .preConsumerPollHook); here the set is recorded and start()
-   * applies it on EVERY (re)start — including later pause()/resume()
-   * cycles — so the admission invariant cannot be dropped by a
-   * restart. Re-admission happens from the checkpoint without
-   * replaying delivered records.
+   * Pause source partitions WITHOUT losing their records (F2/A4).
+   *
+   * The reference defers paused partitions and rewinds to the last
+   * checkpoint so nothing is dropped (AbstractKafkaBasedConnectorTask
+   * .java:275-307, seekToLastCheckpoint :742-756). The Spark-native
+   * equivalent here is holdback-and-replay: the sink-side split in
+   * [[start]] diverts paused rows to a durable holdback table, keyed
+   * by partition value, BEFORE the epoch commits — so the checkpoint
+   * may advance, but every held record is on disk and is replayed into
+   * the destination by [[resumePartitions]]. Delivery is at-least-once
+   * across crashes, exactly the reference's contract.
+   *
+   * The set is recorded and applied by start() on EVERY (re)start —
+   * including later pause()/resume() cycles — so the admission
+   * invariant survives restarts. Pausing the same pipeline again
+   * merges the new values into the recorded set (same partition
+   * column; a different column replaces the set).
    */
   def pausePartitions(name: String, partitionCol: String, values: Set[String],
       transform: DataFrame => DataFrame): StreamingQuery = {
-    pausedPartitions.put(name, (partitionCol, values))
+    pausedPartitions.updateWith(name) {
+      case Some((pc, vs)) if pc == partitionCol => Some((pc, vs ++ values))
+      case _ => Some((partitionCol, values))
+    }
     Option(queries.remove(name)).foreach(_.stop())
     start(name, transform)
   }
 
-  /** The admission filter start() applies from the recorded state. */
-  private def admission(name: String)(df: DataFrame): DataFrame =
-    pausedPartitions.get(name) match {
-      case Some((partitionCol, values)) if values.nonEmpty =>
-        df.filter(!col(partitionCol).isin(values.toSeq: _*))
-      case _ => df
+  /**
+   * Resume previously-paused partition values: replay their held-back
+   * records into the destination, drop them from the holdback table,
+   * shrink the pause set, and restart the query. A crash between
+   * replay and holdback cleanup re-replays on the next call
+   * (at-least-once); records of still-paused partitions are never
+   * touched — each value owns its own holdback subdirectory.
+   */
+  def resumePartitions(name: String, values: Set[String],
+      transform: DataFrame => DataFrame): StreamingQuery = {
+    val spec = specs.getOrElse(name, sys.error(s"unknown pipeline $name"))
+    Option(queries.remove(name)).foreach(_.stop())
+    val hb = new Path(holdbackPath(name))
+    val fs = hb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hb)) {
+      val deliver = transportWriter(spec)
+      fs.listStatus(hb).toSeq
+        .filter(_.getPath.getName.startsWith("__pp="))
+        .foreach { st =>
+          val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(st.getPath.getName.stripPrefix("__pp="))
+          if (values.contains(value)) {
+            // Subdir files carry the full original row (only the
+            // derived __pp partition key was projected away).
+            deliver(spark.read.parquet(st.getPath.toString), -1L)
+            fs.delete(st.getPath, true)
+          }
+        }
     }
+    pausedPartitions.updateWith(name) {
+      case Some((pc, vs)) if (vs -- values).nonEmpty => Some((pc, vs -- values))
+      case _ => None
+    }
+    start(name, transform)
+  }
+
+  /**
+   * The per-epoch batch writer for a spec's transport — the engine's
+   * TransportProvider registry. Every durable transport is a
+   * `foreachBatch` body (K3: the epoch commits only after the batch
+   * lands — the flush barrier), which is also what lets [[start]]
+   * divert paused-partition rows and [[resumePartitions]] replay them
+   * through the same write path. Delivery is at-least-once across
+   * crashes (a replayed epoch re-appends), matching the reference's
+   * guarantee.
+   */
+  private def transportWriter(spec: PipelineSpec): (DataFrame, Long) => Unit = {
+    val dest = spec.destinationConnection
+    spec.transport match {
+      case "parquet" =>
+        (batch, _) => batch.write.mode("append").parquet(dest)
+      case "noop" =>
+        (batch, _) => batch.write.format("noop").mode("overwrite").save()
+      case "kafka" =>
+        val opts = spec.metadata.filter(_._1.startsWith("kafka."))
+        (batch, _) => batch.write.format("kafka")
+          .options(opts).option("topic", dest).save()
+      case "directory" =>
+        // K5: directory sink. With `directoryOps` metadata the batch is
+        // a change feed (key = relative path, value = CREATED/MODIFIED/
+        // DELETED, optional content) applied as filesystem operations —
+        // the reference's DirectoryTransportProvider mirror; otherwise
+        // a plain parquet append.
+        if (spec.metadata.get("directoryOps").contains("true"))
+          (batch, _) => PipelineManager.applyDirectoryOps(batch, dest,
+            orderCol = spec.metadata.get("directoryOrderCol"))
+        else
+          (batch, _) => batch.write.mode("append").parquet(dest)
+      case "cdc" =>
+        // T7 materialization: each epoch's change records upsert into
+        // the bucketed keyed state table (crash-safe per-bucket swap in
+        // CdcMerge). Key/scn/opcode columns come from spec.metadata.
+        val keyCols = spec.metadata.getOrElse("cdcKeyCols", "key").split(",").toSeq
+        val scnCol = spec.metadata.getOrElse("cdcScnCol", "scn")
+        val opcodeCol = spec.metadata.getOrElse("cdcOpcodeCol", "opcode")
+        val buckets = spec.metadata.getOrElse("cdcBuckets",
+          CdcMerge.DefaultBuckets.toString).toInt
+        val sess = spark
+        (batch, _) =>
+          CdcMerge.applyBatch(sess, batch, dest, keyCols, scnCol, opcodeCol, buckets)
+      case other => throw new IllegalArgumentException(s"unknown transport $other")
+    }
+  }
 
   /**
    * Start the query for a created spec with a transform chain.
@@ -201,13 +302,19 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     // A6/A7: per-epoch throughput metrics ride the query itself via
     // observe() — no second pass over the data; the listener above
     // collects them (the reference's EventProducer SLA counters).
-    val transformed = admission(name)(transform(source(spec)))
+    val transformed = transform(source(spec))
     val out =
-      if (transformed.columns.contains("value"))
+      if (transformed.columns.contains("value")) {
+        // octet_length: true payload size for binary AND string values
+        // (cast-to-string re-encoded binary and miscounted multi-byte
+        // characters).
+        val bytes = transformed.schema("value").dataType match {
+          case BinaryType => octet_length(col("value"))
+          case _ => octet_length(col("value").cast("string"))
+        }
         transformed.observe("graft_metrics",
-          count(lit(1)).as("events"),
-          sum(length(col("value").cast("string")).cast("long")).as("bytes"))
-      else
+          count(lit(1)).as("events"), sum(bytes.cast("long")).as("bytes"))
+      } else
         transformed.observe("graft_metrics",
           count(lit(1)).as("events"), max(lit(0L)).as("bytes"))
     val writer = out.writeStream
@@ -215,38 +322,31 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       .outputMode("append")
       .option("checkpointLocation", s"$checkpointRoot/$name")
       .trigger(trigger)
-    // Transport selection (the reference's TransportProvider registry).
-    // Note: the memory sink cannot recover from a checkpoint — durable
-    // pipelines use parquet (or kafka in a real deployment).
     val q = spec.transport match {
-      case "memory" => writer.format("memory").start()
-      case "parquet" =>
-        writer.format("parquet").option("path", spec.destinationConnection).start()
-      case "kafka" =>
-        writer.format("kafka").option("topic", spec.destinationConnection).start()
-      case "noop" => writer.format("noop").start()
-      case "directory" =>
-        // K5: directory sink — epoch-batched filesystem application
-        // (foreachBatch = the flush barrier of K3: the epoch commits
-        // only after the batch lands).
-        val dest = spec.destinationConnection
-        writer.foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(dest)
+      case "memory" =>
+        // Test-only, non-durable sink (cannot recover from a
+        // checkpoint); paused-partition holdback does not apply — use
+        // a durable transport for pause/resume semantics.
+        writer.format("memory").start()
+      case _ =>
+        val deliver = transportWriter(spec)
+        val hbPath = holdbackPath(name)
+        writer.foreachBatch { (batch: DataFrame, epoch: Long) =>
+          pausedPartitions.get(name) match {
+            case Some((pcol, values)) if values.nonEmpty =>
+              val isPaused = col(pcol).isin(values.toSeq: _*)
+              // Held rows land BEFORE the epoch commits: the offset
+              // log may advance past them, but they are durable and
+              // replayed by resumePartitions — never dropped. Each
+              // partition value owns a subdirectory (__pp=<value>) so
+              // resuming one value never rewrites another's rows.
+              batch.filter(isPaused)
+                .withColumn("__pp", col(pcol).cast("string"))
+                .write.mode("append").partitionBy("__pp").parquet(hbPath)
+              deliver(batch.filter(!isPaused), epoch)
+            case _ => deliver(batch, epoch)
+          }
         }.start()
-      case "cdc" =>
-        // T7 materialization: each epoch's change records upsert into
-        // the keyed state table (crash-safe swap in CdcMerge). Key/scn/
-        // opcode columns come from spec.metadata (defaults key/scn/
-        // opcode) — the downstream contract of the CDC envelope.
-        val dest = spec.destinationConnection
-        val keyCols = spec.metadata.getOrElse("cdcKeyCols", "key").split(",").toSeq
-        val scnCol = spec.metadata.getOrElse("cdcScnCol", "scn")
-        val opcodeCol = spec.metadata.getOrElse("cdcOpcodeCol", "opcode")
-        val sess = spark
-        writer.foreachBatch { (batch: DataFrame, _: Long) =>
-          CdcMerge.applyBatch(sess, batch, dest, keyCols, scnCol, opcodeCol)
-        }.start()
-      case other => throw new IllegalArgumentException(s"unknown transport $other")
     }
     queries.put(name, q)
     q
@@ -290,4 +390,76 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       val rows = Option(q.lastProgress).map(_.numInputRows).getOrElse(0L)
       (name, if (q.isActive) "READY" else "STOPPED", rows)
     }.sortBy(_._1)
+}
+
+object PipelineManager {
+
+  /**
+   * Kafka subscription + consumer options for a spec (S1-S3). An
+   * assigned-partition list in metadata key `assign` (the JSON the
+   * Spark Kafka source expects, e.g. `{"topicA":[0,1]}`) takes
+   * precedence — the reference's consumer.assign path
+   * (KafkaMirrorMakerConnectorTask.java:222-230); a glob/regex source
+   * becomes `subscribePattern` (:233); otherwise plain `subscribe`.
+   * `kafka.*` metadata (bootstrap servers, security) passes through
+   * verbatim, as does per-trigger flow control (A5).
+   */
+  def kafkaSourceOptions(spec: PipelineSpec): Map[String, String] = {
+    val subscription: (String, String) =
+      spec.metadata.get("assign").map("assign" -> _).getOrElse {
+        if (spec.sourceConnection.contains("*") || spec.sourceConnection.contains(".+"))
+          "subscribePattern" -> spec.sourceConnection
+        else "subscribe" -> spec.sourceConnection
+      }
+    val passthrough = spec.metadata.view
+      .filterKeys(_.startsWith("kafka.")).toMap
+    val flow = spec.metadata.get("maxOffsetsPerTrigger")
+      .map("maxOffsetsPerTrigger" -> _)
+    Map(subscription) ++ passthrough ++ flow
+  }
+
+  /**
+   * Apply a directory change feed to a destination directory: each
+   * record is a file event (key = relative path, value = CREATED/
+   * MODIFIED/DELETED, optional `content` column = file body). The
+   * batch is first collapsed to the last event per path (ordered by
+   * `orderCol` when given), then applied from the executors via
+   * foreachPartition — no driver-side loop, so a wide epoch fans out
+   * across the cluster. Reference: datastream-directory/
+   * DirectoryChangeProcessor.java:128-140 +
+   * DirectoryTransportProvider's create/modify/delete application.
+   */
+  def applyDirectoryOps(batch: DataFrame, dest: String,
+      orderCol: Option[String]): Unit = {
+    val hasContent = batch.columns.contains("content")
+    val latest = orderCol match {
+      case Some(oc) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col(oc).desc)
+        batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None => batch.dropDuplicates("key")
+    }
+    val rows = latest.select(
+      col("key").cast("string").as("path"),
+      col("value").cast("string").as("kind"),
+      (if (hasContent) col("content").cast("string") else lit("")).as("body"))
+    rows.foreachPartition { it: Iterator[Row] =>
+      // executor-side: resolve the FS from default config (works for
+      // local and cluster deployments alike)
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val destPath = new Path(dest)
+      val fs = destPath.getFileSystem(conf)
+      it.foreach { r =>
+        val target = new Path(destPath, r.getString(0))
+        r.getString(1) match {
+          case "DELETED" => fs.delete(target, false)
+          case _ => // CREATED | MODIFIED: (over)write the file body
+            val out = fs.create(target, true)
+            try out.write(r.getString(2).getBytes("UTF-8"))
+            finally out.close()
+        }
+      }
+    }
+  }
 }

@@ -128,7 +128,7 @@ class PipelineManagerSpec extends SparkTestBase {
     pm.delete("fc")
   }
 
-  test("paused partitions are filtered out and reconciled on restart") {
+  test("paused partitions hold records back and replay them on partition resume") {
     val pm = newManager()
     val srcDir = Files.createTempDirectory("graft-pause-").toString
     Seq((1L, "p0"), (2L, "p1"), (3L, "p0")).toDF("k", "part")
@@ -139,7 +139,7 @@ class PipelineManagerSpec extends SparkTestBase {
     assert(pm.paused("pp") == Set("p1"))
     val got = spark.read.parquet(spec.destinationConnection)
       .select("k").as[Long].collect().toSet
-    assert(got == Set(1L, 3L)) // p1 records held back
+    assert(got == Set(1L, 3L)) // p1 records held back, not delivered
 
     // the admission set survives a plain pause/resume cycle: new p1
     // data stays held back even though resume() didn't restate it
@@ -150,7 +150,112 @@ class PipelineManagerSpec extends SparkTestBase {
     val got2 = spark.read.parquet(spec.destinationConnection)
       .select("k").as[Long].collect().toSet
     assert(got2 == Set(1L, 3L, 5L), "paused partition leaked on resume")
+
+    // resuming the partition delivers EVERY record produced while it
+    // was paused — including 4L, written mid-pause. Nothing was lost
+    // (the reference's rewind semantics: AbstractKafkaBasedConnector
+    // Task.java:275-307).
+    pm.resumePartitions("pp", Set("p1"), identity).awaitTermination()
+    assert(pm.paused("pp").isEmpty)
+    val got3 = spark.read.parquet(spec.destinationConnection)
+      .select("k").as[Long].collect().toSet
+    assert(got3 == Set(1L, 2L, 3L, 4L, 5L),
+      "records held during pause must be delivered after partition resume")
+
+    // and new data on the resumed partition flows straight through
+    Seq((6L, "p1")).toDF("k", "part")
+      .write.mode(SaveMode.Append).parquet(srcDir)
+    pm.pause("pp")
+    pm.resume("pp", identity).awaitTermination()
+    val got4 = spark.read.parquet(spec.destinationConnection)
+      .select("k").as[Long].collect().toSet
+    assert(got4 == Set(1L, 2L, 3L, 4L, 5L, 6L))
     pm.delete("pp")
+  }
+
+  test("resuming one partition leaves another's held records in holdback") {
+    val pm = newManager()
+    val srcDir = Files.createTempDirectory("graft-pause2-").toString
+    Seq((1L, "p0"), (2L, "p1"), (3L, "p2")).toDF("k", "part")
+      .write.mode(SaveMode.Append).parquet(srcDir)
+    val spec = pm.create(PipelineSpec("pq", "parquet", "parquet", srcDir))
+    pm.pausePartitions("pq", "part", Set("p1", "p2"), identity).awaitTermination()
+    assert(spark.read.parquet(spec.destinationConnection)
+      .select("k").as[Long].collect().toSet == Set(1L))
+
+    pm.resumePartitions("pq", Set("p1"), identity).awaitTermination()
+    assert(pm.paused("pq") == Set("p2"))
+    assert(spark.read.parquet(spec.destinationConnection)
+      .select("k").as[Long].collect().toSet == Set(1L, 2L),
+      "p2 must stay held back while p1 replays")
+
+    pm.resumePartitions("pq", Set("p2"), identity).awaitTermination()
+    assert(spark.read.parquet(spec.destinationConnection)
+      .select("k").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    pm.delete("pq")
+  }
+
+  test("update rejects re-pointing at a destination another pipeline uses") {
+    val pm = newManager()
+    pm.create(PipelineSpec("u1", "parquet", "memory", "/src/a",
+      destinationConnection = "shared-dest"))
+    pm.create(PipelineSpec("u2", "parquet", "memory", "/src/b",
+      destinationConnection = "other-dest"))
+    intercept[IllegalArgumentException] {
+      pm.update("u2", PipelineSpec("u2", "parquet", "memory", "/src/b",
+        destinationConnection = "shared-dest"))
+    }
+    // restating the pipeline's own destination is not a conflict
+    val ok = pm.update("u2", PipelineSpec("u2", "parquet", "memory", "/src/b2",
+      destinationConnection = "other-dest"))
+    assert(ok.sourceConnection == "/src/b2")
+  }
+
+  test("kafka source options: assign beats pattern beats subscribe; kafka.* passes through") {
+    def spec(src: String, md: Map[String, String] = Map.empty) =
+      PipelineSpec("ks", "kafka", "kafka", src, metadata = md)
+
+    assert(PipelineManager.kafkaSourceOptions(spec("topicA"))
+      == Map("subscribe" -> "topicA"))
+    assert(PipelineManager.kafkaSourceOptions(spec("topic.+"))
+      == Map("subscribePattern" -> "topic.+"))
+    // S3: an assigned-partition list wins over the source string
+    val assigned = PipelineManager.kafkaSourceOptions(
+      spec("topicA", Map("assign" -> """{"topicA":[0,2]}""")))
+    assert(assigned == Map("assign" -> """{"topicA":[0,2]}"""))
+    // consumer config + flow control pass through
+    val full = PipelineManager.kafkaSourceOptions(spec("t1", Map(
+      "kafka.bootstrap.servers" -> "b:9092",
+      "maxOffsetsPerTrigger" -> "500",
+      "unrelated" -> "x")))
+    assert(full == Map("subscribe" -> "t1",
+      "kafka.bootstrap.servers" -> "b:9092", "maxOffsetsPerTrigger" -> "500"))
+  }
+
+  test("directory transport applies change kinds as filesystem operations") {
+    val pm = newManager()
+    val srcDir = Files.createTempDirectory("graft-dirops-src-").toString
+    // a change feed: create two files, modify one, delete the other
+    Seq(
+      (1L, "a.txt", "CREATED", "alpha"),
+      (2L, "b.txt", "CREATED", "beta"),
+      (3L, "a.txt", "MODIFIED", "alpha-v2"),
+      (4L, "b.txt", "DELETED", ""))
+      .toDF("offset", "key", "value", "content")
+      .write.mode(SaveMode.Append).parquet(srcDir)
+    val spec = pm.create(PipelineSpec("dops", "parquet", "directory", srcDir,
+      metadata = Map("directoryOps" -> "true", "directoryOrderCol" -> "offset")))
+    pm.start("dops", identity).awaitTermination()
+
+    val dest = new java.io.File(spec.destinationConnection)
+    // ignore Hadoop LocalFileSystem checksum sidecars (.name.crc)
+    val files = Option(dest.list()).map(_.toSet[String])
+      .getOrElse(Set.empty).filterNot(_.startsWith("."))
+    assert(files == Set("a.txt"), s"expected only a.txt, got $files")
+    val body = new String(
+      java.nio.file.Files.readAllBytes(dest.toPath.resolve("a.txt")), "UTF-8")
+    assert(body == "alpha-v2")
+    pm.delete("dops")
   }
 
   test("cdc transport materializes change records into keyed state") {
