@@ -41,18 +41,47 @@ object Ann {
   /**
    * Brute-force cosine top-k: for each probe vector, the k nearest
    * candidates by cosine (rounded to 6 dp before ranking so ordering is
-   * reproducible), ties broken by candidate id.
+   * reproducible), ties broken by candidate id. Ids must be integral.
+   *
+   * Scale shape: the SMALL probe set is broadcast and the billions-row
+   * candidate side streams through partitioned — never the reverse.
+   * Each candidate partition is then reduced to its local top-k per
+   * probe (a bounded heap), so the final shuffle carries
+   * |partitions| × |probes| × k rows instead of |probes| × |candidates|;
+   * the global window only re-ranks that reduced set.
    */
   def bruteForceTopK(probes: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val p = probes.select(col("vec_id").as("query_id"),
       toDouble(col("embedding")).as("qv")).withColumn("qn", norm(col("qv")))
     val c = candidates.select(col("vec_id").as("cand_id"),
       toDouble(col("embedding")).as("cv")).withColumn("cn", norm(col("cv")))
-    val scored = p.join(broadcast(c), col("query_id") =!= col("cand_id"))
+    val scored = c.join(broadcast(p), col("query_id") =!= col("cand_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6))
+      .select(col("query_id").cast("long"), col("cand_id").cast("long"), col("cos"))
+    import scored.sparkSession.implicits._
+    // Per-partition bounded top-k: "worst" = lowest cos, then highest
+    // cand_id — the exact inverse of the global rank order, so the
+    // union of local winners provably contains the global winners.
+    val kk = k
+    val local = scored.as[(Long, Long, Double)].mapPartitions { it =>
+      val worstFirst: Ordering[(Double, Long)] = Ordering.by {
+        case (cos, cid) => (-cos, cid)
+      }
+      val best = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+      it.foreach { case (q, cid, cos) =>
+        val heap = best.getOrElseUpdate(q,
+          scala.collection.mutable.PriorityQueue.empty(worstFirst))
+        heap.enqueue((cos, cid))
+        if (heap.size > kk) heap.dequeue()
+      }
+      best.iterator.flatMap { case (q, heap) =>
+        heap.iterator.map { case (cos, cid) => (q, cid, cos) }
+      }
+    }.toDF("query_id", "cand_id", "cos")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
+    local.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("rank"), col("cos"))
   }
@@ -138,8 +167,33 @@ object Ann {
       .select(col("query_id"), col("cent_id"), col("cand_id"), col("rank"), col("cos"))
   }
 
-  /** Embedding near-duplicate pairs: all pairs with cosine >= threshold. */
-  def cosinePairs(df: DataFrame, threshold: Double): DataFrame = {
+  /**
+   * Embedding near-duplicate pairs via LSH buckets: pairs meet only
+   * inside their signed-hyperplane bucket, so the self-join is an
+   * EQUI-join on bucket (shuffle hash/sort-merge at scale) — never an
+   * all-pairs product over the corpus. Near-duplicates project to the
+   * same side of almost every hyperplane, so recall at high thresholds
+   * is excellent; the same trade d04 makes by gating Jaccard through
+   * the d03 LSH candidates.
+   */
+  def cosinePairs(df: DataFrame, threshold: Double, nBits: Int = 4): DataFrame = {
+    val v = df.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+      .withColumn("bucket", lshBucket(col("v"), nBits))
+    v.as("a").join(v.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        round(cosine(col("a.v"), col("b.v"), col("a.n"), col("b.n")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
+  }
+
+  /**
+   * Exact all-pairs variant of [[cosinePairs]] — O(n²) with a
+   * broadcast of the full corpus; small-corpus verification only,
+   * never the 100 TB path.
+   */
+  def cosinePairsExact(df: DataFrame, threshold: Double): DataFrame = {
     val v = df.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))
     v.as("a").join(broadcast(v.as("b")), col("a.vec_id") < col("b.vec_id"))

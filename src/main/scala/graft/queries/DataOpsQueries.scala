@@ -322,10 +322,18 @@ object DataOpsQueries {
          |FROM documents GROUP BY 1""".stripMargin.replace("\n", " "),
 
     "e01_cosine_pairs" ->
-      s"""WITH $vecCte, $normCte
+      s"""WITH $vecCte, $normCte,
+         |proj AS (SELECT vec_id, r.range AS j,
+         |list_reduce(list_transform(e, (x, i) -> x * ${lshProjWeight("r.range")}),
+         |(acc, v) -> acc + v) AS p
+         |FROM v CROSS JOIN range(0, 4) r),
+         |buckets AS (SELECT vec_id, CAST(SUM(CASE WHEN p > 0
+         |THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+         |FROM proj GROUP BY vec_id),
+         |nb AS (SELECT n.vec_id, e, nr, bucket FROM n JOIN buckets USING (vec_id))
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |round(${dotSql("a.e", "b.e")} / (a.nr * b.nr), 6) AS cos
-         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE round(${dotSql("a.e", "b.e")} / (a.nr * b.nr), 6) >= 0.4"""
         .stripMargin.replace("\n", " "),
 

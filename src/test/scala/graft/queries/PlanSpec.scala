@@ -1,10 +1,11 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
 
 import graft.SparkEntry
 import graft.SparkTestBase
@@ -70,6 +71,28 @@ class PlanSpec extends SparkTestBase {
     val p = planOf("q03_hash_shard")
     val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
     assert(shuffles.isEmpty, "a pure shard filter must not shuffle")
+  }
+
+  test("e01 near-dup pairs is a bucket equi-join, never an all-pairs product") {
+    val plan = planOf("e01_cosine_pairs").toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "cosine pairs must go through LSH buckets, not an all-pairs join")
+  }
+
+  test("e02 brute-force ANN broadcasts the probe side, streams candidates") {
+    val p = planOf("e02_ann_brute")
+    val bnlj = collectAll(p) { case b: BroadcastNestedLoopJoinExec => b }
+    assert(bnlj.nonEmpty, "brute-force scoring is a broadcast NLJ by design")
+    bnlj.foreach { b =>
+      val buildChild = b.buildSide match {
+        case BuildRight => b.right
+        case BuildLeft => b.left
+      }
+      assert(buildChild.output.map(_.name).contains("query_id"),
+        s"broadcast side must be the (small) probe relation, " +
+          s"got: ${buildChild.output.map(_.name).mkString(",")}")
+    }
   }
 
   test("q01 aggregation has a map-side partial before the exchange") {
