@@ -82,4 +82,49 @@ object Portable {
 
   def registryFrameHexSql(schemaIdExpr: String, payloadExpr: String): String =
     s"CONCAT('00', md5(CAST($schemaIdExpr AS VARCHAR)), lower(hex(CAST($payloadExpr AS BLOB))))"
+
+  /**
+   * Binary registry envelope (T6 wire form): MAGIC_BYTE(0x00) ‖
+   * md5(schemaId) (16 raw bytes) ‖ payload — the actual frame the
+   * reference produces (AvroMessageEncoderUtil.java:33-51); the hex
+   * variant above is its oracle-friendly string projection.
+   */
+  def registryFrame(schemaId: Column, payload: Column): Column =
+    concat(lit(Array[Byte](0)), unhex(md5(schemaId.cast("string"))),
+      payload.cast("binary"))
+
+  /** DuckDB expression building the identical BLOB frame. */
+  def registryFrameSql(schemaIdExpr: String, payloadExpr: String): String =
+    s"('\\x00'::BLOB || unhex(md5(CAST($schemaIdExpr AS VARCHAR))) || " +
+      s"CAST($payloadExpr AS BLOB))"
+
+  /**
+   * Frame validity (decode precondition): magic byte 0x00 and the
+   * 16-byte schema digest matches the expected schema id. Reference:
+   * AvroMessageEncoderUtil.decode :58-76 (first byte must be
+   * MAGIC_BYTE; the schema is resolved by the embedded digest).
+   */
+  def registryFrameValid(frame: Column, schemaId: Column): Column =
+    octet_length(frame) >= 17 &&
+      substring(frame, 1, 1) === lit(Array[Byte](0)) &&
+      substring(frame, 2, 16) === unhex(md5(schemaId.cast("string")))
+
+  /** DuckDB boolean for [[registryFrameValid]] (blobs sliced via hex —
+    * DuckDB has no blob substring; hex() there is uppercase). */
+  def registryFrameValidSql(frameExpr: String, schemaIdExpr: String): String =
+    s"(octet_length($frameExpr) >= 17 AND substring(hex($frameExpr), 1, 2) = '00' " +
+      s"AND substring(hex($frameExpr), 3, 32) = upper(md5(CAST($schemaIdExpr AS VARCHAR))))"
+
+  /**
+   * Decode side of the binary envelope: the payload bytes when the
+   * frame checks out, null otherwise — null is the F6 skip signal
+   * counted at the call site.
+   */
+  def registryUnframe(frame: Column, schemaId: Column): Column =
+    when(registryFrameValid(frame, schemaId),
+      frame.substr(lit(18), octet_length(frame)))
+
+  def registryUnframeSql(frameExpr: String, schemaIdExpr: String): String =
+    s"CASE WHEN ${registryFrameValidSql(frameExpr, schemaIdExpr)} " +
+      s"THEN unhex(substring(hex($frameExpr), 35)) ELSE NULL END"
 }

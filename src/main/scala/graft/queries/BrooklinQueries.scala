@@ -350,6 +350,23 @@ object BrooklinQueries {
       Control.stickyAssign(tasks, previous, "task", "instance", numInstances = 4)
     }),
 
+    // T6 wire form: BINARY registry envelope — MAGIC(0x00) ‖
+    // md5(schemaId) raw bytes ‖ payload. A tampered subset (bad magic
+    // on every 10th event) must fail validation and decode to null —
+    // the F6 skip signal. Reference: AvroMessageEncoderUtil.java:33-76.
+    "q36_registry_binary" -> ((s, d) => {
+      val schemaId = lit(7L)
+      val badFrame = concat(lit(Array[Byte](1)),
+        unhex(md5(schemaId.cast("string"))), col("props").cast("binary"))
+      t(s, d, "events").filter(col("event_id") < 2000)
+        .select(col("event_id"),
+          when(pmod(col("event_id"), lit(10L)) === 0, badFrame)
+            .otherwise(Portable.registryFrame(schemaId, col("props")))
+            .as("frame"))
+        .withColumn("payload", Portable.registryUnframe(col("frame"), schemaId))
+        .withColumn("ok", col("payload").isNotNull)
+    }),
+
     // Star-schema join rollup: broadcast dims, exact decimal revenue.
     "q21_revenue_by_nation" -> ((s, d) => {
       val orders = t(s, d, "orders")
@@ -585,6 +602,17 @@ object BrooklinQueries {
          |SELECT task, instance FROM previous
          |UNION ALL SELECT task, instance FROM unassigned"""
         .stripMargin.replace("\n", " "),
+
+    "q36_registry_binary" ->
+      s"""WITH f AS (SELECT event_id,
+         |CASE WHEN MOD(event_id, 10) = 0
+         |THEN ('\\x01'::BLOB || unhex(md5(CAST(7 AS VARCHAR))) || CAST(props AS BLOB))
+         |ELSE ${Portable.registryFrameSql("7", "props")} END AS frame
+         |FROM events WHERE event_id < 2000)
+         |SELECT event_id, frame,
+         |${Portable.registryUnframeSql("frame", "7")} AS payload,
+         |(${Portable.registryFrameValidSql("frame", "7")}) AS ok
+         |FROM f""".stripMargin.replace("\n", " "),
 
     "q21_revenue_by_nation" ->
       """SELECT r_name, n_name, COUNT(*) AS n_orders,

@@ -1,0 +1,54 @@
+package graft.serde
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.Portable
+
+class AvroSerdeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val schema = AvroSerde.stringRecordSchema("Envelope", Seq("key", "value"))
+
+  test("encode produces the exact Avro binary wire format") {
+    val df = Seq(("a", "b")).toDF("key", "value")
+    val bytes = AvroSerde.encode(df, schema, Seq("key", "value"), "avro")
+      .select("avro").as[Array[Byte]].head()
+    // Avro binary: each string = zigzag varint length then UTF-8 bytes.
+    // "a" -> 0x02 0x61, "b" -> 0x02 0x62; record = fields in order.
+    assert(bytes.toSeq == Seq[Byte](0x02, 0x61, 0x02, 0x62))
+  }
+
+  test("round-trips through the binary registry frame") {
+    val df = Seq(("k1", "hello"), ("k2", "wörld")).toDF("key", "value")
+    val framed = AvroSerde.encode(df, schema, Seq("key", "value"), "avro")
+      .withColumn("frame", Portable.registryFrame(lit(7L), col("avro")))
+      .select("key", "frame")
+    val back = AvroSerde.decode(
+      framed.withColumn("payload", Portable.registryUnframe(col("frame"), lit(7L))),
+      schema, Seq("key", "value"), "payload")
+    val got = back.select($"dec_key", $"dec_value").as[(String, String)]
+      .collect().toSet
+    assert(got == Set(("k1", "hello"), ("k2", "wörld")))
+  }
+
+  test("bad magic byte fails validation; corrupt payload decodes to nulls (F6)") {
+    val df = Seq(("k1", "v1")).toDF("key", "value")
+    val framed = AvroSerde.encode(df, schema, Seq("key", "value"), "avro")
+      .withColumn("good", Portable.registryFrame(lit(7L), col("avro")))
+    // wrong magic: first byte 0x01
+    val badMagic = framed.withColumn("frame",
+      concat(lit(Array[Byte](1)), expr("substring(good, 2, octet_length(good))")))
+    assert(badMagic.select(Portable.registryUnframe(col("frame"), lit(7L)))
+      .as[Array[Byte]].head() == null)
+    // wrong schema id: digest mismatch
+    assert(framed.select(Portable.registryUnframe(col("good"), lit(8L)))
+      .as[Array[Byte]].head() == null)
+    // valid frame, garbage payload: Avro decode must yield nulls
+    val garbage = Seq(Tuple1(Array[Byte](0x7f, 0x7f, 0x7f)))
+      .toDF("payload")
+    val dec = AvroSerde.decode(garbage, schema, Seq("key", "value"), "payload")
+    val row = dec.select($"dec_key", $"dec_value").head()
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+}
