@@ -33,6 +33,29 @@ object Observe {
         coalesce(col("min_inflight") - 1, col("max_acked")).as("safe_checkpoint"))
 
   /**
+   * A1 variant for NON-comparable offsets: when offsets carry no total
+   * order (the reference's CallbackStatusWithNonComparableOffsets,
+   * used when a connector's checkpoints are opaque tokens), the safe
+   * checkpoint is the offset of the last acked record in ARRIVAL order
+   * before the first unacked one — set-prefix semantics instead of
+   * min/max arithmetic. Partitions with no committable prefix emit no
+   * row (nothing safe to commit yet).
+   *
+   * Input: (partition, seq = arrival order, offset = opaque token,
+   * acked). One window pass + one aggregation; both shuffle on the
+   * partition key only.
+   */
+  def safeCheckpointsNonComparable(df: DataFrame, partition: Column,
+      seq: Column, offset: Column, acked: Column): DataFrame = {
+    val byPart = org.apache.spark.sql.expressions.Window.partitionBy(partition)
+    df.withColumn("__first_unacked", min(when(!acked, seq)).over(byPart))
+      .filter(acked &&
+        (col("__first_unacked").isNull || seq < col("__first_unacked")))
+      .groupBy(partition.as("partition"))
+      .agg(max_by(offset, seq).as("safe_checkpoint"))
+  }
+
+  /**
    * Event-latency SLA accounting (A6): bucket events into fixed time
    * windows and count within/outside the availability SLA.
    * Reference: EventProducer.onSendCallback :676+, SLA thresholds

@@ -125,6 +125,20 @@ object BrooklinQueries {
           pmod(col("user_id"), lit(8L)), col("event_id"), col("value") < 30.0)
         .withColumnRenamed("partition", "part")),
 
+    // A1 (non-comparable offsets): opaque checkpoint tokens carry no
+    // order, so the safe checkpoint is the last acked token in ARRIVAL
+    // order before the first unacked record — set-prefix semantics.
+    // Reference: CallbackStatusWithNonComparableOffsets.java.
+    "q37_safe_checkpoints_nc" -> ((s, d) =>
+      Observe.safeCheckpointsNonComparable(
+        t(s, d, "events").select(
+          pmod(col("user_id"), lit(8L)).as("part"),
+          col("event_id").as("seq"),
+          concat(lit("o-"), md5(col("event_id").cast("string"))).as("tok"),
+          (col("value") < 30.0).as("acked")),
+        partition = col("part"), seq = col("seq"),
+        offset = col("tok"), acked = col("acked"))),
+
     // A6: SLA latency windows.
     "q11_sla_windows" -> ((s, d) =>
       Observe.slaWindows(t(s, d, "events"),
@@ -438,6 +452,18 @@ object BrooklinQueries {
         |COALESCE(MIN(CASE WHEN NOT (value < 30.0) THEN event_id END) - 1,
         |MAX(CASE WHEN value < 30.0 THEN event_id END)) AS safe_checkpoint
         |FROM events GROUP BY 1""".stripMargin.replace("\n", " "),
+
+    "q37_safe_checkpoints_nc" ->
+      """WITH k AS (SELECT MOD(user_id, 8) AS partition, event_id AS seq,
+        |CONCAT('o-', md5(CAST(event_id AS VARCHAR))) AS tok,
+        |(value < 30.0) AS acked FROM events),
+        |mu AS (SELECT partition,
+        |MIN(CASE WHEN NOT acked THEN seq END) AS first_unacked
+        |FROM k GROUP BY 1)
+        |SELECT k.partition, max_by(k.tok, k.seq) AS safe_checkpoint
+        |FROM k JOIN mu ON k.partition = mu.partition
+        |WHERE k.acked AND (mu.first_unacked IS NULL OR k.seq < mu.first_unacked)
+        |GROUP BY 1""".stripMargin.replace("\n", " "),
 
     "q11_sla_windows" ->
       """SELECT date_trunc('hour', ts) AS win, COUNT(*) AS events,

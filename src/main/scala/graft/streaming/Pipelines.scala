@@ -105,8 +105,66 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     }
     val ready = deduped.copy(status = PipelineStatus.Ready)
     specs.put(spec.name, ready)
+    provisionDestination(ready)
     hooks.onStateChange(spec.name, PipelineStatus.Ready)
     ready
+  }
+
+  /**
+   * K7: destination provisioning admin — the analog of
+   * KafkaTransportProviderAdmin.createTopic :285-331 (partition count,
+   * replication factor, retention config). For filesystem-backed
+   * transports the destination directory is created eagerly and a
+   * `_provision.properties` manifest records the requested layout;
+   * [[enforceRetention]] applies the retention policy the way the
+   * broker would. A Kafka deployment delegates all of this to the
+   * broker via the sink's own admin path.
+   */
+  private def provisionDestination(spec: PipelineSpec): Unit =
+    if (spec.transport != "memory" && spec.transport != "kafka" &&
+        spec.destinationConnection.startsWith("/")) {
+      val dest = new Path(spec.destinationConnection)
+      val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(dest)
+      val partitions = spec.metadata.getOrElse("destPartitions",
+        spec.sourcePartitions.max(1).toString)
+      val replication = spec.metadata.getOrElse("replicationFactor", "1")
+      val retention = spec.metadata.getOrElse("retentionMs",
+        PipelineManager.DefaultRetentionMs.toString)
+      val out = fs.create(new Path(dest, "_provision.properties"), true)
+      try out.write(
+        s"partitions=$partitions\nreplication=$replication\nretentionMs=$retention\n"
+          .getBytes("UTF-8"))
+      finally out.close()
+    }
+
+  /**
+   * Enforce the provisioned retention on a pipeline's destination:
+   * delete data files whose modification time is past the retention
+   * window (the broker-side `retention.ms` behavior for the
+   * filesystem transports). Returns the number of files removed.
+   */
+  def enforceRetention(name: String,
+      nowMs: Long = System.currentTimeMillis()): Int = {
+    val spec = specs.getOrElse(name, sys.error(s"unknown pipeline $name"))
+    val dest = new Path(spec.destinationConnection)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = new Path(dest, "_provision.properties")
+    if (!fs.exists(manifest)) 0
+    else {
+      val in = fs.open(manifest)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val retentionMs = text.linesIterator
+        .collectFirst { case l if l.startsWith("retentionMs=") =>
+          l.stripPrefix("retentionMs=").trim.toLong }
+        .getOrElse(PipelineManager.DefaultRetentionMs)
+      val cutoff = nowMs - retentionMs
+      fs.listStatus(dest).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".") && s.getModificationTime < cutoff)
+        .count(s => fs.delete(s.getPath, false))
+    }
   }
 
   /**
@@ -393,6 +451,11 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
 }
 
 object PipelineManager {
+
+  /** Default destination retention — the reference's 3-day topic
+    * retention default (KafkaTransportProviderAdmin
+    * .DEFAULT_RETENTION). */
+  val DefaultRetentionMs: Long = 3L * 24 * 60 * 60 * 1000
 
   /**
    * Kafka subscription + consumer options for a spec (S1-S3). An

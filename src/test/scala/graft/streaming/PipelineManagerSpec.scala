@@ -248,14 +248,44 @@ class PipelineManagerSpec extends SparkTestBase {
     pm.start("dops", identity).awaitTermination()
 
     val dest = new java.io.File(spec.destinationConnection)
-    // ignore Hadoop LocalFileSystem checksum sidecars (.name.crc)
+    // ignore checksum sidecars (.name.crc) and metadata (_provision.*)
     val files = Option(dest.list()).map(_.toSet[String])
-      .getOrElse(Set.empty).filterNot(_.startsWith("."))
+      .getOrElse(Set.empty)
+      .filterNot(f => f.startsWith(".") || f.startsWith("_"))
     assert(files == Set("a.txt"), s"expected only a.txt, got $files")
     val body = new String(
       java.nio.file.Files.readAllBytes(dest.toPath.resolve("a.txt")), "UTF-8")
     assert(body == "alpha-v2")
     pm.delete("dops")
+  }
+
+  test("create provisions the destination; retention expires old files (K7)") {
+    val pm = newManager()
+    val srcDir = Files.createTempDirectory("graft-prov-src-").toString
+    Seq((1L, "a")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    val spec = pm.create(PipelineSpec("prov", "parquet", "parquet", srcDir,
+      metadata = Map("retentionMs" -> "60000", "destPartitions" -> "6")))
+
+    // provisioning manifest written at create time
+    val dest = new java.io.File(spec.destinationConnection)
+    val manifest = new java.io.File(dest, "_provision.properties")
+    assert(manifest.exists())
+    val props = new String(
+      java.nio.file.Files.readAllBytes(manifest.toPath), "UTF-8")
+    assert(props.contains("partitions=6") && props.contains("retentionMs=60000"))
+
+    pm.start("prov", identity).awaitTermination()
+    val dataFiles = dest.listFiles().filter(f =>
+      !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(dataFiles.nonEmpty)
+
+    // nothing expires inside the window...
+    assert(pm.enforceRetention("prov") == 0)
+    // ...but everything past it goes (clock advanced past retention)
+    val removed = pm.enforceRetention("prov",
+      nowMs = System.currentTimeMillis() + 120000)
+    assert(removed == dataFiles.length)
+    pm.delete("prov")
   }
 
   test("cdc transport materializes change records into keyed state") {
