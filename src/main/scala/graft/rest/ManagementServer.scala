@@ -1,0 +1,183 @@
+package graft.rest
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import org.apache.spark.sql.DataFrame
+
+import graft.model.PipelineSpec
+import graft.streaming.PipelineManager
+
+/**
+ * Management-plane REST surface over [[PipelineManager]] — the
+ * engine's DatastreamResources (reference: datastream-server-restli/
+ * .../DatastreamResources.java:83+ — create/update/pause/resume/
+ * getAll/get/delete/diag over HTTP).
+ *
+ * Routes (JSON in/out, JDK HttpServer, zero extra dependencies):
+ *   GET    /pipelines?start=&count=   list (paged, O4)
+ *   GET    /pipelines/{name}          get
+ *   POST   /pipelines                 create (spec JSON; X-Owner header)
+ *   PUT    /pipelines/{name}          update
+ *   POST   /pipelines/{name}/start    start (transform by name; ?await=true)
+ *   POST   /pipelines/{name}/pause    pause
+ *   POST   /pipelines/{name}/resume   resume (?await=true)
+ *   DELETE /pipelines/{name}          delete
+ *   GET    /diag                      per-query status scatter-gather (A10)
+ *   GET    /diag/{name}               metrics + paused partitions
+ *
+ * Transforms cannot travel over HTTP; like the reference — where a
+ * datastream names its connector and the server resolves behavior —
+ * a spec names its transform in `metadata("transform")`, resolved
+ * against the registry passed here (default name: "identity").
+ */
+final class ManagementServer(pm: PipelineManager,
+    transforms: Map[String, DataFrame => DataFrame] = Map.empty,
+    port: Int = 0) {
+
+  private val registry: Map[String, DataFrame => DataFrame] =
+    Map[String, DataFrame => DataFrame]("identity" -> identity) ++ transforms
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  /** The bound port (useful with port=0 for tests). */
+  def boundPort: Int = server.getAddress.getPort
+
+  // ---- JSON (hand-rolled AST mapping: stable field set, no
+  // reflection over the status enum) ----
+
+  private def specToJson(s: PipelineSpec): JValue = JObject(
+    "name" -> JString(s.name),
+    "connector" -> JString(s.connector),
+    "transport" -> JString(s.transport),
+    "sourceConnection" -> JString(s.sourceConnection),
+    "sourcePartitions" -> JInt(s.sourcePartitions),
+    "destinationConnection" -> JString(s.destinationConnection),
+    "destinationPartitions" -> JInt(s.destinationPartitions),
+    "metadata" -> JObject(s.metadata.toList.map { case (k, v) => k -> (JString(v): JValue) }),
+    "status" -> JString(s.status.toString))
+
+  private def specFromJson(j: JValue): PipelineSpec = {
+    def str(f: String, dflt: String = ""): String =
+      j \ f match { case JString(v) => v; case _ => dflt }
+    def int(f: String, dflt: Int): Int =
+      j \ f match { case JInt(v) => v.toInt; case _ => dflt }
+    val md = j \ "metadata" match {
+      case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty[String, String]
+    }
+    PipelineSpec(
+      name = str("name"),
+      connector = str("connector"),
+      transport = str("transport"),
+      sourceConnection = str("sourceConnection"),
+      sourcePartitions = int("sourcePartitions", 1),
+      destinationConnection = str("destinationConnection"),
+      destinationPartitions = int("destinationPartitions", 1),
+      metadata = md)
+  }
+
+  private def transformOf(spec: PipelineSpec): DataFrame => DataFrame = {
+    val name = spec.metadata.getOrElse("transform", "identity")
+    registry.getOrElse(name,
+      sys.error(s"unknown transform $name (registered: ${registry.keys.mkString(",")})"))
+  }
+
+  // ---- HTTP plumbing ----
+
+  private def respond(ex: HttpExchange, code: Int, body: JValue): Unit = {
+    val bytes = JsonMethods.compact(JsonMethods.render(body))
+      .getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def error(ex: HttpExchange, code: Int, msg: String): Unit =
+    respond(ex, code, JObject("error" -> JString(msg)))
+
+  private def readBody(ex: HttpExchange): JValue =
+    JsonMethods.parse(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).map(_.split("&").toSeq
+      .flatMap { kv => kv.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _ => None
+      }}.toMap).getOrElse(Map.empty)
+
+  private def owner(ex: HttpExchange): String =
+    Option(ex.getRequestHeaders.getFirst("X-Owner")).getOrElse("anonymous")
+
+  server.createContext("/", (ex: HttpExchange) => {
+    try route(ex)
+    catch {
+      case e: IllegalArgumentException => error(ex, 400, e.getMessage)
+      case e: RuntimeException if e.getMessage != null &&
+          e.getMessage.startsWith("unknown") => error(ex, 404, e.getMessage)
+      case e: Exception => error(ex, 500, String.valueOf(e.getMessage))
+    }
+  })
+
+  private def route(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath.stripSuffix("/")
+    val method = ex.getRequestMethod
+    (method, path.split("/").toList.drop(1)) match {
+      case ("GET", List("pipelines")) =>
+        val q = queryParams(ex)
+        val start = q.getOrElse("start", "0").toInt
+        val count = q.getOrElse("count", Int.MaxValue.toString).toInt
+        respond(ex, 200, JArray(pm.list(start, count).map(specToJson).toList))
+      case ("GET", List("pipelines", name)) =>
+        pm.get(name) match {
+          case Some(s) => respond(ex, 200, specToJson(s))
+          case None => error(ex, 404, s"unknown pipeline $name")
+        }
+      case ("POST", List("pipelines")) =>
+        val created = pm.create(specFromJson(readBody(ex)), owner(ex))
+        respond(ex, 201, specToJson(created))
+      case ("PUT", List("pipelines", name)) =>
+        val updated = pm.update(name, specFromJson(readBody(ex)), owner(ex))
+        respond(ex, 200, specToJson(updated))
+      case ("POST", List("pipelines", name, "start")) =>
+        val spec = pm.get(name).getOrElse(sys.error(s"unknown pipeline $name"))
+        val q = pm.start(name, transformOf(spec))
+        if (queryParams(ex).get("await").contains("true")) q.awaitTermination()
+        respond(ex, 200, JObject("name" -> JString(name), "started" -> JBool(true)))
+      case ("POST", List("pipelines", name, "pause")) =>
+        pm.pause(name)
+        respond(ex, 200, specToJson(pm.get(name).get))
+      case ("POST", List("pipelines", name, "resume")) =>
+        val spec = pm.get(name).getOrElse(sys.error(s"unknown pipeline $name"))
+        val q = pm.resume(name, transformOf(spec))
+        if (queryParams(ex).get("await").contains("true")) q.awaitTermination()
+        respond(ex, 200, specToJson(pm.get(name).get))
+      case ("DELETE", List("pipelines", name)) =>
+        pm.get(name).getOrElse(sys.error(s"unknown pipeline $name"))
+        pm.delete(name)
+        respond(ex, 200, JObject("name" -> JString(name), "deleted" -> JBool(true)))
+      case ("GET", List("diag")) =>
+        respond(ex, 200, JArray(pm.status().map { case (n, st, rows) =>
+          JObject("name" -> JString(n), "state" -> JString(st),
+            "rows" -> JLong(rows)): JValue
+        }.toList))
+      case ("GET", List("diag", name)) =>
+        respond(ex, 200, JObject(
+          "name" -> JString(name),
+          "metrics" -> JObject(pm.metrics(name).toList.map {
+            case (k, v) => k -> (JLong(v): JValue) }),
+          "pausedPartitions" -> JArray(
+            pm.paused(name).toList.sorted.map(JString(_): JValue))))
+      case _ => error(ex, 404, s"no route $method $path")
+    }
+  }
+
+  def start(): ManagementServer = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+}

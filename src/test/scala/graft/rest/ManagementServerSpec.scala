@@ -1,0 +1,98 @@
+package graft.rest
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.streaming.PipelineManager
+
+/**
+ * End-to-end management-plane lifecycle over real HTTP — the Spark
+ * analog of the reference's TestDatastreamServer REST tests
+ * (create → start → deliver → pause → resume → diag → delete).
+ */
+class ManagementServerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val client = HttpClient.newHttpClient()
+
+  private def req(base: String, method: String, path: String,
+      body: Option[String] = None, owner: String = "alice") = {
+    val b = HttpRequest.newBuilder(URI.create(base + path)).header("X-Owner", owner)
+    val r = (body match {
+      case Some(json) => b.method(method, HttpRequest.BodyPublishers.ofString(json))
+      case None => b.method(method, HttpRequest.BodyPublishers.noBody())
+    }).build()
+    client.send(r, HttpResponse.BodyHandlers.ofString())
+  }
+
+  test("full pipeline lifecycle over REST") {
+    val pm = new PipelineManager(spark,
+      Files.createTempDirectory("graft-rest-").toString)
+    val srv = new ManagementServer(pm,
+      transforms = Map("tag" -> (df => df.withColumn("tag", lit("t"))))).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      val srcDir = Files.createTempDirectory("graft-rest-src-").toString
+      Seq((1L, "v1"), (2L, "v2")).toDF("k", "v")
+        .write.mode(SaveMode.Append).parquet(srcDir)
+
+      // create
+      val created = req(base, "POST", "/pipelines", Some(
+        s"""{"name":"r1","connector":"parquet","transport":"parquet",
+           |"sourceConnection":"$srcDir","metadata":{"transform":"tag"}}"""
+          .stripMargin.replace("\n", "")))
+      assert(created.statusCode() == 201, created.body())
+      assert(created.body().contains("\"status\":\"Ready\""))
+
+      // list + get
+      assert(req(base, "GET", "/pipelines").body().contains("\"r1\""))
+      val got = req(base, "GET", "/pipelines/r1")
+      assert(got.statusCode() == 200 && got.body().contains("parquet"))
+      assert(req(base, "GET", "/pipelines/nope").statusCode() == 404)
+
+      // start (await) delivers through the named transform
+      val started = req(base, "POST", "/pipelines/r1/start?await=true")
+      assert(started.statusCode() == 200, started.body())
+      val destination = pm.get("r1").get.destinationConnection
+      val rows = spark.read.parquet(destination)
+        .as[(Long, String, String)].collect().toSet
+      assert(rows == Set((1L, "v1", "t"), (2L, "v2", "t")))
+
+      // pause; append; resume (await) picks up only the new file
+      assert(req(base, "POST", "/pipelines/r1/pause").body()
+        .contains("\"status\":\"Paused\""))
+      Seq((3L, "v3")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+      val resumed = req(base, "POST", "/pipelines/r1/resume?await=true")
+      assert(resumed.statusCode() == 200 && resumed.body().contains("Ready"))
+      assert(spark.read.parquet(destination).count() == 3)
+
+      // diag scatter-gather + per-pipeline detail
+      assert(req(base, "GET", "/diag").body().contains("\"r1\""))
+      assert(req(base, "GET", "/diag/r1").body().contains("pausedPartitions"))
+
+      // authorization flows through the owner header
+      val pmAuth = new PipelineManager(spark,
+        Files.createTempDirectory("graft-rest-auth-").toString,
+        graft.streaming.PipelineHooks(authorize = (_, o) => o != "mallory"))
+      val srv2 = new ManagementServer(pmAuth).start()
+      try {
+        val base2 = s"http://localhost:${srv2.boundPort}"
+        val denied = req(base2, "POST", "/pipelines", Some(
+          s"""{"name":"x","connector":"parquet","transport":"memory",
+             |"sourceConnection":"$srcDir"}""".stripMargin.replace("\n", "")),
+          owner = "mallory")
+        assert(denied.statusCode() == 400 &&
+          denied.body().contains("not authorized"))
+      } finally srv2.stop()
+
+      // delete
+      assert(req(base, "DELETE", "/pipelines/r1").statusCode() == 200)
+      assert(req(base, "GET", "/pipelines/r1").statusCode() == 404)
+    } finally srv.stop()
+  }
+}
