@@ -230,6 +230,12 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     case "kafka" =>
       spark.readStream.format("kafka")
         .options(PipelineManager.kafkaSourceOptions(spec)).load()
+    case "dirwatch" =>
+      // S6: listing-diff directory watch — emits CREATED/MODIFIED/
+      // DELETED events per file (graft.sources.DirWatchProvider).
+      spark.readStream
+        .format(classOf[graft.sources.DirWatchProvider].getName)
+        .option("path", spec.sourceConnection).load()
     case other => throw new IllegalArgumentException(s"unknown connector $other")
   }
 
