@@ -30,13 +30,25 @@ import graft.model.{PipelineSpec, PipelineStatus}
  * Pluggable control-plane hooks — the engine's SPI surface (SURVEY.md
  * §2.10): Authorizer (reference: api/security/Authorizer.java, used
  * Coordinator.java:2371-2393), update validation (Connector
- * .validateUpdateDatastreams :86), and post-state-change action
- * (postDatastreamStateChangeAction :163).
+ * .validateUpdateDatastreams :86), post-state-change action
+ * (postDatastreamStateChangeAction :163), custom connectors and
+ * transports (the reference's ConnectorFactory / TransportProvider
+ * Admin registries, DatastreamServer.java:133-180), and the
+ * destination-reuse deduper strategy (SourceBasedDeduper.java:66 —
+ * `findExistingDatastream` is an interface, source-based is only the
+ * default).
+ *
+ * Custom connectors/transports are consulted BEFORE the built-ins, so
+ * a deployment can both add new short names and override shipped ones.
  */
 final case class PipelineHooks(
     authorize: (PipelineSpec, String) => Boolean = (_, _) => true,
     validateUpdate: (PipelineSpec, PipelineSpec) => Unit = (_, _) => (),
-    onStateChange: (String, PipelineStatus.Value) => Unit = (_, _) => ())
+    onStateChange: (String, PipelineStatus.Value) => Unit = (_, _) => (),
+    connectors: Map[String, (SparkSession, PipelineSpec) => DataFrame] = Map.empty,
+    transports: Map[String, PipelineSpec => (DataFrame, Long) => Unit] = Map.empty,
+    dedupe: (PipelineSpec, Iterable[PipelineSpec]) => Option[PipelineSpec] =
+      (spec, existing) => existing.find(_.sourceConnection == spec.sourceConnection))
 
 final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     hooks: PipelineHooks = PipelineHooks()) {
@@ -91,8 +103,9 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     val byotConflict = spec.destinationConnection.nonEmpty &&
       specs.values.exists(_.destinationConnection == spec.destinationConnection)
     require(!byotConflict, s"destination ${spec.destinationConnection} already in use")
-    // Destination-reuse dedup (D1): same source ⇒ share destination.
-    val deduped = specs.values.find(_.sourceConnection == spec.sourceConnection) match {
+    // Destination-reuse dedup (D1): strategy is pluggable; the default
+    // is source-based (same source ⇒ share destination).
+    val deduped = hooks.dedupe(spec, specs.values) match {
       case Some(existing) if spec.destinationConnection.isEmpty =>
         spec.copy(destinationConnection = existing.destinationConnection)
       case _ if spec.destinationConnection.isEmpty =>
@@ -217,7 +230,13 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
    * micro-batch, which is the same backpressure contract enforced at
    * the source instead of the producer.
    */
-  private def source(spec: PipelineSpec): DataFrame = spec.connector match {
+  private def source(spec: PipelineSpec): DataFrame =
+    hooks.connectors.get(spec.connector) match {
+      case Some(custom) => custom(spark, spec)
+      case None => builtinSource(spec)
+    }
+
+  private def builtinSource(spec: PipelineSpec): DataFrame = spec.connector match {
     case "rate" =>
       spark.readStream.format("rate")
         .option("rowsPerSecond", spec.sourcePartitions.max(1) * 10).load()
@@ -317,7 +336,13 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
    * crashes (a replayed epoch re-appends), matching the reference's
    * guarantee.
    */
-  private def transportWriter(spec: PipelineSpec): (DataFrame, Long) => Unit = {
+  private def transportWriter(spec: PipelineSpec): (DataFrame, Long) => Unit =
+    hooks.transports.get(spec.transport) match {
+      case Some(custom) => custom(spec)
+      case None => builtinTransport(spec)
+    }
+
+  private def builtinTransport(spec: PipelineSpec): (DataFrame, Long) => Unit = {
     val dest = spec.destinationConnection
     spec.transport match {
       case "parquet" =>

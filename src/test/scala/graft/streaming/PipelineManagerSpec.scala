@@ -259,6 +259,45 @@ class PipelineManagerSpec extends SparkTestBase {
     pm.delete("dops")
   }
 
+  test("SPI registries: custom connector, custom transport, custom deduper") {
+    val sunk = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val pm = new PipelineManager(spark,
+      Files.createTempDirectory("graft-spi-").toString,
+      PipelineHooks(
+        // a connector the engine doesn't ship: rate-limited synthetic
+        connectors = Map("tiny-rate" -> ((s, spec) =>
+          s.readStream.format("rate")
+            .option("rowsPerSecond", "5")
+            .option("numPartitions", "1").load()
+            .withColumn("value", col("value") + lit(spec.sourcePartitions)))),
+        // a transport the engine doesn't ship: driver-side collector
+        transports = Map("collect" -> (_ => (batch, _) =>
+          batch.select(col("value").cast("long")).collect()
+            .foreach(r => sunk.add(r.getLong(0))))),
+        // dedupe by connector instead of by source
+        dedupe = (spec, existing) => existing.find(_.connector == spec.connector)))
+
+    // deduper: same connector shares the destination
+    val a = pm.create(PipelineSpec("s1", "parquet", "memory", "/src/one"))
+    val b = pm.create(PipelineSpec("s2", "parquet", "memory", "/src/DIFFERENT"))
+    assert(b.destinationConnection == a.destinationConnection)
+
+    // custom connector + transport deliver end to end
+    pm.create(PipelineSpec("s3", "tiny-rate", "collect", "ignored",
+      sourcePartitions = 2, destinationConnection = "collector"))
+    val q = pm.start("s3", identity,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (sunk.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(!sunk.isEmpty, "custom transport never received a batch")
+      // the custom connector's transform (+sourcePartitions) applied
+      assert(sunk.peek() >= 2L)
+    } finally q.stop()
+    pm.delete("s3")
+  }
+
   test("create provisions the destination; retention expires old files (K7)") {
     val pm = newManager()
     val srcDir = Files.createTempDirectory("graft-prov-src-").toString
