@@ -57,8 +57,48 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   private val queries = new ConcurrentHashMap[String, StreamingQuery]()
   // F2/A4: admission state — (partition column, paused values) per
   // pipeline; applied by start() on EVERY (re)start so the admission
-  // invariant survives pause/resume cycles.
+  // invariant survives pause/resume cycles. Durable under
+  // `checkpointRoot/<name>.paused` (the reference keeps this in
+  // ZooKeeper: pausedSourcePartitions on the datastream task), so a
+  // NEW manager on the same checkpoint root keeps holding back —
+  // otherwise a restart would deliver fresh paused-partition rows
+  // while earlier ones sit in holdback.
   private val pausedPartitions = TrieMap.empty[String, (String, Set[String])]
+  loadPausedState()
+
+  private def pausedStatePath(name: String) = new Path(s"$checkpointRoot/$name.paused")
+
+  private def persistPausedState(name: String): Unit = {
+    val p = pausedStatePath(name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    pausedPartitions.get(name) match {
+      case Some((pcol, values)) if values.nonEmpty =>
+        val out = fs.create(p, true)
+        try out.write((pcol +: values.toSeq.sorted).mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+      case _ => fs.delete(p, false)
+    }
+  }
+
+  private def loadPausedState(): Unit = {
+    val root = new Path(checkpointRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) {
+      fs.listStatus(root).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".paused"))
+        .foreach { s =>
+          val in = fs.open(s.getPath)
+          val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toList finally in.close()
+          lines match {
+            case pcol :: values if values.nonEmpty =>
+              pausedPartitions.put(s.getPath.getName.stripSuffix(".paused"),
+                (pcol, values.toSet))
+            case _ => ()
+          }
+        }
+    }
+  }
   // A6/A7: last observed per-epoch metrics per pipeline (fed by the
   // observe() aggregation through a StreamingQueryListener).
   private val lastMetrics = TrieMap.empty[String, Map[String, Long]]
@@ -286,6 +326,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       case Some((pc, vs)) if pc == partitionCol => Some((pc, vs ++ values))
       case _ => Some((partitionCol, values))
     }
+    persistPausedState(name)
     Option(queries.remove(name)).foreach(_.stop())
     start(name, transform)
   }
@@ -323,6 +364,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       case Some((pc, vs)) if (vs -- values).nonEmpty => Some((pc, vs -- values))
       case _ => None
     }
+    persistPausedState(name)
     start(name, transform)
   }
 

@@ -195,6 +195,35 @@ class PipelineManagerSpec extends SparkTestBase {
     pm.delete("pq")
   }
 
+  test("pause set survives a manager restart; holdback replays across managers") {
+    val root = Files.createTempDirectory("graft-pause-dur-").toString
+    val srcDir = Files.createTempDirectory("graft-pause-dur-src-").toString
+    Seq((1L, "p0"), (2L, "p1")).toDF("k", "part")
+      .write.mode(SaveMode.Append).parquet(srcDir)
+
+    val pmA = new PipelineManager(spark, root)
+    val spec = pmA.create(PipelineSpec("pd", "parquet", "parquet", srcDir))
+    pmA.pausePartitions("pd", "part", Set("p1"), identity).awaitTermination()
+    pmA.close()
+
+    // a NEW manager on the same checkpoint root (driver restart)
+    // reloads the durable pause set: fresh p1 data stays held back
+    val pmB = new PipelineManager(spark, root)
+    pmB.create(PipelineSpec("pd", "parquet", "parquet", srcDir))
+    assert(pmB.paused("pd") == Set("p1"), "pause set lost across restart")
+    Seq((3L, "p1"), (4L, "p0")).toDF("k", "part")
+      .write.mode(SaveMode.Append).parquet(srcDir)
+    pmB.start("pd", identity).awaitTermination()
+    assert(spark.read.parquet(spec.destinationConnection)
+      .select("k").as[Long].collect().toSet == Set(1L, 4L))
+
+    // resume replays BOTH managers' held records — nothing was lost
+    pmB.resumePartitions("pd", Set("p1"), identity).awaitTermination()
+    assert(spark.read.parquet(spec.destinationConnection)
+      .select("k").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    pmB.delete("pd")
+  }
+
   test("update rejects re-pointing at a destination another pipeline uses") {
     val pm = newManager()
     pm.create(PipelineSpec("u1", "parquet", "memory", "/src/a",
