@@ -90,9 +90,16 @@ object Ann {
    * Signed-hyperplane LSH bucket id over `nBits` pseudo-random integer
    * hyperplanes. Weight of plane j at dimension i (1-based) is
    * `mod(j*2654435761 + i*40503, 2001) - 1000` — pure 64-bit integer
-   * arithmetic, reproducible anywhere.
+   * arithmetic, reproducible anywhere. Computed by the codegen'd
+   * [[graft.functions.LshBucket]] expression (one array pass for all
+   * planes, inside WholeStageCodegen).
    */
   def lshBucket(v: Column, nBits: Int): Column =
+    graft.functions.VectorFunctions.lshBucket(v, nBits)
+
+  /** Interpreted column formulation of [[lshBucket]] — the spec
+    * cross-checks the codegen expression against it bit-for-bit. */
+  def lshBucketColumns(v: Column, nBits: Int): Column =
     (0 until nBits).map { j =>
       val proj = aggregate(
         transform(v, (x, i) =>

@@ -257,6 +257,8 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   }
 
   def get(name: String): Option[PipelineSpec] = specs.get(name)
+  /** The live StreamingQuery for a started pipeline, if any. */
+  def queryOf(name: String): Option[StreamingQuery] = Option(queries.get(name))
   def list(start: Int, count: Int): Seq[PipelineSpec] =
     specs.values.toSeq.sortBy(_.name).slice(start, start + count)
 
@@ -481,6 +483,25 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     }
     queries.put(name, q)
     q
+  }
+
+  /**
+   * Apply a batch of A4 auto-pause/resume decisions (the output of
+   * [[FlowControl.autoPause]]) to this pipeline's admission state —
+   * the reconciliation step the reference runs pre-poll
+   * (preConsumerPollHook :855+). Pauses and resumes are folded into
+   * at most one restart each; later decisions win over earlier ones
+   * for the same partition (decisions arrive seq-ordered).
+   */
+  def applyFlowDecisions(name: String, partitionCol: String,
+      decisions: Seq[FlowControl.PauseDecision],
+      transform: DataFrame => DataFrame): Unit = {
+    val finalAction = decisions.groupBy(_.partition)
+      .map { case (p, ds) => p -> ds.last.action }
+    val toPause = finalAction.collect { case (p, "PAUSE") => p }.toSet
+    val toResume = finalAction.collect { case (p, "RESUME") => p }.toSet
+    if (toPause.nonEmpty) pausePartitions(name, partitionCol, toPause, transform)
+    if (toResume.nonEmpty) resumePartitions(name, toResume, transform)
   }
 
   /** Last observed per-epoch metrics for a pipeline (A6/A7). */

@@ -28,6 +28,19 @@ class AnnSpec extends SparkTestBase {
     assert(got == Set((0L, 1L)))
   }
 
+  test("codegen LshBucket matches the interpreted column formulation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"${sf("0.001")}/embeddings.parquet")
+      .select(col("vec_id"), Ann.toDouble(col("embedding")).as("v"))
+    for (nBits <- Seq(4, 7)) {
+      val mismatches = emb
+        .select(Ann.lshBucket(col("v"), nBits).as("fast"),
+          Ann.lshBucketColumns(col("v"), nBits).as("ref"))
+        .filter(col("fast") =!= col("ref")).count()
+      assert(mismatches == 0L, s"nBits=$nBits: $mismatches rows differ")
+    }
+  }
+
   test("lsh bucket is deterministic and identical vectors share a bucket") {
     val dup = Seq((10L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val all = vecs.union(dup)

@@ -67,4 +67,33 @@ class FlowControlSpec extends SparkTestBase {
 
     q.stop()
   }
+
+  test("auto-pause decisions drive manager admission end to end (A4 loop)") {
+    import org.apache.spark.sql.SaveMode
+    val pm = new PipelineManager(spark,
+      Files.createTempDirectory("graft-fc-pm-").toString)
+    val srcDir = Files.createTempDirectory("graft-fc-src-").toString
+    Seq((1L, "p0"), (2L, "p1")).toDF("k", "part")
+      .write.mode(SaveMode.Append).parquet(srcDir)
+    val spec = pm.create(graft.model.PipelineSpec("fcpm", "parquet", "parquet", srcDir))
+
+    // control loop says: p1 overflowed → PAUSE; records hold back
+    pm.applyFlowDecisions("fcpm", "part",
+      Seq(PauseDecision("p1", "PAUSE", 11L)), identity)
+    pm.queryOf("fcpm").foreach(_.awaitTermination())
+    assert(pm.paused("fcpm") == Set("p1"))
+    assert(spark.read.parquet(spec.destinationConnection)
+      .select("k").as[Long].collect().toSet == Set(1L))
+
+    // later decisions win per partition: PAUSE then RESUME → resume,
+    // held records replay
+    pm.applyFlowDecisions("fcpm", "part",
+      Seq(PauseDecision("p1", "PAUSE", 11L), PauseDecision("p1", "RESUME", 1L)),
+      identity)
+    pm.queryOf("fcpm").foreach(_.awaitTermination())
+    assert(pm.paused("fcpm").isEmpty)
+    assert(spark.read.parquet(spec.destinationConnection)
+      .select("k").as[Long].collect().toSet == Set(1L, 2L))
+    pm.delete("fcpm")
+  }
 }
