@@ -196,6 +196,29 @@ object Ann {
   }
 
   /**
+   * Symmetric int8 quantization of an embedding column — the standard
+   * storage/serving compression for training corpora (4× smaller than
+   * float32): per-vector scale = 127 / max|x|, q_i = ⌊x_i·scale + ½⌋.
+   * Pure column expressions (one narrow pass, no shuffle); an all-zero
+   * vector quantizes to zeros with scale 0. `floor(x+0.5)` (round half
+   * toward +∞) is used instead of round() because its IEEE semantics
+   * are identical across engines.
+   */
+  def quantizeInt8(df: DataFrame): DataFrame = {
+    val withMax = df.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("max_abs", array_max(transform(col("v"), x => abs(x))))
+    withMax.select(
+      col("vec_id"),
+      when(col("max_abs") === 0.0, lit(0.0))
+        .otherwise(lit(127.0) / col("max_abs")).as("scale"),
+      when(col("max_abs") === 0.0,
+        transform(col("v"), _ => lit(0)))
+        .otherwise(transform(col("v"),
+          x => floor(x * (lit(127.0) / col("max_abs")) + 0.5).cast("integer")))
+        .as("qvec"))
+  }
+
+  /**
    * Exact all-pairs variant of [[cosinePairs]] — O(n²) with a
    * broadcast of the full corpus; small-corpus verification only,
    * never the 100 TB path.

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ann.Ann
@@ -66,6 +67,27 @@ object DataOpsQueries {
         docs.select(col("doc_id").as("doc")), pairs, "doc_a", "doc_b")
     }),
 
+    // Canonical document per dedup group: within each connected
+    // component keep the longest doc (ties → lowest id) — the "which
+    // copy survives" step that follows group detection in a real
+    // dedup pipeline.
+    "d09_canonical" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.lshCandidates(docs, col("doc_id"), col("text"),
+        k = MinHashK, r = LshRows).select(col("doc_a"), col("doc_b"))
+      val groups = Dedup.connectedComponents(
+        docs.select(col("doc_id").as("doc")), pairs, "doc_a", "doc_b")
+      val joined = groups.join(docs, col("doc") === col("doc_id"))
+      val byGroup = Window.partitionBy(col("group_id"))
+      joined
+        .withColumn("n_docs", count(lit(1)).over(byGroup))
+        .withColumn("__rn", row_number().over(
+          byGroup.orderBy(col("n_chars").desc, col("doc"))))
+        .filter(col("__rn") === 1)
+        .select(col("group_id"), col("doc").as("canonical_doc"),
+          col("n_chars").as("canonical_chars"), col("n_docs"))
+    }),
+
     // Deterministic train/val/test split: stable hash of the doc id
     // buckets every row reproducibly (no RNG, no reshuffle drift when
     // the corpus grows) — the standard split for training corpora.
@@ -101,6 +123,24 @@ object DataOpsQueries {
       val emb = t(s, d, "embeddings")
       Ann.ivfTopK(emb.filter(col("vec_id") < 10), emb, nList = 8, k = 3)
         .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // Int8 embedding quantization (storage/serving compression).
+    "e05_quantize" -> ((s, d) =>
+      Ann.quantizeInt8(t(s, d, "embeddings"))),
+
+    // Corpus vocabulary: top tokens by frequency — the vocab-building
+    // scan of a tokenizer-training pipeline. groupBy(token) keeps the
+    // partial-agg shape; orderBy+limit compiles to a distributed
+    // TakeOrdered (per-partition top-k + merge), so the single-
+    // partition rank window only ever sees the final 100 rows.
+    "t06_vocab" -> ((s, d) => {
+      val counts = t(s, d, "documents")
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      counts.orderBy(col("n").desc, col("token")).limit(100)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("token"))).cast("long"))
     }),
 
     // Language ID by marker-token profile.
@@ -315,6 +355,29 @@ object DataOpsQueries {
          |SELECT doc, MIN(r) AS group_id FROM reach GROUP BY doc"""
         .stripMargin.replace("\n", " "),
 
+    "d09_canonical" ->
+      s"""WITH RECURSIVE $wordsCte, $shinglesCte, ${minhashSigCte(MinHashK)},
+         |bands AS (SELECT doc, i // $LshRows AS band,
+         |${h("string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)")} AS bh
+         |FROM sig GROUP BY doc, i // $LshRows),
+         |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |FROM bands a JOIN bands b
+         |ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+         |UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach(doc, r) AS (
+         |SELECT doc_id, doc_id FROM documents
+         |UNION
+         |SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.doc),
+         |groups AS (SELECT doc, MIN(r) AS group_id FROM reach GROUP BY doc),
+         |joined AS (SELECT g.group_id, g.doc, d.n_chars,
+         |COUNT(*) OVER (PARTITION BY g.group_id) AS n_docs,
+         |ROW_NUMBER() OVER (PARTITION BY g.group_id
+         |ORDER BY d.n_chars DESC, g.doc) AS rn
+         |FROM groups g JOIN documents d ON d.doc_id = g.doc)
+         |SELECT group_id, doc AS canonical_doc, n_chars AS canonical_chars,
+         |n_docs FROM joined WHERE rn = 1""".stripMargin.replace("\n", " "),
+
     "d08_train_split" ->
       s"""SELECT CASE WHEN MOD(${h("doc_id")}, 100) < 80 THEN 'train'
          |WHEN MOD(${h("doc_id")}, 100) < 90 THEN 'val' ELSE 'test' END AS split,
@@ -386,6 +449,24 @@ object DataOpsQueries {
          |SELECT query_id, cent_id, cand_id, cos, ROW_NUMBER() OVER
          |(PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM scored)
          |WHERE rank <= 3""".stripMargin.replace("\n", " "),
+
+    "e05_quantize" ->
+      s"""WITH $vecCte,
+         |m AS (SELECT vec_id, e,
+         |list_max(list_transform(e, x -> abs(x))) AS ma FROM v)
+         |SELECT vec_id,
+         |CASE WHEN ma = 0 THEN 0.0 ELSE 127.0 / ma END AS scale,
+         |CASE WHEN ma = 0 THEN list_transform(e, x -> 0)
+         |ELSE list_transform(e, x -> CAST(floor(x * (127.0 / ma) + 0.5) AS INTEGER))
+         |END AS qvec FROM m""".stripMargin.replace("\n", " "),
+
+    "t06_vocab" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT unnest(w) AS token FROM w),
+         |counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token)
+         |SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+         |FROM counts ORDER BY n DESC, token LIMIT 100"""
+        .stripMargin.replace("\n", " "),
 
     "t01_langid" -> {
       val langs = Text.LangMarkers.toSeq.sortBy(_._1)
