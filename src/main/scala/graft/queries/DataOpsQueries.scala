@@ -88,6 +88,26 @@ object DataOpsQueries {
           col("n_chars").as("canonical_chars"), col("n_docs"))
     }),
 
+    // Eval-set decontamination: training docs sharing >= 3 distinct
+    // shingles with any validation doc (same hash-bucket split as
+    // d08). The shingle equi-join is the scale shape — only docs that
+    // actually collide on an n-gram ever meet, never all pairs.
+    "d10_contamination" -> ((s, d) => {
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"), graft.text.Text.tokens(col("text")).as("w"))
+        .select(col("doc_id"),
+          explode(graft.text.Text.shingleSetOf(col("w"))).as("s"))
+        .withColumn("b", pmod(Portable.hash64(col("doc_id")), lit(100L)))
+      val train = sh.filter(col("b") < 80)
+        .select(col("doc_id").as("train_doc"), col("s"))
+      val eval = sh.filter(col("b") >= 80 && col("b") < 90)
+        .select(col("doc_id").as("eval_doc"), col("s"))
+      train.join(eval, "s")
+        .groupBy(col("train_doc"), col("eval_doc"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 3)
+    }),
+
     // Deterministic train/val/test split: stable hash of the doc id
     // buckets every row reproducibly (no RNG, no reshuffle drift when
     // the corpus grows) — the standard split for training corpora.
@@ -142,6 +162,14 @@ object DataOpsQueries {
         .withColumn("rank", row_number().over(
           Window.orderBy(col("n").desc, col("token"))).cast("long"))
     }),
+
+    // PII-style redaction: digit runs replaced, per-row redaction
+    // count surfaced — a single codegen'd regexp pass over the corpus.
+    "t07_redact" -> ((s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        regexp_replace(col("props"), "[0-9]{2,}", "<NUM>").as("redacted"),
+        regexp_count(col("props"), lit("[0-9]{2,}")).cast("long").as("n_redacted"))),
 
     // Language ID by marker-token profile.
     "t01_langid" -> ((s, d) => {
@@ -378,6 +406,16 @@ object DataOpsQueries {
          |SELECT group_id, doc AS canonical_doc, n_chars AS canonical_chars,
          |n_docs FROM joined WHERE rn = 1""".stripMargin.replace("\n", " "),
 
+    "d10_contamination" ->
+      s"""WITH $wordsCte, $shinglesCte,
+         |shd AS (SELECT DISTINCT doc, s FROM sh),
+         |b AS (SELECT doc, s, MOD(${h("doc")}, 100) AS bk FROM shd)
+         |SELECT t.doc AS train_doc, e.doc AS eval_doc,
+         |COUNT(*) AS shared
+         |FROM b t JOIN b e ON t.s = e.s AND t.bk < 80
+         |AND e.bk >= 80 AND e.bk < 90
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin.replace("\n", " "),
+
     "d08_train_split" ->
       s"""SELECT CASE WHEN MOD(${h("doc_id")}, 100) < 80 THEN 'train'
          |WHEN MOD(${h("doc_id")}, 100) < 90 THEN 'val' ELSE 'test' END AS split,
@@ -467,6 +505,12 @@ object DataOpsQueries {
          |SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
          |FROM counts ORDER BY n DESC, token LIMIT 100"""
         .stripMargin.replace("\n", " "),
+
+    "t07_redact" ->
+      """SELECT event_id,
+        |regexp_replace(props, '[0-9]{2,}', '<NUM>', 'g') AS redacted,
+        |CAST(len(regexp_extract_all(props, '[0-9]{2,}')) AS BIGINT) AS n_redacted
+        |FROM events""".stripMargin.replace("\n", " "),
 
     "t01_langid" -> {
       val langs = Text.LangMarkers.toSeq.sortBy(_._1)

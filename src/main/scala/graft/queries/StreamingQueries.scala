@@ -158,7 +158,22 @@ object StreamingQueries {
           .select(col("user_id"),
             col("session_window.start").as("session_start"),
             col("session_window.end").as("session_end"), col("n")),
-        mode = "append")))
+        mode = "append")),
+
+    // Stream-static enrichment: every event joined to a broadcast
+    // dimension snapshot — stateless, so the streaming result equals
+    // the batch join (the enrich step of T1 against a lookup table).
+    "s07_stream_static_enrich" -> ((s, d) => {
+      val dim = Tables.t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      runToTable(
+        eventsStream(s, d)
+          .select(col("event_id"), col("user_id"))
+          .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+          .select(col("event_id"), col("user_id"),
+            col("c_mktsegment").as("segment")),
+        mode = "append")
+    }))
 
   val oracles: Map[String, String] = Map(
     "s01_stream_mirror" -> BrooklinQueries.oracles("q02_mirror_translate"),
@@ -198,5 +213,10 @@ object StreamingQueries {
         |MAX(ts) + INTERVAL 1 HOUR AS session_end, COUNT(*) AS n
         |FROM g GROUP BY user_id, sid
         |HAVING MAX(ts) + INTERVAL 1 HOUR <= (SELECT MAX(ts) FROM events)"""
+        .stripMargin.replace("\n", " "),
+
+    "s07_stream_static_enrich" ->
+      """SELECT event_id, user_id, c_mktsegment AS segment
+        |FROM events LEFT JOIN customer ON user_id = c_custkey"""
         .stripMargin.replace("\n", " "))
 }
