@@ -54,6 +54,26 @@ object ChunkedJdbc {
     s"SELECT * FROM $table WHERE $shardPred$seekPred$order LIMIT $chunkSize"
   }
 
+  /**
+   * ANSI dialect for a single integral key: `MOD(key, P)` is standard
+   * SQL, so the shard predicate pushes into engines without CRC32
+   * (Derby, Oracle, DB2). The reference picks its hash per dialect the
+   * same way (MySqlChunkedQueryManager vs OracleChunkedQueryManager,
+   * ChunkedQueryManagerFactory).
+   */
+  def numericShardPredicates(key: String, numShards: Int): Array[String] =
+    (0 until numShards).map(s => s"MOD($key, $numShards) = $s").toArray
+
+  /** Parallel snapshot read over an integral key (ANSI MOD sharding). */
+  def readNumeric(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      key: String,
+      numShards: Int,
+      props: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, numericShardPredicates(key, numShards), props)
+
   /** Parallel snapshot read: one Spark partition per shard. */
   def read(
       spark: SparkSession,

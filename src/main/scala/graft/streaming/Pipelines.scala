@@ -376,9 +376,11 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
    * `foreachBatch` body (K3: the epoch commits only after the batch
    * lands — the flush barrier), which is also what lets [[start]]
    * divert paused-partition rows and [[resumePartitions]] replay them
-   * through the same write path. Delivery is at-least-once across
-   * crashes (a replayed epoch re-appends), matching the reference's
-   * guarantee.
+   * through the same write path. Parquet-backed transports are
+   * exactly-once across epoch replays via
+   * [[PipelineManager.epochAppend]]'s commit markers; the rest
+   * (kafka, directoryOps, custom) are at-least-once, matching the
+   * reference's base guarantee.
    */
   private def transportWriter(spec: PipelineSpec): (DataFrame, Long) => Unit =
     hooks.transports.get(spec.transport) match {
@@ -390,7 +392,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     val dest = spec.destinationConnection
     spec.transport match {
       case "parquet" =>
-        (batch, _) => batch.write.mode("append").parquet(dest)
+        (batch, epoch) => PipelineManager.epochAppend(batch, dest, epoch)
       case "noop" =>
         (batch, _) => batch.write.format("noop").mode("overwrite").save()
       case "kafka" =>
@@ -407,7 +409,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
           (batch, _) => PipelineManager.applyDirectoryOps(batch, dest,
             orderCol = spec.metadata.get("directoryOrderCol"))
         else
-          (batch, _) => batch.write.mode("append").parquet(dest)
+          (batch, epoch) => PipelineManager.epochAppend(batch, dest, epoch)
       case "cdc" =>
         // T7 materialization: each epoch's change records upsert into
         // the bucketed keyed state table (crash-safe per-bucket swap in
@@ -586,6 +588,50 @@ object PipelineManager {
    * DirectoryChangeProcessor.java:128-140 +
    * DirectoryTransportProvider's create/modify/delete application.
    */
+  /**
+   * Idempotent per-epoch parquet append — upgrades the parquet and
+   * directory transports from at-least-once to exactly-once across
+   * epoch replays. A marker under `_graft_commits/<epoch>` records a
+   * committed epoch; a replayed epoch whose marker exists is a no-op.
+   * A crashed attempt left no marker, so the redo path first clears
+   * that attempt's published files (they carry the epoch in their
+   * name, so the redo is deterministic), re-stages the batch, and
+   * republishes by same-filesystem rename — failing the epoch on a
+   * false rename return. Staging and marker paths start with '_' so
+   * parquet readers of `dest` ignore them. Negative epochs (holdback
+   * replays from [[PipelineManager.resumePartitions]]) are plain
+   * appends: their dedup is the holdback subdirectory delete,
+   * documented at-least-once.
+   *
+   * Reference guarantee being matched: checkpoint-then-flush in
+   * AbstractKafkaBasedConnectorTask (the flush barrier) plus the
+   * reference's broker-side idempotent producer; here the epoch id
+   * from the offset log plays the producer-sequence role.
+   */
+  def epochAppend(batch: DataFrame, dest: String, epoch: Long): Unit = {
+    if (epoch < 0) { batch.write.mode("append").parquet(dest); return }
+    val destPath = new Path(dest)
+    val fs = destPath.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    val marker = new Path(destPath, s"_graft_commits/$epoch")
+    if (fs.exists(marker)) return // replayed epoch: already committed
+    val staging = new Path(destPath, s"_staging-$epoch")
+    fs.delete(staging, true)
+    batch.write.mode("overwrite").parquet(staging.toString)
+    Option(fs.globStatus(new Path(destPath, s"graft-$epoch-*.parquet")))
+      .foreach(_.foreach(st => fs.delete(st.getPath, false)))
+    val parts = fs.listStatus(staging)
+      .filter(_.getPath.getName.startsWith("part-")).sortBy(_.getPath.getName)
+    parts.zipWithIndex.foreach { case (st, i) =>
+      val target = new Path(destPath, s"graft-$epoch-$i.parquet")
+      if (!fs.rename(st.getPath, target))
+        sys.error(s"rename ${st.getPath} -> $target failed; failing epoch $epoch")
+    }
+    fs.delete(staging, true)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+  }
+
   def applyDirectoryOps(batch: DataFrame, dest: String,
       orderCol: Option[String]): Unit = {
     val hasContent = batch.columns.contains("content")

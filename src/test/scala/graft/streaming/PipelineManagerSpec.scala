@@ -380,4 +380,55 @@ class PipelineManagerSpec extends SparkTestBase {
     assert(spark.read.parquet(spec.destinationConnection).count() == 1)
     pm.delete("dt")
   }
+
+  test("epochAppend is exactly-once: replays and crashed attempts never duplicate") {
+    val dest = Files.createTempDirectory("graft-eo-").toString
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batch0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+
+    PipelineManager.epochAppend(batch0, dest, 0L)
+    // replayed epoch (crash after commit marker): a no-op
+    PipelineManager.epochAppend(batch0, dest, 0L)
+    assert(spark.read.parquet(dest).count() == 2)
+
+    // crash BEFORE the marker: partial files of the attempt are on
+    // disk, marker absent — the redo must replace, not double-append
+    val marker = new org.apache.hadoop.fs.Path(dest, "_graft_commits/1")
+    PipelineManager.epochAppend(Seq((3L, "c")).toDF("id", "v"), dest, 1L)
+    fs.delete(marker, false) // simulate: attempt published, marker lost
+    PipelineManager.epochAppend(Seq((3L, "c")).toDF("id", "v"), dest, 1L)
+    assert(fs.exists(marker))
+    assert(spark.read.parquet(dest).orderBy("id").as[(Long, String)].collect()
+      .toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // negative epoch = holdback replay: plain append, no marker dedup
+    PipelineManager.epochAppend(Seq((4L, "d")).toDF("id", "v"), dest, -1L)
+    PipelineManager.epochAppend(Seq((5L, "e")).toDF("id", "v"), dest, -1L)
+    assert(spark.read.parquet(dest).count() == 5)
+  }
+
+  test("parquet transport skips a replayed epoch end-to-end") {
+    val srcDir = Files.createTempDirectory("graft-eo-src-").toString
+    val root = Files.createTempDirectory("graft-eo-cp-").toString
+    Seq((1L, "x")).toDF("id", "value").write.mode(SaveMode.Append).parquet(srcDir)
+
+    val pm = new PipelineManager(spark, root)
+    val spec = pm.create(PipelineSpec("eo", "parquet", "parquet", srcDir))
+    pm.start("eo", identity).awaitTermination()
+    val first = spark.read.parquet(spec.destinationConnection)
+      .select("id", "value").as[(Long, String)].collect().toSet
+    assert(first == Set((1L, "x")))
+
+    // wipe the offset log: the restarted query re-reads the same files
+    // with the same epoch ids — the commit markers must swallow them
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/eo"), true)
+    pm.start("eo", identity).awaitTermination()
+    val second = spark.read.parquet(spec.destinationConnection)
+      .select("id", "value").as[(Long, String)].collect().toSet
+    assert(second == Set((1L, "x")), "replayed epoch must not duplicate rows")
+    pm.delete("eo")
+  }
 }
