@@ -379,6 +379,13 @@ object BrooklinQueries {
             .as("frame"))
         .withColumn("payload", Portable.registryUnframe(col("frame"), schemaId))
         .withColumn("ok", col("payload").isNotNull)
+        // gate projection: binary cells aren't sortable by the
+        // comparison harness, so the wire bytes surface as hex; the
+        // frame/unframe exercise above stays fully binary.
+        .select(col("event_id"),
+          lower(hex(col("frame"))).as("frame_hex"),
+          lower(hex(col("payload"))).as("payload_hex"),
+          col("ok"))
     }),
 
     // Star-schema join rollup: broadcast dims, exact decimal revenue.
@@ -635,8 +642,8 @@ object BrooklinQueries {
          |THEN ('\\x01'::BLOB || unhex(md5(CAST(7 AS VARCHAR))) || CAST(props AS BLOB))
          |ELSE ${Portable.registryFrameSql("7", "props")} END AS frame
          |FROM events WHERE event_id < 2000)
-         |SELECT event_id, frame,
-         |${Portable.registryUnframeSql("frame", "7")} AS payload,
+         |SELECT event_id, lower(hex(frame)) AS frame_hex,
+         |lower(hex(${Portable.registryUnframeSql("frame", "7")})) AS payload_hex,
          |(${Portable.registryFrameValidSql("frame", "7")}) AS ok
          |FROM f""".stripMargin.replace("\n", " "),
 

@@ -145,9 +145,14 @@ object DataOpsQueries {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
-    // Int8 embedding quantization (storage/serving compression).
+    // Int8 embedding quantization (storage/serving compression). The
+    // gate projects qvec as a csv string — the comparison harness can't
+    // sort array cells; the array-typed operator output is unchanged.
     "e05_quantize" -> ((s, d) =>
-      Ann.quantizeInt8(t(s, d, "embeddings"))),
+      Ann.quantizeInt8(t(s, d, "embeddings"))
+        .select(col("vec_id"), col("scale"),
+          array_join(transform(col("qvec"), _.cast("string")), ",")
+            .as("qvec_csv"))),
 
     // Corpus vocabulary: top tokens by frequency — the vocab-building
     // scan of a tokenizer-training pipeline. groupBy(token) keeps the
@@ -494,9 +499,11 @@ object DataOpsQueries {
          |list_max(list_transform(e, x -> abs(x))) AS ma FROM v)
          |SELECT vec_id,
          |CASE WHEN ma = 0 THEN 0.0 ELSE 127.0 / ma END AS scale,
+         |array_to_string(list_transform(
          |CASE WHEN ma = 0 THEN list_transform(e, x -> 0)
          |ELSE list_transform(e, x -> CAST(floor(x * (127.0 / ma) + 0.5) AS INTEGER))
-         |END AS qvec FROM m""".stripMargin.replace("\n", " "),
+         |END, y -> CAST(y AS VARCHAR)), ',') AS qvec_csv
+         |FROM m""".stripMargin.replace("\n", " "),
 
     "t06_vocab" ->
       s"""WITH $wordsCte,

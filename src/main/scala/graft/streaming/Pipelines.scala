@@ -392,7 +392,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     val dest = spec.destinationConnection
     spec.transport match {
       case "parquet" =>
-        (batch, epoch) => PipelineManager.epochAppend(batch, dest, epoch)
+        (batch, epoch) => PipelineManager.epochAppend(batch, dest, epoch, spec.name)
       case "noop" =>
         (batch, _) => batch.write.format("noop").mode("overwrite").save()
       case "kafka" =>
@@ -409,7 +409,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
           (batch, _) => PipelineManager.applyDirectoryOps(batch, dest,
             orderCol = spec.metadata.get("directoryOrderCol"))
         else
-          (batch, epoch) => PipelineManager.epochAppend(batch, dest, epoch)
+          (batch, epoch) => PipelineManager.epochAppend(batch, dest, epoch, spec.name)
       case "cdc" =>
         // T7 materialization: each epoch's change records upsert into
         // the bucketed keyed state table (crash-safe per-bucket swap in
@@ -591,39 +591,54 @@ object PipelineManager {
   /**
    * Idempotent per-epoch parquet append — upgrades the parquet and
    * directory transports from at-least-once to exactly-once across
-   * epoch replays. A marker under `_graft_commits/<epoch>` records a
-   * committed epoch; a replayed epoch whose marker exists is a no-op.
-   * A crashed attempt left no marker, so the redo path first clears
-   * that attempt's published files (they carry the epoch in their
-   * name, so the redo is deterministic), re-stages the batch, and
-   * republishes by same-filesystem rename — failing the epoch on a
+   * epoch replays. A marker under `_graft_commits/<pipeline>/<epoch>`
+   * records a committed epoch; a replayed epoch whose marker exists is
+   * a no-op. A crashed attempt left no marker, so the redo path first
+   * clears that attempt's published files (they carry pipeline+epoch
+   * in their name, so the redo is deterministic), re-stages the batch,
+   * and republishes by same-filesystem rename — failing the epoch on a
    * false rename return. Staging and marker paths start with '_' so
    * parquet readers of `dest` ignore them. Negative epochs (holdback
    * replays from [[PipelineManager.resumePartitions]]) are plain
    * appends: their dedup is the holdback subdirectory delete,
    * documented at-least-once.
    *
+   * Markers and published names are NAMESPACED PER PIPELINE because D1
+   * destination-reuse intentionally lets several pipelines share one
+   * destination, each with an independent epoch counter — un-namespaced
+   * markers would no-op a second pipeline's epoch N (data loss) and its
+   * redo would delete the first pipeline's files. The name is sanitized
+   * to [A-Za-z0-9_] so '-' stays a structural delimiter, and files are
+   * `graft-<ns>-e<epoch>-p<i>.parquet` so the epoch-N redo glob can
+   * never match epoch-N0..N9 files.
+   *
    * Reference guarantee being matched: checkpoint-then-flush in
    * AbstractKafkaBasedConnectorTask (the flush barrier) plus the
-   * reference's broker-side idempotent producer; here the epoch id
-   * from the offset log plays the producer-sequence role.
+   * reference's broker-side idempotent producer; here the
+   * (pipeline, epoch) id from the offset log plays the
+   * producer-(id, sequence) role.
    */
-  def epochAppend(batch: DataFrame, dest: String, epoch: Long): Unit = {
+  def epochAppend(batch: DataFrame, dest: String, epoch: Long,
+      pipeline: String = ""): Unit = {
     if (epoch < 0) { batch.write.mode("append").parquet(dest); return }
+    val ns = {
+      val s = pipeline.replaceAll("[^A-Za-z0-9_]", "_")
+      if (s.isEmpty) "default" else s
+    }
     val destPath = new Path(dest)
     val fs = destPath.getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
-    val marker = new Path(destPath, s"_graft_commits/$epoch")
+    val marker = new Path(destPath, s"_graft_commits/$ns/$epoch")
     if (fs.exists(marker)) return // replayed epoch: already committed
-    val staging = new Path(destPath, s"_staging-$epoch")
+    val staging = new Path(destPath, s"_staging-$ns-$epoch")
     fs.delete(staging, true)
     batch.write.mode("overwrite").parquet(staging.toString)
-    Option(fs.globStatus(new Path(destPath, s"graft-$epoch-*.parquet")))
+    Option(fs.globStatus(new Path(destPath, s"graft-$ns-e$epoch-p*.parquet")))
       .foreach(_.foreach(st => fs.delete(st.getPath, false)))
     val parts = fs.listStatus(staging)
       .filter(_.getPath.getName.startsWith("part-")).sortBy(_.getPath.getName)
     parts.zipWithIndex.foreach { case (st, i) =>
-      val target = new Path(destPath, s"graft-$epoch-$i.parquet")
+      val target = new Path(destPath, s"graft-$ns-e$epoch-p$i.parquet")
       if (!fs.rename(st.getPath, target))
         sys.error(s"rename ${st.getPath} -> $target failed; failing epoch $epoch")
     }

@@ -394,7 +394,7 @@ class PipelineManagerSpec extends SparkTestBase {
 
     // crash BEFORE the marker: partial files of the attempt are on
     // disk, marker absent — the redo must replace, not double-append
-    val marker = new org.apache.hadoop.fs.Path(dest, "_graft_commits/1")
+    val marker = new org.apache.hadoop.fs.Path(dest, "_graft_commits/default/1")
     PipelineManager.epochAppend(Seq((3L, "c")).toDF("id", "v"), dest, 1L)
     fs.delete(marker, false) // simulate: attempt published, marker lost
     PipelineManager.epochAppend(Seq((3L, "c")).toDF("id", "v"), dest, 1L)
@@ -406,6 +406,29 @@ class PipelineManagerSpec extends SparkTestBase {
     PipelineManager.epochAppend(Seq((4L, "d")).toDF("id", "v"), dest, -1L)
     PipelineManager.epochAppend(Seq((5L, "e")).toDF("id", "v"), dest, -1L)
     assert(spark.read.parquet(dest).count() == 5)
+  }
+
+  test("epochAppend: two pipelines sharing a destination don't collide") {
+    // D1 destination-reuse lets pipelines share one dest, each with an
+    // independent epoch counter from 0 — markers/files are namespaced
+    // per pipeline so B's epoch 0 is neither no-op'd by A's marker nor
+    // able to delete A's published files on redo.
+    val dest = Files.createTempDirectory("graft-eo2-").toString
+    PipelineManager.epochAppend(Seq((1L, "a")).toDF("id", "v"), dest, 0L, "pipeA")
+    PipelineManager.epochAppend(Seq((2L, "b")).toDF("id", "v"), dest, 0L, "pipeB")
+    // B's redo of its own epoch 0 must replace only B's files
+    PipelineManager.epochAppend(Seq((2L, "b")).toDF("id", "v"), dest, 0L, "pipeB")
+    assert(spark.read.parquet(dest).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // epoch-1 glob must not match epoch-10..19 files of the same pipeline
+    PipelineManager.epochAppend(Seq((3L, "c")).toDF("id", "v"), dest, 12L, "pipeA")
+    PipelineManager.epochAppend(Seq((4L, "d")).toDF("id", "v"), dest, 1L, "pipeA")
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dest, "_graft_commits/pipeA/1"), false)
+    PipelineManager.epochAppend(Seq((4L, "d")).toDF("id", "v"), dest, 1L, "pipeA")
+    assert(spark.read.parquet(dest).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
 
   test("parquet transport skips a replayed epoch end-to-end") {
