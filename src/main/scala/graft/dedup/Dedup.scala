@@ -144,13 +144,19 @@ object Dedup {
    * near-dup shape at 100 TB: the O(n²)-ish shingle self-join only ever
    * runs over docs that already collided in a MinHash band, so the
    * verify cost is |candidates|·|shingles| instead of all-pairs.
+   *
+   * The candidate side carries NO broadcast hint on purpose: a
+   * near-dup-heavy 100 TB corpus yields 10⁸–10⁹ candidate pairs, far
+   * past any broadcast/driver limit. The joins are plain equi-joins on
+   * the doc id, so AQE still broadcasts when the candidate set is
+   * actually small and falls back to a shuffle join when it isn't.
    */
   def jaccardOnCandidates(df: DataFrame, id: Column, text: Column,
       shingleN: Int, threshold: Double, k: Int, r: Int): DataFrame = {
     val cand = lshCandidates(df, id, text, k, r).select(col("doc_a"), col("doc_b"))
     val sh = explodedShingles(df, id, text, shingleN)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val inter = broadcast(cand)
+    val inter = cand
       .join(sh.as("a"), col("doc_a") === col("a.doc"))
       .join(sh.as("b"), col("doc_b") === col("b.doc") && col("a.s") === col("b.s"))
       .groupBy(col("doc_a"), col("doc_b"))

@@ -135,6 +135,9 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     * provisioned (Coordinator.java:2371-2393 ordering). */
   def create(spec: PipelineSpec, owner: String = "anonymous"): PipelineSpec = {
     require(spec.name.nonEmpty, "pipeline name required")
+    require(spec.name != PipelineManager.ReservedNamespace,
+      s"pipeline name '${PipelineManager.ReservedNamespace}' is reserved " +
+        "(it is the epoch namespace of anonymous library writers)")
     require(hooks.authorize(spec, owner), s"owner $owner not authorized for ${spec.name}")
     require(!specs.contains(spec.name), s"duplicate pipeline ${spec.name}")
     require(spec.sourceConnection.nonEmpty, "source connection required")
@@ -343,8 +346,18 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
    */
   def resumePartitions(name: String, values: Set[String],
       transform: DataFrame => DataFrame): StreamingQuery = {
-    val spec = specs.getOrElse(name, sys.error(s"unknown pipeline $name"))
     Option(queries.remove(name)).foreach(_.stop())
+    replayHoldback(name, values)
+    shrinkPauseSet(name, values)
+    persistPausedState(name)
+    start(name, transform)
+  }
+
+  /** Replay the held-back records of the given partition values into
+    * the destination and drop their holdback subdirectories (the
+    * deliver-then-delete half of [[resumePartitions]]). */
+  private def replayHoldback(name: String, values: Set[String]): Unit = {
+    val spec = specs.getOrElse(name, sys.error(s"unknown pipeline $name"))
     val hb = new Path(holdbackPath(name))
     val fs = hb.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(hb)) {
@@ -362,13 +375,13 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
           }
         }
     }
+  }
+
+  private def shrinkPauseSet(name: String, values: Set[String]): Unit =
     pausedPartitions.updateWith(name) {
       case Some((pc, vs)) if (vs -- values).nonEmpty => Some((pc, vs -- values))
       case _ => None
     }
-    persistPausedState(name)
-    start(name, transform)
-  }
 
   /**
    * The per-epoch batch writer for a spec's transport — the engine's
@@ -491,9 +504,12 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
    * Apply a batch of A4 auto-pause/resume decisions (the output of
    * [[FlowControl.autoPause]]) to this pipeline's admission state —
    * the reconciliation step the reference runs pre-poll
-   * (preConsumerPollHook :855+). Pauses and resumes are folded into
-   * at most one restart each; later decisions win over earlier ones
-   * for the same partition (decisions arrive seq-ordered).
+   * (preConsumerPollHook :855+). The WHOLE batch — pauses and resumes
+   * together — folds into a single stop/replay/start cycle: a mixed
+   * batch under partition flapping costs one checkpoint replay, not
+   * two. Later decisions win over earlier ones for the same partition
+   * (decisions arrive seq-ordered), so a partition never appears in
+   * both the pause and the resume set.
    */
   def applyFlowDecisions(name: String, partitionCol: String,
       decisions: Seq[FlowControl.PauseDecision],
@@ -502,8 +518,18 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       .map { case (p, ds) => p -> ds.last.action }
     val toPause = finalAction.collect { case (p, "PAUSE") => p }.toSet
     val toResume = finalAction.collect { case (p, "RESUME") => p }.toSet
-    if (toPause.nonEmpty) pausePartitions(name, partitionCol, toPause, transform)
-    if (toResume.nonEmpty) resumePartitions(name, toResume, transform)
+    if (toPause.isEmpty && toResume.isEmpty) return
+    Option(queries.remove(name)).foreach(_.stop())
+    if (toPause.nonEmpty) pausedPartitions.updateWith(name) {
+      case Some((pc, vs)) if pc == partitionCol => Some((pc, vs ++ toPause))
+      case _ => Some((partitionCol, toPause))
+    }
+    if (toResume.nonEmpty) {
+      replayHoldback(name, toResume)
+      shrinkPauseSet(name, toResume)
+    }
+    persistPausedState(name)
+    start(name, transform)
   }
 
   /** Last observed per-epoch metrics for a pipeline (A6/A7). */
@@ -552,6 +578,26 @@ object PipelineManager {
     * retention default (KafkaTransportProviderAdmin
     * .DEFAULT_RETENTION). */
   val DefaultRetentionMs: Long = 3L * 24 * 60 * 60 * 1000
+
+  /** Namespace used by [[epochAppend]] when no pipeline name is given;
+    * reserved — [[PipelineManager.create]] rejects it as a name. */
+  val ReservedNamespace: String = "default"
+
+  /**
+   * Injective filesystem-safe encoding of a pipeline name (see
+   * [[epochAppend]]): ASCII alphanumerics pass through, every other
+   * character hex-escapes per UTF-8 byte as `_xx`. Decoding is
+   * unambiguous (`_` always starts exactly one two-hex-digit escape),
+   * so distinct names never share an epoch namespace.
+   */
+  def namespaceOf(pipeline: String): String =
+    if (pipeline.isEmpty) ReservedNamespace
+    else pipeline.getBytes("UTF-8").map { b =>
+      val c = b.toChar
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+          (c >= '0' && c <= '9')) c.toString
+      else f"_${b & 0xff}%02x"
+    }.mkString
 
   /**
    * Kafka subscription + consumer options for a spec (S1-S3). An
@@ -607,10 +653,25 @@ object PipelineManager {
    * destination-reuse intentionally lets several pipelines share one
    * destination, each with an independent epoch counter — un-namespaced
    * markers would no-op a second pipeline's epoch N (data loss) and its
-   * redo would delete the first pipeline's files. The name is sanitized
-   * to [A-Za-z0-9_] so '-' stays a structural delimiter, and files are
-   * `graft-<ns>-e<epoch>-p<i>.parquet` so the epoch-N redo glob can
-   * never match epoch-N0..N9 files.
+   * redo would delete the first pipeline's files. The namespace encoding
+   * is INJECTIVE: ASCII alphanumerics pass through; every other
+   * character is hex-escaped as `_xx` per UTF-8 byte (`_` itself
+   * becomes `_5f`), so distinct names like `etl-a` and `etl.a` can
+   * never share markers — collapsing both to `etl_a` would silently
+   * re-couple two D1 destination-sharing pipelines. '-' never appears
+   * in an encoded namespace, so it stays a structural delimiter, and
+   * files are `graft-<ns>-e<epoch>-p<i>.parquet` so the epoch-N redo
+   * glob can never match epoch-N0..N9 files. The empty name maps to the
+   * reserved namespace `default` ([[PipelineManager.ReservedNamespace]];
+   * `create` rejects it as a pipeline name so a library caller using
+   * the default parameter cannot couple with a real pipeline).
+   *
+   * Migration: alphanumeric pipeline names (every name the specs and
+   * manager call sites use) encode identically before and after the
+   * injective encoding, so their markers/files carry over. A
+   * destination written by a pre-namespacing build (markers directly
+   * under `_graft_commits/<epoch>`) must be recreated — old markers are
+   * not recognized, so a replay against such a destination re-appends.
    *
    * Reference guarantee being matched: checkpoint-then-flush in
    * AbstractKafkaBasedConnectorTask (the flush barrier) plus the
@@ -621,10 +682,7 @@ object PipelineManager {
   def epochAppend(batch: DataFrame, dest: String, epoch: Long,
       pipeline: String = ""): Unit = {
     if (epoch < 0) { batch.write.mode("append").parquet(dest); return }
-    val ns = {
-      val s = pipeline.replaceAll("[^A-Za-z0-9_]", "_")
-      if (s.isEmpty) "default" else s
-    }
+    val ns = namespaceOf(pipeline)
     val destPath = new Path(dest)
     val fs = destPath.getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)

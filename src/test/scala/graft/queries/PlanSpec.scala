@@ -95,6 +95,21 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("d04 Jaccard verify stays candidate-gated without a forced broadcast") {
+    val p = planOf("d04_jaccard_pairs")
+    val plan = p.toString
+    // The shingle join must be gated through the LSH candidate pairs as
+    // a plain equi-join — never an all-pairs product. Crucially we do
+    // NOT require a BroadcastHashJoin: at 100 TB the candidate set can
+    // exceed any broadcast limit, so the plan must stay valid when AQE
+    // picks a shuffle join instead.
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "Jaccard verify must join shingles through candidates, not all-pairs")
+    assert(plan.contains("doc_a") && plan.contains("doc_b"),
+      "join keys must be the candidate doc ids")
+  }
+
   test("q01 aggregation has a map-side partial before the exchange") {
     val plan = planOf("q01_flow_agg").toString
     // partial agg appears below the exchange: two HashAggregate levels

@@ -431,6 +431,35 @@ class PipelineManagerSpec extends SparkTestBase {
       Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
 
+  test("namespace encoding is injective: punctuation-distinct names never collide") {
+    // Collapsing every unsafe char to '_' mapped 'etl-a' and 'etl.a' to
+    // the same namespace — one pipeline's marker no-op'd the other's
+    // epoch (silent data loss). The hex-escape encoding keeps them apart.
+    assert(PipelineManager.namespaceOf("etl-a") !=
+      PipelineManager.namespaceOf("etl.a"))
+    assert(PipelineManager.namespaceOf("pipeA") == "pipeA",
+      "alphanumeric names must encode to themselves (marker carry-over)")
+    // '_' is the escape char and must itself be escaped
+    assert(PipelineManager.namespaceOf("a_b") != PipelineManager.namespaceOf("a/b"))
+    val names = Seq("etl-a", "etl.a", "etl_a", "etl a", "étl", "a_5fb", "a/b", "")
+    assert(names.map(PipelineManager.namespaceOf).distinct.size == names.size,
+      "encoding must be injective over punctuation/unicode/empty names")
+    names.map(PipelineManager.namespaceOf).foreach(ns =>
+      assert(ns.matches("[A-Za-z0-9_]+"), s"namespace $ns must be fs-safe"))
+
+    // the anonymous-writer namespace is reserved as a pipeline name
+    val pm = newManager()
+    intercept[IllegalArgumentException] {
+      pm.create(PipelineSpec("default", "rate", "memory", "r"))
+    }
+    // two punctuation-distinct pipelines on one destination stay apart
+    val dest = Files.createTempDirectory("graft-eo3-").toString
+    PipelineManager.epochAppend(Seq((1L, "a")).toDF("id", "v"), dest, 0L, "etl-a")
+    PipelineManager.epochAppend(Seq((2L, "b")).toDF("id", "v"), dest, 0L, "etl.a")
+    assert(spark.read.parquet(dest).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
   test("parquet transport skips a replayed epoch end-to-end") {
     val srcDir = Files.createTempDirectory("graft-eo-src-").toString
     val root = Files.createTempDirectory("graft-eo-cp-").toString
