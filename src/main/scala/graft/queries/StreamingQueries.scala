@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.Translate
+import graft.streaming.PipelineManager
 
 /**
  * Structured-Streaming forms of the data-plane operators, run
@@ -160,6 +161,55 @@ object StreamingQueries {
             col("session_window.end").as("session_end"), col("n")),
         mode = "append")),
 
+    // MULTI-batch watermark finalization — the gate that removes the
+    // single-micro-batch assumption documented on eventsStream: the
+    // corpus is split into three files by event_id % 3, each added to
+    // the source directory and drained by its own AvailableNow run over
+    // ONE shared checkpoint with maxFilesPerTrigger=1, so the watermark
+    // genuinely advances between micro-batches and each later batch's
+    // rows face the watermark the earlier batches established. With a
+    // 30-minute lateness allowance, a batch-b row survives iff its
+    // window is still open (window_end > wm_b where wm_b = ms-truncated
+    // max event time of batches < b, minus 30 min — Spark tracks event
+    // time in milliseconds); a window is emitted iff finalized by the
+    // final watermark. The oracle encodes exactly those two rules, so a
+    // single-batch execution (which would keep every row) hash-fails.
+    // The sink is foreachBatch → epochAppend (exactly-once across the
+    // three runs' epochs; the memory sink cannot resume a checkpoint).
+    "s08_multibatch_watermark" -> ((s, d) => {
+      val base = Tables.t(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("ts"))
+      val srcDir = Files.createTempDirectory("graft-s08-src-").toString
+      val outDir = Files.createTempDirectory("graft-s08-out-").toString
+      val ckpt = Files.createTempDirectory("graft-s08-ckpt-").toString
+      val schema = base.schema
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        (0 until 3).foreach { b =>
+          base.filter(pmod(col("event_id"), lit(3L)) === b)
+            .coalesce(1).write.mode("append").parquet(srcDir)
+          val agg = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcDir)
+            .withWatermark("ts", "30 minutes")
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("window.start").as("win"), col("event_type"), col("n"))
+          val q = agg.writeStream
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, epoch: Long) =>
+              PipelineManager.epochAppend(batch, outDir, epoch, "s08")
+            }
+            .start()
+          q.awaitTermination()
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", before)
+      s.read.parquet(outDir)
+    }),
+
     // Stream-static enrichment: every event joined to a broadcast
     // dimension snapshot — stateless, so the streaming result equals
     // the batch join (the enrich step of T1 against a lookup table).
@@ -218,5 +268,23 @@ object StreamingQueries {
     "s07_stream_static_enrich" ->
       """SELECT event_id, user_id, c_mktsegment AS segment
         |FROM events LEFT JOIN customer ON user_id = c_custkey"""
-        .stripMargin.replace("\n", " "))
+        .stripMargin.replace("\n", " "),
+
+    // Multi-batch rule: batch b = event_id % 3; a row survives iff its
+    // window was still open under the watermark established by earlier
+    // batches (ms-truncated max ts of batches < b, minus the 30-minute
+    // allowance); a window is emitted iff its end is <= the final
+    // watermark. Batch 0 faces no watermark (correlated MAX over an
+    // empty set is NULL -> the OR short-circuits).
+    "s08_multibatch_watermark" ->
+      """WITH f AS (SELECT ts, event_type, MOD(event_id, 3) AS b FROM events),
+        |m AS (SELECT b, date_trunc('milliseconds', MAX(ts)) AS mx FROM f GROUP BY b),
+        |k AS (SELECT f.ts, f.event_type FROM f WHERE f.b = 0
+        |OR date_trunc('hour', f.ts) + INTERVAL 1 HOUR >
+        |(SELECT MAX(m.mx) FROM m WHERE m.b < f.b) - INTERVAL 30 MINUTE)
+        |SELECT date_trunc('hour', ts) AS win, event_type, COUNT(*) AS n
+        |FROM k
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <=
+        |(SELECT MAX(m.mx) FROM m) - INTERVAL 30 MINUTE
+        |GROUP BY 1, 2""".stripMargin.replace("\n", " "))
 }
