@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
 import graft.operators.{AsOfJoin, Control, Filters, Observe, Partitioning, Translate}
+import graft.serde.{AvroSerde, SchemaRegistry}
 
 /**
  * The reference's data-plane + control-plane operator inventory
@@ -388,6 +389,52 @@ object BrooklinQueries {
           col("ok"))
     }),
 
+    // T6 DYNAMIC schema lookup: one frame column carries TWO writer
+    // schemas (v1 = {payload}, v2 = {payload, sender}); the decoder
+    // resolves each row's schema from the md5 digest embedded in its
+    // own frame — no known schema id — then Avro-decodes with the
+    // resolved schema. A bad-magic subset and an unregistered-digest
+    // subset must both skip (null schema/fields). The oracle needs no
+    // Avro: decode(encode(x)) == x, so expected values come straight
+    // from the source columns. Reference: SchemaRegistryClient.java +
+    // AvroMessageEncoderUtil.java:58-76.
+    "q38_registry_mixed" -> ((s, d) => {
+      val v1Json = AvroSerde.stringRecordSchema("EventV1", Seq("payload"))
+      val v2Json = AvroSerde.stringRecordSchema("EventV2", Seq("payload", "sender"))
+      val registry = SchemaRegistry.empty
+        .withSchema("7", v1Json, Seq("payload"))
+        .withSchema("9", v2Json, Seq("payload", "sender"))
+      val ev = t(s, d, "events").filter(col("event_id") < 2000)
+        .select(col("event_id"),
+          col("props").as("payload"),
+          col("user_id").cast("string").as("sender"))
+      // even ids were produced by the v1 writer, odd ids by v2 — the
+      // mid-migration mixed topic
+      val enc1 = AvroSerde.encode(
+        ev.filter(pmod(col("event_id"), lit(2L)) === 0), v1Json,
+        Seq("payload"), "avro").withColumn("sid", lit("7"))
+      val enc2 = AvroSerde.encode(
+        ev.filter(pmod(col("event_id"), lit(2L)) === 1), v2Json,
+        Seq("payload", "sender"), "avro").withColumn("sid", lit("9"))
+      val framed = enc1.unionByName(enc2).select(
+        col("event_id"),
+        when(pmod(col("event_id"), lit(10L)).isin(3L, 4L),
+          // tampered magic byte (one even + one odd residue)
+          concat(lit(Array[Byte](1)), unhex(md5(col("sid"))),
+            col("avro")))
+          .when(pmod(col("event_id"), lit(10L)).isin(6L, 7L),
+            // well-formed frame, but schema id 13 was never registered
+            Portable.registryFrame(lit("13"), col("avro")))
+          .otherwise(Portable.registryFrame(col("sid"), col("avro")))
+          .as("frame"))
+      AvroSerde.registryDecode(framed, registry, "frame").select(
+        col("event_id"),
+        col("schema_id"),
+        element_at(col("dec"), "payload").as("dec_payload"),
+        element_at(col("dec"), "sender").as("dec_sender"),
+        col("schema_id").isNotNull.as("ok"))
+    }),
+
     // Star-schema join rollup: broadcast dims, exact decimal revenue.
     "q21_revenue_by_nation" -> ((s, d) => {
       val orders = t(s, d, "orders")
@@ -646,6 +693,21 @@ object BrooklinQueries {
          |lower(hex(${Portable.registryUnframeSql("frame", "7")})) AS payload_hex,
          |(${Portable.registryFrameValidSql("frame", "7")}) AS ok
          |FROM f""".stripMargin.replace("\n", " "),
+
+    // Avro round-trips exactly, so the expected decode of a valid frame
+    // is the source column itself; the two corrupt residue classes
+    // (bad magic 3/4, unregistered digest 6/7) skip to nulls, and the
+    // v1 schema has no sender field, so even ids decode sender as null.
+    "q38_registry_mixed" ->
+      """SELECT event_id,
+        |CASE WHEN MOD(event_id, 10) IN (3, 4, 6, 7) THEN NULL
+        |WHEN MOD(event_id, 2) = 0 THEN '7' ELSE '9' END AS schema_id,
+        |CASE WHEN MOD(event_id, 10) IN (3, 4, 6, 7) THEN NULL
+        |ELSE props END AS dec_payload,
+        |CASE WHEN MOD(event_id, 10) IN (3, 4, 6, 7) OR MOD(event_id, 2) = 0
+        |THEN NULL ELSE CAST(user_id AS VARCHAR) END AS dec_sender,
+        |(MOD(event_id, 10) NOT IN (3, 4, 6, 7)) AS ok
+        |FROM events WHERE event_id < 2000""".stripMargin.replace("\n", " "),
 
     "q21_revenue_by_nation" ->
       """SELECT r_name, n_name, COUNT(*) AS n_orders,

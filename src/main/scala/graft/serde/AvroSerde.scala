@@ -7,7 +7,7 @@ import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWri
 import org.apache.avro.io.{DecoderFactory, EncoderFactory}
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.types.{BinaryType, StringType, StructType}
+import org.apache.spark.sql.types.{BinaryType, MapType, StringType, StructType}
 
 /**
  * Real Avro binary serde for the registry envelope path (T6).
@@ -86,6 +86,70 @@ object AvroSerde {
             else fields.map(f => String.valueOf(rec.get(f)))
           } catch { case _: Exception => fields.map(_ => null) }
         Row.fromSeq(r.toSeq ++ decoded)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /**
+   * Decode a MIXED-schema registry-envelope column: each frame's writer
+   * schema is resolved at runtime from the md5 digest embedded in its
+   * own bytes — no known schema id required (T6 dynamic lookup;
+   * reference: AvroMessageEncoderUtil.decode :58-76 slices the digest,
+   * SchemaRegistryClient resolves it). Appends two columns:
+   *
+   *   - `schema_id`: the registered id the digest resolved to, or null
+   *   - `dec`: map of the resolved schema's string fields → decoded
+   *     values, or null
+   *
+   * Null in both = the F6 skip signal, raised by a bad magic byte, an
+   * unregistered digest, a truncated frame, or an Avro decode failure —
+   * the caller counts skips exactly as with the fixed-schema path.
+   *
+   * Shape: one `mapPartitions` pass; every registered schema is parsed
+   * once per partition and its `GenericDatumReader` reused, so a
+   * two-schema registry costs two parser calls per partition, not per
+   * row. The registry rides the closure (schema-count-sized, the
+   * broadcast-table pattern).
+   */
+  def registryDecode(df: DataFrame, registry: SchemaRegistry,
+      inCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema
+      .add("schema_id", StringType)
+      .add("dec", MapType(StringType, StringType))
+    val binIdx = inSchema.fieldIndex(inCol)
+    df.mapPartitions { rows =>
+      val readers = registry.byDigest.map { case (digest, reg) =>
+        val schema = new Schema.Parser().parse(reg.schemaJson)
+        digest -> (reg, new GenericDatumReader[GenericRecord](schema))
+      }
+      val hexChars = "0123456789abcdef".toCharArray
+      rows.map { r =>
+        val frame = r.getAs[Array[Byte]](binIdx)
+        val (sid, dec): (String, Map[String, String]) =
+          if (frame == null || frame.length < 17 || frame(0) != 0) (null, null)
+          else {
+            val sb = new java.lang.StringBuilder(32)
+            var i = 1
+            while (i <= 16) {
+              sb.append(hexChars((frame(i) >> 4) & 0xf))
+              sb.append(hexChars(frame(i) & 0xf))
+              i += 1
+            }
+            readers.get(sb.toString) match {
+              case None => (null, null)
+              case Some((reg, reader)) =>
+                try {
+                  val d = DecoderFactory.get()
+                    .binaryDecoder(frame, 17, frame.length - 17, null)
+                  val rec = reader.read(null, d)
+                  if (!d.isEnd) (null, null)
+                  else (reg.schemaId,
+                    reg.fields.map(f => f -> String.valueOf(rec.get(f))).toMap)
+                } catch { case _: Exception => (null, null) }
+            }
+          }
+        Row.fromSeq(r.toSeq :+ sid :+ dec)
       }
     }(Encoders.row(outSchema))
   }

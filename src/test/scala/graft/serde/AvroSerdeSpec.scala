@@ -32,6 +32,47 @@ class AvroSerdeSpec extends SparkTestBase {
     assert(got == Set(("k1", "hello"), ("k2", "wörld")))
   }
 
+  test("registryDecode resolves each row's writer schema from its own digest") {
+    val v1 = AvroSerde.stringRecordSchema("V1", Seq("value"))
+    val v2 = AvroSerde.stringRecordSchema("V2", Seq("value", "origin"))
+    val registry = SchemaRegistry.empty
+      .withSchema("s-v1", v1, Seq("value"))
+      .withSchema("s-v2", v2, Seq("value", "origin"))
+    assert(registry.size == 2)
+    assert(registry.resolve(SchemaRegistry.digestOf("s-v1")).get.schemaId == "s-v1")
+    assert(registry.resolve("00" * 16).isEmpty)
+
+    // one column, two writer schemas — the mid-migration topic
+    val a = AvroSerde.encode(Seq(("r1", "va", "x")).toDF("id", "value", "origin"),
+      v1, Seq("value"), "avro")
+      .withColumn("frame", Portable.registryFrame(lit("s-v1"), col("avro")))
+    val b = AvroSerde.encode(Seq(("r2", "vb", "earth")).toDF("id", "value", "origin"),
+      v2, Seq("value", "origin"), "avro")
+      .withColumn("frame", Portable.registryFrame(lit("s-v2"), col("avro")))
+    // plus an unregistered writer and a tampered frame: both must skip
+    val c = AvroSerde.encode(Seq(("r3", "vc", "y")).toDF("id", "value", "origin"),
+      v1, Seq("value"), "avro")
+      .withColumn("frame", Portable.registryFrame(lit("unknown"), col("avro")))
+    val d = AvroSerde.encode(Seq(("r4", "vd", "z")).toDF("id", "value", "origin"),
+      v1, Seq("value"), "avro")
+      .withColumn("good", Portable.registryFrame(lit("s-v1"), col("avro")))
+      .withColumn("frame",
+        concat(lit(Array[Byte](1)), expr("substring(good, 2, octet_length(good))")))
+
+    val mixed = a.unionByName(b).unionByName(c)
+      .unionByName(d.drop("good")).select("id", "frame")
+    val got = AvroSerde.registryDecode(mixed, registry, "frame")
+      .select(col("id"), col("schema_id"),
+        element_at(col("dec"), "value").as("v"),
+        element_at(col("dec"), "origin").as("o"))
+      .as[(String, String, String, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got("r1") == ("s-v1", "va", null))
+    assert(got("r2") == ("s-v2", "vb", "earth"))
+    assert(got("r3") == (null, null, null))
+    assert(got("r4") == (null, null, null))
+  }
+
   test("bad magic byte fails validation; corrupt payload decodes to nulls (F6)") {
     val df = Seq(("k1", "v1")).toDF("key", "value")
     val framed = AvroSerde.encode(df, schema, Seq("key", "value"), "avro")
