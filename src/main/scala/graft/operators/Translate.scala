@@ -43,6 +43,39 @@ object Translate {
       col("partition").as("dest_partition"))
 
   /**
+   * Project a mirrored envelope into the EXACT row contract of the
+   * Kafka sink — the columns Spark's kafka writer consumes (`topic`
+   * string, `key`/`value` binary, optional `partition` int, `headers`
+   * array<struct<key:string,value:binary>>), which is the same record
+   * shape the reference's producer path assembles
+   * (KafkaTransportProvider.convertToProducerRecord:107-146: topic from
+   * the destination, key/value bytes, the source partition carried
+   * through for identity partitioning, metadata as headers).
+   *
+   * Identity partitioning (P1) is preserved by emitting
+   * `dest_partition` as the sink's `partition` column — the writer
+   * sends each record to the same partition number it came from
+   * (KafkaMirrorMakerConnectorTask.java:275-277). Origin coordinates
+   * and the checkpoint ride as headers, the reference's metadata
+   * passthrough.
+   */
+  def toKafkaSink(df: DataFrame): DataFrame =
+    df.select(
+      col("dest_topic").cast("string").as("topic"),
+      col("key").cast("binary").as("key"),
+      col("value").cast("binary").as("value"),
+      col("dest_partition").cast("int").as("partition"),
+      array(
+        struct(lit("origin-topic").as("key"),
+          col("origin_topic").cast("binary").as("value")),
+        struct(lit("origin-partition").as("key"),
+          col("origin_partition").cast("string").cast("binary").as("value")),
+        struct(lit("origin-offset").as("key"),
+          col("origin_offset").cast("string").cast("binary").as("value")),
+        struct(lit("checkpoint").as("key"),
+          col("checkpoint").cast("binary").as("value"))).as("headers"))
+
+  /**
    * Single-topic translate: source timestamp depends on the record's
    * timestamp type (CREATE_TIME uses the broker/producer stamp,
    * otherwise the read time).
