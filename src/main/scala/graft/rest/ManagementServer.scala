@@ -1,7 +1,9 @@
 package graft.rest
 
-import java.net.InetSocketAddress
+import java.net.{InetSocketAddress, URI}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.charset.StandardCharsets
+import java.time.Duration
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
@@ -9,8 +11,10 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.model.PipelineSpec
+import graft.operators.Control
 import graft.streaming.PipelineManager
 
 /**
@@ -163,10 +167,11 @@ final class ManagementServer(pm: PipelineManager,
         pm.delete(name)
         respond(ex, 200, JObject("name" -> JString(name), "deleted" -> JBool(true)))
       case ("GET", List("diag")) =>
-        respond(ex, 200, JArray(pm.status().map { case (n, st, rows) =>
-          JObject("name" -> JString(n), "state" -> JString(st),
-            "rows" -> JLong(rows)): JValue
-        }.toList))
+        queryParams(ex).get("peers").filter(_.nonEmpty) match {
+          case Some(peers) =>
+            respond(ex, 200, peerDiag(peers.split(",").toSeq.filter(_.nonEmpty)))
+          case None => respond(ex, 200, localDiag())
+        }
       case ("GET", List("diag", name)) =>
         respond(ex, 200, JObject(
           "name" -> JString(name),
@@ -176,6 +181,91 @@ final class ManagementServer(pm: PipelineManager,
             pm.paused(name).toList.sorted.map(JString(_): JValue))))
       case _ => error(ex, 404, s"no route $method $path")
     }
+  }
+
+  // ---- A10 diag: local rows + multi-instance scatter-gather ----
+
+  private def localDiag(): JValue =
+    JArray(pm.status().map { case (n, st, rows) =>
+      JObject("name" -> JString(n), "state" -> JString(st),
+        "rows" -> JLong(rows)): JValue
+    }.toList)
+
+  private lazy val httpClient: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(5)).build()
+
+  /**
+   * Multi-instance diagnostics (A10 full shape): fan the diag query out
+   * to peer managers over HTTP and reduce every instance's per-query
+   * rows into one payload — the engine's
+   * ServerComponentHealthAggregator (reference: datastream-server-restli/
+   * .../diagnostics/ServerComponentHealthAggregator.java: the
+   * coordinator posts the query to each live instance's admin endpoint
+   * and merges the responses, tolerating per-peer failures).
+   *
+   * The summary rollup goes through [[Control.diagReduce]] — the same
+   * two-level partial/merge aggregation the gated q13 query runs over
+   * data-plane volumes; here the input is the control-plane status rows
+   * of every instance (bounded by query count, not data size).
+   */
+  private def peerDiag(peers: Seq[String]): JValue = {
+    val local: Seq[(String, Either[String, Seq[(String, String, Long)]])] =
+      Seq("local" -> Right(pm.status()))
+    val fetched = local ++ peers.map { p =>
+      p -> (try {
+        val resp = httpClient.send(
+          HttpRequest.newBuilder(URI.create(s"http://$p/diag"))
+            .timeout(Duration.ofSeconds(10)).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200, s"peer $p returned ${resp.statusCode()}")
+        val items = JsonMethods.parse(resp.body()) match {
+          case JArray(xs) => xs
+          case other => sys.error(s"peer $p returned non-array diag: $other")
+        }
+        Right(items.map { j =>
+          val name = j \ "name" match { case JString(v) => v; case _ => "" }
+          val state = j \ "state" match { case JString(v) => v; case _ => "" }
+          val rows = j \ "rows" match {
+            case JLong(v) => v
+            case JInt(v) => v.toLong
+            case _ => 0L
+          }
+          (name, state, rows)
+        })
+      } catch { case e: Exception => Left(String.valueOf(e.getMessage)) })
+    }
+
+    val instancesJson = JArray(fetched.map {
+      case (inst, Right(qs)) =>
+        JObject("instance" -> JString(inst),
+          "queries" -> JArray(qs.map { case (n, st, rows) =>
+            JObject("name" -> JString(n), "state" -> JString(st),
+              "rows" -> JLong(rows)): JValue
+          }.toList)): JValue
+      case (inst, Left(err)) =>
+        JObject("instance" -> JString(inst), "error" -> JString(err)): JValue
+    }.toList)
+
+    val statusRows = fetched.collect { case (inst, Right(qs)) =>
+      qs.map { case (n, st, rows) => (inst, st, rows) }
+    }.flatten
+    val session = pm.session
+    import session.implicits._
+    val summary =
+      if (statusRows.isEmpty) Nil
+      else Control.diagReduce(statusRows.toDF("instance", "state", "rows"),
+          col("instance"), col("state"), col("rows"))
+        .collect().toSeq.map { r =>
+          JObject(
+            "status" -> JString(r.getAs[String]("status")),
+            "hosts" -> JLong(r.getAs[Long]("hosts")),
+            "records" -> JLong(r.getAs[Long]("records")),
+            "rows_total" -> JLong(r.getAs[Long]("metric_total"))): JValue
+        }
+
+    JObject(
+      "instances" -> instancesJson,
+      "summary" -> JArray(summary.toList))
   }
 
   def start(): ManagementServer = { server.start(); this }

@@ -561,6 +561,11 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     hooks.onStateChange(name, PipelineStatus.Deleting)
   }
 
+  /** The session this manager schedules on (control-plane consumers
+    * like the management server's peer-diag reduce run tiny DataFrame
+    * aggregations over it). */
+  private[graft] def session: SparkSession = spark
+
   /**
    * Diagnostics scatter-gather (A10 / DiagnosticsAware.reduce): merge
    * every active query's progress into one status row each.

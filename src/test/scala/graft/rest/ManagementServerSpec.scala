@@ -95,4 +95,74 @@ class ManagementServerSpec extends SparkTestBase {
       assert(req(base, "GET", "/pipelines/r1").statusCode() == 404)
     } finally srv.stop()
   }
+
+  test("diag fans out to peers and reduces both managers into one payload") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+
+    // two managers = two instances, each with its own admin endpoint —
+    // the multi-instance deployment the reference's
+    // ServerComponentHealthAggregator serves
+    val pmA = new PipelineManager(spark,
+      Files.createTempDirectory("graft-diag-a-").toString)
+    val pmB = new PipelineManager(spark,
+      Files.createTempDirectory("graft-diag-b-").toString)
+    val srvA = new ManagementServer(pmA).start()
+    val srvB = new ManagementServer(pmB).start()
+    try {
+      def mkPipeline(pm: PipelineManager, name: String, rows: Seq[(Long, String)]): Unit = {
+        val srcDir = Files.createTempDirectory(s"graft-diag-src-$name-").toString
+        rows.toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+        pm.create(graft.model.PipelineSpec(name, "parquet", "parquet", srcDir))
+        pm.start(name, identity)
+        pm.queryOf(name).foreach(_.awaitTermination())
+      }
+      mkPipeline(pmA, "da", Seq((1L, "x"), (2L, "y")))
+      mkPipeline(pmB, "db", Seq((3L, "z")))
+
+      val baseA = s"http://localhost:${srvA.boundPort}"
+      val resp = req(baseA, "GET", s"/diag?peers=localhost:${srvB.boundPort}")
+      assert(resp.statusCode() == 200, resp.body())
+      val j = JsonMethods.parse(resp.body())
+
+      // both instances present, each with its own query rows
+      val instances = (j \ "instances") match {
+        case JArray(xs) => xs
+        case other => fail(s"instances must be an array, got $other")
+      }
+      assert(instances.size == 2)
+      val byInstance = instances.map(i =>
+        (i \ "instance").asInstanceOf[JString].s -> i).toMap
+      assert(byInstance.contains("local") &&
+        byInstance.keys.exists(_.startsWith("localhost:")))
+      assert(JsonMethods.compact(JsonMethods.render(byInstance("local")))
+        .contains("\"da\""))
+      assert(JsonMethods.compact(JsonMethods.render(
+        byInstance.collectFirst { case (k, v) if k != "local" => v }.get))
+        .contains("\"db\""))
+
+      // the reduce folds both managers: 2 hosts, 2+1 queries' rows
+      val summary = (j \ "summary") match {
+        case JArray(xs) => xs
+        case other => fail(s"summary must be an array, got $other")
+      }
+      assert(summary.nonEmpty)
+      val stopped = summary.find(s =>
+        (s \ "status") == JString("STOPPED")).getOrElse(fail("no STOPPED row"))
+      def num(j: JValue): Long = j match {
+        case JLong(v) => v
+        case JInt(v) => v.toLong
+        case other => fail(s"not a number: $other")
+      }
+      assert(num(stopped \ "hosts") == 2L, JsonMethods.compact(
+        JsonMethods.render(stopped)))
+      assert(num(stopped \ "records") == 2L) // one query row per manager
+      assert(num(stopped \ "rows_total") == 3L) // 2 rows + 1 row processed
+
+      // a dead peer degrades to an error entry, not a failed request
+      val degraded = req(baseA, "GET", "/diag?peers=localhost:1")
+      assert(degraded.statusCode() == 200)
+      assert(degraded.body().contains("\"error\""))
+    } finally { srvA.stop(); srvB.stop(); pmA.close(); pmB.close() }
+  }
 }
