@@ -134,34 +134,41 @@ object Ann {
   }
 
   /**
-   * IVF-style ANN: candidates are bucketed by nearest centroid, probes
-   * search only their own cell (nprobe=1). Centroids here are the
-   * first `nList` vectors by id — deterministic stand-ins for a
-   * k-means codebook (training the codebook is an offline job; the
-   * assign/probe dataflow, which is what must scale, is identical).
+   * IVF-style ANN: candidates are bucketed by nearest centroid; each
+   * probe searches its `nprobe` nearest cells — the recall knob every
+   * real IVF index exposes (nprobe=1 only sees the probe's own cell and
+   * misses neighbors that assigned across a cell boundary; raising it
+   * trades linearly more candidate comparisons for recall). Centroids
+   * here are the first `nList` vectors by id — deterministic stand-ins
+   * for a k-means codebook (training the codebook is an offline job;
+   * the assign/probe dataflow, which is what must scale, is identical).
    * Assignment is a broadcast join against the tiny centroid set; the
-   * probe join is an equi-join on cell id.
+   * probe join stays an equi-join on cell id with an nprobe-times
+   * larger probe side — candidates are never replicated, so the join
+   * cost at 100 TB grows with the (small) probe set, not the corpus.
    */
-  def ivfTopK(probes: DataFrame, candidates: DataFrame, nList: Int, k: Int): DataFrame = {
+  def ivfTopK(probes: DataFrame, candidates: DataFrame, nList: Int, k: Int,
+      nprobe: Int = 1): DataFrame = {
     val cents = candidates.filter(col("vec_id") < nList)
       .select(col("vec_id").as("cent_id"), toDouble(col("embedding")).as("ce"))
       .withColumn("cnr", norm(col("ce")))
 
-    def assign(df: DataFrame): DataFrame = {
+    /** Attach the `n` nearest cell ids (one output row per cell). */
+    def assign(df: DataFrame, n: Int): DataFrame = {
       val v = df.select(col("vec_id"), toDouble(col("embedding")).as("v"))
         .withColumn("nr", norm(col("v")))
       val scored = v.join(broadcast(cents), lit(true))
         .withColumn("acos", round(cosine(col("v"), col("ce"), col("nr"), col("cnr")), 6))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("acos").desc, col("cent_id"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
         .select(col("vec_id"), col("v"), col("nr"), col("cent_id"))
     }
 
-    val c = assign(candidates)
+    val c = assign(candidates, 1)
       .withColumnRenamed("vec_id", "cand_id")
       .withColumnRenamed("v", "cv").withColumnRenamed("nr", "cn")
-    val p = assign(probes)
+    val p = assign(probes, nprobe)
       .withColumnRenamed("vec_id", "query_id")
       .withColumnRenamed("v", "qv").withColumnRenamed("nr", "qn")
     val scored = p.join(c, Seq("cent_id"))

@@ -145,6 +145,17 @@ object DataOpsQueries {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // IVF with nprobe=2: each probe searches its two nearest cells —
+    // the recall knob a production IVF deployment actually turns
+    // (nprobe=1 misses neighbors that assigned just across a cell
+    // boundary). Candidates stay single-cell; only the probe side
+    // fans out.
+    "e06_ann_ivf_nprobe" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Ann.ivfTopK(emb.filter(col("vec_id") < 10), emb, nList = 8, k = 3,
+        nprobe = 2).withColumn("rank", col("rank").cast("long"))
+    }),
+
     // Int8 embedding quantization (storage/serving compression). The
     // gate projects qvec as a csv string — the comparison harness can't
     // sort array cells; the array-typed operator output is unchanged.
@@ -487,6 +498,33 @@ object DataOpsQueries {
          |c.vec_id AS cand_id,
          |round(${dotSql("q.e", "c.e")} / (q.nr * c.nr), 6) AS cos
          |FROM nb q JOIN nb c ON q.cent_id = c.cent_id
+         |AND q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         |SELECT query_id, cent_id, cand_id, rank, cos FROM (
+         |SELECT query_id, cent_id, cand_id, cos, ROW_NUMBER() OVER
+         |(PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM scored)
+         |WHERE rank <= 3""".stripMargin.replace("\n", " "),
+
+    // Same construction as e04 with the probe assignment widened to
+    // rn <= 2 (candidate assignment stays rn = 1, so no candidate is
+    // ever counted twice).
+    "e06_ann_ivf_nprobe" ->
+      s"""WITH $vecCte, $normCte,
+         |cents AS (SELECT vec_id AS cent_id, e AS ce, nr AS cnr FROM n WHERE vec_id < 8),
+         |sa AS (SELECT n.vec_id, c.cent_id,
+         |round(${dotSql("n.e", "c.ce")} / (n.nr * c.cnr), 6) AS acos
+         |FROM n CROSS JOIN cents c),
+         |casg AS (SELECT vec_id, cent_id FROM (
+         |SELECT vec_id, cent_id, ROW_NUMBER() OVER
+         |(PARTITION BY vec_id ORDER BY acos DESC, cent_id) AS rn FROM sa) WHERE rn = 1),
+         |pasg AS (SELECT vec_id, cent_id FROM (
+         |SELECT vec_id, cent_id, ROW_NUMBER() OVER
+         |(PARTITION BY vec_id ORDER BY acos DESC, cent_id) AS rn FROM sa) WHERE rn <= 2),
+         |nbc AS (SELECT n.vec_id, e, nr, a.cent_id FROM n JOIN casg a USING (vec_id)),
+         |nbp AS (SELECT n.vec_id, e, nr, a.cent_id FROM n JOIN pasg a USING (vec_id)),
+         |scored AS (SELECT q.vec_id AS query_id, q.cent_id AS cent_id,
+         |c.vec_id AS cand_id,
+         |round(${dotSql("q.e", "c.e")} / (q.nr * c.nr), 6) AS cos
+         |FROM nbp q JOIN nbc c ON q.cent_id = c.cent_id
          |AND q.vec_id < 10 AND q.vec_id <> c.vec_id)
          |SELECT query_id, cent_id, cand_id, rank, cos FROM (
          |SELECT query_id, cent_id, cand_id, cos, ROW_NUMBER() OVER

@@ -22,6 +22,25 @@ class AnnSpec extends SparkTestBase {
     assert(got(1)._2 > 0.70 && got(1)._2 < 0.72) // cos(45°)
   }
 
+  test("ivf nprobe=2 recall dominates nprobe=1 against the brute-force truth") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"${sf("0.001")}/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 10)
+    def hits(nprobe: Int): Long =
+      Ann.ivfTopK(probes, emb, nList = 8, k = 3, nprobe = nprobe)
+        .select("query_id", "cand_id")
+        .intersect(Ann.bruteForceTopK(probes, emb, k = 3)
+          .select("query_id", "cand_id"))
+        .count()
+    val n1 = hits(1)
+    val n2 = hits(2)
+    assert(n2 >= n1, s"widening the probe set must not lose recall ($n1 -> $n2)")
+    // probing a second cell must actually add comparisons per query
+    val counted = Ann.ivfTopK(probes, emb, nList = 8, k = 3, nprobe = 2)
+      .groupBy("query_id").count()
+    assert(counted.agg(min("count")).head().getLong(0) >= 1L)
+  }
+
   test("cosinePairs finds only the high-similarity pairs") {
     val got = Ann.cosinePairs(vecs, threshold = 0.9)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
