@@ -226,6 +226,30 @@ object Ann {
   }
 
   /**
+   * Recall@k of an approximate ANN result against the exact truth set
+   * — the measurement every real ANN deployment runs before trusting
+   * an index (and re-runs when tuning nBits/nList/nprobe). Both inputs
+   * are (query_id, cand_id[, …]) result frames, e.g.
+   * [[bruteForceTopK]] as `truth` and [[lshTopK]]/[[ivfTopK]] as
+   * `retrieved`.
+   *
+   * Scale shape: an equi-join on (query_id, cand_id) over two frames
+   * that are already only |probes| × k rows — negligible next to the
+   * searches themselves.
+   */
+  def recallAtK(truth: DataFrame, retrieved: DataFrame): DataFrame = {
+    val t = truth.select(col("query_id"), col("cand_id"))
+    val r = retrieved.select(col("query_id").as("r_qid"),
+      col("cand_id").as("r_cid"))
+    t.join(r, col("query_id") === col("r_qid") &&
+        col("cand_id") === col("r_cid"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_true"), count(col("r_cid")).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_true").cast("double"), 6))
+  }
+
+  /**
    * Exact all-pairs variant of [[cosinePairs]] — O(n²) with a
    * broadcast of the full corpus; small-corpus verification only,
    * never the 100 TB path.

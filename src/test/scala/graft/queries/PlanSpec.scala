@@ -116,4 +116,32 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       "partial/final aggregate split expected")
   }
+
+  test("d11 stratified sample is a shuffle-free codegen filter") {
+    val p = planOf("d11_stratified_sample")
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty,
+      "per-row hash sampling must not shuffle — executors sample independently")
+  }
+
+  test("d12 mixture weights aggregate before the global window") {
+    val plan = planOf("d12_domain_mix").toString
+    // the raw corpus is collapsed by a partial/final groupBy(source)
+    // BEFORE the single-partition window ever sees a row
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "partial/final aggregate split expected below the window")
+  }
+
+  test("t08 repetition stats keep keyed partial aggregation, no product joins") {
+    val plan = planOf("t08_repetition").toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "repetition stats must stay keyed on doc_id")
+  }
+
+  test("e07 recall join never degrades to a product join") {
+    val plan = planOf("e07_lsh_recall").toString
+    assert(!plan.contains("CartesianProduct"),
+      "recall is an equi-join on (query_id, cand_id)")
+  }
 }

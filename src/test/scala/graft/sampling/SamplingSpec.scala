@@ -1,0 +1,51 @@
+package graft.sampling
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"${sf()}/documents.parquet")
+
+  test("stratified sample is deterministic and respects per-stratum rates") {
+    val a = Sampling.stratifiedSampleDerived(
+      docs.select($"doc_id", $"source"), $"source", $"doc_id")
+    val b = Sampling.stratifiedSampleDerived(
+      docs.select($"doc_id", $"source"), $"source", $"doc_id")
+    val idsA = a.select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(idsA == b.select($"doc_id").as[Long].collect().sorted.toSeq)
+    assert(idsA.nonEmpty && idsA.size < docs.count())
+    // derived rates live in [10, 90]
+    val rates = a.select($"rate_pct").distinct().as[Long].collect()
+    assert(rates.forall(r => r >= 10 && r <= 90))
+  }
+
+  test("sample decisions are stable under corpus growth") {
+    // sampling the first half of the corpus keeps exactly the rows the
+    // full-corpus sample kept from that half — no reshuffle drift
+    val half = docs.filter($"doc_id" < 250).select($"doc_id", $"source")
+    val full = Sampling.stratifiedSampleDerived(
+        docs.select($"doc_id", $"source"), $"source", $"doc_id")
+      .filter($"doc_id" < 250).select($"doc_id").as[Long].collect().sorted.toSeq
+    val sub = Sampling.stratifiedSampleDerived(half, $"source", $"doc_id")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(full == sub)
+  }
+
+  test("mixture weights equalize toward the uniform target") {
+    val w = Sampling.mixtureWeights(docs, $"source",
+      graft.text.Text.tokenCount($"text"))
+    val rows = w.select($"token_frac", $"mix_weight", $"repeat_factor")
+      .as[(Double, Double, Long)].collect()
+    assert(math.abs(rows.map(_._1).sum - 1.0) < 1e-3)
+    assert(rows.forall(_._2 > 0.0))
+    assert(rows.forall(r => r._3 >= 1L && r._3 <= 5L))
+    // a domain with above-average token share must be down-weighted
+    val n = rows.length
+    rows.foreach { case (frac, weight, _) =>
+      if (frac > 1.0 / n) assert(weight < 1.0) else assert(weight >= 0.99)
+    }
+  }
+}

@@ -28,6 +28,21 @@ class TextSpec extends SparkTestBase {
     assert(fp(0) != fp(1))
   }
 
+  test("repetitionStats computes the Gopher-style repetition fractions") {
+    val df = Seq(
+      (1L, "a a a b"),   // top 3/4; dup tokens 1-2/4; 2-grams [a a, a a, a b]
+      (2L, "a b c d e f"), // no repetition; top frac 1/6 under the 0.2 bar
+      (3L, "x")          // single token: no 2-grams, top fraction 1.0
+    ).toDF("doc_id", "text")
+    val got = Text.repetitionStats(df, $"doc_id", $"text")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Double, Double, Double, Long)].collect()
+    // doc 1: 2-gram dup fraction = round(1 - 2/3, 6)
+    assert(got(0) == ((1L, 4L, 0.75, 0.5, 0.333333, 1L)))
+    assert(got(1) == ((2L, 6L, 0.166667, 0.0, 0.0, 0L)))
+    assert(got(2) == ((3L, 1L, 1.0, 0.0, 0.0, 1L)))
+  }
+
   test("quality score stays in [0,1] on the real corpus") {
     val q = spark.read.parquet(s"${sf()}/documents.parquet")
       .select(Text.qualityScore($"text")).as[Double].collect()
