@@ -138,6 +138,43 @@ object DataOpsQueries {
       Sampling.mixtureWeights(t(s, d, "documents"), col("source"),
         Text.tokenCount(col("text")))),
 
+    // The curation funnel: the filter chain a corpus curator actually
+    // ships — language gate → quality threshold → repetition filter →
+    // exact dedup — with cumulative survivor counts per stage. Each
+    // stage is one of the engine's gated operators; this query proves
+    // they compose in one plan (flags are column predicates except the
+    // repetition join, which stays keyed on doc_id).
+    "d13_curation_funnel" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val rep = Text.repetitionStats(docs, col("doc_id"), col("text"))
+        .select(col("doc_id").as("r_doc"), col("repetitive"))
+      val keep = Dedup.exact(docs, col("doc_id"), col("text"))
+        .select(col("keep_id"))
+      val flagged = docs
+        .join(rep, col("doc_id") === col("r_doc"), "left")
+        .withColumn("f_lang", col("lang") === "en")
+        .withColumn("f_quality",
+          col("f_lang") && Text.qualityScore(col("text")) >= 0.5)
+        .withColumn("f_rep", col("f_quality") && col("repetitive") === 0)
+      val withDedup = flagged
+        .join(keep, col("doc_id") === col("keep_id"), "left")
+        .withColumn("f_dedup", col("f_rep") && col("keep_id").isNotNull)
+      withDedup.agg(
+          count(lit(1)).as("n_all"),
+          sum(col("f_lang").cast("long")).as("n_lang"),
+          sum(col("f_quality").cast("long")).as("n_quality"),
+          sum(col("f_rep").cast("long")).as("n_clean"),
+          sum(col("f_dedup").cast("long")).as("n_final"))
+        .select(
+          explode(array(
+            struct(lit("1_all").as("stage"), col("n_all").as("n")),
+            struct(lit("2_lang").as("stage"), col("n_lang").as("n")),
+            struct(lit("3_quality").as("stage"), col("n_quality").as("n")),
+            struct(lit("4_repetition").as("stage"), col("n_clean").as("n")),
+            struct(lit("5_dedup").as("stage"), col("n_final").as("n")))))
+        .select(col("col.stage").as("stage"), col("col.n").as("n"))
+    }),
+
     // Embedding-cosine near-duplicate pairs.
     "e01_cosine_pairs" -> ((s, d) =>
       Ann.cosinePairs(t(s, d, "embeddings"), threshold = 0.4)),
@@ -474,6 +511,50 @@ object DataOpsQueries {
          |WHEN MOD(${h("doc_id")}, 100) < 90 THEN 'val' ELSE 'test' END AS split,
          |COUNT(*) AS n, MIN(doc_id) AS min_doc
          |FROM documents GROUP BY 1""".stripMargin.replace("\n", " "),
+
+    // Funnel flags mirror the Spark chain exactly: LEFT JOINs keep
+    // every doc in stage 1; each stage ANDs one more gate.
+    "d13_curation_funnel" -> {
+      val qualityExpr =
+        s"""round((least(CAST(len(w) AS DOUBLE) / 50.0, 1.0)
+           |+ (1.0 - CAST(length(regexp_replace(text, '[a-z A-Z]', '', 'g')) AS DOUBLE)
+           |/ CAST(length(text) AS DOUBLE))
+           |+ (1.0 - abs(CAST(len(list_filter(w, x -> $stopIn)) AS DOUBLE)
+           |/ CAST(len(w) AS DOUBLE) - 0.4))) / 3.0, 6)"""
+          .stripMargin.replace("\n", " ")
+      s"""WITH $wordsCte,
+         |tok AS (SELECT doc, unnest(w) AS t FROM w),
+         |tc AS (SELECT doc, t, COUNT(*) AS c FROM tok GROUP BY doc, t),
+         |tstats AS (SELECT doc, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |MAX(c) AS top_c FROM tc GROUP BY doc),
+         |g2 AS (SELECT doc, unnest(CASE WHEN len(w) >= 2 THEN
+         |list_transform(generate_series(1, len(w) - 1),
+         |j -> concat_ws(' ', w[j], w[j+1])) ELSE [] END) AS g FROM w),
+         |gs AS (SELECT doc, COUNT(*) AS n2, COUNT(DISTINCT g) AS nd2
+         |FROM g2 GROUP BY doc),
+         |rep AS (SELECT tstats.doc,
+         |CASE WHEN round(CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) > 0.2
+         |OR coalesce(round(1.0 - CAST(nd2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6), 0.0) > 0.4
+         |THEN 1 ELSE 0 END AS repetitive
+         |FROM tstats LEFT JOIN gs ON gs.doc = tstats.doc),
+         |qual AS (SELECT doc, $qualityExpr AS quality FROM w),
+         |keep AS (SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY md5(text)),
+         |flags AS (SELECT w.doc AS doc_id,
+         |(w.lang = 'en') AS f_lang,
+         |(w.lang = 'en' AND q.quality >= 0.5) AS f_quality,
+         |(w.lang = 'en' AND q.quality >= 0.5 AND r.repetitive = 0) AS f_rep,
+         |(w.lang = 'en' AND q.quality >= 0.5 AND r.repetitive = 0
+         |AND k.keep_id IS NOT NULL) AS f_dedup
+         |FROM w LEFT JOIN rep r ON r.doc = w.doc
+         |LEFT JOIN qual q ON q.doc = w.doc
+         |LEFT JOIN keep k ON k.keep_id = w.doc)
+         |SELECT '1_all' AS stage, COUNT(*) AS n FROM flags
+         |UNION ALL SELECT '2_lang', COUNT(*) FROM flags WHERE f_lang
+         |UNION ALL SELECT '3_quality', COUNT(*) FROM flags WHERE f_quality
+         |UNION ALL SELECT '4_repetition', COUNT(*) FROM flags WHERE f_rep
+         |UNION ALL SELECT '5_dedup', COUNT(*) FROM flags WHERE f_dedup"""
+        .stripMargin.replace("\n", " ")
+    },
 
     "d11_stratified_sample" ->
       s"""WITH r AS (SELECT doc_id, source,

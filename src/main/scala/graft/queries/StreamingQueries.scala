@@ -265,6 +265,62 @@ object StreamingQueries {
       s.read.parquet(outDir)
     }),
 
+    // Watermarked stream-stream LEFT OUTER join across MULTIPLE
+    // micro-batches — the finalization semantics a production
+    // attribution pipeline runs on: matches emit when the later side
+    // arrives (state is swept only at end-of-batch, so batch-B input
+    // still joins state the same batch evicts); an unmatched click
+    // emits its null row when the watermark proves no purchase can
+    // arrive (click_ts + 1h < wm). Three AvailableNow runs over one
+    // checkpoint (batch b = event_id % 3) make the watermark — and
+    // therefore admission, match co-presence, and null emission — a
+    // pure function of the batch split, which the oracle replays
+    // batch by batch. NOTE: no trailing empty run happens, so clicks
+    // whose eviction point lies beyond the last batch's watermark
+    // stay in state and are NOT emitted — exactly Spark's contract.
+    "s10_stream_outer_join" -> ((s, d) => {
+      val base = Tables.t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val srcDir = Files.createTempDirectory("graft-s10-src-").toString
+      val outDir = Files.createTempDirectory("graft-s10-out-").toString
+      val ckpt = Files.createTempDirectory("graft-s10-ckpt-").toString
+      val schema = base.schema
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        (0 until 3).foreach { b =>
+          base.filter(pmod(col("event_id"), lit(3L)) === b)
+            .coalesce(1).write.mode("append").parquet(srcDir)
+          val stream = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          val clicks = stream.filter(col("event_type") === "click")
+            .select(col("user_id"), col("event_id").as("click_id"),
+              col("ts").as("click_ts"))
+            .withWatermark("click_ts", "30 minutes")
+          val purchases = stream.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("p_user_id"),
+              col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+            .withWatermark("purchase_ts", "30 minutes")
+          val joined = clicks.join(purchases,
+            col("user_id") === col("p_user_id") &&
+              col("purchase_ts") >= col("click_ts") &&
+              col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+            "leftOuter")
+            .select(col("user_id"), col("click_id"), col("purchase_id"))
+          val q = joined.writeStream
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, epoch: Long) =>
+              PipelineManager.epochAppend(batch, outDir, epoch, "s10")
+            }
+            .start()
+          q.awaitTermination()
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", before)
+      s.read.parquet(outDir)
+    }),
+
     // Stream-static enrichment: every event joined to a broadcast
     // dimension snapshot — stateless, so the streaming result equals
     // the batch join (the enrich step of T1 against a lookup table).
@@ -323,6 +379,49 @@ object StreamingQueries {
     "s07_stream_static_enrich" ->
       """SELECT event_id, user_id, c_mktsegment AS segment
         |FROM events LEFT JOIN customer ON user_id = c_custkey"""
+        .stripMargin.replace("\n", " "),
+
+    // Batch-by-batch replay of the join state machine. wmt.b = the
+    // watermark in effect DURING batch b (min over sides of the
+    // ms-truncated max event time of batches < b, minus the 30-minute
+    // allowance; NULL for batch 0). Rules, matching Spark's
+    // StreamingSymmetricHashJoin: (1) a batch-b input row is admitted
+    // iff ts >= wmt[b]; (2) a pair emits iff both admitted AND the
+    // earlier side survived every end-of-batch sweep before the later
+    // side's batch (sweep at end of batch B evicts clicks with
+    // cts + 1h < wmt[B] and purchases with pts < wmt[B]; batch-B input
+    // still joins state swept that same batch); (3) an admitted,
+    // unmatched click emits its null row iff some sweep evicts it —
+    // by monotonicity, iff cts + 1h < the final watermark.
+    "s10_stream_outer_join" ->
+      """WITH f AS (SELECT event_id, user_id, ts, MOD(event_id, 3) AS b,
+        |event_type, date_trunc('milliseconds', ts) AS tsm FROM events
+        |WHERE event_type IN ('click', 'purchase')),
+        |wmt AS (SELECT bb.b AS b, (SELECT LEAST(
+        |(SELECT MAX(tsm) FROM f WHERE event_type = 'click' AND f.b < bb.b),
+        |(SELECT MAX(tsm) FROM f WHERE event_type = 'purchase' AND f.b < bb.b))
+        |- INTERVAL 30 MINUTE) AS w
+        |FROM (SELECT DISTINCT b FROM f) bb),
+        |adm AS (SELECT f.* FROM f LEFT JOIN wmt ON wmt.b = f.b
+        |WHERE wmt.w IS NULL OR f.ts >= wmt.w),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS cts, b AS cb
+        |FROM adm WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, event_id AS purchase_id, ts AS pts,
+        |b AS pb FROM adm WHERE event_type = 'purchase'),
+        |m AS (SELECT c.user_id, c.click_id, p.purchase_id
+        |FROM c JOIN p ON c.user_id = p.p_user
+        |AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR
+        |LEFT JOIN wmt wp ON wp.b = p.pb - 1
+        |LEFT JOIN wmt wc ON wc.b = c.cb - 1
+        |WHERE (p.pb = c.cb)
+        |OR (p.pb > c.cb AND (wp.w IS NULL OR c.cts + INTERVAL 1 HOUR >= wp.w))
+        |OR (c.cb > p.pb AND (wc.w IS NULL OR p.pts >= wc.w))),
+        |nl AS (SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id
+        |FROM c, (SELECT MAX(w) AS wf FROM wmt) fw
+        |WHERE c.cts + INTERVAL 1 HOUR < fw.wf
+        |AND c.click_id NOT IN (SELECT click_id FROM m))
+        |SELECT user_id, click_id, purchase_id FROM m
+        |UNION ALL SELECT user_id, click_id, purchase_id FROM nl"""
         .stripMargin.replace("\n", " "),
 
     // Each batch b a user appears in emits the post-batch running
