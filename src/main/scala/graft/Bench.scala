@@ -5,7 +5,16 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark: runs every gated query against
   * SPARK_GRAFT_SF_DIR, fully materializing results through the noop
   * sink (count() alone would let column pruning skip the work), and
-  * prints ONE JSON line. */
+  * prints ONE JSON line.
+  *
+  * The printed line keys each query by its short id (the prefix before
+  * the first underscore: q15, s10, d09 — unique across the suite) with
+  * millisecond precision, so the whole line stays under ~1.3 KB: the
+  * harness capturing stdout keeps only a bounded tail, and rounds 3-5
+  * proved a full-name/full-precision line (~4 KB at 80 queries) gets
+  * its head truncated and fails to parse. The full-name, full-precision
+  * per-query map is written to bench_detail.json in the working
+  * directory for offline reading. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,11 +52,18 @@ object Bench {
         }
       name -> elapsed
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_detail.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -239,8 +239,12 @@ object Ann {
    */
   def recallAtK(truth: DataFrame, retrieved: DataFrame): DataFrame = {
     val t = truth.select(col("query_id"), col("cand_id"))
+    // A duplicated (query_id, cand_id) pair in `retrieved` would fan
+    // out the left join and inflate both n_true and n_hit; top-k
+    // outputs are distinct by construction but the API shouldn't
+    // depend on it.
     val r = retrieved.select(col("query_id").as("r_qid"),
-      col("cand_id").as("r_cid"))
+      col("cand_id").as("r_cid")).dropDuplicates("r_qid", "r_cid")
     t.join(r, col("query_id") === col("r_qid") &&
         col("cand_id") === col("r_cid"), "left")
       .groupBy(col("query_id"))

@@ -574,7 +574,7 @@ object DataOpsQueries {
          |round(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
          |AS token_frac,
          |round(CAST(total_tokens AS DOUBLE)
-         |/ (CAST(n_strata AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6)
+         |/ (CAST(n_strata AS DOUBLE) * CAST(NULLIF(n_tokens, 0) AS DOUBLE)), 6)
          |AS mix_weight
          |FROM per CROSS JOIN tot)
          |SELECT source, n_docs, n_tokens, token_frac, mix_weight,

@@ -55,7 +55,23 @@ object StreamingQueries {
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    // The memory sink holds rows in driver memory; the checkpoint is
+    // dead once the query terminates. Repeated gated runs would
+    // otherwise leak a temp dir per invocation.
+    deleteTree(ckpt)
     spark.table(name)
+  }
+
+  /** Recursively delete per-invocation temp dirs (src/out/checkpoint);
+    * call only after the result is detached from the files. */
+  private def deleteTree(dirs: String*): Unit = dirs.foreach { d =>
+    val root = java.nio.file.Paths.get(d)
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
   }
 
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
@@ -189,7 +205,14 @@ object StreamingQueries {
       val ckpt = Files.createTempDirectory("graft-s08-ckpt-").toString
       val schema = base.schema
       val before = s.conf.get("spark.sql.shuffle.partitions")
+      // Unlike s10, this AGGREGATION's oracle finalizes windows against
+      // the watermark including the LAST batch's data — which only a
+      // trailing no-data micro-batch can flush. Pin the (default-true)
+      // flag explicitly so a session-level override can't break it.
+      val ndbKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val ndbBefore = s.conf.get(ndbKey)
       s.conf.set("spark.sql.shuffle.partitions", 8)
+      s.conf.set(ndbKey, "true")
       try {
         (0 until 3).foreach { b =>
           base.filter(pmod(col("event_id"), lit(3L)) === b)
@@ -211,8 +234,15 @@ object StreamingQueries {
             .start()
           q.awaitTermination()
         }
-      } finally s.conf.set("spark.sql.shuffle.partitions", before)
-      s.read.parquet(outDir)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", before)
+        s.conf.set(ndbKey, ndbBefore)
+      }
+      // localCheckpoint (eager) detaches the result from the temp
+      // files so they can be deleted before returning.
+      val out = s.read.parquet(outDir).localCheckpoint()
+      deleteTree(srcDir, outDir, ckpt)
+      out
     }),
 
     // Custom keyed state over MULTIPLE micro-batches:
@@ -262,7 +292,9 @@ object StreamingQueries {
           q.awaitTermination()
         }
       } finally s.conf.set("spark.sql.shuffle.partitions", before)
-      s.read.parquet(outDir)
+      val out = s.read.parquet(outDir).localCheckpoint()
+      deleteTree(srcDir, outDir, ckpt)
+      out
     }),
 
     // Watermarked stream-stream LEFT OUTER join across MULTIPLE
@@ -275,9 +307,18 @@ object StreamingQueries {
     // checkpoint (batch b = event_id % 3) make the watermark — and
     // therefore admission, match co-presence, and null emission — a
     // pure function of the batch split, which the oracle replays
-    // batch by batch. NOTE: no trailing empty run happens, so clicks
-    // whose eviction point lies beyond the last batch's watermark
-    // stay in state and are NOT emitted — exactly Spark's contract.
+    // batch by batch. Under the default noDataMicroBatches=true (pinned
+    // here), each AvailableNow run ends with a trailing no-data batch
+    // that does two things the oracle models exactly: it PERSISTS the
+    // watermark advanced by that run's own data (so batch b+1 is
+    // planned under wmt[b+1] — with the flag off the watermark lags a
+    // full batch and admission explodes), and it SWEEPS join state with
+    // that fresh watermark (so eviction of batch-b state happens at end
+    // of run b under wmt[b+1], and the LAST run adds a final sweep at
+    // the all-batches watermark, emitting every remaining evictable
+    // null row). NoDataBatchContractSpec pins both behaviors with a
+    // synthetic case and fails loudly on a Spark upgrade that changes
+    // the schedule.
     "s10_stream_outer_join" -> ((s, d) => {
       val base = Tables.t(s, d, "events")
         .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
@@ -286,7 +327,13 @@ object StreamingQueries {
       val ckpt = Files.createTempDirectory("graft-s10-ckpt-").toString
       val schema = base.schema
       val before = s.conf.get("spark.sql.shuffle.partitions")
+      // The oracle models the DEFAULT noDataMicroBatches=true schedule;
+      // pin it explicitly so a session-level override can't break the
+      // gate (see the comment above + NoDataBatchContractSpec).
+      val ndbKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val ndbBefore = s.conf.get(ndbKey)
       s.conf.set("spark.sql.shuffle.partitions", 8)
+      s.conf.set(ndbKey, "true")
       try {
         (0 until 3).foreach { b =>
           base.filter(pmod(col("event_id"), lit(3L)) === b)
@@ -317,8 +364,13 @@ object StreamingQueries {
             .start()
           q.awaitTermination()
         }
-      } finally s.conf.set("spark.sql.shuffle.partitions", before)
-      s.read.parquet(outDir)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", before)
+        s.conf.set(ndbKey, ndbBefore)
+      }
+      val out = s.read.parquet(outDir).localCheckpoint()
+      deleteTree(srcDir, outDir, ckpt)
+      out
     }),
 
     // Stream-static enrichment: every event joined to a broadcast
@@ -381,18 +433,24 @@ object StreamingQueries {
         |FROM events LEFT JOIN customer ON user_id = c_custkey"""
         .stripMargin.replace("\n", " "),
 
-    // Batch-by-batch replay of the join state machine. wmt.b = the
-    // watermark in effect DURING batch b (min over sides of the
+    // Batch-by-batch replay of the join state machine under the
+    // DEFAULT AvailableNow schedule, where each run's trailing no-data
+    // micro-batch persists the watermark advanced by that run's own
+    // data AND sweeps state with it (verified empirically: with
+    // noDataMicroBatches off, the watermark lags one batch and the
+    // output diverges — see NoDataBatchContractSpec). wmt.b = the
+    // watermark batch b is planned under (min over sides of the
     // ms-truncated max event time of batches < b, minus the 30-minute
-    // allowance; NULL for batch 0). Rules, matching Spark's
-    // StreamingSymmetricHashJoin: (1) a batch-b input row is admitted
-    // iff ts >= wmt[b]; (2) a pair emits iff both admitted AND the
-    // earlier side survived every end-of-batch sweep before the later
-    // side's batch (sweep at end of batch B evicts clicks with
-    // cts + 1h < wmt[B] and purchases with pts < wmt[B]; batch-B input
-    // still joins state swept that same batch); (3) an admitted,
-    // unmatched click emits its null row iff some sweep evicts it —
-    // by monotonicity, iff cts + 1h < the final watermark.
+    // allowance; NULL for batch 0). Rules: (1) a batch-b input row is
+    // admitted iff ts >= wmt[b]; (2) a pair emits iff both admitted AND
+    // the earlier side survived every sweep before the later side's
+    // batch — the strongest being the trailing sweep of the previous
+    // run, at wmt[later side's batch] (clicks survive while
+    // cts + 1h >= w, purchases while pts >= w; same-batch pairs are
+    // always co-present); (3) an admitted, unmatched click emits its
+    // null row iff some sweep evicts it — by monotonicity, iff
+    // cts + 1h < the FINAL trailing sweep's watermark, computed over
+    // ALL batches.
     "s10_stream_outer_join" ->
       """WITH f AS (SELECT event_id, user_id, ts, MOD(event_id, 3) AS b,
         |event_type, date_trunc('milliseconds', ts) AS tsm FROM events
@@ -402,6 +460,10 @@ object StreamingQueries {
         |(SELECT MAX(tsm) FROM f WHERE event_type = 'purchase' AND f.b < bb.b))
         |- INTERVAL 30 MINUTE) AS w
         |FROM (SELECT DISTINCT b FROM f) bb),
+        |fw AS (SELECT LEAST(
+        |(SELECT MAX(tsm) FROM f WHERE event_type = 'click'),
+        |(SELECT MAX(tsm) FROM f WHERE event_type = 'purchase'))
+        |- INTERVAL 30 MINUTE AS wf),
         |adm AS (SELECT f.* FROM f LEFT JOIN wmt ON wmt.b = f.b
         |WHERE wmt.w IS NULL OR f.ts >= wmt.w),
         |c AS (SELECT user_id, event_id AS click_id, ts AS cts, b AS cb
@@ -411,13 +473,13 @@ object StreamingQueries {
         |m AS (SELECT c.user_id, c.click_id, p.purchase_id
         |FROM c JOIN p ON c.user_id = p.p_user
         |AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR
-        |LEFT JOIN wmt wp ON wp.b = p.pb - 1
-        |LEFT JOIN wmt wc ON wc.b = c.cb - 1
+        |LEFT JOIN wmt wp ON wp.b = p.pb
+        |LEFT JOIN wmt wc ON wc.b = c.cb
         |WHERE (p.pb = c.cb)
         |OR (p.pb > c.cb AND (wp.w IS NULL OR c.cts + INTERVAL 1 HOUR >= wp.w))
         |OR (c.cb > p.pb AND (wc.w IS NULL OR p.pts >= wc.w))),
         |nl AS (SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id
-        |FROM c, (SELECT MAX(w) AS wf FROM wmt) fw
+        |FROM c, fw
         |WHERE c.cts + INTERVAL 1 HOUR < fw.wf
         |AND c.click_id NOT IN (SELECT click_id FROM m))
         |SELECT user_id, click_id, purchase_id FROM m

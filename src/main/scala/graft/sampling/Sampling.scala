@@ -76,8 +76,12 @@ object Sampling {
         col("source"), col("n_docs"), col("n_tokens"),
         round(col("n_tokens").cast("double") /
           col("total_tokens").cast("double"), 6).as("token_frac"),
+        // nullif guards the zero-token stratum: Spark would yield
+        // Infinity where the SQL oracle's division-by-zero differs;
+        // NULL round-trips identically through both.
         round(col("total_tokens").cast("double") /
-          (col("n_strata").cast("double") * col("n_tokens").cast("double")),
+          (col("n_strata").cast("double") *
+            nullif(col("n_tokens"), lit(0L)).cast("double")),
           6).as("mix_weight"))
       .withColumn("repeat_factor",
         least(ceil(col("mix_weight")), lit(maxRepeat.toLong)).cast("long"))

@@ -21,8 +21,14 @@ object OneQuery {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries(name)(spark, sfDir).coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/$name")
-    val sql = SparkEntry.oracleSql(name)
-      .replace("\\", "\\\\").replace("\"", "\\\"")
+    // Full JSON string escaping: oracle SQL is single-line by
+    // construction today, but don't depend on it.
+    val sql = SparkEntry.oracleSql(name).flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case c if c < 0x20 => String.format("\\u%04x", Int.box(c.toInt))
+      case c => c.toString
+    }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       s"""{"$name": "$sql"}""")
     spark.stop()
