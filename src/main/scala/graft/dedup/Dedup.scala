@@ -219,6 +219,45 @@ object Dedup {
   }
 
   /**
+   * Sub-document segment dedup (the C4/RefinedWeb-style pass that
+   * exact/near doc dedup misses): cut each document's token stream
+   * into non-overlapping `segLen`-token segments (trailing partial
+   * segment included), keep the globally FIRST occurrence of each
+   * distinct segment (lowest (doc, seg_idx)), and report per document
+   * how much of it is boilerplate already seen elsewhere.
+   *
+   * Scale shape: explode → groupBy(segment) with a min(struct) partial
+   * aggregate (one row per distinct segment crosses the shuffle, never
+   * the raw stream) → equi-join back on segment → per-doc rollup. No
+   * global window, no pairwise comparison; every stage is keyed.
+   */
+  def segmentDedup(df: DataFrame, id: Column, text: Column,
+      segLen: Int): DataFrame = {
+    val nSegs = // ceil(|w| / segLen), 0 for empty docs
+      floor((size(col("w")) - lit(1)).cast("double") / lit(segLen.toDouble))
+        .cast("int") + lit(1)
+    val segs = df.select(id.as("doc"), Text.tokens(text).as("w"))
+      .select(col("doc"), posexplode(
+        when(size(col("w")) > 0,
+          transform(sequence(lit(0), nSegs - 1),
+            j => concat_ws(" ", slice(col("w"), j * segLen + 1, lit(segLen)))))
+          .otherwise(array().cast("array<string>"))))
+      .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
+    val keeper = segs.groupBy(col("seg"))
+      .agg(min(struct(col("doc"), col("seg_idx"))).as("first"))
+    segs.join(keeper, Seq("seg"))
+      .withColumn("is_dup",
+        (col("doc") =!= col("first.doc") ||
+          col("seg_idx") =!= col("first.seg_idx")).cast("long"))
+      .groupBy(col("doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("is_dup")).as("n_dup_segments"))
+      .withColumn("dup_seg_frac",
+        round(col("n_dup_segments").cast("double") /
+          col("n_segments").cast("double"), 6))
+  }
+
+  /**
    * Exact n-gram Jaccard pairs >= threshold, via distinct-shingle
    * self-join (ground truth for small corpora; at scale use
    * [[jaccardOnCandidates]]).

@@ -1,0 +1,88 @@
+package graft.packing
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/**
+ * Training-sequence assembly operators: concat-then-chunk sequence
+ * packing and deterministic corpus shuffling — the last two steps a
+ * curated corpus goes through before it becomes model input.
+ */
+object Packing {
+
+  /**
+   * Concat-then-chunk sequence packing: documents, taken in `id`
+   * order, are conceptually concatenated into one token stream and cut
+   * into fixed-`budget` training sequences (the GPT-style packing that
+   * wastes zero tokens to padding; documents may span sequence
+   * boundaries). Emits each document's span in sequence space:
+   * global token offset, (sequence, offset) of its first token, and
+   * the last sequence it touches.
+   *
+   * Scale shape: the naive form is one global running sum —
+   * `Window.orderBy(id)` with no partition key, which Spark executes
+   * on a SINGLE partition (the well-known scale killer). This is the
+   * two-phase distributed prefix sum instead: per-bucket token totals
+   * (partial-agg groupBy, one row per `bucketSize` docs), a running
+   * sum over that tiny per-bucket frame (single-partition but only
+   * |docs|/bucketSize rows — ~25k rows for 100M docs at the default),
+   * broadcast back, and an intra-bucket window partitioned by bucket.
+   * No stage ever holds more than a bucket of raw rows in one task.
+   */
+  def packSequences(df: DataFrame, id: Column, tokenCount: Column,
+      budget: Int, bucketSize: Long = 4096L): DataFrame = {
+    val base = df.select(id.as("doc_id"), tokenCount.cast("long").as("n_tokens"))
+    val bucketed = base.withColumn("bucket", expr(s"doc_id div $bucketSize"))
+    val perBucket = bucketed.groupBy("bucket")
+      .agg(sum("n_tokens").as("bucket_tokens"))
+    val wBuckets = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("bucket_start",
+        coalesce(sum("bucket_tokens").over(wBuckets), lit(0L)))
+      .select("bucket", "bucket_start")
+    val wInBucket = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("tok_start",
+        col("bucket_start") + coalesce(sum("n_tokens").over(wInBucket), lit(0L)))
+      // An empty document occupies zero tokens but still needs a
+      // well-defined location: greatest(n,1) pins seq_end = seq_start.
+      .withColumn("seq_start", expr(s"tok_start div $budget"))
+      .withColumn("off_start", pmod(col("tok_start"), lit(budget.toLong)))
+      .withColumn("seq_end",
+        expr(s"(tok_start + greatest(n_tokens, 1) - 1) div $budget"))
+      .withColumn("n_seqs", col("seq_end") - col("seq_start") + lit(1L))
+      .select("doc_id", "n_tokens", "tok_start", "seq_start", "off_start",
+        "seq_end", "n_seqs")
+  }
+
+  /**
+   * Deterministic sharded corpus shuffle: every document gets a
+   * portable pseudo-random key from (seed, id), a shard by key mod
+   * `nShards`, and a position within its shard — the reproducible
+   * "global shuffle" a training run needs (same seed → same order,
+   * any cluster size).
+   *
+   * Scale shape: the one thing this deliberately does NOT produce is
+   * a single global rank — that would be an unpartitioned window. A
+   * sharded (shard, pos) order is equivalent for training (readers
+   * interleave shards) and every step here is partitioned: the window
+   * runs per shard, so parallelism = nShards. Size nShards to the
+   * corpus (e.g. 10k shards at 100 TB).
+   */
+  def shuffleShards(df: DataFrame, id: Column, seed: String,
+      nShards: Int): DataFrame = {
+    val keyed = df.select(id.as("doc_id"))
+      .withColumn("skey", Portable.hash64(
+        concat(lit(seed), lit(":"), col("doc_id").cast("string"))))
+      .withColumn("shard", pmod(col("skey"), lit(nShards.toLong)))
+    val w = Window.partitionBy("shard").orderBy(col("skey"), col("doc_id"))
+    keyed
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+  }
+}

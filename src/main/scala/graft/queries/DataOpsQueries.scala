@@ -8,6 +8,7 @@ import graft.ann.Ann
 import graft.dedup.Dedup
 import graft.functions.Portable
 import graft.multimodal.Multimodal
+import graft.packing.Packing
 import graft.sampling.Sampling
 import graft.text.Text
 
@@ -174,6 +175,25 @@ object DataOpsQueries {
             struct(lit("5_dedup").as("stage"), col("n_final").as("n")))))
         .select(col("col.stage").as("stage"), col("col.n").as("n"))
     }),
+
+    // Sub-document segment dedup: non-overlapping 8-token segments,
+    // global first-occurrence wins; per-doc duplicate-segment fraction
+    // (the C4-style boilerplate pass doc-level dedup misses).
+    "d14_segment_dedup" -> ((s, d) =>
+      Dedup.segmentDedup(t(s, d, "documents"), col("doc_id"), col("text"),
+        segLen = 8)),
+
+    // Concat-then-chunk sequence packing at a 256-token budget via the
+    // two-phase distributed prefix sum (no unpartitioned window).
+    "p01_seq_pack" -> ((s, d) =>
+      Packing.packSequences(t(s, d, "documents"), col("doc_id"),
+        Text.tokenCount(col("text")), budget = 256)),
+
+    // Deterministic sharded corpus shuffle (seed-keyed portable hash →
+    // shard + intra-shard position; reproducible training order).
+    "p02_corpus_shuffle" -> ((s, d) =>
+      Packing.shuffleShards(t(s, d, "documents"), col("doc_id"),
+        seed = "42", nShards = 16)),
 
     // Embedding-cosine near-duplicate pairs.
     "e01_cosine_pairs" -> ((s, d) =>
@@ -580,6 +600,47 @@ object DataOpsQueries {
          |SELECT source, n_docs, n_tokens, token_frac, mix_weight,
          |LEAST(CAST(ceil(mix_weight) AS BIGINT), 5) AS repeat_factor
          |FROM wtd""".stripMargin.replace("\n", " "),
+
+    "d14_segment_dedup" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '),
+        |x -> len(x) > 0) AS w FROM documents),
+        |lst AS (SELECT doc_id, [struct_pack(i := k,
+        |g := array_to_string(w[(k*8+1):(k*8+8)], ' '))
+        |FOR k IN range(0, CAST(ceil(len(w)/8.0) AS BIGINT))] AS segs
+        |FROM tok WHERE len(w) > 0),
+        |seg AS (SELECT doc_id, unnest(segs).i AS seg_idx,
+        |unnest(segs).g AS seg FROM lst),
+        |rk AS (SELECT doc_id, seg_idx, seg, ROW_NUMBER() OVER
+        |(PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn FROM seg)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |AS n_dup_segments,
+        |round(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |/ COUNT(*), 6) AS dup_seg_frac
+        |FROM rk GROUP BY doc_id""".stripMargin.replace("\n", " "),
+
+    "p01_seq_pack" ->
+      """WITH tk AS (SELECT doc_id,
+        |CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+        |AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER
+        |(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |0) AS BIGINT) AS tok_start FROM tk)
+        |SELECT doc_id, n_tokens, tok_start,
+        |tok_start // 256 AS seq_start,
+        |tok_start % 256 AS off_start,
+        |(tok_start + GREATEST(n_tokens, 1) - 1) // 256 AS seq_end,
+        |(tok_start + GREATEST(n_tokens, 1) - 1) // 256
+        |- tok_start // 256 + 1 AS n_seqs
+        |FROM c""".stripMargin.replace("\n", " "),
+
+    "p02_corpus_shuffle" ->
+      s"""WITH k AS (SELECT doc_id,
+         |${h("'42:' || CAST(doc_id AS VARCHAR)")} AS skey FROM documents)
+         |SELECT doc_id, skey % 16 AS shard,
+         |CAST(ROW_NUMBER() OVER (PARTITION BY skey % 16
+         |ORDER BY skey, doc_id) AS BIGINT) AS pos
+         |FROM k""".stripMargin.replace("\n", " "),
 
     "e01_cosine_pairs" ->
       s"""WITH $vecCte, $normCte,

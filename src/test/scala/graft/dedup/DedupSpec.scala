@@ -68,4 +68,19 @@ class DedupSpec extends SparkTestBase {
     assert(got((1L, 3L)) > 0.4 && got((1L, 3L)) < 1.0)
     assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("segment dedup: first occurrence survives, repeats are counted") {
+    // segLen=2 → doc 10: [a b][c d]; doc 11: [a b][e f]; doc 12: [a b]
+    // plus a trailing partial [g]. Segment "a b" first occurs at
+    // (10, 0); its copies in 11 and 12 are dups. Everything else is
+    // unique.
+    val segDocs = Seq(
+      (10L, "a b c d"),
+      (11L, "a b e f"),
+      (12L, "a b g")).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(segDocs, $"doc_id", $"text", segLen = 2)
+      .select($"doc_id", $"n_segments", $"n_dup_segments")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((10L, 2L, 0L), (11L, 2L, 1L), (12L, 2L, 1L)))
+  }
 }

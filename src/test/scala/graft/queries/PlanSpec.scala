@@ -144,4 +144,42 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"),
       "recall is an equi-join on (query_id, cand_id)")
   }
+
+  test("p01 sequence packing never runs an unpartitioned window over raw docs") {
+    val p = planOf("p01_seq_pack")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 2, s"two-phase prefix sum = two windows, got ${windows.size}")
+    val (global, partitioned) = windows.partition(_.partitionSpec.isEmpty)
+    assert(partitioned.size == 1 && partitioned.head.partitionSpec.nonEmpty,
+      "the intra-bucket running sum must be partitioned by bucket")
+    // The single-partition window may only see the per-bucket AGGREGATE
+    // (one row per bucketSize docs), never the raw corpus.
+    global.foreach { w =>
+      val aggBelow = collectAll(w) {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }
+      assert(aggBelow.nonEmpty,
+        "the global window must sit above the per-bucket aggregation")
+    }
+  }
+
+  test("p02 corpus shuffle ranks within shards (partitioned window only)") {
+    val p = planOf("p02_corpus_shuffle")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "shuffle rank must be per-shard — a global rank window cannot scale")
+  }
+
+  test("d14 segment dedup stays keyed (no product join, partial agg split)") {
+    val plan = planOf("d14_segment_dedup").toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "segment dedup must be keyed on the segment text")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "partial/final aggregate split expected on the segment rollup")
+  }
 }
