@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 import graft.operators.Translate
-import graft.streaming.PipelineManager
+import graft.streaming.{PipelineManager, TwsCounterProcessor}
 
 /**
  * Structured-Streaming forms of the data-plane operators, run
@@ -297,6 +297,57 @@ object StreamingQueries {
       out
     }),
 
+    // The same multi-batch custom-state shape on Spark 4's
+    // transformWithState API (typed named ValueState, RocksDB state
+    // store — the provider the API requires): three AvailableNow runs
+    // over one checkpoint, per-user running totals PLUS the
+    // first-seen-batch ordinal, which only a state store that survived
+    // both restarts can report (a fresh store would re-initialize it
+    // to the current batch and hash-fail).
+    "s11_tws_counter" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.t(s, d, "events").select(col("event_id"), col("user_id"))
+      val srcDir = Files.createTempDirectory("graft-s11-src-").toString
+      val outDir = Files.createTempDirectory("graft-s11-out-").toString
+      val ckpt = Files.createTempDirectory("graft-s11-ckpt-").toString
+      val schema = base.schema
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val provBefore = s.conf.get(provKey)
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        (0 until 3).foreach { b =>
+          base.filter(pmod(col("event_id"), lit(3L)) === b)
+            .coalesce(1).write.mode("append").parquet(srcDir)
+          val counts = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcDir)
+            .as[(Long, Long)]
+            .groupByKey(_._2)
+            .transformWithState(new TwsCounterProcessor,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              OutputMode.Update())
+          val q = counts.toDF().writeStream
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, epoch: Long) =>
+              PipelineManager.epochAppend(batch, outDir, epoch, "s11")
+            }
+            .start()
+          q.awaitTermination()
+        }
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", before)
+        s.conf.set(provKey, provBefore)
+      }
+      val out = s.read.parquet(outDir).localCheckpoint()
+      deleteTree(srcDir, outDir, ckpt)
+      out
+    }),
+
     // Watermarked stream-stream LEFT OUTER join across MULTIPLE
     // micro-batches — the finalization semantics a production
     // attribution pipeline runs on: matches emit when the later side
@@ -485,6 +536,19 @@ object StreamingQueries {
         |SELECT user_id, click_id, purchase_id FROM m
         |UNION ALL SELECT user_id, click_id, purchase_id FROM nl"""
         .stripMargin.replace("\n", " "),
+
+    // s09's rule plus the first-seen batch: MIN(b) per user is exactly
+    // what a state store that survived every restart reports as
+    // first_batch.
+    "s11_tws_counter" ->
+      """WITH f AS (SELECT user_id, MOD(event_id, 3) AS b FROM events),
+        |pb AS (SELECT user_id, b, COUNT(*) AS n FROM f GROUP BY user_id, b)
+        |SELECT user_id,
+        |CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY b) AS BIGINT) AS n_events,
+        |CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY b) AS BIGINT)
+        |AS n_batches,
+        |CAST(MIN(b) OVER (PARTITION BY user_id) AS BIGINT) AS first_batch
+        |FROM pb""".stripMargin.replace("\n", " "),
 
     // Each batch b a user appears in emits the post-batch running
     // totals: cumulative event count and 1-based batch ordinal —
