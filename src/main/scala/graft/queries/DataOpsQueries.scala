@@ -281,6 +281,12 @@ object DataOpsQueries {
     "t08_repetition" -> ((s, d) =>
       Text.repetitionStats(t(s, d, "documents"), col("doc_id"), col("text"))),
 
+    // Unigram corpus log-probability score (CCNet-style perplexity
+    // filter): mean -ln(corpus frequency) per document — the "too
+    // stereotypical vs too noisy" curation axis.
+    "t09_logprob" -> ((s, d) =>
+      Text.corpusLogProb(t(s, d, "documents"), col("doc_id"), col("text"))),
+
     // Language ID by marker-token profile.
     "t01_langid" -> ((s, d) => {
       val scores = Text.langScores(col("text"))
@@ -822,6 +828,17 @@ object DataOpsQueries {
          |CAST(CASE WHEN top_token_frac > 0.2 OR dup_2gram_frac > 0.4
          |THEN 1 ELSE 0 END AS BIGINT) AS repetitive
          |FROM fr""".stripMargin.replace("\n", " "),
+
+    "t09_logprob" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT doc, unnest(w) AS t FROM w),
+         |freq AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM freq)
+         |SELECT doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |round(AVG(-ln(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))), 6)
+         |AS avg_neg_logprob
+         |FROM tok JOIN freq USING (t) CROSS JOIN tot
+         |GROUP BY doc""".stripMargin.replace("\n", " "),
 
     "t01_langid" -> {
       val langs = Text.LangMarkers.toSeq.sortBy(_._1)

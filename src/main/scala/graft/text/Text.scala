@@ -167,4 +167,30 @@ object Text {
     val hs = transform(tokens(text), (w, i) => Portable.hash64(w) * (i + lit(1L)))
     aggregate(hs, lit(0L), (acc, x) => acc + x)
   }
+
+  /**
+   * Unigram corpus log-probability score (the CCNet-style "perplexity
+   * filter" in its simplest defensible form): every token's probability
+   * is its corpus frequency, a document's score is the mean negative
+   * log-probability of its tokens. Low = stereotypical/boilerplate,
+   * high = rare-token-heavy noise; curation keeps the middle band.
+   *
+   * Scale shape: one explode → groupBy(token) builds the frequency
+   * model (partial-agg, one row per distinct token crosses the
+   * shuffle); the scoring pass joins exploded tokens to that model on
+   * the token key — a classic big-to-small equi-join AQE broadcasts
+   * when the vocabulary fits (no forced hint: a 100 TB corpus's
+   * vocabulary may not) — then folds back to one row per doc.
+   */
+  def corpusLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tok = df.select(id.as("doc"), explode(tokens(text)).as("t"))
+    val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val total = freq.agg(sum(col("n")).as("total"))
+    tok.join(freq, Seq("t"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("n").cast("double") / col("total").cast("double"))), 6)
+          .as("avg_neg_logprob"))
+  }
 }
