@@ -297,6 +297,56 @@ object StreamingQueries {
       out
     }),
 
+    // Bounded-state streaming dedup across MULTIPLE micro-batches:
+    // dropDuplicatesWithinWatermark — unlike s05's dropDuplicates,
+    // state for a key is EVICTED once the watermark passes its event
+    // time + delay, which is the only dedup that survives an unbounded
+    // 100 TB stream. The key includes the hour-truncated event time, so
+    // every occurrence of a key shares one expiry and the whole state
+    // machine is a pure function of the batch split: each key emits
+    // exactly once, at its first admitted batch (with the event time
+    // in the key the delays cancel — a later occurrence is either late
+    // or still deduped; see the oracle comment). Three AvailableNow
+    // runs over one checkpoint (batch = event_id % 3); the oracle
+    // replays per-batch admission. The re-emission-after-state-death
+    // path, which needs a key that does NOT carry its event time, is
+    // pinned by DedupWithinWatermarkContractSpec.
+    "s12_dedup_within_wm" -> ((s, d) => {
+      val base = Tables.t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+      val srcDir = Files.createTempDirectory("graft-s12-src-").toString
+      val outDir = Files.createTempDirectory("graft-s12-out-").toString
+      val ckpt = Files.createTempDirectory("graft-s12-ckpt-").toString
+      val schema = base.drop("event_id").schema
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        (0 until 3).foreach { b =>
+          base.filter(pmod(col("event_id"), lit(3L)) === b).drop("event_id")
+            .coalesce(1).write.mode("append").parquet(srcDir)
+          val deduped = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcDir)
+            .withWatermark("hr", "30 minutes")
+            .dropDuplicatesWithinWatermark("user_id", "event_type", "hr")
+            .select(col("user_id"), col("event_type"), col("hr"))
+          val q = deduped.writeStream
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, epoch: Long) =>
+              PipelineManager.epochAppend(batch, outDir, epoch, "s12")
+            }
+            .start()
+          q.awaitTermination()
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", before)
+      val out = s.read.parquet(outDir).localCheckpoint()
+      deleteTree(srcDir, outDir, ckpt)
+      out
+    }),
+
     // The same multi-batch custom-state shape on Spark 4's
     // transformWithState API (typed named ValueState, RocksDB state
     // store — the provider the API requires): three AvailableNow runs
@@ -535,6 +585,29 @@ object StreamingQueries {
         |AND c.click_id NOT IN (SELECT click_id FROM m))
         |SELECT user_id, click_id, purchase_id FROM m
         |UNION ALL SELECT user_id, click_id, purchase_id FROM nl"""
+        .stripMargin.replace("\n", " "),
+
+    // Replay of the within-watermark dedup state machine: wmt.b = the
+    // watermark batch b is planned under (max hr of batches < b, minus
+    // the 30-minute delay; NULL for batch 0 — hr is hour-exact so ms
+    // truncation is a no-op). A (user, event_type, hr, batch) key
+    // occurrence is admitted iff hr >= wmt[b]. Because the event time
+    // is PART of the key, a later occurrence of an admitted key can
+    // never re-emit: it is either late (hr < wm) or inside the live
+    // state window (hr + delay >= hr >= wm) — the two delays cancel.
+    // So the emitted set is exactly the distinct admitted keys. The
+    // re-emission path (key WITHOUT its event time, where a later
+    // duplicate can outlive the first occurrence's state) is pinned by
+    // DedupWithinWatermarkContractSpec.
+    "s12_dedup_within_wm" ->
+      """WITH f AS (SELECT user_id, event_type, date_trunc('hour', ts) AS hr,
+        |MOD(event_id, 3) AS b FROM events),
+        |kb AS (SELECT DISTINCT user_id, event_type, hr, b FROM f),
+        |wmt AS (SELECT bb.b AS b, (SELECT MAX(hr) FROM f WHERE f.b < bb.b)
+        |- INTERVAL 30 MINUTE AS w FROM (SELECT DISTINCT b FROM f) bb)
+        |SELECT DISTINCT kb.user_id, kb.event_type, kb.hr
+        |FROM kb LEFT JOIN wmt ON wmt.b = kb.b
+        |WHERE wmt.w IS NULL OR kb.hr >= wmt.w"""
         .stripMargin.replace("\n", " "),
 
     // s09's rule plus the first-seen batch: MIN(b) per user is exactly
