@@ -339,6 +339,22 @@ object BrooklinQueries {
           col("purchase_id"))
     }),
 
+    // Forward as-of join: each click sees the EARLIEST purchase by the
+    // same user at or after its timestamp (next-event lookup, mirrored
+    // union + window sweep).
+    "q39_asof_forward" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(min(col("event_id")).as("purchase_id"))
+      AsOfJoin.earliestAfter(clicks, purchases,
+          key = "user_id", time = "ts", rightVals = Seq("purchase_id"))
+        .select(col("click_id"), col("user_id"), col("ts").as("click_ts"),
+          col("purchase_id"))
+    }),
+
     // Skew mitigation for joins: the hot fact key is salted and the
     // small build side replicated per salt — result identical to the
     // plain join (verified by the oracle), shuffle spread over salts.
@@ -661,6 +677,16 @@ object BrooklinQueries {
         |SELECT c.click_id, c.user_id, c.ts AS click_ts, p.purchase_id
         |FROM clicks c ASOF LEFT JOIN purchases p
         |ON c.user_id = p.user_id AND p.ts <= c.ts"""
+        .stripMargin.replace("\n", " "),
+
+    "q39_asof_forward" ->
+      """WITH clicks AS (SELECT user_id, ts, event_id AS click_id
+        |FROM events WHERE event_type = 'click'),
+        |purchases AS (SELECT user_id, ts, MIN(event_id) AS purchase_id
+        |FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.click_id, c.user_id, c.ts AS click_ts, p.purchase_id
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |ON c.user_id = p.user_id AND p.ts >= c.ts"""
         .stripMargin.replace("\n", " "),
 
     "q34_salted_join" ->

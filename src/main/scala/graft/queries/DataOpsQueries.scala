@@ -176,6 +176,15 @@ object DataOpsQueries {
         .select(col("col.stage").as("stage"), col("col.n").as("n"))
     }),
 
+    // Per-stratum quota cap: at most 20 docs per source, chosen by
+    // deterministic hash order (the absolute per-domain contribution
+    // bound rate-based sampling can't give); rank-filter compiles to a
+    // WindowGroupLimit partial top-k (PlanSpec).
+    "d15_quota_sample" -> ((s, d) =>
+      Sampling.quotaSample(
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"), quota = 20)),
+
     // Sub-document segment dedup: non-overlapping 8-token segments,
     // global first-occurrence wins; per-doc duplicate-segment fraction
     // (the C4-style boilerplate pass doc-level dedup misses).
@@ -606,6 +615,14 @@ object DataOpsQueries {
          |SELECT source, n_docs, n_tokens, token_frac, mix_weight,
          |LEAST(CAST(ceil(mix_weight) AS BIGINT), 5) AS repeat_factor
          |FROM wtd""".stripMargin.replace("\n", " "),
+
+    "d15_quota_sample" ->
+      s"""WITH r AS (SELECT doc_id, source,
+         |CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |ORDER BY ${h("source || ':' || CAST(doc_id AS VARCHAR)")}, doc_id)
+         |AS BIGINT) AS q_rank FROM documents)
+         |SELECT doc_id, source, q_rank FROM r WHERE q_rank <= 20"""
+        .stripMargin.replace("\n", " "),
 
     "d14_segment_dedup" ->
       """WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '),

@@ -53,6 +53,29 @@ object Sampling {
     stratifiedSample(df, stratum, id, derivedRatePct(stratum))
 
   /**
+   * Per-stratum quota cap: keep AT MOST `quota` rows per stratum,
+   * chosen deterministically by portable-hash order — the "no single
+   * domain may contribute more than N documents" rule of a curation
+   * recipe, where rate-based sampling can't bound the absolute count.
+   *
+   * Scale shape: rank-within-stratum then filter rank <= quota. Spark
+   * rewrites that pattern into a WindowGroupLimit: each map task keeps
+   * only its local top-`quota` per stratum BEFORE the shuffle, so the
+   * exchange carries O(strata × quota) rows per task, not the corpus
+   * (asserted in PlanSpec).
+   */
+  def quotaSample(df: DataFrame, stratum: Column, id: Column,
+      quota: Int): DataFrame = {
+    val key = Portable.hash64(
+      concat(stratum.cast("string"), lit(":"), id.cast("string")))
+    df.withColumn("__qkey", key)
+      .withColumn("q_rank", row_number().over(
+        Window.partitionBy(stratum).orderBy(col("__qkey"), id)).cast("long"))
+      .filter(col("q_rank") <= quota)
+      .drop("__qkey")
+  }
+
+  /**
    * Domain-mixture weights: per stratum (source/domain), the token
    * share of the corpus and the up/down-sampling weight that would
    * equalize the mixture to a uniform target, with a capped integer

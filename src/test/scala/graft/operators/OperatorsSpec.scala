@@ -118,6 +118,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == Map(100L -> Some(900L), 101L -> Some(901L), 102L -> None))
   }
 
+  test("forward asof join attaches earliest right row at or after left time") {
+    val clicks = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
+      .toDF("user_id", "ts", "click_id")
+    val purchases = Seq((1L, 10L, 900L), (1L, 15L, 901L), (2L, 4L, 902L))
+      .toDF("user_id", "ts", "purchase_id")
+    val got = AsOfJoin.earliestAfter(clicks, purchases, "user_id", "ts",
+        Seq("purchase_id"))
+      .select($"click_id", $"purchase_id")
+      .as[(Long, Option[Long])].collect().toMap
+    // same-ts purchase visible (100→900); click at 20 has nothing
+    // after it; user 2's purchase is before the click → null.
+    assert(got == Map(100L -> Some(900L), 101L -> None, 102L -> None))
+  }
+
   test("registry frame is magic byte + md5(schemaId) + payload hex") {
     val df = Seq(("42", "hi")).toDF("sid", "payload")
     val hex = df.select(Portable.registryFrameHex($"sid", $"payload")).as[String].head()

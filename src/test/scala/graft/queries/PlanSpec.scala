@@ -174,6 +174,24 @@ class PlanSpec extends SparkTestBase {
       "shuffle rank must be per-shard — a global rank window cannot scale")
   }
 
+  test("q39 forward as-of join shuffles at most once (mirror of q33)") {
+    val p = planOf("q39_asof_forward")
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 2,
+      s"union+window forward as-of must not multiply shuffles: ${shuffles.size}")
+    val plan = p.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "forward as-of join must not degrade to a product join")
+  }
+
+  test("d15 quota sample compiles to a WindowGroupLimit partial top-k") {
+    val plan = planOf("d15_quota_sample").toString
+    assert(plan.contains("WindowGroupLimit"),
+      "rank<=quota must push a per-task group limit below the shuffle — " +
+        "without it every stratum's full row set crosses the exchange")
+  }
+
   test("d14 segment dedup stays keyed (no product join, partial agg split)") {
     val plan = planOf("d14_segment_dedup").toString
     assert(!plan.contains("CartesianProduct") &&
