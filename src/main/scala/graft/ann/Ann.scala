@@ -254,6 +254,37 @@ object Ann {
   }
 
   /**
+   * SemDeDup/cluster-pruning building block: the per-label centroid
+   * (element-wise mean embedding) and every vector's cosine to its OWN
+   * label's centroid — the "how typical is this example of its
+   * cluster" score used to prune redundant prototypes (high cos) or
+   * mislabeled outliers (low cos) from embedding-clustered corpora.
+   *
+   * Scale shape: centroids via posexplode → groupBy(label, dim) mean
+   * (partial-agg; one row per label × dim crosses the shuffle, never
+   * the vectors pairwise), re-assembled into an array with a sorted
+   * collect_list over that tiny frame. Scoring joins the corpus to
+   * |labels| centroid rows — broadcast by AQE — and runs the codegen'd
+   * dot product once per vector.
+   */
+  def centroidOutlier(df: DataFrame): DataFrame = {
+    val v = df.select(col("vec_id"), col("label"),
+      toDouble(col("embedding")).as("e"))
+    val comps = v.select(col("label"), posexplode(col("e")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("col")).as("m"))
+    val centroids = comps.groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("cm"))
+      .select(col("label").as("c_label"),
+        transform(col("cm"), x => x.getField("m")).as("c"))
+      .withColumn("c_norm", norm(col("c")))
+    v.withColumn("v_norm", norm(col("e")))
+      .join(broadcast(centroids), col("label") === col("c_label"))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("e"), col("c"), col("v_norm"), col("c_norm")), 6)
+          .as("centroid_cos"))
+  }
+
+  /**
    * Exact all-pairs variant of [[cosinePairs]] — O(n²) with a
    * broadcast of the full corpus; small-corpus verification only,
    * never the 100 TB path.

@@ -252,6 +252,11 @@ object DataOpsQueries {
         Ann.lshTopK(probes, emb, nBits = 4, k = 3))
     }),
 
+    // Per-label centroid cosine (SemDeDup-style cluster-typicality
+    // score: prune prototypes at the top, outliers at the bottom).
+    "e08_centroid_outlier" -> ((s, d) =>
+      Ann.centroidOutlier(t(s, d, "embeddings"))),
+
     // Int8 embedding quantization (storage/serving compression). The
     // gate projects qvec as a csv string — the comparison harness can't
     // sort array cells; the array-typed operator output is unchanged.
@@ -679,6 +684,21 @@ object DataOpsQueries {
          |round(${dotSql("a.e", "b.e")} / (a.nr * b.nr), 6) AS cos
          |FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE round(${dotSql("a.e", "b.e")} / (a.nr * b.nr), 6) >= 0.4"""
+        .stripMargin.replace("\n", " "),
+
+    "e08_centroid_outlier" ->
+      s"""WITH vl AS (SELECT vec_id, label,
+         |CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |comps AS (SELECT label, i, AVG(x) AS m FROM (
+         |SELECT label, unnest(e) AS x, generate_subscripts(e, 1) AS i
+         |FROM vl) GROUP BY label, i),
+         |cent AS (SELECT label, list(m ORDER BY i) AS c
+         |FROM comps GROUP BY label)
+         |SELECT vl.vec_id, vl.label,
+         |round(${dotSql("vl.e", "cent.c")}
+         |/ (sqrt(${dotSql("vl.e", "vl.e")}) * sqrt(${dotSql("cent.c", "cent.c")})),
+         |6) AS centroid_cos
+         |FROM vl JOIN cent USING (label)"""
         .stripMargin.replace("\n", " "),
 
     "e02_ann_brute" ->

@@ -86,6 +86,21 @@ class AnnSpec extends SparkTestBase {
     assert(r.nonEmpty && r.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("centroid outlier scores cosine to the label's mean vector") {
+    // label 1: (1,0) and (0,1) → centroid (0.5, 0.5); each member's
+    // cosine to it is 1/√2. label 2: single vector → cosine 1.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.0f, 1.0f), 1),
+      (2L, Array(3.0f, 4.0f), 2)).toDF("vec_id", "embedding", "label")
+    val got = Ann.centroidOutlier(df)
+      .select($"vec_id", $"centroid_cos").as[(Long, Double)].collect().toMap
+    assert(got(0L) == math.floor(1e6 / math.sqrt(2)) / 1e6 ||
+      math.abs(got(0L) - 1 / math.sqrt(2)) < 1e-6)
+    assert(got(0L) == got(1L))
+    assert(got(2L) == 1.0)
+  }
+
   test("lsh bucket is deterministic and identical vectors share a bucket") {
     val dup = Seq((10L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val all = vecs.union(dup)
