@@ -285,6 +285,56 @@ object Ann {
   }
 
   /**
+   * Lloyd's k-means over an embedding column — the codebook-training
+   * step behind IVF cells ([[ivfTopK]]'s deterministic stand-in
+   * centroids become real ones), SemDeDup-style cluster pruning
+   * ([[centroidOutlier]]), and topic-balanced corpus mixing.
+   * Deterministic everywhere: init centroids are the `k` lowest-id
+   * vectors, assignment ranks by `round(‖v−c‖² − ‖v‖², 6)` (the
+   * v-independent part of squared L2, so the argmin is identical) with
+   * ties to the lower cluster id, and refit centroid components are
+   * rounded to 6 dp — the same contract that lets an external engine
+   * reproduce every iteration bit-for-bit.
+   *
+   * Scale shape per iteration: assignment is a broadcast of the tiny
+   * (k × dim) centroid table against the streaming corpus — one
+   * codegen'd dot-product pass, no shuffle of the vectors; the refit
+   * is posexplode → groupBy(cluster, dim) avg, a partial agg whose
+   * shuffle carries k·dim rows, never vectors. Iterations multiply
+   * passes, not state: nothing driver-side grows with the corpus.
+   */
+  def kmeans(df: DataFrame, k: Int, iters: Int): DataFrame = {
+    val v = df.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+
+    // score = c·c − 2·v·c: same argmin as squared L2 (‖v‖² is constant
+    // per row), fewer float ops to keep cross-engine rounding exact.
+    def assign(cents: DataFrame): DataFrame = {
+      val scored = v.join(broadcast(cents), lit(true))
+        .withColumn("score",
+          round(dot(col("c"), col("c")) - lit(2.0) * dot(col("v"), col("c")), 6))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("score"), col("cluster"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cluster"))
+    }
+
+    def refit(assigned: DataFrame): DataFrame =
+      assigned.select(col("cluster"), posexplode(col("v")))
+        .groupBy(col("cluster"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("cm"))
+        .select(col("cluster"),
+          transform(col("cm"), x => round(x.getField("m"), 6)).as("c"))
+
+    val init = v.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cluster"), col("v").as("c"))
+    val finalCents = (1 until iters).foldLeft(init) {
+      (cents, _) => refit(assign(cents))
+    }
+    assign(finalCents).select(col("vec_id"), col("cluster"))
+  }
+
+  /**
    * Exact all-pairs variant of [[cosinePairs]] — O(n²) with a
    * broadcast of the full corpus; small-corpus verification only,
    * never the 100 TB path.

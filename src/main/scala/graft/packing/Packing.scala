@@ -61,6 +61,33 @@ object Packing {
   }
 
   /**
+   * Length-bucketed batch assignment: documents are binned by
+   * power-of-two token length (bucket = ⌊log₂ n⌋ via integer bit
+   * length — no float log, so the bin edge is exact in any engine) and
+   * packed into fixed-size training batches within their bucket — the
+   * standard padding-efficiency trick when sequences are NOT
+   * concat-packed (batching like-length docs minimizes pad tokens).
+   *
+   * Scale shape: one narrow projection plus a window partitioned by
+   * bucket; parallelism = number of occupied buckets × AQE splits.
+   * A skew-heavy corpus concentrates in few buckets — if that bites,
+   * sub-shard the window key by `doc_id div N` and renumber, the same
+   * two-phase trick [[packSequences]] uses.
+   */
+  def lengthBuckets(df: DataFrame, id: Column, tokenCount: Column,
+      batchSize: Int): DataFrame = {
+    val base = df.select(id.as("doc_id"), tokenCount.cast("long").as("n_tokens"))
+      // floor(log2(n)) = bit-length(n) - 1, exact integer arithmetic
+      .withColumn("bucket",
+        (length(bin(greatest(col("n_tokens"), lit(1L)))) - 1).cast("long"))
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    base.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("batch_id", expr(s"(rn - 1) div $batchSize"))
+      .withColumn("pos_in_batch", pmod(col("rn") - 1L, lit(batchSize.toLong)))
+      .select("doc_id", "n_tokens", "bucket", "batch_id", "pos_in_batch")
+  }
+
+  /**
    * Deterministic sharded corpus shuffle: every document gets a
    * portable pseudo-random key from (seed, id), a shard by key mod
    * `nShards`, and a position within its shard — the reproducible

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.operators.{AsOfJoin, Control, Filters, Observe, Partitioning, Translate}
+import graft.operators.{AsOfJoin, Control, Filters, IntervalJoin, Observe, Partitioning, Translate}
 import graft.serde.{AvroSerde, SchemaRegistry}
 
 /**
@@ -355,6 +355,38 @@ object BrooklinQueries {
           col("purchase_id"))
     }),
 
+    // Interval join: every event a clicking user produced in the six
+    // hours after the click — bucketized to an equi-join on
+    // (user, time-bucket) so the plan is a shuffle/broadcast hash join,
+    // never the nested-loop a raw range predicate degenerates to
+    // (PlanSpec asserts no BNLJ/cartesian).
+    "q40_interval_join" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val all = e.select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"))
+      IntervalJoin.intervalJoin(clicks, all, keyCol = "user_id",
+          tsCol = "ts", windowMicros = 6L * 3600L * 1000000L)
+        .select(col("p_event_id").as("probe_id"),
+          col("c_event_id").as("match_id"),
+          col("c_event_type").as("match_type"),
+          col("gap_us"))
+    }),
+
+    // Multi-level rollup aggregate (flag × status → flag → grand
+    // total): Spark's rollup compiles to ONE Expand + partial-agg pass
+    // over the fact table — all grouping levels share a single scan and
+    // shuffle, the shape that holds at 100 TB. Decimal-cast sum keeps
+    // the double total order-independent across engines.
+    "q41_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))),
+
     // Skew mitigation for joins: the hot fact key is salted and the
     // small build side replicated per salt — result identical to the
     // plain join (verified by the oracle), shuffle spread over salts.
@@ -687,6 +719,22 @@ object BrooklinQueries {
         |SELECT c.click_id, c.user_id, c.ts AS click_ts, p.purchase_id
         |FROM clicks c ASOF LEFT JOIN purchases p
         |ON c.user_id = p.user_id AND p.ts >= c.ts"""
+        .stripMargin.replace("\n", " "),
+
+    "q40_interval_join" ->
+      """SELECT a.event_id AS probe_id, b.event_id AS match_id,
+        |b.event_type AS match_type,
+        |date_diff('microsecond', a.ts, b.ts) AS gap_us
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |AND a.event_type = 'click'
+        |AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR"""
+        .stripMargin.replace("\n", " "),
+
+    "q41_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
         .stripMargin.replace("\n", " "),
 
     "q34_salted_join" ->

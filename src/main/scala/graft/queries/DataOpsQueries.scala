@@ -257,6 +257,13 @@ object DataOpsQueries {
     "e08_centroid_outlier" -> ((s, d) =>
       Ann.centroidOutlier(t(s, d, "embeddings"))),
 
+    // Lloyd's k-means (k=4, two assignment passes): the codebook
+    // trainer behind IVF cells and cluster-balanced corpus mixing —
+    // broadcast centroids, one codegen'd dot-product pass per
+    // iteration, refit shuffles k×dim rows only.
+    "e09_kmeans" -> ((s, d) =>
+      Ann.kmeans(t(s, d, "embeddings"), k = 4, iters = 2)),
+
     // Int8 embedding quantization (storage/serving compression). The
     // gate projects qvec as a csv string — the comparison harness can't
     // sort array cells; the array-typed operator output is unchanged.
@@ -300,6 +307,18 @@ object DataOpsQueries {
     // stereotypical vs too noisy" curation axis.
     "t09_logprob" -> ((s, d) =>
       Text.corpusLogProb(t(s, d, "documents"), col("doc_id"), col("text"))),
+
+    // Token-entropy information-density signal (near-zero = degenerate
+    // repetition; complements the t08 ratio heuristics).
+    "t10_entropy" -> ((s, d) =>
+      Text.tokenEntropy(t(s, d, "documents"), col("doc_id"), col("text"))),
+
+    // Length-bucketed batch assignment (power-of-two length bins,
+    // fixed-size batches within each bin — the padding-efficiency
+    // batching used when sequences are not concat-packed).
+    "p03_length_buckets" -> ((s, d) =>
+      Packing.lengthBuckets(t(s, d, "documents"), col("doc_id"),
+        Text.tokenCount(col("text")), batchSize = 8)),
 
     // Language ID by marker-token profile.
     "t01_langid" -> ((s, d) => {
@@ -686,6 +705,31 @@ object DataOpsQueries {
          |WHERE round(${dotSql("a.e", "b.e")} / (a.nr * b.nr), 6) >= 0.4"""
         .stripMargin.replace("\n", " "),
 
+    // k-means unrolled: c0 = init (lowest-k ids), a1 = assign, c1 =
+    // refit (per-dim mean rounded to 6 dp), a2 = final assign. The
+    // score/rounding contract matches Ann.kmeans exactly.
+    "e09_kmeans" -> {
+      def assignCte(cents: String, out: String) =
+        s"""${out}s AS (SELECT v.vec_id, v.e, $cents.cluster,
+           |ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+           |round(${dotSql(s"$cents.c", s"$cents.c")}
+           |- 2 * ${dotSql("v.e", s"$cents.c")}, 6), $cents.cluster) AS rn
+           |FROM v CROSS JOIN $cents),
+           |$out AS (SELECT vec_id, e, cluster FROM ${out}s WHERE rn = 1)"""
+          .stripMargin.replace("\n", " ")
+      s"""WITH $vecCte,
+         |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, e AS c
+         |FROM v WHERE vec_id < 4),
+         |${assignCte("c0", "a1")},
+         |m1 AS (SELECT cluster, i, round(AVG(x), 6) AS m FROM (
+         |SELECT cluster, unnest(e) AS x, generate_subscripts(e, 1) AS i
+         |FROM a1) GROUP BY cluster, i),
+         |c1 AS (SELECT cluster, list(m ORDER BY i) AS c FROM m1
+         |GROUP BY cluster),
+         |${assignCte("c1", "a2")}
+         |SELECT vec_id, cluster FROM a2""".stripMargin.replace("\n", " ")
+    },
+
     "e08_centroid_outlier" ->
       s"""WITH vl AS (SELECT vec_id, label,
          |CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -876,6 +920,31 @@ object DataOpsQueries {
          |AS avg_neg_logprob
          |FROM tok JOIN freq USING (t) CROSS JOIN tot
          |GROUP BY doc""".stripMargin.replace("\n", " "),
+
+    "t10_entropy" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT doc, unnest(w) AS t FROM w),
+         |tc AS (SELECT doc, t, COUNT(*) AS c FROM tok GROUP BY doc, t)
+         |SELECT doc AS doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |round(ln(CAST(SUM(c) AS DOUBLE))
+         |- SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+         |/ CAST(SUM(c) AS DOUBLE), 6) AS token_entropy
+         |FROM tc GROUP BY doc""".stripMargin.replace("\n", " "),
+
+    "p03_length_buckets" ->
+      """WITH tk AS (SELECT doc_id,
+        |CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+        |AS BIGINT) AS n_tokens FROM documents),
+        |b AS (SELECT doc_id, n_tokens,
+        |CAST(length(bin(GREATEST(n_tokens, 1))) - 1 AS BIGINT) AS bucket
+        |FROM tk),
+        |r AS (SELECT doc_id, n_tokens, bucket,
+        |CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id)
+        |AS BIGINT) AS rn FROM b)
+        |SELECT doc_id, n_tokens, bucket, (rn - 1) // 8 AS batch_id,
+        |(rn - 1) % 8 AS pos_in_batch FROM r"""
+        .stripMargin.replace("\n", " "),
 
     "t01_langid" -> {
       val langs = Text.LangMarkers.toSeq.sortBy(_._1)

@@ -158,6 +158,29 @@ object Text {
   }
 
   /**
+   * Token-level Shannon entropy per document — the information-density
+   * quality signal (near-zero = degenerate repetition, log(n_distinct)
+   * = uniform usage) that complements the ratio heuristics of
+   * [[repetitionStats]]. Computed as `ln(n) − Σ c·ln(c) / n` so the
+   * aggregation needs no per-token division.
+   *
+   * Scale shape: same keyed-agg shape as [[repetitionStats]] — explode
+   * → groupBy(doc, token) partial-agg → groupBy(doc); the shuffle
+   * carries one row per (doc, distinct token).
+   */
+  def tokenEntropy(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), explode(tokens(text)).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(
+          log(sum(col("c")).cast("double")) -
+            sum(col("c").cast("double") * log(col("c").cast("double"))) /
+              sum(col("c")).cast("double"), 6).as("token_entropy"))
+
+  /**
    * Rolling/position-weighted document fingerprint:
    * sum over tokens of hash(token) * (position) — order-sensitive,
    * overflow-free (hash < 2^32, pos < 2^20), and identical in any

@@ -101,6 +101,23 @@ class AnnSpec extends SparkTestBase {
     assert(got(2L) == 1.0)
   }
 
+  test("kmeans separates two obvious clusters and assigns every vector once") {
+    // two tight groups on orthogonal axes; init centroids (ids 0,1)
+    // land one in each group, so even one iteration separates them.
+    val df = Seq(
+      (0L, Array(10.0f, 0.0f)), (2L, Array(11.0f, 1.0f)),
+      (3L, Array(9.0f, -1.0f)),
+      (1L, Array(0.0f, 10.0f)), (4L, Array(1.0f, 11.0f)),
+      (5L, Array(-1.0f, 9.0f))).toDF("vec_id", "embedding")
+    val got = Ann.kmeans(df, k = 2, iters = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(got.size == 6, "every vector assigned exactly once")
+    assert(got.values.forall(c => c == 0 || c == 1))
+    assert(Set(got(0L), got(2L), got(3L)).size == 1, "x-axis group together")
+    assert(Set(got(1L), got(4L), got(5L)).size == 1, "y-axis group together")
+    assert(got(0L) != got(1L), "the two groups are distinct clusters")
+  }
+
   test("lsh bucket is deterministic and identical vectors share a bucket") {
     val dup = Seq((10L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val all = vecs.union(dup)

@@ -132,6 +132,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == Map(100L -> Some(900L), 101L -> None, 102L -> None))
   }
 
+  test("interval join matches the naive range join exactly") {
+    val ts = (us: Long) => new java.sql.Timestamp(us / 1000L)
+    // user 1: events at 0s, 30s, 90s, 150s; user 2: 0s, 200s
+    val rows = Seq((1L, 0L, 10L), (1L, 30L, 11L), (1L, 90L, 12L),
+      (1L, 150L, 13L), (2L, 0L, 20L), (2L, 200L, 21L))
+      .map { case (u, sec, id) => (id, u, ts(sec * 1000000L)) }
+    val df = rows.toDF("event_id", "user_id", "ts")
+    // window = 60s: pairs within (t, t+60]
+    val got = IntervalJoin.intervalJoin(df, df, "user_id", "ts",
+        windowMicros = 60L * 1000000L)
+      .select($"p_event_id", $"c_event_id", $"gap_us")
+      .as[(Long, Long, Long)].collect().toSet
+    val naive = (for {
+      (aId, aU, aTs) <- rows
+      (bId, bU, bTs) <- rows
+      if aU == bU && bTs.getTime > aTs.getTime &&
+        bTs.getTime <= aTs.getTime + 60000L
+    } yield (aId, bId, (bTs.getTime - aTs.getTime) * 1000L)).toSet
+    assert(got == naive)
+    // the 30s→90s pair crosses a bucket boundary and must still appear
+    assert(got.contains((11L, 12L, 60000000L)))
+  }
+
   test("registry frame is magic byte + md5(schemaId) + payload hex") {
     val df = Seq(("42", "hi")).toDF("sid", "payload")
     val hex = df.select(Portable.registryFrameHex($"sid", $"payload")).as[String].head()

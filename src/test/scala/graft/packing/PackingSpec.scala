@@ -56,4 +56,20 @@ class PackingSpec extends SparkTestBase {
       assert(lo == 1L && hi == n, s"positions must be dense 1..$n, got [$lo,$hi]")
     }
   }
+
+  test("length buckets bin by exact power-of-two edges and fill batches densely") {
+    // n_tokens 1→bucket 0, 2,3→1, 4..7→2, 8→3; 0 clamps to bucket 0
+    val docs = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 7L),
+      (6L, 8L), (7L, 0L)).toDF("doc_id", "n")
+    val got = Packing.lengthBuckets(docs, col("doc_id"), col("n"), batchSize = 2)
+      .select("doc_id", "bucket", "batch_id", "pos_in_batch")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4))
+      .toMap
+    assert(got(1L)._1 == 0L && got(7L)._1 == 0L)
+    assert(got(2L)._1 == 1L && got(3L)._1 == 1L)
+    assert(got(4L)._1 == 2L && got(5L)._1 == 2L)
+    assert(got(6L)._1 == 3L)
+    // bucket 0 holds docs 1 and 7 → one batch, positions 0 and 1
+    assert(Set(got(1L), got(7L)) == Set((0L, 0L, 0L), (0L, 0L, 1L)))
+  }
 }

@@ -192,6 +192,58 @@ class PlanSpec extends SparkTestBase {
         "without it every stratum's full row set crosses the exchange")
   }
 
+  test("q40 interval join is a bucketized equi-join, never a product join") {
+    val p = planOf("q40_interval_join")
+    val plan = p.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "a raw range predicate degenerates to BNLJ — bucketizing must prevent it")
+    assert(plan.contains("bucket"), "join keys must include the time bucket")
+  }
+
+  test("q41 rollup shares one scan via Expand with a partial-agg split") {
+    val plan = planOf("q41_rollup").toString
+    assert(plan.contains("Expand"),
+      "rollup must compile to one Expand pass, not one scan per grouping level")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "partial/final aggregate split expected above the Expand")
+  }
+
+  test("e09 kmeans broadcasts the centroid table, never shuffles vectors pairwise") {
+    val p = planOf("e09_kmeans")
+    val plan = p.toString
+    assert(!plan.contains("CartesianProduct"),
+      "assignment must broadcast centroids, not build a shuffled product")
+    val bnlj = collectAll(p) { case b: BroadcastNestedLoopJoinExec => b }
+    assert(bnlj.nonEmpty, "centroid assignment is a broadcast NLJ by design")
+    bnlj.foreach { b =>
+      val buildChild = b.buildSide match {
+        case BuildRight => b.right
+        case BuildLeft => b.left
+      }
+      assert(buildChild.output.map(_.name).contains("cluster"),
+        s"broadcast side must be the (tiny) centroid relation, " +
+          s"got: ${buildChild.output.map(_.name).mkString(",")}")
+    }
+  }
+
+  test("t10 token entropy keeps the keyed partial-agg shape") {
+    val plan = planOf("t10_entropy").toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "partial/final aggregate split expected on the (doc, token) rollup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("p03 length buckets rank within buckets (partitioned window only)") {
+    val p = planOf("p03_length_buckets")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "batch numbering must be per-bucket — a global rank window cannot scale")
+  }
+
   test("d14 segment dedup stays keyed (no product join, partial agg split)") {
     val plan = planOf("d14_segment_dedup").toString
     assert(!plan.contains("CartesianProduct") &&

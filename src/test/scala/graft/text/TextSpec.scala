@@ -49,6 +49,14 @@ class TextSpec extends SparkTestBase {
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("token entropy is 0 for constant docs and ln(n) for all-distinct docs") {
+    val df = Seq((1L, "a a a a"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got = Text.tokenEntropy(df, $"doc_id", $"text")
+      .select($"doc_id", $"token_entropy").as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.0)
+    assert(math.abs(got(2L) - math.log(4.0)) < 1e-5)
+  }
+
   test("langid marker scoring picks the language whose markers dominate") {
     val df = Seq("le la et le la spark", "der die und der join").toDF("text")
     val scores = Text.langScores($"text")
