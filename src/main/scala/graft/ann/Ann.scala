@@ -335,6 +335,34 @@ object Ann {
   }
 
   /**
+   * SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs found
+   * WITHIN k-means clusters — cluster first, then compare only
+   * same-cluster pairs, keeping the quadratic step bounded by cluster
+   * size instead of corpus size. Composes [[kmeans]] (assignment) with
+   * the same rounded-cosine contract as [[cosinePairs]].
+   *
+   * Scale shape: the pair join is an EQUI-join on cluster id; at
+   * 100 TB, k grows with the corpus (SemDeDup uses ~100k clusters) so
+   * per-cluster cardinality — and with it the per-key join fan-out —
+   * stays bounded. Downstream pruning keeps the lower id of each pair.
+   */
+  def semDedupPairs(df: DataFrame, k: Int, iters: Int,
+      threshold: Double): DataFrame = {
+    val assign = kmeans(df, k, iters)
+    val v = df.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+      .join(assign, Seq("vec_id"))
+    v.as("a").join(v.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        round(cosine(col("a.v"), col("b.v"), col("a.n"), col("b.n")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.cluster").as("cluster"), col("cos"))
+  }
+
+  /**
    * Exact all-pairs variant of [[cosinePairs]] — O(n²) with a
    * broadcast of the full corpus; small-corpus verification only,
    * never the 100 TB path.

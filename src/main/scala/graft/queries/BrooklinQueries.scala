@@ -387,6 +387,44 @@ object BrooklinQueries {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
             .as("sum_qty"))),
 
+    // Time-range window frame: per-user rolling 7-day event count and
+    // value total at every event — the trailing-window analytics the
+    // reference's EWMA meters (A7) approximate, exact here. The RANGE
+    // frame runs over epoch-micros within a user partition, so state
+    // per task is one user's 7-day tail, never the corpus; the decimal
+    // cast keeps the rolling double sum order-independent.
+    "q42_rolling_window" -> ((s, d) => {
+      val weekUs = 7L * 86400L * 1000000L
+      val e = t(s, d, "events").withColumn("us", unix_micros(col("ts")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-weekUs, 0)
+      e.select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_7d"),
+        sum(col("value").cast("decimal(18,6)")).over(w).cast("double")
+          .as("value_7d"))
+    }),
+
+    // Batch sessionization (gaps-and-islands): a new session starts at
+    // the first event or after a >4 h silence; session index = running
+    // count of starts. Both windows are partitioned by user — the
+    // partitioned-window counterpart of the s06 streaming
+    // session_window, for the at-rest event log.
+    "q43_sessionize" -> ((s, d) => {
+      val gapUs = 4L * 3600L * 1000000L
+      val e = t(s, d, "events").withColumn("us", unix_micros(col("ts")))
+      val wo = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val prev = lag(col("us"), 1).over(wo)
+      val withBreak = e.withColumn("brk",
+        when(prev.isNull || col("us") - prev > gapUs, 1L).otherwise(0L))
+      withBreak
+        .withColumn("session_seq", sum(col("brk")).over(
+          wo.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .select(col("event_id"), col("user_id"), col("session_seq"),
+          col("brk").as("is_start"))
+    }),
+
     // Skew mitigation for joins: the hot fact key is salted and the
     // small build side replicated per salt — result identical to the
     // plain join (verified by the oracle), shuffle spread over salts.
@@ -735,6 +773,29 @@ object BrooklinQueries {
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+        .stripMargin.replace("\n", " "),
+
+    "q42_rolling_window" ->
+      """SELECT event_id, user_id,
+        |COUNT(*) OVER w AS n_7d,
+        |CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS value_7d
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)"""
+        .stripMargin.replace("\n", " "),
+
+    "q43_sessionize" ->
+      """WITH g AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 14400000000
+        |THEN 1 ELSE 0 END AS brk
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT event_id, user_id,
+        |CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |AS session_seq,
+        |CAST(brk AS BIGINT) AS is_start FROM g"""
         .stripMargin.replace("\n", " "),
 
     "q34_salted_join" ->

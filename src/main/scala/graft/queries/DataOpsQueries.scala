@@ -264,6 +264,13 @@ object DataOpsQueries {
     "e09_kmeans" -> ((s, d) =>
       Ann.kmeans(t(s, d, "embeddings"), k = 4, iters = 2)),
 
+    // SemDeDup: semantic near-dup pairs found WITHIN k-means clusters
+    // — the cluster-then-compare pipeline that bounds the quadratic
+    // step by cluster size (k grows with the corpus at scale).
+    "e10_semdedup" -> ((s, d) =>
+      Ann.semDedupPairs(t(s, d, "embeddings"), k = 4, iters = 2,
+        threshold = 0.4)),
+
     // Int8 embedding quantization (storage/serving compression). The
     // gate projects qvec as a csv string — the comparison harness can't
     // sort array cells; the array-typed operator output is unchanged.
@@ -445,6 +452,31 @@ object DataOpsQueries {
 
   private val normCte =
     s"n AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nr FROM v)"
+
+  /** One k-means assignment round (needs vecCte + a centroid CTE):
+    * rank by the v-independent part of squared L2, rounded to 6 dp,
+    * ties to the lower cluster — the exact Ann.kmeans contract. */
+  private def kmeansAssignCte(cents: String, out: String) =
+    s"""${out}s AS (SELECT v.vec_id, v.e, $cents.cluster,
+       |ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |round(${dotSql(s"$cents.c", s"$cents.c")}
+       |- 2 * ${dotSql("v.e", s"$cents.c")}, 6), $cents.cluster) AS rn
+       |FROM v CROSS JOIN $cents),
+       |$out AS (SELECT vec_id, e, cluster FROM ${out}s WHERE rn = 1)"""
+      .stripMargin.replace("\n", " ")
+
+  /** k-means (k=4, two assignment passes) unrolled: c0 init →
+    * a1 assign → c1 refit (6-dp-rounded per-dim means) → a2 assign. */
+  private val kmeansCtes =
+    s"""c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, e AS c
+       |FROM v WHERE vec_id < 4),
+       |${kmeansAssignCte("c0", "a1")},
+       |m1 AS (SELECT cluster, i, round(AVG(x), 6) AS m FROM (
+       |SELECT cluster, unnest(e) AS x, generate_subscripts(e, 1) AS i
+       |FROM a1) GROUP BY cluster, i),
+       |c1 AS (SELECT cluster, list(m ORDER BY i) AS c FROM m1
+       |GROUP BY cluster),
+       |${kmeansAssignCte("c1", "a2")}""".stripMargin.replace("\n", " ")
 
   private def lshProjWeight(jExpr: String) =
     s"CAST(MOD($jExpr * 2654435761 + i * 40503, 2001) - 1000 AS DOUBLE)"
@@ -708,27 +740,20 @@ object DataOpsQueries {
     // k-means unrolled: c0 = init (lowest-k ids), a1 = assign, c1 =
     // refit (per-dim mean rounded to 6 dp), a2 = final assign. The
     // score/rounding contract matches Ann.kmeans exactly.
-    "e09_kmeans" -> {
-      def assignCte(cents: String, out: String) =
-        s"""${out}s AS (SELECT v.vec_id, v.e, $cents.cluster,
-           |ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-           |round(${dotSql(s"$cents.c", s"$cents.c")}
-           |- 2 * ${dotSql("v.e", s"$cents.c")}, 6), $cents.cluster) AS rn
-           |FROM v CROSS JOIN $cents),
-           |$out AS (SELECT vec_id, e, cluster FROM ${out}s WHERE rn = 1)"""
-          .stripMargin.replace("\n", " ")
-      s"""WITH $vecCte,
-         |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, e AS c
-         |FROM v WHERE vec_id < 4),
-         |${assignCte("c0", "a1")},
-         |m1 AS (SELECT cluster, i, round(AVG(x), 6) AS m FROM (
-         |SELECT cluster, unnest(e) AS x, generate_subscripts(e, 1) AS i
-         |FROM a1) GROUP BY cluster, i),
-         |c1 AS (SELECT cluster, list(m ORDER BY i) AS c FROM m1
-         |GROUP BY cluster),
-         |${assignCte("c1", "a2")}
-         |SELECT vec_id, cluster FROM a2""".stripMargin.replace("\n", " ")
-    },
+    "e09_kmeans" ->
+      s"""WITH $vecCte, $kmeansCtes
+         |SELECT vec_id, cluster FROM a2""".stripMargin.replace("\n", " "),
+
+    // SemDeDup = kmeans assignment (a2) + same-cluster cosine pairs.
+    "e10_semdedup" ->
+      s"""WITH $vecCte, $kmeansCtes,
+         |j AS (SELECT a2.vec_id, a2.e, a2.cluster,
+         |sqrt(${dotSql("a2.e", "a2.e")}) AS nr FROM a2)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster AS cluster,
+         |round(${dotSql("a.e", "b.e")} / (a.nr * b.nr), 6) AS cos
+         |FROM j a JOIN j b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |WHERE round(${dotSql("a.e", "b.e")} / (a.nr * b.nr), 6) >= 0.4"""
+        .stripMargin.replace("\n", " "),
 
     "e08_centroid_outlier" ->
       s"""WITH vl AS (SELECT vec_id, label,

@@ -118,6 +118,19 @@ class AnnSpec extends SparkTestBase {
     assert(got(0L) != got(1L), "the two groups are distinct clusters")
   }
 
+  test("semDedupPairs finds same-cluster near-dups and never crosses clusters") {
+    // ids 0,1 are the init centroids (x-axis vs y-axis group); 2 is a
+    // near-copy of 0, 4 a near-copy of 1; 0↔1 are orthogonal.
+    val df = Seq(
+      (0L, Array(10.0f, 0.0f)), (2L, Array(10.0f, 0.5f)),
+      (1L, Array(0.0f, 10.0f)), (4L, Array(0.5f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Ann.semDedupPairs(df, k = 2, iters = 2, threshold = 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 2L), (1L, 4L)),
+      s"expected within-cluster near-dup pairs only, got $got")
+  }
+
   test("lsh bucket is deterministic and identical vectors share a bucket") {
     val dup = Seq((10L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val all = vecs.union(dup)

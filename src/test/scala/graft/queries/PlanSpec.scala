@@ -244,6 +244,35 @@ class PlanSpec extends SparkTestBase {
       "batch numbering must be per-bucket — a global rank window cannot scale")
   }
 
+  test("q42 rolling frame and q43 sessionize run partitioned windows only") {
+    for (name <- Seq("q42_rolling_window", "q43_sessionize")) {
+      val p = planOf(name)
+      val windows = collectAll(p) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+        s"$name: every window must be partitioned by user_id — " +
+          "a global ordered window cannot scale")
+    }
+  }
+
+  test("e10 semdedup pair join is an equi-join on cluster, no product") {
+    val p = planOf("e10_semdedup")
+    val plan = p.toString
+    assert(!plan.contains("CartesianProduct"),
+      "within-cluster pairs must equi-join on the cluster id")
+    // the only BNLJs allowed are the kmeans centroid broadcasts
+    val bnlj = collectAll(p) { case b: BroadcastNestedLoopJoinExec => b }
+    bnlj.foreach { b =>
+      val buildChild = b.buildSide match {
+        case BuildRight => b.right
+        case BuildLeft => b.left
+      }
+      assert(buildChild.output.map(_.name).contains("cluster"),
+        "any broadcast NLJ must be the tiny centroid relation")
+    }
+  }
+
   test("d14 segment dedup stays keyed (no product join, partial agg split)") {
     val plan = planOf("d14_segment_dedup").toString
     assert(!plan.contains("CartesianProduct") &&
