@@ -363,6 +363,41 @@ object Ann {
   }
 
   /**
+   * Product quantization codes: the vector is split into `m` equal
+   * subspaces and each subvector replaced by the id of its nearest
+   * codeword — the compression behind billion-scale ANN serving
+   * (n·m·log₂(k)/8 bytes instead of n·dim·4). Codebooks here are the
+   * first `k` vectors' subvectors — the deterministic stand-in for a
+   * per-subspace k-means codebook ([[kmeans]] trains real ones); the
+   * encode dataflow, which is what must scale, is identical.
+   * Assignment ranks by the v-independent part of squared L2 rounded
+   * to 6 dp, ties to the lower code — the [[kmeans]] contract.
+   *
+   * Scale shape: the corpus explodes to m subvector rows per vector
+   * (a projection, no shuffle), then equi-joins the broadcast
+   * (m × k)-row codebook on the subspace id; the argmin is a window
+   * over exactly k candidates per (vector, subspace). Nothing scales
+   * with corpus size except the one streaming pass.
+   */
+  def pqCodes(df: DataFrame, m: Int, k: Int): DataFrame = {
+    val v = df.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val subLen = (size(col("v")) / m).cast("int")
+    val subs = v
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("v"), col("sub") * subLen + 1, subLen).as("sv"))
+    val codebook = subs.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
+    val scored = subs.join(broadcast(codebook), Seq("sub"))
+      .withColumn("score",
+        round(dot(col("cv"), col("cv")) - lit(2.0) * dot(col("sv"), col("cv")), 6))
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("score"), col("code"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
+  }
+
+  /**
    * Exact all-pairs variant of [[cosinePairs]] — O(n²) with a
    * broadcast of the full corpus; small-corpus verification only,
    * never the 100 TB path.

@@ -171,6 +171,34 @@ object Dedup {
   }
 
   /**
+   * MinHash estimator quality: for every LSH candidate pair, the
+   * signature-agreement Jaccard ESTIMATE (matching lanes / k — what
+   * the index believes) next to the exact shingle-set Jaccard (the
+   * truth) — the dedup-index counterpart of [[graft.ann.Ann.recallAtK]],
+   * run before trusting k/r settings on a new corpus.
+   *
+   * Scale shape: both sides are candidate-gated equi-joins — the
+   * estimate joins |candidates|·k signature rows on (doc, lane), the
+   * truth is [[jaccardOnCandidates]] at threshold 0. `sum/k` is one
+   * exact binary division, so the estimate compares bit-for-bit in
+   * any engine.
+   */
+  def minHashQuality(df: DataFrame, id: Column, text: Column,
+      shingleN: Int, k: Int, r: Int): DataFrame = {
+    val cand = lshCandidates(df, id, text, k, r).select(col("doc_a"), col("doc_b"))
+    val sig = minHashLong(df, id, text, k)
+    val est = cand
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc") && col("sa.i") === col("sb.i"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg((sum(when(col("sa.sig") === col("sb.sig"), 1L).otherwise(0L))
+        .cast("double") / k).as("jaccard_est"))
+    est.join(jaccardOnCandidates(df, id, text, shingleN, 0.0, k, r),
+        Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard_est"), col("jaccard"))
+  }
+
+  /**
    * Connected components over near-dup candidate pairs — the final
    * stage of a production dedup pipeline: pairs → duplicate GROUPS,
    * one canonical id (the minimum member) per group.

@@ -425,6 +425,19 @@ object BrooklinQueries {
           col("brk").as("is_start"))
     }),
 
+    // Custom grouping sets (by flag, and independently by status):
+    // same one-Expand-pass shape as q41's rollup, but with caller-
+    // chosen grouping level combinations.
+    "q44_grouping_sets" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))),
+
     // Skew mitigation for joins: the hot fact key is salted and the
     // small build side replicated per salt — result identical to the
     // plain join (verified by the oracle), shuffle spread over salts.
@@ -796,6 +809,14 @@ object BrooklinQueries {
         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |AS session_seq,
         |CAST(brk AS BIGINT) AS is_start FROM g"""
+        .stripMargin.replace("\n", " "),
+
+    "q44_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""
         .stripMargin.replace("\n", " "),
 
     "q34_salted_join" ->

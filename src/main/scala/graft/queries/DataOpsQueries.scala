@@ -271,6 +271,19 @@ object DataOpsQueries {
       Ann.semDedupPairs(t(s, d, "embeddings"), k = 4, iters = 2,
         threshold = 0.4)),
 
+    // Product-quantization codes (m=8 subspaces, 16 codewords each):
+    // the billion-scale ANN compression — corpus explodes to subvector
+    // rows, equi-joins the broadcast codebook, argmin per (vec, sub).
+    "e11_pq_codes" -> ((s, d) =>
+      Ann.pqCodes(t(s, d, "embeddings"), m = 8, k = 16)),
+
+    // MinHash index quality: signature-agreement Jaccard estimate vs
+    // exact shingle Jaccard per LSH candidate pair — the measurement
+    // that validates k/r settings before a production dedup run.
+    "d16_minhash_quality" -> ((s, d) =>
+      Dedup.minHashQuality(t(s, d, "documents"), col("doc_id"),
+        col("text"), shingleN = 3, k = MinHashK, r = LshRows)),
+
     // Int8 embedding quantization (storage/serving compression). The
     // gate projects qvec as a csv string — the comparison harness can't
     // sort array cells; the array-typed operator output is unchanged.
@@ -743,6 +756,49 @@ object DataOpsQueries {
     "e09_kmeans" ->
       s"""WITH $vecCte, $kmeansCtes
          |SELECT vec_id, cluster FROM a2""".stripMargin.replace("\n", " "),
+
+    // PQ: subvector slices (1-based, len/8 dims each) joined to the
+    // first-16-vectors codebook; argmin by the kmeans score contract.
+    "e11_pq_codes" ->
+      s"""WITH $vecCte,
+         |sp AS (SELECT vec_id, r.range AS sub,
+         |e[(CAST(r.range AS INTEGER) * (len(e) // 8) + 1):
+         |((CAST(r.range AS INTEGER) + 1) * (len(e) // 8))] AS sv
+         |FROM v CROSS JOIN range(0, 8) r),
+         |cb AS (SELECT sub, CAST(vec_id AS INTEGER) AS code, sv AS cv
+         |FROM sp WHERE vec_id < 16),
+         |sc AS (SELECT sp.vec_id, sp.sub, cb.code,
+         |ROW_NUMBER() OVER (PARTITION BY sp.vec_id, sp.sub ORDER BY
+         |round(${dotSql("cb.cv", "cb.cv")}
+         |- 2 * ${dotSql("sp.sv", "cb.cv")}, 6), cb.code) AS rn
+         |FROM sp JOIN cb USING (sub))
+         |SELECT vec_id, sub, code FROM sc WHERE rn = 1"""
+        .stripMargin.replace("\n", " "),
+
+    "d16_minhash_quality" ->
+      s"""WITH $wordsCte, $shinglesCte, ${minhashSigCte(MinHashK)},
+         |bands AS (SELECT doc, i // $LshRows AS band,
+         |${h("string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)")} AS bh
+         |FROM sig GROUP BY doc, i // $LshRows),
+         |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |FROM bands a JOIN bands b
+         |ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc),
+         |est AS (SELECT doc_a, doc_b,
+         |CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE)
+         |/ $MinHashK AS jaccard_est
+         |FROM cand c JOIN sig sa ON sa.doc = c.doc_a
+         |JOIN sig sb ON sb.doc = c.doc_b AND sb.i = sa.i
+         |GROUP BY doc_a, doc_b),
+         |shd AS (SELECT DISTINCT doc, s FROM sh),
+         |sizes AS (SELECT doc, COUNT(*) AS n FROM shd GROUP BY doc),
+         |inter AS (SELECT doc_a, doc_b, COUNT(*) AS inter
+         |FROM cand c JOIN shd a ON a.doc = c.doc_a
+         |JOIN shd b ON b.doc = c.doc_b AND b.s = a.s GROUP BY 1, 2)
+         |SELECT e.doc_a, e.doc_b, e.jaccard_est,
+         |CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
+         |FROM est e JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+         |JOIN sizes na ON na.doc = e.doc_a
+         |JOIN sizes nb ON nb.doc = e.doc_b""".stripMargin.replace("\n", " "),
 
     // SemDeDup = kmeans assignment (a2) + same-cluster cosine pairs.
     "e10_semdedup" ->

@@ -131,6 +131,23 @@ class AnnSpec extends SparkTestBase {
       s"expected within-cluster near-dup pairs only, got $got")
   }
 
+  test("pqCodes assigns each subvector to its nearest codeword") {
+    // 4-dim vectors, m=2 subspaces of 2 dims, k=2 codewords (ids 0,1).
+    // vec 2 copies vec 0's first half and vec 1's second half.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 5.0f, 5.0f)),
+      (1L, Array(9.0f, 9.0f, 0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.1f, 0.0f, 0.9f))).toDF("vec_id", "embedding")
+    val got = Ann.pqCodes(df, m = 2, k = 2)
+      .as[(Long, Long, Int)].collect()
+      .map { case (id, sub, code) => (id, sub) -> code }.toMap
+    assert(got.size == 6, "every (vector, subspace) coded exactly once")
+    assert(got((2L, 0L)) == 0, "first half nearest codeword 0")
+    assert(got((2L, 1L)) == 1, "second half nearest codeword 1")
+    assert(got((0L, 0L)) == 0 && got((1L, 0L)) == 1,
+      "codebook vectors code to themselves")
+  }
+
   test("lsh bucket is deterministic and identical vectors share a bucket") {
     val dup = Seq((10L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val all = vecs.union(dup)

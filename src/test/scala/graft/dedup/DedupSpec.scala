@@ -69,6 +69,19 @@ class DedupSpec extends SparkTestBase {
     assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhash quality: exact dup estimates 1.0 and matches truth exactly") {
+    val got = Dedup.minHashQuality(docs, $"doc_id", $"text",
+        shingleN = 3, k = 16, r = 4)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // identical docs: all 16 lanes agree AND the true Jaccard is 1.0
+    assert(got((1L, 2L)) == ((1.0, 1.0)))
+    // any near-dup candidate's estimate stays a valid fraction of k
+    got.values.foreach { case (est, j) =>
+      assert(est >= 0.0 && est <= 1.0 && j > 0.0)
+    }
+  }
+
   test("segment dedup: first occurrence survives, repeats are counted") {
     // segLen=2 → doc 10: [a b][c d]; doc 11: [a b][e f]; doc 12: [a b]
     // plus a trailing partial [g]. Segment "a b" first occurs at

@@ -273,6 +273,31 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q44 grouping sets share one Expand pass like q41") {
+    val plan = planOf("q44_grouping_sets").toString
+    assert(plan.contains("Expand"),
+      "grouping sets must compile to one Expand pass over a single scan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "partial/final aggregate split expected above the Expand")
+  }
+
+  test("e11 PQ encode joins the broadcast codebook, never a product") {
+    val p = planOf("e11_pq_codes")
+    val plan = p.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "subvector encode must equi-join the codebook on the subspace id")
+    val broadcasts = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(broadcasts.nonEmpty, "the (m × k)-row codebook must broadcast")
+  }
+
+  test("d16 minhash quality stays candidate-gated (no product joins)") {
+    val plan = planOf("d16_minhash_quality").toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "estimate and truth must both join through the LSH candidate pairs")
+  }
+
   test("d14 segment dedup stays keyed (no product join, partial agg split)") {
     val plan = planOf("d14_segment_dedup").toString
     assert(!plan.contains("CartesianProduct") &&
