@@ -4,7 +4,7 @@ import scala.util.Random
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Filters, Partitioning}
+import graft.operators.{AsOfJoin, Filters, IntervalJoin, Partitioning}
 
 /**
  * Property-style laws for the operators whose correctness is
@@ -73,6 +73,33 @@ class PropertySpec extends SparkTestBase {
         .select($"k", $"v", $"label")
         .as[(String, Long, String)].collect().sorted.toSeq
       assert(salted == plain, s"salts=$salts")
+    }
+  }
+
+  test("interval join: equals the naive range join for any window") {
+    val rnd = new Random(46)
+    for (_ <- 1 to Rounds) {
+      // timestamps cluster around bucket edges to stress the
+      // explode-to-two-buckets correctness argument
+      val windowUs = (1L + rnd.nextInt(5)) * 1000000L
+      val rows = List.tabulate(40) { i =>
+        val us = rnd.nextInt(12) * windowUs / 3 + rnd.nextInt(3)
+        (i.toLong, 1L + rnd.nextInt(3), us)
+      }
+      val df = rows
+        .map { case (id, u, us) => (id, u, new java.sql.Timestamp(us / 1000L)) }
+        .toDF("event_id", "user_id", "ts")
+      // microsecond sub-millis truncated by Timestamp: recompute in µs
+      val usOf = rows.map { case (id, _, us) => id -> (us / 1000L) * 1000L }.toMap
+      val got = IntervalJoin.intervalJoin(df, df, "user_id", "ts", windowUs)
+        .select($"p_event_id", $"c_event_id")
+        .as[(Long, Long)].collect().toSet
+      val want = (for {
+        (aId, aU, _) <- rows
+        (bId, bU, _) <- rows
+        if aU == bU && usOf(bId) > usOf(aId) && usOf(bId) <= usOf(aId) + windowUs
+      } yield (aId, bId)).toSet
+      assert(got == want, s"window=$windowUs")
     }
   }
 
