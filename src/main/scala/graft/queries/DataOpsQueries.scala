@@ -10,6 +10,7 @@ import graft.functions.Portable
 import graft.multimodal.Multimodal
 import graft.packing.Packing
 import graft.sampling.Sampling
+import graft.sketch.Sketch
 import graft.text.Text
 
 /**
@@ -26,6 +27,10 @@ object DataOpsQueries {
   private val MinHashK = 16
   private val LshRows = 4
   private val SimHamming = 10
+  private val CmsD = 4
+  private val CmsW = 1024
+  private val BloomK = 3
+  private val BloomM = 65536
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content digest.
@@ -339,6 +344,47 @@ object DataOpsQueries {
     "p03_length_buckets" -> ((s, d) =>
       Packing.lengthBuckets(t(s, d, "documents"), col("doc_id"),
         Text.tokenCount(col("text")), batchSize = 8)),
+
+    // Count-min sketch frequency estimation: d×w cells replace the
+    // exact vocabulary table; estimates for the top-50 tokens sit
+    // next to the truth (CMS never undercounts — the gap IS the
+    // collision overcount). Mergeable across partitions/days.
+    "t11_cms_freq" -> ((s, d) => {
+      val tok = t(s, d, "documents")
+        .select(explode(Text.tokens(col("text"))).as("t"))
+      val sketch = Sketch.countMinBuild(tok, col("t"), d = CmsD, w = CmsW)
+      val top = tok.groupBy(col("t")).agg(count(lit(1)).as("true_n"))
+        .orderBy(col("true_n").desc, col("t")).limit(50)
+      Sketch.countMinQuery(sketch, top.select(col("t")), col("t"), CmsD, CmsW)
+        .join(top, col("v") === col("t"))
+        .select(col("t").as("token"), col("true_n"), col("cms_n"))
+    }),
+
+    // Bloom-filter contamination pre-filter: train-split shingles set
+    // an m-bit filter; every eval-split shingle probes it. Per eval
+    // doc: probed-positive count vs exact-membership count — the
+    // sublinear pre-screen that gates the exact d10 join at 100 TB
+    // (bloom_hits ≥ exact_hits; the gap is the false-positive cost).
+    "d17_bloom_prefilter" -> ((s, d) => {
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+        .select(col("doc_id"), explode(Text.shingleSetOf(col("w"))).as("s"))
+        .withColumn("b", pmod(Portable.hash64(col("doc_id")), lit(100L)))
+      val trainSh = sh.filter(col("b") < 80).select(col("s"))
+      val evalSh = sh.filter(col("b") >= 80 && col("b") < 90)
+        .select(col("doc_id").as("eval_doc"), col("s"))
+      val bloom = Sketch.bloomBuild(trainSh, col("s"), k = BloomK, m = BloomM)
+      val pos = Sketch.bloomProbe(bloom, evalSh.select(col("s")).distinct(),
+        col("s"), k = BloomK, m = BloomM)
+      val exact = trainSh.distinct().withColumn("in_train", lit(1L))
+      evalSh
+        .join(pos, evalSh("s") === pos("v"))
+        .join(exact, Seq("s"), "left")
+        .groupBy(col("eval_doc"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("bloom_positive"), 1L).otherwise(0L)).as("n_bloom"),
+          count(col("in_train")).as("n_exact"))
+    }),
 
     // Language ID by marker-token profile.
     "t01_langid" -> ((s, d) => {
@@ -1026,6 +1072,47 @@ object DataOpsQueries {
         |SELECT doc_id, n_tokens, bucket, (rn - 1) // 8 AS batch_id,
         |(rn - 1) % 8 AS pos_in_batch FROM r"""
         .stripMargin.replace("\n", " "),
+
+    "t11_cms_freq" -> {
+      val cell = h("CAST(r.range AS VARCHAR) || ':' || t")
+      s"""WITH $wordsCte,
+         |tok AS (SELECT unnest(w) AS t FROM w),
+         |cnt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS true_n
+         |FROM tok GROUP BY t),
+         |top AS (SELECT t, true_n FROM cnt ORDER BY true_n DESC, t LIMIT 50),
+         |bld AS (SELECT lane, cell, CAST(COUNT(*) AS BIGINT) AS n FROM (
+         |SELECT r.range AS lane, MOD($cell, $CmsW) AS cell
+         |FROM tok CROSS JOIN range(0, $CmsD) r) GROUP BY lane, cell),
+         |pc AS (SELECT t, r.range AS lane, MOD($cell, $CmsW) AS cell
+         |FROM top CROSS JOIN range(0, $CmsD) r)
+         |SELECT top.t AS token, top.true_n, MIN(b.n) AS cms_n
+         |FROM pc JOIN bld b USING (lane, cell) JOIN top ON top.t = pc.t
+         |GROUP BY 1, 2""".stripMargin.replace("\n", " ")
+    },
+
+    "d17_bloom_prefilter" -> {
+      val bit = h("CAST(r.range AS VARCHAR) || ':' || s")
+      s"""WITH $wordsCte, $shinglesCte,
+         |shd AS (SELECT DISTINCT doc, s FROM sh),
+         |bk AS (SELECT doc, MOD(${h("doc")}, 100) AS b FROM w),
+         |tr AS (SELECT s FROM shd JOIN bk USING (doc) WHERE b < 80),
+         |ev AS (SELECT doc AS eval_doc, s FROM shd JOIN bk USING (doc)
+         |WHERE b >= 80 AND b < 90),
+         |bits AS (SELECT DISTINCT MOD($bit, $BloomM) AS bit
+         |FROM tr CROSS JOIN range(0, $BloomK) r),
+         |evs AS (SELECT DISTINCT s FROM ev),
+         |pb AS (SELECT s, MOD($bit, $BloomM) AS pbit
+         |FROM evs CROSS JOIN range(0, $BloomK) r),
+         |probe AS (SELECT s, COUNT(bits.bit) = $BloomK AS bloom_positive
+         |FROM pb LEFT JOIN bits ON bits.bit = pb.pbit GROUP BY s),
+         |tset AS (SELECT DISTINCT s FROM tr)
+         |SELECT eval_doc, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |CAST(SUM(CASE WHEN bloom_positive THEN 1 ELSE 0 END) AS BIGINT)
+         |AS n_bloom,
+         |CAST(COUNT(tset.s) AS BIGINT) AS n_exact
+         |FROM ev JOIN probe USING (s) LEFT JOIN tset ON tset.s = ev.s
+         |GROUP BY eval_doc""".stripMargin.replace("\n", " ")
+    },
 
     "t01_langid" -> {
       val langs = Text.LangMarkers.toSeq.sortBy(_._1)

@@ -1,0 +1,96 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/**
+ * Probabilistic-sketch operators for 100 TB-scale corpus statistics:
+ * count-min frequency estimation and Bloom-filter membership
+ * pre-filtering — the sublinear-memory answers to "how often does
+ * this token occur" and "have we seen this shingle" when exact
+ * tables no longer fit. Every hash goes through the portable
+ * (md5-derived) [[Portable.hash64]], so both sketches are fully
+ * deterministic and reproduce bit-for-bit in any engine — which is
+ * also what makes them mergeable across partitions and days.
+ */
+object Sketch {
+
+  /** Lane-i cell of `value` in a width-`w` count-min row:
+    * pmod(hash64("i:" ‖ value), w). */
+  def cmsCell(lane: Int, value: Column, w: Int): Column =
+    pmod(Portable.hash64(concat(lit(s"$lane:"), value)), lit(w.toLong))
+
+  /**
+   * Build a count-min sketch over a value column: `d` independent
+   * hash lanes × `w` cells, each cell the count of values hashing
+   * into it. The sketch is d·w rows regardless of corpus size — a
+   * partial-agg groupBy collapses each partition's stream map-side,
+   * so the shuffle carries at most d·w rows per task. Returned
+   * relational ((lane, cell) → n), the mergeable form: sketches of
+   * two corpora union+sum into the sketch of their concatenation.
+   */
+  def countMinBuild(values: DataFrame, value: Column, d: Int, w: Int): DataFrame = {
+    val lanes = explode(array((0 until d).map(lit): _*)).as("lane")
+    values.select(value.as("v"), lanes)
+      .select(col("lane"),
+        // lane is a column here; inline the affine form per lane via
+        // a chained when — d is small (2-8), stays one projection
+        (0 until d).foldLeft(lit(-1L)) { (acc, i) =>
+          when(col("lane") === i, cmsCell(i, col("v"), w)).otherwise(acc)
+        }.as("cell"))
+      .groupBy(col("lane"), col("cell"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /**
+   * Point-query the sketch for each probe value: estimate = min over
+   * lanes of the probed cell (the classic CMS upper bound — never
+   * undercounts, overcounts only on collisions). The probe side
+   * computes its d cells in a projection and equi-joins the tiny
+   * (d·w-row) sketch on (lane, cell); AQE broadcasts it.
+   */
+  def countMinQuery(sketch: DataFrame, probes: DataFrame, value: Column,
+      d: Int, w: Int): DataFrame = {
+    val cells = probes.select(value.as("v"))
+      .select(col("v"), posexplode(
+        array((0 until d).map(i => cmsCell(i, col("v"), w)): _*))
+        .as(Seq("lane", "cell")))
+    cells.join(sketch, Seq("lane", "cell"))
+      .groupBy(col("v"))
+      .agg(min(col("n")).as("cms_n"))
+  }
+
+  /** Lane-i bit position of `value` in an `m`-bit Bloom filter. */
+  def bloomBit(lane: Int, value: Column, m: Int): Column =
+    pmod(Portable.hash64(concat(lit(s"$lane:"), value)), lit(m.toLong))
+
+  /**
+   * Build a Bloom filter over a value column as the relation of SET
+   * bit positions (k hash lanes per value, deduplicated). At most
+   * `m` rows regardless of corpus size; the distinct is a partial-agg
+   * groupBy. Union-distinct of two builds = the filter of the union.
+   */
+  def bloomBuild(values: DataFrame, value: Column, k: Int, m: Int): DataFrame =
+    values.select(value.as("v"))
+      .select(explode(array((0 until k).map(i => bloomBit(i, col("v"), m)): _*))
+        .as("bit"))
+      .distinct()
+
+  /**
+   * Probe the filter: a value tests positive iff all k of its bits
+   * are set (true membership always positive; collisions give a
+   * bounded false-positive rate). Left-joins the bit relation on the
+   * bit position — an equi-join against at most m rows.
+   */
+  def bloomProbe(bloom: DataFrame, probes: DataFrame, value: Column,
+      k: Int, m: Int): DataFrame = {
+    val bits = probes.select(value.as("v"))
+      .select(col("v"), explode(
+        array((0 until k).map(i => bloomBit(i, col("v"), m)): _*)).as("bit"))
+    bits.join(bloom.withColumn("set", lit(1L)), Seq("bit"), "left")
+      .groupBy(col("v"))
+      .agg((count(col("set")) === k).as("bloom_positive"))
+  }
+}

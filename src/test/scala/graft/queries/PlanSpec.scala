@@ -298,6 +298,16 @@ class PlanSpec extends SparkTestBase {
       "estimate and truth must both join through the LSH candidate pairs")
   }
 
+  test("t11 CMS and d17 bloom stay equi-joined sketch lookups, no products") {
+    for (name <- Seq("t11_cms_freq", "d17_bloom_prefilter")) {
+      val plan = planOf(name).toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: sketch build/probe must never cross-product")
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        s"$name: sketch cells must collapse with a partial-agg split")
+    }
+  }
+
   test("d14 segment dedup stays keyed (no product join, partial agg split)") {
     val plan = planOf("d14_segment_dedup").toString
     assert(!plan.contains("CartesianProduct") &&
