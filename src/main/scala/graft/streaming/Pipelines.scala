@@ -443,9 +443,25 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
    * Start the query for a created spec with a transform chain.
    * Checkpointing (the reference's ZookeeperCheckpointProvider) is the
    * built-in offset/commit log under `checkpointRoot/name`.
+   *
+   * Multi-tenant isolation (SURVEY §7.3 hard part 4): every pipeline's
+   * jobs run in their own scheduler pool `graft-<name>` — the Spark
+   * counterpart of the reference running each task in its own
+   * connector thread (`AbstractKafkaConnector.java:222-245`), so one
+   * hot pipeline cannot starve the others once the session runs the
+   * FAIR scheduler. The pool local-property is inherited by the
+   * micro-batch execution thread at start() and cleared from the
+   * caller afterwards.
    */
   def start(name: String, transform: DataFrame => DataFrame,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-$name")
+    try startInPool(name, transform, trigger)
+    finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+  }
+
+  private def startInPool(name: String, transform: DataFrame => DataFrame,
+      trigger: Trigger): StreamingQuery = {
     val spec = specs.getOrElse(name, sys.error(s"unknown pipeline $name"))
     // A6/A7: per-epoch throughput metrics ride the query itself via
     // observe() — no second pass over the data; the listener above

@@ -483,4 +483,37 @@ class PipelineManagerSpec extends SparkTestBase {
     assert(second == Set((1L, "x")), "replayed epoch must not duplicate rows")
     pm.delete("eo")
   }
+
+  test("each pipeline's jobs run in their own scheduler pool") {
+    val pools = scala.collection.concurrent.TrieMap.empty[String, String]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val p = Option(js.properties)
+          .flatMap(ps => Option(ps.getProperty("spark.scheduler.pool")))
+        p.filter(_.startsWith("graft-")).foreach(pool =>
+          pools.put(pool, pool))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val pm = newManager()
+      val srcDir = Files.createTempDirectory("graft-pool-src-").toString
+      Seq((1L, "v")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+      pm.create(PipelineSpec("isoA", "parquet", "parquet", srcDir))
+      pm.create(PipelineSpec("isoB", "parquet", "parquet", srcDir))
+      pm.start("isoA", identity).awaitTermination()
+      pm.start("isoB", identity).awaitTermination()
+      // listener events are async: poll briefly for both pools
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while ((!pools.contains("graft-isoA") || !pools.contains("graft-isoB"))
+          && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(pools.contains("graft-isoA") && pools.contains("graft-isoB"),
+        s"pipeline jobs must carry their own pool, saw: ${pools.keySet}")
+      // the caller thread's pool is cleared after start()
+      assert(spark.sparkContext.getLocalProperty("spark.scheduler.pool") == null)
+      pm.delete("isoA"); pm.delete("isoB")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
