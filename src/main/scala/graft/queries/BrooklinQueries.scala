@@ -438,6 +438,23 @@ object BrooklinQueries {
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
             .as("sum_price"))),
 
+    // Set operations as data-plane ops (intersect/except/union — the
+    // reference only uses them control-plane, D2/D3; the engine
+    // exposes them over record streams): cohort membership of users
+    // by click/purchase behavior. Both compile to aggregate/join
+    // shapes on the key — no row ever crosses the shuffle twice.
+    "q45_set_ops" -> ((s, d) => {
+      val e = t(s, d, "events")
+      def users(kind: String) =
+        e.filter(col("event_type") === kind).select(col("user_id")).distinct()
+      val clicks = users("click")
+      val purchases = users("purchase")
+      clicks.intersect(purchases).withColumn("cohort", lit("click_and_purchase"))
+        .unionByName(
+          clicks.except(purchases).withColumn("cohort", lit("click_only")))
+        .select(col("cohort"), col("user_id"))
+    }),
+
     // Skew mitigation for joins: the hot fact key is salted and the
     // small build side replicated per salt — result identical to the
     // plain join (verified by the oracle), shuffle spread over salts.
@@ -817,6 +834,18 @@ object BrooklinQueries {
         |AS sum_price
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""
+        .stripMargin.replace("\n", " "),
+
+    "q45_set_ops" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events
+        |WHERE event_type = 'click'),
+        |p AS (SELECT DISTINCT user_id FROM events
+        |WHERE event_type = 'purchase')
+        |SELECT 'click_and_purchase' AS cohort, user_id
+        |FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+        |UNION ALL
+        |SELECT 'click_only', user_id
+        |FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)"""
         .stripMargin.replace("\n", " "),
 
     "q34_salted_join" ->

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 import graft.operators.Translate
-import graft.streaming.{PipelineManager, TwsCounterProcessor}
+import graft.streaming.{PipelineManager, TwsCounterProcessor, TwsSessionProcessor}
 
 /**
  * Structured-Streaming forms of the data-plane operators, run
@@ -398,6 +398,67 @@ object StreamingQueries {
       out
     }),
 
+    // Event-time TIMERS on the arbitrary-state API: an inactivity
+    // sessionizer that emits a session ONLY when the watermark passes
+    // `last event + 1 day` — the state transition no input row can
+    // trigger (s09/s11 react to data; this reacts to the ABSENCE of
+    // data, which only a registered timer observes). Batches are ts
+    // TERTILES, so the watermark advances monotonically run over run
+    // and every timer's fire-or-hold decision is a pure function of
+    // the split; the oracle enumerates the (fire0, fire1, fire2)
+    // session compositions per user. Timers that outlive the final
+    // watermark never fire — those sessions are deliberately absent.
+    "s13_session_timeout" -> ((s, d) => {
+      import s.implicits._
+      val gapMs = 86400000L // 1 day of event-time silence
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))
+      val base = Tables.t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("b", ntile(3).over(w) - 1)
+      val srcDir = Files.createTempDirectory("graft-s13-src-").toString
+      val outDir = Files.createTempDirectory("graft-s13-out-").toString
+      val ckpt = Files.createTempDirectory("graft-s13-ckpt-").toString
+      val schema = base.drop("b").schema
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val provBefore = s.conf.get(provKey)
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        (0 until 3).foreach { b =>
+          base.filter(col("b") === b).drop("b")
+            .coalesce(1).write.mode("append").parquet(srcDir)
+          val closed = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcDir)
+            .withWatermark("ts", "0 seconds")
+            .select(col("user_id"), col("ts"))
+            .as[(Long, java.sql.Timestamp)]
+            .groupByKey(_._1)
+            .transformWithState(new TwsSessionProcessor(gapMs),
+              org.apache.spark.sql.streaming.TimeMode.EventTime(),
+              OutputMode.Update())
+          val q = closed.toDF().writeStream
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, epoch: Long) =>
+              PipelineManager.epochAppend(batch, outDir, epoch, "s13")
+            }
+            .start()
+          q.awaitTermination()
+        }
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", before)
+        s.conf.set(provKey, provBefore)
+      }
+      val out = s.read.parquet(outDir).localCheckpoint()
+      deleteTree(srcDir, outDir, ckpt)
+      out
+    }),
+
     // Watermarked stream-stream LEFT OUTER join across MULTIPLE
     // micro-batches — the finalization semantics a production
     // attribution pipeline runs on: matches emit when the later side
@@ -609,6 +670,59 @@ object StreamingQueries {
         |FROM kb LEFT JOIN wmt ON wmt.b = kb.b
         |WHERE wmt.w IS NULL OR kb.hr >= wmt.w"""
         .stripMargin.replace("\n", " "),
+
+    // Timer replay: batch b = ts tertile, so the run-b watermark is
+    // the global max event ms over tertiles <= b (delay 0). A pending
+    // session (rows since the last fire) fires at run b's trailing
+    // no-data batch iff wm[b] >= session_last + gap; firing clears
+    // state, so the next tertile's rows start a new session. With 3
+    // runs the composition enumerates over (fire0, fire1): f1/f2
+    // carry each branch's session count and last-event ms.
+    "s13_session_timeout" -> {
+      val G = 86400000L
+      s"""WITH t AS (SELECT event_id, user_id, epoch_us(ts) // 1000 AS ms,
+         |ntile(3) OVER (ORDER BY ts, event_id) - 1 AS b FROM events),
+         |g AS (SELECT MAX(CASE WHEN b <= 0 THEN ms END) AS g0,
+         |MAX(CASE WHEN b <= 1 THEN ms END) AS g1, MAX(ms) AS g2 FROM t),
+         |u AS (SELECT user_id,
+         |MAX(CASE WHEN b = 0 THEN ms END) AS m0,
+         |CAST(COUNT(CASE WHEN b = 0 THEN 1 END) AS BIGINT) AS c0,
+         |MAX(CASE WHEN b = 1 THEN ms END) AS m1,
+         |CAST(COUNT(CASE WHEN b = 1 THEN 1 END) AS BIGINT) AS c1,
+         |MAX(CASE WHEN b = 2 THEN ms END) AS m2,
+         |CAST(COUNT(CASE WHEN b = 2 THEN 1 END) AS BIGINT) AS c2
+         |FROM t GROUP BY user_id),
+         |f0 AS (SELECT u.*, g.*,
+         |(m0 IS NOT NULL AND g0 >= m0 + $G) AS fire0 FROM u CROSS JOIN g),
+         |f1 AS (SELECT *,
+         |CASE WHEN fire0 THEN (m1 IS NOT NULL AND g1 >= m1 + $G)
+         |ELSE ((m0 IS NOT NULL OR m1 IS NOT NULL)
+         |AND g1 >= GREATEST(COALESCE(m0, 0), COALESCE(m1, 0)) + $G)
+         |END AS fire1,
+         |CASE WHEN fire0 THEN c1 ELSE c0 + c1 END AS n1,
+         |CASE WHEN fire0 THEN m1
+         |ELSE GREATEST(COALESCE(m0, 0), COALESCE(m1, 0)) END AS l1
+         |FROM f0),
+         |f2 AS (SELECT *,
+         |CASE WHEN fire1 THEN (m2 IS NOT NULL AND g2 >= m2 + $G)
+         |WHEN fire0 THEN ((m1 IS NOT NULL OR m2 IS NOT NULL)
+         |AND g2 >= GREATEST(COALESCE(m1, 0), COALESCE(m2, 0)) + $G)
+         |ELSE ((m0 IS NOT NULL OR m1 IS NOT NULL OR m2 IS NOT NULL)
+         |AND g2 >= GREATEST(COALESCE(m0, 0), COALESCE(m1, 0),
+         |COALESCE(m2, 0)) + $G)
+         |END AS fire2,
+         |CASE WHEN fire1 THEN c2 WHEN fire0 THEN c1 + c2
+         |ELSE c0 + c1 + c2 END AS n2,
+         |CASE WHEN fire1 THEN m2
+         |WHEN fire0 THEN GREATEST(COALESCE(m1, 0), COALESCE(m2, 0))
+         |ELSE GREATEST(COALESCE(m0, 0), COALESCE(m1, 0), COALESCE(m2, 0))
+         |END AS l2
+         |FROM f1)
+         |SELECT user_id, c0 AS n_events, m0 AS last_ts_ms FROM f2 WHERE fire0
+         |UNION ALL SELECT user_id, n1, l1 FROM f2 WHERE fire1
+         |UNION ALL SELECT user_id, n2, l2 FROM f2 WHERE fire2"""
+        .stripMargin.replace("\n", " ")
+    },
 
     // s09's rule plus the first-seen batch: MIN(b) per user is exactly
     // what a state store that survived every restart reports as
