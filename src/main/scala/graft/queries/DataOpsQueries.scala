@@ -289,6 +289,20 @@ object DataOpsQueries {
       Dedup.minHashQuality(t(s, d, "documents"), col("doc_id"),
         col("text"), shingleN = 3, k = MinHashK, r = LshRows)),
 
+    // Recall cost of int8 quantization: brute-force top-5 over the
+    // QUANTIZED vectors scored against the float-precision truth —
+    // the "does 4× compression hurt retrieval" measurement run before
+    // serving a quantized index (int8 values cast to float exactly,
+    // so the whole path reuses the e02/e07 machinery).
+    "e12_quantized_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qemb = Ann.quantizeInt8(emb).select(col("vec_id"),
+        transform(col("qvec"), _.cast("float")).as("embedding"))
+      Ann.recallAtK(
+        Ann.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5),
+        Ann.bruteForceTopK(qemb.filter(col("vec_id") < 10), qemb, k = 5))
+    }),
+
     // Int8 embedding quantization (storage/serving compression). The
     // gate projects qvec as a csv string — the comparison harness can't
     // sort array cells; the array-typed operator output is unchanged.
@@ -344,6 +358,26 @@ object DataOpsQueries {
     "p03_length_buckets" -> ((s, d) =>
       Packing.lengthBuckets(t(s, d, "documents"), col("doc_id"),
         Text.tokenCount(col("text")), batchSize = 8)),
+
+    // Character-class profile: letter/digit/space/other fractions and
+    // uppercase ratio — the script/charset screen that catches binary
+    // junk, ALL-CAPS spam, and digit-dense tables before tokenization.
+    // One codegen'd regexp pass per class over a single narrow scan.
+    "t12_charclass" -> ((s, d) => {
+      val len = length(col("text")).cast("double")
+      def classLen(re: String) =
+        length(regexp_replace(col("text"), re, "")).cast("double")
+      val letters = classLen("[^a-zA-Z]")
+      t(s, d, "documents").select(
+        col("doc_id"),
+        round(letters / len, 6).as("letter_frac"),
+        round(classLen("[^0-9]") / len, 6).as("digit_frac"),
+        round(classLen("[^ ]") / len, 6).as("space_frac"),
+        round((len - letters - classLen("[^0-9]") - classLen("[^ ]")) / len, 6)
+          .as("other_frac"),
+        when(letters > 0, round(classLen("[^A-Z]") / letters, 6))
+          .otherwise(lit(0.0)).as("upper_frac"))
+    }),
 
     // Count-min sketch frequency estimation: d×w cells replace the
     // exact vocabulary table; estimates for the top-50 tokens sit
@@ -982,6 +1016,56 @@ object DataOpsQueries {
          |FROM truth t LEFT JOIN got g
          |ON g.query_id = t.query_id AND g.cand_id = t.cand_id
          |GROUP BY t.query_id""".stripMargin.replace("\n", " "),
+
+    // Quantized path: floor(x·scale + ½) ints cast back to double
+    // (exact), then the e02 top-5 shape on both representations and
+    // the e07 recall join between them.
+    "e12_quantized_recall" -> {
+      def topkCte(src: String, out: String) =
+        s"""${out}sc AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           |round(${dotSql("q.e", "c.e")} / (q.nr * c.nr), 6) AS cos
+           |FROM $src q JOIN $src c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+           |$out AS (SELECT query_id, cand_id FROM (
+           |SELECT query_id, cand_id, ROW_NUMBER() OVER (PARTITION BY query_id
+           |ORDER BY cos DESC, cand_id) AS rank FROM ${out}sc) WHERE rank <= 5)"""
+          .stripMargin.replace("\n", " ")
+      s"""WITH $vecCte, $normCte,
+         |m AS (SELECT vec_id, e,
+         |list_max(list_transform(e, x -> abs(x))) AS ma FROM v),
+         |qv AS (SELECT vec_id, CASE WHEN ma = 0
+         |THEN list_transform(e, x -> 0.0)
+         |ELSE list_transform(e, x ->
+         |CAST(CAST(floor(x * (127.0 / ma) + 0.5) AS INTEGER) AS DOUBLE))
+         |END AS e FROM m),
+         |qn AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nr FROM qv),
+         |${topkCte("n", "truth")},
+         |${topkCte("qn", "retr")}
+         |SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+         |CAST(COUNT(r.cand_id) AS BIGINT) AS n_hit,
+         |round(CAST(COUNT(r.cand_id) AS DOUBLE) / COUNT(*), 6) AS recall
+         |FROM truth t LEFT JOIN retr r
+         |ON r.query_id = t.query_id AND r.cand_id = t.cand_id
+         |GROUP BY t.query_id""".stripMargin.replace("\n", " ")
+    },
+
+    "t12_charclass" ->
+      """SELECT doc_id,
+        |round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |/ length(text), 6) AS letter_frac,
+        |round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        |/ length(text), 6) AS digit_frac,
+        |round(CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+        |/ length(text), 6) AS space_frac,
+        |round((length(text)
+        |- length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |- length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |- length(regexp_replace(text, '[^ ]', '', 'g')))
+        |/ CAST(length(text) AS DOUBLE), 6) AS other_frac,
+        |CASE WHEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) > 0
+        |THEN round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+        |/ length(regexp_replace(text, '[^a-zA-Z]', '', 'g')), 6)
+        |ELSE 0.0 END AS upper_frac
+        |FROM documents""".stripMargin.replace("\n", " "),
 
     "e05_quantize" ->
       s"""WITH $vecCte,

@@ -308,6 +308,13 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("t12 charclass profile is a shuffle-free codegen scan") {
+    val p = planOf("t12_charclass")
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty,
+      "per-row regexp class counts must not shuffle — one narrow scan")
+  }
+
   test("d14 segment dedup stays keyed (no product join, partial agg split)") {
     val plan = planOf("d14_segment_dedup").toString
     assert(!plan.contains("CartesianProduct") &&
