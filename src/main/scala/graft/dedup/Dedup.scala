@@ -152,8 +152,20 @@ object Dedup {
    * actually small and falls back to a shuffle join when it isn't.
    */
   def jaccardOnCandidates(df: DataFrame, id: Column, text: Column,
-      shingleN: Int, threshold: Double, k: Int, r: Int): DataFrame = {
-    val cand = lshCandidates(df, id, text, k, r).select(col("doc_a"), col("doc_b"))
+      shingleN: Int, threshold: Double, k: Int, r: Int): DataFrame =
+    jaccardForPairs(df, id, text, shingleN,
+      lshCandidates(df, id, text, k, r).select(col("doc_a"), col("doc_b")))
+      .filter(col("jaccard") >= threshold)
+
+  /**
+   * Exact shingle-set Jaccard for a GIVEN (doc_a, doc_b) pair set —
+   * the verify kernel of [[jaccardOnCandidates]], reusable under any
+   * candidate generator (LSH bands, SimHash bands, their union).
+   * Pairs sharing no shingle at all keep a 0.0 row (left join).
+   */
+  def jaccardForPairs(df: DataFrame, id: Column, text: Column,
+      shingleN: Int, pairs: DataFrame): DataFrame = {
+    val cand = pairs.select(col("doc_a"), col("doc_b"))
     val sh = explodedShingles(df, id, text, shingleN)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val inter = cand
@@ -161,12 +173,15 @@ object Dedup {
       .join(sh.as("b"), col("doc_b") === col("b.doc") && col("a.s") === col("b.s"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"),
+        Seq("doc_a"), "left")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "nb"),
+        Seq("doc_b"), "left")
+      .withColumn("jaccard", coalesce(
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"),
+        lit(0.0)))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
@@ -193,7 +208,7 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg((sum(when(col("sa.sig") === col("sb.sig"), 1L).otherwise(0L))
         .cast("double") / k).as("jaccard_est"))
-    est.join(jaccardOnCandidates(df, id, text, shingleN, 0.0, k, r),
+    est.join(jaccardForPairs(df, id, text, shingleN, cand),
         Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"), col("jaccard_est"), col("jaccard"))
   }

@@ -289,6 +289,31 @@ object DataOpsQueries {
       Dedup.minHashQuality(t(s, d, "documents"), col("doc_id"),
         col("text"), shingleN = 3, k = MinHashK, r = LshRows)),
 
+    // Multi-signal dedup audit: the MinHash-LSH and SimHash candidate
+    // sets full-outer joined (which signal fired per pair) with the
+    // exact Jaccard truth per pair — the agreement matrix used to
+    // tune band/Hamming thresholds before trusting either signal on
+    // a new corpus. Everything stays candidate-gated equi-joins.
+    "d18_signal_agreement" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val lsh = Dedup.lshCandidates(docs, col("doc_id"), col("text"),
+          k = MinHashK, r = LshRows)
+        .select(col("doc_a"), col("doc_b")).withColumn("mh", lit(1L))
+      val sim = Dedup.simHashPairs(
+          Dedup.simHash(docs, col("doc_id"), col("text")),
+          maxHamming = SimHamming)
+        .select(col("doc_a"), col("doc_b")).withColumn("sh", lit(1L))
+      val pairs = lsh.join(sim, Seq("doc_a", "doc_b"), "full_outer")
+        .select(col("doc_a"), col("doc_b"),
+          coalesce(col("mh"), lit(0L)).as("minhash_hit"),
+          coalesce(col("sh"), lit(0L)).as("simhash_hit"))
+      pairs.join(
+          Dedup.jaccardForPairs(docs, col("doc_id"), col("text"), 3, pairs),
+          Seq("doc_a", "doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("minhash_hit"),
+          col("simhash_hit"), col("jaccard"))
+    }),
+
     // Recall cost of int8 quantization: brute-force top-5 over the
     // QUANTIZED vectors scored against the float-precision truth —
     // the "does 4× compression hurt retrieval" measurement run before
@@ -875,10 +900,53 @@ object DataOpsQueries {
          |FROM cand c JOIN shd a ON a.doc = c.doc_a
          |JOIN shd b ON b.doc = c.doc_b AND b.s = a.s GROUP BY 1, 2)
          |SELECT e.doc_a, e.doc_b, e.jaccard_est,
-         |CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
-         |FROM est e JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
-         |JOIN sizes na ON na.doc = e.doc_a
-         |JOIN sizes nb ON nb.doc = e.doc_b""".stripMargin.replace("\n", " "),
+         |COALESCE(CAST(i.inter AS DOUBLE)
+         |/ CAST(na.n + nb.n - i.inter AS DOUBLE), 0.0) AS jaccard
+         |FROM est e LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+         |LEFT JOIN sizes na ON na.doc = e.doc_a
+         |LEFT JOIN sizes nb ON nb.doc = e.doc_b""".stripMargin.replace("\n", " "),
+
+    // Signal agreement: minhash band pairs FULL OUTER JOIN simhash
+    // band pairs, exact Jaccard left-joined per union pair (0.0 when
+    // no shingle is shared or a doc is too short to shingle).
+    "d18_signal_agreement" ->
+      s"""WITH $wordsCte, $shinglesCte, ${minhashSigCte(MinHashK)}, $simhashFpCte,
+         |bands AS (SELECT doc, i // $LshRows AS band,
+         |${h("string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)")} AS bh
+         |FROM sig GROUP BY doc, i // $LshRows),
+         |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |FROM bands a JOIN bands b
+         |ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc),
+         |sb AS (SELECT doc, simhash, r.range AS band,
+         |(simhash >> CAST(r.range * 9 AS INTEGER)) & 511 AS bh
+         |FROM fp CROSS JOIN range(0, 7) r),
+         |spair AS (SELECT doc_a, doc_b FROM (
+         |SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+         |CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM sb a JOIN sb b
+         |ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc)
+         |WHERE hamming <= $SimHamming),
+         |u AS (SELECT COALESCE(c.doc_a, s.doc_a) AS doc_a,
+         |COALESCE(c.doc_b, s.doc_b) AS doc_b,
+         |CAST(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |AS minhash_hit,
+         |CAST(CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |AS simhash_hit
+         |FROM cand c FULL OUTER JOIN spair s
+         |ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b),
+         |shd AS (SELECT DISTINCT doc, s FROM sh),
+         |sizes AS (SELECT doc, COUNT(*) AS n FROM shd GROUP BY doc),
+         |inter AS (SELECT u.doc_a, u.doc_b, COUNT(*) AS inter
+         |FROM u JOIN shd a ON a.doc = u.doc_a
+         |JOIN shd b ON b.doc = u.doc_b AND b.s = a.s GROUP BY 1, 2)
+         |SELECT u.doc_a, u.doc_b, u.minhash_hit, u.simhash_hit,
+         |COALESCE(CAST(i.inter AS DOUBLE)
+         |/ CAST(na.n + nb.n - i.inter AS DOUBLE), 0.0) AS jaccard
+         |FROM u LEFT JOIN inter i
+         |ON i.doc_a = u.doc_a AND i.doc_b = u.doc_b
+         |LEFT JOIN sizes na ON na.doc = u.doc_a
+         |LEFT JOIN sizes nb ON nb.doc = u.doc_b"""
+        .stripMargin.replace("\n", " "),
 
     // SemDeDup = kmeans assignment (a2) + same-cluster cosine pairs.
     "e10_semdedup" ->

@@ -82,6 +82,19 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("jaccardForPairs keeps zero-overlap and shingle-less pairs at 0.0") {
+    val pairs = Seq((1L, 4L), (1L, 5L)).toDF("doc_a", "doc_b")
+    // doc 5 has 2 tokens → no 3-shingles at all
+    val withShort = docs.union(Seq((5L, "too short")).toDF("doc_id", "text"))
+    val got = Dedup.jaccardForPairs(withShort, $"doc_id", $"text",
+        shingleN = 3, pairs)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 4L)) == 0.0, "disjoint docs must keep a 0.0 row")
+    assert(got((1L, 5L)) == 0.0, "a shingle-less doc must keep a 0.0 row")
+    assert(got.size == 2)
+  }
+
   test("segment dedup: first occurrence survives, repeats are counted") {
     // segLen=2 → doc 10: [a b][c d]; doc 11: [a b][e f]; doc 12: [a b]
     // plus a trailing partial [g]. Segment "a b" first occurs at

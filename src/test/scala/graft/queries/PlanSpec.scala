@@ -315,6 +315,13 @@ class PlanSpec extends SparkTestBase {
       "per-row regexp class counts must not shuffle — one narrow scan")
   }
 
+  test("d18 signal agreement stays candidate-gated through both signals") {
+    val plan = planOf("d18_signal_agreement").toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "union pairs and their Jaccard verify must all be equi-joins")
+  }
+
   test("d14 segment dedup stays keyed (no product join, partial agg split)") {
     val plan = planOf("d14_segment_dedup").toString
     assert(!plan.contains("CartesianProduct") &&
