@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, LshBucket}
 
 /**
  * SparkSessionExtensions entry point: registers the engine's functions
@@ -60,7 +60,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("graft_hash64", 1)(a => hash64(a.head)),
     fn("graft_hash63", 1)(a => hash63(a.head)),
     fn("graft_registry_frame", 2)(a => registryFrame(a(0), a(1))),
-    fn("graft_dot", 2)(a => DotProduct(a(0), a(1))))
+    fn("graft_dot", 2)(a => DotProduct(a(0), a(1))),
+    // nBits must be a literal: the plane weights are baked into the
+    // generated code, exactly like the Column form's Int parameter.
+    fn("graft_lsh_bucket", 2)(a => a(1) match {
+      case Literal(n: Int, _) => LshBucket(a(0), n)
+      case other => throw new IllegalArgumentException(
+        s"graft_lsh_bucket nBits must be an integer literal, got $other")
+    }))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     all.foreach(ext.injectFunction)

@@ -470,17 +470,15 @@ object StreamingQueries {
     // therefore admission, match co-presence, and null emission — a
     // pure function of the batch split, which the oracle replays
     // batch by batch. Under the default noDataMicroBatches=true (pinned
-    // here), each AvailableNow run ends with a trailing no-data batch
-    // that does two things the oracle models exactly: it PERSISTS the
-    // watermark advanced by that run's own data (so batch b+1 is
-    // planned under wmt[b+1] — with the flag off the watermark lags a
-    // full batch and admission explodes), and it SWEEPS join state with
-    // that fresh watermark (so eviction of batch-b state happens at end
-    // of run b under wmt[b+1], and the LAST run adds a final sweep at
-    // the all-batches watermark, emitting every remaining evictable
-    // null row). NoDataBatchContractSpec pins both behaviors with a
-    // synthetic case and fails loudly on a Spark upgrade that changes
-    // the schedule.
+    // here), a run whose own data ADVANCES the watermark ends with a
+    // trailing no-data batch that persists the new watermark and
+    // sweeps join state with it; a run whose own per-side maxima stay
+    // below the restored watermark advances nothing and sweeps nothing
+    // — per-node maxima reset on restart, so the watermark is a
+    // running max of PER-RUN minima (see the oracle comment; the
+    // cumulative-maxima model overpredicts at sf0.1).
+    // NoDataBatchContractSpec pins the schedule, the flag-off lag,
+    // and the node-reset rule, failing loudly on a Spark upgrade.
     "s10_stream_outer_join" -> ((s, d) => {
       val base = Tables.t(s, d, "events")
         .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
@@ -613,19 +611,33 @@ object StreamingQueries {
     // null row iff some sweep evicts it — by monotonicity, iff
     // cts + 1h < the FINAL trailing sweep's watermark, computed over
     // ALL batches.
+    // Watermark model (restart-reset nodes): per-watermark-node maxima
+    // do NOT survive an AvailableNow restart — only the global
+    // watermark is restored from the offset log. Under the min policy
+    // the watermark after run b is therefore
+    //   we[b] = max(we[b-1], min(click max IN RUN b, purchase max IN
+    //                            RUN b) - 30min)
+    // — a running max of PER-RUN minima, not the min of cumulative
+    // maxima (those differ whenever a run's own data for one side lags
+    // the restored watermark: the run then advances nothing, runs no
+    // trailing batch, and sweeps nothing — verified empirically at
+    // sf0.1 where the cumulative model overpredicted 2 null rows).
+    // wmt[b] = we[b-1] is the watermark batch b is planned under; the
+    // final sweep watermark fw = the largest we[b] of any run that
+    // actually advanced (wmd > planned), because only those runs get
+    // a trailing no-data batch. Pinned by NoDataBatchContractSpec.
     "s10_stream_outer_join" ->
       """WITH f AS (SELECT event_id, user_id, ts, MOD(event_id, 3) AS b,
         |event_type, date_trunc('milliseconds', ts) AS tsm FROM events
         |WHERE event_type IN ('click', 'purchase')),
-        |wmt AS (SELECT bb.b AS b, (SELECT LEAST(
-        |(SELECT MAX(tsm) FROM f WHERE event_type = 'click' AND f.b < bb.b),
-        |(SELECT MAX(tsm) FROM f WHERE event_type = 'purchase' AND f.b < bb.b))
-        |- INTERVAL 30 MINUTE) AS w
-        |FROM (SELECT DISTINCT b FROM f) bb),
-        |fw AS (SELECT LEAST(
-        |(SELECT MAX(tsm) FROM f WHERE event_type = 'click'),
-        |(SELECT MAX(tsm) FROM f WHERE event_type = 'purchase'))
-        |- INTERVAL 30 MINUTE AS wf),
+        |bm AS (SELECT b, LEAST(
+        |MAX(CASE WHEN event_type = 'click' THEN tsm END),
+        |MAX(CASE WHEN event_type = 'purchase' THEN tsm END))
+        |- INTERVAL 30 MINUTE AS wmd FROM f GROUP BY b),
+        |wme AS (SELECT b, wmd, MAX(wmd) OVER (ORDER BY b) AS we FROM bm),
+        |wmt AS (SELECT b, LAG(we) OVER (ORDER BY b) AS w FROM wme),
+        |fw AS (SELECT MAX(we) AS wf FROM wme LEFT JOIN wmt USING (b)
+        |WHERE wmt.w IS NULL OR wme.wmd > wmt.w),
         |adm AS (SELECT f.* FROM f LEFT JOIN wmt ON wmt.b = f.b
         |WHERE wmt.w IS NULL OR f.ts >= wmt.w),
         |c AS (SELECT user_id, event_id AS click_id, ts AS cts, b AS cb

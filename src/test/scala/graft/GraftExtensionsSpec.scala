@@ -33,5 +33,20 @@ class GraftExtensionsSpec extends SparkTestBase {
     val viaSql = spark.sql("SELECT graft_hash64(n_name) FROM ext_nation")
       .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSeq
     assert(viaCol == viaSql)
+
+    // graft_lsh_bucket: SQL form matches the Column/codegen form and
+    // rejects a non-literal nBits.
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    emb.createOrReplaceTempView("ext_emb")
+    val bCol = emb.select(graft.functions.VectorFunctions.lshBucket(col("v"), 4))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSeq
+    val bSql = spark.sql("SELECT graft_lsh_bucket(v, 4) FROM ext_emb")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSeq
+    assert(bCol == bSql)
+    intercept[Exception] {
+      spark.sql("SELECT graft_lsh_bucket(v, vec_id) FROM ext_emb").collect()
+    }
   }
 }

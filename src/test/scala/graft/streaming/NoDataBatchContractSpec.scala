@@ -111,4 +111,69 @@ class NoDataBatchContractSpec extends SparkTestBase {
       "flag-off AvailableNow behavior changed — revisit the s10 " +
         "oracle's watermark-persistence model")
   }
+
+  // Node-reset rule: per-watermark-node maxima do NOT survive an
+  // AvailableNow restart — only the global watermark is restored. So
+  // a restarted run's watermark is max(restored, min over sides of
+  // that run's OWN maxima - delay), a running max of PER-RUN minima.
+  // run 0: click max 11:00, purchase max 18:00 → wm = 10:30.
+  // run 1: click max 18:00, purchase max 12:00 → per-run min = 11:30
+  //   (> restored 10:30 → sweep at 11:30). The CUMULATIVE-maxima
+  //   model would put run 1's watermark at min(18:00, 18:00) - 30m =
+  //   17:30 and also emit click B (eviction point 12:00) — observing
+  //   B's absence distinguishes the models.
+  test("restart resets per-node watermark maxima: sweep uses per-run minima") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-nr-src-").toString
+    val ckpt = Files.createTempDirectory("graft-nr-ckpt-").toString
+    val schema = batch0.toDF("user_id", "event_id", "event_type", "ts").schema
+    val sink = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Long])]()
+
+    def runBatch(rows: Seq[(Long, Long, String, Timestamp)]): Unit = {
+      rows.toDF("user_id", "event_id", "event_type", "ts")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(srcDir)
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val clicks = stream.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "30 minutes")
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"),
+          col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "30 minutes")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "leftOuter")
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
+      val q = joined.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          val got = batch.as[(Long, Long, Option[Long])].collect()
+          sink.synchronized { sink ++= got }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    runBatch(Seq(
+      (1L, 100L, "click", ts("2026-01-01 10:00:00")),      // A: evict 11:00
+      (2L, 200L, "click", ts("2026-01-01 11:00:00")),      // B: evict 12:00
+      (99L, 900L, "purchase", ts("2026-01-01 18:00:00")))) // purchase node anchor
+    runBatch(Seq(
+      (98L, 201L, "click", ts("2026-01-01 18:00:00")),
+      (97L, 901L, "purchase", ts("2026-01-01 12:00:00"))))
+    val out = sink.synchronized(sink.toSet)
+    assert(out.contains((1L, 100L, None)),
+      "click A (eviction 11:00 < run-1 watermark 11:30) must emit its null row")
+    assert(!out.exists(_._2 == 200L),
+      "click B must NOT emit: run-1 watermark is 11:30 (per-run minima, " +
+        "nodes reset on restart) — if this fails with B present, Spark " +
+        "began restoring per-node maxima; update the s10 oracle's wme model")
+  }
 }
