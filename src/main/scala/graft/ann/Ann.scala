@@ -148,9 +148,18 @@ object Ann {
    * cost at 100 TB grows with the (small) probe set, not the corpus.
    */
   def ivfTopK(probes: DataFrame, candidates: DataFrame, nList: Int, k: Int,
-      nprobe: Int = 1): DataFrame = {
-    val cents = candidates.filter(col("vec_id") < nList)
-      .select(col("vec_id").as("cent_id"), toDouble(col("embedding")).as("ce"))
+      nprobe: Int = 1): DataFrame =
+    ivfTopKWith(
+      candidates.filter(col("vec_id") < nList)
+        .select(col("vec_id").as("cent_id"), toDouble(col("embedding")).as("ce")),
+      probes, candidates, k, nprobe)
+
+  /** IVF search over an EXTERNAL codebook (cent_id, ce: array<double>)
+    * — e.g. [[kmeansCentroids]] output — the production shape where
+    * the codebook is trained offline and reused across queries. */
+  def ivfTopKWith(centroids: DataFrame, probes: DataFrame,
+      candidates: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+    val cents = centroids.select(col("cent_id"), col("ce"))
       .withColumn("cnr", norm(col("ce")))
 
     /** Attach the `n` nearest cell ids (one output row per cell). */
@@ -303,36 +312,43 @@ object Ann {
    * shuffle carries k·dim rows, never vectors. Iterations multiply
    * passes, not state: nothing driver-side grows with the corpus.
    */
-  def kmeans(df: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeans(df: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansAssign(
+      df.select(col("vec_id"), toDouble(col("embedding")).as("v")),
+      kmeansCentroids(df, k, iters))
+      .select(col("vec_id"), col("cluster"))
+
+  /** The trained codebook itself: (cluster, c: array<double>) after
+    * `iters − 1` refit rounds — feed to [[ivfTopKWith]] or reuse
+    * across corpora. */
+  def kmeansCentroids(df: DataFrame, k: Int, iters: Int): DataFrame = {
     val v = df.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-
-    // score = c·c − 2·v·c: same argmin as squared L2 (‖v‖² is constant
-    // per row), fewer float ops to keep cross-engine rounding exact.
-    def assign(cents: DataFrame): DataFrame = {
-      val scored = v.join(broadcast(cents), lit(true))
-        .withColumn("score",
-          round(dot(col("c"), col("c")) - lit(2.0) * dot(col("v"), col("c")), 6))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("score"), col("cluster"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cluster"))
-    }
-
-    def refit(assigned: DataFrame): DataFrame =
-      assigned.select(col("cluster"), posexplode(col("v")))
-        .groupBy(col("cluster"), col("pos")).agg(avg(col("col")).as("m"))
-        .groupBy(col("cluster"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("cm"))
-        .select(col("cluster"),
-          transform(col("cm"), x => round(x.getField("m"), 6)).as("c"))
-
     val init = v.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cluster"), col("v").as("c"))
-    val finalCents = (1 until iters).foldLeft(init) {
-      (cents, _) => refit(assign(cents))
+    (1 until iters).foldLeft(init) {
+      (cents, _) => kmeansRefit(kmeansAssign(v, cents))
     }
-    assign(finalCents).select(col("vec_id"), col("cluster"))
   }
+
+  // score = c·c − 2·v·c: same argmin as squared L2 (‖v‖² is constant
+  // per row), fewer float ops to keep cross-engine rounding exact.
+  private def kmeansAssign(v: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = v.join(broadcast(cents), lit(true))
+      .withColumn("score",
+        round(dot(col("c"), col("c")) - lit(2.0) * dot(col("v"), col("c")), 6))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score"), col("cluster"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cluster"))
+  }
+
+  private def kmeansRefit(assigned: DataFrame): DataFrame =
+    assigned.select(col("cluster"), posexplode(col("v")))
+      .groupBy(col("cluster"), col("pos")).agg(avg(col("col")).as("m"))
+      .groupBy(col("cluster"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("cm"))
+      .select(col("cluster"),
+        transform(col("cm"), x => round(x.getField("m"), 6)).as("c"))
 
   /**
    * SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs found

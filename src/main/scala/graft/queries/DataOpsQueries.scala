@@ -314,6 +314,18 @@ object DataOpsQueries {
           col("simhash_hit"), col("jaccard"))
     }),
 
+    // IVF over a k-means-TRAINED codebook (the production composition:
+    // e09's trainer feeds e04's search; cells follow the data instead
+    // of the first-nList stand-ins). Same broadcast-assign +
+    // cell-equi-join scale shape as e04.
+    "e13_ivf_kmeans" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = Ann.kmeansCentroids(emb, k = 4, iters = 2)
+        .select(col("cluster").as("cent_id"), col("c").as("ce"))
+      Ann.ivfTopKWith(cents, emb.filter(col("vec_id") < 10), emb, k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // Recall cost of int8 quantization: brute-force top-5 over the
     // QUANTIZED vectors scored against the float-precision truth —
     // the "does 4× compression hurt retrieval" measurement run before
@@ -1084,6 +1096,31 @@ object DataOpsQueries {
          |FROM truth t LEFT JOIN got g
          |ON g.query_id = t.query_id AND g.cand_id = t.cand_id
          |GROUP BY t.query_id""".stripMargin.replace("\n", " "),
+
+    // e04's search construction over the e09-trained codebook (c1 =
+    // centroids after one refit; cosine assignment like every IVF
+    // cell mapping here).
+    "e13_ivf_kmeans" ->
+      s"""WITH $vecCte, $normCte, $kmeansCtes,
+         |kc AS (SELECT cluster AS cent_id, c AS ce,
+         |sqrt(${dotSql("c", "c")}) AS cnr FROM c1),
+         |sa AS (SELECT n.vec_id, kc.cent_id,
+         |round(${dotSql("n.e", "kc.ce")} / (n.nr * kc.cnr), 6) AS acos
+         |FROM n CROSS JOIN kc),
+         |asg AS (SELECT vec_id, cent_id FROM (
+         |SELECT vec_id, cent_id, ROW_NUMBER() OVER
+         |(PARTITION BY vec_id ORDER BY acos DESC, cent_id) AS rn FROM sa)
+         |WHERE rn = 1),
+         |nb AS (SELECT n.vec_id, e, nr, a.cent_id FROM n JOIN asg a USING (vec_id)),
+         |scored AS (SELECT q.vec_id AS query_id, q.cent_id AS cent_id,
+         |c.vec_id AS cand_id,
+         |round(${dotSql("q.e", "c.e")} / (q.nr * c.nr), 6) AS cos
+         |FROM nb q JOIN nb c ON q.cent_id = c.cent_id
+         |AND q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         |SELECT query_id, cent_id, cand_id, rank, cos FROM (
+         |SELECT query_id, cent_id, cand_id, cos, ROW_NUMBER() OVER
+         |(PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM scored)
+         |WHERE rank <= 3""".stripMargin.replace("\n", " "),
 
     // Quantized path: floor(x·scale + ½) ints cast back to double
     // (exact), then the e02 top-5 shape on both representations and

@@ -227,6 +227,15 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("e13 kmeans-codebook IVF keeps the broadcast-assign + cell-join shape") {
+    val p = planOf("e13_ivf_kmeans")
+    val plan = p.toString
+    assert(!plan.contains("CartesianProduct"),
+      "codebook assignment must broadcast, not shuffle a product")
+    val bnlj = collectAll(p) { case b: BroadcastNestedLoopJoinExec => b }
+    assert(bnlj.nonEmpty, "centroid/codebook assignment is a broadcast NLJ")
+  }
+
   test("t10 token entropy keeps the keyed partial-agg shape") {
     val plan = planOf("t10_entropy").toString
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
