@@ -438,6 +438,22 @@ object BrooklinQueries {
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
             .as("sum_price"))),
 
+    // JSON ser/de surface (§2.9): decode the JSON payload with a
+    // schema (from_json — codegen'd, stays in the scan stage) and
+    // re-serialize the checkpoint struct exactly the way the
+    // reference persists checkpoints as JSON (JsonUtils via
+    // ZookeeperCheckpointProvider.java:100-104).
+    "q46_json_payload" -> ((s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").cast("long").as("k"),
+        to_json(struct(
+          col("event_type").as("topic"),
+          pmod(col("user_id"), lit(8L)).as("partition"),
+          col("event_id").as("offset"))).as("checkpoint_json"))),
+
     // Set operations as data-plane ops (intersect/except/union — the
     // reference only uses them control-plane, D2/D3; the engine
     // exposes them over record streams): cohort membership of users
@@ -835,6 +851,14 @@ object BrooklinQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""
         .stripMargin.replace("\n", " "),
+
+    "q46_json_payload" ->
+      """SELECT event_id,
+        |CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |CONCAT('{"topic":"', event_type, '","partition":',
+        |CAST(MOD(user_id, 8) AS VARCHAR), ',"offset":',
+        |CAST(event_id AS VARCHAR), '}') AS checkpoint_json
+        |FROM events""".stripMargin.replace("\n", " "),
 
     "q45_set_ops" ->
       """WITH c AS (SELECT DISTINCT user_id FROM events
