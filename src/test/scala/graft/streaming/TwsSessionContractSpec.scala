@@ -83,4 +83,51 @@ class TwsSessionContractSpec extends SparkTestBase {
       assert(!after2.exists(_._1 == 3L))
     } finally spark.conf.set(provKey, provBefore)
   }
+
+  test("a timer fires when the watermark exactly EQUALS its expiry") {
+    val srcDir = Files.createTempDirectory("tws-eq-src-").toString
+    val ckpt = Files.createTempDirectory("tws-eq-ckpt-").toString
+    val outDir = Files.createTempDirectory("tws-eq-out-").toString
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val provBefore = spark.conf.get(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val gapMs = 100000L
+
+    def run(rows: Seq[(Long, Long)]): Unit = {
+      rows.toDF("user_id", "ms")
+        .select(col("user_id"), timestamp_millis(col("ms")).as("ts"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      val schema = spark.read.parquet(srcDir).schema
+      val closed = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .transformWithState(new TwsSessionProcessor(gapMs),
+          TimeMode.EventTime(), OutputMode.Update())
+      val q = closed.toDF().writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          PipelineManager.epochAppend(batch, outDir, epoch, "tws-eq")
+        }.start()
+      q.awaitTermination()
+    }
+
+    try {
+      // user 1 at t=1000ms → timer expiry 101000ms; user 2's event at
+      // EXACTLY 101000ms pushes the watermark to precisely the expiry.
+      run(Seq((1L, 1000L), (2L, 101000L)))
+      val out = spark.read.parquet(outDir)
+        .as[(Long, Long, Long)].collect().toSet
+      // Pins the s13 oracle's `wm >= expiry` fire rule: equality fires.
+      // If this fails, Spark switched to a strict comparison — change
+      // the oracle's `g >= m + G` conditions to `>`.
+      assert(out == Set((1L, 1L, 1000L)),
+        s"watermark == expiry must fire the timer, got $out")
+    } finally spark.conf.set(provKey, provBefore)
+  }
 }
