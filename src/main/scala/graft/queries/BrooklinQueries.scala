@@ -438,6 +438,17 @@ object BrooklinQueries {
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
             .as("sum_price"))),
 
+    // Cube: all four grouping levels (flag × status, flag, status,
+    // grand total) — completes the q41/q44 multi-level-aggregate
+    // family; still one Expand pass over one scan.
+    "q47_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))),
+
     // JSON ser/de surface (§2.9): decode the JSON payload with a
     // schema (from_json — codegen'd, stays in the scan stage) and
     // re-serialize the checkpoint struct exactly the way the
@@ -850,6 +861,13 @@ object BrooklinQueries {
         |AS sum_price
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""
+        .stripMargin.replace("\n", " "),
+
+    "q47_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)"""
         .stripMargin.replace("\n", " "),
 
     "q46_json_payload" ->
