@@ -61,12 +61,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("graft_hash63", 1)(a => hash63(a.head)),
     fn("graft_registry_frame", 2)(a => registryFrame(a(0), a(1))),
     fn("graft_dot", 2)(a => DotProduct(a(0), a(1))),
-    // nBits must be a literal: the plane weights are baked into the
-    // generated code, exactly like the Column form's Int parameter.
+    // nBits must be statically known: the plane weights are baked into
+    // the generated code, exactly like the Column form's Int parameter.
+    // Any foldable integral expression qualifies (plain literal, 2+2,
+    // CAST(4 AS BIGINT), SMALLINT literals, ...).
     fn("graft_lsh_bucket", 2)(a => a(1) match {
-      case Literal(n: Int, _) => LshBucket(a(0), n)
+      case e if e.foldable && (e.dataType match {
+            case org.apache.spark.sql.types.ByteType |
+                 org.apache.spark.sql.types.ShortType |
+                 org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.LongType => true
+            case _ => false
+          }) =>
+        val v = e.eval() match {
+          case i: Int => i.toLong
+          case l: Long => l
+          case s: Short => s.toLong
+          case b: Byte => b.toLong
+          case other => throw new IllegalArgumentException(
+            s"graft_lsh_bucket nBits evaluated to non-integral $other")
+        }
+        require(v >= 1 && v <= 63, s"graft_lsh_bucket nBits must be in [1, 63], got $v")
+        LshBucket(a(0), v.toInt)
       case other => throw new IllegalArgumentException(
-        s"graft_lsh_bucket nBits must be an integer literal, got $other")
+        s"graft_lsh_bucket nBits must be a foldable integer expression, got $other")
     }))
 
   override def apply(ext: SparkSessionExtensions): Unit =

@@ -150,6 +150,12 @@ object Dedup {
    * past any broadcast/driver limit. The joins are plain equi-joins on
    * the doc id, so AQE still broadcasts when the candidate set is
    * actually small and falls back to a shuffle join when it isn't.
+   *
+   * Threshold semantics: [[jaccardForPairs]] keeps zero-overlap (and
+   * shingle-less) candidates as jaccard=0.0 rows, so `threshold <= 0`
+   * deliberately INCLUDES them — "every candidate, scored" — rather
+   * than silently dropping pairs the index surfaced. Callers wanting
+   * only overlapping pairs pass a positive threshold.
    */
   def jaccardOnCandidates(df: DataFrame, id: Column, text: Column,
       shingleN: Int, threshold: Double, k: Int, r: Int): DataFrame =

@@ -49,7 +49,11 @@ object Sketch {
    * lanes of the probed cell (the classic CMS upper bound — never
    * undercounts, overcounts only on collisions). The probe side
    * computes its d cells in a projection and equi-joins the tiny
-   * (d·w-row) sketch on (lane, cell); AQE broadcasts it.
+   * (d·w-row) sketch on (lane, cell); AQE broadcasts it. The join is
+   * LEFT with the missing count coalesced to 0 so a probe whose cell
+   * was never touched in some lane takes the true CMS min of 0 (and
+   * a never-inserted probe still yields a cms_n=0 row) instead of
+   * vanishing or reading only its colliding lanes.
    */
   def countMinQuery(sketch: DataFrame, probes: DataFrame, value: Column,
       d: Int, w: Int): DataFrame = {
@@ -57,9 +61,9 @@ object Sketch {
       .select(col("v"), posexplode(
         array((0 until d).map(i => cmsCell(i, col("v"), w)): _*))
         .as(Seq("lane", "cell")))
-    cells.join(sketch, Seq("lane", "cell"))
+    cells.join(sketch, Seq("lane", "cell"), "left")
       .groupBy(col("v"))
-      .agg(min(col("n")).as("cms_n"))
+      .agg(min(coalesce(col("n"), lit(0L))).as("cms_n"))
   }
 
   /** Lane-i bit position of `value` in an `m`-bit Bloom filter. */
@@ -82,11 +86,14 @@ object Sketch {
    * Probe the filter: a value tests positive iff all k of its bits
    * are set (true membership always positive; collisions give a
    * bounded false-positive rate). Left-joins the bit relation on the
-   * bit position — an equi-join against at most m rows.
+   * bit position — an equi-join against at most m rows. Probes are
+   * deduplicated first: a duplicated probe value would otherwise
+   * contribute 2k matched bit rows and fail the count===k test, so
+   * the contract holds for any caller, not just distinct inputs.
    */
   def bloomProbe(bloom: DataFrame, probes: DataFrame, value: Column,
       k: Int, m: Int): DataFrame = {
-    val bits = probes.select(value.as("v"))
+    val bits = probes.select(value.as("v")).distinct()
       .select(col("v"), explode(
         array((0 until k).map(i => bloomBit(i, col("v"), m)): _*)).as("bit"))
     bits.join(bloom.withColumn("set", lit(1L)), Seq("bit"), "left")

@@ -455,9 +455,12 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
    */
   def start(name: String, transform: DataFrame => DataFrame,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // Restore (not clear) the caller's pool afterwards — a caller that
+    // had already scoped its own jobs to a pool keeps that scope.
+    val prevPool = spark.sparkContext.getLocalProperty("spark.scheduler.pool")
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-$name")
     try startInPool(name, transform, trigger)
-    finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+    finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", prevPool)
   }
 
   private def startInPool(name: String, transform: DataFrame => DataFrame,

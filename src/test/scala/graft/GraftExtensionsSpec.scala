@@ -45,8 +45,19 @@ class GraftExtensionsSpec extends SparkTestBase {
     val bSql = spark.sql("SELECT graft_lsh_bucket(v, 4) FROM ext_emb")
       .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSeq
     assert(bCol == bSql)
+    // Any FOLDABLE integral nBits is accepted — folded arithmetic and
+    // non-Int integral literals resolve to the same planes as `4`.
+    val bFold = spark.sql("SELECT graft_lsh_bucket(v, 2 + 2) FROM ext_emb")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSeq
+    assert(bFold == bSql)
+    val bCast = spark.sql("SELECT graft_lsh_bucket(v, CAST(4 AS BIGINT)) FROM ext_emb")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSeq
+    assert(bCast == bSql)
     intercept[Exception] {
       spark.sql("SELECT graft_lsh_bucket(v, vec_id) FROM ext_emb").collect()
+    }
+    intercept[Exception] { // statically known but out of range
+      spark.sql("SELECT graft_lsh_bucket(v, 64) FROM ext_emb").collect()
     }
   }
 }
