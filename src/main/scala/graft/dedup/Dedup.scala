@@ -27,6 +27,44 @@ import graft.text.Text
  */
 object Dedup {
 
+  /**
+   * The materialize-once signature bundle of a dedup run: the token,
+   * shingle, MinHash-signature, and SimHash-fingerprint frames a
+   * production pipeline computes in ONE corpus pass and then reuses
+   * across every candidate generator, verifier, and audit.
+   *
+   * All four frames are persisted (memory, spilling to disk): the
+   * corpus parquet is scanned once, the tokenizer runs once, the
+   * shingle explode runs once — at 100 TB that collapses the three
+   * corpus scans the naive per-audit recompute costs into one. The
+   * frames are tiny relative to the corpus (shingles ≈ corpus tokens,
+   * signatures = |docs|·k rows, fingerprints = |docs| rows).
+   */
+  final case class SignatureSet(tokens: DataFrame, shingles: DataFrame,
+      minhash: DataFrame, simhash: DataFrame) {
+    /** Drop all four cached frames (end of the dedup run). */
+    def unpersist(): Unit = {
+      tokens.unpersist(); shingles.unpersist()
+      minhash.unpersist(); simhash.unpersist()
+    }
+  }
+
+  /**
+   * Compute every dedup signature in one corpus pass and persist the
+   * results: tokens → {shingles → MinHash, SimHash}. The returned
+   * frames back [[lshCandidatesFromSig]], [[simHashPairs]],
+   * [[jaccardForShingles]], [[minHashQualityFrom]] and the d-family
+   * gated queries — none of which re-touch the corpus afterwards.
+   */
+  def signatures(df: DataFrame, id: Column, text: Column, k: Int,
+      shingleN: Int = 3): SignatureSet = {
+    val toks = tokenFrame(df, id, text).persist()
+    val sh = shingleFrame(toks, shingleN).persist()
+    val mh = minHashFromShingles(sh, k).persist()
+    val fp = simHashFromTokens(toks).persist()
+    SignatureSet(toks, sh, mh, fp)
+  }
+
   /** Content digest for exact dedup. */
   def digest(text: Column): Column = md5(text)
 
@@ -50,17 +88,27 @@ object Dedup {
    * partial-aggregation friendly (map-side min), so the shuffle
    * carries at most |docs|·k rows.
    */
-  /** (doc, shingle) exploded with tokens materialized ONCE per row —
-    * see Text.shinglesOf for why the two-step projection matters. */
+  /** (doc, tokens) — the single tokenizer pass every signature and
+    * verify stage derives from. Materialized once per corpus by
+    * [[signatures]]. */
+  def tokenFrame(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc"), Text.tokens(text).as("w"))
+
+  /** (doc, shingle) exploded from a (doc, tokens) frame — tokens are
+    * materialized ONCE per row (see Text.shinglesOf for why the
+    * two-step projection matters). */
+  def shingleFrame(toks: DataFrame, shingleN: Int): DataFrame =
+    toks.select(col("doc"), explode(Text.shingleSetOf(col("w"), shingleN)).as("s"))
+
+  /** (doc, shingle) straight from the corpus — the unshared form;
+    * production pipelines go through [[signatures]] instead. */
   private def explodedShingles(df: DataFrame, id: Column, text: Column,
       shingleN: Int): DataFrame =
-    df.select(id.as("doc"), Text.tokens(text).as("w"))
-      .select(col("doc"), explode(Text.shingleSetOf(col("w"), shingleN)).as("s"))
+    shingleFrame(tokenFrame(df, id, text), shingleN)
 
-  def minHashLong(df: DataFrame, id: Column, text: Column, k: Int,
-      shingleN: Int = 3): DataFrame = {
-    val hashed = explodedShingles(df, id, text, shingleN)
-      .select(col("doc"), Portable.hash64(col("s")).as("h"))
+  /** MinHash signatures from an exploded (doc, shingle) frame. */
+  def minHashFromShingles(sh: DataFrame, k: Int): DataFrame = {
+    val hashed = sh.select(col("doc"), Portable.hash64(col("s")).as("h"))
     // Single pass: k min-aggregates over one shingle row (map-side
     // partial agg, no ×k row fan-out), then unpivot to (doc, i, sig).
     val mins = (0 until k).map { i =>
@@ -74,14 +122,22 @@ object Dedup {
         s"stack($k, ${(0 until k).map(i => s"$i, s$i").mkString(", ")}) AS (i, sig)")
   }
 
+  def minHashLong(df: DataFrame, id: Column, text: Column, k: Int,
+      shingleN: Int = 3): DataFrame =
+    minHashFromShingles(explodedShingles(df, id, text, shingleN), k)
+
   /**
    * LSH candidate pairs: split the k-signature into bands of r rows;
    * docs sharing any full band are candidates. Returns (doc_a, doc_b,
    * n_bands) with doc_a < doc_b. The pair join is an equi-join on
    * (band, bandHash) — only colliding docs ever meet.
    */
-  def lshCandidates(df: DataFrame, id: Column, text: Column, k: Int, r: Int): DataFrame = {
-    val sig = minHashLong(df, id, text, k)
+  def lshCandidates(df: DataFrame, id: Column, text: Column, k: Int, r: Int): DataFrame =
+    lshCandidatesFromSig(minHashLong(df, id, text, k), r)
+
+  /** LSH banding over an already-computed (doc, i, sig) signature
+    * frame — the shared-signature form of [[lshCandidates]]. */
+  def lshCandidatesFromSig(sig: DataFrame, r: Int): DataFrame = {
     val bands = sig
       .groupBy(col("doc"), (col("i") / r).cast("int").as("band"))
       .agg(Portable.hash64(concat_ws(",",
@@ -107,8 +163,13 @@ object Dedup {
    * aggregates in one pass) so the partial-aggregation path handles any
    * document size; the fingerprint is reassembled from the votes.
    */
-  def simHash(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val toks = df.select(id.as("doc"), explode(Text.tokens(text)).as("tok"))
+  def simHash(df: DataFrame, id: Column, text: Column): DataFrame =
+    simHashFromTokens(tokenFrame(df, id, text))
+
+  /** SimHash fingerprints from a (doc, tokens) frame — the
+    * shared-tokenizer form of [[simHash]]. */
+  def simHashFromTokens(tokens: DataFrame): DataFrame = {
+    val toks = tokens.select(col("doc"), explode(col("w")).as("tok"))
       .withColumn("h", Portable.hash63(col("tok")))
     val votes = (0 until SimHashBits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
@@ -170,9 +231,14 @@ object Dedup {
    * Pairs sharing no shingle at all keep a 0.0 row (left join).
    */
   def jaccardForPairs(df: DataFrame, id: Column, text: Column,
-      shingleN: Int, pairs: DataFrame): DataFrame = {
+      shingleN: Int, pairs: DataFrame): DataFrame =
+    jaccardForShingles(explodedShingles(df, id, text, shingleN), pairs)
+
+  /** The same verify kernel over an already-computed (doc, shingle)
+    * frame — what a production pipeline runs, with `sh` persisted by
+    * [[signatures]] so no candidate generator re-scans the corpus. */
+  def jaccardForShingles(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val cand = pairs.select(col("doc_a"), col("doc_b"))
-    val sh = explodedShingles(df, id, text, shingleN)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("a"), col("doc_a") === col("a.doc"))
@@ -205,17 +271,23 @@ object Dedup {
    * any engine.
    */
   def minHashQuality(df: DataFrame, id: Column, text: Column,
-      shingleN: Int, k: Int, r: Int): DataFrame = {
-    val cand = lshCandidates(df, id, text, k, r).select(col("doc_a"), col("doc_b"))
-    val sig = minHashLong(df, id, text, k)
+      shingleN: Int, k: Int, r: Int): DataFrame =
+    minHashQualityFrom(signatures(df, id, text, k, shingleN), k, r)
+
+  /** [[minHashQuality]] over a shared [[SignatureSet]]: the estimate
+    * joins the persisted signature frame, the truth joins the persisted
+    * shingle frame — zero corpus re-scans per audit. */
+  def minHashQualityFrom(sigs: SignatureSet, k: Int, r: Int): DataFrame = {
+    val cand = lshCandidatesFromSig(sigs.minhash, r)
+      .select(col("doc_a"), col("doc_b"))
+    val sig = sigs.minhash
     val est = cand
       .join(sig.as("sa"), col("doc_a") === col("sa.doc"))
       .join(sig.as("sb"), col("doc_b") === col("sb.doc") && col("sa.i") === col("sb.i"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg((sum(when(col("sa.sig") === col("sb.sig"), 1L).otherwise(0L))
         .cast("double") / k).as("jaccard_est"))
-    est.join(jaccardForPairs(df, id, text, shingleN, cand),
-        Seq("doc_a", "doc_b"))
+    est.join(jaccardForShingles(sigs.shingles, cand), Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"), col("jaccard_est"), col("jaccard"))
   }
 

@@ -307,6 +307,28 @@ class PlanSpec extends SparkTestBase {
       "estimate and truth must both join through the LSH candidate pairs")
   }
 
+  test("d16/d18 audits read the persisted signature frames, not the corpus") {
+    // The materialize-once contract: every dedup audit is equi-joins
+    // over the shared cached signature/shingle frames — the corpus
+    // parquet is scanned by the one signatures() pass, never again
+    // per audit. InMemoryTableScan in the plan == cache hit; a
+    // documents.parquet FileScan in an audit == a corpus re-scan.
+    for (name <- Seq("d16_minhash_quality", "d18_signal_agreement")) {
+      val p = planOf(name)
+      val cacheScans = collectAll(p) {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+      }
+      assert(cacheScans.nonEmpty,
+        s"$name must read the persisted signature frames")
+      val corpusScans = collectAll(p) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("documents")) => s
+      }
+      assert(corpusScans.isEmpty,
+        s"$name must not re-scan the corpus parquet")
+    }
+  }
+
   test("t11 CMS and d17 bloom stay equi-joined sketch lookups, no products") {
     for (name <- Seq("t11_cms_freq", "d17_bloom_prefilter")) {
       val plan = planOf(name).toString
