@@ -402,20 +402,32 @@ object StreamingQueries {
     // sessionizer that emits a session ONLY when the watermark passes
     // `last event + 1 day` — the state transition no input row can
     // trigger (s09/s11 react to data; this reacts to the ABSENCE of
-    // data, which only a registered timer observes). Batches are ts
-    // TERTILES, so the watermark advances monotonically run over run
-    // and every timer's fire-or-hold decision is a pure function of
-    // the split; the oracle enumerates the (fire0, fire1, fire2)
-    // session compositions per user. Timers that outlive the final
-    // watermark never fire — those sessions are deliberately absent.
+    // data, which only a registered timer observes). Batches are
+    // TIME-RANGE THIRDS — ms thresholds derived from a min/max
+    // aggregate (integer arithmetic, so both engines compute the
+    // identical boundaries) — so the watermark advances monotonically
+    // run over run and every timer's fire-or-hold decision is a pure
+    // function of the split, with NO global-window sort over raw rows
+    // anywhere in the harness; the oracle enumerates the (fire0,
+    // fire1, fire2) session compositions per user. Timers that
+    // outlive the final watermark never fire — those sessions are
+    // deliberately absent.
     "s13_session_timeout" -> ((s, d) => {
       import s.implicits._
       val gapMs = 86400000L // 1 day of event-time silence
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("ts"), col("event_id"))
-      val base = Tables.t(s, d, "events")
-        .select(col("event_id"), col("user_id"), col("ts"))
-        .withColumn("b", ntile(3).over(w) - 1)
+      val evs = Tables.t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          expr("unix_micros(ts) div 1000").as("ms"))
+      // One-row bounded aggregate — the scalable replacement for a
+      // global ntile window: thresholds, not ranks, define the split.
+      val bounds = evs.agg(min(col("ms")), max(col("ms"))).head()
+      val lo = bounds.getLong(0)
+      val step = (bounds.getLong(1) - lo) / 3
+      val base = evs
+        .withColumn("b",
+          when(col("ms") < lo + step, 0)
+            .when(col("ms") < lo + 2 * step, 1).otherwise(2))
+        .drop("ms")
       val srcDir = Files.createTempDirectory("graft-s13-src-").toString
       val outDir = Files.createTempDirectory("graft-s13-out-").toString
       val ckpt = Files.createTempDirectory("graft-s13-ckpt-").toString
@@ -683,17 +695,24 @@ object StreamingQueries {
         |WHERE wmt.w IS NULL OR kb.hr >= wmt.w"""
         .stripMargin.replace("\n", " "),
 
-    // Timer replay: batch b = ts tertile, so the run-b watermark is
-    // the global max event ms over tertiles <= b (delay 0). A pending
+    // Timer replay: batch b = time-range third (ms thresholds lo +
+    // (hi-lo)//3 steps from a min/max aggregate — the same integer
+    // arithmetic the Spark harness runs), so the run-b watermark is
+    // the global max event ms over thirds <= b (delay 0). A pending
     // session (rows since the last fire) fires at run b's trailing
     // no-data batch iff wm[b] >= session_last + gap; firing clears
-    // state, so the next tertile's rows start a new session. With 3
+    // state, so the next third's rows start a new session. With 3
     // runs the composition enumerates over (fire0, fire1): f1/f2
     // carry each branch's session count and last-event ms.
     "s13_session_timeout" -> {
       val G = 86400000L
-      s"""WITH t AS (SELECT event_id, user_id, epoch_us(ts) // 1000 AS ms,
-         |ntile(3) OVER (ORDER BY ts, event_id) - 1 AS b FROM events),
+      s"""WITH raw AS (SELECT event_id, user_id, epoch_us(ts) // 1000 AS ms
+         |FROM events),
+         |bnd AS (SELECT MIN(ms) AS lo, (MAX(ms) - MIN(ms)) // 3 AS st FROM raw),
+         |t AS (SELECT raw.*,
+         |CASE WHEN ms < lo + st THEN 0
+         |WHEN ms < lo + 2 * st THEN 1 ELSE 2 END AS b
+         |FROM raw CROSS JOIN bnd),
          |g AS (SELECT MAX(CASE WHEN b <= 0 THEN ms END) AS g0,
          |MAX(CASE WHEN b <= 1 THEN ms END) AS g1, MAX(ms) AS g2 FROM t),
          |u AS (SELECT user_id,
