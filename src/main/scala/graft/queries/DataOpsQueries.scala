@@ -332,13 +332,15 @@ object DataOpsQueries {
 
     // IVF over a k-means-TRAINED codebook (the production composition:
     // e09's trainer feeds e04's search; cells follow the data instead
-    // of the first-nList stand-ins). Same broadcast-assign +
-    // cell-equi-join scale shape as e04.
+    // of the first-nList stand-ins), searched at nprobe=2 — the recall
+    // knob e06 proves, carried into the deployment-shaped query. Same
+    // broadcast-assign + cell-equi-join scale shape as e04.
     "e13_ivf_kmeans" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val cents = Ann.kmeansCentroids(emb, k = 4, iters = 2)
         .select(col("cluster").as("cent_id"), col("c").as("ce"))
-      Ann.ivfTopKWith(cents, emb.filter(col("vec_id") < 10), emb, k = 3)
+      Ann.ivfTopKWith(cents, emb.filter(col("vec_id") < 10), emb, k = 3,
+          nprobe = 2)
         .withColumn("rank", col("rank").cast("long"))
     }),
 
@@ -1123,15 +1125,20 @@ object DataOpsQueries {
          |sa AS (SELECT n.vec_id, kc.cent_id,
          |round(${dotSql("n.e", "kc.ce")} / (n.nr * kc.cnr), 6) AS acos
          |FROM n CROSS JOIN kc),
-         |asg AS (SELECT vec_id, cent_id FROM (
+         |casg AS (SELECT vec_id, cent_id FROM (
          |SELECT vec_id, cent_id, ROW_NUMBER() OVER
          |(PARTITION BY vec_id ORDER BY acos DESC, cent_id) AS rn FROM sa)
          |WHERE rn = 1),
-         |nb AS (SELECT n.vec_id, e, nr, a.cent_id FROM n JOIN asg a USING (vec_id)),
+         |pasg AS (SELECT vec_id, cent_id FROM (
+         |SELECT vec_id, cent_id, ROW_NUMBER() OVER
+         |(PARTITION BY vec_id ORDER BY acos DESC, cent_id) AS rn FROM sa)
+         |WHERE rn <= 2),
+         |nbc AS (SELECT n.vec_id, e, nr, a.cent_id FROM n JOIN casg a USING (vec_id)),
+         |nbp AS (SELECT n.vec_id, e, nr, a.cent_id FROM n JOIN pasg a USING (vec_id)),
          |scored AS (SELECT q.vec_id AS query_id, q.cent_id AS cent_id,
          |c.vec_id AS cand_id,
          |round(${dotSql("q.e", "c.e")} / (q.nr * c.nr), 6) AS cos
-         |FROM nb q JOIN nb c ON q.cent_id = c.cent_id
+         |FROM nbp q JOIN nbc c ON q.cent_id = c.cent_id
          |AND q.vec_id < 10 AND q.vec_id <> c.vec_id)
          |SELECT query_id, cent_id, cand_id, rank, cos FROM (
          |SELECT query_id, cent_id, cand_id, cos, ROW_NUMBER() OVER
