@@ -70,6 +70,48 @@ object Control {
   }
 
   /**
+   * Elastic task-count estimation: how many tasks a datastream NEEDS,
+   * derived from per-partition throughput vs per-task capacity — the
+   * estimation step that precedes [[loadPack]]'s packing into a given
+   * task count.
+   * Reference: LoadBasedTaskCountEstimator.java:58-91 (rate lookup
+   * falls back partition → topic-level entry → default :74-80; task
+   * count = ceil(totalKB / (capacityMBps·1024·utilization)) :85-88,
+   * clamped to the partition count :88) and
+   * LoadBasedPartitionAssigner.extractTopicFromPartition :346-353
+   * (topic = partition name up to the last '-').
+   *
+   * @param universe the datastreams' full partition sets
+   *                 (stream, part_name) — assigned ∪ unassigned
+   * @param rates    throughput info (name, kb_rate); entries may be
+   *                 partition-level ("topic-3") or topic-level
+   *                 ("topic") — a partition missing both takes the
+   *                 default rate
+   *
+   * A stream with an empty partition set yields no output row (the
+   * reference returns 0). Control-plane cardinality: two equi left
+   * joins (AQE broadcasts the rate table) + one keyed aggregate.
+   */
+  def taskCountEstimate(universe: DataFrame, rates: DataFrame,
+      capacityMBps: Int, utilizationPct: Int, defaultKbRate: Int): DataFrame = {
+    val perTaskKb = capacityMBps * 1024 * (utilizationPct / 100.0)
+    val perPart = universe
+      .withColumn("__topic", regexp_replace(col("part_name"), "-[^-]*$", ""))
+      .join(rates.select(col("name").as("part_name"), col("kb_rate").as("__pr")),
+        Seq("part_name"), "left")
+      .join(rates.select(col("name").as("__topic"), col("kb_rate").as("__tr")),
+        Seq("__topic"), "left")
+      .withColumn("__kb",
+        coalesce(col("__pr"), col("__tr"), lit(defaultKbRate.toLong)))
+    perPart.groupBy(col("stream"))
+      .agg(count(lit(1)).as("n_partitions"),
+        sum(col("__kb")).as("total_kb_rate"))
+      .withColumn("task_count",
+        least(col("n_partitions"),
+          ceil(col("total_kb_rate").cast("double") / perTaskKb)))
+  }
+
+  /**
    * Sticky assignment (O2/P4): tasks that already have an instance
    * KEEP it (no movement on rebalance — the reference's stickiness
    * guarantee, StickyMulticastStrategy.java:55-64); only tasks with no

@@ -86,6 +86,53 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 0L, "d" -> 1L, "e" -> 0L))
   }
 
+  test("taskCountEstimate mirrors the reference estimator's scenarios") {
+    // Constants from the reference test: 4 MBps capacity, 90%
+    // utilization, default 5 KB/s per unknown partition.
+    def estimate(universe: Seq[(String, String)],
+        rates: Seq[(String, Long)]): Map[String, (Long, Long, Long)] =
+      Control.taskCountEstimate(
+          universe.toDF("stream", "part_name"),
+          rates.toDF("name", "kb_rate"),
+          capacityMBps = 4, utilizationPct = 90, defaultKbRate = 5)
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    // Empty assignment -> no output row (the reference's 0 tasks).
+    assert(estimate(Nil, Seq("a-0" -> 100L)).isEmpty)
+
+    // One low-throughput partition -> 1 task (ceil of a tiny load).
+    val low = estimate(Seq("s" -> "pep-1"), Seq("pep-1" -> 5L))
+    assert(low("s") == ((1L, 5L, 1L)))
+
+    // High throughput clamps to the partition count.
+    val high = estimate(
+      Seq("s" -> "ic-0", "s" -> "ic-1"),
+      Seq("ic-0" -> 100000L, "ic-1" -> 100000L))
+    assert(high("s") == ((2L, 200000L, 2L)),
+      "ceil(200000/3686.4)=55 must clamp to the 2 partitions")
+
+    // Partitions with no info at all take the default weight -> > 0.
+    val dflt = estimate(Seq("s" -> "P1", "s" -> "P2"), Nil)
+    assert(dflt("s") == ((2L, 10L, 1L)))
+
+    // Topic-level fallback: apple partitions inherit the "apple"
+    // topic entry, banana-0 takes the default; heavy topic rate
+    // pushes the estimate past the clamp -> 4 (the reference's
+    // fruit scenario).
+    val fruit = estimate(
+      Seq("s" -> "apple-0", "s" -> "apple-1", "s" -> "apple-2", "s" -> "banana-0"),
+      Seq("apple" -> 10000L))
+    assert(fruit("s") == ((4L, 30005L, 4L)),
+      "ceil(30005/3686.4)=9 must clamp to the 4 partitions")
+
+    // Partition-level info wins over the topic-level entry.
+    val tiered = estimate(
+      Seq("s" -> "apple-0", "s" -> "apple-1"),
+      Seq("apple" -> 10000L, "apple-0" -> 7L))
+    assert(tiered("s")._2 == 10007L)
+  }
+
   test("frameOk accepts only magic-byte 0x00 frames") {
     val df = Seq("00abcd", "ffabcd").toDF("frame")
     assert(df.filter(Filters.frameOk($"frame")).as[String].collect().toSeq
