@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Portable
 import graft.operators.{AsOfJoin, Control, Filters, IntervalJoin, Observe, Partitioning, Translate}
 import graft.serde.{AvroSerde, SchemaRegistry}
+import graft.sources.ChunkedJdbc
 
 /**
  * The reference's data-plane + control-plane operator inventory
@@ -83,6 +84,38 @@ object BrooklinQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
         .limit(500)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))),
+
+    // T5 completeness: the reference's deliberate CDC-bootstrap type
+    // semantics (NUMBER→string with precision metadata, TIMESTAMP→
+    // epoch-ms long, RAW/BLOB→bytes) exercised over a LIVE embedded
+    // Derby round-trip: orders slice → Derby (DECIMAL/TIMESTAMP/BLOB/
+    // CLOB columns) → 4-shard chunked parallel read → typed
+    // projection, hash-compared against DuckDB computing the same
+    // projection straight from the parquet.
+    "q49_cdc_typed" -> ((s, d) => {
+      val url = s"jdbc:derby:memory:graft_q49_${math.abs(d.hashCode)};create=true"
+      val props = new java.util.Properties
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      t(s, d, "orders").filter(col("o_orderkey") <= 1000)
+        .select(
+          col("o_orderkey"),
+          col("o_totalprice").cast("decimal(12,2)").as("price"),
+          col("o_orderdate").as("order_ts"),
+          col("o_orderstatus").cast("binary").as("status_raw"),
+          col("o_orderpriority").as("priority"))
+        .write.mode("overwrite").jdbc(url, "GRAFT_BOOTSTRAP", props)
+      // Spark writes case-exact quoted identifiers to Derby, so the
+      // shard key must be quoted the same way in the pushed predicate.
+      ChunkedJdbc.bootstrapProjection(
+          ChunkedJdbc.readNumeric(s, url, "GRAFT_BOOTSTRAP", "\"o_orderkey\"",
+            numShards = 4, props))
+        .select(
+          col("o_orderkey"),
+          col("price").as("price_str"),
+          col("order_ts").as("order_ts_ms"),
+          lower(hex(col("status_raw"))).as("status_hex"),
+          col("priority"))
+    }),
 
     // O2/O3: top-k by load.
     "q05_topk" -> ((s, d) =>
@@ -280,6 +313,33 @@ object BrooklinQueries {
         .groupBy(col("task"))
         .agg(count(lit(1)).as("n_parts"), sum(col("bytes_rate")).as("load"))
         .orderBy(col("load"), col("task")).limit(1)),
+
+    // Elastic task-count estimation: each topic is a datastream over
+    // partitions 0..9; the throughput table carries per-partition
+    // entries for partitions 0..5 only and topic-level entries for
+    // click/purchase, so the estimate exercises all three lookup
+    // tiers (partition → topic fallback → default) before the
+    // ceil-over-capacity division and the partition-count clamp.
+    "q48_task_count" -> ((s, d) => {
+      val pr = partitionRates(s, d)
+      val perPartition = pr.filter(col("partition") <= 5)
+        .select(concat_ws("-", col("topic"), col("partition")).as("name"),
+          expr("bytes_rate div 1024").as("kb_rate"))
+      val topicLevel = pr.filter(col("topic").isin("click", "purchase"))
+        .groupBy(col("topic"))
+        .agg(expr("(sum(bytes_rate) div count(*)) div 1024").as("kb_rate"))
+        .select(col("topic").as("name"), col("kb_rate"))
+      val universe = pr.select(col("topic")).distinct()
+        .select(col("topic").as("stream"),
+          explode(sequence(lit(0), lit(9))).as("p"))
+        .select(col("stream"),
+          concat_ws("-", col("stream"), col("p")).as("part_name"))
+      Control.taskCountEstimate(universe,
+          perPartition.unionByName(topicLevel),
+          capacityMBps = 4, utilizationPct = 90, defaultKbRate = 5)
+        .select(col("stream"), col("n_partitions"), col("total_kb_rate"),
+          col("task_count"))
+    }),
 
     // A8: consumer-offset lag — latest vs committed offset per
     // (topic, partition); committed = high-water mark at the cutoff.
@@ -621,6 +681,18 @@ object BrooklinQueries {
         |WHERE (l_orderkey > 1000) OR (l_orderkey = 1000 AND l_linenumber > 2)
         |ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin.replace("\n", " "),
 
+    // The oracle computes the typed projection straight from parquet —
+    // matching it proves the Derby round-trip (DECIMAL/TIMESTAMP/BLOB
+    // columns written, chunk-read in 4 shards, projected) is lossless
+    // and the type mapping is the deliberate reference one.
+    "q49_cdc_typed" ->
+      """SELECT o_orderkey,
+        |CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str,
+        |epoch_ms(o_orderdate) AS order_ts_ms,
+        |lower(hex(encode(o_orderstatus))) AS status_hex,
+        |o_orderpriority AS priority
+        |FROM orders WHERE o_orderkey <= 1000""".stripMargin.replace("\n", " "),
+
     "q05_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin.replace("\n", " "),
@@ -767,6 +839,31 @@ object BrooklinQueries {
       s"""SELECT task, COUNT(*) AS n_parts, CAST(SUM(bytes_rate) AS BIGINT) AS load
          |FROM ($loadPackSql) GROUP BY task
          |ORDER BY load, task LIMIT 1""".stripMargin.replace("\n", " "),
+
+    // The divisor is written 4 * 1024 * (90 / 100.0) — int-over-double
+    // division, the same IEEE double the Scala side computes — so the
+    // ceil boundary is bit-identical across engines.
+    "q48_task_count" ->
+      s"""WITH pr AS ($partitionRatesSql),
+         |pp AS (SELECT topic || '-' || CAST(partition AS VARCHAR) AS name,
+         |bytes_rate // 1024 AS kb_rate FROM pr WHERE partition <= 5),
+         |tl AS (SELECT topic AS name,
+         |(SUM(bytes_rate) // COUNT(*)) // 1024 AS kb_rate
+         |FROM pr WHERE topic IN ('click', 'purchase') GROUP BY 1),
+         |rates AS (SELECT * FROM pp UNION ALL SELECT * FROM tl),
+         |u AS (SELECT t.topic AS stream,
+         |t.topic || '-' || CAST(r.range AS VARCHAR) AS part_name
+         |FROM (SELECT DISTINCT topic FROM pr) t CROSS JOIN range(0, 10) r),
+         |k AS (SELECT u.stream,
+         |COALESCE(p.kb_rate, tt.kb_rate, 5) AS kb
+         |FROM u LEFT JOIN rates p ON p.name = u.part_name
+         |LEFT JOIN rates tt
+         |ON tt.name = regexp_replace(u.part_name, '-[^-]*$$', ''))
+         |SELECT stream, COUNT(*) AS n_partitions,
+         |CAST(SUM(kb) AS BIGINT) AS total_kb_rate,
+         |CAST(LEAST(COUNT(*), CEIL(CAST(SUM(kb) AS DOUBLE)
+         |/ (4 * 1024 * (90 / 100.0)))) AS BIGINT) AS task_count
+         |FROM k GROUP BY 1""".stripMargin.replace("\n", " "),
 
     "q29_offset_lag" ->
       s"""SELECT topic, partition, MAX("offset") AS latest,

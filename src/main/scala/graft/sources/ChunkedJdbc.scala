@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /**
  * Chunked/parallel JDBC snapshot source (S7) — the CDC-bootstrap scan.
@@ -83,4 +85,40 @@ object ChunkedJdbc {
       numShards: Int,
       props: java.util.Properties = new java.util.Properties): DataFrame =
     spark.read.jdbc(url, table, shardPredicates(keys, numShards), props)
+
+  /**
+   * The reference's DELIBERATE CDC-bootstrap type semantics applied to
+   * a JDBC snapshot frame (Types.java:13-33, the SQL-type→Avro-type
+   * enum of the avrogenerator package):
+   *
+   *  - NUMBER (any decimal) → STRING, with the precision/scale kept as
+   *    column metadata — lossless for arbitrary-precision values no
+   *    float survives (`NUMBER("string")`, Types.java:14; "The
+   *    metadata will contain Scale and Precision information" :10-11).
+   *  - TIMESTAMP / DATE → epoch-millis LONG (`TIMESTAMP("long")`
+   *    :27, `DATE("long")` :29); dates take midnight UTC.
+   *  - RAW / BLOB → BYTES (:19-20, :30) — Spark BinaryType, identity.
+   *  - CLOB / CHAR / VARCHAR* → STRING (:21-26, :28) — identity.
+   *  - INTEGER / LONG / FLOAT / DOUBLE keep their native width
+   *    (:15-18).
+   *
+   * Column-level cast projection only — stays inside WholeStageCodegen
+   * on top of the sharded parallel read.
+   */
+  def bootstrapProjection(df: DataFrame): DataFrame = {
+    val cols: Seq[Column] = df.schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case d: DecimalType =>
+          val md = new MetadataBuilder()
+            .putLong("precision", d.precision.toLong)
+            .putLong("scale", d.scale.toLong).build()
+          col(f.name).cast("string").as(f.name, md)
+        case TimestampType => unix_millis(col(f.name)).as(f.name)
+        case DateType =>
+          unix_millis(col(f.name).cast("timestamp")).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols: _*)
+  }
 }

@@ -77,4 +77,55 @@ class ChunkedJdbcDerbySpec extends graft.SparkTestBase {
     val total = df.agg(org.apache.spark.sql.functions.sum("qty")).head.getLong(0)
     assert(total == (1 to 97).map(_ * 3L).sum)
   }
+
+  test("T5 typed bootstrap projection maps Derby column types the reference way") {
+    import org.apache.spark.sql.types._
+    val url = "jdbc:derby:memory:graft_jdbc_typed;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE snap (id BIGINT PRIMARY KEY, amount DECIMAL(10,3),
+          |created TIMESTAMP, born DATE, payload BLOB, note CLOB,
+          |ratio DOUBLE)""".stripMargin.replace("\n", " "))
+      val ins = conn.prepareStatement("INSERT INTO snap VALUES (?, ?, ?, ?, ?, ?, ?)")
+      ins.setLong(1, 7L)
+      ins.setBigDecimal(2, new java.math.BigDecimal("12345.678"))
+      ins.setTimestamp(3, java.sql.Timestamp.valueOf("2024-03-01 12:30:45.5"))
+      ins.setDate(4, java.sql.Date.valueOf("2024-03-01"))
+      ins.setBytes(5, Array[Byte](1, 2, 3))
+      ins.setString(6, "hello")
+      ins.setDouble(7, 0.25)
+      ins.executeUpdate()
+    } finally conn.close()
+
+    val props = new java.util.Properties
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val typed = ChunkedJdbc.bootstrapProjection(
+      ChunkedJdbc.readNumeric(spark, url, "snap", "id", 2, props))
+
+    // NUMBER → string carrying precision/scale metadata; TIMESTAMP and
+    // DATE → epoch-ms long; BLOB → bytes; CLOB → string; LONG/DOUBLE
+    // keep native width (Types.java:13-33).
+    val f = typed.schema.fields.map(x => x.name.toLowerCase -> x).toMap
+    assert(f("amount").dataType == StringType)
+    assert(f("amount").metadata.getLong("precision") == 10L &&
+      f("amount").metadata.getLong("scale") == 3L)
+    assert(f("created").dataType == LongType)
+    assert(f("born").dataType == LongType)
+    assert(f("payload").dataType == BinaryType)
+    assert(f("note").dataType == StringType)
+    assert(f("id").dataType == LongType)
+    assert(f("ratio").dataType == DoubleType)
+
+    val row = typed.collect().head
+    val get = typed.columns.map(_.toLowerCase).zipWithIndex.toMap
+    assert(row.getString(get("amount")) == "12345.678")
+    assert(row.getLong(get("created")) ==
+      java.sql.Timestamp.valueOf("2024-03-01 12:30:45.5").getTime)
+    assert(row.getLong(get("born")) ==
+      java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime)
+    assert(row.getAs[Array[Byte]](get("payload")).toSeq == Seq[Byte](1, 2, 3))
+    assert(row.getString(get("note")) == "hello")
+  }
 }
