@@ -135,14 +135,22 @@ object Dedup {
   def lshCandidates(df: DataFrame, id: Column, text: Column, k: Int, r: Int): DataFrame =
     lshCandidatesFromSig(minHashLong(df, id, text, k), r)
 
-  /** LSH banding over an already-computed (doc, i, sig) signature
-    * frame — the shared-signature form of [[lshCandidates]]. */
-  def lshCandidatesFromSig(sig: DataFrame, r: Int): DataFrame = {
-    val bands = sig
+  /** LSH band-bucket rows (doc, band, bh) from a (doc, i, sig)
+    * signature frame: the k-signature split into bands of r rows,
+    * each band reduced to one portable hash — the join key of
+    * [[lshCandidatesFromSig]] and the dedup key of the streaming
+    * band-admission gate. */
+  def bandSignatures(sig: DataFrame, r: Int): DataFrame =
+    sig
       .groupBy(col("doc"), (col("i") / r).cast("int").as("band"))
       .agg(Portable.hash64(concat_ws(",",
         transform(array_sort(collect_list(struct(col("i"), col("sig")))),
           x => x.getField("sig").cast("string")))).as("bh"))
+
+  /** LSH banding over an already-computed (doc, i, sig) signature
+    * frame — the shared-signature form of [[lshCandidates]]. */
+  def lshCandidatesFromSig(sig: DataFrame, r: Int): DataFrame = {
+    val bands = bandSignatures(sig, r)
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b,

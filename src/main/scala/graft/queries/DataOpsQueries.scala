@@ -565,14 +565,15 @@ object DataOpsQueries {
 
   private def h(expr: String) = Portable.hash64Sql(expr)
 
-  /** tokens CTE fragment: doc + filtered word list. */
-  private val wordsCte =
+  /** tokens CTE fragment: doc + filtered word list. (Shared with the
+    * streaming band-dedup oracle, hence package-private.) */
+  private[queries] val wordsCte =
     """w AS (SELECT doc_id AS doc, lang,
       |list_filter(string_split(text, ' '), x -> len(x) > 0) AS w, text
       |FROM documents)""".stripMargin.replace("\n", " ")
 
   /** exploded 3-shingles (with duplicates). */
-  private val shinglesCte =
+  private[queries] val shinglesCte =
     """sh AS (SELECT doc, unnest(CASE WHEN len(w) >= 3 THEN
       |list_transform(generate_series(1, len(w) - 2),
       |j -> concat_ws(' ', w[j], w[j+1], w[j+2])) ELSE [] END) AS s FROM w)"""
@@ -581,11 +582,18 @@ object DataOpsQueries {
   private def affine(hExpr: String, iExpr: String) =
     s"MOD($hExpr * (1000003 * ($iExpr + 1) + 12345) + (998244353 * ($iExpr + 1) + 7), ${Portable.MinHashPrime})"
 
-  private def minhashSigCte(k: Int) =
+  private[queries] def minhashSigCte(k: Int) =
     s"""hs AS (SELECT doc, s, ${h("s")} AS hv FROM sh),
        |sig AS (SELECT doc, r.range AS i, MIN(${affine("hv", "r.range")}) AS sig
        |FROM hs CROSS JOIN range(0, $k) r GROUP BY doc, r.range)"""
       .stripMargin.replace("\n", " ")
+
+  /** LSH band-hash CTE over `sig` — the [[graft.dedup.Dedup.bandSignatures]]
+    * arithmetic in DuckDB. */
+  private[queries] def bandsCte(r: Int) =
+    s"""bands AS (SELECT doc, i // $r AS band,
+       |${h(s"string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)")} AS bh
+       |FROM sig GROUP BY doc, i // $r)""".stripMargin.replace("\n", " ")
 
   private val stopIn = Text.Stopwords.map(w => s"x = '$w'").mkString(" OR ")
 

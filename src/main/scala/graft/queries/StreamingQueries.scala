@@ -347,6 +347,59 @@ object StreamingQueries {
       out
     }),
 
+    // Streaming NEAR-DUP admission — the one LLM-data op with a
+    // streaming form: MinHash band buckets (k=16, r=4 — the d03
+    // banding) are the dedup KEY under dropDuplicatesWithinWatermark
+    // bounded state, so an unbounded document stream admits the first
+    // claimant of each LSH bucket per event-time window and evicts
+    // bucket state once the watermark passes — exactly how a 100 TB
+    // ingest pipeline near-dedups without unbounded memory. Document
+    // event time is synthesized deterministically (doc_id % 97 hours
+    // from a fixed base) so the 3-batch split (doc_id % 3) and every
+    // admission decision replay as a pure function in the oracle.
+    "s14_stream_banded_dedup" -> ((s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      val bands = graft.dedup.Dedup.bandSignatures(
+        graft.dedup.Dedup.minHashLong(docs, col("doc_id"), col("text"), k = 16),
+        r = 4)
+      val base = bands.select(
+        col("doc"),
+        col("band").cast("long").as("band"),
+        col("bh"),
+        expr("timestampadd(HOUR, cast(pmod(doc, 97) as int), " +
+          "timestamp'2024-01-01 00:00:00')").as("hr"))
+      val srcDir = Files.createTempDirectory("graft-s14-src-").toString
+      val outDir = Files.createTempDirectory("graft-s14-out-").toString
+      val ckpt = Files.createTempDirectory("graft-s14-ckpt-").toString
+      val schema = base.drop("doc").schema
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        (0 until 3).foreach { b =>
+          base.filter(pmod(col("doc"), lit(3L)) === b).drop("doc")
+            .coalesce(1).write.mode("append").parquet(srcDir)
+          val admitted = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcDir)
+            .withWatermark("hr", "30 minutes")
+            .dropDuplicatesWithinWatermark("band", "bh", "hr")
+            .select(col("band"), col("bh"), col("hr"))
+          val q = admitted.writeStream
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, epoch: Long) =>
+              PipelineManager.epochAppend(batch, outDir, epoch, "s14")
+            }
+            .start()
+          q.awaitTermination()
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", before)
+      val out = s.read.parquet(outDir).localCheckpoint()
+      deleteTree(srcDir, outDir, ckpt)
+      out
+    }),
+
     // The same multi-batch custom-state shape on Spark 4's
     // transformWithState API (typed named ValueState, RocksDB state
     // store — the provider the API requires): three AvailableNow runs
@@ -693,6 +746,26 @@ object StreamingQueries {
         |SELECT DISTINCT kb.user_id, kb.event_type, kb.hr
         |FROM kb LEFT JOIN wmt ON wmt.b = kb.b
         |WHERE wmt.w IS NULL OR kb.hr >= wmt.w"""
+        .stripMargin.replace("\n", " "),
+
+    // Band-admission replay, the s12 state machine over LSH buckets:
+    // a (band, bh, hr, batch) occurrence is admitted iff hr >= the
+    // batch's planned watermark (max synthesized hr of earlier
+    // batches, minus the 30-minute delay). The event time is part of
+    // the key, so admitted keys never re-emit (the s12 delay-cancel
+    // argument) and the emitted set is the distinct admitted keys.
+    "s14_stream_banded_dedup" ->
+      s"""WITH ${DataOpsQueries.wordsCte}, ${DataOpsQueries.shinglesCte},
+         |${DataOpsQueries.minhashSigCte(16)}, ${DataOpsQueries.bandsCte(4)},
+         |f AS (SELECT band, bh,
+         |TIMESTAMP '2024-01-01 00:00:00' + MOD(doc, 97) * INTERVAL 1 HOUR AS hr,
+         |MOD(doc, 3) AS bt FROM bands),
+         |kb AS (SELECT DISTINCT band, bh, hr, bt FROM f),
+         |wmt AS (SELECT bb.bt AS bt, (SELECT MAX(hr) FROM f WHERE f.bt < bb.bt)
+         |- INTERVAL 30 MINUTE AS w FROM (SELECT DISTINCT bt FROM f) bb)
+         |SELECT DISTINCT kb.band, kb.bh, kb.hr
+         |FROM kb LEFT JOIN wmt ON wmt.bt = kb.bt
+         |WHERE wmt.w IS NULL OR kb.hr >= wmt.w"""
         .stripMargin.replace("\n", " "),
 
     // Timer replay: batch b = time-range third (ms thresholds lo +
