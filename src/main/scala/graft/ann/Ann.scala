@@ -313,9 +313,16 @@ object Ann {
    * passes, not state: nothing driver-side grows with the corpus.
    */
   def kmeans(df: DataFrame, k: Int, iters: Int): DataFrame =
+    assignWith(df, kmeansCentroids(df, k, iters))
+
+  /** Cluster assignment under an EXTERNALLY-trained codebook
+    * ((cluster, c) rows — e.g. a persisted [[kmeansCentroids]]
+    * result): the production composition where the codebook is
+    * trained ONCE and every downstream pass (assignment, SemDeDup,
+    * IVF cells) reuses it instead of re-running the trainer. */
+  def assignWith(df: DataFrame, cents: DataFrame): DataFrame =
     kmeansAssign(
-      df.select(col("vec_id"), toDouble(col("embedding")).as("v")),
-      kmeansCentroids(df, k, iters))
+      df.select(col("vec_id"), toDouble(col("embedding")).as("v")), cents)
       .select(col("vec_id"), col("cluster"))
 
   /** The trained codebook itself: (cluster, c: array<double>) after
@@ -363,8 +370,14 @@ object Ann {
    * stays bounded. Downstream pruning keeps the lower id of each pair.
    */
   def semDedupPairs(df: DataFrame, k: Int, iters: Int,
+      threshold: Double): DataFrame =
+    semDedupPairsWith(df, kmeansCentroids(df, k, iters), threshold)
+
+  /** [[semDedupPairs]] under an externally-trained codebook — see
+    * [[assignWith]]; the cluster-gated pair join is unchanged. */
+  def semDedupPairsWith(df: DataFrame, cents: DataFrame,
       threshold: Double): DataFrame = {
-    val assign = kmeans(df, k, iters)
+    val assign = assignWith(df, cents)
     val v = df.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))
       .join(assign, Seq("vec_id"))
