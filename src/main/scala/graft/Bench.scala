@@ -58,11 +58,33 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
+
+    // Repeated-run medians for the multi-restart streaming gates:
+    // their n=1 suite numbers are dominated by query startup +
+    // checkpoint commits and swing round-to-round (the round-6 noise
+    // determination in PERF_NOTES.md), so the round artifact also
+    // publishes n=3 medians — the number round-over-round streaming
+    // comparisons should read. Only bench_detail.json carries them;
+    // the stdout line keeps its driver-parsed shape.
+    val multiRestart = Set("s08", "s09", "s10", "s11", "s12", "s13", "s14")
+    val sMedians = results.collect {
+      case (name, first) if multiRestart(name.takeWhile(_ != '_')) && first >= 0 =>
+        val fn = SparkEntry.queries(name)
+        val times = (first +: (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }).sorted
+        name -> times(times.size / 2)
+    }
+
     val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val medianJson = sMedians.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"s_medians":$medianJson,"s_median_n":3,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
