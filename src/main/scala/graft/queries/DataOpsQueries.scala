@@ -399,6 +399,12 @@ object DataOpsQueries {
           Window.orderBy(col("n").desc, col("token"))).cast("long"))
     }),
 
+    // Per-document top-3 TF-IDF terms: the keyword signature for
+    // corpus exploration / cluster labeling — keyed partial aggs for
+    // tf and df, a broadcast one-row N, per-doc rank window only.
+    "t13_tfidf" -> ((s, d) =>
+      Text.tfidfTopK(t(s, d, "documents"), col("doc_id"), col("text"), k = 3)),
+
     // PII-style redaction: digit runs replaced, per-row redaction
     // count surfaced — a single codegen'd regexp pass over the corpus.
     "t07_redact" -> ((s, d) =>
@@ -1240,6 +1246,23 @@ object DataOpsQueries {
          |SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
          |FROM counts ORDER BY n DESC, token LIMIT 100"""
         .stripMargin.replace("\n", " "),
+
+    // ln() is IEEE-double in both engines; scores round to 6 dp before
+    // the rank so both engines order the identical list.
+    "t13_tfidf" ->
+      s"""WITH $wordsCte,
+         |tf AS (SELECT doc AS doc_id, t.term, COUNT(*) AS tf
+         |FROM (SELECT doc, unnest(w) AS term FROM w) t GROUP BY 1, 2),
+         |dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.term,
+         |round(CAST(tf.tf AS DOUBLE)
+         |* ln(CAST(n.n AS DOUBLE) / CAST(dfr.df AS DOUBLE)), 6) AS tfidf
+         |FROM tf JOIN dfr USING (term) CROSS JOIN n)
+         |SELECT doc_id, term, tfidf, rank FROM (
+         |SELECT doc_id, term, tfidf, ROW_NUMBER() OVER
+         |(PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM sc)
+         |WHERE rank <= 3""".stripMargin.replace("\n", " "),
 
     "t07_redact" ->
       """SELECT event_id,

@@ -216,4 +216,34 @@ object Text {
         round(avg(-log(col("n").cast("double") / col("total").cast("double"))), 6)
           .as("avg_neg_logprob"))
   }
+
+  /**
+   * Per-document top-k TF-IDF terms — the keyword/topic signature used
+   * for corpus exploration, cluster labeling, and relevance-weighted
+   * curation. tf = raw in-doc count, idf = ln(N / df) over document
+   * frequency; scores round to 6 dp so an external engine ranks the
+   * identical list (ties broken by term).
+   *
+   * Scale shape: tf is a (doc, term) partial agg; df is a (term)
+   * partial agg over tf (one row per distinct doc-term pair crosses
+   * the shuffle, never raw tokens); N is a one-row broadcast; the
+   * score join is big-to-small on the term key (AQE broadcasts a
+   * fitting vocabulary); the top-k window is partitioned by doc.
+   */
+  def tfidfTopK(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(id.as("doc_id"), explode(tokens(text)).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf").cast("double") *
+        log(col("n").cast("double") / col("df").cast("double")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
+  }
 }

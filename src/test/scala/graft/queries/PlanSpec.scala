@@ -353,6 +353,25 @@ class PlanSpec extends SparkTestBase {
       "union pairs and their Jaccard verify must all be equi-joins")
   }
 
+  test("t13 tfidf ranks within documents (partitioned window, keyed aggs)") {
+    val p = planOf("t13_tfidf")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(windows.nonEmpty)
+    val unpartitioned = windows.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      "the top-k rank must be partitioned by doc_id — never a global sort")
+    assert("HashAggregate".r.findAllIn(p.toString).size >= 2,
+      "tf/df must keep the partial/final aggregate split")
+  }
+
   test("d14 segment dedup stays keyed (no product join, partial agg split)") {
     val plan = planOf("d14_segment_dedup").toString
     assert(!plan.contains("CartesianProduct") &&
