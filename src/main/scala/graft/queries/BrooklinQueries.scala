@@ -117,6 +117,34 @@ object BrooklinQueries {
           col("priority"))
     }),
 
+    // The full load-based assignment composition the reference runs:
+    // ESTIMATE the task count from per-partition throughput (q48's
+    // estimator, tighter capacity so the count is non-trivial), then
+    // PACK the partitions into exactly that many tasks — q48 feeding
+    // q27, all relational (the estimated count joins the ranked
+    // partitions as a one-row broadcast; no driver round-trip).
+    "q50_elastic_pack" -> ((s, d) => {
+      val pr = partitionRates(s, d).filter(col("topic") === "click")
+      val universe = pr.select(lit("click").as("stream"),
+        concat_ws("-", col("topic"), col("partition")).as("part_name"))
+      val rates = pr.select(
+        concat_ws("-", col("topic"), col("partition")).as("name"),
+        expr("bytes_rate div 1024").as("kb_rate"))
+      // Floor at 1: integer-KB rates can sum to 0 at tiny scale, and a
+      // stream that HAS partitions needs at least one task to drain it
+      // (the estimator itself mirrors the reference and may say 0).
+      val est = Control.taskCountEstimate(universe, rates,
+          capacityMBps = 1, utilizationPct = 50, defaultKbRate = 5)
+        .select(greatest(lit(1L), col("task_count")).as("task_count"))
+      Control.loadPack(pr, col("bytes_rate"),
+          Seq(col("topic"), col("partition")), numTasks = 1)
+        .drop("task")
+        .crossJoin(broadcast(est))
+        .withColumn("task", pmod(col("rank") - 1, col("task_count")))
+        .select(col("topic"), col("partition"), col("bytes_rate"),
+          col("rank"), col("task_count"), col("task"))
+    }),
+
     // O2/O3: top-k by load.
     "q05_topk" -> ((s, d) =>
       t(s, d, "orders")
@@ -839,6 +867,21 @@ object BrooklinQueries {
       s"""SELECT task, COUNT(*) AS n_parts, CAST(SUM(bytes_rate) AS BIGINT) AS load
          |FROM ($loadPackSql) GROUP BY task
          |ORDER BY load, task LIMIT 1""".stripMargin.replace("\n", " "),
+
+    // Estimate-then-pack: the q48 estimator (1 MBps / 50% capacity so
+    // the count is non-trivial at the gate scale) feeding the q27
+    // round-robin packing, replayed relationally.
+    "q50_elastic_pack" ->
+      s"""WITH pr AS (SELECT * FROM ($partitionRatesSql) WHERE topic = 'click'),
+         |est AS (SELECT CAST(GREATEST(1, LEAST(COUNT(*),
+         |CEIL(CAST(SUM(bytes_rate // 1024) AS DOUBLE)
+         |/ (1 * 1024 * (50 / 100.0))))) AS BIGINT) AS task_count FROM pr),
+         |ranked AS (SELECT topic, partition, bytes_rate,
+         |ROW_NUMBER() OVER (ORDER BY bytes_rate DESC, topic, partition) AS rank
+         |FROM pr)
+         |SELECT topic, partition, bytes_rate, rank, task_count,
+         |MOD(rank - 1, task_count) AS task
+         |FROM ranked CROSS JOIN est""".stripMargin.replace("\n", " "),
 
     // The divisor is written 4 * 1024 * (90 / 100.0) — int-over-double
     // division, the same IEEE double the Scala side computes — so the
