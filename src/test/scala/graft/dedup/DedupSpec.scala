@@ -95,6 +95,27 @@ class DedupSpec extends SparkTestBase {
     assert(got.size == 2)
   }
 
+  test("signatures: the materialize-once frames equal the one-shot APIs") {
+    val sg = Dedup.signatures(docs, $"doc_id", $"text", k = 8)
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      assert(rows(sg.minhash) ==
+        rows(Dedup.minHashLong(docs, $"doc_id", $"text", k = 8)))
+      assert(rows(sg.simhash) == rows(Dedup.simHash(docs, $"doc_id", $"text")))
+      // candidate generation and verify over the shared frames match
+      // the self-contained forms bit-for-bit
+      assert(rows(Dedup.lshCandidatesFromSig(sg.minhash, r = 4)) ==
+        rows(Dedup.lshCandidates(docs, $"doc_id", $"text", k = 8, r = 4)))
+      val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+      assert(rows(Dedup.jaccardForShingles(sg.shingles, pairs)) ==
+        rows(Dedup.jaccardForPairs(docs, $"doc_id", $"text", 3, pairs)))
+      // all four frames are persisted (the point of the bundle)
+      assert(Seq(sg.tokens, sg.shingles, sg.minhash, sg.simhash)
+        .forall(_.storageLevel.useMemory))
+    } finally sg.unpersist()
+  }
+
   test("segment dedup: first occurrence survives, repeats are counted") {
     // segLen=2 → doc 10: [a b][c d]; doc 11: [a b][e f]; doc 12: [a b]
     // plus a trailing partial [g]. Segment "a b" first occurs at
