@@ -41,28 +41,31 @@ object Dedup {
    * signatures = |docs|·k rows, fingerprints = |docs| rows).
    */
   final case class SignatureSet(tokens: DataFrame, shingles: DataFrame,
-      minhash: DataFrame, simhash: DataFrame) {
-    /** Drop all four cached frames (end of the dedup run). */
+      minhash: DataFrame, simhash: DataFrame, bands: DataFrame) {
+    /** Drop all five cached frames (end of the dedup run). */
     def unpersist(): Unit = {
       tokens.unpersist(); shingles.unpersist()
-      minhash.unpersist(); simhash.unpersist()
+      minhash.unpersist(); simhash.unpersist(); bands.unpersist()
     }
   }
 
   /**
    * Compute every dedup signature in one corpus pass and persist the
-   * results: tokens → {shingles → MinHash, SimHash}. The returned
-   * frames back [[lshCandidatesFromSig]], [[simHashPairs]],
+   * results: tokens → {shingles → MinHash → LSH bands, SimHash}. The
+   * returned frames back [[lshCandidatesFromBands]], [[simHashPairs]],
    * [[jaccardForShingles]], [[minHashQualityFrom]] and the d-family
-   * gated queries — none of which re-touch the corpus afterwards.
+   * gated queries — none of which re-touch the corpus afterwards, and
+   * none of which re-run the per-doc band reduction either (`bands` is
+   * |docs|·k/r rows, the smallest frame of the set).
    */
   def signatures(df: DataFrame, id: Column, text: Column, k: Int,
-      shingleN: Int = 3): SignatureSet = {
+      shingleN: Int = 3, r: Int = 4): SignatureSet = {
     val toks = tokenFrame(df, id, text).persist()
     val sh = shingleFrame(toks, shingleN).persist()
     val mh = minHashFromShingles(sh, k).persist()
     val fp = simHashFromTokens(toks).persist()
-    SignatureSet(toks, sh, mh, fp)
+    val bd = bandSignatures(mh, r).persist()
+    SignatureSet(toks, sh, mh, fp, bd)
   }
 
   /** Content digest for exact dedup. */
@@ -149,8 +152,12 @@ object Dedup {
 
   /** LSH banding over an already-computed (doc, i, sig) signature
     * frame — the shared-signature form of [[lshCandidates]]. */
-  def lshCandidatesFromSig(sig: DataFrame, r: Int): DataFrame = {
-    val bands = bandSignatures(sig, r)
+  def lshCandidatesFromSig(sig: DataFrame, r: Int): DataFrame =
+    lshCandidatesFromBands(bandSignatures(sig, r))
+
+  /** Candidate pairs straight from a (doc, band, bh) band frame —
+    * the shared-band form that skips even the band reduction. */
+  def lshCandidatesFromBands(bands: DataFrame): DataFrame = {
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b,
@@ -286,7 +293,7 @@ object Dedup {
     * joins the persisted signature frame, the truth joins the persisted
     * shingle frame — zero corpus re-scans per audit. */
   def minHashQualityFrom(sigs: SignatureSet, k: Int, r: Int): DataFrame = {
-    val cand = lshCandidatesFromSig(sigs.minhash, r)
+    val cand = lshCandidatesFromBands(sigs.bands)
       .select(col("doc_a"), col("doc_b"))
     val sig = sigs.minhash
     val est = cand

@@ -49,7 +49,7 @@ object DataOpsQueries {
     sigCache.compute(d, (_, cur) =>
       if (cur != null && (cur._1 eq s)) cur
       else (s, Dedup.signatures(t(s, d, "documents"), col("doc_id"),
-        col("text"), k = MinHashK, shingleN = 3))
+        col("text"), k = MinHashK, shingleN = 3, r = LshRows))
     )._2
 
   /**
@@ -82,7 +82,7 @@ object DataOpsQueries {
 
     // MinHash + LSH banding: near-dup candidate pairs.
     "d03_lsh_candidates" -> ((s, d) =>
-      Dedup.lshCandidatesFromSig(sigs(s, d).minhash, r = LshRows)),
+      Dedup.lshCandidatesFromBands(sigs(s, d).bands)),
 
     // Exact n-gram Jaccard verification, gated by LSH candidates —
     // the production near-dup pipeline shape (candidate gen → verify),
@@ -90,7 +90,7 @@ object DataOpsQueries {
     "d04_jaccard_pairs" -> ((s, d) => {
       val sg = sigs(s, d)
       Dedup.jaccardForShingles(sg.shingles,
-          Dedup.lshCandidatesFromSig(sg.minhash, r = LshRows))
+          Dedup.lshCandidatesFromBands(sg.bands))
         .filter(col("jaccard") >= 0.5)
     }),
 
@@ -106,7 +106,7 @@ object DataOpsQueries {
     // (pairs → duplicate groups; canonical id = min member).
     "d07_dedup_groups" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val pairs = Dedup.lshCandidatesFromSig(sigs(s, d).minhash, r = LshRows)
+      val pairs = Dedup.lshCandidatesFromBands(sigs(s, d).bands)
         .select(col("doc_a"), col("doc_b"))
       Dedup.connectedComponents(
         docs.select(col("doc_id").as("doc")), pairs, "doc_a", "doc_b")
@@ -118,7 +118,7 @@ object DataOpsQueries {
     // dedup pipeline.
     "d09_canonical" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val pairs = Dedup.lshCandidatesFromSig(sigs(s, d).minhash, r = LshRows)
+      val pairs = Dedup.lshCandidatesFromBands(sigs(s, d).bands)
         .select(col("doc_a"), col("doc_b"))
       val groups = Dedup.connectedComponents(
         docs.select(col("doc_id").as("doc")), pairs, "doc_a", "doc_b")
@@ -334,7 +334,7 @@ object DataOpsQueries {
     // a new corpus. Everything stays candidate-gated equi-joins.
     "d18_signal_agreement" -> ((s, d) => {
       val sg = sigs(s, d)
-      val lsh = Dedup.lshCandidatesFromSig(sg.minhash, r = LshRows)
+      val lsh = Dedup.lshCandidatesFromBands(sg.bands)
         .select(col("doc_a"), col("doc_b")).withColumn("mh", lit(1L))
       val sim = Dedup.simHashPairs(sg.simhash, maxHamming = SimHamming)
         .select(col("doc_a"), col("doc_b")).withColumn("sh", lit(1L))
