@@ -161,23 +161,10 @@ object Ann {
       candidates: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
     val cents = centroids.select(col("cent_id"), col("ce"))
       .withColumn("cnr", norm(col("ce")))
-
-    /** Attach the `n` nearest cell ids (one output row per cell). */
-    def assign(df: DataFrame, n: Int): DataFrame = {
-      val v = df.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-        .withColumn("nr", norm(col("v")))
-      val scored = v.join(broadcast(cents), lit(true))
-        .withColumn("acos", round(cosine(col("v"), col("ce"), col("nr"), col("cnr")), 6))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("acos").desc, col("cent_id"))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
-        .select(col("vec_id"), col("v"), col("nr"), col("cent_id"))
-    }
-
-    val c = assign(candidates, 1)
+    val c = cellAssign(cents, candidates, 1)
       .withColumnRenamed("vec_id", "cand_id")
       .withColumnRenamed("v", "cv").withColumnRenamed("nr", "cn")
-    val p = assign(probes, nprobe)
+    val p = cellAssign(cents, probes, nprobe)
       .withColumnRenamed("vec_id", "query_id")
       .withColumnRenamed("v", "qv").withColumnRenamed("nr", "qn")
     val scored = p.join(c, Seq("cent_id"))
@@ -188,6 +175,22 @@ object Ann {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cent_id"), col("cand_id"), col("rank"), col("cos"))
+  }
+
+  /** Attach each vector's `n` nearest cell ids (one output row per
+    * cell): broadcast join against the tiny centroid relation, cosine
+    * rounded to 6 dp, ties to the lower cell — the shared cell
+    * mapping of [[ivfTopKWith]] and [[ivfPqTopK]]. Returns
+    * (vec_id, v, nr, cent_id). */
+  private def cellAssign(cents: DataFrame, df: DataFrame, n: Int): DataFrame = {
+    val v = df.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nr", norm(col("v")))
+    val scored = v.join(broadcast(cents), lit(true))
+      .withColumn("acos", round(cosine(col("v"), col("ce"), col("nr"), col("cnr")), 6))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("acos").desc, col("cent_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+      .select(col("vec_id"), col("v"), col("nr"), col("cent_id"))
   }
 
   /**
@@ -409,14 +412,29 @@ object Ann {
    * with corpus size except the one streaming pass.
    */
   def pqCodes(df: DataFrame, m: Int, k: Int): DataFrame = {
+    val subs = pqSubvectors(df, m)
+    pqEncode(subs, pqCodebook(subs, k))
+  }
+
+  /** (vec_id, sub, sv): the m-way subvector split of a vector frame —
+    * a projection (explode over a constant m-sequence), no shuffle. */
+  def pqSubvectors(df: DataFrame, m: Int): DataFrame = {
     val v = df.select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val subLen = (size(col("v")) / m).cast("int")
-    val subs = v
-      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
+    v.select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
       .select(col("vec_id"), col("sub"),
         slice(col("v"), col("sub") * subLen + 1, subLen).as("sv"))
-    val codebook = subs.filter(col("vec_id") < k)
+  }
+
+  /** (sub, code, cv) per-subspace codebook: the first `k` vectors'
+    * subvectors — the deterministic k-means stand-in of [[pqCodes]]. */
+  def pqCodebook(subs: DataFrame, k: Int): DataFrame =
+    subs.filter(col("vec_id") < k)
       .select(col("sub"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
+
+  /** Encode a subvector frame against a codebook: nearest codeword per
+    * (vector, subspace) by the squared-L2/6-dp/low-code contract. */
+  def pqEncode(subs: DataFrame, codebook: DataFrame): DataFrame = {
     val scored = subs.join(broadcast(codebook), Seq("sub"))
       .withColumn("score",
         round(dot(col("cv"), col("cv")) - lit(2.0) * dot(col("sv"), col("cv")), 6))
@@ -424,6 +442,59 @@ object Ann {
       .orderBy(col("score"), col("code"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
+  }
+
+  /**
+   * IVF + PQ asymmetric-distance search — the full billion-scale ANN
+   * serving composition: trained coarse cells gate WHICH candidates
+   * are scored (the [[ivfTopKWith]] cell equi-join), PQ codes decide
+   * HOW each is scored (no full-precision candidate vector is read at
+   * search time). Per query the m·kCode-entry distance table
+   * `adc[sub][code] = round(q_sub · cv, 6)` is computed once against
+   * the broadcast codebook; a candidate's approximate inner product is
+   * the m-term sum of its codes' entries, folded in subspace order so
+   * an external engine reproduces the score bit-for-bit.
+   *
+   * Scale shape: the ADC table is |q|·m·kCode rows (broadcast); the
+   * candidate side contributes only its (vec_id, sub, code) frame —
+   * m small integers per vector, the point of PQ — and every join is
+   * an equi-join (cell id, then (query, sub, code)). Nothing touches
+   * a full-precision corpus vector after the offline encode pass.
+   */
+  def ivfPqTopK(centroids: DataFrame, probes: DataFrame,
+      candidates: DataFrame, m: Int, kCode: Int, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    val cents = centroids.select(col("cent_id"), col("ce"))
+      .withColumn("cnr", norm(col("ce")))
+    val candCells = cellAssign(cents, candidates, 1)
+      .select(col("vec_id").as("cand_id"), col("cent_id"))
+    val probeCells = cellAssign(cents, probes, nprobe)
+      .select(col("vec_id").as("query_id"), col("cent_id"))
+
+    val subs = pqSubvectors(candidates, m)
+    val codebook = pqCodebook(subs, kCode)
+    val codes = pqEncode(subs, codebook).withColumnRenamed("vec_id", "cand_id")
+    val adc = pqSubvectors(probes, m)
+      .withColumnRenamed("vec_id", "query_id").withColumnRenamed("sv", "qsv")
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("sub").cast("long").as("sub"), col("code"),
+        round(dot(col("qsv"), col("cv")), 6).as("part"))
+
+    val pairs = probeCells.join(candCells, Seq("cent_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+    val scored = pairs
+      .join(codes, Seq("cand_id"))
+      .join(broadcast(adc), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("cent_id"), col("cand_id"))
+      .agg(round(aggregate(
+        transform(array_sort(collect_list(struct(col("sub"), col("part")))),
+          x => x.getField("part")),
+        lit(0.0), (acc, x) => acc + x), 6).as("adc_dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dot").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("cent_id"), col("cand_id"), col("rank"),
+        col("adc_dot"))
   }
 
   /**

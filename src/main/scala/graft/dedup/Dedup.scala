@@ -167,6 +167,35 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /**
+   * Incremental dedup of an incoming batch against a PERSISTED corpus
+   * band index — the production shape for a corpus that grows by
+   * ingestion batches: the corpus's (doc, band, bh) band signatures
+   * (see [[bandSignatures]]) are computed once and stored durably;
+   * each new batch scans ONLY itself, computes its own bands, and
+   * equi-joins the index on (band, bh). Admission is incremental —
+   * nothing ever rescans corpus text, and the index grows by
+   * appending the admitted batch's bands.
+   *
+   * `batchDocs` carries the full batch id set (docs too short to
+   * shingle have no bands but still need a not-a-dup verdict).
+   * Returns one row per batch doc: (doc, n_dups, first_dup) — the
+   * count of distinct colliding corpus docs and the smallest matching
+   * corpus id (-1 when the doc is new to the corpus).
+   */
+  def indexDedupBatch(index: DataFrame, batchBands: DataFrame,
+      batchDocs: DataFrame): DataFrame = {
+    val idx = index.select(col("doc").as("corpus_doc"), col("band"), col("bh"))
+    val hits = batchBands.join(idx, Seq("band", "bh"))
+      .groupBy(col("doc"))
+      .agg(countDistinct(col("corpus_doc")).as("n_dups"),
+        min(col("corpus_doc")).as("first_dup"))
+    batchDocs.join(hits, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("first_dup"), lit(-1L)).as("first_dup"))
+  }
+
   /** SimHash width: 63 bits (2^63-1 is the signed-64 max, so the
     * fingerprint and every shift stay overflow-free in any engine). */
   val SimHashBits = 63

@@ -70,6 +70,29 @@ object DataOpsQueries {
         .persist())
     )._2
 
+  /**
+   * Durable corpus band index for the incremental-dedup gate (d19):
+   * the corpus partition's LSH band signatures written ONCE to parquet
+   * and read back by every search — the storage half of the
+   * ingest-batch dedup shape ([[Dedup.indexDedupBatch]]). Built from
+   * the shared [[sigs]] frames (no extra corpus pass) and keyed by
+   * data directory like the other materialize-once caches.
+   */
+  private val bandIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String)]()
+
+  private def bandIndexPath(s: SparkSession, d: String): String =
+    bandIndexCache.compute(d, (_, cur) =>
+      if (cur != null && (cur._1 eq s)) cur
+      else {
+        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_band_index_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+        sigs(s, d).bands
+          .filter(pmod(Portable.hash64(col("doc")), lit(5L)) < 4)
+          .write.mode("overwrite").parquet(path)
+        (s, path)
+      })._2
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content digest.
     "d01_dedup_exact" -> ((s, d) =>
@@ -348,6 +371,21 @@ object DataOpsQueries {
           col("simhash_hit"), col("jaccard"))
     }),
 
+    // Incremental ingest-batch dedup against the PERSISTED band index:
+    // the corpus partition's LSH bands live in a durable parquet index
+    // (written once, read at every search); the incoming batch (a
+    // 1-in-5 hash slice standing in for "today's crawl") computes its
+    // own bands and equi-joins the index — per-batch cost scales with
+    // the batch, never the corpus, and corpus text is never rescanned.
+    "d19_index_dedup" -> ((s, d) => {
+      val batchIs = (c: Column) => pmod(Portable.hash64(c), lit(5L)) === 4
+      val batchBands = sigs(s, d).bands.filter(batchIs(col("doc")))
+      val batchDocs = t(s, d, "documents")
+        .filter(batchIs(col("doc_id"))).select(col("doc_id").as("doc"))
+      Dedup.indexDedupBatch(s.read.parquet(bandIndexPath(s, d)),
+        batchBands, batchDocs)
+    }),
+
     // IVF over a k-means-TRAINED codebook (the production composition:
     // e09's trainer feeds e04's search; cells follow the data instead
     // of the first-nList stand-ins), searched at nprobe=2 — the recall
@@ -359,6 +397,21 @@ object DataOpsQueries {
         .select(col("cluster").as("cent_id"), col("c").as("ce"))
       Ann.ivfTopKWith(cents, emb.filter(col("vec_id") < 10), emb, k = 3,
           nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // IVF + PQ asymmetric distance — the full billion-scale serving
+    // composition: e09's trained cells gate the candidate set
+    // (nprobe=2), e11's codes pay the scoring. Per query an
+    // m·16-entry broadcast distance table replaces every
+    // full-precision candidate read; the approximate inner product is
+    // an m-term fold over the candidate's codes.
+    "e14_ivf_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = codebook(s, d)
+        .select(col("cluster").as("cent_id"), col("c").as("ce"))
+      Ann.ivfPqTopK(cents, emb.filter(col("vec_id") < 10), emb,
+          m = 8, kCode = 16, k = 3, nprobe = 2)
         .withColumn("rank", col("rank").cast("long"))
     }),
 
@@ -1010,6 +1063,25 @@ object DataOpsQueries {
          |LEFT JOIN sizes nb ON nb.doc = u.doc_b"""
         .stripMargin.replace("\n", " "),
 
+    // Incremental index dedup: corpus = hash-bucket < 4 of 5, batch =
+    // bucket 4; batch bands join the corpus bands, every batch doc
+    // keeps a row (n_dups 0 / first_dup -1 when new to the corpus).
+    "d19_index_dedup" ->
+      s"""WITH $wordsCte, $shinglesCte, ${minhashSigCte(MinHashK)},
+         |${bandsCte(LshRows)},
+         |corpus AS (SELECT doc AS corpus_doc, band, bh FROM bands
+         |WHERE MOD(${h("doc")}, 5) < 4),
+         |batch AS (SELECT doc, band, bh FROM bands
+         |WHERE MOD(${h("doc")}, 5) = 4),
+         |hits AS (SELECT b.doc, COUNT(DISTINCT c.corpus_doc) AS n_dups,
+         |MIN(c.corpus_doc) AS first_dup
+         |FROM batch b JOIN corpus c ON c.band = b.band AND c.bh = b.bh
+         |GROUP BY b.doc)
+         |SELECT d.doc_id AS doc, COALESCE(hh.n_dups, 0) AS n_dups,
+         |COALESCE(hh.first_dup, -1) AS first_dup
+         |FROM documents d LEFT JOIN hits hh ON hh.doc = d.doc_id
+         |WHERE MOD(${h("doc_id")}, 5) = 4""".stripMargin.replace("\n", " "),
+
     // SemDeDup = kmeans assignment (a2) + same-cluster cosine pairs.
     "e10_semdedup" ->
       s"""WITH $vecCte, $kmeansCtes,
@@ -1150,6 +1222,56 @@ object DataOpsQueries {
     // e04's search construction over the e09-trained codebook (c1 =
     // centroids after one refit; cosine assignment like every IVF
     // cell mapping here).
+    // IVF+PQ ADC: e13's trained-cell gating (casg/pasg) + e11's code
+    // CTEs; the per-query distance table `adc` is summed over the
+    // candidate's codes by an in-subspace-order fold (list ORDER BY
+    // sub) so the score matches the Spark fold bit-for-bit.
+    "e14_ivf_pq" ->
+      s"""WITH $vecCte, $normCte, $kmeansCtes,
+         |kc AS (SELECT cluster AS cent_id, c AS ce,
+         |sqrt(${dotSql("c", "c")}) AS cnr FROM c1),
+         |sa AS (SELECT n.vec_id, kc.cent_id,
+         |round(${dotSql("n.e", "kc.ce")} / (n.nr * kc.cnr), 6) AS acos
+         |FROM n CROSS JOIN kc),
+         |casg AS (SELECT vec_id, cent_id FROM (
+         |SELECT vec_id, cent_id, ROW_NUMBER() OVER
+         |(PARTITION BY vec_id ORDER BY acos DESC, cent_id) AS rn FROM sa)
+         |WHERE rn = 1),
+         |pasg AS (SELECT vec_id, cent_id FROM (
+         |SELECT vec_id, cent_id, ROW_NUMBER() OVER
+         |(PARTITION BY vec_id ORDER BY acos DESC, cent_id) AS rn FROM sa)
+         |WHERE rn <= 2),
+         |sp AS (SELECT vec_id, r.range AS sub,
+         |e[(CAST(r.range AS INTEGER) * (len(e) // 8) + 1):
+         |((CAST(r.range AS INTEGER) + 1) * (len(e) // 8))] AS sv
+         |FROM v CROSS JOIN range(0, 8) r),
+         |cb AS (SELECT sub, CAST(vec_id AS INTEGER) AS code, sv AS cv
+         |FROM sp WHERE vec_id < 16),
+         |codes AS (SELECT vec_id AS cand_id, sub, code FROM (
+         |SELECT sp.vec_id, sp.sub, cb.code,
+         |ROW_NUMBER() OVER (PARTITION BY sp.vec_id, sp.sub ORDER BY
+         |round(${dotSql("cb.cv", "cb.cv")}
+         |- 2 * ${dotSql("sp.sv", "cb.cv")}, 6), cb.code) AS rn
+         |FROM sp JOIN cb USING (sub)) WHERE rn = 1),
+         |adc AS (SELECT q.vec_id AS query_id, q.sub, cb.code,
+         |round(${dotSql("q.sv", "cb.cv")}, 6) AS part
+         |FROM sp q JOIN cb USING (sub) WHERE q.vec_id < 10),
+         |pairs AS (SELECT p.vec_id AS query_id, p.cent_id,
+         |c.vec_id AS cand_id
+         |FROM pasg p JOIN casg c ON c.cent_id = p.cent_id
+         |WHERE p.vec_id < 10 AND p.vec_id <> c.vec_id),
+         |sc AS (SELECT pr.query_id, pr.cent_id, pr.cand_id,
+         |round(list_reduce(list(a.part ORDER BY a.sub),
+         |(acc, x) -> acc + x), 6) AS adc_dot
+         |FROM pairs pr JOIN codes co ON co.cand_id = pr.cand_id
+         |JOIN adc a ON a.query_id = pr.query_id AND a.sub = co.sub
+         |AND a.code = co.code
+         |GROUP BY 1, 2, 3)
+         |SELECT query_id, cent_id, cand_id, rank, adc_dot FROM (
+         |SELECT query_id, cent_id, cand_id, adc_dot, ROW_NUMBER() OVER
+         |(PARTITION BY query_id ORDER BY adc_dot DESC, cand_id) AS rank
+         |FROM sc) WHERE rank <= 3""".stripMargin.replace("\n", " "),
+
     "e13_ivf_kmeans" ->
       s"""WITH $vecCte, $normCte, $kmeansCtes,
          |kc AS (SELECT cluster AS cent_id, c AS ce,

@@ -148,6 +148,26 @@ class AnnSpec extends SparkTestBase {
       "codebook vectors code to themselves")
   }
 
+  test("ivfPqTopK: ADC equals the exact inner product under self-codewords") {
+    import org.apache.spark.sql.functions.col
+    // Integer-valued vectors (every per-subspace partial is exact) and
+    // kCode = |corpus| (every vector is its own codeword), so the ADC
+    // fold must reproduce the exact inner product and its ranking.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(2.0f, 1.0f, 0.0f, 0.0f)), // dot with 0 = 2
+      (2L, Array(0.0f, 0.0f, 3.0f, 1.0f)), // dot with 0 = 0
+      (3L, Array(1.0f, 1.0f, 1.0f, 1.0f))  // dot with 0 = 1
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0, Array(1.0, 1.0, 1.0, 1.0))).toDF("cent_id", "ce")
+    val got = Ann.ivfPqTopK(cents, df.filter(col("vec_id") === 0L), df,
+        m = 2, kCode = 4, k = 3, nprobe = 1)
+      .orderBy(col("rank"))
+      .select(col("cand_id"), col("rank"), col("adc_dot"))
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(got == Seq((1L, 1, 2.0), (3L, 2, 1.0), (2L, 3, 0.0)))
+  }
+
   test("lsh bucket is deterministic and identical vectors share a bucket") {
     val dup = Seq((10L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val all = vecs.union(dup)

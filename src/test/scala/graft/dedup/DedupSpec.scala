@@ -130,4 +130,19 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet
     assert(got === Set((10L, 2L, 0L), (11L, 2L, 1L), (12L, 2L, 1L)))
   }
+
+  test("indexDedupBatch flags batch docs colliding with the persisted index") {
+    // Corpus index: doc 1 has band (0,100); doc 2 has (0,100) and
+    // (1,200). Batch doc 10 collides with both (n_dups=2, first=1),
+    // doc 11 collides with nothing, doc 12 has no bands at all (too
+    // short to shingle) but must still get a not-a-dup verdict.
+    val index = Seq((1L, 0, 100L), (2L, 0, 100L), (2L, 1, 200L))
+      .toDF("doc", "band", "bh")
+    val batchBands = Seq((10L, 0, 100L), (10L, 1, 200L), (11L, 0, 999L))
+      .toDF("doc", "band", "bh")
+    val batchDocs = Seq(10L, 11L, 12L).toDF("doc")
+    val got = Dedup.indexDedupBatch(index, batchBands, batchDocs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((10L, 2L, 1L), (11L, 0L, -1L), (12L, 0L, -1L)))
+  }
 }

@@ -329,6 +329,52 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("d19 searches the persisted parquet band index, never corpus text") {
+    // The incremental-dedup contract: the corpus side of the search is
+    // the durable band index (a parquet FileScan), the batch side the
+    // cached signature frames; the only documents.parquet touch is the
+    // pruned batch id projection — corpus text is never rescanned.
+    val p = planOf("d19_index_dedup")
+    val idxScans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("graft_band_index")) => s
+    }
+    assert(idxScans.nonEmpty, "the search must read the persisted band index")
+    assert(collectAll(p) {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+    }.nonEmpty, "batch bands must come from the shared signature cache")
+    val docScans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("documents")) => s
+    }
+    assert(docScans.size <= 1,
+      "only the batch id projection may touch documents.parquet")
+    docScans.foreach(s => assert(s.output.map(_.name) == Seq("doc_id"),
+      "the one documents scan must be pruned to the id column"))
+    val plan = p.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "index search is equi-joins on (band, bh) only")
+  }
+
+  test("e14 IVF+PQ scores through broadcast codebook/ADC equi-joins") {
+    val p = planOf("e14_ivf_pq")
+    assert(!p.toString.contains("CartesianProduct"),
+      "cell gating + code scoring must never cross-product")
+    // the only BNLJs allowed are the tiny centroid-relation broadcasts
+    val bnlj = collectAll(p) { case b: BroadcastNestedLoopJoinExec => b }
+    bnlj.foreach { b =>
+      val buildChild = b.buildSide match {
+        case BuildRight => b.right
+        case BuildLeft => b.left
+      }
+      assert(buildChild.output.map(_.name).contains("cent_id"),
+        "any broadcast NLJ must be the tiny centroid relation")
+    }
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "the (m·k)-row codebook and per-query ADC table must broadcast")
+  }
+
   test("t11 CMS and d17 bloom stay equi-joined sketch lookups, no products") {
     for (name <- Seq("t11_cms_freq", "d17_bloom_prefilter")) {
       val plan = planOf(name).toString
