@@ -25,4 +25,16 @@ object Bucketing {
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .saveAsTable(name)
+
+  /**
+   * Write `df` hive-partitioned by `key` — the directory-pruning
+   * counterpart of [[writeBucketed]]: bucketing co-locates JOINS,
+   * partitioning prunes SCANS. A filter on the partition column is
+   * resolved against the directory listing at planning time, so a
+   * one-day query over a years-long 100 TB corpus opens one day's
+   * files (the `PartitionFilters` line in the scan, vs `PushedFilters`
+   * which still opens every file and skips row groups).
+   */
+  def writePartitioned(df: DataFrame, path: String, key: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(key).parquet(path)
 }

@@ -41,6 +41,36 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("partition filter prunes to one directory and leaves no data filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_prune")
+      .toFile.getAbsolutePath
+    try {
+      val orders = spark.read.parquet(sf() + "/orders.parquet")
+      Bucketing.writePartitioned(orders, dir, "o_orderpriority")
+      val one = spark.read.parquet(dir)
+        .filter($"o_orderpriority" === "1-URGENT")
+      val scans = one.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.size == 1)
+      // The equality predicate must be resolved ENTIRELY at planning
+      // time against the directory listing: a partition filter with no
+      // residual per-row data filter — whole non-matching directories
+      // are never opened.
+      assert(scans.head.partitionFilters.exists(_.references.exists(
+        _.name == "o_orderpriority")), "filter must prune partitions")
+      assert(scans.head.dataFilters.isEmpty,
+        "no residual row-level filter — the directory listing decided")
+      val expected = orders.filter($"o_orderpriority" === "1-URGENT").count()
+      assert(one.count() == expected && expected > 0)
+    } finally deleteTree(new java.io.File(dir))
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteTree))
+    f.delete(): Unit
+  }
+
   private def withConf[A](kvs: (String, String)*)(f: => A): A = {
     val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
