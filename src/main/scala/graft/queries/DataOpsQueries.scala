@@ -386,6 +386,27 @@ object DataOpsQueries {
         batchBands, batchDocs)
     }),
 
+    // Fuzzy decontamination: eval-split docs that NEAR-duplicate a
+    // train-split doc. d10 catches verbatim shingle overlap; this
+    // catches paraphrase-level leakage — band collisions across the
+    // d08 hash split, verified by exact Jaccard, all over the shared
+    // signature frames (no corpus rescan). The benchmark-hygiene pass
+    // run before any eval set is trusted against a trained model.
+    "d20_fuzzy_decontam" -> ((s, d) => {
+      val sg = sigs(s, d)
+      val trainIs = pmod(Portable.hash64(col("doc")), lit(100L)) < 80
+      val cand = sg.bands.filter(!trainIs).as("e")
+        .join(sg.bands.filter(trainIs).as("tr"),
+          col("e.band") === col("tr.band") && col("e.bh") === col("tr.bh"))
+        .select(col("e.doc").as("doc_a"), col("tr.doc").as("doc_b"))
+        .distinct()
+      Dedup.jaccardForShingles(sg.shingles, cand)
+        .filter(col("jaccard") >= 0.5)
+        .groupBy(col("doc_a").as("eval_doc"))
+        .agg(count(lit(1)).as("n_train_dups"),
+          max(col("jaccard")).as("max_jaccard"))
+    }),
+
     // IVF over a k-means-TRAINED codebook (the production composition:
     // e09's trainer feeds e04's search; cells follow the data instead
     // of the first-nList stand-ins), searched at nprobe=2 — the recall
@@ -1081,6 +1102,34 @@ object DataOpsQueries {
          |COALESCE(hh.first_dup, -1) AS first_dup
          |FROM documents d LEFT JOIN hits hh ON hh.doc = d.doc_id
          |WHERE MOD(${h("doc_id")}, 5) = 4""".stripMargin.replace("\n", " "),
+
+    // Fuzzy decontam: band collisions across the d08 80/20 hash
+    // split, exact-Jaccard verified at 0.5 (the d18 verify CTE shape).
+    "d20_fuzzy_decontam" ->
+      s"""WITH $wordsCte, $shinglesCte, ${minhashSigCte(MinHashK)},
+         |${bandsCte(LshRows)},
+         |tr AS (SELECT doc, band, bh FROM bands
+         |WHERE MOD(${h("doc")}, 100) < 80),
+         |ev AS (SELECT doc, band, bh FROM bands
+         |WHERE MOD(${h("doc")}, 100) >= 80),
+         |cand AS (SELECT DISTINCT e.doc AS doc_a, t.doc AS doc_b
+         |FROM ev e JOIN tr t ON t.band = e.band AND t.bh = e.bh),
+         |shd AS (SELECT DISTINCT doc, s FROM sh),
+         |sizes AS (SELECT doc, COUNT(*) AS n FROM shd GROUP BY doc),
+         |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |FROM cand c JOIN shd a ON a.doc = c.doc_a
+         |JOIN shd b ON b.doc = c.doc_b AND b.s = a.s GROUP BY 1, 2),
+         |j AS (SELECT c.doc_a, c.doc_b,
+         |COALESCE(CAST(i.inter AS DOUBLE)
+         |/ CAST(na.n + nb.n - i.inter AS DOUBLE), 0.0) AS jaccard
+         |FROM cand c LEFT JOIN inter i
+         |ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |LEFT JOIN sizes na ON na.doc = c.doc_a
+         |LEFT JOIN sizes nb ON nb.doc = c.doc_b)
+         |SELECT doc_a AS eval_doc, COUNT(*) AS n_train_dups,
+         |MAX(jaccard) AS max_jaccard
+         |FROM j WHERE jaccard >= 0.5 GROUP BY 1"""
+        .stripMargin.replace("\n", " "),
 
     // SemDeDup = kmeans assignment (a2) + same-cluster cosine pairs.
     "e10_semdedup" ->

@@ -313,7 +313,8 @@ class PlanSpec extends SparkTestBase {
     // parquet is scanned by the one signatures() pass, never again
     // per audit. InMemoryTableScan in the plan == cache hit; a
     // documents.parquet FileScan in an audit == a corpus re-scan.
-    for (name <- Seq("d16_minhash_quality", "d18_signal_agreement")) {
+    for (name <- Seq("d16_minhash_quality", "d18_signal_agreement",
+        "d20_fuzzy_decontam")) {
       val p = planOf(name)
       val cacheScans = collectAll(p) {
         case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
