@@ -432,6 +432,28 @@ object Ann {
     subs.filter(col("vec_id") < k)
       .select(col("sub"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
 
+  /**
+   * Trained per-subspace PQ codebook (one Lloyd refit per subspace):
+   * init from the first `k` vectors' subvectors ([[pqCodebook]]),
+   * assign every subvector ([[pqEncode]]), refit each (sub, code) as
+   * the 6-dp-rounded per-dim mean — the [[kmeansCentroids]] contract,
+   * but all m subspace trainings share ONE corpus pass (the refit
+   * groupBy key carries `sub`) instead of running m separate jobs.
+   * Codewords that attract no assignments drop out; [[pqEncode]]
+   * argmins over the codes that remain.
+   */
+  def pqTrainCodebook(subs: DataFrame, k: Int): DataFrame = {
+    val a1 = pqEncode(subs, pqCodebook(subs, k))
+    subs.join(a1, Seq("vec_id", "sub"))
+      .select(col("sub"), col("code"), posexplode(col("sv")))
+      .groupBy(col("sub"), col("code"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy(col("sub"), col("code"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("cm"))
+      .select(col("sub"), col("code"),
+        transform(col("cm"), x => round(x.getField("m"), 6)).as("cv"))
+  }
+
   /** Encode a subvector frame against a codebook: nearest codeword per
     * (vector, subspace) by the squared-L2/6-dp/low-code contract. */
   def pqEncode(subs: DataFrame, codebook: DataFrame): DataFrame = {
@@ -463,6 +485,17 @@ object Ann {
    */
   def ivfPqTopK(centroids: DataFrame, probes: DataFrame,
       candidates: DataFrame, m: Int, kCode: Int, k: Int,
+      nprobe: Int = 1): DataFrame =
+    ivfPqTopKWith(centroids,
+      pqCodebook(pqSubvectors(candidates, m), kCode),
+      probes, candidates, m, k, nprobe)
+
+  /** IVF+PQ search over an EXTERNAL PQ codebook (sub, code, cv) —
+    * e.g. [[pqTrainCodebook]] output — the production shape where
+    * both the coarse cells AND the subspace codewords are trained
+    * offline and reused across queries. */
+  def ivfPqTopKWith(centroids: DataFrame, codebook: DataFrame,
+      probes: DataFrame, candidates: DataFrame, m: Int, k: Int,
       nprobe: Int = 1): DataFrame = {
     val cents = centroids.select(col("cent_id"), col("ce"))
       .withColumn("cnr", norm(col("ce")))
@@ -472,7 +505,6 @@ object Ann {
       .select(col("vec_id").as("query_id"), col("cent_id"))
 
     val subs = pqSubvectors(candidates, m)
-    val codebook = pqCodebook(subs, kCode)
     val codes = pqEncode(subs, codebook).withColumnRenamed("vec_id", "cand_id")
     val adc = pqSubvectors(probes, m)
       .withColumnRenamed("vec_id", "query_id").withColumnRenamed("sv", "qsv")

@@ -196,6 +196,18 @@ object Dedup {
         coalesce(col("first_dup"), lit(-1L)).as("first_dup"))
   }
 
+  /**
+   * The write-back half of the incremental dedup loop: the bands of
+   * batch docs the [[indexDedupBatch]] verdicts ADMITTED (no corpus
+   * collision) — in production, append-mode-written to the index path
+   * so the next batch dedups against corpus + everything admitted so
+   * far. Flagged dups contribute nothing: the colliding corpus doc
+   * already carries their buckets.
+   */
+  def admitBands(batchBands: DataFrame, verdicts: DataFrame): DataFrame =
+    batchBands.join(
+      verdicts.filter(col("n_dups") === 0).select(col("doc")), Seq("doc"))
+
   /** SimHash width: 63 bits (2^63-1 is the signed-64 max, so the
     * fingerprint and every shift stay overflow-free in any engine). */
   val SimHashBits = 63

@@ -436,6 +436,21 @@ object DataOpsQueries {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // e14 with the last stand-in removed: the PQ codewords are TRAINED
+    // (one Lloyd refit per subspace, all m trainings sharing one
+    // corpus pass) just as e13 trained the coarse cells — the fully
+    // deployment-shaped serving composition: trained cells, trained
+    // codewords, broadcast ADC scoring.
+    "e15_ivf_pq_trained" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = codebook(s, d)
+        .select(col("cluster").as("cent_id"), col("c").as("ce"))
+      val cb = Ann.pqTrainCodebook(Ann.pqSubvectors(emb, 8), k = 16)
+      Ann.ivfPqTopKWith(cents, cb, emb.filter(col("vec_id") < 10), emb,
+          m = 8, k = 3, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // Recall cost of int8 quantization: brute-force top-5 over the
     // QUANTIZED vectors scored against the float-precision truth —
     // the "does 4× compression hurt retrieval" measurement run before
@@ -1305,6 +1320,66 @@ object DataOpsQueries {
          |adc AS (SELECT q.vec_id AS query_id, q.sub, cb.code,
          |round(${dotSql("q.sv", "cb.cv")}, 6) AS part
          |FROM sp q JOIN cb USING (sub) WHERE q.vec_id < 10),
+         |pairs AS (SELECT p.vec_id AS query_id, p.cent_id,
+         |c.vec_id AS cand_id
+         |FROM pasg p JOIN casg c ON c.cent_id = p.cent_id
+         |WHERE p.vec_id < 10 AND p.vec_id <> c.vec_id),
+         |sc AS (SELECT pr.query_id, pr.cent_id, pr.cand_id,
+         |round(list_reduce(list(a.part ORDER BY a.sub),
+         |(acc, x) -> acc + x), 6) AS adc_dot
+         |FROM pairs pr JOIN codes co ON co.cand_id = pr.cand_id
+         |JOIN adc a ON a.query_id = pr.query_id AND a.sub = co.sub
+         |AND a.code = co.code
+         |GROUP BY 1, 2, 3)
+         |SELECT query_id, cent_id, cand_id, rank, adc_dot FROM (
+         |SELECT query_id, cent_id, cand_id, adc_dot, ROW_NUMBER() OVER
+         |(PARTITION BY query_id ORDER BY adc_dot DESC, cand_id) AS rank
+         |FROM sc) WHERE rank <= 3""".stripMargin.replace("\n", " "),
+
+    // e14 with TRAINED codewords: cb0 (first-16 init) → pqa1 assign →
+    // rf per-(sub, code) 6-dp-rounded per-dim means → cb1; codes and
+    // the ADC table then reference cb1. Everything else is e14.
+    "e15_ivf_pq_trained" ->
+      s"""WITH $vecCte, $normCte, $kmeansCtes,
+         |kc AS (SELECT cluster AS cent_id, c AS ce,
+         |sqrt(${dotSql("c", "c")}) AS cnr FROM c1),
+         |sa AS (SELECT n.vec_id, kc.cent_id,
+         |round(${dotSql("n.e", "kc.ce")} / (n.nr * kc.cnr), 6) AS acos
+         |FROM n CROSS JOIN kc),
+         |casg AS (SELECT vec_id, cent_id FROM (
+         |SELECT vec_id, cent_id, ROW_NUMBER() OVER
+         |(PARTITION BY vec_id ORDER BY acos DESC, cent_id) AS rn FROM sa)
+         |WHERE rn = 1),
+         |pasg AS (SELECT vec_id, cent_id FROM (
+         |SELECT vec_id, cent_id, ROW_NUMBER() OVER
+         |(PARTITION BY vec_id ORDER BY acos DESC, cent_id) AS rn FROM sa)
+         |WHERE rn <= 2),
+         |sp AS (SELECT vec_id, r.range AS sub,
+         |e[(CAST(r.range AS INTEGER) * (len(e) // 8) + 1):
+         |((CAST(r.range AS INTEGER) + 1) * (len(e) // 8))] AS sv
+         |FROM v CROSS JOIN range(0, 8) r),
+         |cb0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS code, sv AS cv
+         |FROM sp WHERE vec_id < 16),
+         |pqa1 AS (SELECT vec_id, sub, code, sv FROM (
+         |SELECT sp.vec_id, sp.sub, sp.sv, cb0.code,
+         |ROW_NUMBER() OVER (PARTITION BY sp.vec_id, sp.sub ORDER BY
+         |round(${dotSql("cb0.cv", "cb0.cv")}
+         |- 2 * ${dotSql("sp.sv", "cb0.cv")}, 6), cb0.code) AS rn
+         |FROM sp JOIN cb0 USING (sub)) WHERE rn = 1),
+         |rf AS (SELECT sub, code, i, round(AVG(x), 6) AS m FROM (
+         |SELECT sub, code, unnest(sv) AS x, generate_subscripts(sv, 1) AS i
+         |FROM pqa1) GROUP BY sub, code, i),
+         |cb1 AS (SELECT sub, code, list(m ORDER BY i) AS cv FROM rf
+         |GROUP BY sub, code),
+         |codes AS (SELECT vec_id AS cand_id, sub, code FROM (
+         |SELECT sp.vec_id, sp.sub, cb1.code,
+         |ROW_NUMBER() OVER (PARTITION BY sp.vec_id, sp.sub ORDER BY
+         |round(${dotSql("cb1.cv", "cb1.cv")}
+         |- 2 * ${dotSql("sp.sv", "cb1.cv")}, 6), cb1.code) AS rn
+         |FROM sp JOIN cb1 USING (sub)) WHERE rn = 1),
+         |adc AS (SELECT q.vec_id AS query_id, q.sub, cb1.code,
+         |round(${dotSql("q.sv", "cb1.cv")}, 6) AS part
+         |FROM sp q JOIN cb1 USING (sub) WHERE q.vec_id < 10),
          |pairs AS (SELECT p.vec_id AS query_id, p.cent_id,
          |c.vec_id AS cand_id
          |FROM pasg p JOIN casg c ON c.cent_id = p.cent_id

@@ -168,6 +168,22 @@ class AnnSpec extends SparkTestBase {
     assert(got == Seq((1L, 1, 2.0), (3L, 2, 1.0), (2L, 3, 0.0)))
   }
 
+  test("pqTrainCodebook refits each codeword to its assigned subvector mean") {
+    // m=1, k=2: init codewords are vecs 0 ([0,0]) and 1 ([4,4]).
+    // Vec 2 assigns to code 0, vec 3 to code 1, so one refit moves the
+    // codewords to the member means [0,1] and [4,5].
+    val df = Seq(
+      (0L, Array(0.0f, 0.0f)),
+      (1L, Array(4.0f, 4.0f)),
+      (2L, Array(0.0f, 2.0f)),
+      (3L, Array(4.0f, 6.0f))).toDF("vec_id", "embedding")
+    val cb = Ann.pqTrainCodebook(Ann.pqSubvectors(df, m = 1), k = 2)
+      .as[(Long, Int, Array[Double])].collect()
+      .map { case (sub, code, cv) => (sub, code) -> cv.toSeq }.toMap
+    assert(cb((0L, 0)) == Seq(0.0, 1.0))
+    assert(cb((0L, 1)) == Seq(4.0, 5.0))
+  }
+
   test("lsh bucket is deterministic and identical vectors share a bucket") {
     val dup = Seq((10L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     val all = vecs.union(dup)

@@ -145,4 +145,22 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet
     assert(got === Set((10L, 2L, 1L), (11L, 0L, -1L), (12L, 0L, -1L)))
   }
+
+  test("two-batch ingestion: admitted docs join the index, dups do not") {
+    // Batch 1 vs corpus index {1}: doc 10 collides (dup), doc 11 is
+    // admitted. After write-back the index must contain 11's bands but
+    // NOT 10's — so batch 2's doc 20 (sharing 11's band) is flagged a
+    // dup of 11, and doc 21 (sharing only 10's band signature, which
+    // was never admitted) stays clean.
+    val index0 = Seq((1L, 0, 100L)).toDF("doc", "band", "bh")
+    val b1Bands = Seq((10L, 0, 100L), (11L, 0, 555L)).toDF("doc", "band", "bh")
+    val v1 = Dedup.indexDedupBatch(index0, b1Bands, Seq(10L, 11L).toDF("doc"))
+    val index1 = index0.union(Dedup.admitBands(b1Bands, v1))
+    assert(index1.as[(Long, Int, Long)].collect().toSet ===
+      Set((1L, 0, 100L), (11L, 0, 555L)))
+    val b2Bands = Seq((20L, 0, 555L), (21L, 1, 777L)).toDF("doc", "band", "bh")
+    val v2 = Dedup.indexDedupBatch(index1, b2Bands, Seq(20L, 21L).toDF("doc"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(v2 === Set((20L, 1L, 11L), (21L, 0L, -1L)))
+  }
 }

@@ -358,22 +358,24 @@ class PlanSpec extends SparkTestBase {
       "index search is equi-joins on (band, bh) only")
   }
 
-  test("e14 IVF+PQ scores through broadcast codebook/ADC equi-joins") {
-    val p = planOf("e14_ivf_pq")
-    assert(!p.toString.contains("CartesianProduct"),
-      "cell gating + code scoring must never cross-product")
-    // the only BNLJs allowed are the tiny centroid-relation broadcasts
-    val bnlj = collectAll(p) { case b: BroadcastNestedLoopJoinExec => b }
-    bnlj.foreach { b =>
-      val buildChild = b.buildSide match {
-        case BuildRight => b.right
-        case BuildLeft => b.left
+  test("e14/e15 IVF+PQ score through broadcast codebook/ADC equi-joins") {
+    for (name <- Seq("e14_ivf_pq", "e15_ivf_pq_trained")) {
+      val p = planOf(name)
+      assert(!p.toString.contains("CartesianProduct"),
+        s"$name: cell gating + code scoring must never cross-product")
+      // the only BNLJs allowed are the tiny centroid-relation broadcasts
+      val bnlj = collectAll(p) { case b: BroadcastNestedLoopJoinExec => b }
+      bnlj.foreach { b =>
+        val buildChild = b.buildSide match {
+          case BuildRight => b.right
+          case BuildLeft => b.left
+        }
+        assert(buildChild.output.map(_.name).contains("cent_id"),
+          s"$name: any broadcast NLJ must be the tiny centroid relation")
       }
-      assert(buildChild.output.map(_.name).contains("cent_id"),
-        "any broadcast NLJ must be the tiny centroid relation")
+      assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+        s"$name: the (m·k)-row codebook and per-query ADC table must broadcast")
     }
-    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
-      "the (m·k)-row codebook and per-query ADC table must broadcast")
   }
 
   test("t11 CMS and d17 bloom stay equi-joined sketch lookups, no products") {
