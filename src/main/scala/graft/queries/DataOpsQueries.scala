@@ -205,6 +205,18 @@ object DataOpsQueries {
       Sampling.mixtureWeights(t(s, d, "documents"), col("source"),
         Text.tokenCount(col("text")))),
 
+    // The d12 weights APPLIED: the resampled corpus itself — floor(w)
+    // copies per doc plus a deterministic hash-fraction extra copy
+    // (and fractional keep for downweighted sources). The reproducible
+    // epoch-repeat materialization step between "compute the recipe"
+    // (d12) and training.
+    "d21_apply_mixture" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Sampling.applyMixture(docs, col("doc_id"), col("source"),
+        Sampling.mixtureWeights(docs, col("source"),
+          Text.tokenCount(col("text"))))
+    }),
+
     // The curation funnel: the filter chain a corpus curator actually
     // ships — language gate → quality threshold → repetition filter →
     // exact dedup — with cumulative survivor counts per stage. Each
@@ -940,6 +952,33 @@ object DataOpsQueries {
          |SELECT source, n_docs, n_tokens, token_frac, mix_weight,
          |LEAST(CAST(ceil(mix_weight) AS BIGINT), 5) AS repeat_factor
          |FROM wtd""".stripMargin.replace("\n", " "),
+
+    // Mixture applied: d12's wtd CTE + per-doc copy count
+    // floor(eff) + (hash fraction < eff − floor(eff)), exploded to one
+    // row per emitted copy.
+    "d21_apply_mixture" ->
+      s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
+         |CAST(SUM(len(list_filter(string_split(text, ' '),
+         |x -> len(x) > 0))) AS BIGINT) AS n_tokens
+         |FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |COUNT(*) AS n_strata FROM per),
+         |wtd AS (SELECT source,
+         |round(CAST(total_tokens AS DOUBLE)
+         |/ (CAST(n_strata AS DOUBLE) * CAST(NULLIF(n_tokens, 0) AS DOUBLE)), 6)
+         |AS mix_weight
+         |FROM per CROSS JOIN tot),
+         |m AS (SELECT d.doc_id, d.source,
+         |LEAST(w.mix_weight, 5.0) AS eff,
+         |CAST(MOD(${h("'mix:' || CAST(d.doc_id AS VARCHAR)")}, 1000000)
+         |AS DOUBLE) AS hpct
+         |FROM documents d JOIN wtd w USING (source)
+         |WHERE w.mix_weight IS NOT NULL),
+         |c AS (SELECT doc_id, source, CAST(floor(eff) AS BIGINT)
+         |+ (CASE WHEN hpct < (eff - floor(eff)) * 1000000.0
+         |THEN 1 ELSE 0 END) AS copies FROM m)
+         |SELECT doc_id, source, unnest(range(1, copies + 1)) AS copy
+         |FROM c WHERE copies > 0""".stripMargin.replace("\n", " "),
 
     "d15_quota_sample" ->
       s"""WITH r AS (SELECT doc_id, source,

@@ -109,4 +109,36 @@ object Sampling {
       .withColumn("repeat_factor",
         least(ceil(col("mix_weight")), lit(maxRepeat.toLong)).cast("long"))
   }
+
+  /**
+   * Materialize a domain mixture: turn [[mixtureWeights]]' per-source
+   * weight into the actual resampled corpus — `floor(w)` full copies
+   * of every doc plus one extra copy for a deterministic hash-fraction
+   * `w − floor(w)` of docs. A source with weight 2.3 emits every doc
+   * 2× and 30% of its docs 3×; a downweighted source at 0.4 keeps 40%
+   * of its docs. This is the epoch-repeat step a mixture-trained run
+   * actually performs, made reproducible: no RNG, stable under corpus
+   * growth and task replay. Weights cap at `maxRepeat` (matching
+   * repeat_factor); a NULL weight (zero-token stratum) drops the
+   * source.
+   *
+   * Scale shape: the weight table is one row per source (broadcast
+   * equi-join); copies materialize by exploding a per-row sequence —
+   * a projection, no shuffle beyond the weight join.
+   */
+  def applyMixture(df: DataFrame, id: Column, stratum: Column,
+      weights: DataFrame, maxRepeat: Int = 5): DataFrame =
+    df.select(id.as("doc_id"), stratum.as("source"))
+      .join(broadcast(weights.select(col("source"), col("mix_weight"))
+        .filter(col("mix_weight").isNotNull)), Seq("source"))
+      .withColumn("eff", least(col("mix_weight"), lit(maxRepeat.toDouble)))
+      .withColumn("hpct", pmod(Portable.hash64(
+        concat(lit("mix:"), col("doc_id").cast("string"))),
+        lit(1000000L)).cast("double"))
+      .withColumn("copies", floor(col("eff")) +
+        when(col("hpct") < (col("eff") - floor(col("eff"))) * 1000000.0, 1L)
+          .otherwise(0L))
+      .filter(col("copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("copies"))).as("copy"))
 }

@@ -48,4 +48,19 @@ class SamplingSpec extends SparkTestBase {
       if (frac > 1.0 / n) assert(weight < 1.0) else assert(weight >= 0.99)
     }
   }
+
+  test("applyMixture emits floor(w) copies per doc and drops NULL-weight sources") {
+    import org.apache.spark.sql.functions.col
+    val mix = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "z"))
+      .toDF("doc_id", "source")
+    // Integer weights make the copy count exact (no fractional-hash
+    // branch); the NULL-weight source must vanish entirely.
+    val weights = Seq(("a", Some(2.0)), ("b", Some(1.0)), ("z", None))
+      .toDF("source", "mix_weight")
+    val got = Sampling.applyMixture(mix, col("doc_id"), col("source"), weights)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === Set(
+      (1L, "a", 1L), (1L, "a", 2L), (2L, "a", 1L), (2L, "a", 2L),
+      (3L, "b", 1L)))
+  }
 }
