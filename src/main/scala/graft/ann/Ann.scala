@@ -470,18 +470,21 @@ object Ann {
    * IVF + PQ asymmetric-distance search — the full billion-scale ANN
    * serving composition: trained coarse cells gate WHICH candidates
    * are scored (the [[ivfTopKWith]] cell equi-join), PQ codes decide
-   * HOW each is scored (no full-precision candidate vector is read at
-   * search time). Per query the m·kCode-entry distance table
+   * HOW each is scored. Per query the m·kCode-entry distance table
    * `adc[sub][code] = round(q_sub · cv, 6)` is computed once against
    * the broadcast codebook; a candidate's approximate inner product is
    * the m-term sum of its codes' entries, folded in subspace order so
    * an external engine reproduces the score bit-for-bit.
    *
-   * Scale shape: the ADC table is |q|·m·kCode rows (broadcast); the
-   * candidate side contributes only its (vec_id, sub, code) frame —
-   * m small integers per vector, the point of PQ — and every join is
-   * an equi-join (cell id, then (query, sub, code)). Nothing touches
-   * a full-precision corpus vector after the offline encode pass.
+   * This one-call form runs the OFFLINE encode (cell assignment + PQ
+   * codes — the one corpus scan an indexing job performs) and then the
+   * online search; a deployment persists the encode output and serves
+   * queries through [[ivfPqSearchIndexed]], where no full-precision
+   * corpus vector is touched. Scale shape of the search: the ADC
+   * table is |q|·m·kCode rows (broadcast); the candidate side
+   * contributes only its (vec_id, sub, code) frame — m small integers
+   * per vector, the point of PQ — and every join is an equi-join
+   * (cell id, then (query, sub, code)).
    */
   def ivfPqTopK(centroids: DataFrame, probes: DataFrame,
       candidates: DataFrame, m: Int, kCode: Int, k: Int,
@@ -490,10 +493,11 @@ object Ann {
       pqCodebook(pqSubvectors(candidates, m), kCode),
       probes, candidates, m, k, nprobe)
 
-  /** IVF+PQ search over an EXTERNAL PQ codebook (sub, code, cv) —
-    * e.g. [[pqTrainCodebook]] output — the production shape where
-    * both the coarse cells AND the subspace codewords are trained
-    * offline and reused across queries. */
+  /** IVF+PQ over an EXTERNAL PQ codebook (sub, code, cv) — e.g.
+    * [[pqTrainCodebook]] output — running BOTH halves in one call:
+    * the offline encode pass (candidate cell assignment + PQ codes,
+    * the one corpus scan an indexing job performs) feeding
+    * [[ivfPqSearchIndexed]], the online half. */
   def ivfPqTopKWith(centroids: DataFrame, codebook: DataFrame,
       probes: DataFrame, candidates: DataFrame, m: Int, k: Int,
       nprobe: Int = 1): DataFrame = {
@@ -501,11 +505,29 @@ object Ann {
       .withColumn("cnr", norm(col("ce")))
     val candCells = cellAssign(cents, candidates, 1)
       .select(col("vec_id").as("cand_id"), col("cent_id"))
+    val codes = pqEncode(pqSubvectors(candidates, m), codebook)
+      .withColumnRenamed("vec_id", "cand_id")
+    ivfPqSearchIndexed(centroids, codebook, candCells, codes, probes,
+      m, k, nprobe)
+  }
+
+  /**
+   * The ONLINE half of IVF+PQ serving, over precomputed index
+   * artifacts: `candCells` (cand_id, cent_id) and `codes`
+   * (cand_id, sub, code) are the offline encode pass's output (in
+   * production, persisted alongside the codebook and reused by every
+   * query). Only PROBE vectors are read full-precision at search
+   * time — the per-query ADC table is |q|·m·k rows against the
+   * broadcast codebook, and candidates contribute m small integers
+   * each, which is the point of PQ at billions of vectors.
+   */
+  def ivfPqSearchIndexed(centroids: DataFrame, codebook: DataFrame,
+      candCells: DataFrame, codes: DataFrame, probes: DataFrame,
+      m: Int, k: Int, nprobe: Int = 1): DataFrame = {
+    val cents = centroids.select(col("cent_id"), col("ce"))
+      .withColumn("cnr", norm(col("ce")))
     val probeCells = cellAssign(cents, probes, nprobe)
       .select(col("vec_id").as("query_id"), col("cent_id"))
-
-    val subs = pqSubvectors(candidates, m)
-    val codes = pqEncode(subs, codebook).withColumnRenamed("vec_id", "cand_id")
     val adc = pqSubvectors(probes, m)
       .withColumnRenamed("vec_id", "query_id").withColumnRenamed("sv", "qsv")
       .join(broadcast(codebook), Seq("sub"))

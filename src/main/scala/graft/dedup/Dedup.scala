@@ -203,10 +203,26 @@ object Dedup {
    * so the next batch dedups against corpus + everything admitted so
    * far. Flagged dups contribute nothing: the colliding corpus doc
    * already carries their buckets.
+   *
+   * Intra-batch duplicates are resolved here too, conservatively: a
+   * doc sharing a band with a LOWER-id corpus-clean batch doc is also
+   * dropped, so two copies arriving in the same batch admit exactly
+   * one. (Strictly-sequential admission could keep a doc whose only
+   * collision partner was itself dropped; the conservative rule errs
+   * toward dropping — never toward letting a duplicate into the
+   * index.)
    */
-  def admitBands(batchBands: DataFrame, verdicts: DataFrame): DataFrame =
-    batchBands.join(
+  def admitBands(batchBands: DataFrame, verdicts: DataFrame): DataFrame = {
+    val clean = batchBands.join(
       verdicts.filter(col("n_dups") === 0).select(col("doc")), Seq("doc"))
+    val earlier = clean.select(
+      col("doc").as("lo"), col("band").as("eb"), col("bh").as("ebh"))
+    val intraDups = clean.join(earlier,
+        col("band") === col("eb") && col("bh") === col("ebh") &&
+          col("lo") < col("doc"))
+      .select(col("doc")).distinct()
+    clean.join(intraDups, Seq("doc"), "left_anti")
+  }
 
   /** SimHash width: 63 bits (2^63-1 is the signed-64 max, so the
     * fingerprint and every shift stay overflow-free in any engine). */

@@ -81,12 +81,27 @@ object DataOpsQueries {
   private val bandIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String)]()
 
+  private def deleteTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteTree))
+    f.delete(): Unit
+  }
+
   private def bandIndexPath(s: SparkSession, d: String): String =
     bandIndexCache.compute(d, (_, cur) =>
       if (cur != null && (cur._1 eq s)) cur
       else {
-        val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_band_index_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+        // Keyed by basename + full-path hash (two data dirs can never
+        // collide onto one index) AND the JVM pid (two processes on
+        // one machine can never overwrite each other's index mid-scan
+        // — the cache is per-JVM, so the path may as well be too);
+        // deleted on JVM exit.
+        val base = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+        val dirFile = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_band_index_${base}_${Integer.toHexString(d.hashCode)}_" +
+            ProcessHandle.current().pid)
+        Runtime.getRuntime.addShutdownHook(
+          new Thread(() => deleteTree(dirFile)))
+        val path = dirFile.getAbsolutePath
         sigs(s, d).bands
           .filter(pmod(Portable.hash64(col("doc")), lit(5L)) < 4)
           .write.mode("overwrite").parquet(path)
@@ -759,6 +774,78 @@ object DataOpsQueries {
        |GROUP BY cluster),
        |${kmeansAssignCte("c1", "a2")}""".stripMargin.replace("\n", " ")
 
+  /** Trained-cell IVF gating CTEs (need vecCte/normCte/kmeansCtes):
+    * kc = c1 centroids with norms, sa = cosine scores, casg/pasg =
+    * candidate (nearest) / probe (nearest-2) cell assignments —
+    * shared by the e13/e14/e15 oracles. */
+  private val ivfCellCtes =
+    s"""kc AS (SELECT cluster AS cent_id, c AS ce,
+       |sqrt(${dotSql("c", "c")}) AS cnr FROM c1),
+       |sa AS (SELECT n.vec_id, kc.cent_id,
+       |round(${dotSql("n.e", "kc.ce")} / (n.nr * kc.cnr), 6) AS acos
+       |FROM n CROSS JOIN kc),
+       |casg AS (SELECT vec_id, cent_id FROM (
+       |SELECT vec_id, cent_id, ROW_NUMBER() OVER
+       |(PARTITION BY vec_id ORDER BY acos DESC, cent_id) AS rn FROM sa)
+       |WHERE rn = 1),
+       |pasg AS (SELECT vec_id, cent_id FROM (
+       |SELECT vec_id, cent_id, ROW_NUMBER() OVER
+       |(PARTITION BY vec_id ORDER BY acos DESC, cent_id) AS rn FROM sa)
+       |WHERE rn <= 2)""".stripMargin.replace("\n", " ")
+
+  /** m=8 subvector split CTE (needs vecCte). */
+  private val pqSpCte =
+    """sp AS (SELECT vec_id, r.range AS sub,
+      |e[(CAST(r.range AS INTEGER) * (len(e) // 8) + 1):
+      |((CAST(r.range AS INTEGER) + 1) * (len(e) // 8))] AS sv
+      |FROM v CROSS JOIN range(0, 8) r)""".stripMargin.replace("\n", " ")
+
+  /** The IVF+PQ search tail over a given codebook CTE `cb`: encode
+    * (codes), per-query ADC table, cell-gated pairs, in-subspace-order
+    * fold, top-3 — identical between e14 and e15 by construction. */
+  private def ivfPqSearchSql(cb: String) =
+    s"""codes AS (SELECT vec_id AS cand_id, sub, code FROM (
+       |SELECT sp.vec_id, sp.sub, $cb.code,
+       |ROW_NUMBER() OVER (PARTITION BY sp.vec_id, sp.sub ORDER BY
+       |round(${dotSql(s"$cb.cv", s"$cb.cv")}
+       |- 2 * ${dotSql("sp.sv", s"$cb.cv")}, 6), $cb.code) AS rn
+       |FROM sp JOIN $cb USING (sub)) WHERE rn = 1),
+       |adc AS (SELECT q.vec_id AS query_id, q.sub, $cb.code,
+       |round(${dotSql("q.sv", s"$cb.cv")}, 6) AS part
+       |FROM sp q JOIN $cb USING (sub) WHERE q.vec_id < 10),
+       |pairs AS (SELECT p.vec_id AS query_id, p.cent_id,
+       |c.vec_id AS cand_id
+       |FROM pasg p JOIN casg c ON c.cent_id = p.cent_id
+       |WHERE p.vec_id < 10 AND p.vec_id <> c.vec_id),
+       |sc AS (SELECT pr.query_id, pr.cent_id, pr.cand_id,
+       |round(list_reduce(list(a.part ORDER BY a.sub),
+       |(acc, x) -> acc + x), 6) AS adc_dot
+       |FROM pairs pr JOIN codes co ON co.cand_id = pr.cand_id
+       |JOIN adc a ON a.query_id = pr.query_id AND a.sub = co.sub
+       |AND a.code = co.code
+       |GROUP BY 1, 2, 3)
+       |SELECT query_id, cent_id, cand_id, rank, adc_dot FROM (
+       |SELECT query_id, cent_id, cand_id, adc_dot, ROW_NUMBER() OVER
+       |(PARTITION BY query_id ORDER BY adc_dot DESC, cand_id) AS rank
+       |FROM sc) WHERE rank <= 3""".stripMargin.replace("\n", " ")
+
+  /** d12's weight derivation (per/tot/wtd) — shared with d21, which
+    * applies the weights instead of reporting them. */
+  private val mixWtdCtes =
+    """per AS (SELECT source, COUNT(*) AS n_docs,
+      |CAST(SUM(len(list_filter(string_split(text, ' '),
+      |x -> len(x) > 0))) AS BIGINT) AS n_tokens
+      |FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |COUNT(*) AS n_strata FROM per),
+      |wtd AS (SELECT source, n_docs, n_tokens,
+      |round(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+      |AS token_frac,
+      |round(CAST(total_tokens AS DOUBLE)
+      |/ (CAST(n_strata AS DOUBLE) * CAST(NULLIF(n_tokens, 0) AS DOUBLE)), 6)
+      |AS mix_weight
+      |FROM per CROSS JOIN tot)""".stripMargin.replace("\n", " ")
+
   private def lshProjWeight(jExpr: String) =
     s"CAST(MOD($jExpr * 2654435761 + i * 40503, 2001) - 1000 AS DOUBLE)"
 
@@ -936,19 +1023,7 @@ object DataOpsQueries {
          |< rate_pct""".stripMargin.replace("\n", " "),
 
     "d12_domain_mix" ->
-      s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
-         |CAST(SUM(len(list_filter(string_split(text, ' '),
-         |x -> len(x) > 0))) AS BIGINT) AS n_tokens
-         |FROM documents GROUP BY source),
-         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-         |COUNT(*) AS n_strata FROM per),
-         |wtd AS (SELECT source, n_docs, n_tokens,
-         |round(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
-         |AS token_frac,
-         |round(CAST(total_tokens AS DOUBLE)
-         |/ (CAST(n_strata AS DOUBLE) * CAST(NULLIF(n_tokens, 0) AS DOUBLE)), 6)
-         |AS mix_weight
-         |FROM per CROSS JOIN tot)
+      s"""WITH $mixWtdCtes
          |SELECT source, n_docs, n_tokens, token_frac, mix_weight,
          |LEAST(CAST(ceil(mix_weight) AS BIGINT), 5) AS repeat_factor
          |FROM wtd""".stripMargin.replace("\n", " "),
@@ -957,17 +1032,7 @@ object DataOpsQueries {
     // floor(eff) + (hash fraction < eff − floor(eff)), exploded to one
     // row per emitted copy.
     "d21_apply_mixture" ->
-      s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
-         |CAST(SUM(len(list_filter(string_split(text, ' '),
-         |x -> len(x) > 0))) AS BIGINT) AS n_tokens
-         |FROM documents GROUP BY source),
-         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-         |COUNT(*) AS n_strata FROM per),
-         |wtd AS (SELECT source,
-         |round(CAST(total_tokens AS DOUBLE)
-         |/ (CAST(n_strata AS DOUBLE) * CAST(NULLIF(n_tokens, 0) AS DOUBLE)), 6)
-         |AS mix_weight
-         |FROM per CROSS JOIN tot),
+      s"""WITH $mixWtdCtes,
          |m AS (SELECT d.doc_id, d.source,
          |LEAST(w.mix_weight, 5.0) AS eff,
          |CAST(MOD(${h("'mix:' || CAST(d.doc_id AS VARCHAR)")}, 1000000)
@@ -1330,73 +1395,16 @@ object DataOpsQueries {
     // candidate's codes by an in-subspace-order fold (list ORDER BY
     // sub) so the score matches the Spark fold bit-for-bit.
     "e14_ivf_pq" ->
-      s"""WITH $vecCte, $normCte, $kmeansCtes,
-         |kc AS (SELECT cluster AS cent_id, c AS ce,
-         |sqrt(${dotSql("c", "c")}) AS cnr FROM c1),
-         |sa AS (SELECT n.vec_id, kc.cent_id,
-         |round(${dotSql("n.e", "kc.ce")} / (n.nr * kc.cnr), 6) AS acos
-         |FROM n CROSS JOIN kc),
-         |casg AS (SELECT vec_id, cent_id FROM (
-         |SELECT vec_id, cent_id, ROW_NUMBER() OVER
-         |(PARTITION BY vec_id ORDER BY acos DESC, cent_id) AS rn FROM sa)
-         |WHERE rn = 1),
-         |pasg AS (SELECT vec_id, cent_id FROM (
-         |SELECT vec_id, cent_id, ROW_NUMBER() OVER
-         |(PARTITION BY vec_id ORDER BY acos DESC, cent_id) AS rn FROM sa)
-         |WHERE rn <= 2),
-         |sp AS (SELECT vec_id, r.range AS sub,
-         |e[(CAST(r.range AS INTEGER) * (len(e) // 8) + 1):
-         |((CAST(r.range AS INTEGER) + 1) * (len(e) // 8))] AS sv
-         |FROM v CROSS JOIN range(0, 8) r),
+      s"""WITH $vecCte, $normCte, $kmeansCtes, $ivfCellCtes, $pqSpCte,
          |cb AS (SELECT sub, CAST(vec_id AS INTEGER) AS code, sv AS cv
          |FROM sp WHERE vec_id < 16),
-         |codes AS (SELECT vec_id AS cand_id, sub, code FROM (
-         |SELECT sp.vec_id, sp.sub, cb.code,
-         |ROW_NUMBER() OVER (PARTITION BY sp.vec_id, sp.sub ORDER BY
-         |round(${dotSql("cb.cv", "cb.cv")}
-         |- 2 * ${dotSql("sp.sv", "cb.cv")}, 6), cb.code) AS rn
-         |FROM sp JOIN cb USING (sub)) WHERE rn = 1),
-         |adc AS (SELECT q.vec_id AS query_id, q.sub, cb.code,
-         |round(${dotSql("q.sv", "cb.cv")}, 6) AS part
-         |FROM sp q JOIN cb USING (sub) WHERE q.vec_id < 10),
-         |pairs AS (SELECT p.vec_id AS query_id, p.cent_id,
-         |c.vec_id AS cand_id
-         |FROM pasg p JOIN casg c ON c.cent_id = p.cent_id
-         |WHERE p.vec_id < 10 AND p.vec_id <> c.vec_id),
-         |sc AS (SELECT pr.query_id, pr.cent_id, pr.cand_id,
-         |round(list_reduce(list(a.part ORDER BY a.sub),
-         |(acc, x) -> acc + x), 6) AS adc_dot
-         |FROM pairs pr JOIN codes co ON co.cand_id = pr.cand_id
-         |JOIN adc a ON a.query_id = pr.query_id AND a.sub = co.sub
-         |AND a.code = co.code
-         |GROUP BY 1, 2, 3)
-         |SELECT query_id, cent_id, cand_id, rank, adc_dot FROM (
-         |SELECT query_id, cent_id, cand_id, adc_dot, ROW_NUMBER() OVER
-         |(PARTITION BY query_id ORDER BY adc_dot DESC, cand_id) AS rank
-         |FROM sc) WHERE rank <= 3""".stripMargin.replace("\n", " "),
+         |${ivfPqSearchSql("cb")}""".stripMargin.replace("\n", " "),
 
     // e14 with TRAINED codewords: cb0 (first-16 init) → pqa1 assign →
     // rf per-(sub, code) 6-dp-rounded per-dim means → cb1; codes and
     // the ADC table then reference cb1. Everything else is e14.
     "e15_ivf_pq_trained" ->
-      s"""WITH $vecCte, $normCte, $kmeansCtes,
-         |kc AS (SELECT cluster AS cent_id, c AS ce,
-         |sqrt(${dotSql("c", "c")}) AS cnr FROM c1),
-         |sa AS (SELECT n.vec_id, kc.cent_id,
-         |round(${dotSql("n.e", "kc.ce")} / (n.nr * kc.cnr), 6) AS acos
-         |FROM n CROSS JOIN kc),
-         |casg AS (SELECT vec_id, cent_id FROM (
-         |SELECT vec_id, cent_id, ROW_NUMBER() OVER
-         |(PARTITION BY vec_id ORDER BY acos DESC, cent_id) AS rn FROM sa)
-         |WHERE rn = 1),
-         |pasg AS (SELECT vec_id, cent_id FROM (
-         |SELECT vec_id, cent_id, ROW_NUMBER() OVER
-         |(PARTITION BY vec_id ORDER BY acos DESC, cent_id) AS rn FROM sa)
-         |WHERE rn <= 2),
-         |sp AS (SELECT vec_id, r.range AS sub,
-         |e[(CAST(r.range AS INTEGER) * (len(e) // 8) + 1):
-         |((CAST(r.range AS INTEGER) + 1) * (len(e) // 8))] AS sv
-         |FROM v CROSS JOIN range(0, 8) r),
+      s"""WITH $vecCte, $normCte, $kmeansCtes, $ivfCellCtes, $pqSpCte,
          |cb0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS code, sv AS cv
          |FROM sp WHERE vec_id < 16),
          |pqa1 AS (SELECT vec_id, sub, code, sv FROM (
@@ -1410,30 +1418,7 @@ object DataOpsQueries {
          |FROM pqa1) GROUP BY sub, code, i),
          |cb1 AS (SELECT sub, code, list(m ORDER BY i) AS cv FROM rf
          |GROUP BY sub, code),
-         |codes AS (SELECT vec_id AS cand_id, sub, code FROM (
-         |SELECT sp.vec_id, sp.sub, cb1.code,
-         |ROW_NUMBER() OVER (PARTITION BY sp.vec_id, sp.sub ORDER BY
-         |round(${dotSql("cb1.cv", "cb1.cv")}
-         |- 2 * ${dotSql("sp.sv", "cb1.cv")}, 6), cb1.code) AS rn
-         |FROM sp JOIN cb1 USING (sub)) WHERE rn = 1),
-         |adc AS (SELECT q.vec_id AS query_id, q.sub, cb1.code,
-         |round(${dotSql("q.sv", "cb1.cv")}, 6) AS part
-         |FROM sp q JOIN cb1 USING (sub) WHERE q.vec_id < 10),
-         |pairs AS (SELECT p.vec_id AS query_id, p.cent_id,
-         |c.vec_id AS cand_id
-         |FROM pasg p JOIN casg c ON c.cent_id = p.cent_id
-         |WHERE p.vec_id < 10 AND p.vec_id <> c.vec_id),
-         |sc AS (SELECT pr.query_id, pr.cent_id, pr.cand_id,
-         |round(list_reduce(list(a.part ORDER BY a.sub),
-         |(acc, x) -> acc + x), 6) AS adc_dot
-         |FROM pairs pr JOIN codes co ON co.cand_id = pr.cand_id
-         |JOIN adc a ON a.query_id = pr.query_id AND a.sub = co.sub
-         |AND a.code = co.code
-         |GROUP BY 1, 2, 3)
-         |SELECT query_id, cent_id, cand_id, rank, adc_dot FROM (
-         |SELECT query_id, cent_id, cand_id, adc_dot, ROW_NUMBER() OVER
-         |(PARTITION BY query_id ORDER BY adc_dot DESC, cand_id) AS rank
-         |FROM sc) WHERE rank <= 3""".stripMargin.replace("\n", " "),
+         |${ivfPqSearchSql("cb1")}""".stripMargin.replace("\n", " "),
 
     "e13_ivf_kmeans" ->
       s"""WITH $vecCte, $normCte, $kmeansCtes,

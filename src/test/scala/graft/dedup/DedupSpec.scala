@@ -152,9 +152,13 @@ class DedupSpec extends SparkTestBase {
     // NOT 10's — so batch 2's doc 20 (sharing 11's band) is flagged a
     // dup of 11, and doc 21 (sharing only 10's band signature, which
     // was never admitted) stays clean.
+    // Doc 12 duplicates doc 11 WITHIN the batch: both are corpus-clean
+    // but only the lower id may join the index.
     val index0 = Seq((1L, 0, 100L)).toDF("doc", "band", "bh")
-    val b1Bands = Seq((10L, 0, 100L), (11L, 0, 555L)).toDF("doc", "band", "bh")
-    val v1 = Dedup.indexDedupBatch(index0, b1Bands, Seq(10L, 11L).toDF("doc"))
+    val b1Bands = Seq((10L, 0, 100L), (11L, 0, 555L), (12L, 0, 555L))
+      .toDF("doc", "band", "bh")
+    val v1 = Dedup.indexDedupBatch(index0, b1Bands,
+      Seq(10L, 11L, 12L).toDF("doc"))
     val index1 = index0.union(Dedup.admitBands(b1Bands, v1))
     assert(index1.as[(Long, Int, Long)].collect().toSet ===
       Set((1L, 0, 100L), (11L, 0, 555L)))
