@@ -66,7 +66,7 @@ object Bench {
     // publishes n=3 medians — the number round-over-round streaming
     // comparisons should read. Only bench_detail.json carries them;
     // the stdout line keeps its driver-parsed shape.
-    val multiRestart = Set("s08", "s09", "s10", "s11", "s12", "s13", "s14")
+    val multiRestart = Set("s08", "s09", "s10", "s11", "s12", "s13", "s14", "s15")
     val sMedians = results.collect {
       case (name, first) if multiRestart(name.takeWhile(_ != '_')) && first >= 0 =>
         val fn = SparkEntry.queries(name)

@@ -400,6 +400,67 @@ object StreamingQueries {
       out
     }),
 
+    // Streaming incremental index dedup — the d19 durable-index loop
+    // under streaming execution: dedup state lives in the ON-DISK band
+    // index, not the state store (contrast s14's watermark-bounded
+    // in-memory bucket state — this form's memory is O(batch) no
+    // matter how long the stream runs). Each micro-batch is flagged
+    // against the index AS OF ITS EPOCH (per-doc verdict emitted),
+    // then its admitted docs' bands are appended through the
+    // idempotent epoch commit — a replayed epoch neither double-admits
+    // nor re-flags, and a batch-4 near-dup of a batch-2 admission is
+    // caught only because the index grew between epochs.
+    "s15_stream_index_dedup" -> ((s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      val bands = graft.dedup.Dedup.bandSignatures(
+        graft.dedup.Dedup.minHashLong(docs, col("doc_id"), col("text"), k = 16),
+        r = 4)
+      val rows = docs.select(col("doc_id").as("doc"))
+        .join(bands, Seq("doc"), "left") // keep shingle-less docs (null band)
+        .select(col("doc"), col("band").cast("long").as("band"), col("bh"))
+      val srcDir = Files.createTempDirectory("graft-s15-src-").toString
+      val idxDir = Files.createTempDirectory("graft-s15-idx-").toString
+      val outDir = Files.createTempDirectory("graft-s15-out-").toString
+      val ckpt = Files.createTempDirectory("graft-s15-ckpt-").toString
+      // bootstrap: the pre-existing corpus index (buckets 0-1 of 5)
+      rows.filter(pmod(col("doc"), lit(5L)) < 2 && col("band").isNotNull)
+        .write.mode("overwrite").parquet(idxDir)
+      val schema = rows.schema
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        (2 until 5).foreach { b =>
+          rows.filter(pmod(col("doc"), lit(5L)) === b)
+            .coalesce(1).write.mode("append").parquet(srcDir)
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcDir)
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, epoch: Long) =>
+              // Verdicts must materialize against the PRE-append index
+              // (localCheckpoint), or lazy re-evaluation during the
+              // admit write would read the index it is growing.
+              val bt = batch.localCheckpoint()
+              val bb = bt.filter(col("band").isNotNull)
+              val v = graft.dedup.Dedup.indexDedupBatch(
+                s.read.parquet(idxDir), bb,
+                bt.select(col("doc")).distinct()).localCheckpoint()
+              PipelineManager.epochAppend(v, outDir, epoch, "s15out")
+              PipelineManager.epochAppend(
+                graft.dedup.Dedup.admitBands(bb, v), idxDir, epoch, "s15idx")
+            }
+            .start()
+          q.awaitTermination()
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", before)
+      val out = s.read.parquet(outDir).localCheckpoint()
+      deleteTree(srcDir, idxDir, outDir, ckpt)
+      out
+    }),
+
     // The same multi-batch custom-state shape on Spark 4's
     // transformWithState API (typed named ValueState, RocksDB state
     // store — the provider the API requires): three AvailableNow runs
@@ -754,6 +815,47 @@ object StreamingQueries {
     // batches, minus the 30-minute delay). The event time is part of
     // the key, so admitted keys never re-emit (the s12 delay-cancel
     // argument) and the emitted set is the distinct admitted keys.
+    // s15 replayed as pure SQL: three unrolled batches; corpus_i is
+    // the index AS OF batch i (bootstrap ∪ earlier admissions), each
+    // batch's verdicts are the d19 left-join, and admissions exclude
+    // corpus dups AND intra-batch lower-id band collisions — exactly
+    // Dedup.indexDedupBatch + admitBands per epoch.
+    "s15_stream_index_dedup" -> {
+      val prefix =
+        s"""WITH ${DataOpsQueries.wordsCte}, ${DataOpsQueries.shinglesCte},
+           |${DataOpsQueries.minhashSigCte(16)}, ${DataOpsQueries.bandsCte(4)},
+           |corpus0 AS (SELECT doc AS corpus_doc, band, bh FROM bands
+           |WHERE MOD(doc, 5) < 2)""".stripMargin
+      val perBatch = (2 until 5).map { b =>
+        val i = b - 2
+        s""",
+           |b$b AS (SELECT doc, band, bh FROM bands WHERE MOD(doc, 5) = $b),
+           |d$b AS (SELECT doc_id AS doc FROM documents
+           |WHERE MOD(doc_id, 5) = $b),
+           |h$b AS (SELECT b.doc, COUNT(DISTINCT c.corpus_doc) AS n_dups,
+           |MIN(c.corpus_doc) AS first_dup
+           |FROM b$b b JOIN corpus$i c ON c.band = b.band AND c.bh = b.bh
+           |GROUP BY b.doc),
+           |v$b AS (SELECT d.doc, COALESCE(h.n_dups, 0) AS n_dups,
+           |COALESCE(h.first_dup, -1) AS first_dup
+           |FROM d$b d LEFT JOIN h$b h ON h.doc = d.doc),
+           |clean$b AS (SELECT b.doc, b.band, b.bh FROM b$b b
+           |JOIN v$b v ON v.doc = b.doc AND v.n_dups = 0),
+           |adm$b AS (SELECT doc AS corpus_doc, band, bh FROM clean$b
+           |WHERE doc NOT IN (SELECT DISTINCT a.doc FROM clean$b a
+           |JOIN clean$b e ON e.band = a.band AND e.bh = a.bh
+           |AND e.doc < a.doc)),
+           |corpus${i + 1} AS (SELECT * FROM corpus$i
+           |UNION ALL SELECT * FROM adm$b)""".stripMargin
+      }.mkString
+      val tail =
+        """
+          |SELECT doc, n_dups, first_dup FROM v2
+          |UNION ALL SELECT doc, n_dups, first_dup FROM v3
+          |UNION ALL SELECT doc, n_dups, first_dup FROM v4""".stripMargin
+      (prefix + perBatch + tail).replace("\n", " ")
+    },
+
     "s14_stream_banded_dedup" ->
       s"""WITH ${DataOpsQueries.wordsCte}, ${DataOpsQueries.shinglesCte},
          |${DataOpsQueries.minhashSigCte(16)}, ${DataOpsQueries.bandsCte(4)},
