@@ -378,6 +378,14 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("d21 mixture materialization broadcasts the weight table, no product") {
+    val p = planOf("d21_apply_mixture")
+    assert(!p.toString.contains("CartesianProduct"),
+      "docs join the per-source weight table by key, never all-pairs")
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "the one-row-per-source weight table must broadcast")
+  }
+
   test("t11 CMS and d17 bloom stay equi-joined sketch lookups, no products") {
     for (name <- Seq("t11_cms_freq", "d17_bloom_prefilter")) {
       val plan = planOf(name).toString
