@@ -450,10 +450,10 @@ object DataOpsQueries {
 
     // IVF + PQ asymmetric distance — the full billion-scale serving
     // composition: e09's trained cells gate the candidate set
-    // (nprobe=2), e11's codes pay the scoring. Per query an
-    // m·16-entry broadcast distance table replaces every
-    // full-precision candidate read; the approximate inner product is
-    // an m-term fold over the candidate's codes.
+    // (nprobe=2), e11's codes pay the scoring. At scoring time a
+    // per-query m·16-entry broadcast distance table replaces every
+    // full-precision candidate read (the one-call form also runs the
+    // offline encode; see Ann.ivfPqSearchIndexed for the online half).
     "e14_ivf_pq" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val cents = codebook(s, d)
