@@ -521,6 +521,29 @@ object DataOpsQueries {
     "t13_tfidf" -> ((s, d) =>
       Text.tfidfTopK(t(s, d, "documents"), col("doc_id"), col("text"), k = 3)),
 
+    // Corpus integrity pre-flight: the referential/shape audit run
+    // before spending a training job — row counts, doc↔embedding
+    // orphans (anti-joins both ways), empty/whitespace-only texts,
+    // duplicate ids. One summary row; every count is a scan aggregate
+    // or an anti-join, and the final combine crosses 1-row frames.
+    "t14_integrity" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val docIds = docs.select(col("doc_id"))
+      val vecIds = emb.select(col("vec_id"))
+      val nd = docs.agg(count(lit(1)).as("n_docs"),
+        count(when(col("text").isNull ||
+          length(trim(col("text"))) === 0, 1)).as("n_empty_text"),
+        (count(lit(1)) - countDistinct(col("doc_id"))).as("n_dup_doc_ids"))
+      val ne = emb.agg(count(lit(1)).as("n_vecs"),
+        (count(lit(1)) - countDistinct(col("vec_id"))).as("n_dup_vec_ids"))
+      val od = docIds.join(vecIds, col("doc_id") === col("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("n_docs_without_vec"))
+      val ov = vecIds.join(docIds, col("vec_id") === col("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_vecs_without_doc"))
+      nd.crossJoin(ne).crossJoin(od).crossJoin(ov)
+    }),
+
     // PII-style redaction: digit runs replaced, per-row redaction
     // count surfaced — a single codegen'd regexp pass over the corpus.
     "t07_redact" -> ((s, d) =>
@@ -1516,6 +1539,23 @@ object DataOpsQueries {
          |SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
          |FROM counts ORDER BY n DESC, token LIMIT 100"""
         .stripMargin.replace("\n", " "),
+
+    "t14_integrity" ->
+      """SELECT
+        |(SELECT COUNT(*) FROM documents) AS n_docs,
+        |(SELECT COUNT(CASE WHEN text IS NULL OR length(trim(text)) = 0
+        |THEN 1 END) FROM documents) AS n_empty_text,
+        |(SELECT COUNT(*) - COUNT(DISTINCT doc_id) FROM documents)
+        |AS n_dup_doc_ids,
+        |(SELECT COUNT(*) FROM embeddings) AS n_vecs,
+        |(SELECT COUNT(*) - COUNT(DISTINCT vec_id) FROM embeddings)
+        |AS n_dup_vec_ids,
+        |(SELECT COUNT(*) FROM documents d LEFT JOIN embeddings e
+        |ON e.vec_id = d.doc_id WHERE e.vec_id IS NULL)
+        |AS n_docs_without_vec,
+        |(SELECT COUNT(*) FROM embeddings e LEFT JOIN documents d
+        |ON d.doc_id = e.vec_id WHERE d.doc_id IS NULL)
+        |AS n_vecs_without_doc""".stripMargin.replace("\n", " "),
 
     // ln() is IEEE-double in both engines; scores round to 6 dp before
     // the rank so both engines order the identical list.
