@@ -521,6 +521,14 @@ object DataOpsQueries {
     "t13_tfidf" -> ((s, d) =>
       Text.tfidfTopK(t(s, d, "documents"), col("doc_id"), col("text"), k = 3)),
 
+    // Bigram-LM perplexity scoring — t09's unigram filter with actual
+    // context sensitivity: mean −ln P(w|prev) under an add-1-smoothed
+    // bigram model fit on the corpus (word salad that fools a unigram
+    // filter scores poorly). Per-doc lead window, keyed pair aggs,
+    // one-row vocab broadcast.
+    "t15_bigram_logprob" -> ((s, d) =>
+      Text.bigramLogProb(t(s, d, "documents"), col("doc_id"), col("text"))),
+
     // Corpus integrity pre-flight: the referential/shape audit run
     // before spending a training job — row counts, doc↔embedding
     // orphans (anti-joins both ways), empty/whitespace-only texts,
@@ -1539,6 +1547,27 @@ object DataOpsQueries {
          |SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
          |FROM counts ORDER BY n DESC, token LIMIT 100"""
         .stripMargin.replace("\n", " "),
+
+    // Bigrams via LEAD over (doc, pos); probabilities and the ln/avg
+    // reduction follow the t09 precedent (IEEE-double in both engines,
+    // rounded to 6 dp at the end).
+    "t15_bigram_logprob" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT doc, unnest(w) AS t,
+         |generate_subscripts(w, 1) AS pos FROM w),
+         |bi AS (SELECT doc, w1, w2 FROM (
+         |SELECT doc, t AS w1,
+         |LEAD(t) OVER (PARTITION BY doc ORDER BY pos) AS w2 FROM tok)
+         |WHERE w2 IS NOT NULL),
+         |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY 1, 2),
+         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+         |vv AS (SELECT COUNT(DISTINCT t) AS v FROM tok)
+         |SELECT doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |round(AVG(-ln((CAST(c2 AS DOUBLE) + 1.0)
+         |/ (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE)))), 6)
+         |AS avg_neg_logprob
+         |FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv
+         |GROUP BY doc""".stripMargin.replace("\n", " "),
 
     "t14_integrity" ->
       """SELECT

@@ -218,6 +218,39 @@ object Text {
   }
 
   /**
+   * Per-document bigram-LM score — one step up the n-gram ladder from
+   * [[corpusLogProb]]: mean −ln P(wᵢ | wᵢ₋₁) under an add-1-smoothed
+   * bigram model fit on the corpus itself, the CCNet/Gopher-style
+   * perplexity axis with actual context sensitivity (word salad that
+   * passes a unigram filter scores poorly here). P(w₂|w₁) =
+   * (c(w₁w₂) + 1) / (c(w₁·) + V), which normalizes to 1 over the
+   * vocabulary by construction.
+   *
+   * Scale shape: bigrams come from a lead() window PARTITIONED BY doc
+   * (never global); c₂/c₁ are keyed partial aggs over bigram rows (one
+   * row per distinct pair crosses the shuffle); V is a one-row
+   * broadcast; the probability join is big-to-small on the pair key.
+   */
+  def bigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(id.as("doc"), posexplode(tokens(text)).as(Seq("pos", "t")))
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val bi = tok.withColumn("t2", lead(col("t"), 1).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc"), col("t").as("w1"), col("t2").as("w2"))
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = tok.agg(countDistinct(col("t")).as("v"))
+    bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log((col("c2").cast("double") + lit(1.0)) /
+          (col("c1").cast("double") + col("v").cast("double")))), 6)
+          .as("avg_neg_logprob"))
+  }
+
+  /**
    * Per-document top-k TF-IDF terms — the keyword/topic signature used
    * for corpus exploration, cluster labeling, and relevance-weighted
    * curation. tf = raw in-doc count, idf = ln(N / df) over document

@@ -378,6 +378,17 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("t15 bigram window is partitioned per doc, aggs keep partial split") {
+    val p = planOf("t15_bigram_logprob")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "the lead() bigram window must be partitioned by doc — never global")
+    assert("HashAggregate".r.findAllIn(p.toString).size >= 2,
+      "pair/context counts must keep the partial/final aggregate split")
+  }
+
   test("d21 mixture materialization broadcasts the weight table, no product") {
     val p = planOf("d21_apply_mixture")
     assert(!p.toString.contains("CartesianProduct"),

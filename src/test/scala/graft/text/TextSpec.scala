@@ -57,6 +57,20 @@ class TextSpec extends SparkTestBase {
     assert(math.abs(got(2L) - math.log(4.0)) < 1e-5)
   }
 
+  test("bigramLogProb scores add-1-smoothed conditional probabilities") {
+    // Corpus: "a b a b" + "a b". Bigrams: (a,b)×3, (b,a)×1; contexts:
+    // a→3, b→1; V=2. P(b|a) = (3+1)/(3+2) = 0.8, P(a|b) = (1+1)/(1+2).
+    val df = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = Text.bigramLogProb(df, $"doc_id", $"text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val pAB = -math.log(0.8)
+    val pBA = -math.log(2.0 / 3.0)
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - (2 * pAB + pBA) / 3.0) < 1e-5)
+    assert(got(2L) == ((1L,
+      BigDecimal(pAB).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
   test("langid marker scoring picks the language whose markers dominate") {
     val df = Seq("le la et le la spark", "der die und der join").toDF("text")
     val scores = Text.langScores($"text")
