@@ -125,4 +125,118 @@ class PropertySpec extends SparkTestBase {
       assert(got == want)
     }
   }
+
+  test("indexDedupBatch: verdict totality and naive-recompute equality") {
+    val rnd = new Random(47)
+    for (_ <- 1 to Rounds) {
+      def bandRows(ids: Seq[Long]) = ids.flatMap(doc =>
+        List.fill(1 + rnd.nextInt(3))((doc, rnd.nextInt(3), rnd.nextInt(6).toLong)))
+      val idx = bandRows(1L to 5L)
+      val batch = bandRows(10L to 15L)
+      val batchDocs = (10L to 17L).toList // 16, 17 have no bands at all
+      val got = graft.dedup.Dedup.indexDedupBatch(
+          idx.toDF("doc", "band", "bh"), batch.toDF("doc", "band", "bh"),
+          batchDocs.toDF("doc"))
+        .as[(Long, Long, Long)].collect().toSet
+      val want = batchDocs.map { d =>
+        val hits = for {
+          (bd, b, h) <- batch if bd == d
+          (cd, cb, ch) <- idx if cb == b && ch == h
+        } yield cd
+        (d, hits.distinct.size.toLong,
+          if (hits.isEmpty) -1L else hits.min)
+      }.toSet
+      assert(got == want)
+      // totality: every batch doc gets exactly one verdict row, and
+      // n_dups == 0 iff first_dup == -1
+      assert(got.map(_._1) == batchDocs.toSet)
+      assert(got.forall { case (_, n, f) => (n == 0L) == (f == -1L) })
+    }
+  }
+
+  test("applyMixture: copies per doc are floor(eff) or floor(eff)+1, contiguous, deterministic") {
+    val rnd = new Random(48)
+    for (_ <- 1 to Rounds) {
+      val sources = Seq("a", "b", "c", "z")
+      val docs = List.tabulate(30)(i => (i.toLong, sources(rnd.nextInt(4))))
+      val weights = Seq(
+        ("a", Some(rnd.nextDouble() * 7)), // may exceed the cap of 5
+        ("b", Some(rnd.nextDouble())),     // fractional downweight
+        ("c", Some(1.0 + rnd.nextDouble() * 3)),
+        ("z", None)).toDF("source", "mix_weight")
+      val wMap = weights.as[(String, Option[Double])].collect().toMap
+      def run() = graft.sampling.Sampling.applyMixture(
+          docs.toDF("doc_id", "source"), $"doc_id", $"source", weights)
+        .as[(Long, String, Long)].collect().toSeq
+      val got = run()
+      assert(got.toSet == run().toSet, "resampling must be deterministic")
+      val byDoc = got.groupBy(_._1)
+      docs.foreach { case (id, src) =>
+        wMap(src) match {
+          case None => assert(!byDoc.contains(id), s"null-weight doc $id kept")
+          case Some(w) =>
+            val eff = math.min(w, 5.0)
+            val n = byDoc.get(id).map(_.size).getOrElse(0)
+            assert(n == math.floor(eff).toLong || n == math.floor(eff).toLong + 1,
+              s"doc $id: $n copies for eff=$eff")
+            // copy ordinals are exactly 1..n
+            assert(byDoc.get(id).map(_.map(_._3).sorted)
+              .getOrElse(Nil) == (1L to n).toList)
+        }
+      }
+    }
+  }
+
+  test("pqTrainCodebook: one Lloyd refit never increases total assignment score") {
+    val rnd = new Random(49)
+    for (_ <- 1 to Rounds) {
+      val dim = 4
+      val vecs = List.tabulate(12)(i =>
+        (i.toLong, Array.fill(dim)(rnd.nextInt(9).toFloat)))
+        .toDF("vec_id", "embedding")
+      val k = 2 + rnd.nextInt(2)
+      val subs = graft.ann.Ann.pqSubvectors(vecs, m = 2)
+      def totalMinScore(cb: org.apache.spark.sql.DataFrame): Double =
+        subs.join(broadcast(cb), Seq("sub"))
+          .withColumn("score", round(
+            graft.ann.Ann.dot($"cv", $"cv") -
+              lit(2.0) * graft.ann.Ann.dot($"sv", $"cv"), 6))
+          .groupBy($"vec_id", $"sub").agg(min($"score").as("s"))
+          .agg(sum($"s")).as[Double].head()
+      val init = graft.ann.Ann.pqCodebook(subs, k)
+      val trained = graft.ann.Ann.pqTrainCodebook(subs, k)
+      assert(totalMinScore(trained) <= totalMinScore(init) + 1e-4,
+        s"k=$k: refit increased total distortion")
+    }
+  }
+
+  test("bigramLogProb: equals a naive in-memory bigram model") {
+    val rnd = new Random(50)
+    val vocab = Seq("a", "b", "c", "d")
+    for (_ <- 1 to Rounds) {
+      val corpus = List.tabulate(6)(i =>
+        (i.toLong, List.fill(2 + rnd.nextInt(8))(
+          vocab(rnd.nextInt(4))).mkString(" ")))
+      val got = graft.text.Text.bigramLogProb(
+          corpus.toDF("doc_id", "text"), $"doc_id", $"text")
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val toks = corpus.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).toList }
+      val bigrams = toks.flatMap { case (id, ws) =>
+        ws.zip(ws.drop(1)).map(id -> _) }
+      val c2 = bigrams.groupBy(_._2).view.mapValues(_.size).toMap
+      val c1 = bigrams.groupBy(_._2._1).view.mapValues(_.size).toMap
+      val v = toks.flatMap(_._2).distinct.size
+      toks.foreach { case (id, ws) =>
+        val bs = ws.zip(ws.drop(1))
+        if (bs.nonEmpty) {
+          val mean = bs.map(b =>
+            -math.log((c2(b) + 1.0) / (c1(b._1) + v.toDouble))).sum / bs.size
+          assert(got(id)._1 == bs.size.toLong)
+          assert(math.abs(got(id)._2 - mean) < 5e-6, s"doc $id")
+        } else assert(!got.contains(id))
+      }
+    }
+  }
 }
