@@ -516,4 +516,19 @@ class PipelineManagerSpec extends SparkTestBase {
       pm.delete("isoA"); pm.delete("isoB")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("start() restores the caller's pre-existing scheduler pool") {
+    val pm = newManager()
+    val srcDir = Files.createTempDirectory("graft-poolrestore-src-").toString
+    Seq((1L, "v")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    pm.create(PipelineSpec("isoC", "parquet", "parquet", srcDir))
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "caller-pool")
+    try {
+      pm.start("isoC", identity).awaitTermination()
+      assert(spark.sparkContext
+          .getLocalProperty("spark.scheduler.pool") == "caller-pool",
+        "start() must restore, not clear, a pool the caller had set")
+    } finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+    pm.delete("isoC")
+  }
 }
