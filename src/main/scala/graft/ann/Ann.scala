@@ -194,6 +194,40 @@ object Ann {
   }
 
   /**
+   * IVF cell-balance audit: per-cell occupancy of the index's
+   * nearest-cell assignment, with each cell's share of the corpus and
+   * its `balance` ratio vs a uniform spread (n · k / total). Run after
+   * training and before serving: a hot cell (balance ≫ 1) bounds every
+   * search that probes it — the IVF counterpart of a skewed shuffle
+   * key — and an empty cell (included via the left join; the groupBy
+   * alone would drop it) is a wasted probe and a sign the trainer
+   * collapsed centroids.
+   *
+   * Scale shape: the corpus streams through the same broadcast-
+   * centroid cosine pass as [[ivfTopKWith]]'s candidate side, then
+   * collapses to one row per cell in a partial-agg groupBy; the
+   * windows run over the k-row cell frame only, never raw vectors.
+   */
+  def ivfCellStats(centroids: DataFrame, df: DataFrame): DataFrame = {
+    val cents = centroids.select(col("cent_id"), col("ce"))
+      .withColumn("cnr", norm(col("ce")))
+    val counts = cellAssign(cents, df, 1)
+      .groupBy(col("cent_id").as("cell")).agg(count(lit(1)).as("n"))
+    val per = cents.select(col("cent_id").as("cell"))
+      .join(counts, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n"), lit(0L)).as("n_vectors"))
+    val all = Window.partitionBy(lit(1))
+    per
+      .withColumn("total", sum(col("n_vectors")).over(all))
+      .withColumn("n_cells", count(lit(1)).over(all))
+      .select(col("cell"), col("n_vectors"),
+        round(col("n_vectors").cast("double") /
+          col("total").cast("double"), 6).as("cell_frac"),
+        round(col("n_vectors").cast("double") * col("n_cells").cast("double") /
+          col("total").cast("double"), 6).as("balance"))
+  }
+
+  /**
    * Embedding near-duplicate pairs via LSH buckets: pairs meet only
    * inside their signed-hyperplane bucket, so the self-join is an
    * EQUI-join on bucket (shuffle hash/sort-merge at scale) — never an

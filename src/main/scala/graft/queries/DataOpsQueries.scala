@@ -232,6 +232,15 @@ object DataOpsQueries {
           Text.tokenCount(col("text"))))
     }),
 
+    // Temperature-scaled mixture (α = ½): the tail-upsampling recipe
+    // knob — p^α-tempered target shares and the q/p sampling weight
+    // that realizes them. α = ½ computes via sqrt (IEEE-correctly-
+    // rounded in every engine); the Σp^α denominator is an
+    // order-pinned sequential fold, so the oracle matches to the ulp.
+    "d22_temp_mixture" -> ((s, d) =>
+      Sampling.temperatureMixture(t(s, d, "documents"), col("source"),
+        Text.tokenCount(col("text")))),
+
     // The curation funnel: the filter chain a corpus curator actually
     // ships — language gate → quality threshold → repetition filter →
     // exact dedup — with cumulative survivor counts per stage. Each
@@ -478,6 +487,16 @@ object DataOpsQueries {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // IVF cell-balance audit over the trained codebook: per-cell
+    // occupancy, corpus share, and the balance-vs-uniform ratio —
+    // empty cells included (wasted probes), hot cells exposed (the
+    // skew bound of every search that probes them). The capacity-
+    // planning read on the e13/e14 index before serving traffic.
+    "e16_ivf_balance" -> ((s, d) =>
+      Ann.ivfCellStats(
+        codebook(s, d).select(col("cluster").as("cent_id"), col("c").as("ce")),
+        t(s, d, "embeddings"))),
+
     // Recall cost of int8 quantization: brute-force top-5 over the
     // QUANTIZED vectors scored against the float-precision truth —
     // the "does 4× compression hurt retrieval" measurement run before
@@ -528,6 +547,13 @@ object DataOpsQueries {
     // one-row vocab broadcast.
     "t15_bigram_logprob" -> ((s, d) =>
       Text.bigramLogProb(t(s, d, "documents"), col("doc_id"), col("text"))),
+
+    // Gopher-style hard quality gate: the five accept/reject rules,
+    // each reported per document (plus n_fail and the overall pass) so
+    // threshold tuning on a new corpus can audit WHICH rule fires.
+    // One narrow codegen'd projection over the corpus scan.
+    "t16_gopher_rules" -> ((s, d) =>
+      Text.gopherRules(t(s, d, "documents"), col("doc_id"), col("text"))),
 
     // Corpus integrity pre-flight: the referential/shape audit run
     // before spending a training job — row counts, doc↔embedding
@@ -1076,6 +1102,26 @@ object DataOpsQueries {
          |SELECT doc_id, source, unnest(range(1, copies + 1)) AS copy
          |FROM c WHERE copies > 0""".stripMargin.replace("\n", " "),
 
+    // Temperature mixture (α = ½ via sqrt — IEEE-exact); the Σp^α
+    // denominator is a sequential fold over the source-ordered list,
+    // matching the Spark side's order-pinned aggregate() fold.
+    "d22_temp_mixture" ->
+      s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
+         |CAST(SUM(len(list_filter(string_split(text, ' '),
+         |x -> len(x) > 0))) AS BIGINT) AS n_tokens
+         |FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per),
+         |f AS (SELECT source, n_docs, n_tokens,
+         |CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS p,
+         |sqrt(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)) AS pa
+         |FROM per CROSS JOIN tot),
+         |sp AS (SELECT list_reduce(list(pa ORDER BY source),
+         |(a, b) -> a + b) AS sum_pa FROM f)
+         |SELECT source, n_docs, n_tokens, round(p, 6) AS token_frac,
+         |round(pa / sum_pa, 6) AS temp_frac,
+         |round((pa / sum_pa) / NULLIF(p, 0), 6) AS sample_weight
+         |FROM f CROSS JOIN sp""".stripMargin.replace("\n", " "),
+
     "d15_quota_sample" ->
       s"""WITH r AS (SELECT doc_id, source,
          |CAST(ROW_NUMBER() OVER (PARTITION BY source
@@ -1451,6 +1497,24 @@ object DataOpsQueries {
          |GROUP BY sub, code),
          |${ivfPqSearchSql("cb1")}""".stripMargin.replace("\n", " "),
 
+    // IVF cell balance: casg (nearest trained cell per vector) rolled
+    // up per cell, LEFT-joined from the centroid relation so empty
+    // cells keep a 0 row; all-long until the two divisions.
+    "e16_ivf_balance" ->
+      s"""WITH $vecCte, $normCte, $kmeansCtes, $ivfCellCtes,
+         |cnt AS (SELECT cent_id, COUNT(*) AS n FROM casg GROUP BY cent_id),
+         |per AS (SELECT kc.cent_id AS cell,
+         |CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_vectors
+         |FROM kc LEFT JOIN cnt ON kc.cent_id = cnt.cent_id),
+         |ctot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS total,
+         |COUNT(*) AS n_cells FROM per)
+         |SELECT cell, n_vectors,
+         |round(CAST(n_vectors AS DOUBLE) / CAST(total AS DOUBLE), 6)
+         |AS cell_frac,
+         |round(CAST(n_vectors AS DOUBLE) * CAST(n_cells AS DOUBLE)
+         |/ CAST(total AS DOUBLE), 6) AS balance
+         |FROM per CROSS JOIN ctot""".stripMargin.replace("\n", " "),
+
     "e13_ivf_kmeans" ->
       s"""WITH $vecCte, $normCte, $kmeansCtes,
          |kc AS (SELECT cluster AS cent_id, c AS ce,
@@ -1568,6 +1632,34 @@ object DataOpsQueries {
          |AS avg_neg_logprob
          |FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv
          |GROUP BY doc""".stripMargin.replace("\n", " "),
+
+    // Gopher gate: five per-document rules + n_fail + pass. Ratio
+    // rules carry the same len>0 guards as the Spark side so an empty
+    // document fails as plain false in both engines.
+    "t16_gopher_rules" ->
+      s"""WITH $wordsCte,
+         |r AS (SELECT doc AS doc_id,
+         |CAST(len(w) AS BIGINT) AS n_tokens,
+         |len(w) BETWEEN 25 AND 100000 AS r_word_count,
+         |(len(w) > 0 AND
+         |CAST(list_reduce(list_transform(w, x -> len(x)), (a, b) -> a + b)
+         |AS DOUBLE) / CAST(len(w) AS DOUBLE) BETWEEN 3.0 AND 10.0)
+         |AS r_mean_len,
+         |(length(text) > 0 AND
+         |CAST(length(regexp_replace(text, '[a-z A-Z]', '', 'g')) AS DOUBLE)
+         |/ CAST(length(text) AS DOUBLE) <= 0.1) AS r_symbol,
+         |(len(w) > 0 AND
+         |CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+         |AS DOUBLE) / CAST(len(w) AS DOUBLE) >= 0.8) AS r_alpha_words,
+         |len(list_distinct(list_filter(w, x -> $stopIn))) >= 2
+         |AS r_stop_kinds FROM w),
+         |f AS (SELECT *, 5 - (CAST(r_word_count AS BIGINT)
+         |+ CAST(r_mean_len AS BIGINT) + CAST(r_symbol AS BIGINT)
+         |+ CAST(r_alpha_words AS BIGINT) + CAST(r_stop_kinds AS BIGINT))
+         |AS nf FROM r)
+         |SELECT doc_id, n_tokens, r_word_count, r_mean_len, r_symbol,
+         |r_alpha_words, r_stop_kinds, CAST(nf AS BIGINT) AS n_fail,
+         |nf = 0 AS pass FROM f""".stripMargin.replace("\n", " "),
 
     "t14_integrity" ->
       """SELECT

@@ -111,6 +111,55 @@ object Sampling {
   }
 
   /**
+   * Temperature-scaled domain mixture — the standard rebalancing knob
+   * of multilingual / multi-source training recipes: the target share
+   * of stratum `s` is `p_s^α / Σ_t p_t^α` where `p_s` is its observed
+   * token share, so `α = 1` keeps the natural mixture, `α → 0`
+   * approaches uniform, and `α ∈ (0, 1)` upsamples the tail without
+   * flattening the head. Returns per source the observed share, the
+   * tempered target share, and the sampling weight `q_s / p_s` that
+   * realizes it (feed to [[applyMixture]] as `mix_weight`).
+   *
+   * Determinism across engines: `α = 0.5` (the default, and the most
+   * common setting) is computed with `sqrt`, which IEEE 754 requires
+   * to be correctly rounded — bit-identical in any engine. Other α go
+   * through `pow`, which carries no such guarantee; verify before
+   * gating on one. The Σ p^α denominator is a sequential fold in
+   * stratum order (not a float sum in engine-chosen order), so the
+   * accumulation order — and therefore the last ulp — is pinned.
+   *
+   * Scale shape: one partial-agg groupBy(stratum) over the corpus;
+   * the totals and the fold run over the tiny per-source frame (one
+   * row per domain) and broadcast back.
+   */
+  def temperatureMixture(df: DataFrame, stratum: Column, tokenCount: Column,
+      alpha: Double = 0.5): DataFrame = {
+    val temper = (p: Column) =>
+      if (alpha == 0.5) sqrt(p) else pow(p, lit(alpha))
+    val per = df.groupBy(stratum.as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount.cast("long")).as("n_tokens"))
+    // Long total: exact in any summation order.
+    val withP = per
+      .withColumn("token_frac", col("n_tokens").cast("double") /
+        sum(col("n_tokens")).over(Window.partitionBy(lit(1))).cast("double"))
+      .withColumn("pa", temper(col("token_frac")))
+    // Double total: order-pinned sequential fold over (source, pa).
+    val sumPa = withP.groupBy(lit(1).as("g"))
+      .agg(aggregate(array_sort(collect_list(struct(col("source"), col("pa")))),
+        lit(0.0), (acc, x) => acc + x.getField("pa")).as("sum_pa"))
+    withP.join(broadcast(sumPa.drop("g")))
+      .withColumn("temp_frac", col("pa") / col("sum_pa"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("token_frac"), 6).as("token_frac"),
+        round(col("temp_frac"), 6).as("temp_frac"),
+        // nullif: a zero-token stratum has p = 0 → weight NULL (not a
+        // 0/0 NaN that differs across engines).
+        round(col("temp_frac") / nullif(col("token_frac"), lit(0.0)), 6)
+          .as("sample_weight"))
+  }
+
+  /**
    * Materialize a domain mixture: turn [[mixtureWeights]]' per-source
    * weight into the actual resampled corpus — `floor(w)` full copies
    * of every doc plus one extra copy for a deterministic hash-fraction

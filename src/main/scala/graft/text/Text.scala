@@ -91,6 +91,53 @@ object Text {
   }
 
   /**
+   * Gopher-style hard quality gate (the document-level accept/reject
+   * rule family of Rae et al. 2021 §A1.1): every rule reported
+   * separately, so a curation run can audit WHICH rule rejected a
+   * document — not just how many survived — before committing to
+   * thresholds on a new corpus.
+   *
+   * Rules (true = pass):
+   *  - `r_word_count`: 25 ≤ tokens ≤ 100 000
+   *  - `r_mean_len`:   mean token length in [3, 10]
+   *  - `r_symbol`:     non-alphabetic character ratio ≤ 0.1
+   *  - `r_alpha_words`: ≥ 80% of tokens contain a letter
+   *  - `r_stop_kinds`: ≥ 2 distinct stopwords present
+   * plus `n_fail` (failed-rule count) and the overall `pass`.
+   *
+   * Scale shape: one narrow projection — tokens materialize once per
+   * row, every rule is a codegen'd column expression over that array;
+   * no explode, no shuffle, the whole gate rides the corpus scan.
+   * Ratio rules guard their divisions (`n > 0 AND …`), so an empty
+   * document fails them as a plain false in every engine instead of
+   * a NaN/NULL comparison whose semantics differ.
+   */
+  def gopherRules(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = df.select(id.as("doc_id"), text.as("text"))
+      .withColumn("w", tokens(col("text")))
+    val n = size(col("w")).cast("long")
+    val meanLen = aggregate(col("w"), lit(0L), (acc, x) => acc + length(x))
+      .cast("double") / n.cast("double")
+    val symbolRatio = length(regexp_replace(col("text"), "[a-z A-Z]", ""))
+      .cast("double") / length(col("text")).cast("double")
+    val alphaFrac = size(filter(col("w"), x => x.rlike("[a-zA-Z]")))
+      .cast("double") / n.cast("double")
+    val stopKinds = size(array_intersect(col("w"), array(Stopwords.map(lit): _*)))
+    val ruleNames = Seq("r_word_count", "r_mean_len", "r_symbol",
+      "r_alpha_words", "r_stop_kinds")
+    base.select(
+        col("doc_id"), n.as("n_tokens"),
+        (n >= 25L && n <= 100000L).as("r_word_count"),
+        (n > 0L && meanLen >= 3.0 && meanLen <= 10.0).as("r_mean_len"),
+        (length(col("text")) > 0 && symbolRatio <= 0.1).as("r_symbol"),
+        (n > 0L && alphaFrac >= 0.8).as("r_alpha_words"),
+        (stopKinds >= 2).as("r_stop_kinds"))
+      .withColumn("n_fail",
+        lit(ruleNames.length.toLong) - ruleNames.map(col(_).cast("long")).reduce(_ + _))
+      .withColumn("pass", col("n_fail") === 0L)
+  }
+
+  /**
    * N-gram-profile language ID: score each candidate language by
    * marker-token hits and pick the best (deterministic tie-break on
    * language code). Marker lists are a tiny literal table, so at scale

@@ -192,4 +192,26 @@ class AnnSpec extends SparkTestBase {
     // vec 0 is bit-identical to the probe → same bucket, cosine 1.0
     assert(rows.get(0L).contains(1.0))
   }
+
+  test("ivf cell stats include empty cells and balance sums to the cell count") {
+    // Three centroids; every vector lands nearest centroid 0 or 1, so
+    // cell 2 must still appear with a zero count (the wasted-probe
+    // signal a groupBy alone would silently drop).
+    val cents = Seq(
+      (0, Array(1.0, 0.0)), (1, Array(0.0, 1.0)), (2, Array(-1.0, -1.0)))
+      .toDF("cent_id", "ce")
+    val vecs = Seq(
+      (10L, Array(0.9f, 0.1f)), (11L, Array(0.8f, 0.2f)),
+      (12L, Array(0.1f, 0.9f)), (13L, Array(0.9f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val got = Ann.ivfCellStats(cents, vecs)
+      .as[(Int, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(0, 1, 2))
+    assert(got(0)._2 == 3L && got(1)._2 == 1L && got(2)._2 == 0L)
+    assert(got(2)._3 == 0.0 && got(2)._4 == 0.0)
+    // fractions form a distribution; balance averages to 1 over cells
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-9)
+    assert(math.abs(got.values.map(_._4).sum / 3.0 - 1.0) < 1e-9)
+  }
 }

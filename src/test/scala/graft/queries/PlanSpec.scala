@@ -448,4 +448,19 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       "partial/final aggregate split expected on the segment rollup")
   }
+
+  test("t16 gopher rules are a shuffle-free codegen scan") {
+    val p = planOf("t16_gopher_rules")
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty,
+      "all five rules are column expressions — the gate rides the scan")
+  }
+
+  test("d22 temperature mixture aggregates before any global step") {
+    val plan = planOf("d22_temp_mixture").toString
+    // the corpus collapses in a partial/final groupBy(source) before
+    // the single-partition total/fold ever sees a row (d12 precedent)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "partial/final aggregate split must collapse the corpus first")
+  }
 }

@@ -63,4 +63,28 @@ class SamplingSpec extends SparkTestBase {
       (1L, "a", 1L), (1L, "a", 2L), (2L, "a", 1L), (2L, "a", 2L),
       (3L, "b", 1L)))
   }
+
+  test("temperature mixture upsamples the tail and preserves share mass") {
+    import org.apache.spark.sql.functions.col
+    // 90/10 token split: at α = ½ the target shares are
+    // sqrt(.9)/(sqrt(.9)+sqrt(.1)) ≈ 0.75 and ≈ 0.25.
+    val docs = Seq(("big", 900L), ("tail", 100L))
+      .flatMap { case (s, n) => Seq((s, n)) }.toDF("source", "nt")
+    val got = Sampling.temperatureMixture(docs, col("source"), col("nt"))
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, _, _, pBig, qBig, wBig) = got("big")
+    val (_, _, _, pTail, qTail, wTail) = got("tail")
+    assert(pBig == 0.9 && pTail == 0.1)
+    assert(math.abs(qBig - 0.75) < 0.001 && math.abs(qTail - 0.25) < 0.001)
+    // weights move both shares toward the target: tail up, head down
+    assert(wTail > 1.0 && wBig < 1.0)
+    // tempered shares are still a distribution
+    assert(math.abs(qBig + qTail - 1.0) < 1e-9)
+    // α = 1 keeps the natural mixture (weight 1 everywhere)
+    val nat = Sampling.temperatureMixture(docs, col("source"), col("nt"),
+        alpha = 1.0)
+      .select(col("sample_weight")).as[Double].collect()
+    assert(nat.forall(w => math.abs(w - 1.0) < 1e-9))
+  }
 }

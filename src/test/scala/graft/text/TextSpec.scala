@@ -82,4 +82,25 @@ class TextSpec extends SparkTestBase {
     assert(best0 == "fr")
     assert(best1 == "de")
   }
+
+  test("gopher rules report per-rule verdicts, n_fail, and pass") {
+    // doc 1: 30 normal words with stopwords → passes everything.
+    // doc 2: 5 words → fails word count only.
+    // doc 3: long but symbol-soup tokens → fails symbol + alpha-word
+    //        rules (and has no stopwords).
+    val good = (Seq("the", "and", "of") ++
+      (0 until 27).map(i => "word" + ('a' + i % 26).toChar)).mkString(" ")
+    val short = "the and tiny doc"
+    val noise = (Seq("the", "and") ++ (1 to 28).map(_ => "$$$###%%%")).mkString(" ")
+    val df = Seq((1L, good), (2L, short), (3L, noise)).toDF("id", "txt")
+    val got = Text.gopherRules(df, $"id", $"txt")
+      .as[(Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    val (_, n1, wc1, ml1, sym1, aw1, sk1, nf1, p1) = got(1L)
+    assert(n1 == 30L && wc1 && ml1 && sym1 && aw1 && sk1 && nf1 == 0L && p1)
+    val (_, _, wc2, _, _, _, sk2, nf2, p2) = got(2L)
+    assert(!wc2 && sk2 && nf2 == 1L && !p2)
+    val (_, _, wc3, _, sym3, aw3, _, nf3, p3) = got(3L)
+    assert(wc3 && !sym3 && !aw3 && nf3 >= 2L && !p3)
+  }
 }
