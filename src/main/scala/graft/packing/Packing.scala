@@ -88,6 +88,30 @@ object Packing {
   }
 
   /**
+   * Padding-efficiency audit of [[lengthBuckets]]: per training
+   * batch, the pad target (the batch's longest document — dynamic
+   * padding), the real token mass, and the padded-token fraction the
+   * batch would burn — the measurement that accepts or rejects a
+   * bucketing configuration before a training run spends GPU-hours on
+   * pad tokens. Low `pad_frac` across batches is the whole point of
+   * p03's power-of-two bins; this query is the proof.
+   *
+   * Scale shape: one partial-agg groupBy(bucket, batch_id) over the
+   * [[lengthBuckets]] projection — exact integer arithmetic until the
+   * final division, nothing beyond p03's own per-bucket window.
+   */
+  def paddingEfficiency(buckets: DataFrame): DataFrame =
+    buckets.groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("pad_to"),
+        sum(col("n_tokens")).as("batch_tokens"))
+      .withColumn("pad_tokens",
+        col("n_docs") * col("pad_to") - col("batch_tokens"))
+      .withColumn("pad_frac",
+        round(col("pad_tokens").cast("double") /
+          (col("n_docs") * col("pad_to")).cast("double"), 6))
+
+  /**
    * Deterministic sharded corpus shuffle: every document gets a
    * portable pseudo-random key from (seed, id), a shard by key mod
    * `nShards`, and a position within its shard — the reproducible

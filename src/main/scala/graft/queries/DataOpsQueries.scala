@@ -611,6 +611,15 @@ object DataOpsQueries {
       Packing.lengthBuckets(t(s, d, "documents"), col("doc_id"),
         Text.tokenCount(col("text")), batchSize = 8)),
 
+    // Padding-efficiency audit over p03's batches: per batch the
+    // dynamic pad target, real token mass, and the pad-token fraction
+    // — the proof (or refutation) that a bucket config is worth its
+    // GPU-hours before training starts.
+    "p04_padding_audit" -> ((s, d) =>
+      Packing.paddingEfficiency(
+        Packing.lengthBuckets(t(s, d, "documents"), col("doc_id"),
+          Text.tokenCount(col("text")), batchSize = 8))),
+
     // Character-class profile: letter/digit/space/other fractions and
     // uppercase ratio — the script/charset screen that catches binary
     // junk, ALL-CAPS spam, and digit-dense tables before tokenization.
@@ -1764,6 +1773,30 @@ object DataOpsQueries {
         |SELECT doc_id, n_tokens, bucket, (rn - 1) // 8 AS batch_id,
         |(rn - 1) % 8 AS pos_in_batch FROM r"""
         .stripMargin.replace("\n", " "),
+
+    // p03's batches rolled up: dynamic pad target, token mass, pad
+    // fraction per (bucket, batch) — exact integers until the final
+    // division.
+    "p04_padding_audit" ->
+      """WITH tk AS (SELECT doc_id,
+        |CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+        |AS BIGINT) AS n_tokens FROM documents),
+        |b AS (SELECT doc_id, n_tokens,
+        |CAST(length(bin(GREATEST(n_tokens, 1))) - 1 AS BIGINT) AS bucket
+        |FROM tk),
+        |r AS (SELECT doc_id, n_tokens, bucket,
+        |CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id)
+        |AS BIGINT) AS rn FROM b),
+        |g AS (SELECT bucket, (rn - 1) // 8 AS batch_id,
+        |CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |CAST(MAX(n_tokens) AS BIGINT) AS pad_to,
+        |CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens
+        |FROM r GROUP BY bucket, (rn - 1) // 8)
+        |SELECT bucket, batch_id, n_docs, pad_to, batch_tokens,
+        |n_docs * pad_to - batch_tokens AS pad_tokens,
+        |round(CAST(n_docs * pad_to - batch_tokens AS DOUBLE)
+        |/ CAST(n_docs * pad_to AS DOUBLE), 6) AS pad_frac
+        |FROM g""".stripMargin.replace("\n", " "),
 
     "t11_cms_freq" -> {
       val cell = h("CAST(r.range AS VARCHAR) || ':' || t")

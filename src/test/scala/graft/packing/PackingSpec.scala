@@ -72,4 +72,21 @@ class PackingSpec extends SparkTestBase {
     // bucket 0 holds docs 1 and 7 → one batch, positions 0 and 1
     assert(Set(got(1L), got(7L)) == Set((0L, 0L, 0L), (0L, 0L, 1L)))
   }
+
+  test("padding audit charges each batch exactly its dynamic-pad waste") {
+    // bucket 2 (lengths 4..7) gets docs of 4 and 7 tokens in one
+    // batch: pad target 7, mass 11, waste 2·7 − 11 = 3 (frac 3/14).
+    val docs = Seq((1L, 4L), (2L, 7L), (3L, 8L)).toDF("doc_id", "n")
+    val got = Packing.paddingEfficiency(
+        Packing.lengthBuckets(docs, col("doc_id"), col("n"), batchSize = 2))
+      .select("bucket", "n_docs", "pad_to", "batch_tokens", "pad_tokens",
+        "pad_frac")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(2L) == ((2L, 2L, 7L, 11L, 3L,
+      BigDecimal(3.0 / 14.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)))
+    // the singleton batch in bucket 3 pads nothing
+    assert(got(3L)._5 == 0L && got(3L)._6 == 0.0)
+  }
 }
