@@ -451,6 +451,48 @@ object Dedup {
   }
 
   /**
+   * Rolling-window duplicate-span detection — the overlap-granularity
+   * pass [[segmentDedup]]'s fixed non-overlapping segments miss: a
+   * duplicated passage that straddles a segment boundary never lines
+   * up with a segment, but every stride-1 window inside it collides.
+   * This is the Spark-shaped approximation of exact substring dedup
+   * (the suffix-array pass of Lee et al. 2021): hash every `winLen`-
+   * token window, keep the global first occurrence (lowest (doc,
+   * pos)), and report per document how many of its windows were seen
+   * before — within the same document (boilerplate repeats) or in any
+   * other.
+   *
+   * Windows are compared by 64-bit portable hash, not text — at
+   * 100 TB the shuffle carries 8-byte keys instead of ~50-byte
+   * strings; fingerprint collisions (~n²/2⁶⁴) are the standard
+   * accepted error of this family. Scale shape mirrors segmentDedup:
+   * explode → groupBy(hash) min-struct partial agg (one row per
+   * distinct window crosses the shuffle) → equi-join back → per-doc
+   * rollup; everything keyed, no pairwise comparison. Documents
+   * shorter than `winLen` have no windows and are absent from the
+   * output (nothing to span-match).
+   */
+  def duplicateSpans(df: DataFrame, id: Column, text: Column,
+      winLen: Int): DataFrame = {
+    val wins = df.select(id.as("doc"), Text.tokens(text).as("w"))
+      .select(col("doc"),
+        posexplode(Text.shinglesOf(col("w"), winLen)).as(Seq("pos", "win")))
+      .select(col("doc"), col("pos"), Portable.hash64(col("win")).as("h"))
+    val first = wins.groupBy(col("h"))
+      .agg(min(struct(col("doc"), col("pos"))).as("first"))
+    wins.join(first, Seq("h"))
+      .withColumn("is_dup",
+        (col("doc") =!= col("first.doc") ||
+          col("pos") =!= col("first.pos")).cast("long"))
+      .groupBy(col("doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("is_dup")).as("n_dup_windows"))
+      .withColumn("dup_win_frac",
+        round(col("n_dup_windows").cast("double") /
+          col("n_windows").cast("double"), 6))
+  }
+
+  /**
    * Exact n-gram Jaccard pairs >= threshold, via distinct-shingle
    * self-join (ground truth for small corpora; at scale use
    * [[jaccardOnCandidates]]).

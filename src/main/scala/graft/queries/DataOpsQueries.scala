@@ -232,6 +232,15 @@ object DataOpsQueries {
           Text.tokenCount(col("text"))))
     }),
 
+    // Rolling-window duplicate spans: stride-1 8-token windows, global
+    // first-occurrence keeper — catches the cross-boundary duplicated
+    // passages d14's fixed segments miss (the exact-substring-dedup
+    // approximation of Lee et al. 2021, windows compared by portable
+    // 64-bit fingerprint).
+    "d23_dup_spans" -> ((s, d) =>
+      Dedup.duplicateSpans(t(s, d, "documents"), col("doc_id"),
+        col("text"), winLen = 8)),
+
     // Temperature-scaled mixture (α = ½): the tail-upsampling recipe
     // knob — p^α-tempered target shares and the q/p sampling weight
     // that realizes them. α = ½ computes via sqrt (IEEE-correctly-
@@ -1110,6 +1119,23 @@ object DataOpsQueries {
          |THEN 1 ELSE 0 END) AS copies FROM m)
          |SELECT doc_id, source, unnest(range(1, copies + 1)) AS copy
          |FROM c WHERE copies > 0""".stripMargin.replace("\n", " "),
+
+    // Rolling 8-token windows per doc (1-based slice j..j+7), hashed;
+    // first global occurrence by (doc, pos) via ROW_NUMBER, rn>1 = dup.
+    "d23_dup_spans" ->
+      s"""WITH $wordsCte,
+         |js AS (SELECT doc, w, unnest(generate_series(1, len(w) - 7)) AS j
+         |FROM w WHERE len(w) >= 8),
+         |win AS (SELECT doc, j - 1 AS pos,
+         |${h("array_to_string(w[j:(j+7)], ' ')")} AS hw FROM js),
+         |rk AS (SELECT doc, pos, hw, ROW_NUMBER() OVER
+         |(PARTITION BY hw ORDER BY doc, pos) AS rn FROM win)
+         |SELECT doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         |CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |AS n_dup_windows,
+         |round(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |/ COUNT(*), 6) AS dup_win_frac
+         |FROM rk GROUP BY doc""".stripMargin.replace("\n", " "),
 
     // Temperature mixture (α = ½ via sqrt — IEEE-exact); the Σp^α
     // denominator is a sequential fold over the source-ordered list,

@@ -167,4 +167,28 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet
     assert(v2 === Set((20L, 1L, 11L), (21L, 0L, -1L)))
   }
+
+  test("duplicate spans catch a copied passage that straddles segment bounds") {
+    // doc 2 copies a 4-token passage of doc 1 at a different offset —
+    // every 3-token window inside the copy collides; doc 2's unique
+    // tail does not. doc 3 is too short for any window.
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x c d e f y"),
+      (3L, "z q")).toDF("id", "txt")
+    val got = Dedup.duplicateSpans(df, $"id", $"txt", winLen = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: 4 windows, all first occurrences
+    assert(got(1L) == ((1L, 4L, 0L, 0.0)))
+    // doc 2: 4 windows; "c d e" and "d e f" were seen in doc 1
+    assert(got(2L) == ((2L, 4L, 2L, 0.5)))
+    assert(!got.contains(3L), "sub-window docs have no spans to match")
+    // within-doc repetition is charged too: the second "a b a" window
+    // of a self-repeating doc is a dup of the first
+    val rep = Seq((9L, "a b a b a b a")).toDF("id", "txt")
+    val r9 = Dedup.duplicateSpans(rep, $"id", $"txt", winLen = 3)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(r9._2 == 5L && r9._3 == 3L)
+  }
 }

@@ -449,6 +449,15 @@ class PlanSpec extends SparkTestBase {
       "partial/final aggregate split expected on the segment rollup")
   }
 
+  test("d23 duplicate spans stay keyed on the window hash (no products)") {
+    val plan = planOf("d23_dup_spans").toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "span matching must be an equi-join on the window fingerprint")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "first-occurrence keeper needs the min-struct partial-agg split")
+  }
+
   test("t16 gopher rules are a shuffle-free codegen scan") {
     val p = planOf("t16_gopher_rules")
     val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
