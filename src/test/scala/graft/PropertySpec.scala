@@ -239,4 +239,77 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("duplicateSpans: equals a naive first-occurrence window model") {
+    val rnd = new Random(51)
+    val vocab = Seq("a", "b", "c", "d", "e")
+    for (_ <- 1 to Rounds) {
+      val win = 2 + rnd.nextInt(3)
+      val corpus = List.tabulate(8)(i =>
+        (i.toLong, List.fill(rnd.nextInt(12))(
+          vocab(rnd.nextInt(5))).mkString(" ")))
+      val got = graft.dedup.Dedup.duplicateSpans(
+          corpus.toDF("doc_id", "text"), $"doc_id", $"text", win)
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      // naive model: all windows in (doc, pos) order; first seen wins
+      val wins = corpus.flatMap { case (id, t) =>
+        val ws = t.split(" ").filter(_.nonEmpty).toList
+        ws.sliding(win).filter(_.size == win).zipWithIndex
+          .map { case (w, p) => (id, p, w.mkString(" ")) }
+      }
+      val firstOf = wins.groupBy(_._3).view
+        .mapValues(_.map(w => (w._1, w._2)).min).toMap
+      val want = wins.groupBy(_._1).view.mapValues { ds =>
+        (ds.size.toLong,
+          ds.count(w => firstOf(w._3) != ((w._1, w._2))).toLong)
+      }.toMap
+      corpus.foreach { case (id, _) =>
+        if (want.contains(id)) assert(got(id) == want(id), s"doc $id win=$win")
+        else assert(!got.contains(id), s"doc $id should have no windows")
+      }
+    }
+  }
+
+  test("temperatureMixture: matches the order-pinned scalar model exactly") {
+    val rnd = new Random(52)
+    for (_ <- 1 to Rounds) {
+      val strata = ('a' to ('a' + 2 + rnd.nextInt(5)).toChar).map(_.toString)
+      val docs = strata.flatMap(s =>
+        List.fill(1 + rnd.nextInt(4))((s, 1L + rnd.nextInt(500))))
+      val got = graft.sampling.Sampling.temperatureMixture(
+          docs.toDF("source", "nt"), $"source", $"nt")
+        .as[(String, Long, Long, Double, Double, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      val total = docs.map(_._2).sum.toDouble
+      val p = docs.groupBy(_._1).view.mapValues(_.map(_._2).sum / total).toMap
+      // same fold order as the engine: sources ascending, init 0.0
+      val sumPa = strata.sorted.foldLeft(0.0)((acc, s) => acc + math.sqrt(p(s)))
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      strata.foreach { s =>
+        val q = math.sqrt(p(s)) / sumPa
+        assert(got(s)._4 == r6(p(s)), s"token_frac $s")
+        assert(got(s)._5 == r6(q), s"temp_frac $s")
+        assert(got(s)._6 == r6(q / p(s)), s"sample_weight $s")
+      }
+    }
+  }
+
+  test("paddingEfficiency: conserves tokens and never exceeds batch size") {
+    val rnd = new Random(53)
+    for (_ <- 1 to Rounds) {
+      val bs = 2 + rnd.nextInt(6)
+      val docs = List.tabulate(40)(i => (i.toLong, 1L + rnd.nextInt(200)))
+      val batches = graft.packing.Packing.paddingEfficiency(
+          graft.packing.Packing.lengthBuckets(
+            docs.toDF("doc_id", "n"), $"doc_id", $"n", bs))
+        .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+      assert(batches.map(_._5).sum == docs.map(_._2).sum, "token mass conserved")
+      batches.foreach { case (bkt, _, n, padTo, mass, pad, _) =>
+        assert(n >= 1 && n <= bs, s"bucket $bkt batch over size")
+        assert(pad == n * padTo - mass && pad >= 0L, s"bucket $bkt pad math")
+      }
+    }
+  }
 }
