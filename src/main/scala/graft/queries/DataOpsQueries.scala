@@ -232,6 +232,29 @@ object DataOpsQueries {
           Text.tokenCount(col("text"))))
     }),
 
+    // Cross-source duplication matrix: d04's verified near-dup pairs
+    // rolled up to (source, source) — "which sources copy from which",
+    // the provenance read a curator takes before deciding what to
+    // drop. Pair direction is normalized (least/greatest) so the
+    // matrix is triangular; every stage is an equi-join over the
+    // shared signature frames plus two broadcast-size id→source joins.
+    "d24_source_dup_matrix" -> ((s, d) => {
+      val sg = sigs(s, d)
+      val verified = Dedup.jaccardForShingles(sg.shingles,
+          Dedup.lshCandidatesFromBands(sg.bands))
+        .filter(col("jaccard") >= 0.5)
+      val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+      verified
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")),
+          Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")),
+          Seq("doc_b"))
+        .select(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_dup_pairs"))
+    }),
+
     // Rolling-window duplicate spans: stride-1 8-token windows, global
     // first-occurrence keeper — catches the cross-boundary duplicated
     // passages d14's fixed segments miss (the exact-substring-dedup
@@ -973,6 +996,31 @@ object DataOpsQueries {
          |JOIN sizes nb ON nb.doc = doc_b
          |WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.5"""
         .stripMargin.replace("\n", " "),
+
+    // d04's verified pairs joined to sources, direction-normalized.
+    "d24_source_dup_matrix" ->
+      s"""WITH $wordsCte, $shinglesCte, ${minhashSigCte(MinHashK)},
+         |bands AS (SELECT doc, i // $LshRows AS band,
+         |${h("string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)")} AS bh
+         |FROM sig GROUP BY doc, i // $LshRows),
+         |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |FROM bands a JOIN bands b
+         |ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc),
+         |shd AS (SELECT DISTINCT doc, s FROM sh),
+         |sizes AS (SELECT doc, COUNT(*) AS n FROM shd GROUP BY doc),
+         |inter AS (SELECT doc_a, doc_b, COUNT(*) AS inter
+         |FROM cand c JOIN shd a ON a.doc = c.doc_a
+         |JOIN shd b ON b.doc = c.doc_b AND b.s = a.s GROUP BY 1, 2),
+         |jac AS (SELECT doc_a, doc_b FROM inter
+         |JOIN sizes na ON na.doc = doc_a JOIN sizes nb ON nb.doc = doc_b
+         |WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE)
+         |>= 0.5)
+         |SELECT LEAST(sa.source, sb.source) AS source_a,
+         |GREATEST(sa.source, sb.source) AS source_b,
+         |CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+         |FROM jac JOIN documents sa ON sa.doc_id = jac.doc_a
+         |JOIN documents sb ON sb.doc_id = jac.doc_b
+         |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
 
     "d05_simhash" ->
       s"""WITH $wordsCte, $simhashFpCte

@@ -472,4 +472,23 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       "partial/final aggregate split must collapse the corpus first")
   }
+
+  test("d24 source matrix rolls up gated pairs over pruned source lookups") {
+    val p = planOf("d24_source_dup_matrix")
+    val plan = p.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "pair verification and source enrichment must all be equi-joins")
+    assert(collectAll(p) {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+    }.nonEmpty, "pairs must come from the shared signature cache")
+    // the only corpus touches are the two (doc_id, source) lookups
+    collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("documents")) => s
+    }.foreach(s => assert(s.output.map(_.name).toSet == Set("doc_id", "source"),
+      "source lookups must prune the corpus scan to (doc_id, source)"))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "the matrix rollup must keep the partial/final aggregate split")
+  }
 }
