@@ -255,6 +255,20 @@ object DataOpsQueries {
         .agg(count(lit(1)).as("n_dup_pairs"))
     }),
 
+    // DSIR importance weights (Xie et al. 2023): target = the src0
+    // slice standing in for the trusted corpus, raw = the full table.
+    // Hashed-unigram log-likelihood-ratio per document; the per-bucket
+    // log-ratio is floored to integer micro-nats BEFORE the per-doc
+    // sum, so the gate hashes exactly in any engine and any
+    // accumulation order. Two 64-row partial-agg distributions + one
+    // broadcast ratio join — no shuffle ever carries raw tokens beyond
+    // the (doc, bucket) partial agg.
+    "d25_dsir_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Sampling.dsirWeights(docs, docs.filter(col("source") === "src0"),
+        col("doc_id"), col("text"), buckets = 64)
+    }),
+
     // Rolling-window duplicate spans: stride-1 8-token windows, global
     // first-occurrence keeper — catches the cross-boundary duplicated
     // passages d14's fixed segments miss (the exact-substring-dedup
@@ -571,6 +585,15 @@ object DataOpsQueries {
     // tf and df, a broadcast one-row N, per-doc rank window only.
     "t13_tfidf" -> ((s, d) =>
       Text.tfidfTopK(t(s, d, "documents"), col("doc_id"), col("text"), k = 3)),
+
+    // Token-window chunking (the RAG-indexing / long-document prep
+    // step): 32-token windows advancing by 24 (8-token overlap); the
+    // last chunk always reaches the document end and no chunk is a
+    // pure suffix of its predecessor. One narrow projection + per-row
+    // generator — zero shuffles (plan-asserted).
+    "t17_chunks" -> ((s, d) =>
+      Text.chunk(t(s, d, "documents"), col("doc_id"), col("text"),
+        window = 32, overlap = 8)),
 
     // Bigram-LM perplexity scoring — t09's unigram filter with actual
     // context sensitivity: mean −ln P(w|prev) under an add-1-smoothed
@@ -1021,6 +1044,53 @@ object DataOpsQueries {
          |FROM jac JOIN documents sa ON sa.doc_id = jac.doc_a
          |JOIN documents sb ON sb.doc_id = jac.doc_b
          |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+
+    // DSIR: dense 64-bucket axis on both distributions (an unseen
+    // bucket still carries its smoothed mass), ln on IEEE doubles with
+    // the identical operand shapes as the Spark side, floored to
+    // micro-nats per bucket before the integer per-doc sum.
+    "d25_dsir_weights" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT doc, unnest(w) AS t FROM w),
+         |tb AS (SELECT doc, MOD(${h("t")}, 64) AS b, COUNT(*) AS c
+         |FROM tok GROUP BY 1, 2),
+         |tokt AS (SELECT doc, unnest(w) AS t FROM w
+         |JOIN documents ON documents.doc_id = w.doc
+         |WHERE documents.source = 'src0'),
+         |axis AS (SELECT range AS b FROM range(0, 64)),
+         |nt AS (SELECT axis.b, COALESCE(x.n, 0) AS n_t FROM axis
+         |LEFT JOIN (SELECT MOD(${h("t")}, 64) AS b, COUNT(*) AS n
+         |FROM tokt GROUP BY 1) x USING (b)),
+         |nr AS (SELECT axis.b, COALESCE(x.n, 0) AS n_r FROM axis
+         |LEFT JOIN (SELECT MOD(${h("t")}, 64) AS b, COUNT(*) AS n
+         |FROM tok GROUP BY 1) x USING (b)),
+         |tot AS (SELECT (SELECT SUM(n_t) FROM nt) AS t_total,
+         |(SELECT SUM(n_r) FROM nr) AS r_total),
+         |ratios AS (SELECT nt.b,
+         |CAST(FLOOR((ln(CAST(n_t + 1 AS DOUBLE) / CAST(t_total + 64 AS DOUBLE))
+         |- ln(CAST(n_r + 1 AS DOUBLE) / CAST(r_total + 64 AS DOUBLE))) * 1e6)
+         |AS BIGINT) AS lr
+         |FROM nt JOIN nr USING (b) CROSS JOIN tot)
+         |SELECT doc AS doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |CAST(SUM(c * lr) AS BIGINT) AS weight_micro
+         |FROM tb JOIN ratios USING (b)
+         |GROUP BY doc""".stripMargin.replace("\n", " "),
+
+    // Chunking: starts are the multiples of step=24 up to the guarded
+    // ceil-div last start; chunk_idx falls out as start // step. List
+    // slice is 1-based inclusive-and-clamping in both engines.
+    "t17_chunks" ->
+      s"""WITH $wordsCte,
+         |base AS (SELECT doc, w, CAST(len(w) AS BIGINT) AS n FROM w
+         |WHERE len(w) > 0),
+         |st AS (SELECT doc, n, w,
+         |unnest(generate_series(0, ((GREATEST(0, n - 32) + 23) // 24) * 24, 24))
+         |AS start FROM base)
+         |SELECT doc AS doc_id, CAST(start // 24 AS BIGINT) AS chunk_idx,
+         |CAST(start AS BIGINT) AS start_token,
+         |CAST(LEAST(32, n - start) AS BIGINT) AS chunk_tokens,
+         |array_to_string(w[start + 1 : start + 32], ' ') AS chunk_text
+         |FROM st""".stripMargin.replace("\n", " "),
 
     "d05_simhash" ->
       s"""WITH $wordsCte, $simhashFpCte

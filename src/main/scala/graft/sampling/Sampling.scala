@@ -190,4 +190,65 @@ object Sampling {
       .filter(col("copies") > 0)
       .select(col("doc_id"), col("source"),
         explode(sequence(lit(1L), col("copies"))).as("copy"))
+
+  /**
+   * DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+   * for Language Models via Importance Resampling"): score every raw
+   * document by how target-like its hashed n-gram feature distribution
+   * is. Features are unigrams hashed into `buckets` cells; the weight
+   * of a document is `Σ_tokens log( p_target(bucket) / p_raw(bucket) )`
+   * with add-one smoothing on both distributions. High-weight raw
+   * documents are the ones importance resampling keeps.
+   *
+   * Engine-portable determinism: the per-bucket log-ratio is floored
+   * to integer micro-nats BEFORE the per-document sum, so the
+   * accumulation is exact 64-bit integer arithmetic in any engine and
+   * any order — no float-summation-order hazard. (The bucket count is
+   * per-document grouped first, so the sum has one term per distinct
+   * bucket, but the quantization is what makes the gate hashable.)
+   *
+   * Scale shape: both distributions are `buckets`-row partial aggs
+   * (map-side combine collapses each task's token stream to ≤`buckets`
+   * rows); the ratio table broadcasts back onto the per-doc bucket
+   * counts — no shuffle ever carries raw tokens beyond the one
+   * (doc, bucket) partial agg. The target corpus is typically ≪ raw;
+   * both sides stream once.
+   */
+  def dsirWeights(raw: DataFrame, target: DataFrame, id: Column,
+      text: Column, buckets: Int = 64): DataFrame = {
+    def bucketCounts(df: DataFrame): DataFrame =
+      df.select(explode(graft.text.Text.tokens(text)).as("t"))
+        .select(pmod(Portable.hash64(col("t")), lit(buckets.toLong)).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("n"))
+    // Dense bucket axis: a bucket unseen in either corpus still gets
+    // its smoothed mass (cf. the CMS left-join fix in Sketch.scala).
+    val axis = raw.sparkSession.range(buckets).select(col("id").as("b"))
+    def smoothed(counts: DataFrame, nCol: String): DataFrame =
+      axis.join(counts, Seq("b"), "left")
+        .select(col("b"), coalesce(col("n"), lit(0L)).as(nCol))
+    val tgt = smoothed(bucketCounts(target), "n_t")
+    val rw = smoothed(bucketCounts(raw), "n_r")
+    val joined = tgt.join(rw, Seq("b"))
+    // Totals via a 1-row aggregate cross-joined back (the 64-row frame
+    // never moves to a single-partition global window).
+    val totals = joined.agg(sum(col("n_t")).as("t_total"),
+      sum(col("n_r")).as("r_total"))
+    val ratios = joined.crossJoin(totals)
+      .select(col("b"),
+        floor(
+          (log((col("n_t") + 1).cast("double") /
+            (col("t_total") + buckets).cast("double")) -
+            log((col("n_r") + 1).cast("double") /
+              (col("r_total") + buckets).cast("double"))) * 1e6)
+          .cast("long").as("lr_micro"))
+    val docBuckets = raw
+      .select(id.as("doc_id"), explode(graft.text.Text.tokens(text)).as("t"))
+      .select(col("doc_id"),
+        pmod(Portable.hash64(col("t")), lit(buckets.toLong)).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    docBuckets.join(broadcast(ratios), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("lr_micro")).as("weight_micro"))
+  }
 }

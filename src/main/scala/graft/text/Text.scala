@@ -326,4 +326,50 @@ object Text {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
   }
+
+  /**
+   * Token-window document chunking with overlap — the context-window
+   * preparation step for RAG indexing and long-document training
+   * (split each document into `window`-token chunks whose starts
+   * advance by `window - overlap` tokens).
+   *
+   * Chunk-count rule: `1 + ceil(max(0, n - window) / step)` starts, so
+   * the final chunk always reaches the end of the document and no
+   * chunk is a pure suffix of its predecessor (a naive
+   * "every multiple of step below n" start rule emits degenerate
+   * tail chunks already fully covered by the previous window).
+   *
+   * Scale shape: a single narrow projection + per-row generator — no
+   * shuffle, no window function; each task streams its documents and
+   * emits chunks inline (plan-asserted in PlanSpec). Output is
+   * ~`n/step` rows per document regardless of cluster size.
+   */
+  def chunk(df: DataFrame, id: Column, text: Column,
+      window: Int, overlap: Int): DataFrame = {
+    require(window > 0 && overlap >= 0 && overlap < window,
+      s"need 0 <= overlap < window, got window=$window overlap=$overlap")
+    val step = window - overlap
+    val base = df.select(id.as("doc_id"), tokens(text).as("w"))
+      .withColumn("n", size(col("w")))
+      .where(col("n") > 0)
+    // greatest(0, n - window) keeps the ceil-div numerator non-negative:
+    // integer division of negatives truncates toward zero on the JVM
+    // but floors in SQL engines, so the guarded form is the only one
+    // with engine-portable semantics.
+    val lastStart =
+      floor((greatest(lit(0), col("n") - window) + (step - 1))
+        .cast("double") / step).cast("int") * step
+    base
+      .select(col("doc_id"), col("n"), col("w"),
+        posexplode(sequence(lit(0), lastStart, lit(step)))
+          .as(Seq("chunk_idx", "start")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start_token"),
+        least(lit(window), col("n") - col("start")).cast("long")
+          .as("chunk_tokens"),
+        concat_ws(" ", slice(col("w"), col("start") + 1, lit(window)))
+          .as("chunk_text"))
+  }
 }

@@ -491,4 +491,26 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       "the matrix rollup must keep the partial/final aggregate split")
   }
+
+  test("t17 chunking is a pure narrow generator — zero shuffles") {
+    val p = planOf("t17_chunks")
+    val shuffles = collectAll(p) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty,
+      s"chunking must stream documents without a shuffle: ${shuffles.size}")
+    assert(p.toString.contains("Generate"),
+      "chunks must come from a per-row generator, not a join")
+  }
+
+  test("d25 DSIR broadcasts the 64-row ratio table onto the doc buckets") {
+    val p = planOf("d25_dsir_weights")
+    val plan = p.toString
+    assert(!plan.contains("CartesianProduct"),
+      "the token-distribution joins must never be products")
+    val broadcasts = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(broadcasts.nonEmpty,
+      "the per-bucket log-ratio table must broadcast, never shuffle the corpus")
+    // no global window: totals come from a 1-row aggregate cross join
+    assert(!plan.contains("Window"),
+      "DSIR must not move the distribution to a single-partition window")
+  }
 }

@@ -87,4 +87,22 @@ class SamplingSpec extends SparkTestBase {
       .select(col("sample_weight")).as[Double].collect()
     assert(nat.forall(w => math.abs(w - 1.0) < 1e-9))
   }
+
+  test("dsirWeights scores target-like documents higher, to the micro-nat") {
+    import org.apache.spark.sql.functions.col
+    val raw = Seq((1L, "x x x x"), (2L, "y y y y")).toDF("doc_id", "text")
+    val target = Seq((9L, "x x x x x")).toDF("doc_id", "text")
+    val got = Sampling.dsirWeights(raw, target, col("doc_id"), col("text"),
+        buckets = 64)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // Replicate the add-1-smoothed log-ratio arithmetic exactly:
+    // target {x:5}, raw {x:4, y:4}; totals 5 and 8, 64 buckets.
+    def lr(nT: Long, nR: Long): Long =
+      math.floor((math.log((nT + 1).toDouble / (5 + 64).toDouble) -
+        math.log((nR + 1).toDouble / (8 + 64).toDouble)) * 1e6).toLong
+    assert(got(1L) == ((1L, 4L, 4 * lr(5, 4))))
+    assert(got(2L) == ((2L, 4L, 4 * lr(0, 4))))
+    assert(got(1L)._3 > got(2L)._3,
+      "the target-distributed document must outscore the off-target one")
+  }
 }

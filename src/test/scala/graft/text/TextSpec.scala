@@ -103,4 +103,41 @@ class TextSpec extends SparkTestBase {
     val (_, _, wc3, _, sym3, aw3, _, nf3, p3) = got(3L)
     assert(wc3 && !sym3 && !aw3 && nf3 >= 2L && !p3)
   }
+
+  test("chunk emits overlapping windows whose last chunk reaches the end") {
+    // n=8, window=4, step=3 → starts 0,3,6; the 6-start chunk is the
+    // 2-token tail that a naive every-multiple-below-n rule would
+    // follow with a degenerate pure-suffix chunk.
+    val df = Seq((1L, "a b c d e f g h")).toDF("id", "txt")
+    val got = Text.chunk(df, $"id", $"txt", window = 4, overlap = 1)
+      .orderBy($"chunk_idx")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 4L, "a b c d"),
+      (1L, 1L, 3L, 4L, "d e f g"),
+      (1L, 2L, 6L, 2L, "g h")))
+  }
+
+  test("chunk: short docs yield one whole-doc chunk; empty docs none") {
+    val df = Seq((1L, "a b"), (2L, ""), (3L, "   ")).toDF("id", "txt")
+    val got = Text.chunk(df, $"id", $"txt", window = 4, overlap = 1)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(got.toSeq == Seq((1L, 0L, 0L, 2L, "a b")))
+  }
+
+  test("chunk covers every token exactly: union of chunks = [0, n)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val chunks = Text.chunk(docs, $"doc_id", $"text", window = 32, overlap = 8)
+      .groupBy($"doc_id")
+      .agg(
+        org.apache.spark.sql.functions.min($"start_token").as("first"),
+        org.apache.spark.sql.functions.max($"start_token" + $"chunk_tokens")
+          .as("end"),
+        org.apache.spark.sql.functions.min($"chunk_tokens").as("min_len"))
+    val n = docs.select($"doc_id", Text.tokenCount($"text").as("n"))
+    val bad = chunks.join(n, "doc_id")
+      .where($"first" =!= 0L || $"end" =!= $"n" || $"min_len" <= 0L)
+      .count()
+    assert(bad == 0L, "every document must be covered start-to-end")
+  }
 }
