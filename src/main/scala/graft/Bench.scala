@@ -59,16 +59,24 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
 
-    // Repeated-run medians for the multi-restart streaming gates:
-    // their n=1 suite numbers are dominated by query startup +
-    // checkpoint commits and swing round-to-round (the round-6 noise
-    // determination in PERF_NOTES.md), so the round artifact also
-    // publishes n=3 medians — the number round-over-round streaming
-    // comparisons should read. Only bench_detail.json carries them;
-    // the stdout line keeps its driver-parsed shape.
-    val multiRestart = Set("s08", "s09", "s10", "s11", "s12", "s13", "s14", "s15")
+    // End-of-suite cache teardown: delete the signature spill + band
+    // index parquet scratch dirs and unpersist the codebook — the
+    // release() scope contract (nothing owned by this corpus outlives
+    // the run), and it keeps the s-family medians below clean of any
+    // leftover d/e-family state.
+    graft.queries.DataOpsQueries.release(sfDir)
+
+    // Repeated-run medians for the WHOLE streaming family: their n=1
+    // suite numbers are dominated by query startup + checkpoint
+    // commits and swing round-to-round (the round-6 noise
+    // determination in PERF_NOTES.md; round 7's s03/s04/s07 4-6x
+    // n=1 swings made the single-shot gates just as untrustworthy as
+    // the multi-restart ones), so the round artifact also publishes
+    // n=3 medians — the number round-over-round streaming comparisons
+    // should read. Only bench_detail.json carries them; the stdout
+    // line keeps its driver-parsed shape.
     val sMedians = results.collect {
-      case (name, first) if multiRestart(name.takeWhile(_ != '_')) && first >= 0 =>
+      case (name, first) if name.startsWith("s") && first >= 0 =>
         val fn = SparkEntry.queries(name)
         val times = (first +: (1 to 2).map { _ =>
           val t0 = System.nanoTime()

@@ -22,6 +22,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Scope teardown: drop the per-corpus materialize-once artifacts
+    // (signature spill, band index, codebook) now that the run is done.
+    graft.queries.DataOpsQueries.release(sfDir)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -42,7 +42,9 @@ object Dedup {
    */
   final case class SignatureSet(tokens: DataFrame, shingles: DataFrame,
       minhash: DataFrame, simhash: DataFrame, bands: DataFrame) {
-    /** Drop all five cached frames (end of the dedup run). */
+    /** Drop all five cached frames (end of the dedup run). A no-op for
+      * a [[signaturesSpilled]] set, whose frames live in parquet — the
+      * owner deletes the spill directory instead. */
     def unpersist(): Unit = {
       tokens.unpersist(); shingles.unpersist()
       minhash.unpersist(); simhash.unpersist(); bands.unpersist()
@@ -57,14 +59,54 @@ object Dedup {
    * gated queries — none of which re-touch the corpus afterwards, and
    * none of which re-run the per-doc band reduction either (`bands` is
    * |docs|·k/r rows, the smallest frame of the set).
+   *
+   * Storage is SERIALIZED memory spilling to disk: the token/shingle
+   * frames are the exploded corpus, and round-7 measured deserialized
+   * row caches of them starving every query that ran after the dedup
+   * family (eviction churn + GC pressure in a bounded heap). Short
+   * in-memory lifetimes only — callers MUST [[SignatureSet.unpersist]]
+   * when the dedup run ends; anything longer-lived (a query suite, a
+   * multi-corpus service) uses [[signaturesSpilled]].
    */
   def signatures(df: DataFrame, id: Column, text: Column, k: Int,
       shingleN: Int = 3, r: Int = 4): SignatureSet = {
-    val toks = tokenFrame(df, id, text).persist()
-    val sh = shingleFrame(toks, shingleN).persist()
-    val mh = minHashFromShingles(sh, k).persist()
-    val fp = simHashFromTokens(toks).persist()
-    val bd = bandSignatures(mh, r).persist()
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val toks = tokenFrame(df, id, text).persist(MEMORY_AND_DISK_SER)
+    val sh = shingleFrame(toks, shingleN).persist(MEMORY_AND_DISK_SER)
+    val mh = minHashFromShingles(sh, k).persist(MEMORY_AND_DISK_SER)
+    val fp = simHashFromTokens(toks).persist(MEMORY_AND_DISK_SER)
+    val bd = bandSignatures(mh, r).persist(MEMORY_AND_DISK_SER)
+    SignatureSet(toks, sh, mh, fp, bd)
+  }
+
+  /**
+   * [[signatures]], materialized to PARQUET instead of the block
+   * cache: each frame is written once under `dir` and read back
+   * columnar-compressed, so the signature set holds ZERO executor
+   * memory between consumers — the lifecycle a long-lived deployment
+   * needs (and what round 7 proved the in-memory cache is not: five
+   * deserialized frames pinned for a whole suite made every query
+   * after the dedup family slower). Derivation order still guarantees
+   * one corpus scan and one pass per derived frame: shingles read the
+   * token spill, MinHash reads the shingle spill, SimHash reads the
+   * token spill, bands read the MinHash spill.
+   *
+   * The caller owns `dir` (create, reuse-check, delete); frames land
+   * at `dir/{tokens,shingles,minhash,simhash,bands}`.
+   */
+  def signaturesSpilled(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, id: Column, text: Column, k: Int,
+      shingleN: Int = 3, r: Int = 4, dir: String): SignatureSet = {
+    def spill(name: String, frame: DataFrame): DataFrame = {
+      val p = s"$dir/$name"
+      frame.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    val toks = spill("tokens", tokenFrame(df, id, text))
+    val sh = spill("shingles", shingleFrame(toks, shingleN))
+    val mh = spill("minhash", minHashFromShingles(sh, k))
+    val fp = spill("simhash", simHashFromTokens(toks))
+    val bd = spill("bands", bandSignatures(mh, r))
     SignatureSet(toks, sh, mh, fp, bd)
   }
 

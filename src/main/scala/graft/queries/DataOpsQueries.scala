@@ -35,22 +35,69 @@ object DataOpsQueries {
   /**
    * Materialize-once dedup signatures, shared across every d-family
    * gate in a run: the first gate that touches the corpus pays for the
-   * single tokenize/shingle/MinHash/SimHash pass (persisted), and
-   * d03/d04/d05/d06/d07/d09/d16/d18 all reuse the cached frames — the
+   * single tokenize/shingle/MinHash/SimHash pass, and
+   * d03/d04/d05/d06/d07/d09/d16/d18 all reuse the shared frames — the
    * production pipeline shape, where signatures are computed once per
    * corpus and every candidate generator and audit is an equi-join
    * over them. Keyed by data directory; recomputed if the session
-   * changed (a fresh run's caches died with its session).
+   * changed (a fresh run's spill paths died with its session).
+   *
+   * Storage is a PARQUET spill ([[Dedup.signaturesSpilled]]), not the
+   * block cache: round 7 held the five frames `.persist()`ed
+   * (deserialized, unbounded lifetime) and measured every consumer
+   * except d16 SLOWER than recompute, plus a 4–6× slowdown in the
+   * streaming gates that ran while the frames stayed pinned — the
+   * exploded token/shingle frames squeezed the whole suite's heap.
+   * The spill holds zero executor memory between consumers, reads
+   * back columnar-compressed, and is scoped: [[release]] deletes it.
    */
   private val sigCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, Dedup.SignatureSet)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String, Dedup.SignatureSet)]()
+
+  /** Per-corpus, per-JVM scratch dir (same naming contract as the band
+    * index: basename + path hash + pid — two corpora or two processes
+    * can never collide); deleted on JVM exit and by [[release]]. */
+  private def scratchDir(prefix: String, d: String): java.io.File = {
+    val base = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"${prefix}_${base}_${Integer.toHexString(d.hashCode)}_" +
+        ProcessHandle.current().pid)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(f)))
+    f
+  }
 
   private def sigs(s: SparkSession, d: String): Dedup.SignatureSet =
     sigCache.compute(d, (_, cur) =>
       if (cur != null && (cur._1 eq s)) cur
-      else (s, Dedup.signatures(t(s, d, "documents"), col("doc_id"),
-        col("text"), k = MinHashK, shingleN = 3, r = LshRows))
-    )._2
+      else {
+        val dir = scratchDir("graft_sigs", d).getAbsolutePath
+        (s, dir, Dedup.signaturesSpilled(s, t(s, d, "documents"),
+          col("doc_id"), col("text"), k = MinHashK, shingleN = 3,
+          r = LshRows, dir = dir))
+      }
+    )._3
+
+  /**
+   * Release every materialize-once artifact held for data directory
+   * `d`: the signature spill and band index parquet directories are
+   * deleted, the codebook's cached blocks unpersisted, and all three
+   * cache entries dropped — the scope boundary a long-lived
+   * multi-corpus deployment needs (nothing accumulates per corpus
+   * after its dedup run ends). Suite harnesses (Bench, Verify) call
+   * this in teardown; the next [[sigs]]/[[codebook]] call on the same
+   * directory simply rebuilds.
+   */
+  def release(d: String): Unit = {
+    Option(sigCache.remove(d)).foreach { case (_, dir, _) =>
+      deleteTree(new java.io.File(dir))
+    }
+    Option(bandIndexCache.remove(d)).foreach { case (_, path) =>
+      deleteTree(new java.io.File(path))
+    }
+    Option(codebookCache.remove(d)).foreach { case (_, df) =>
+      df.unpersist(): Unit
+    }
+  }
 
   /**
    * Trained k-means codebook (k=4, iters=2), shared across the
@@ -94,14 +141,8 @@ object DataOpsQueries {
         // collide onto one index) AND the JVM pid (two processes on
         // one machine can never overwrite each other's index mid-scan
         // — the cache is per-JVM, so the path may as well be too);
-        // deleted on JVM exit.
-        val base = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9._-]", "_")
-        val dirFile = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_band_index_${base}_${Integer.toHexString(d.hashCode)}_" +
-            ProcessHandle.current().pid)
-        Runtime.getRuntime.addShutdownHook(
-          new Thread(() => deleteTree(dirFile)))
-        val path = dirFile.getAbsolutePath
+        // deleted on JVM exit and by [[release]].
+        val path = scratchDir("graft_band_index", d).getAbsolutePath
         sigs(s, d).bands
           .filter(pmod(Portable.hash64(col("doc")), lit(5L)) < 4)
           .write.mode("overwrite").parquet(path)
@@ -1067,8 +1108,9 @@ object DataOpsQueries {
          |tot AS (SELECT (SELECT SUM(n_t) FROM nt) AS t_total,
          |(SELECT SUM(n_r) FROM nr) AS r_total),
          |ratios AS (SELECT nt.b,
-         |CAST(FLOOR((ln(CAST(n_t + 1 AS DOUBLE) / CAST(t_total + 64 AS DOUBLE))
-         |- ln(CAST(n_r + 1 AS DOUBLE) / CAST(r_total + 64 AS DOUBLE))) * 1e6)
+         |CAST(FLOOR(ln(
+         |(CAST(n_t + 1 AS DOUBLE) * CAST(r_total + 64 AS DOUBLE))
+         |/ (CAST(n_r + 1 AS DOUBLE) * CAST(t_total + 64 AS DOUBLE))) * 1e6)
          |AS BIGINT) AS lr
          |FROM nt JOIN nr USING (b) CROSS JOIN tot)
          |SELECT doc AS doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,

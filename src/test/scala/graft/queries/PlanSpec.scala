@@ -307,20 +307,24 @@ class PlanSpec extends SparkTestBase {
       "estimate and truth must both join through the LSH candidate pairs")
   }
 
-  test("d16/d18 audits read the persisted signature frames, not the corpus") {
+  test("d16/d18 audits read the spilled signature frames, not the corpus") {
     // The materialize-once contract: every dedup audit is equi-joins
-    // over the shared cached signature/shingle frames — the corpus
-    // parquet is scanned by the one signatures() pass, never again
-    // per audit. InMemoryTableScan in the plan == cache hit; a
-    // documents.parquet FileScan in an audit == a corpus re-scan.
+    // over the shared signature/shingle frames — the corpus parquet is
+    // scanned by the one signaturesSpilled() pass, never again per
+    // audit. The frames live in a parquet spill (graft_sigs_*), not
+    // the block cache: round 7 measured the deserialized row cache of
+    // the exploded token/shingle frames starving the rest of the
+    // suite. A graft_sigs FileScan == spill hit; a documents.parquet
+    // FileScan in an audit == a corpus re-scan.
     for (name <- Seq("d16_minhash_quality", "d18_signal_agreement",
         "d20_fuzzy_decontam")) {
       val p = planOf(name)
-      val cacheScans = collectAll(p) {
-        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+      val spillScans = collectAll(p) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("graft_sigs")) => s
       }
-      assert(cacheScans.nonEmpty,
-        s"$name must read the persisted signature frames")
+      assert(spillScans.nonEmpty,
+        s"$name must read the spilled signature frames")
       val corpusScans = collectAll(p) {
         case s: org.apache.spark.sql.execution.FileSourceScanExec
             if s.relation.location.rootPaths.exists(_.toString.contains("documents")) => s
@@ -342,8 +346,9 @@ class PlanSpec extends SparkTestBase {
     }
     assert(idxScans.nonEmpty, "the search must read the persisted band index")
     assert(collectAll(p) {
-      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
-    }.nonEmpty, "batch bands must come from the shared signature cache")
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("graft_sigs")) => s
+    }.nonEmpty, "batch bands must come from the shared signature spill")
     val docScans = collectAll(p) {
       case s: org.apache.spark.sql.execution.FileSourceScanExec
           if s.relation.location.rootPaths.exists(_.toString.contains("documents")) => s
@@ -480,8 +485,9 @@ class PlanSpec extends SparkTestBase {
       !plan.contains("BroadcastNestedLoopJoin"),
       "pair verification and source enrichment must all be equi-joins")
     assert(collectAll(p) {
-      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
-    }.nonEmpty, "pairs must come from the shared signature cache")
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("graft_sigs")) => s
+    }.nonEmpty, "pairs must come from the shared signature spill")
     // the only corpus touches are the two (doc_id, source) lookups
     collectAll(p) {
       case s: org.apache.spark.sql.execution.FileSourceScanExec
