@@ -65,8 +65,6 @@ object CdcMerge {
 
   private def bucketDir(statePath: String, b: Long) =
     new Path(statePath, f"b$b%05d")
-  private def tmpDir(statePath: String, b: Long) =
-    new Path(s"$statePath.tmp", f"b$b%05d")
   private def bakDir(statePath: String, b: Long) =
     new Path(s"$statePath.bak", f"b$b%05d")
 
@@ -82,21 +80,22 @@ object CdcMerge {
   }
 
   /**
-   * Atomically install `merged` as bucket `b`'s state.
+   * Atomically install the pre-written scratch dir `tmp` as bucket
+   * `b`'s state. A missing `tmp` means the bucket's merged contents
+   * are EMPTY (every key deleted — a partitioned write emits no dir
+   * for an empty partition); an empty dir is installed so the swap
+   * still retires the old copy.
    *
    * Ordering is the load-bearing part: the previous copy is deleted
    * only AFTER the replacement is fully installed, and every rename is
    * checked — a false return fails the epoch so Spark replays it
    * instead of silently committing a half-swap.
    */
-  private def installBucket(fs: FileSystem, merged: DataFrame,
+  private def installBucketDir(fs: FileSystem, tmp: Path,
       statePath: String, b: Long): Unit = {
     val state = bucketDir(statePath, b)
-    val tmp = tmpDir(statePath, b)
     val bak = bakDir(statePath, b)
-    // Writing scratch materializes the merge — the old state (or its
-    // backup) is still being read here, so it must not move yet.
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (!fs.exists(tmp)) fs.mkdirs(tmp)
     if (fs.exists(state)) {
       // A backup alongside a live state dir is a stale leftover of a
       // crash after install-but-before-cleanup; the state dir is newer.
@@ -117,6 +116,19 @@ object CdcMerge {
    * at `statePath`: untouched buckets are not read or written; within
    * a touched bucket, untouched keys survive, changed keys take the
    * batch's final image, DELETEs drop.
+   *
+   * ONE Spark job merges every touched bucket: the live copies of all
+   * touched buckets are read as one multi-path scan, batch survivors
+   * and final images union, and a `partitionBy("__bucket")` write
+   * lands each bucket's new contents under `statePath.tmp/__bucket=N`
+   * in a single pass. The per-bucket crash-safe rename swap then runs
+   * over the pre-written scratch dirs — metadata-only operations, so
+   * serializing THOSE is O(touched) namenode calls, not O(touched)
+   * Spark jobs (the previous form launched a full merge job per
+   * bucket; at 256 buckets that serialized the sink on the driver).
+   * The existing rows' bucket is recomputed from their key columns —
+   * the bucket function is pure, so it always agrees with the dir the
+   * row was read from.
    */
   def applyBatch(spark: SparkSession, batch: DataFrame, statePath: String,
       keyCols: Seq[String], scnCol: String, opcodeCol: String,
@@ -129,19 +141,23 @@ object CdcMerge {
     // cardinality, not data cardinality, so the collect is safe.
     val touched = withBucket.select("__bucket").distinct()
       .collect().map(_.getLong(0)).sorted
+    if (touched.isEmpty) return
+    val latest = latestState(withBucket, keyCols, scnCol, opcodeCol)
+    val livePaths = touched.toSeq.flatMap(liveBucket(fs, statePath, _)).map(_.toString)
+    val merged = if (livePaths.nonEmpty) {
+      val existing = spark.read.parquet(livePaths: _*).withColumn("__bucket", bucketOf)
+      val touchedKeys = withBucket.select(keyCols.map(col): _*).distinct()
+      existing.join(touchedKeys, keyCols, "left_anti")
+        .unionByName(latest.select(existing.columns.map(col): _*))
+    } else latest
+    val tmpRoot = new Path(s"$statePath.tmp")
+    fs.delete(tmpRoot, true) // leftovers of a crashed epoch
+    merged.write.mode(SaveMode.Overwrite).partitionBy("__bucket")
+      .parquet(tmpRoot.toString)
     touched.foreach { b =>
-      val bucketBatch = withBucket.filter(col("__bucket") === b).drop("__bucket")
-      val latest = latestState(bucketBatch, keyCols, scnCol, opcodeCol)
-      val touchedKeys = bucketBatch.select(keyCols.map(col): _*).distinct()
-      val merged = liveBucket(fs, statePath, b) match {
-        case Some(live) =>
-          val existing = spark.read.parquet(live.toString)
-          existing.join(touchedKeys, keyCols, "left_anti")
-            .unionByName(latest.select(existing.columns.map(col): _*))
-        case None => latest
-      }
-      installBucket(fs, merged, statePath, b)
+      installBucketDir(fs, new Path(tmpRoot, s"__bucket=$b"), statePath, b)
     }
+    fs.delete(tmpRoot, true)
   }
 
   /** The full live state: the union of every bucket's surviving copy.

@@ -100,6 +100,54 @@ class CdcMergeSpec extends SparkTestBase {
     assert(fullState(statePath) == Map(1L -> "a1", 2L -> "b2", 3L -> "c3"))
   }
 
+  test("a multi-bucket epoch runs a bounded job count, not one per bucket") {
+    val statePath = Files.createTempDirectory("graft-cdc-jobs-").toString + "/state"
+    val buckets = 8
+    CdcMerge.applyBatch(spark,
+      (1L to 40L).map(k => Change(k, k, "INSERT", s"v$k")).toDF(),
+      statePath, Seq("key"), "scn", "opcode", numBuckets = buckets)
+
+    // Compare the job count of an epoch touching ONE bucket against an
+    // epoch touching EVERY bucket: the merge must be one distributed
+    // write over all touched buckets (plus the touched-id collect and
+    // AQE stage jobs), so the all-bucket epoch may not cost ~one extra
+    // job per extra bucket — the previous per-bucket driver loop ran a
+    // full merge job per bucket and serialized the sink at high bucket
+    // counts (there it would be >= buckets-1 extra jobs).
+    def jobsDuring(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(): Unit
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        // Let the listener bus drain: poll until the count stops moving.
+        var last = -1
+        while (jobs.get() != last) { last = jobs.get(); Thread.sleep(300) }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      jobs.get()
+    }
+    val oneBucket = jobsDuring {
+      CdcMerge.applyBatch(spark,
+        Seq(Change(7L, 100L, "UPDATE", "v7b")).toDF(),
+        statePath, Seq("key"), "scn", "opcode", numBuckets = buckets)
+    }
+    val allBuckets = jobsDuring {
+      CdcMerge.applyBatch(spark,
+        (1L to 40L).map(k => Change(k, 200L + k, "UPDATE", s"w$k")).toDF(),
+        statePath, Seq("key"), "scn", "opcode", numBuckets = buckets)
+    }
+    assert(fullState(statePath).get(7L).contains("w7"))
+    assert(allBuckets < oneBucket + buckets - 1,
+      s"an epoch touching all $buckets buckets must not pay ~one merge job " +
+        s"per bucket: one-bucket epoch ran $oneBucket jobs, all-bucket ran " +
+        s"$allBuckets")
+  }
+
   test("an epoch touching one key rewrites only that key's bucket") {
     val statePath = Files.createTempDirectory("graft-cdc-incr-").toString + "/state"
     val fs = new org.apache.hadoop.fs.Path(statePath)
