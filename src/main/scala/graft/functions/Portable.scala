@@ -30,6 +30,14 @@ object Portable {
   def hash64Sql(expr: String): String =
     s"CAST(CONCAT('0x', SUBSTR(md5(CAST($expr AS VARCHAR)), 1, 8)) AS BIGINT)"
 
+  /** JVM-side evaluation of [[hash64]] on a string — for driver/test
+    * code that needs to pre-compute the bucket a value hashes to. */
+  def hash64Of(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map(b => f"$b%02x").mkString, 16)
+
   /**
    * 63-bit hash: low 32 bits from md5 hex chars 1-8, high 31 bits from
    * chars 9-16. Max value 2^63-1 exactly — safe for signed-64

@@ -233,13 +233,24 @@ object Sampling {
     // never moves to a single-partition global window).
     val totals = joined.agg(sum(col("n_t")).as("t_total"),
       sum(col("n_r")).as("r_total"))
+    // One ln, not two: the log-ratio collapses to
+    //   ln( ((n_t+1)·(r_total+64)) / ((n_r+1)·(t_total+64)) )
+    // where both products and the division are IEEE-correctly-rounded
+    // double ops on integer-valued operands — bit-identical in every
+    // engine — so the only libm call left is a single ln of the SAME
+    // double on both sides (the two-ln form fed each engine different
+    // intermediate roundings, doubling the chance a micro-nat floor
+    // boundary falls inside the ulp gap). Residual tolerance: ln is
+    // ~1-ulp accurate, so a ratio within ~1e-10 of an exact e^(m/1e6)
+    // boundary could still floor differently across libms — accepted
+    // and documented, same class as the round(..,6) oracles.
     val ratios = joined.crossJoin(totals)
       .select(col("b"),
-        floor(
-          (log((col("n_t") + 1).cast("double") /
-            (col("t_total") + buckets).cast("double")) -
-            log((col("n_r") + 1).cast("double") /
-              (col("r_total") + buckets).cast("double"))) * 1e6)
+        floor(log(
+          ((col("n_t") + 1).cast("double") *
+            (col("r_total") + buckets).cast("double")) /
+          ((col("n_r") + 1).cast("double") *
+            (col("t_total") + buckets).cast("double"))) * 1e6)
           .cast("long").as("lr_micro"))
     val docBuckets = raw
       .select(id.as("doc_id"), explode(graft.text.Text.tokens(text)).as("t"))

@@ -95,11 +95,22 @@ class SamplingSpec extends SparkTestBase {
     val got = Sampling.dsirWeights(raw, target, col("doc_id"), col("text"),
         buckets = 64)
       .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // The expected weights assume "x" and "y" hash to DIFFERENT
+    // buckets (each doc's tokens then meet exactly one ratio row); a
+    // future hash change that collides them would silently change the
+    // arithmetic below, so pin the assumption explicitly first.
+    val bx = Math.floorMod(graft.functions.Portable.hash64Of("x"), 64L)
+    val by = Math.floorMod(graft.functions.Portable.hash64Of("y"), 64L)
+    assert(bx != by,
+      s"test precondition: tokens 'x' (bucket $bx) and 'y' (bucket $by) " +
+        "must land in distinct 64-buckets — pick different tokens if the " +
+        "hash function changed")
     // Replicate the add-1-smoothed log-ratio arithmetic exactly:
     // target {x:5}, raw {x:4, y:4}; totals 5 and 8, 64 buckets.
+    // Single-ln rational form — must mirror Sampling.dsirWeights.
     def lr(nT: Long, nR: Long): Long =
-      math.floor((math.log((nT + 1).toDouble / (5 + 64).toDouble) -
-        math.log((nR + 1).toDouble / (8 + 64).toDouble)) * 1e6).toLong
+      math.floor(math.log(((nT + 1).toDouble * (8 + 64).toDouble) /
+        ((nR + 1).toDouble * (5 + 64).toDouble)) * 1e6).toLong
     assert(got(1L) == ((1L, 4L, 4 * lr(5, 4))))
     assert(got(2L) == ((2L, 4L, 4 * lr(0, 4))))
     assert(got(1L)._3 > got(2L)._3,
