@@ -651,6 +651,13 @@ object DataOpsQueries {
     "t16_gopher_rules" -> ((s, d) =>
       Text.gopherRules(t(s, d, "documents"), col("doc_id"), col("text"))),
 
+    // The composed quality funnel: langid → Gopher gate → repetition
+    // filter with cumulative survivor counts, fused into ONE corpus
+    // scan (every stage a column expression; repetition per-row via
+    // sorted-run fold + array_distinct — no joins, no keyed shuffles).
+    "t18_quality_funnel" -> ((s, d) =>
+      Text.qualityFunnel(t(s, d, "documents"), col("doc_id"), col("text"))),
+
     // Corpus integrity pre-flight: the referential/shape audit run
     // before spending a training job — row counts, doc↔embedding
     // orphans (anti-joins both ways), empty/whitespace-only texts,
@@ -1855,6 +1862,69 @@ object DataOpsQueries {
          |SELECT doc_id, n_tokens, r_word_count, r_mean_len, r_symbol,
          |r_alpha_words, r_stop_kinds, CAST(nf AS BIGINT) AS n_fail,
          |nf = 0 AS pass FROM f""".stripMargin.replace("\n", " "),
+
+    // The funnel recomputed stage by stage: t01's lang pick, t16's
+    // five rules as one conjunction, t08's repetition flag via the
+    // keyed-agg CTEs (the Spark side computes the same flag per-row
+    // from a sorted-run fold — max multiplicity == longest equal run
+    // of the sorted list, identical after the shared 6-dp rounding).
+    // Token-less docs have no repetition row -> LEFT JOIN + COALESCE
+    // false, mirroring the Spark side's n > 0 guards.
+    "t18_quality_funnel" -> {
+      val langs = Text.LangMarkers.toSeq.sortBy(_._1)
+      val names = langs.map(_._1)
+      val scoreExprs = langs.map { case (l, ws) =>
+        s"CAST(len(list_filter(w, x -> ${markerIn(ws)})) AS BIGINT) AS s_$l"
+      }.mkString(", ")
+      val caseChain = names.init.zipWithIndex.map { case (l, i) =>
+        val ge = names.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $ge THEN '$l'"
+      }.mkString(" ")
+      s"""WITH $wordsCte,
+         |sc AS (SELECT doc, $scoreExprs FROM w),
+         |lang AS (SELECT doc, CASE $caseChain ELSE '${names.last}' END
+         |AS predicted FROM sc),
+         |gr AS (SELECT doc, (len(w) BETWEEN 25 AND 100000
+         |AND (len(w) > 0 AND
+         |CAST(list_reduce(list_transform(w, x -> len(x)), (a, b) -> a + b)
+         |AS DOUBLE) / CAST(len(w) AS DOUBLE) BETWEEN 3.0 AND 10.0)
+         |AND (length(text) > 0 AND
+         |CAST(length(regexp_replace(text, '[a-z A-Z]', '', 'g')) AS DOUBLE)
+         |/ CAST(length(text) AS DOUBLE) <= 0.1)
+         |AND (len(w) > 0 AND
+         |CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+         |AS DOUBLE) / CAST(len(w) AS DOUBLE) >= 0.8)
+         |AND len(list_distinct(list_filter(w, x -> $stopIn))) >= 2)
+         |AS pass FROM w),
+         |tok AS (SELECT doc, unnest(w) AS t FROM w),
+         |tc AS (SELECT doc, t, COUNT(*) AS c FROM tok GROUP BY doc, t),
+         |ts AS (SELECT doc, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |MAX(c) AS top_c FROM tc GROUP BY doc),
+         |g2 AS (SELECT doc, unnest(CASE WHEN len(w) >= 2 THEN
+         |list_transform(generate_series(1, len(w) - 1),
+         |j -> concat_ws(' ', w[j], w[j+1])) ELSE [] END) AS g FROM w),
+         |gs AS (SELECT doc, COUNT(*) AS n2, COUNT(DISTINCT g) AS nd2
+         |FROM g2 GROUP BY doc),
+         |rep AS (SELECT ts.doc,
+         |(round(CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) > 0.2
+         |OR coalesce(round(1.0 - CAST(nd2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6),
+         |0.0) > 0.4) AS repetitive
+         |FROM ts LEFT JOIN gs ON gs.doc = ts.doc),
+         |f AS (SELECT w.doc, (lang.predicted = 'en') AS f_lang,
+         |((lang.predicted = 'en') AND gr.pass) AS f_gopher,
+         |((lang.predicted = 'en') AND gr.pass
+         |AND NOT COALESCE(rep.repetitive, FALSE)) AS f_rep
+         |FROM w JOIN lang ON lang.doc = w.doc JOIN gr ON gr.doc = w.doc
+         |LEFT JOIN rep ON rep.doc = w.doc)
+         |SELECT '1_all' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM f
+         |UNION ALL SELECT '2_lang',
+         |CAST(SUM(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT) FROM f
+         |UNION ALL SELECT '3_gopher',
+         |CAST(SUM(CASE WHEN f_gopher THEN 1 ELSE 0 END) AS BIGINT) FROM f
+         |UNION ALL SELECT '4_repetition',
+         |CAST(SUM(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) FROM f"""
+        .stripMargin.replace("\n", " ")
+    },
 
     "t14_integrity" ->
       """SELECT

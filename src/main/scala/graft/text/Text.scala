@@ -115,26 +115,35 @@ object Text {
   def gopherRules(df: DataFrame, id: Column, text: Column): DataFrame = {
     val base = df.select(id.as("doc_id"), text.as("text"))
       .withColumn("w", tokens(col("text")))
-    val n = size(col("w")).cast("long")
-    val meanLen = aggregate(col("w"), lit(0L), (acc, x) => acc + length(x))
-      .cast("double") / n.cast("double")
-    val symbolRatio = length(regexp_replace(col("text"), "[a-z A-Z]", ""))
-      .cast("double") / length(col("text")).cast("double")
-    val alphaFrac = size(filter(col("w"), x => x.rlike("[a-zA-Z]")))
-      .cast("double") / n.cast("double")
-    val stopKinds = size(array_intersect(col("w"), array(Stopwords.map(lit): _*)))
-    val ruleNames = Seq("r_word_count", "r_mean_len", "r_symbol",
-      "r_alpha_words", "r_stop_kinds")
+    val rules = gopherRuleExprs(col("text"), col("w"))
+    val ruleNames = rules.map(_._1)
     base.select(
-        col("doc_id"), n.as("n_tokens"),
-        (n >= 25L && n <= 100000L).as("r_word_count"),
-        (n > 0L && meanLen >= 3.0 && meanLen <= 10.0).as("r_mean_len"),
-        (length(col("text")) > 0 && symbolRatio <= 0.1).as("r_symbol"),
-        (n > 0L && alphaFrac >= 0.8).as("r_alpha_words"),
-        (stopKinds >= 2).as("r_stop_kinds"))
+        col("doc_id") +: size(col("w")).cast("long").as("n_tokens") +:
+          rules.map { case (name, c) => c.as(name) }: _*)
       .withColumn("n_fail",
         lit(ruleNames.length.toLong) - ruleNames.map(col(_).cast("long")).reduce(_ + _))
       .withColumn("pass", col("n_fail") === 0L)
+  }
+
+  /** The five Gopher rule predicates as named column expressions over
+    * a text column and its materialized token-array column — shared by
+    * [[gopherRules]] (per-rule report) and [[qualityFunnel]] (fused
+    * gate), so the two can never drift. */
+  def gopherRuleExprs(text: Column, w: Column): Seq[(String, Column)] = {
+    val n = size(w).cast("long")
+    val meanLen = aggregate(w, lit(0L), (acc, x) => acc + length(x))
+      .cast("double") / n.cast("double")
+    val symbolRatio = length(regexp_replace(text, "[a-z A-Z]", ""))
+      .cast("double") / length(text).cast("double")
+    val alphaFrac = size(filter(w, x => x.rlike("[a-zA-Z]")))
+      .cast("double") / n.cast("double")
+    val stopKinds = size(array_intersect(w, array(Stopwords.map(lit): _*)))
+    Seq(
+      "r_word_count" -> (n >= 25L && n <= 100000L),
+      "r_mean_len" -> (n > 0L && meanLen >= 3.0 && meanLen <= 10.0),
+      "r_symbol" -> (length(text) > 0 && symbolRatio <= 0.1),
+      "r_alpha_words" -> (n > 0L && alphaFrac >= 0.8),
+      "r_stop_kinds" -> (stopKinds >= 2))
   }
 
   /**
@@ -151,11 +160,93 @@ object Text {
     "es" -> Seq("el", "los", "y", "merge", "group"),
     "zh" -> Seq("query", "key", "small", "customer", "line"))
 
-  def langScores(text: Column): Seq[(String, Column)] = {
-    val t = tokens(text)
+  def langScores(text: Column): Seq[(String, Column)] =
+    langScoresFromTokens(tokens(text))
+
+  /** [[langScores]] over an already-materialized token array — for
+    * callers that share one `tokens()` evaluation across several
+    * expressions on the same scan (e.g. [[qualityFunnel]]). */
+  def langScoresFromTokens(w: Column): Seq[(String, Column)] =
     LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      lang -> size(filter(t, x => x.isin(markers.map(lit): _*)))
+      lang -> size(filter(w, x => x.isin(markers.map(lit): _*)))
     }
+
+  /** Deterministic best-language pick over [[langScores]]-shaped
+    * (lang, score) pairs: the first language (code order) whose score
+    * is >= every later language's — the t01 tie-break, shared here so
+    * the gated query and the funnel agree. */
+  def bestLang(scores: Seq[(String, Column)]): Column = {
+    val langs = scores.map(_._1)
+    val byLang = scores.toMap
+    langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((l, i), elseCol) =>
+        val ge = langs.drop(i + 1).map(o => byLang(l) >= byLang(o)).reduce(_ && _)
+        when(ge, lit(l)).otherwise(elseCol)
+    }
+  }
+
+  /**
+   * The composed quality funnel (the d13 shape over the t-family):
+   * language gate → the five Gopher rules → repetition filter, with
+   * cumulative survivor counts per stage — the chain a corpus curator
+   * ships as ONE fused pass before spending tokenization/training.
+   *
+   * Scale shape: every stage is a column expression over the same
+   * corpus scan — langid ([[langScoresFromTokens]]), the Gopher gate
+   * ([[gopherRuleExprs]]), and a per-row reformulation of the
+   * [[repetitionStats]] flag: the top-token count is the longest equal
+   * run of the sorted token array (an O(n log n) fold instead of the
+   * keyed-agg shuffle — affordable here because the Gopher gate bounds
+   * survivors to 100k tokens), and the duplicate-2-gram fraction is
+   * `1 − distinct/total` via `array_distinct`. One scan, one global
+   * aggregate, four output rows; zero joins, zero per-doc shuffles —
+   * at 100 TB this funnel reads the corpus exactly once. Flag
+   * semantics match t08 exactly (same 6-dp rounding before the
+   * thresholds), pinned by the oracle, which recomputes repetition via
+   * the keyed-agg CTEs.
+   */
+  def qualityFunnel(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = df.select(id.as("doc_id"), text.as("text"))
+      .withColumn("w", tokens(col("text")))
+    val w = col("w")
+    val n = size(w).cast("long")
+    val predicted = bestLang(langScoresFromTokens(w))
+    val gopherPass = gopherRuleExprs(col("text"), w).map(_._2).reduce(_ && _)
+    // Longest equal run of the sorted tokens == the max multiplicity
+    // (t08's top_c) — computed per row, no explode.
+    val topC = aggregate(
+      array_sort(w),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val topFrac = when(n > 0L,
+      round(topC.cast("double") / n.cast("double"), 6)).otherwise(lit(0.0))
+    val g = shinglesOf(w, 2)
+    val dup2 = when(size(g) > 0,
+      round(lit(1.0) -
+        size(array_distinct(g)).cast("double") / size(g).cast("double"), 6))
+      .otherwise(lit(0.0))
+    val repetitive = topFrac > 0.2 || dup2 > 0.4
+    base
+      .withColumn("f_lang", predicted === "en")
+      .withColumn("f_gopher", col("f_lang") && gopherPass)
+      .withColumn("f_rep", col("f_gopher") && !repetitive)
+      .agg(
+        count(lit(1)).as("n_all"),
+        sum(col("f_lang").cast("long")).as("n_lang"),
+        sum(col("f_gopher").cast("long")).as("n_gopher"),
+        sum(col("f_rep").cast("long")).as("n_clean"))
+      .select(explode(array(
+        struct(lit("1_all").as("stage"), col("n_all").as("n")),
+        struct(lit("2_lang").as("stage"), col("n_lang").as("n")),
+        struct(lit("3_gopher").as("stage"), col("n_gopher").as("n")),
+        struct(lit("4_repetition").as("stage"), col("n_clean").as("n")))))
+      .select(col("col.stage").as("stage"), col("col.n").as("n"))
   }
 
   /**
