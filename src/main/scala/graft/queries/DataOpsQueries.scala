@@ -912,7 +912,9 @@ object DataOpsQueries {
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_transform($a, (x, i) -> x * ($b)[i]), (acc, v) -> acc + v)"
 
-  private val vecCte =
+  /** (Shared with the streaming ANN-admission oracle, hence
+    * package-private.) */
+  private[queries] val vecCte =
     "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
 
   private val normCte =
@@ -1015,7 +1017,7 @@ object DataOpsQueries {
       |AS mix_weight
       |FROM per CROSS JOIN tot)""".stripMargin.replace("\n", " ")
 
-  private def lshProjWeight(jExpr: String) =
+  private[queries] def lshProjWeight(jExpr: String) =
     s"CAST(MOD($jExpr * 2654435761 + i * 40503, 2001) - 1000 AS DOUBLE)"
 
   /** 63-bit simhash fingerprint CTE chain (needs wordsCte). */

@@ -461,6 +461,69 @@ object StreamingQueries {
       out
     }),
 
+    // Streaming ANN admission — the embedding counterpart of s15: the
+    // dedup key is the vector's random-hyperplane LSH signature, split
+    // into two 12-bit BANDS of a 24-bit bucket (Ann.lshBucket), so an
+    // incoming vector colliding with the durable index on EITHER
+    // half-signature is a near-dup candidate and is rejected; admitted
+    // vectors append their bands through the idempotent epoch commit.
+    // Same shape as a 100 TB embedding-ingest gate: the index is
+    // parquet on disk (O(corpus) storage, O(batch) memory per epoch),
+    // each batch equi-joins it on (band, bh), and nothing ever rescans
+    // corpus vectors. Reuses Dedup.indexDedupBatch/admitBands
+    // verbatim — band admission is band admission, whether the bands
+    // hash shingles or hyperplane signs.
+    "s16_stream_ann_admission" -> ((s, d) => {
+      val emb = Tables.t(s, d, "embeddings")
+      val sig = emb.select(col("vec_id").as("doc"),
+        graft.ann.Ann.lshBucket(
+          graft.ann.Ann.toDouble(col("embedding")), 24).as("bucket"))
+      val rows = sig.select(col("doc"), posexplode(array(
+          col("bucket").bitwiseAND(lit(4095L)),
+          shiftright(col("bucket"), 12).bitwiseAND(lit(4095L)))))
+        .select(col("doc"), col("pos").cast("long").as("band"),
+          col("col").as("bh"))
+      val srcDir = Files.createTempDirectory("graft-s16-src-").toString
+      val idxDir = Files.createTempDirectory("graft-s16-idx-").toString
+      val outDir = Files.createTempDirectory("graft-s16-out-").toString
+      val ckpt = Files.createTempDirectory("graft-s16-ckpt-").toString
+      // bootstrap: the pre-existing corpus index (buckets 0-1 of 5)
+      rows.filter(pmod(col("doc"), lit(5L)) < 2)
+        .write.mode("overwrite").parquet(idxDir)
+      val schema = rows.schema
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 8)
+      try {
+        (2 until 5).foreach { b =>
+          rows.filter(pmod(col("doc"), lit(5L)) === b)
+            .coalesce(1).write.mode("append").parquet(srcDir)
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcDir)
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, epoch: Long) =>
+              // Verdicts against the PRE-append index (localCheckpoint)
+              // — same re-evaluation hazard as s15.
+              val bt = batch.localCheckpoint()
+              val v = graft.dedup.Dedup.indexDedupBatch(
+                s.read.parquet(idxDir), bt,
+                bt.select(col("doc")).distinct()).localCheckpoint()
+              PipelineManager.epochAppend(v, outDir, epoch, "s16out")
+              PipelineManager.epochAppend(
+                graft.dedup.Dedup.admitBands(bt, v), idxDir, epoch, "s16idx")
+            }
+            .start()
+          q.awaitTermination()
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", before)
+      val out = s.read.parquet(outDir).localCheckpoint()
+      deleteTree(srcDir, idxDir, outDir, ckpt)
+      out
+    }),
+
     // The same multi-batch custom-state shape on Spark 4's
     // transformWithState API (typed named ValueState, RocksDB state
     // store — the provider the API requires): three AvailableNow runs
@@ -832,6 +895,57 @@ object StreamingQueries {
            |b$b AS (SELECT doc, band, bh FROM bands WHERE MOD(doc, 5) = $b),
            |d$b AS (SELECT doc_id AS doc FROM documents
            |WHERE MOD(doc_id, 5) = $b),
+           |h$b AS (SELECT b.doc, COUNT(DISTINCT c.corpus_doc) AS n_dups,
+           |MIN(c.corpus_doc) AS first_dup
+           |FROM b$b b JOIN corpus$i c ON c.band = b.band AND c.bh = b.bh
+           |GROUP BY b.doc),
+           |v$b AS (SELECT d.doc, COALESCE(h.n_dups, 0) AS n_dups,
+           |COALESCE(h.first_dup, -1) AS first_dup
+           |FROM d$b d LEFT JOIN h$b h ON h.doc = d.doc),
+           |clean$b AS (SELECT b.doc, b.band, b.bh FROM b$b b
+           |JOIN v$b v ON v.doc = b.doc AND v.n_dups = 0),
+           |adm$b AS (SELECT doc AS corpus_doc, band, bh FROM clean$b
+           |WHERE doc NOT IN (SELECT DISTINCT a.doc FROM clean$b a
+           |JOIN clean$b e ON e.band = a.band AND e.bh = a.bh
+           |AND e.doc < a.doc)),
+           |corpus${i + 1} AS (SELECT * FROM corpus$i
+           |UNION ALL SELECT * FROM adm$b)""".stripMargin
+      }.mkString
+      val tail =
+        """
+          |SELECT doc, n_dups, first_dup FROM v2
+          |UNION ALL SELECT doc, n_dups, first_dup FROM v3
+          |UNION ALL SELECT doc, n_dups, first_dup FROM v4""".stripMargin
+      (prefix + perBatch + tail).replace("\n", " ")
+    },
+
+    // s15's replay with the bands swapped for two 12-bit halves of the
+    // e03 random-hyperplane bucket at nBits=24 (1-based list_transform
+    // index i matches the Spark expression's i+1). Same per-epoch
+    // composition: verdicts = d19 left-join against the index as of
+    // the epoch, admissions exclude index collisions AND intra-batch
+    // lower-id band collisions.
+    "s16_stream_ann_admission" -> {
+      val prefix =
+        s"""WITH ${DataOpsQueries.vecCte},
+           |proj AS (SELECT vec_id, r.range AS j,
+           |list_reduce(list_transform(e, (x, i) -> x * ${DataOpsQueries.lshProjWeight("r.range")}),
+           |(acc, v) -> acc + v) AS p
+           |FROM v CROSS JOIN range(0, 24) r),
+           |buckets AS (SELECT vec_id, CAST(SUM(CASE WHEN p > 0
+           |THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+           |FROM proj GROUP BY vec_id),
+           |bands AS (SELECT vec_id AS doc, r.range AS band,
+           |(bucket >> CAST(r.range * 12 AS INTEGER)) & 4095 AS bh
+           |FROM buckets CROSS JOIN range(0, 2) r),
+           |corpus0 AS (SELECT doc AS corpus_doc, band, bh FROM bands
+           |WHERE MOD(doc, 5) < 2)""".stripMargin
+      val perBatch = (2 until 5).map { b =>
+        val i = b - 2
+        s""",
+           |b$b AS (SELECT doc, band, bh FROM bands WHERE MOD(doc, 5) = $b),
+           |d$b AS (SELECT vec_id AS doc FROM embeddings
+           |WHERE MOD(vec_id, 5) = $b),
            |h$b AS (SELECT b.doc, COUNT(DISTINCT c.corpus_doc) AS n_dups,
            |MIN(c.corpus_doc) AS first_dup
            |FROM b$b b JOIN corpus$i c ON c.band = b.band AND c.bh = b.bh

@@ -507,6 +507,23 @@ class PlanSpec extends SparkTestBase {
       "chunks must come from a per-row generator, not a join")
   }
 
+  test("t18 quality funnel fuses every gate into ONE corpus scan") {
+    val p = planOf("t18_quality_funnel")
+    val scans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1,
+      s"langid + Gopher + repetition must ride a single documents scan, " +
+        s"got ${scans.size} scans")
+    val plan = p.toString
+    assert(!plan.contains("Join"),
+      "every funnel stage is a column expression — zero joins")
+    assert(!plan.contains("Window"),
+      "the per-row repetition fold must not introduce a window")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "the survivor counts must keep the partial/final aggregate split")
+  }
+
   test("d25 DSIR broadcasts the 64-row ratio table onto the doc buckets") {
     val p = planOf("d25_dsir_weights")
     val plan = p.toString
