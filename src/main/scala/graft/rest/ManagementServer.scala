@@ -143,6 +143,16 @@ final class ManagementServer(pm: PipelineManager,
           case Some(s) => respond(ex, 200, specToJson(s))
           case None => error(ex, 404, s"unknown pipeline $name")
         }
+      // findGroup finder (DatastreamResources.java:879-901): every
+      // pipeline sharing `name`'s task prefix, with the same
+      // start/count paging as the collection listing.
+      case ("GET", List("pipelines", name, "group")) =>
+        pm.get(name).getOrElse(sys.error(s"unknown pipeline $name"))
+        val q = queryParams(ex)
+        val start = q.getOrElse("start", "0").toInt
+        val count = q.getOrElse("count", Int.MaxValue.toString).toInt
+        val group = pm.findGroup(name).slice(start, start + count)
+        respond(ex, 200, JArray(group.map(specToJson).toList))
       case ("POST", List("pipelines")) =>
         val created = pm.create(specFromJson(readBody(ex)), owner(ex))
         respond(ex, 201, specToJson(created))

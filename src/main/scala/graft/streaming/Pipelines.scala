@@ -150,7 +150,13 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     // is source-based (same source ⇒ share destination).
     val deduped = hooks.dedupe(spec, specs.values) match {
       case Some(existing) if spec.destinationConnection.isEmpty =>
-        spec.copy(destinationConnection = existing.destinationConnection)
+        // Inherits the group's task prefix along with the destination
+        // (Coordinator.java:2470-2472): the two streams now form one
+        // task group, discoverable via [[findGroup]].
+        spec.copy(destinationConnection = existing.destinationConnection,
+          metadata = spec.metadata + (PipelineManager.TaskPrefixKey ->
+            existing.metadata.getOrElse(PipelineManager.TaskPrefixKey,
+              existing.name)))
       case _ if spec.destinationConnection.isEmpty =>
         // auto-provision a destination (the analog of the reference's
         // Coordinator.createTopic): durable sinks get a real path.
@@ -159,7 +165,14 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
           else s"$checkpointRoot/dest/${spec.name}")
       case _ => spec
     }
-    val ready = deduped.copy(status = PipelineStatus.Ready)
+    // A unique-source (or BYOT) stream starts its own group: task
+    // prefix defaults to the stream's name unless the caller set one
+    // (Coordinator.java:2444-2448).
+    val prefixed =
+      if (deduped.metadata.contains(PipelineManager.TaskPrefixKey)) deduped
+      else deduped.copy(metadata =
+        deduped.metadata + (PipelineManager.TaskPrefixKey -> deduped.name))
+    val ready = prefixed.copy(status = PipelineStatus.Ready)
     specs.put(spec.name, ready)
     provisionDestination(ready)
     hooks.onStateChange(spec.name, PipelineStatus.Ready)
@@ -264,6 +277,25 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   def queryOf(name: String): Option[StreamingQuery] = Option(queries.get(name))
   def list(start: Int, count: Int): Seq[PipelineSpec] =
     specs.values.toSeq.sortBy(_.name).slice(start, start + count)
+
+  /**
+   * All pipelines in the same task group as `name` — the streams that
+   * share its task prefix (destination-reuse dedup joins a group by
+   * inheriting the prefix; see [[create]]). The reference's findGroup
+   * finder (DatastreamResources.java:879-901 over
+   * getGroupedDatastreams :1043-1053). A spec without a task prefix
+   * (pre-group legacy state) is a precondition failure, as in the
+   * reference (412).
+   */
+  def findGroup(name: String): Seq[PipelineSpec] = {
+    val spec = specs.getOrElse(name, sys.error(s"unknown pipeline $name"))
+    val prefix = spec.metadata.getOrElse(PipelineManager.TaskPrefixKey,
+      throw new IllegalArgumentException(
+        s"pipeline $name has no task prefix"))
+    specs.values.toSeq
+      .filter(_.metadata.get(PipelineManager.TaskPrefixKey).contains(prefix))
+      .sortBy(_.name)
+  }
 
   /**
    * Build the source DataFrame for a spec (batch-testable subset).
@@ -606,6 +638,12 @@ object PipelineManager {
   /** Namespace used by [[epochAppend]] when no pipeline name is given;
     * reserved — [[PipelineManager.create]] rejects it as a name. */
   val ReservedNamespace: String = "default"
+
+  /** Metadata key carrying a pipeline's task-group prefix (the
+    * reference's `system.taskPrefix`,
+    * DatastreamMetadataConstants.java:46): streams sharing it form one
+    * task group — set at create, inherited on destination-reuse. */
+  val TaskPrefixKey: String = "taskPrefix"
 
   /**
    * Injective filesystem-safe encoding of a pipeline name (see

@@ -96,6 +96,43 @@ class ManagementServerSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("findGroup lists the task group formed by destination-reuse dedup") {
+    val pm = new PipelineManager(spark,
+      Files.createTempDirectory("graft-rest-grp-").toString)
+    val srv = new ManagementServer(pm).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      def create(name: String, source: String) =
+        req(base, "POST", "/pipelines", Some(
+          s"""{"name":"$name","connector":"parquet","transport":"memory",
+             |"sourceConnection":"$source"}"""
+            .stripMargin.replace("\n", "")))
+      // g1 starts a group; g2 shares g1's source, so the source-based
+      // deduper folds it into g1's group (inherited task prefix);
+      // solo has its own source and its own one-member group.
+      assert(create("g1", "/src/shared").statusCode() == 201)
+      assert(create("g2", "/src/shared").statusCode() == 201)
+      assert(create("solo", "/src/other").statusCode() == 201)
+      assert(pm.get("g2").get.metadata("taskPrefix") == "g1")
+
+      val grp = req(base, "GET", "/pipelines/g1/group")
+      assert(grp.statusCode() == 200, grp.body())
+      assert(grp.body().contains("\"name\":\"g1\"") &&
+        grp.body().contains("\"name\":\"g2\"") &&
+        !grp.body().contains("\"name\":\"solo\""))
+      // the group is the same asked from either member, and paged
+      assert(req(base, "GET", "/pipelines/g2/group").body()
+        .contains("\"name\":\"g1\""))
+      val paged = req(base, "GET", "/pipelines/g1/group?start=1&count=1")
+      assert(!paged.body().contains("\"name\":\"g1\"") &&
+        paged.body().contains("\"name\":\"g2\""))
+      val soloGrp = req(base, "GET", "/pipelines/solo/group")
+      assert(soloGrp.body().contains("\"name\":\"solo\"") &&
+        !soloGrp.body().contains("\"name\":\"g1\""))
+      assert(req(base, "GET", "/pipelines/nope/group").statusCode() == 404)
+    } finally srv.stop()
+  }
+
   test("diag fans out to peers and reduces both managers into one payload") {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
