@@ -86,13 +86,14 @@ object Dedup {
    * memory between consumers — the lifecycle a long-lived deployment
    * needs (and what round 7 proved the in-memory cache is not: five
    * deserialized frames pinned for a whole suite made every query
-   * after the dedup family slower). Derivation order still guarantees
-   * one corpus scan and one pass per derived frame: shingles read the
-   * token spill, MinHash reads the shingle spill, SimHash reads the
-   * token spill, bands read the MinHash spill.
+   * after the dedup family slower). Two narrow corpus scans (the
+   * shingle chain and the SimHash chain each tokenize in-pass — see
+   * the body comment) and one pass per derived frame: MinHash reads
+   * the shingle spill, bands read the MinHash spill.
    *
    * The caller owns `dir` (create, reuse-check, delete); frames land
-   * at `dir/{tokens,shingles,minhash,simhash,bands}`.
+   * at `dir/{shingles,minhash,simhash,bands}`; the `tokens` member of
+   * the returned set stays a lazy plan over the corpus.
    */
   def signaturesSpilled(spark: org.apache.spark.sql.SparkSession,
       df: DataFrame, id: Column, text: Column, k: Int,
@@ -102,7 +103,13 @@ object Dedup {
       frame.write.mode("overwrite").parquet(p)
       spark.read.parquet(p)
     }
-    val toks = spill("tokens", tokenFrame(df, id, text))
+    // The token frame is NOT spilled: it is corpus-sized, has no
+    // consumer outside the two derivations below, and tokenization is
+    // one codegen'd split — so the shingle chain and the SimHash chain
+    // each re-tokenize in their own single corpus pass (2 cheap narrow
+    // scans) instead of paying a corpus-sized parquet write plus two
+    // reads. Everything downstream reads the small spilled frames.
+    val toks = tokenFrame(df, id, text)
     val sh = spill("shingles", shingleFrame(toks, shingleN))
     val mh = spill("minhash", minHashFromShingles(sh, k))
     val fp = spill("simhash", simHashFromTokens(toks))

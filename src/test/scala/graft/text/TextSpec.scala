@@ -140,4 +140,40 @@ class TextSpec extends SparkTestBase {
       .count()
     assert(bad == 0L, "every document must be covered start-to-end")
   }
+
+  test("qualityFunnel stage counts agree with the per-signal operators") {
+    // The funnel's fused per-row reformulations (sorted-run fold for
+    // top-token count, array_distinct for 2-gram dups, token-shared
+    // langid) must count EXACTLY what the standalone gates count on
+    // the real corpus — recompute each stage from t01/t16/t08's own
+    // frames and compare.
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val funnel = Text.qualityFunnel(docs, $"doc_id", $"text")
+      .as[(String, Long)].collect().toMap
+    val lang = Text.bestLang(Text.langScores($"text"))
+    val flagged = docs.select($"doc_id", (lang === "en").as("f_lang"))
+    val gopher = Text.gopherRules(docs, $"doc_id", $"text")
+      .select($"doc_id".as("g_doc"), $"pass")
+    val rep = Text.repetitionStats(docs, $"doc_id", $"text")
+      .select($"doc_id".as("r_doc"), $"repetitive")
+    val joined = flagged
+      .join(gopher, $"doc_id" === $"g_doc", "left")
+      .join(rep, $"doc_id" === $"r_doc", "left")
+    val expected = joined.agg(
+        count(lit(1)),
+        sum($"f_lang".cast("long")),
+        sum(($"f_lang" && $"pass").cast("long")),
+        sum(($"f_lang" && $"pass" &&
+          coalesce($"repetitive", lit(0L)) === 0L).cast("long")))
+      .as[(Long, Long, Long, Long)].head()
+    assert(funnel("1_all") == expected._1)
+    assert(funnel("2_lang") == expected._2)
+    assert(funnel("3_gopher") == expected._3)
+    assert(funnel("4_repetition") == expected._4)
+    assert(funnel("1_all") >= funnel("2_lang") &&
+      funnel("2_lang") >= funnel("3_gopher") &&
+      funnel("3_gopher") >= funnel("4_repetition"),
+      "funnel stages must be monotonically non-increasing")
+  }
 }
