@@ -542,6 +542,39 @@ object Dedup {
   }
 
   /**
+   * Per-document window novelty — the memorization-risk metric of
+   * [[duplicateSpans]]: for each doc, the fraction of its DISTINCT
+   * `winLen`-token windows that appear in at least one OTHER document
+   * (novelty = 1 − shared fraction). d23 counts every duplicated
+   * occurrence (including intra-doc repeats) to find spans to cut;
+   * this scores cross-doc overlap per doc, the signal used to
+   * down-weight or audit documents a model could memorize from many
+   * sources.
+   *
+   * Scale shape: distinct windows per doc (array_distinct, per-row),
+   * hashed to 8-byte fingerprints before the shuffle; one groupBy(h)
+   * counting distinct docs; equi-join back; keyed per-doc rollup.
+   * Same accepted ~n²/2⁶⁴ fingerprint-collision error as d23. Docs
+   * shorter than `winLen` have no windows and are absent.
+   */
+  def windowNovelty(df: DataFrame, id: Column, text: Column,
+      winLen: Int): DataFrame = {
+    val wins = df.select(id.as("doc"), Text.tokens(text).as("w"))
+      .select(col("doc"),
+        explode(Text.shingleSetOf(col("w"), winLen)).as("win"))
+      .select(col("doc"), Portable.hash64(col("win")).as("h"))
+    val docsPerWin = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc")).as("nd"))
+    wins.join(docsPerWin, Seq("h"))
+      .groupBy(col("doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum((col("nd") > 1).cast("long")).as("n_shared_windows"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("n_shared_windows").cast("double") /
+          col("n_windows").cast("double"), 6))
+  }
+
+  /**
    * Exact n-gram Jaccard pairs >= threshold, via distinct-shingle
    * self-join (ground truth for small corpora; at scale use
    * [[jaccardOnCandidates]]).

@@ -212,6 +212,25 @@ object DataOpsQueries {
           col("n_chars").as("canonical_chars"), col("n_docs"))
     }),
 
+    // Leakage-safe train/val/test split: the split is decided by the
+    // HASH OF THE DEDUP GROUP, not the doc — every member of a
+    // near-dup component lands in the same split by construction, so
+    // a val/test doc can never have a near-duplicate in train (the
+    // leak doc-hash splitting silently allows). Composes the d07
+    // component pass with one hash expression — no shuffle beyond
+    // connected components itself; 80/10/10 by group-hash decile.
+    "d26_leakage_safe_split" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.lshCandidatesFromBands(sigs(s, d).bands)
+        .select(col("doc_a"), col("doc_b"))
+      val groups = Dedup.connectedComponents(
+        docs.select(col("doc_id").as("doc")), pairs, "doc_a", "doc_b")
+      val bucket = pmod(Portable.hash64(col("group_id")), lit(10L))
+      groups.select(col("doc"), col("group_id"),
+        when(bucket < 8, "train").when(bucket === 8, "val")
+          .otherwise("test").as("split"))
+    }),
+
     // Eval-set decontamination: training docs sharing >= 3 distinct
     // shingles with any validation doc (same hash-bucket split as
     // d08). The shingle equi-join is the scale shape — only docs that
@@ -317,6 +336,13 @@ object DataOpsQueries {
     // 64-bit fingerprint).
     "d23_dup_spans" -> ((s, d) =>
       Dedup.duplicateSpans(t(s, d, "documents"), col("doc_id"),
+        col("text"), winLen = 8)),
+
+    // Per-doc window novelty (memorization risk): fraction of each
+    // doc's distinct 8-token windows that appear in another document
+    // — d23's fingerprints turned into a per-doc audit score.
+    "t19_window_novelty" -> ((s, d) =>
+      Dedup.windowNovelty(t(s, d, "documents"), col("doc_id"),
         col("text"), winLen = 8)),
 
     // Temperature-scaled mixture (α = ½): the tail-upsampling recipe
@@ -1305,6 +1331,47 @@ object DataOpsQueries {
          |round(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
          |/ COUNT(*), 6) AS dup_win_frac
          |FROM rk GROUP BY doc""".stripMargin.replace("\n", " "),
+
+    // d23's window construction, DISTINCT per doc, scored for
+    // cross-doc sharing instead of global first-occurrence.
+    "t19_window_novelty" ->
+      s"""WITH $wordsCte,
+         |js AS (SELECT doc, w, unnest(generate_series(1, len(w) - 7)) AS j
+         |FROM w WHERE len(w) >= 8),
+         |wd AS (SELECT DISTINCT doc, array_to_string(w[j:(j+7)], ' ') AS win
+         |FROM js),
+         |hw AS (SELECT doc, ${h("win")} AS h FROM wd),
+         |dc AS (SELECT h, COUNT(DISTINCT doc) AS nd FROM hw GROUP BY h)
+         |SELECT hw.doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         |CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |AS n_shared_windows,
+         |round(1.0 - CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |/ COUNT(*), 6) AS novelty
+         |FROM hw JOIN dc USING (h) GROUP BY hw.doc"""
+        .stripMargin.replace("\n", " "),
+
+    // The d07 component construction with the split decided by the
+    // group hash: components co-assign by construction.
+    "d26_leakage_safe_split" ->
+      s"""WITH RECURSIVE $wordsCte, $shinglesCte, ${minhashSigCte(MinHashK)},
+         |bands AS (SELECT doc, i // $LshRows AS band,
+         |${h("string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)")} AS bh
+         |FROM sig GROUP BY doc, i // $LshRows),
+         |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |FROM bands a JOIN bands b
+         |ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+         |UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach(doc, r) AS (
+         |SELECT doc_id, doc_id FROM documents
+         |UNION
+         |SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.doc),
+         |groups AS (SELECT doc, MIN(r) AS group_id FROM reach GROUP BY doc)
+         |SELECT doc, group_id,
+         |CASE WHEN MOD(${h("group_id")}, 10) < 8 THEN 'train'
+         |WHEN MOD(${h("group_id")}, 10) = 8 THEN 'val'
+         |ELSE 'test' END AS split FROM groups"""
+        .stripMargin.replace("\n", " "),
 
     // Temperature mixture (α = ½ via sqrt — IEEE-exact); the Σp^α
     // denominator is a sequential fold over the source-ordered list,

@@ -507,6 +507,18 @@ class PlanSpec extends SparkTestBase {
       "chunks must come from a per-row generator, not a join")
   }
 
+  test("t19 window novelty stays keyed on 8-byte fingerprints") {
+    val p = planOf("t19_window_novelty")
+    val plan = p.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "window sharing must resolve through the fingerprint equi-join")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "doc-count and per-doc rollup must keep the partial/final split")
+    assert(!plan.contains("Window"),
+      "novelty needs no window function — aggregates only")
+  }
+
   test("t18 quality funnel fuses every gate into ONE corpus scan") {
     val p = planOf("t18_quality_funnel")
     val scans = collectAll(p) {
