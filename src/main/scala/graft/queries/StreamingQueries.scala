@@ -76,8 +76,9 @@ object StreamingQueries {
 
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     // The file-stream source requires a directory; glob-filter the one
-    // table out of the shared corpus dir. ts arrives as int64-nanos
-    // (see Tables) and is truncated to micros here.
+    // table out of the shared corpus dir. ts arrives in whatever
+    // vintage the corpus was generated with and is normalized to
+    // TimestampType by the same choke point as the batch readers.
     //
     // The 0-second watermarks downstream assume the corpus arrives in
     // ONE micro-batch (single file, no maxFilesPerTrigger): with
@@ -87,10 +88,10 @@ object StreamingQueries {
     // watermark — and therefore the emitted-window set — exactly
     // reproducible by the batch oracle.
     val schema = Tables.rawSchema(s, dir, "events")
-    s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.normalizeEventTs(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   private def kafkaShaped(events: DataFrame): DataFrame =

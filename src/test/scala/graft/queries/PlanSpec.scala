@@ -37,10 +37,15 @@ class PlanSpec extends SparkTestBase {
     df.queryExecution.executedPlan.toString
   }
 
-  test("q17 TTL filter is pushed into the parquet scan as a nanos range") {
+  test("q17 TTL filter pushes a native-ts-space range into the parquet scan") {
+    // The cutoff is rewritten into the FILE's own ts space (currently
+    // timestamp[us]/NTZ) so the range predicate reaches PushedFilters
+    // and prunes row groups — not a post-scan filter on a derived col.
     val plan = scanFilters("q17_ttl_filter")
     assert(plan.contains("PushedFilters"))
-    assert(plan.contains("LessThan(ts"), "nanos-space range must reach the scan")
+    assert(plan.contains("LessThan(ts,2024-01-08T00:00"),
+      "the TTL cutoff must reach the scan as a timestamp-space range; " +
+        s"got plan:\n${plan.take(4000)}")
   }
 
   test("q21 star join broadcasts every dimension (no shuffle join)") {
