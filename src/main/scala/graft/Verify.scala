@@ -4,20 +4,34 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+  /**
+   * Parse the optional dev filter. Loud on misuse: an empty value or a
+   * name that matches no query fails immediately instead of silently
+   * dumping nothing (which would read as a green-but-empty run).
+   */
+  def parseOnly(v: Option[String]): Option[Set[String]] = v.map { s =>
+    val names = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+    require(names.nonEmpty,
+      "SPARK_GRAFT_ONLY is set but names no queries — unset it for a full run")
+    val unknown = names.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+    names
+  }
+
+  /**
+   * A filtered run writes oracle_sql.partial.json, never the driver's
+   * oracle_sql.json artifact — so a dev iteration can never leave a
+   * subset file where the driver (or a later full run's reader)
+   * expects the complete query inventory.
+   */
+  def oracleFileName(only: Option[Set[String]]): String =
+    if (only.isDefined) "oracle_sql.partial.json" else "oracle_sql.json"
+
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      only: Option[Set[String]]): Unit = {
     new java.io.File(outDir).mkdirs()
-    // Optional dev filter (comma-separated names); absent for driver runs.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
@@ -47,7 +61,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter(kv => only.forall(_(kv._1)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/${oracleFileName(only)}"), json)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, outDir, parseOnly(sys.env.get("SPARK_GRAFT_ONLY")))
     spark.stop()
   }
 }
