@@ -416,16 +416,22 @@ object StreamingQueries {
       val bands = graft.dedup.Dedup.bandSignatures(
         graft.dedup.Dedup.minHashLong(docs, col("doc_id"), col("text"), k = 16),
         r = 4)
+      // Materialize the band pipeline ONCE: the bootstrap write plus the
+      // three per-bucket source writes would otherwise each recompute
+      // the full corpus MinHash (4 scans of documents.parquet).
       val rows = docs.select(col("doc_id").as("doc"))
         .join(bands, Seq("doc"), "left") // keep shingle-less docs (null band)
         .select(col("doc"), col("band").cast("long").as("band"), col("bh"))
+        .localCheckpoint()
       val srcDir = Files.createTempDirectory("graft-s15-src-").toString
       val idxDir = Files.createTempDirectory("graft-s15-idx-").toString
       val outDir = Files.createTempDirectory("graft-s15-out-").toString
       val ckpt = Files.createTempDirectory("graft-s15-ckpt-").toString
-      // bootstrap: the pre-existing corpus index (buckets 0-1 of 5)
+      // bootstrap: the pre-existing corpus index (buckets 0-1 of 5).
+      // Compacted to one file: every epoch re-reads this dir, and the
+      // write otherwise inherits the suite's 32 shuffle partitions.
       rows.filter(pmod(col("doc"), lit(5L)) < 2 && col("band").isNotNull)
-        .write.mode("overwrite").parquet(idxDir)
+        .coalesce(1).write.mode("overwrite").parquet(idxDir)
       val schema = rows.schema
       val before = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", 8)
@@ -449,9 +455,16 @@ object StreamingQueries {
               val v = graft.dedup.Dedup.indexDedupBatch(
                 s.read.parquet(idxDir), bb,
                 bt.select(col("doc")).distinct()).localCheckpoint()
-              PipelineManager.epochAppend(v, outDir, epoch, "s15out")
+              // One file per epoch commit: both frames are O(batch)
+              // small here, and the index dir is re-read EVERY epoch —
+              // 8 shuffle-partition files per commit would make each
+              // later epoch pay file-listing + task-per-file overhead.
+              // (At production batch sizes the caller sizes this by
+              // rows-per-file instead of pinning 1.)
+              PipelineManager.epochAppend(v.coalesce(1), outDir, epoch, "s15out")
               PipelineManager.epochAppend(
-                graft.dedup.Dedup.admitBands(bb, v), idxDir, epoch, "s15idx")
+                graft.dedup.Dedup.admitBands(bb, v).coalesce(1),
+                idxDir, epoch, "s15idx")
             }
             .start()
           q.awaitTermination()
@@ -479,18 +492,21 @@ object StreamingQueries {
       val sig = emb.select(col("vec_id").as("doc"),
         graft.ann.Ann.lshBucket(
           graft.ann.Ann.toDouble(col("embedding")), 24).as("bucket"))
+      // Materialize once — same 4-scan setup hazard as s15.
       val rows = sig.select(col("doc"), posexplode(array(
           col("bucket").bitwiseAND(lit(4095L)),
           shiftright(col("bucket"), 12).bitwiseAND(lit(4095L)))))
         .select(col("doc"), col("pos").cast("long").as("band"),
           col("col").as("bh"))
+        .localCheckpoint()
       val srcDir = Files.createTempDirectory("graft-s16-src-").toString
       val idxDir = Files.createTempDirectory("graft-s16-idx-").toString
       val outDir = Files.createTempDirectory("graft-s16-out-").toString
       val ckpt = Files.createTempDirectory("graft-s16-ckpt-").toString
-      // bootstrap: the pre-existing corpus index (buckets 0-1 of 5)
+      // bootstrap: the pre-existing corpus index (buckets 0-1 of 5),
+      // compacted to one file — see s15.
       rows.filter(pmod(col("doc"), lit(5L)) < 2)
-        .write.mode("overwrite").parquet(idxDir)
+        .coalesce(1).write.mode("overwrite").parquet(idxDir)
       val schema = rows.schema
       val before = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", 8)
@@ -512,9 +528,11 @@ object StreamingQueries {
               val v = graft.dedup.Dedup.indexDedupBatch(
                 s.read.parquet(idxDir), bt,
                 bt.select(col("doc")).distinct()).localCheckpoint()
-              PipelineManager.epochAppend(v, outDir, epoch, "s16out")
+              // One file per epoch commit — see s15.
+              PipelineManager.epochAppend(v.coalesce(1), outDir, epoch, "s16out")
               PipelineManager.epochAppend(
-                graft.dedup.Dedup.admitBands(bt, v), idxDir, epoch, "s16idx")
+                graft.dedup.Dedup.admitBands(bt, v).coalesce(1),
+                idxDir, epoch, "s16idx")
             }
             .start()
           q.awaitTermination()

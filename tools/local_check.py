@@ -14,7 +14,14 @@ for f in glob.glob(f"{sfdir}/*.parquet"):
     name = f.split("/")[-1].replace(".parquet", "")
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
 
-oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# A full Verify run writes oracle_sql.json; a SPARK_GRAFT_ONLY-filtered
+# dev run writes oracle_sql.partial.json (never clobbering the full
+# artifact). Prefer the full file; fall back to the partial one.
+import os
+_oracle_path = f"{outdir}/oracle_sql.json"
+if not os.path.exists(_oracle_path):
+    _oracle_path = f"{outdir}/oracle_sql.partial.json"
+oracle = json.load(open(_oracle_path))
 
 def canon(df):
     cols = sorted(df.columns)
