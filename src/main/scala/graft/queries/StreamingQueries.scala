@@ -363,12 +363,16 @@ object StreamingQueries {
       val bands = graft.dedup.Dedup.bandSignatures(
         graft.dedup.Dedup.minHashLong(docs, col("doc_id"), col("text"), k = 16),
         r = 4)
+      // Materialized once: the three per-bucket source writes would
+      // otherwise each recompute the full corpus MinHash (s15's 4-scan
+      // setup hazard).
       val base = bands.select(
         col("doc"),
         col("band").cast("long").as("band"),
         col("bh"),
         expr("timestampadd(HOUR, cast(pmod(doc, 97) as int), " +
           "timestamp'2024-01-01 00:00:00')").as("hr"))
+        .localCheckpoint()
       val srcDir = Files.createTempDirectory("graft-s14-src-").toString
       val outDir = Files.createTempDirectory("graft-s14-out-").toString
       val ckpt = Files.createTempDirectory("graft-s14-ckpt-").toString
