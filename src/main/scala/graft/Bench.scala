@@ -54,9 +54,22 @@ object Bench {
     }
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+    // stdout precision is centiseconds: the harness keeps only a bounded
+    // TAIL of stdout, and round 9 proved an over-long line loses its
+    // HEAD and fails the driver's parse. bench_detail.json keeps full
+    // precision.
+    def fmt2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    // Same head-truncation guard: a mass failure (round 9: 51 names,
+    // ~1.3 KB) must not push the parseable head out of the captured
+    // tail — stdout carries at most 8 names plus a count sentinel; the
+    // full list is always in bench_detail.json.
+    val failedStdout =
+      if (failed.size <= 8) failed
+      else failed.take(8) :+ ("\"+" + (failed.size - 8) + " more (see bench_detail.json)\"")
     val total = results.map(_._2).filter(_ >= 0).sum
 
     // End-of-suite cache teardown: delete the signature spill + band
@@ -93,7 +106,7 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"s_medians":$medianJson,"s_median_n":3,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":[${failedStdout.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }
