@@ -49,6 +49,35 @@ class TablesSpec extends SparkTestBase {
     }
   }
 
+  test("full corpus canary: every table's schema and sf0.001 row count") {
+    // Round 9's collapse came from ONE table's silent dtype change.
+    // Pin the reader-visible schema (post-normalization) and row count
+    // of every table, so a regeneration of ANY vintage fails here with
+    // the drifted table named. Timestamps are listed as `timestamp`
+    // because Tables normalizes (events) or Spark reads timestamp[us]
+    // with isAdjustedToUTC as-is; a revert to int64-nanos surfaces as a
+    // bigint here for non-events tables and must get its own branch.
+    val expect = Map(
+      "customer" -> (150L, "c_custkey:bigint,c_name:string,c_nationkey:int,c_acctbal:double,c_mktsegment:string"),
+      "documents" -> (500L, "doc_id:bigint,text:string,lang:string,source:string,n_chars:bigint"),
+      "embeddings" -> (500L, "vec_id:bigint,embedding:array<float>,label:int"),
+      "events" -> (1000L, "event_id:bigint,ts:timestamp,user_id:bigint,event_type:string,value:double,props:string"),
+      "lineitem" -> (6000L, "l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double,l_returnflag:string,l_linestatus:string,l_shipdate:timestamp_ntz"),
+      "nation" -> (25L, "n_nationkey:int,n_name:string,n_regionkey:int"),
+      "orders" -> (1500L, "o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_totalprice:double,o_orderdate:timestamp_ntz,o_orderpriority:string"),
+      "part" -> (200L, "p_partkey:bigint,p_name:string,p_brand:string,p_type:string,p_size:int,p_retailprice:double"),
+      "region" -> (5L, "r_regionkey:int,r_name:string"),
+      "supplier" -> (10L, "s_suppkey:bigint,s_name:string,s_nationkey:int,s_acctbal:double"))
+    for ((name, (rows, schemaStr)) <- expect.toSeq.sortBy(_._1)) {
+      val df = Tables.t(spark, sf("0.001"), name)
+      val got = df.schema.fields
+        .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+      assert(got == schemaStr,
+        s"$name schema drifted — testdata regenerated?\n got: $got\nwant: $schemaStr")
+      assert(df.count() == rows, s"$name row count drifted at sf0.001")
+    }
+  }
+
   test("eventsBefore filters identically to a post-normalization filter") {
     // The pushdown rewrite must be semantics-preserving: the raw-space
     // range plus normalize ≡ normalize plus timestamp filter.
