@@ -745,6 +745,44 @@ object StreamingQueries {
       out
     }),
 
+    // S8: the synthetic indexed source as a GATED query — the
+    // reference's test connector semantics (TestEventProducingConnector
+    // .java:144-177: fixed-size indexed events, index resumed from the
+    // checkpoint). Run 1 drains events [0, 600) in 250-event admission
+    // batches; run 2 REUSES the checkpoint with totalEvents=1000 and
+    // must resume at index 600 — emitting exactly [600, 1000), no
+    // duplicates, no gaps. The offset log alone carries the source
+    // state; epochAppend keeps the sink exactly-once across both runs'
+    // epochs. The corpus dir is unused (the source is synthetic by
+    // definition); the oracle regenerates the same indexed payloads.
+    "s17_synthetic_resume" -> ((s, d) => {
+      val outDir = Files.createTempDirectory("graft-s17-out-").toString
+      val ckpt = Files.createTempDirectory("graft-s17-ckpt-").toString
+      def drain(totalEvents: Long): Unit = {
+        val q = s.readStream
+          .format(classOf[graft.sources.SyntheticProvider].getName)
+          .option("totalEvents", totalEvents.toString)
+          .option("batchSize", "250")
+          .option("payloadSize", "64")
+          .option("numPartitions", "4")
+          .load()
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            PipelineManager.epochAppend(batch.coalesce(1), outDir, epoch, "s17")
+          }
+          .start()
+        q.awaitTermination()
+      }
+      drain(600)
+      drain(1000)
+      val out = s.read.parquet(outDir).localCheckpoint()
+      deleteTree(outDir, ckpt)
+      out
+    }),
+
     // Stream-static enrichment: every event joined to a broadcast
     // dimension snapshot — stateless, so the streaming result equals
     // the batch join (the enrich step of T1 against a lookup table).
@@ -992,6 +1030,13 @@ object StreamingQueries {
           |UNION ALL SELECT doc, n_dups, first_dup FROM v4""".stripMargin
       (prefix + perBatch + tail).replace("\n", " ")
     },
+
+    // The synthetic source is deterministic by construction: the
+    // oracle regenerates all 1000 indexed payloads — equality proves
+    // the two checkpointed runs covered [0,1000) exactly once.
+    "s17_synthetic_resume" ->
+      """SELECT i AS idx, printf('event-%08d-', i) || repeat('x', 64) AS payload
+        |FROM range(1000) t(i)""".stripMargin.replace("\n", " "),
 
     "s14_stream_banded_dedup" ->
       s"""WITH ${DataOpsQueries.wordsCte}, ${DataOpsQueries.shinglesCte},
