@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   *
   * The printed line keys each query by its short id (the prefix before
   * the first underscore: q15, s10, d09 — unique across the suite) with
-  * millisecond precision, so the whole line stays under ~1.3 KB: the
+  * centisecond precision, so the whole line stays under ~1.6 KB: the
   * harness capturing stdout keeps only a bounded tail, and rounds 3-5
   * proved a full-name/full-precision line (~4 KB at 80 queries) gets
   * its head truncated and fails to parse. The full-name, full-precision

@@ -363,16 +363,18 @@ object StreamingQueries {
       val bands = graft.dedup.Dedup.bandSignatures(
         graft.dedup.Dedup.minHashLong(docs, col("doc_id"), col("text"), k = 16),
         r = 4)
-      // Materialized once: the three per-bucket source writes would
-      // otherwise each recompute the full corpus MinHash (s15's 4-scan
-      // setup hazard).
+      // Cached once (first write materializes it): the three per-bucket
+      // source writes would otherwise each recompute the full corpus
+      // MinHash (s15's 4-scan setup hazard). persist, not
+      // localCheckpoint, so the finally can release the blocks — the
+      // suite's nothing-outlives-the-gate cache contract.
       val base = bands.select(
         col("doc"),
         col("band").cast("long").as("band"),
         col("bh"),
         expr("timestampadd(HOUR, cast(pmod(doc, 97) as int), " +
           "timestamp'2024-01-01 00:00:00')").as("hr"))
-        .localCheckpoint()
+        .persist()
       val srcDir = Files.createTempDirectory("graft-s14-src-").toString
       val outDir = Files.createTempDirectory("graft-s14-out-").toString
       val ckpt = Files.createTempDirectory("graft-s14-ckpt-").toString
@@ -399,7 +401,10 @@ object StreamingQueries {
             .start()
           q.awaitTermination()
         }
-      } finally s.conf.set("spark.sql.shuffle.partitions", before)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", before)
+        base.unpersist(false)
+      }
       val out = s.read.parquet(outDir).localCheckpoint()
       deleteTree(srcDir, outDir, ckpt)
       out
@@ -420,13 +425,15 @@ object StreamingQueries {
       val bands = graft.dedup.Dedup.bandSignatures(
         graft.dedup.Dedup.minHashLong(docs, col("doc_id"), col("text"), k = 16),
         r = 4)
-      // Materialize the band pipeline ONCE: the bootstrap write plus the
-      // three per-bucket source writes would otherwise each recompute
-      // the full corpus MinHash (4 scans of documents.parquet).
+      // Cache the band pipeline ONCE (bootstrap write materializes it):
+      // the bootstrap plus three per-bucket source writes would
+      // otherwise each recompute the full corpus MinHash (4 scans of
+      // documents.parquet). persist, not localCheckpoint, so the
+      // finally can release the blocks.
       val rows = docs.select(col("doc_id").as("doc"))
         .join(bands, Seq("doc"), "left") // keep shingle-less docs (null band)
         .select(col("doc"), col("band").cast("long").as("band"), col("bh"))
-        .localCheckpoint()
+        .persist()
       val srcDir = Files.createTempDirectory("graft-s15-src-").toString
       val idxDir = Files.createTempDirectory("graft-s15-idx-").toString
       val outDir = Files.createTempDirectory("graft-s15-out-").toString
@@ -473,7 +480,10 @@ object StreamingQueries {
             .start()
           q.awaitTermination()
         }
-      } finally s.conf.set("spark.sql.shuffle.partitions", before)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", before)
+        rows.unpersist(false)
+      }
       val out = s.read.parquet(outDir).localCheckpoint()
       deleteTree(srcDir, idxDir, outDir, ckpt)
       out
@@ -496,13 +506,14 @@ object StreamingQueries {
       val sig = emb.select(col("vec_id").as("doc"),
         graft.ann.Ann.lshBucket(
           graft.ann.Ann.toDouble(col("embedding")), 24).as("bucket"))
-      // Materialize once — same 4-scan setup hazard as s15.
+      // Cache once, release in the finally — same 4-scan setup hazard
+      // and cache-lifecycle contract as s15.
       val rows = sig.select(col("doc"), posexplode(array(
           col("bucket").bitwiseAND(lit(4095L)),
           shiftright(col("bucket"), 12).bitwiseAND(lit(4095L)))))
         .select(col("doc"), col("pos").cast("long").as("band"),
           col("col").as("bh"))
-        .localCheckpoint()
+        .persist()
       val srcDir = Files.createTempDirectory("graft-s16-src-").toString
       val idxDir = Files.createTempDirectory("graft-s16-idx-").toString
       val outDir = Files.createTempDirectory("graft-s16-out-").toString
@@ -541,7 +552,10 @@ object StreamingQueries {
             .start()
           q.awaitTermination()
         }
-      } finally s.conf.set("spark.sql.shuffle.partitions", before)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", before)
+        rows.unpersist(false)
+      }
       val out = s.read.parquet(outDir).localCheckpoint()
       deleteTree(srcDir, idxDir, outDir, ckpt)
       out
@@ -1035,7 +1049,7 @@ object StreamingQueries {
     // oracle regenerates all 1000 indexed payloads — equality proves
     // the two checkpointed runs covered [0,1000) exactly once.
     "s17_synthetic_resume" ->
-      """SELECT i AS idx, printf('event-%08d-', i) || repeat('x', 64) AS payload
+      """SELECT i AS idx, printf('event-%012d-', i) || repeat('x', 64) AS payload
         |FROM range(1000) t(i)""".stripMargin.replace("\n", " "),
 
     "s14_stream_banded_dedup" ->

@@ -34,8 +34,15 @@ object Tables {
     // floor-truncate to micros, exactly DuckDB's TIMESTAMP_NS→TIMESTAMP cast.
     case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     // timestamp[us] isAdjustedToUTC=false vintage: loads as NTZ; the cast
-    // re-tags the same micros as UTC-epoch (session tz is pinned to UTC).
-    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    // re-tags the same micros as UTC-epoch — numerically the identity
+    // ONLY under a UTC session tz, so enforce the premise instead of
+    // assuming it (entry points like spark-shell don't pin it).
+    case TimestampNTZType =>
+      val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"events NTZ ts normalization requires spark.sql.session.timeZone=UTC " +
+          s"(session has '$tz'); a non-UTC cast would shift every event time")
+      df.withColumn("ts", col("ts").cast(TimestampType))
     // timestamp[us] isAdjustedToUTC=true vintage: already canonical.
     case TimestampType => df
     case other => throw new IllegalStateException(

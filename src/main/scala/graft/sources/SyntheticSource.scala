@@ -42,9 +42,11 @@ object SyntheticSource {
     StructField("idx", LongType, nullable = false),
     StructField("payload", StringType, nullable = false)))
 
-  /** Deterministic fixed-size payload: indexed header + 'x' filler. */
+  /** Deterministic fixed-size payload: indexed header + 'x' filler.
+    * 12 header digits keep the size fixed up to a trillion events —
+    * %08d would silently grow the payload past idx 1e8. */
   def payloadFor(idx: Long, size: Int): String =
-    f"event-$idx%08d-" + "x" * size
+    f"event-$idx%012d-" + "x" * size
 }
 
 /** Offset = the next event index to generate. */
@@ -109,7 +111,11 @@ final class SyntheticStream(total: Long, batch: Long, size: Int, parts: Int)
       case rows: ReadMaxRows => rows.maxRows()
       case _ => batch
     }
-    SyntheticOffset(math.min(s + step, target))
+    // Never regress below the checkpointed index: a run configured with
+    // a SMALLER totalEvents than an earlier run already drained must
+    // no-op, not rewind the offset log (a rewound log would duplicate
+    // [target, start) on the next larger-total run).
+    SyntheticOffset(math.max(s, math.min(s + step, target)))
   }
   override def reportLatestOffset(): Offset = SyntheticOffset(target)
 

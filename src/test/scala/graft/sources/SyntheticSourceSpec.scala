@@ -12,9 +12,12 @@ import graft.SparkTestBase
 class SyntheticSourceSpec extends SparkTestBase {
 
   test("payload is deterministic and fixed-size") {
-    assert(SyntheticSource.payloadFor(7, 4) == "event-00000007-xxxx")
+    assert(SyntheticSource.payloadFor(7, 4) == "event-000000000007-xxxx")
     assert(SyntheticSource.payloadFor(7, 4).length ==
       SyntheticSource.payloadFor(99999, 4).length)
+    // fixed size must survive indices past 1e8 (the %08d overflow point)
+    assert(SyntheticSource.payloadFor(7, 4).length ==
+      SyntheticSource.payloadFor(123456789012L, 4).length)
   }
 
   test("admission control paces batches and clamps at the target") {
@@ -25,6 +28,9 @@ class SyntheticSourceSpec extends SparkTestBase {
     assert(next(0) == 250 && next(250) == 500 && next(500) == 600 && next(600) == 600)
     // a restored offset mid-range continues from exactly there
     assert(next(337) == 587)
+    // a checkpoint drained PAST this run's target must never rewind the
+    // offset log (rewinding would duplicate events on a later run)
+    assert(next(900) == 900)
     assert(stream.deserializeOffset("42") == SyntheticOffset(42))
   }
 

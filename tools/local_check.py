@@ -16,11 +16,15 @@ for f in glob.glob(f"{sfdir}/*.parquet"):
 
 # A full Verify run writes oracle_sql.json; a SPARK_GRAFT_ONLY-filtered
 # dev run writes oracle_sql.partial.json (never clobbering the full
-# artifact). Prefer the full file; fall back to the partial one.
+# artifact). Prefer the full file; fall back to the partial one LOUDLY
+# so a filtered dump can never read as a fully green run.
 import os
 _oracle_path = f"{outdir}/oracle_sql.json"
 if not os.path.exists(_oracle_path):
     _oracle_path = f"{outdir}/oracle_sql.partial.json"
+    _n = len(json.load(open(_oracle_path)))
+    print(f"#### PARTIAL RUN: {_oracle_path} covers only {_n} filtered "
+          f"quer{'y' if _n == 1 else 'ies'} — NOT a full-suite result ####")
 oracle = json.load(open(_oracle_path))
 
 def canon(df):
