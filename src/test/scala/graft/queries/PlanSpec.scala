@@ -48,6 +48,38 @@ class PlanSpec extends SparkTestBase {
         s"got plan:\n${plan.take(4000)}")
   }
 
+  test("q32 salted agg keeps the two-phase salted rollup in the plan") {
+    // skew defense: phase 1 groups on (key, __salt) — hot keys land on
+    // `salts` reducers — phase 2 re-aggregates per key. Each phase has
+    // its own partial/final split, so the executed plan must carry at
+    // least 3 HashAggregate levels and the salt must reach phase 1's
+    // grouping. A plan that collapsed to a single groupBy(key) would
+    // re-concentrate the hot key on one reducer at 100 TB.
+    val p = planOf("q32_salted_agg")
+    val plan = p.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 3,
+      "two-phase salted aggregation must keep >=3 HashAggregate levels")
+    // the optimizer inlines __salt as a grouping expression; what must
+    // survive is a phase-1 exchange partitioned on BOTH the key and the
+    // salt expression (one key alone = hot key on one reducer)
+    assert("hashpartitioning\\(event_type[^)]*_groupingexpression".r
+        .findFirstIn(plan).isDefined || plan.contains("__salt"),
+      "phase 1 must hash-partition on (key, salt), not the key alone")
+  }
+
+  test("q34 salted join is an equi-join on (key, salt), never a product") {
+    // The build side replicates `salts`x and the join key widens to
+    // (key, __salt) — the plan must stay an equi-join including the
+    // salt, with no product-join degradation.
+    val p = planOf("q34_salted_join")
+    val plan = p.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "salted join must remain an equi-join")
+    assert(plan.contains("__salt"),
+      "join keys must include the salt column")
+  }
+
   test("q21 star join broadcasts every dimension (no shuffle join)") {
     val p = planOf("q21_revenue_by_nation")
     val broadcasts = collectAll(p) { case b: BroadcastHashJoinExec => b }
