@@ -22,6 +22,16 @@ import graft.SparkTestBase
  */
 class TablesSpec extends SparkTestBase {
 
+  private def deleteTree(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   // (sfDir, rows, epoch-micros of min(ts), epoch-micros of the
   // event_id=0 row) — derived from DuckDB over the current corpus.
   private val pins = Seq(
@@ -76,6 +86,46 @@ class TablesSpec extends SparkTestBase {
         s"$name schema drifted — testdata regenerated?\n got: $got\nwant: $schemaStr")
       assert(df.count() == rows, s"$name row count drifted at sf0.001")
     }
+  }
+
+  test("legacy int64-nanos vintage branch still normalizes and filters") {
+    // The current corpus is timestamp[us]; keep the nanos branch alive
+    // with a synthetic vintage so a corpus REVERT is also covered.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ns-vintage").toString
+    val baseUs = 1704067200000000L // 2024-01-01T00:00:00Z in micros
+    (0L until 10L).map(i => (i, baseUs * 1000L + i * 3600L * 1000000000L + 1500L))
+      .toDF("event_id", "ts") // ts: int64 nanos (+1500ns proves truncation)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val norm = Tables.t(spark, dir, "events")
+    assert(norm.schema("ts").dataType == TimestampType)
+    val got = norm.orderBy("event_id").select(unix_micros(col("ts")))
+      .as[Long].collect().toSeq
+    assert(got == (0L until 10L).map(i => baseUs + i * 3600L * 1000000L + 1L),
+      "nanos must floor-truncate to micros (1500ns -> 1us)")
+    // range rewrite: cutoff at +5h keeps exactly events 0-4 and pushes
+    // the predicate in nanos space
+    val cutoff = baseUs + 5L * 3600L * 1000000L
+    val before = Tables.eventsBefore(spark, dir, cutoff)
+    assert(before.count() == 5)
+    assert(before.schema("ts").dataType == TimestampType)
+    deleteTree(dir)
+  }
+
+  test("native TimestampType vintage passes through untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tz-vintage").toString
+    val baseUs = 1704067200000000L
+    (0L until 10L)
+      .map(i => (i, new java.sql.Timestamp((baseUs + i * 3600L * 1000000L) / 1000L)))
+      .toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val norm = Tables.t(spark, dir, "events")
+    assert(norm.schema("ts").dataType == TimestampType)
+    assert(norm.count() == 10)
+    val cutoff = baseUs + 5L * 3600L * 1000000L
+    assert(Tables.eventsBefore(spark, dir, cutoff).count() == 5)
+    deleteTree(dir)
   }
 
   test("eventsBefore filters identically to a post-normalization filter") {
