@@ -149,4 +149,45 @@ object Control {
         sum(col("n")).as("records"),
         sum(col("metric_sum")).as("metric_total"))
   }
+
+  /**
+   * Task-lock ownership (D4): among contending acquire attempts, the
+   * FIRST attempt per (task, lease window) wins and every later
+   * attempt observes the same owner — the reference serializes this
+   * through ZK ephemeral-node creation order, so "first" is defined
+   * by the attempt sequence number, not wall-clock ties.
+   * Reference: DatastreamTask.acquire/release :126-139 +
+   * ZkAdapter.java:123 (lock paths zk/KeyBuilder.java:16-28).
+   *
+   * Scale note: one shuffle keyed by (task, lease); `min_by` has a
+   * map-side partial (one candidate per key per task), so contender
+   * cardinality never crosses the wire.
+   */
+  def lockOwners(df: DataFrame, task: Column, instance: Column,
+      seq: Column, lease: Column): DataFrame =
+    df.groupBy(task.as("task"), lease.as("lease_start"))
+      .agg(
+        min_by(instance, seq).as("owner"),
+        min(seq).as("acquired_at"),
+        count(lit(1)).as("n_contenders"))
+
+  /**
+   * Destination-topic provisioning spec (K7): resolve the partition
+   * count through the reference's hierarchy — explicit destination
+   * partitions if set, else the source's partition count, else the
+   * default of 1 — and attach the default topic configs (RF=1,
+   * retention.ms=14 days) applied when the creating datastream
+   * supplies none.
+   * Reference: KafkaTransportProviderAdmin.
+   * initializeDestinationForDatastream :214-224 (hierarchy),
+   * createTopic :285-311 + getTopic :325-330 (RF default "1"),
+   * populateTopicConfig (DEFAULT_RETENTION 14 days :70).
+   */
+  def provisionDestinations(specs: DataFrame, topicCol: Column,
+      destPartitions: Column, sourcePartitions: Column): DataFrame =
+    specs.select(
+      topicCol.as("dest_topic"),
+      coalesce(destPartitions, sourcePartitions, lit(1L)).cast("long").as("partitions"),
+      lit(1).as("replication_factor"),
+      lit(14L * 24 * 3600 * 1000).as("retention_ms"))
 }

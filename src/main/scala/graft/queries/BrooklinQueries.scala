@@ -679,6 +679,109 @@ object BrooklinQueries {
         .agg(
           count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+    }),
+
+    // K1: the Kafka sink row contract end-to-end — mirror translate →
+    // the exact writer schema (topic/key/value/partition/headers,
+    // KafkaTransportProvider.convertToProducerRecord:107-146), hex-
+    // projected so the byte-level content (UTF-8 key/value encoding,
+    // header passthrough of origin coordinates + checkpoint) is
+    // hash-comparable against the oracle computing the same bytes.
+    "q51_sink_contract" -> ((s, d) =>
+      Translate.toKafkaSink(
+          Translate.mirror(kafkaShaped(t(s, d, "events")), "mirror.%s", "p-"))
+        .select(
+          col("topic"),
+          col("partition").cast("long").as("partition"),
+          lower(hex(col("key"))).as("key_hex"),
+          lower(hex(col("value"))).as("value_hex"),
+          concat_ws(",", transform(col("headers"), hd =>
+            concat(hd.getField("key"), lit("="),
+              lower(hex(hd.getField("value")))))).as("headers_hex"))),
+
+    // A4/A5: auto-pause/resume flow control as a checkpointable
+    // stateful operator (FlowControl.autoPause, here exercised through
+    // Spark's batch execution of flatMapGroupsWithState). Signals are
+    // a deterministic send/ack interleaving: each record sends weight
+    // w at seq 2r and acks -w at seq 2(r+8)+1, so in-flight is the
+    // sliding sum of the last ≤8 sends — never negative (the max(0,·)
+    // clamp is provably inert) — and the pause latch (pause above
+    // 4500 or on error, resume at ≤3500) has the closed form "last
+    // decisive signal wins", which is what the SQL oracle computes.
+    // Reference: PausedSourcePartitionMetadata reasons + thresholds
+    // KafkaMirrorMakerConnectorTask.java:96-97, 316-333.
+    "q52_flow_control" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val part = concat_ws("-", col("event_type"), pmod(col("user_id"), lit(8L)))
+      val ranked = t(s, d, "events").select(
+        part.as("partition"),
+        (pmod(col("event_id"), lit(997L)) + 1L).as("w"),
+        (pmod(col("event_id"), lit(101L)) === 0L).as("err"),
+        row_number().over(
+          Window.partitionBy(part).orderBy(col("event_id"))).cast("long").as("rn"))
+      val sends = ranked.select(col("partition"), col("w").as("delta"),
+        col("err").as("error"), (col("rn") * 2L).as("seq"))
+      val acks = ranked.select(col("partition"), (-col("w")).as("delta"),
+        lit(false).as("error"), ((col("rn") + 8L) * 2L + 1L).as("seq"))
+      graft.streaming.FlowControl.autoPause(
+          sends.unionByName(acks).as[graft.streaming.FlowControl.PartitionSignal],
+          maxInFlight = 4500L, minInFlight = 3500L)
+        .toDF().select(col("partition"), col("action"),
+          col("inFlight").as("in_flight"))
+    }),
+
+    // D4: task-lock single ownership — first acquire attempt per
+    // (task, lease hour) wins, in attempt-sequence order.
+    "q53_task_lock" -> ((s, d) =>
+      Control.lockOwners(t(s, d, "events"),
+        task = concat_ws("-", col("event_type"), pmod(col("user_id"), lit(8L))),
+        instance = col("user_id"),
+        seq = col("event_id"),
+        lease = date_trunc("hour", col("ts")))),
+
+    // K5: directory sink — apply a create/modify/delete change stream
+    // to its final materialized directory state (last change per path
+    // wins; a trailing delete removes the entry). Paths collide via
+    // doc_id mod 500 so each file sees a real change history.
+    // Reference: DirectoryTransportProvider (datastream-directory) —
+    // the sink replays DirectoryChangeProcessor events onto the
+    // destination tree; the final listing is this query's result.
+    "q54_dir_sink_state" -> ((s, d) => {
+      val m = pmod(col("doc_id"), lit(3L))
+      val changes = t(s, d, "documents").select(
+        concat(lit("/data/"), col("source"), lit("/"),
+          pmod(col("doc_id"), lit(500L)), lit(".txt")).as("path"),
+        when(m === 0, lit("ENTRY_CREATE"))
+          .when(m === 1, lit("ENTRY_MODIFY"))
+          .otherwise(lit("ENTRY_DELETE")).as("kind"),
+        col("doc_id").as("seq"))
+      changes.groupBy(col("path"))
+        .agg(
+          max_by(col("kind"), col("seq")).as("last_kind"),
+          max(col("seq")).as("last_seq"),
+          count(lit(1)).as("n_changes"))
+        .filter(col("last_kind") =!= "ENTRY_DELETE")
+    }),
+
+    // K7: destination-topic provisioning — partition-count hierarchy
+    // (explicit destination > source partitions > default 1) plus the
+    // default topic configs. 'view'/'purchase'/'signup' carry an
+    // explicit BYOT destination partition count, 'error' has neither
+    // (exercising the default tier), the rest resolve from source.
+    "q55_topic_provision" -> ((s, d) => {
+      val specs = t(s, d, "events")
+        .groupBy(col("event_type").as("topic"))
+        .agg(countDistinct(pmod(col("user_id"), lit(8L))).as("observed_partitions"))
+        .withColumn("dest_partitions",
+          when(length(col("topic")) % 2 === 0, lit(16L)).otherwise(lit(null).cast("long")))
+        .withColumn("source_partitions",
+          when(col("topic") === "error", lit(null).cast("long"))
+            .otherwise(col("observed_partitions")))
+      Control.provisionDestinations(specs,
+        topicCol = concat(lit("mirror.p-"), col("topic")),
+        destPartitions = col("dest_partitions"),
+        sourcePartitions = col("source_partitions"))
     }))
 
   private val h = Portable.hash64Sql _
@@ -1082,5 +1185,89 @@ object BrooklinQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name, n_name""".stripMargin.replace("\n", " "))
+        |GROUP BY r_name, n_name""".stripMargin.replace("\n", " "),
+
+    // The oracle recomputes the sink row bytes (UTF-8 encode + hex)
+    // straight from the source columns — matching proves the writer
+    // contract carries exactly the right bytes per field.
+    "q51_sink_contract" ->
+      s"""SELECT CONCAT('mirror.', 'p-', topic) AS topic,
+         |partition,
+         |lower(hex(encode(key))) AS key_hex,
+         |lower(hex(encode(value))) AS value_hex,
+         |CONCAT('origin-topic=', lower(hex(encode(topic))),
+         |',origin-partition=', lower(hex(encode(CAST(partition AS VARCHAR)))),
+         |',origin-offset=', lower(hex(encode(CAST("offset" AS VARCHAR)))),
+         |',checkpoint=', lower(hex(encode(CONCAT_WS('-', topic, partition, "offset"))))
+         |) AS headers_hex
+         |FROM ($kafkaShapedSql)""".stripMargin.replace("\n", " "),
+
+    // Closed form of the pause latch: with send/ack deltas interleaved
+    // so prefix sums stay non-negative, the paused state after any
+    // prefix equals "the last decisive signal was a pause trigger"
+    // (decisive = error/overflow → P, drained-below-min → R; in-between
+    // signals leave the latch untouched), and the operator's emitted
+    // transitions are exactly where that latch flips.
+    "q52_flow_control" ->
+      """WITH ranked AS (
+        |SELECT CONCAT_WS('-', event_type, MOD(user_id, 8)) AS partition,
+        |MOD(event_id, 997) + 1 AS w, (MOD(event_id, 101) = 0) AS err,
+        |ROW_NUMBER() OVER (PARTITION BY CONCAT_WS('-', event_type, MOD(user_id, 8))
+        |ORDER BY event_id) AS rn FROM events),
+        |signals AS (
+        |SELECT partition, 2 * rn AS seq, w AS delta, err AS error FROM ranked
+        |UNION ALL
+        |SELECT partition, 2 * (rn + 8) + 1 AS seq, -w AS delta, FALSE AS error FROM ranked),
+        |folded AS (
+        |SELECT partition, seq, error,
+        |CAST(SUM(delta) OVER (PARTITION BY partition ORDER BY seq) AS BIGINT) AS in_flight
+        |FROM signals),
+        |classified AS (
+        |SELECT partition, seq, in_flight,
+        |CASE WHEN error OR in_flight > 4500 THEN 'P'
+        |WHEN in_flight <= 3500 THEN 'R' END AS decisive FROM folded),
+        |latched AS (
+        |SELECT partition, seq, in_flight,
+        |COALESCE(LAST_VALUE(decisive IGNORE NULLS) OVER (
+        |PARTITION BY partition ORDER BY seq ROWS UNBOUNDED PRECEDING), 'R') = 'P' AS paused
+        |FROM classified),
+        |transitions AS (
+        |SELECT partition, seq, in_flight, paused,
+        |COALESCE(LAG(paused) OVER (PARTITION BY partition ORDER BY seq), FALSE) AS prev_paused
+        |FROM latched)
+        |SELECT partition, CASE WHEN paused THEN 'PAUSE' ELSE 'RESUME' END AS action,
+        |in_flight FROM transitions WHERE paused != prev_paused"""
+        .stripMargin.replace("\n", " "),
+
+    "q53_task_lock" ->
+      """SELECT CONCAT_WS('-', event_type, MOD(user_id, 8)) AS task,
+        |date_trunc('hour', ts) AS lease_start,
+        |arg_min(user_id, event_id) AS owner,
+        |MIN(event_id) AS acquired_at, COUNT(*) AS n_contenders
+        |FROM events GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+
+    "q54_dir_sink_state" ->
+      """WITH changes AS (
+        |SELECT CONCAT('/data/', source, '/', MOD(doc_id, 500), '.txt') AS path,
+        |CASE MOD(doc_id, 3) WHEN 0 THEN 'ENTRY_CREATE'
+        |WHEN 1 THEN 'ENTRY_MODIFY' ELSE 'ENTRY_DELETE' END AS kind,
+        |doc_id AS seq FROM documents)
+        |SELECT path, arg_max(kind, seq) AS last_kind, MAX(seq) AS last_seq,
+        |COUNT(*) AS n_changes FROM changes GROUP BY path
+        |HAVING arg_max(kind, seq) != 'ENTRY_DELETE'"""
+        .stripMargin.replace("\n", " "),
+
+    "q55_topic_provision" ->
+      """WITH specs AS (
+        |SELECT event_type AS topic,
+        |COUNT(DISTINCT MOD(user_id, 8)) AS observed_partitions
+        |FROM events GROUP BY 1)
+        |SELECT CONCAT('mirror.p-', topic) AS dest_topic,
+        |CAST(COALESCE(
+        |CASE WHEN length(topic) % 2 = 0 THEN 16 END,
+        |CASE WHEN topic != 'error' THEN observed_partitions END,
+        |1) AS BIGINT) AS partitions,
+        |1 AS replication_factor,
+        |CAST(1209600000 AS BIGINT) AS retention_ms
+        |FROM specs""".stripMargin.replace("\n", " "))
 }

@@ -86,6 +86,36 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 0L, "d" -> 1L, "e" -> 0L))
   }
 
+  test("lockOwners: first acquire attempt per (task, lease) wins by seq") {
+    val attempts = Seq(
+      // (task, instance, seq, lease) — i2 attempts first on t1
+      ("t1", 9L, 5L, "L1"), ("t1", 2L, 1L, "L1"), ("t1", 7L, 3L, "L1"),
+      ("t1", 9L, 8L, "L2"), // new lease window → fresh election
+      ("t2", 4L, 2L, "L1"))
+      .toDF("task", "inst", "seq", "lease")
+    val got = Control.lockOwners(attempts, $"task", $"inst", $"seq", $"lease")
+      .select($"task", $"lease_start", $"owner", $"n_contenders")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("t1", "L1", 2L, 3L), ("t1", "L2", 9L, 1L), ("t2", "L1", 4L, 1L)))
+  }
+
+  test("provisionDestinations resolves the partition-count hierarchy") {
+    val specs = Seq(
+      ("explicit", Some(16L), Some(8L)), // dest wins over source
+      ("fromsrc", None, Some(8L)),       // falls to source partitions
+      ("neither", None, None))           // default tier = 1
+      .toDF("topic", "dest_p", "src_p")
+    val got = Control.provisionDestinations(specs,
+        $"topic", $"dest_p", $"src_p")
+      .select($"dest_topic", $"partitions", $"replication_factor", $"retention_ms")
+      .as[(String, Long, Int, Long)].collect().toSet
+    assert(got == Set(
+      ("explicit", 16L, 1, 1209600000L),
+      ("fromsrc", 8L, 1, 1209600000L),
+      ("neither", 1L, 1, 1209600000L)))
+  }
+
   test("taskCountEstimate mirrors the reference estimator's scenarios") {
     // Constants from the reference test: 4 MBps capacity, 90%
     // utilization, default 5 KB/s per unknown partition.

@@ -68,6 +68,28 @@ class FlowControlSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("autoPause folds identically under batch execution (q52 gate shape)") {
+    // The q52 gate runs the SAME operator through Spark's batch
+    // execution of flatMapGroupsWithState (state starts empty, one
+    // group invocation sees all signals). The fold must match the
+    // incremental streaming result: latch with hysteresis, seq order.
+    val signals = Seq(
+      PartitionSignal("p0", 11L, error = false, seq = 1L),
+      PartitionSignal("p0", -5L, error = false, seq = 2L),
+      PartitionSignal("p0", -5L, error = false, seq = 3L),
+      PartitionSignal("p0", 4L, error = false, seq = 4L), // neutral: 5 ∈ (2,10]
+      PartitionSignal("p1", 1L, error = true, seq = 1L),
+      // out-of-seq arrival must still fold in seq order
+      PartitionSignal("p2", -10L, error = false, seq = 6L),
+      PartitionSignal("p2", 11L, error = false, seq = 5L)).toDS()
+    val out = FlowControl.autoPause(signals, maxInFlight = 10L, minInFlight = 2L)
+      .collect().map(d => (d.partition, d.action, d.inFlight)).toSet
+    assert(out == Set(
+      ("p0", "PAUSE", 11L), ("p0", "RESUME", 1L),
+      ("p1", "PAUSE", 1L),
+      ("p2", "PAUSE", 11L), ("p2", "RESUME", 1L)))
+  }
+
   test("auto-pause decisions drive manager admission end to end (A4 loop)") {
     import org.apache.spark.sql.SaveMode
     val pm = new PipelineManager(spark,
