@@ -797,6 +797,47 @@ object StreamingQueries {
       out
     }),
 
+    // F2/A4 at the source layer (SURVEY §7.3 hard part 1): the
+    // pausable DSv2 source holds paused partitions' offset-vector
+    // components, so their data is never read while paused and
+    // resumes from the HELD index. Run 1 pauses partition 1 (its 150
+    // rows stay unread); run 2 unpauses and delivers exactly those —
+    // every row arrives exactly once, and the run column proves WHEN.
+    "s18_paused_source" -> ((s, d) => {
+      val outDir = Files.createTempDirectory("graft-s18-out-").toString
+      val ckpt = Files.createTempDirectory("graft-s18-ckpt-").toString
+      val pauseFile = Files.createTempFile("graft-s18-pause-", ".txt")
+      def drain(run: Int): Unit = {
+        val q = s.readStream
+          .format(classOf[graft.sources.PausableProvider].getName)
+          .option("rowsPerPartition", "150")
+          .option("numPartitions", "4")
+          .option("batchPerPartition", "40")
+          .option("payloadSize", "16")
+          .option("pauseFile", pauseFile.toString)
+          .load()
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            PipelineManager.epochAppend(
+              batch.withColumn("run", lit(run)).coalesce(1),
+              outDir, epoch, "s18")
+          }
+          .start()
+        q.awaitTermination()
+      }
+      Files.writeString(pauseFile, "1")
+      drain(1)
+      Files.writeString(pauseFile, "")
+      drain(2)
+      val out = s.read.parquet(outDir).localCheckpoint()
+      deleteTree(outDir, ckpt)
+      Files.deleteIfExists(pauseFile)
+      out
+    }),
+
     // Stream-static enrichment: every event joined to a broadcast
     // dimension snapshot — stateless, so the streaming result equals
     // the batch join (the enrich step of T1 against a lookup table).
@@ -1051,6 +1092,15 @@ object StreamingQueries {
     "s17_synthetic_resume" ->
       """SELECT i AS idx, printf('event-%012d-', i) || repeat('x', 64) AS payload
         |FROM range(1000) t(i)""".stripMargin.replace("\n", " "),
+
+    // Every (partition, idx) exactly once; partition 1 (paused during
+    // run 1) arrives only in run 2, everything else only in run 1.
+    "s18_paused_source" ->
+      """SELECT CAST(p.range AS INTEGER) AS partition, i.range AS idx,
+        |printf('event-%012d-', i.range) || repeat('x', 16) AS payload,
+        |CASE WHEN p.range = 1 THEN 2 ELSE 1 END AS run
+        |FROM range(4) p CROSS JOIN range(150) i"""
+        .stripMargin.replace("\n", " "),
 
     "s14_stream_banded_dedup" ->
       s"""WITH ${DataOpsQueries.wordsCte}, ${DataOpsQueries.shinglesCte},
