@@ -720,12 +720,18 @@ object BrooklinQueries {
         (pmod(col("event_id"), lit(101L)) === 0L).as("err"),
         row_number().over(
           Window.partitionBy(part).orderBy(col("event_id"))).cast("long").as("rn"))
-      val sends = ranked.select(col("partition"), col("w").as("delta"),
-        col("err").as("error"), (col("rn") * 2L).as("seq"))
-      val acks = ranked.select(col("partition"), (-col("w")).as("delta"),
-        lit(false).as("error"), ((col("rn") + 8L) * 2L + 1L).as("seq"))
+      // One generator pass emits the send AND its delayed ack — one
+      // corpus scan and one window shuffle, instead of two of each
+      // from a self-union.
+      val signals = ranked.select(col("partition"), explode(array(
+          struct(col("w").as("delta"), col("err").as("error"),
+            (col("rn") * 2L).as("seq")),
+          struct((-col("w")).as("delta"), lit(false).as("error"),
+            ((col("rn") + 8L) * 2L + 1L).as("seq")))).as("sig"))
+        .select(col("partition"), col("sig.delta").as("delta"),
+          col("sig.error").as("error"), col("sig.seq").as("seq"))
       graft.streaming.FlowControl.autoPause(
-          sends.unionByName(acks).as[graft.streaming.FlowControl.PartitionSignal],
+          signals.as[graft.streaming.FlowControl.PartitionSignal],
           maxInFlight = 4500L, minInFlight = 3500L)
         .toDF().select(col("partition"), col("action"),
           col("inFlight").as("in_flight"))

@@ -585,4 +585,47 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Window"),
       "DSIR must not move the distribution to a single-partition window")
   }
+
+  test("q51 sink contract is a shuffle-free codegen projection") {
+    // The producer-record projection (translate → writer schema → hex)
+    // is pure column work: at 100 TB it must ride the scan stage with
+    // zero exchanges, exactly like the reference's per-record
+    // convertToProducerRecord.
+    val p = planOf("q51_sink_contract")
+    assert(collectAll(p) { case s: ShuffleExchangeExec => s }.isEmpty,
+      "sink-row projection must not shuffle")
+  }
+
+  test("q52 flow control reads the corpus once and shuffles only by key") {
+    // Signal generation explodes send+ack from ONE ranked pass (one
+    // scan, one window shuffle by partition key), then the state op
+    // shuffles by the same key. No self-union (two scans) and no
+    // product joins may reappear.
+    val p = planOf("q52_flow_control")
+    val plan = p.toString
+    val scans = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.size == 1,
+      s"send+ack signals must come from a single events scan, got ${scans.size}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      "flow-control fold must stay keyed")
+    assert(collectAll(p) { case s: ShuffleExchangeExec => s }.size <= 2,
+      "only the window shuffle and the state-op shuffle are allowed")
+  }
+
+  test("q53/q54 lock + dir-state keep the keyed partial-agg split") {
+    for (name <- Seq("q53_task_lock", "q54_dir_sink_state")) {
+      val p = planOf(name)
+      val plan = p.toString
+      assert(collectAll(p) { case s: ShuffleExchangeExec => s }.size == 1,
+        s"$name: one keyed exchange only")
+      // min_by/max_by are object aggregates — the partial/final split
+      // must still appear so contender/change cardinality never
+      // crosses the wire unreduced.
+      assert("(Hash|ObjectHashAggregate|SortAggregate)".r.findAllIn(plan).size >= 2,
+        s"$name: partial/final aggregate split expected")
+    }
+  }
 }
