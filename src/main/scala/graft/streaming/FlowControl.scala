@@ -21,7 +21,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * state store (checkpointed, recoverable), and the emitted decisions
  * drive the admission filter (Filters.notPaused / PipelineManager
  * .pausePartitions). State is O(#partitions), not O(#records), so the
- * operator scales with topology size, not data size.
+ * operator scales with topology size, not data size. The per-group
+ * sort materializes ONE INVOCATION's signals: under streaming that is
+ * one micro-batch's worth per partition — bounded by trigger
+ * admission (maxOffsetsPerTrigger), the same way the reference's
+ * in-flight map is bounded by its poll batch. (Batch execution, as in
+ * the q52 gate, folds a whole partition's history in one invocation —
+ * fine for gating, not the deployment shape.)
  */
 object FlowControl {
 

@@ -332,6 +332,25 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       spark.readStream
         .format(classOf[graft.sources.DirWatchProvider].getName)
         .option("path", spec.sourceConnection).load()
+    case "synthetic" =>
+      // S8: indexed synthetic events; sourceConnection = totalEvents.
+      spark.readStream
+        .format(classOf[graft.sources.SyntheticProvider].getName)
+        .option("totalEvents", spec.sourceConnection)
+        .options(spec.metadata.view
+          .filterKeys(Set("batchSize", "payloadSize", "numPartitions")).toMap)
+        .load()
+    case "pausable" =>
+      // F2/A4 source layer: per-partition offset holds driven by the
+      // pause-control file named in metadata("pauseFile");
+      // sourceConnection = rowsPerPartition.
+      spark.readStream
+        .format(classOf[graft.sources.PausableProvider].getName)
+        .option("rowsPerPartition", spec.sourceConnection)
+        .options(spec.metadata.view
+          .filterKeys(Set("numPartitions", "batchPerPartition", "payloadSize",
+            "pauseFile")).toMap)
+        .load()
     case other => throw new IllegalArgumentException(s"unknown connector $other")
   }
 

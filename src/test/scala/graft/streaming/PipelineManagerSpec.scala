@@ -109,6 +109,33 @@ class PipelineManagerSpec extends SparkTestBase {
     assert(pm.get("p1").isEmpty)
   }
 
+  test("pausable connector: source-layer offset holds through the manager") {
+    val pm = newManager()
+    val pauseFile = Files.createTempFile("graft-pm-pause-", ".txt")
+    Files.writeString(pauseFile, "1")
+    val spec = pm.create(PipelineSpec("pz", "pausable", "parquet", "40",
+      metadata = Map("numPartitions" -> "2", "batchPerPartition" -> "20",
+        "payloadSize" -> "4", "pauseFile" -> pauseFile.toString)))
+
+    // run 1: partition 1 is paused at the SOURCE — its offsets hold,
+    // nothing of it is read, let alone delivered.
+    pm.start("pz", identity).awaitTermination()
+    val run1 = spark.read.parquet(spec.destinationConnection)
+      .select("partition", "idx").as[(Int, Long)].collect().toSeq
+    assert(run1.forall(_._1 == 0) && run1.size == 40)
+
+    // unpause + restart from the same checkpoint: partition 1 drains
+    // from its HELD index 0 — exactly once, nothing re-read from p0.
+    Files.writeString(pauseFile, "")
+    pm.pause("pz")
+    pm.resume("pz", identity).awaitTermination()
+    val all = spark.read.parquet(spec.destinationConnection)
+      .select("partition", "idx").as[(Int, Long)].collect().toSeq
+    assert(all.size == 80 && all.distinct.size == 80)
+    assert(all.count(_._1 == 1) == 40)
+    pm.delete("pz")
+  }
+
   test("flow control bounds each micro-batch via maxFilesPerTrigger") {
     val pm = newManager()
     val srcDir = Files.createTempDirectory("graft-flow-").toString
