@@ -54,12 +54,15 @@ object Bench {
     }
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // stdout precision is centiseconds: the harness keeps only a bounded
-    // TAIL of stdout, and round 9 proved an over-long line loses its
-    // HEAD and fails the driver's parse. bench_detail.json keeps full
+    // stdout precision is DECIseconds: the harness keeps only a ~2000
+    // char TAIL of stdout (BENCH_r09.json: tail len 2000, including
+    // sbt's trailing "[success]" line), and round 9 proved an
+    // over-long line loses its HEAD and fails the driver's parse. At
+    // 142 queries a centisecond line runs ~1880 chars — too close; one
+    // decimal keeps ~260 chars of margin. bench_detail.json keeps full
     // precision.
     def fmt2(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
