@@ -190,4 +190,28 @@ object Control {
       coalesce(destPartitions, sourcePartitions, lit(1L)).cast("long").as("partitions"),
       lit(1).as("replication_factor"),
       lit(14L * 24 * 3600 * 1000).as("retention_ms"))
+
+  /**
+   * Seek-to-start-position hierarchy: where consumption begins for
+   * each source partition. A committed checkpoint wins (resume one
+   * past it); a partition with no commit falls to the datastream's
+   * configured per-partition start position; with neither, the reset
+   * strategy picks the high watermark ("latest") or the low one
+   * ("earliest").
+   * Reference: AbstractKafkaBasedConnectorTask.seekToStartPosition
+   * :769-785 (startOffsets > seekToEnd/seekToBeginning by strategy)
+   * + the committed-null branch :753-767;
+   * DatastreamMetadataConstants.START_POSITION :103.
+   *
+   * `partitions` must carry `earliest`/`latest` watermark columns;
+   * the three tiers arrive as Columns so callers bind them to
+   * checkpoint state, spec metadata, and consumer config
+   * respectively. Null propagates through each tier exactly as the
+   * reference's absent-commit / absent-config cases do.
+   */
+  def startPositions(partitions: DataFrame, committed: Column,
+      configured: Column, useLatest: Column): DataFrame =
+    partitions.withColumn("start_offset",
+      coalesce(committed + lit(1L), configured,
+        when(useLatest, col("latest")).otherwise(col("earliest"))))
 }

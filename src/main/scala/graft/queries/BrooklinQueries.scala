@@ -788,6 +788,41 @@ object BrooklinQueries {
         topicCol = concat(lit("mirror.p-"), col("topic")),
         destPartitions = col("dest_partitions"),
         sourcePartitions = col("source_partitions"))
+    }),
+
+    // T7 audit view: the change log expanded to SCD2-style validity
+    // intervals — every superseded image queryable, a trailing DELETE
+    // leaves the key with no current row (q31 is the latest-state
+    // collapse of the same log).
+    "q56_cdc_history" -> ((s, d) =>
+      graft.streaming.CdcMerge.changeHistory(
+        t(s, d, "events").select(
+          col("user_id").as("key"),
+          col("event_id").as("scn"),
+          Translate.opcodeOf(col("event_type")).as("opcode"),
+          col("props").as("value")),
+        keyCols = Seq("key"), scnCol = "scn", opcodeCol = "opcode")),
+
+    // Seek-to-start-position hierarchy: committed checkpoint (+1) >
+    // configured per-partition start > reset strategy. Partitions 0-2
+    // simulate fresh assignment (commit masked), partitions ≤1 carry a
+    // configured start, and the strategy is latest for even-length
+    // topics — so every tier is exercised across the 40 partitions.
+    "q57_start_position" -> ((s, d) => {
+      val hw = kafkaShaped(t(s, d, "events"))
+        .groupBy(col("topic"), col("partition"))
+        .agg(
+          min(col("offset")).as("earliest"),
+          (max(col("offset")) + 1L).as("latest"),
+          max(when(col("ts") < to_timestamp(lit("2024-01-08 00:00:00")),
+            col("offset"))).as("committed_raw"))
+        .withColumn("committed",
+          when(col("partition") >= 3, col("committed_raw")))
+        .drop("committed_raw")
+      Control.startPositions(hw,
+        committed = col("committed"),
+        configured = when(col("partition") <= 1, col("partition") * 1000L),
+        useLatest = length(col("topic")) % 2 === 0)
     }))
 
   private val h = Portable.hash64Sql _
@@ -1275,5 +1310,31 @@ object BrooklinQueries {
         |1) AS BIGINT) AS partitions,
         |1 AS replication_factor,
         |CAST(1209600000 AS BIGINT) AS retention_ms
-        |FROM specs""".stripMargin.replace("\n", " "))
+        |FROM specs""".stripMargin.replace("\n", " "),
+
+    "q56_cdc_history" ->
+      """WITH log AS (SELECT user_id AS key, event_id AS scn,
+        |CASE WHEN event_type IN ('create','insert','signup') THEN 'INSERT'
+        |WHEN event_type IN ('delete','drop','error') THEN 'DELETE'
+        |ELSE 'UPDATE' END AS opcode, props AS value FROM events),
+        |h AS (SELECT *, COALESCE(LEAD(scn) OVER (
+        |PARTITION BY key ORDER BY scn), -1) AS scn_to FROM log)
+        |SELECT key, scn, opcode, value, scn_to, scn_to = -1 AS is_current
+        |FROM h WHERE opcode <> 'DELETE'""".stripMargin.replace("\n", " "),
+
+    "q57_start_position" ->
+      s"""WITH hw AS (
+         |SELECT topic, partition, MIN("offset") AS earliest,
+         |MAX("offset") + 1 AS latest,
+         |MAX(CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00'
+         |THEN "offset" END) AS committed_raw
+         |FROM ($kafkaShapedSql) GROUP BY 1, 2)
+         |SELECT topic, partition, earliest, latest,
+         |CASE WHEN partition >= 3 THEN committed_raw END AS committed,
+         |COALESCE(
+         |CASE WHEN partition >= 3 THEN committed_raw END + 1,
+         |CASE WHEN partition <= 1 THEN partition * 1000 END,
+         |CASE WHEN length(topic) % 2 = 0 THEN latest ELSE earliest END
+         |) AS start_offset
+         |FROM hw""".stripMargin.replace("\n", " "))
 }

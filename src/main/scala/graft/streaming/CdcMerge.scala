@@ -63,6 +63,32 @@ object CdcMerge {
       .drop("__rn")
   }
 
+  /**
+   * Expand a CDC log into its full change HISTORY (SCD2-style
+   * validity intervals): one row per non-DELETE change with
+   * [scn, scn_to) bounds — scn_to is the next change's scn for the
+   * same key (whatever its opcode), or -1 while the version is still
+   * current. A trailing DELETE closes the last interval and leaves
+   * the key with no current row. This is the audit view the
+   * envelope's old/new-image design exists for
+   * (BrooklinEnvelope.java:16-21: key = primary key, value = new
+   * image, previousValue = old image; opcodes
+   * BrooklinEnvelopeMetadataConstants.java:19-23) — every
+   * superseded image stays queryable, not just the latest state.
+   *
+   * Scale: one keyed window (partition by key, order by scn), the
+   * same shuffle key as the latestState collapse — never a global
+   * ordering.
+   */
+  def changeHistory(log: DataFrame, keyCols: Seq[String], scnCol: String,
+      opcodeCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(scnCol))
+    log
+      .withColumn("scn_to", coalesce(lead(col(scnCol), 1).over(w), lit(-1L)))
+      .filter(col(opcodeCol) =!= "DELETE")
+      .withColumn("is_current", col("scn_to") === -1L)
+  }
+
   private def bucketDir(statePath: String, b: Long) =
     new Path(statePath, f"b$b%05d")
   private def bakDir(statePath: String, b: Long) =

@@ -116,6 +116,22 @@ class OperatorsSpec extends SparkTestBase {
       ("neither", 1L, 1, 1209600000L)))
   }
 
+  test("startPositions resolves checkpoint > configured > reset strategy") {
+    val hw = Seq(
+      // (part, earliest, latest, committed, configured, useLatest)
+      ("p0", 10L, 100L, Some(42L), None, false),        // checkpoint wins
+      ("p1", 10L, 100L, None, Some(7L), true),          // falls to configured
+      ("p2", 10L, 100L, None, None, true),              // strategy: latest
+      ("p3", 10L, 100L, None, None, false),             // strategy: earliest
+      ("p4", 10L, 100L, Some(99L), Some(7L), true))     // checkpoint still wins
+      .toDF("part", "earliest", "latest", "committed", "configured", "use_latest")
+    val got = Control.startPositions(hw,
+        $"committed", $"configured", $"use_latest")
+      .select($"part", $"start_offset").as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "p0" -> 43L, "p1" -> 7L, "p2" -> 100L, "p3" -> 10L, "p4" -> 100L))
+  }
+
   test("taskCountEstimate mirrors the reference estimator's scenarios") {
     // Constants from the reference test: 4 MBps capacity, 90%
     // utilization, default 5 KB/s per unknown partition.

@@ -27,6 +27,28 @@ class CdcMergeSpec extends SparkTestBase {
     assert(got == Map(1L -> "a3", 3L -> "c5"))
   }
 
+  test("changeHistory expands the log to validity intervals with delete closure") {
+    val log = Seq(
+      Change(1L, 1L, "INSERT", "a1"),
+      Change(1L, 3L, "UPDATE", "a3"),
+      Change(2L, 2L, "INSERT", "b2"),
+      Change(2L, 4L, "DELETE", ""),
+      Change(3L, 5L, "INSERT", "c5")).toDF()
+    val got = CdcMerge.changeHistory(log, Seq("key"), "scn", "opcode")
+      .select($"key", $"scn", $"scn_to", $"is_current")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 3L, false),  // superseded by scn 3
+      (1L, 3L, -1L, true),  // current
+      (2L, 2L, 4L, false),  // closed by the DELETE — key 2 has no current row
+      (3L, 5L, -1L, true)))
+    // the current rows of the history ARE the latestState collapse
+    val current = CdcMerge.changeHistory(log, Seq("key"), "scn", "opcode")
+      .filter($"is_current").select($"key", $"value")
+      .as[(Long, String)].collect().toMap
+    assert(current == Map(1L -> "a3", 3L -> "c5"))
+  }
+
   test("streaming foreachBatch upsert materializes state across epochs") {
     implicit val sqlCtx = spark.sqlContext
     val statePath = Files.createTempDirectory("graft-cdc-").toString + "/state"
