@@ -615,6 +615,17 @@ class PlanSpec extends SparkTestBase {
       "only the window shuffle and the state-op shuffle are allowed")
   }
 
+  test("q56 change history runs one keyed window, no global ordering") {
+    val p = planOf("q56_cdc_history")
+    val plan = p.toString
+    assert(collectAll(p) { case s: ShuffleExchangeExec => s }.size == 1,
+      "history expansion shuffles once, by key")
+    // hashpartitioning by key — a global (single-partition) window
+    // would appear as SinglePartition exchange
+    assert(!plan.contains("SinglePartition"),
+      "the lead() window must stay partitioned per key")
+  }
+
   test("q53/q54 lock + dir-state keep the keyed partial-agg split") {
     for (name <- Seq("q53_task_lock", "q54_dir_sink_state")) {
       val p = planOf(name)
