@@ -9,10 +9,11 @@ import org.apache.spark.sql.SparkSession
   *
   * The printed line keys each query by its short id (the prefix before
   * the first underscore: q15, s10, d09 — unique across the suite) with
-  * centisecond precision, so the whole line stays under ~1.6 KB: the
-  * harness capturing stdout keeps only a bounded tail, and rounds 3-5
-  * proved a full-name/full-precision line (~4 KB at 80 queries) gets
-  * its head truncated and fails to parse. The full-name, full-precision
+  * decisecond precision, keeping the whole line ~1.5 KB at 144
+  * queries: the harness capturing stdout keeps only a ~2000-char tail
+  * (including sbt's trailing success line), and rounds 3-5 proved a
+  * full-name/full-precision line (~4 KB at 80 queries) gets its head
+  * truncated and fails to parse. The full-name, full-precision
   * per-query map is written to bench_detail.json in the working
   * directory for offline reading. */
 object Bench {
