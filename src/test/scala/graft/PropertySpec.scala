@@ -296,6 +296,70 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("autoPause: equals the imperative reference fold for arbitrary signals") {
+    // Random deltas INCLUDING clamp-active sequences (prefix sums that
+    // would run negative) and random error flags — the regime the q52
+    // gate's closed-form oracle deliberately avoids. The independent
+    // model is a direct transliteration of the reference's
+    // pause/resume bookkeeping (thresholds
+    // KafkaMirrorMakerConnectorTask.java:96-97).
+    import graft.streaming.FlowControl
+    val rnd = new Random(54)
+    for (_ <- 1 to Rounds) {
+      val maxIn = 5L + rnd.nextInt(20)
+      val minIn = 1L + rnd.nextInt(maxIn.toInt - 2)
+      val signals = (1 to 120).map { i =>
+        FlowControl.PartitionSignal(
+          partition = s"p${rnd.nextInt(3)}",
+          delta = rnd.nextInt(21) - 10L, // negative prefixes possible
+          error = rnd.nextInt(12) == 0,
+          seq = i.toLong)
+      }
+      val got = FlowControl.autoPause(signals.toDS(), maxIn, minIn)
+        .collect().map(d => (d.partition, d.action, d.inFlight)).toSeq.sorted
+      val want = signals.groupBy(_.partition).toSeq.flatMap { case (p, sigs) =>
+        var inFlight = 0L; var paused = false
+        sigs.sortBy(_.seq).flatMap { e =>
+          inFlight = math.max(0L, inFlight + e.delta)
+          val shouldPause = e.error || inFlight > maxIn
+          if (!paused && shouldPause) { paused = true; Some((p, "PAUSE", inFlight)) }
+          else if (paused && !shouldPause && inFlight <= minIn) {
+            paused = false; Some((p, "RESUME", inFlight))
+          } else None
+        }
+      }.sorted
+      assert(got == want, s"max=$maxIn min=$minIn")
+    }
+  }
+
+  test("changeHistory: intervals tile each key's log; current = latestState") {
+    import graft.streaming.CdcMerge
+    val rnd = new Random(55)
+    for (_ <- 1 to Rounds) {
+      val ops = Seq("INSERT", "UPDATE", "DELETE")
+      val log = (1 to 60).map(i =>
+        (rnd.nextInt(6).toLong, i.toLong, ops(rnd.nextInt(3)), s"v$i"))
+      val df = log.toDF("key", "scn", "opcode", "value")
+      val hist = CdcMerge.changeHistory(df, Seq("key"), "scn", "opcode")
+        .select($"key", $"scn", $"scn_to", $"is_current")
+        .as[(Long, Long, Long, Boolean)].collect()
+      // every non-DELETE change appears exactly once with the next
+      // change's scn (any opcode) as its upper bound
+      val byKey = log.groupBy(_._1)
+      hist.foreach { case (k, scn, scnTo, current) =>
+        val next = byKey(k).map(_._2).filter(_ > scn).minOption
+        assert(scnTo == next.getOrElse(-1L), s"key=$k scn=$scn")
+        assert(current == next.isEmpty)
+      }
+      assert(hist.length == log.count(_._3 != "DELETE"))
+      // current rows ARE the latestState collapse
+      val currentKeys = hist.filter(_._4).map(r => (r._1, r._2)).toSet
+      val collapsed = CdcMerge.latestState(df, Seq("key"), "scn", "opcode")
+        .select($"key", $"scn").as[(Long, Long)].collect().toSet
+      assert(currentKeys == collapsed)
+    }
+  }
+
   test("paddingEfficiency: conserves tokens and never exceeds batch size") {
     val rnd = new Random(53)
     for (_ <- 1 to Rounds) {
