@@ -214,4 +214,35 @@ object Control {
     partitions.withColumn("start_offset",
       coalesce(committed + lit(1L), configured,
         when(useLatest, col("latest")).otherwise(col("earliest"))))
+
+  /**
+   * Broadcast assignment strategy: each datastream expands to its own
+   * task count (datastream-level maxTasks metadata > strategy config >
+   * one per instance — the caller resolves that hierarchy into
+   * `numTasksCol`), and ALL tasks are dealt round-robin over the
+   * instance ring with a position that CARRIES ACROSS datastreams, so
+   * the cluster stays balanced even when task counts aren't multiples
+   * of the instance count.
+   * Reference: BroadcastStrategy.assign :56-120 (instancePos advances
+   * once per task, across groups :91-118; getNumTasks hierarchy
+   * :124-139). The ZK task-reuse bookkeeping (:64-90) is checkpoint
+   * plumbing Spark's scheduler replaces.
+   *
+   * Scale note: control-plane cardinality (streams × tasks), so the
+   * single global window is deliberate — same stance as [[loadPack]].
+   */
+  def broadcastAssign(streams: DataFrame, streamCol: Column,
+      numTasksCol: Column, instances: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(instances.nonEmpty, "broadcastAssign needs at least one instance")
+    val ring = array(instances.map(lit): _*)
+    val w = Window.orderBy(col("stream"), col("task_pos"))
+    streams.select(streamCol.as("stream"), numTasksCol.as("num_tasks"))
+      .withColumn("task_pos",
+        explode(sequence(lit(0L), col("num_tasks").cast("long") - 1L)))
+      .withColumn("rn", row_number().over(w).cast("long") - 1L)
+      .withColumn("instance",
+        element_at(ring, pmod(col("rn"), lit(instances.size.toLong)).cast("int") + 1))
+      .select(col("stream"), col("task_pos"), col("instance"))
+  }
 }

@@ -823,7 +823,34 @@ object BrooklinQueries {
         committed = col("committed"),
         configured = when(col("partition") <= 1, col("partition") * 1000L),
         useLatest = length(col("topic")) % 2 === 0)
-    }))
+    }),
+
+    // Broadcast assignment: per-stream task counts (metadata override
+    // for click/purchase, one-per-instance default for the rest) dealt
+    // round-robin over a 5-instance ring with the position carrying
+    // across streams.
+    "q58_broadcast_assign" -> ((s, d) =>
+      Control.broadcastAssign(
+        t(s, d, "events").select(col("event_type").as("stream")).distinct(),
+        streamCol = col("stream"),
+        numTasksCol = when(col("stream") === "click", 7L)
+          .when(col("stream") === "purchase", 2L).otherwise(5L),
+        instances = (0 until 5).map(i => s"i$i"))),
+
+    // Load-balancing strategy task sizing: numTasks =
+    // max(minTasks, min(#partitions, #instances × overPartitioning)),
+    // then the same even dealing as q58. Partition count stands in as
+    // the topic-name length (4..8) so the min() clamp and the
+    // minTasks floor (view: 4 → 5) both fire.
+    // Reference: LoadbalancingStrategy.java:29-33 (formula doc),
+    // DEFAULT_OVER_PARTITIONING_FACTOR = 2 :37.
+    "q59_loadbalance_assign" -> ((s, d) =>
+      Control.broadcastAssign(
+        t(s, d, "events").select(col("event_type").as("stream")).distinct(),
+        streamCol = col("stream"),
+        numTasksCol = greatest(lit(5L),
+          least(length(col("stream")).cast("long"), lit(5L * 2))),
+        instances = (0 until 5).map(i => s"i$i"))))
 
   private val h = Portable.hash64Sql _
 
@@ -1336,5 +1363,28 @@ object BrooklinQueries {
          |CASE WHEN partition <= 1 THEN partition * 1000 END,
          |CASE WHEN length(topic) % 2 = 0 THEN latest ELSE earliest END
          |) AS start_offset
-         |FROM hw""".stripMargin.replace("\n", " "))
+         |FROM hw""".stripMargin.replace("\n", " "),
+
+    "q58_broadcast_assign" ->
+      """WITH sized AS (
+        |SELECT DISTINCT event_type AS stream,
+        |CASE event_type WHEN 'click' THEN 7 WHEN 'purchase' THEN 2
+        |ELSE 5 END AS num_tasks FROM events),
+        |tasks AS (SELECT stream, r.range AS task_pos FROM sized
+        |CROSS JOIN range(0, 7) r WHERE r.range < num_tasks),
+        |dealt AS (SELECT stream, task_pos,
+        |ROW_NUMBER() OVER (ORDER BY stream, task_pos) - 1 AS rn FROM tasks)
+        |SELECT stream, task_pos, 'i' || CAST(rn % 5 AS VARCHAR) AS instance
+        |FROM dealt""".stripMargin.replace("\n", " "),
+
+    "q59_loadbalance_assign" ->
+      """WITH sized AS (
+        |SELECT DISTINCT event_type AS stream,
+        |GREATEST(5, LEAST(length(event_type), 10)) AS num_tasks FROM events),
+        |tasks AS (SELECT stream, r.range AS task_pos FROM sized
+        |CROSS JOIN range(0, 10) r WHERE r.range < num_tasks),
+        |dealt AS (SELECT stream, task_pos,
+        |ROW_NUMBER() OVER (ORDER BY stream, task_pos) - 1 AS rn FROM tasks)
+        |SELECT stream, task_pos, 'i' || CAST(rn % 5 AS VARCHAR) AS instance
+        |FROM dealt""".stripMargin.replace("\n", " "))
 }

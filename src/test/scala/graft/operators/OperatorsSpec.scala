@@ -116,6 +116,23 @@ class OperatorsSpec extends SparkTestBase {
       ("neither", 1L, 1, 1209600000L)))
   }
 
+  test("broadcastAssign deals tasks round-robin with cross-stream carry") {
+    val streams = Seq(("a", 3L), ("b", 2L), ("c", 4L)).toDF("s", "n")
+    val got = Control.broadcastAssign(streams, $"s", $"n",
+        instances = Seq("i0", "i1", "i2"))
+      .as[(String, Long, String)].collect().toSet
+    // dealing order (a,0)(a,1)(a,2)(b,0)(b,1)(c,0)(c,1)(c,2)(c,3):
+    // the position carries across streams — b starts at i0 only
+    // because a consumed a full ring; c starts at i2.
+    assert(got == Set(
+      ("a", 0L, "i0"), ("a", 1L, "i1"), ("a", 2L, "i2"),
+      ("b", 0L, "i0"), ("b", 1L, "i1"),
+      ("c", 0L, "i2"), ("c", 1L, "i0"), ("c", 2L, "i1"), ("c", 3L, "i2")))
+    // balance: 9 tasks over 3 instances = 3 each
+    val perInstance = got.toSeq.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(perInstance.values.toSet == Set(3))
+  }
+
   test("startPositions resolves checkpoint > configured > reset strategy") {
     val hw = Seq(
       // (part, earliest, latest, committed, configured, useLatest)
