@@ -626,8 +626,8 @@ class PlanSpec extends SparkTestBase {
       "the lead() window must stay partitioned per key")
   }
 
-  test("q53/q54 lock + dir-state keep the keyed partial-agg split") {
-    for (name <- Seq("q53_task_lock", "q54_dir_sink_state")) {
+  test("q53/q54/q57 keyed control-plane aggs keep the partial-agg split") {
+    for (name <- Seq("q53_task_lock", "q54_dir_sink_state", "q57_start_position")) {
       val p = planOf(name)
       val plan = p.toString
       assert(collectAll(p) { case s: ShuffleExchangeExec => s }.size == 1,
