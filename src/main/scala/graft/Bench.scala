@@ -40,7 +40,33 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Execution order is EXPLICIT, not alphabetical. Alphabetical put
+    // the 18 state-store-heavy s-gates (whose checkpointed state maps
+    // Spark's provider cache retains after query stop) immediately
+    // before the widest-shuffle t-family, and under external memory
+    // pressure that ordering amplified a contended driver window into
+    // the 40x t19/t08 blowup BENCH_r10 recorded on untouched code.
+    // Now: batch families first (d shares the signature spill, e the
+    // codebook), then the d/e scratch is released BEFORE the wide
+    // t-family runs, and the s-family runs LAST with a state-store
+    // unload after every gate — no family inherits another's heap.
+    val familyRank: Char => Int =
+      Map('d' -> 0, 'e' -> 1, 'm' -> 2, 'p' -> 3, 'q' -> 4, 't' -> 5,
+        's' -> 6).withDefaultValue(4)
+    val ordered = SparkEntry.queries.toSeq
+      .sortBy { case (n, _) => (familyRank(n.head), n) }
+    val rt = Runtime.getRuntime
+    def heapMb: Long = (rt.totalMemory - rt.freeMemory) >> 20
+    val heapAfter = scala.collection.mutable.LinkedHashMap[String, Long]()
+    var released = false
+    val results = ordered.map { case (name, fn) =>
+      if (!released && familyRank(name.head) >= 5) {
+        // d/e-family scratch (signature spill, band index, codebook)
+        // has no consumer past this point in the order above; free it
+        // before the suite's widest scans instead of at suite end.
+        graft.queries.DataOpsQueries.release(sfDir)
+        released = true
+      }
       val t0 = System.nanoTime()
       val elapsed =
         try {
@@ -51,6 +77,15 @@ object Bench {
           // sentinel: a broken query must never read as a fast one
           -1.0
         }
+      if (name.startsWith("s")) {
+        org.apache.spark.sql.GraftBridge.unloadStateStores()
+      }
+      // Per-gate heap telemetry: makes a contended run attributable
+      // from the artifact itself (steadily climbing heap = leak in
+      // the suite; flat heap + slow gates = external pressure).
+      heapAfter(name) = heapMb
+      System.err.println(
+        f"[bench] $name ${elapsed}%.2fs heap=${heapAfter(name)}MB")
       name -> elapsed
     }
     def fmt(v: Double): String =
@@ -76,13 +111,6 @@ object Bench {
       else failed.take(8) :+ ("\"+" + (failed.size - 8) + " more (see bench_detail.json)\"")
     val total = results.map(_._2).filter(_ >= 0).sum
 
-    // End-of-suite cache teardown: delete the signature spill + band
-    // index parquet scratch dirs and unpersist the codebook — the
-    // release() scope contract (nothing owned by this corpus outlives
-    // the run), and it keeps the s-family medians below clean of any
-    // leftover d/e-family state.
-    graft.queries.DataOpsQueries.release(sfDir)
-
     // Repeated-run medians for the WHOLE streaming family: their n=1
     // suite numbers are dominated by query startup + checkpoint
     // commits and swing round-to-round (the round-6 noise
@@ -98,18 +126,28 @@ object Bench {
         val times = (first +: (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.sql.GraftBridge.unloadStateStores()
+          dt
         }).sorted
         name -> times(times.size / 2)
     }
+
+    // End-of-suite cache teardown: the release() scope contract —
+    // nothing owned by this corpus outlives the run. (d/e scratch was
+    // already freed before the t-family; this sweeps anything the
+    // t/s gates re-created, e.g. the t19/d23 window spills.)
+    graft.queries.DataOpsQueries.release(sfDir)
 
     val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val medianJson = sMedians.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val heapJson = heapAfter.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"s_medians":$medianJson,"s_median_n":3,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"s_medians":$medianJson,"s_median_n":3,"heap_after_mb":$heapJson,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":[${failedStdout.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }

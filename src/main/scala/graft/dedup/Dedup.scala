@@ -522,11 +522,30 @@ object Dedup {
    * output (nothing to span-match).
    */
   def duplicateSpans(df: DataFrame, id: Column, text: Column,
-      winLen: Int): DataFrame = {
-    val wins = df.select(id.as("doc"), Text.tokens(text).as("w"))
+      winLen: Int): DataFrame =
+    duplicateSpansFromWindows(spanWindows(df, id, text, winLen))
+
+  /** (doc, pos, h): every stride-1 `winLen`-token window of every
+    * document, as an 8-byte fingerprint — the frame both sides of the
+    * [[duplicateSpans]] self-comparison consume. */
+  def spanWindows(df: DataFrame, id: Column, text: Column,
+      winLen: Int): DataFrame =
+    df.select(id.as("doc"), Text.tokens(text).as("w"))
       .select(col("doc"),
         posexplode(Text.shinglesOf(col("w"), winLen)).as(Seq("pos", "win")))
       .select(col("doc"), col("pos"), Portable.hash64(col("win")).as("h"))
+
+  /**
+   * [[duplicateSpans]] with the exploded window frame materialized
+   * ONCE: `wins` feeds both the first-occurrence aggregate and the
+   * join-back, so handing it in as a lazy plan runs the corpus
+   * tokenize + shingle + explode twice per call — the widest scan in
+   * a dedup suite, paid double. Callers that can afford scratch space
+   * spill the 20-byte (doc, pos, h) frame to parquet (see the
+   * DataOpsQueries span-spill scope) and pass the read-back here;
+   * both consumers then scan the cheap columnar frame.
+   */
+  def duplicateSpansFromWindows(wins: DataFrame): DataFrame = {
     val first = wins.groupBy(col("h"))
       .agg(min(struct(col("doc"), col("pos"))).as("first"))
     wins.join(first, Seq("h"))
@@ -558,11 +577,28 @@ object Dedup {
    * shorter than `winLen` have no windows and are absent.
    */
   def windowNovelty(df: DataFrame, id: Column, text: Column,
-      winLen: Int): DataFrame = {
-    val wins = df.select(id.as("doc"), Text.tokens(text).as("w"))
+      winLen: Int): DataFrame =
+    windowNoveltyFromWindows(noveltyWindows(df, id, text, winLen))
+
+  /** (doc, h): each document's DISTINCT `winLen`-token windows as
+    * 8-byte fingerprints — the frame both the per-window doc count and
+    * the join-back of [[windowNovelty]] consume. */
+  def noveltyWindows(df: DataFrame, id: Column, text: Column,
+      winLen: Int): DataFrame =
+    df.select(id.as("doc"), Text.tokens(text).as("w"))
       .select(col("doc"),
         explode(Text.shingleSetOf(col("w"), winLen)).as("win"))
       .select(col("doc"), Portable.hash64(col("win")).as("h"))
+
+  /**
+   * [[windowNovelty]] with the window frame materialized ONCE — same
+   * double-scan rationale as [[duplicateSpansFromWindows]]: the
+   * (doc, h) frame feeds both the groupBy(h) doc count and the
+   * join-back, and as a lazy plan the corpus's widest scan
+   * (tokenize + shingle + explode + array_distinct) ran twice per
+   * call. Spill the 16-byte frame and pass the read-back.
+   */
+  def windowNoveltyFromWindows(wins: DataFrame): DataFrame = {
     val docsPerWin = wins.groupBy(col("h"))
       .agg(countDistinct(col("doc")).as("nd"))
     wins.join(docsPerWin, Seq("h"))

@@ -838,18 +838,23 @@ object BrooklinQueries {
         instances = (0 until 5).map(i => s"i$i"))),
 
     // Load-balancing strategy task sizing: numTasks =
-    // max(minTasks, min(#partitions, #instances × overPartitioning)),
-    // then the same even dealing as q58. Partition count stands in as
-    // the topic-name length (4..8) so the min() clamp and the
-    // minTasks floor (view: 4 → 5) both fire.
-    // Reference: LoadbalancingStrategy.java:29-33 (formula doc),
-    // DEFAULT_OVER_PARTITIONING_FACTOR = 2 :37.
+    // min(#partitions, max(#instances × overPartitioning, minTasks))
+    // — the cap is raised to at least minTasks, then the PARTITION
+    // clamp applies LAST (a stream never gets more tasks than
+    // partitions), then the same even dealing as q58. Partition count
+    // stands in as the topic-name length (4..8); with a configured
+    // overPartitioning = 1 and minTasks = 6 the cap is max(5×1, 6) =
+    // 6, so 'purchase' (8) clamps to 6 while 'view' (4) keeps its 4 —
+    // both formula branches fire.
+    // Reference: LoadbalancingStrategy.java:75
+    // (maxTasksPerDatastream = max(instances × over, minTasks)) and
+    // :140 (tasksPerDatastream = min(maxTasks, partitions)).
     "q59_loadbalance_assign" -> ((s, d) =>
       Control.broadcastAssign(
         t(s, d, "events").select(col("event_type").as("stream")).distinct(),
         streamCol = col("stream"),
-        numTasksCol = greatest(lit(5L),
-          least(length(col("stream")).cast("long"), lit(5L * 2))),
+        numTasksCol = least(length(col("stream")).cast("long"),
+          greatest(lit(5L * 1), lit(6L))),
         instances = (0 until 5).map(i => s"i$i"))))
 
   private val h = Portable.hash64Sql _
@@ -1380,7 +1385,7 @@ object BrooklinQueries {
     "q59_loadbalance_assign" ->
       """WITH sized AS (
         |SELECT DISTINCT event_type AS stream,
-        |GREATEST(5, LEAST(length(event_type), 10)) AS num_tasks FROM events),
+        |LEAST(length(event_type), GREATEST(5, 6)) AS num_tasks FROM events),
         |tasks AS (SELECT stream, r.range AS task_pos FROM sized
         |CROSS JOIN range(0, 10) r WHERE r.range < num_tasks),
         |dealt AS (SELECT stream, task_pos,

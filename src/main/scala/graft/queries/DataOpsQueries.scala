@@ -94,6 +94,13 @@ object DataOpsQueries {
     Option(bandIndexCache.remove(d)).foreach { case (_, path) =>
       deleteTree(new java.io.File(path))
     }
+    winSpillCache.keySet.toArray.foreach {
+      case key: String if key.startsWith(d + "#") =>
+        Option(winSpillCache.remove(key)).foreach { case (_, path) =>
+          deleteTree(new java.io.File(path))
+        }
+      case _ => ()
+    }
     Option(codebookCache.remove(d)).foreach { case (_, df) =>
       df.unpersist(): Unit
     }
@@ -148,6 +155,31 @@ object DataOpsQueries {
           .write.mode("overwrite").parquet(path)
         (s, path)
       })._2
+
+  /**
+   * Materialize-once window-fingerprint spills for the span/novelty
+   * audits (d23/t19): each audit's exploded window frame feeds BOTH
+   * its first-occurrence/doc-count aggregate and the join-back, and as
+   * a lazy plan the corpus's widest scan (tokenize + shingle +
+   * explode) ran twice per call. Spilled once per (session, corpus) to
+   * parquet — 16–20-byte rows, columnar-compressed, zero executor
+   * memory between consumers — with the same scratch-dir contract as
+   * [[sigs]]/[[bandIndexPath]]; [[release]] deletes them.
+   */
+  private val winSpillCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String)]()
+
+  private def winSpill(s: SparkSession, d: String, name: String)(
+      build: => DataFrame): DataFrame = {
+    val path = winSpillCache.compute(s"$d#$name", (_, cur) =>
+      if (cur != null && (cur._1 eq s)) cur
+      else {
+        val p = scratchDir(s"graft_win_$name", d).getAbsolutePath
+        build.write.mode("overwrite").parquet(p)
+        (s, p)
+      })._2
+    s.read.parquet(path)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content digest.
@@ -335,15 +367,19 @@ object DataOpsQueries {
     // approximation of Lee et al. 2021, windows compared by portable
     // 64-bit fingerprint).
     "d23_dup_spans" -> ((s, d) =>
-      Dedup.duplicateSpans(t(s, d, "documents"), col("doc_id"),
-        col("text"), winLen = 8)),
+      Dedup.duplicateSpansFromWindows(winSpill(s, d, "spans") {
+        Dedup.spanWindows(t(s, d, "documents"), col("doc_id"),
+          col("text"), winLen = 8)
+      })),
 
     // Per-doc window novelty (memorization risk): fraction of each
     // doc's distinct 8-token windows that appear in another document
     // — d23's fingerprints turned into a per-doc audit score.
     "t19_window_novelty" -> ((s, d) =>
-      Dedup.windowNovelty(t(s, d, "documents"), col("doc_id"),
-        col("text"), winLen = 8)),
+      Dedup.windowNoveltyFromWindows(winSpill(s, d, "novelty") {
+        Dedup.noveltyWindows(t(s, d, "documents"), col("doc_id"),
+          col("text"), winLen = 8)
+      })),
 
     // Temperature-scaled mixture (α = ½): the tail-upsampling recipe
     // knob — p^α-tempered target shares and the q/p sampling weight

@@ -52,14 +52,20 @@ object PausableSource {
     StructField("payload", StringType, nullable = false)))
 
   /** Pause-control file: comma/whitespace-separated partition ids.
-    * Absent or empty file = nothing paused. */
+    * Absent or empty file = nothing paused. The pause set is
+    * RECONCILED control input, not a schema the query dies on: a
+    * malformed token (stray character, torn read during a concurrent
+    * edit) is dropped — throwing here happens inside latestOffset on
+    * the driver and would kill the whole streaming query over an
+    * operator's fat-fingered control write; the next micro-batch
+    * re-reads whatever the file then says. */
   def readPauseSet(path: String): Set[Int] = {
     if (path.isEmpty) return Set.empty
     val p = Paths.get(path)
     if (!Files.exists(p)) return Set.empty
     new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
       .split("[,\\s]+").iterator.map(_.trim).filter(_.nonEmpty)
-      .map(_.toInt).toSet
+      .flatMap(_.toIntOption).toSet
   }
 }
 
@@ -127,8 +133,13 @@ final class PausableStream(rows: Long, parts: Int, batchPer: Long, size: Int,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[VectorOffset].next
     val paused = PausableSource.readPauseSet(pauseFile)
+    // The row budget is shared by the partitions that can actually
+    // advance: dividing by the TOTAL partition count would shrink
+    // every micro-batch while partitions are paused (2 of 4 paused =
+    // half the admitted throughput for no reason).
+    val active = math.max(1, parts - paused.count(p => p >= 0 && p < parts))
     val step = limit match {
-      case r: ReadMaxRows => math.max(1L, r.maxRows() / parts)
+      case r: ReadMaxRows => math.max(1L, r.maxRows() / active)
       case _ => batchPer
     }
     VectorOffset(s.indices.map { p =>

@@ -14,6 +14,16 @@ object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Unload every state-store provider loaded on this JVM. Spark's
+    * provider cache deliberately retains HDFS-backed state maps after
+    * a streaming query stops (fast restart on re-load); in a
+    * single-JVM benchmark that ran N checkpointed queries the
+    * retained maps become pure heap pressure for whatever runs next.
+    * Harnesses call this between streaming gates; a provider that is
+    * needed again simply re-loads from its checkpoint. */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+
   /** Register SQL functions into a live session's function registry
     * (the post-construction analog of injectFunction). */
   def registerFunctions(

@@ -16,14 +16,17 @@ class PausableSourceSpec extends SparkTestBase {
     Files.writeString(pauseFile, "1, 3")
     val stream = new PausableStream(rows = 100, parts = 4, batchPer = 30,
       size = 4, pauseFile = pauseFile.toString)
+    // the admitted row budget (batchPer × parts = 120) is shared by
+    // the ACTIVE partitions only — 2 of 4 paused means the other two
+    // advance by 60, not 30 (pause must not halve throughput)
     val o1 = stream.latestOffset(stream.initialOffset(),
       stream.getDefaultReadLimit).asInstanceOf[VectorOffset]
-    assert(o1.next == IndexedSeq(30L, 0L, 30L, 0L))
+    assert(o1.next == IndexedSeq(60L, 0L, 60L, 0L))
     // reconciliation picks up an edited pause set before the next poll
     Files.writeString(pauseFile, "")
     val o2 = stream.latestOffset(o1, stream.getDefaultReadLimit)
       .asInstanceOf[VectorOffset]
-    assert(o2.next == IndexedSeq(60L, 30L, 60L, 30L))
+    assert(o2.next == IndexedSeq(90L, 30L, 90L, 30L))
     // offsets never regress, clamp at the target
     val o3 = stream.latestOffset(VectorOffset(IndexedSeq(95L, 100L, 100L, 100L)),
       stream.getDefaultReadLimit).asInstanceOf[VectorOffset]
