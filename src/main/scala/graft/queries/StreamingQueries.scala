@@ -7,8 +7,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
+import graft.model.{PipelineSpec, PipelineStatus}
 import graft.operators.Translate
-import graft.streaming.{PipelineManager, TwsCounterProcessor, TwsSessionProcessor}
+import graft.streaming.{PipelineHooks, PipelineManager, TwsCounterProcessor, TwsSessionProcessor}
 
 /**
  * Structured-Streaming forms of the data-plane operators, run
@@ -838,6 +839,138 @@ object StreamingQueries {
       out
     }),
 
+    // K3: the flush/epoch-commit barrier. Per epoch the transport
+    // flush (epochAppend's staged write + rename) completes BEFORE
+    // the commit marker appears — the reference's flush-then-commit
+    // ordering (EventProducer.java:379-382 forces flush() on send;
+    // AbstractKafkaBasedConnectorTask.maybeCommitOffsetsInternal
+    // :657-680 flushes the producer, THEN commits offsets). The
+    // observable contract this gate pins: a checkpoint restart
+    // redelivers nothing, and re-delivering an already-committed
+    // epoch (crash between flush and offset commit) is a no-op —
+    // so after one run + one restart + two forced replays the sink
+    // holds exactly one copy of every row and one marker per epoch.
+    "q60_epoch_barrier" -> ((s, d) => {
+      val srcDir = Files.createTempDirectory("graft-q60-src-").toString
+      val ckptRoot = Files.createTempDirectory("graft-q60-pm-").toString
+      val slice = Tables.t(s, d, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_id"), col("event_type"), col("user_id"))
+      // one source file per event type; maxFilesPerTrigger=1 makes
+      // each file its own micro-batch epoch
+      PipelineManager.epochAppend(
+        slice.filter(col("event_type") === "click").coalesce(1),
+        srcDir, 0, "q60src")
+      PipelineManager.epochAppend(
+        slice.filter(col("event_type") === "view").coalesce(1),
+        srcDir, 1, "q60src")
+      val pm = new PipelineManager(s, ckptRoot)
+      val spec = pm.create(PipelineSpec("q60", "parquet", "parquet", srcDir,
+        metadata = Map("maxFilesPerTrigger" -> "1")))
+      val dest = spec.destinationConnection
+      pm.start("q60", identity).awaitTermination()
+      // restart over the same checkpoint: committed epochs stay put
+      pm.pause("q60")
+      pm.resume("q60", identity).awaitTermination()
+      // crash-after-flush replay of both epochs: the commit marker
+      // (written only after the flush) makes each a no-op
+      PipelineManager.epochAppend(slice.coalesce(1), dest, 0, "q60")
+      PipelineManager.epochAppend(slice.coalesce(1), dest, 1, "q60")
+      // Epoch ids ride the committed file names (epochAppend's rename
+      // contract), so the barrier is checkable from the sink alone:
+      // each type landed in exactly ONE epoch (its one source file),
+      // with no duplicate rows from the restart or the replays. The
+      // commit-MARKER count is deliberately not asserted — empty
+      // restart batches legitimately commit markers with no data.
+      val out = s.read.parquet(dest)
+        .withColumn("epoch",
+          regexp_extract(input_file_name(), "-e(\\d+)-p", 1).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_distinct"),
+          countDistinct(col("epoch")).as("n_epochs"))
+        .localCheckpoint()
+      pm.close()
+      deleteTree(srcDir, ckptRoot)
+      out
+    }),
+
+    // K6: the memory transport end-to-end — deliver a corpus slice
+    // through PipelineManager's test sink (the reference's
+    // InMemoryTransportProvider role) and read the delivered table
+    // back. Non-durable by design; the gate checks the delivery path
+    // carries the transform's exact rows.
+    "q61_memory_transport" -> ((s, d) => {
+      val srcDir = Files.createTempDirectory("graft-q61-src-").toString
+      val ckptRoot = Files.createTempDirectory("graft-q61-pm-").toString
+      val slice = Tables.t(s, d, "events")
+        .filter(col("event_type").isin("click", "error"))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      PipelineManager.epochAppend(slice.coalesce(1), srcDir, 0, "q61src")
+      val pm = new PipelineManager(s, ckptRoot)
+      // memory-sink table names are session-global; a fresh name per
+      // invocation keeps repeated gated runs independent
+      val name = s"q61mem${runId.incrementAndGet()}"
+      pm.create(PipelineSpec(name, "parquet", "memory", srcDir))
+      pm.start(name, df => df.withColumn("route",
+        concat(lit("mem."), col("event_type")))).awaitTermination()
+      val out = s.table(name).localCheckpoint()
+      pm.close()
+      deleteTree(srcDir, ckptRoot)
+      out
+    }),
+
+    // §2.10: the full SPI lifecycle through PipelineManager — every
+    // pluggable hook fires and every state transition lands where the
+    // reference's Coordinator would put it: Authorizer rejects an
+    // unauthorized create (api/security/Authorizer.java), the
+    // source-based deduper (SourceBasedDeduper.java:66) folds a
+    // same-source stream into the existing group (D1), a registered
+    // custom transport carries delivery, and create → pause → resume
+    // → delete emits the Ready/Paused/Ready/Deleting sequence
+    // (postDatastreamStateChangeAction). The oracle is the closed
+    // form of all of it.
+    "q62_spi_lifecycle" -> ((s, d) => {
+      import scala.jdk.CollectionConverters._
+      val ckptRoot = Files.createTempDirectory("graft-q62-pm-").toString
+      val transitions =
+        new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+      val delivered = new java.util.concurrent.atomic.AtomicLong(0L)
+      val hooks = PipelineHooks(
+        authorize = (_, owner) => owner != "mallory",
+        onStateChange = (n, st) => { transitions.add(n -> st.toString); () },
+        transports = Map("list" -> (_ => (batch, _) => {
+          delivered.addAndGet(batch.count()); ()
+        })))
+      val pm = new PipelineManager(s, ckptRoot, hooks)
+      val authRejected =
+        try { pm.create(PipelineSpec("q62x", "synthetic", "list", "100"),
+          owner = "mallory"); false }
+        catch { case _: IllegalArgumentException => true }
+      pm.create(PipelineSpec("q62a", "synthetic", "list", "600",
+        metadata = Map("batchSize" -> "250", "numPartitions" -> "4",
+          "payloadSize" -> "32")))
+      // D1: same source ⇒ q62b joins q62a's task group
+      val b = pm.create(PipelineSpec("q62b", "synthetic", "list", "600"))
+      val bPrefix = b.metadata(PipelineManager.TaskPrefixKey)
+      val groupSize = pm.findGroup("q62a").size
+      pm.start("q62a", identity).awaitTermination()
+      pm.pause("q62a")
+      pm.resume("q62a", identity).awaitTermination()
+      pm.delete("q62a")
+      pm.close()
+      val stateRows = transitions.asScala.toSeq.filter(_._1 == "q62a")
+        .zipWithIndex.map { case ((_, st), i) => ("state", s"q62a:$i", st) }
+      val rows = stateRows ++ Seq(
+        ("rows", "delivered", delivered.get().toString),
+        ("validate", "unauthorized_rejected", authRejected.toString),
+        ("dedup", "q62b_prefix", bPrefix),
+        ("dedup", "group_size", groupSize.toString))
+      deleteTree(ckptRoot)
+      import s.implicits._
+      rows.toDF("kind", "k", "v")
+    }),
+
     // Stream-static enrichment: every event joined to a broadcast
     // dimension snapshot — stateless, so the streaming result equals
     // the batch join (the enrich step of T1 against a lookup table).
@@ -1100,6 +1233,36 @@ object StreamingQueries {
         |printf('event-%012d-', i.range) || repeat('x', 16) AS payload,
         |CASE WHEN p.range = 1 THEN 2 ELSE 1 END AS run
         |FROM range(4) p CROSS JOIN range(150) i"""
+        .stripMargin.replace("\n", " "),
+
+    // K3 closed form: one copy of every (click, view) row despite
+    // the restart + two forced replays, one commit marker per epoch.
+    "q60_epoch_barrier" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |COUNT(DISTINCT event_id) AS n_distinct,
+        |CAST(1 AS BIGINT) AS n_epochs
+        |FROM events WHERE event_type IN ('click', 'view')
+        |GROUP BY event_type""".stripMargin.replace("\n", " "),
+
+    // K6 closed form: the memory table carries the transform's rows.
+    "q61_memory_transport" ->
+      """SELECT event_id, user_id, event_type,
+        |'mem.' || event_type AS route
+        |FROM events WHERE event_type IN ('click', 'error')"""
+        .stripMargin.replace("\n", " "),
+
+    // §2.10 closed form: lifecycle transitions, delivered rows,
+    // rejected create, dedup group facts — all literals.
+    "q62_spi_lifecycle" ->
+      """SELECT * FROM (VALUES
+        |('state', 'q62a:0', 'Ready'),
+        |('state', 'q62a:1', 'Paused'),
+        |('state', 'q62a:2', 'Ready'),
+        |('state', 'q62a:3', 'Deleting'),
+        |('rows', 'delivered', '600'),
+        |('validate', 'unauthorized_rejected', 'true'),
+        |('dedup', 'q62b_prefix', 'q62a'),
+        |('dedup', 'group_size', '2')) t(kind, k, v)"""
         .stripMargin.replace("\n", " "),
 
     "s14_stream_banded_dedup" ->

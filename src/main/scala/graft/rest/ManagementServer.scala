@@ -13,7 +13,7 @@ import org.json4s.jackson.JsonMethods
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 
-import graft.model.PipelineSpec
+import graft.model.{PipelineSpec, PipelineStatus}
 import graft.operators.Control
 import graft.streaming.PipelineManager
 
@@ -34,6 +34,8 @@ import graft.streaming.PipelineManager
  *   DELETE /pipelines/{name}          delete
  *   GET    /diag                      per-query status scatter-gather (A10)
  *   GET    /diag/{name}               metrics + paused partitions
+ *   GET    /pipelines/{name}/assignment[?task=] task→instance view
+ *   POST   /pipelines/{name}/movePartitions    pin partitions to a host
  *
  * Transforms cannot travel over HTTP; like the reference — where a
  * datastream names its connector and the server resolves behavior —
@@ -42,7 +44,9 @@ import graft.streaming.PipelineManager
  */
 final class ManagementServer(pm: PipelineManager,
     transforms: Map[String, DataFrame => DataFrame] = Map.empty,
-    port: Int = 0) {
+    port: Int = 0,
+    instances: Seq[String] = Seq("local")) {
+  require(instances.nonEmpty, "instance ring must name at least one host")
 
   private val registry: Map[String, DataFrame => DataFrame] =
     Map[String, DataFrame => DataFrame]("identity" -> identity) ++ transforms
@@ -85,6 +89,62 @@ final class ManagementServer(pm: PipelineManager,
       destinationPartitions = int("destinationPartitions", 1),
       metadata = md)
   }
+
+  // ---- Task-assignment table (the DMS movePartitions /
+  // getTaskAssignment verbs, DatastreamResources.java:410-456 and
+  // :826-849). The reference stores a HostTargetAssignment in ZK and
+  // lets the coordinator leader re-deal; here the table is the
+  // server's control-plane view (O(#partitions) per pipeline), the
+  // initial deal comes from the gated stickyAssign operator over the
+  // configured instance ring, and a move pins partitions to a target
+  // host — sticky entries keep their owner exactly as the reference's
+  // strategy guarantees. `notify=false` stages the move (the
+  // reference's batch-later path); the next notify=true call applies
+  // everything staged. ----
+
+  private val assignments =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+  private val stagedMoves =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
+  private def assignmentOf(spec: PipelineSpec): Map[String, String] =
+    assignments.computeIfAbsent(spec.name, _ => {
+      val s = pm.session
+      import s.implicits._
+      val tasks = (0 until spec.sourcePartitions).map(_.toString).toDF("task")
+      val prev = Seq.empty[(String, String)].toDF("task", "instance")
+      Control.stickyAssign(tasks, prev, "task", "instance", instances.size)
+        .collect().map { r =>
+          // with an empty previous assignment every row comes from the
+          // round-robin branch: a ring index to resolve to a host name
+          r.getAs[String]("task") ->
+            instances(r.get(r.fieldIndex("instance")).toString.toDouble.toInt)
+        }.toMap
+    })
+
+  private def movePartitions(spec: PipelineSpec, partitions: Seq[String],
+      targetHost: String, notify: Boolean): Map[String, String] = {
+    val table = assignmentOf(spec)
+    val unknown = partitions.filterNot(table.contains)
+    require(unknown.isEmpty,
+      s"unknown partitions for ${spec.name}: ${unknown.mkString(",")} " +
+        s"(valid: 0..${spec.sourcePartitions - 1})")
+    val move = partitions.map(_ -> targetHost).toMap
+    if (!notify) {
+      stagedMoves.merge(spec.name, move, (a, b) => a ++ b)
+      table
+    } else {
+      val staged = Option(stagedMoves.remove(spec.name)).getOrElse(Map.empty)
+      val updated = table ++ staged ++ move
+      assignments.put(spec.name, updated)
+      updated
+    }
+  }
+
+  private def assignmentJson(table: Map[String, String]): JValue =
+    JArray(table.toList.sortBy(kv => (kv._1.length, kv._1)).map { case (t, i) =>
+      JObject("task" -> JString(t), "instance" -> JString(i)): JValue
+    })
 
   private def transformOf(spec: PipelineSpec): DataFrame => DataFrame = {
     val name = spec.metadata.getOrElse("transform", "identity")
@@ -176,6 +236,52 @@ final class ManagementServer(pm: PipelineManager,
         pm.get(name).getOrElse(sys.error(s"unknown pipeline $name"))
         pm.delete(name)
         respond(ex, 200, JObject("name" -> JString(name), "deleted" -> JBool(true)))
+      // getTaskAssignment (DatastreamResources.java:826-849): the
+      // instance hosting one task, or the whole table without ?task=.
+      case ("GET", List("pipelines", name, "assignment")) =>
+        val spec = pm.get(name).getOrElse(sys.error(s"unknown pipeline $name"))
+        val table = assignmentOf(spec)
+        queryParams(ex).get("task") match {
+          case Some(t) => table.get(t) match {
+            case Some(inst) => respond(ex, 200, JObject(
+              "task" -> JString(t), "instance" -> JString(inst)))
+            case None => error(ex, 404, s"connector task not found: $t")
+          }
+          case None => respond(ex, 200, assignmentJson(table))
+        }
+      // movePartitions (DatastreamResources.java:410-456): pin the
+      // named partitions to targetHost. Only meaningful while the
+      // pipeline is READY (405 otherwise, as the reference), only for
+      // partitions the pipeline actually has (400), and notify=false
+      // stages the move for the next notifying call.
+      case ("POST", List("pipelines", name, "movePartitions")) =>
+        val spec = pm.get(name).getOrElse(sys.error(s"unknown pipeline $name"))
+        if (spec.status != PipelineStatus.Ready) {
+          error(ex, 405,
+            s"can only move partitions in a READY pipeline state: $name " +
+              s"(current: ${spec.status})")
+        } else {
+          val body = readBody(ex)
+          val parts = body \ "partitions" match {
+            case JString(v) => v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+            case _ => Seq.empty
+          }
+          val target = body \ "targetHost" match {
+            case JString(v) if v.nonEmpty => v
+            case _ => throw new IllegalArgumentException(
+              "movePartitions requires a non-empty targetHost")
+          }
+          require(parts.nonEmpty, "movePartitions requires partitions")
+          val notify = body \ "notify" match {
+            case JBool(v) => v
+            case _ => true
+          }
+          val table = movePartitions(spec, parts, target, notify)
+          respond(ex, 200, JObject(
+            "name" -> JString(name),
+            "staged" -> JBool(!notify),
+            "assignment" -> assignmentJson(table)))
+        }
       case ("GET", List("diag")) =>
         queryParams(ex).get("peers").filter(_.nonEmpty) match {
           case Some(peers) =>

@@ -202,4 +202,68 @@ class ManagementServerSpec extends SparkTestBase {
       assert(degraded.body().contains("\"error\""))
     } finally { srvA.stop(); srvB.stop(); pmA.close(); pmB.close() }
   }
+
+  test("task assignment view and movePartitions verbs") {
+    val pm = new PipelineManager(spark,
+      Files.createTempDirectory("graft-rest-move-").toString)
+    val srv = new ManagementServer(pm,
+      instances = Seq("hostA", "hostB")).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      val srcDir = Files.createTempDirectory("graft-rest-move-src-").toString
+      Seq((1L, "v1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+      req(base, "POST", "/pipelines", Some(
+        s"""{"name":"mv","connector":"parquet","transport":"parquet",
+           |"sourceConnection":"$srcDir","sourcePartitions":4}"""
+          .stripMargin.replace("\n", "")))
+
+      // initial deal: 4 tasks round-robined over the 2-host ring
+      val table = req(base, "GET", "/pipelines/mv/assignment")
+      assert(table.statusCode() == 200, table.body())
+      assert(table.body().contains("hostA") && table.body().contains("hostB"))
+      val one = req(base, "GET", "/pipelines/mv/assignment?task=0")
+      assert(one.statusCode() == 200 &&
+        one.body().contains("\"instance\":\"hostA\""))
+
+      // not-found paths: unknown pipeline 404, unknown task 404
+      assert(req(base, "GET", "/pipelines/nope/assignment").statusCode() == 404)
+      assert(req(base, "GET", "/pipelines/mv/assignment?task=9")
+        .statusCode() == 404)
+
+      // move 0,2 to hostB; untouched tasks keep their owner (sticky)
+      val moved = req(base, "POST", "/pipelines/mv/movePartitions", Some(
+        """{"partitions":"0,2","targetHost":"hostB"}"""))
+      assert(moved.statusCode() == 200, moved.body())
+      val after = req(base, "GET", "/pipelines/mv/assignment?task=0")
+      assert(after.body().contains("\"instance\":\"hostB\""))
+      assert(req(base, "GET", "/pipelines/mv/assignment?task=1").body()
+        .contains("hostB")) // task 1's original round-robin owner
+
+      // notify=false stages; the staged move applies on the next
+      // notifying call (the reference's batch-later path)
+      val stagedResp = req(base, "POST", "/pipelines/mv/movePartitions", Some(
+        """{"partitions":"3","targetHost":"hostA","notify":false}"""))
+      assert(stagedResp.statusCode() == 200 &&
+        stagedResp.body().contains("\"staged\":true"))
+      assert(req(base, "GET", "/pipelines/mv/assignment?task=3").body()
+        .contains("hostB")) // not applied yet
+      req(base, "POST", "/pipelines/mv/movePartitions", Some(
+        """{"partitions":"1","targetHost":"hostA"}"""))
+      assert(req(base, "GET", "/pipelines/mv/assignment?task=3").body()
+        .contains("hostA"))
+
+      // conflict paths: partitions out of range 400, missing target
+      // 400, non-READY pipeline 405
+      assert(req(base, "POST", "/pipelines/mv/movePartitions", Some(
+        """{"partitions":"7","targetHost":"hostA"}""")).statusCode() == 400)
+      assert(req(base, "POST", "/pipelines/mv/movePartitions", Some(
+        """{"partitions":"1"}""")).statusCode() == 400)
+      req(base, "POST", "/pipelines/mv/pause")
+      val notReady = req(base, "POST", "/pipelines/mv/movePartitions", Some(
+        """{"partitions":"1","targetHost":"hostA"}"""))
+      assert(notReady.statusCode() == 405, notReady.body())
+      assert(req(base, "POST", "/pipelines/nope/movePartitions", Some(
+        """{"partitions":"1","targetHost":"hostA"}""")).statusCode() == 404)
+    } finally { srv.stop(); pm.close() }
+  }
 }
