@@ -1,0 +1,157 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+
+/**
+ * Per-partition pause for FOREIGN DSv2 sources (SURVEY §7.3 hard part
+ * 1, the external-source variant of [[PausableStream]]): a wrapping
+ * MicroBatchStream that holds individual partitions of a source that
+ * knows nothing about pausing.
+ *
+ * Why a codec SPI and not a generic wrapper: a DSv2 offset is opaque
+ * JSON. Filtering at planInputPartitions would be DATA LOSS — the
+ * committed offset advances past rows that were never read. The only
+ * safe generic hold is at the OFFSET layer, and that requires the
+ * source's offset to decompose into independent per-partition
+ * components. Sources with a scalar offset (e.g. [[SyntheticStream]]'s
+ * single index) cannot be partially held — for those, pause degrades
+ * to all-or-nothing at the pipeline layer (PipelineManager holdback).
+ *
+ * The reference pauses partitions inside its connector poll loop
+ * (KafkaConnectorTask: pausedPartitions reconciled pre-poll from the
+ * datastream's metadata); this wrapper is the Spark-shaped equivalent
+ * for sources whose offsets expose the same per-partition structure
+ * Kafka's do.
+ *
+ * Safety requirement on the inner source: `latestOffset(start, limit)`
+ * must be a pure admission decision (no internal progress side
+ * effects) — true of the Spark Kafka source (a metadata fetch) and of
+ * every engine-authored source here. The wrapper clamps paused
+ * components of the returned offset back to `start`'s value, so the
+ * held range is simply re-offered next micro-batch.
+ */
+trait PartitionedOffsetCodec extends Serializable {
+  /** Decompose a source offset JSON into named per-partition
+    * components. Keys are the pause-control names (e.g. "topic-0"). */
+  def split(json: String): Map[String, String]
+
+  /** Recompose components into offset JSON; must invert [[split]] for
+    * every reachable offset of the wrapped source. */
+  def merge(components: Map[String, String]): String
+}
+
+/** Positional comma-vector offsets ("12,0,3") — the shape of
+  * [[VectorOffset]] and of any home-grown per-partition counter.
+  * Component keys are the positional indices ("0", "1", ...). */
+object VectorOffsetCodec extends PartitionedOffsetCodec {
+  override def split(json: String): Map[String, String] =
+    json.split(",").iterator.zipWithIndex
+      .map { case (v, i) => i.toString -> v.trim }.toMap
+  override def merge(components: Map[String, String]): String = {
+    val n = components.size
+    (0 until n).map(i => components(i.toString)).mkString(",")
+  }
+}
+
+/**
+ * The Spark Kafka source's offset shape —
+ * `{"topicA":{"0":123,"1":45},"topicB":{"0":7}}` (the public
+ * KafkaSourceOffset JSON format) — as pause components keyed
+ * "topic-partition". Pure JSON re-shaping; needs no Kafka classes, so
+ * the pause wrapper for Kafka streams ships even in this broker-less
+ * build.
+ */
+object KafkaOffsetCodec extends PartitionedOffsetCodec {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  override def split(json: String): Map[String, String] =
+    JsonMethods.parse(json) match {
+      case JObject(topics) => topics.flatMap {
+        case (topic, JObject(parts)) => parts.map {
+          case (p, JInt(off)) => s"$topic-$p" -> off.toString
+          case (p, JLong(off)) => s"$topic-$p" -> off.toString
+          case (p, other) => sys.error(s"non-numeric offset $other at $topic-$p")
+        }
+        case (topic, other) => sys.error(s"non-object topic entry $other at $topic")
+      }.toMap
+      case other => sys.error(s"unrecognized Kafka offset JSON: $other")
+    }
+
+  override def merge(components: Map[String, String]): String = {
+    val byTopic = components.toSeq.map { case (k, v) =>
+      val cut = k.lastIndexOf('-')
+      require(cut > 0, s"component key $k is not topic-partition shaped")
+      (k.substring(0, cut), k.substring(cut + 1), v)
+    }.groupBy(_._1)
+    JsonMethods.compact(JsonMethods.render(JObject(
+      byTopic.toList.sortBy(_._1).map { case (topic, parts) =>
+        topic -> JObject(parts.sortBy(_._2.toInt).map { case (_, p, v) =>
+          p -> (JInt(BigInt(v)): JValue)
+        }.toList)
+      })))
+  }
+}
+
+/**
+ * The wrapper itself. Pause control mirrors [[PausableSource]]: a
+ * reconciled file of comma/whitespace-separated component names
+ * (absent/empty = nothing paused; unparseable tokens are control
+ * input, matched against component keys, so a stray token simply
+ * matches nothing).
+ */
+final class PausingMicroBatchStream(
+    inner: MicroBatchStream with SupportsAdmissionControl,
+    codec: PartitionedOffsetCodec,
+    pauseFile: String)
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
+
+  private def pausedNow(): Set[String] = {
+    import java.nio.file.{Files, Paths}
+    if (pauseFile.isEmpty) return Set.empty
+    val p = Paths.get(pauseFile)
+    if (!Files.exists(p)) return Set.empty
+    new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
+      .split("[,\\s]+").iterator.map(_.trim).filter(_.nonEmpty).toSet
+  }
+
+  override def initialOffset(): Offset = inner.initialOffset()
+  override def deserializeOffset(json: String): Offset =
+    inner.deserializeOffset(json)
+  override def commit(end: Offset): Unit = inner.commit(end)
+  override def stop(): Unit = inner.stop()
+  override def getDefaultReadLimit: ReadLimit = inner.getDefaultReadLimit
+  override def reportLatestOffset(): Offset = inner.reportLatestOffset()
+
+  override def prepareForTriggerAvailableNow(): Unit = inner match {
+    case an: SupportsTriggerAvailableNow => an.prepareForTriggerAvailableNow()
+    case _ => () // inner runs AvailableNow as plain micro-batches
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled wrapper: use latestOffset(start, limit)")
+
+  /** The hold: let the inner source propose its advance, then clamp
+    * every paused component back to `start`'s value. Unpaused
+    * partitions keep the full proposed advance; the paused range is
+    * re-offered (and re-proposed by the inner source) once the pause
+    * set shrinks. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val advanced = inner.latestOffset(start, limit)
+    val paused = pausedNow()
+    if (paused.isEmpty) return advanced
+    val s = codec.split(start.json())
+    val held = codec.split(advanced.json()).map { case (k, v) =>
+      k -> (if (paused(k)) s.getOrElse(k, v) else v)
+    }
+    inner.deserializeOffset(codec.merge(held))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    inner.planInputPartitions(start, end)
+  override def createReaderFactory(): PartitionReaderFactory =
+    inner.createReaderFactory()
+}

@@ -1,0 +1,62 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+
+/** SURVEY §7.3 hard part 1 for FOREIGN sources: the offset-layer
+  * wrapper holds per-partition components of a source that knows
+  * nothing about pausing, and the Kafka offset codec reshapes the
+  * public KafkaSourceOffset JSON losslessly. */
+class PausingWrapperSpec extends SparkTestBase {
+
+  test("wrapper holds paused components of a pause-unaware source") {
+    val pauseFile = Files.createTempFile("graft-wrap-pause-", ".txt")
+    // the "foreign" source: a PausableStream with NO pause file of its
+    // own — it always proposes a full advance
+    val foreign = new PausableStream(rows = 100, parts = 4, batchPer = 30,
+      size = 4, pauseFile = "")
+    val wrapped = new PausingMicroBatchStream(foreign, VectorOffsetCodec,
+      pauseFile.toString)
+
+    Files.writeString(pauseFile, "1, 3")
+    val o1 = wrapped.latestOffset(wrapped.initialOffset(),
+      wrapped.getDefaultReadLimit).asInstanceOf[VectorOffset]
+    // inner proposes 30 everywhere; the wrapper clamps 1 and 3 back
+    assert(o1.next == IndexedSeq(30L, 0L, 30L, 0L))
+
+    // reconciliation: clearing the file releases the held range
+    Files.writeString(pauseFile, "")
+    val o2 = wrapped.latestOffset(o1, wrapped.getDefaultReadLimit)
+      .asInstanceOf[VectorOffset]
+    assert(o2.next == IndexedSeq(60L, 30L, 60L, 30L))
+
+    // a stray token matches no component and holds nothing
+    Files.writeString(pauseFile, "banana")
+    val o3 = wrapped.latestOffset(o2, wrapped.getDefaultReadLimit)
+      .asInstanceOf[VectorOffset]
+    assert(o3.next == IndexedSeq(90L, 60L, 90L, 60L))
+
+    // plan/reader delegate to the inner source untouched
+    assert(wrapped.planInputPartitions(o2, o3).length == 4)
+  }
+
+  test("vector codec round-trips and merge inverts split") {
+    val j = "12,0,3"
+    assert(VectorOffsetCodec.split(j) ==
+      Map("0" -> "12", "1" -> "0", "2" -> "3"))
+    assert(VectorOffsetCodec.merge(VectorOffsetCodec.split(j)) == j)
+  }
+
+  test("kafka codec reshapes the public KafkaSourceOffset JSON") {
+    val j = """{"topicA":{"0":123,"1":45},"topic-B":{"2":7}}"""
+    val parts = KafkaOffsetCodec.split(j)
+    assert(parts == Map("topicA-0" -> "123", "topicA-1" -> "45",
+      "topic-B-2" -> "7"))
+    // merge is split's inverse (canonical key order)
+    assert(KafkaOffsetCodec.split(KafkaOffsetCodec.merge(parts)) == parts)
+    // holding one component preserves the others through a merge
+    val held = parts.updated("topicA-1", "40")
+    assert(KafkaOffsetCodec.split(KafkaOffsetCodec.merge(held)) == held)
+  }
+}
