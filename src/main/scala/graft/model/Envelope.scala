@@ -65,7 +65,7 @@ object EnvelopeMetadata {
  */
 final case class PipelineSpec(
     name: String,
-    connector: String,          // source short name: "kafka" | "file" | "directory" | "jdbc" | "rate" | "parquet" | "dirwatch" | "synthetic" | "pausable"
+    connector: String,          // source short name: "kafka" | "file" | "directory" | "jdbc" | "rate" | "parquet" | "dirwatch" | "synthetic" | "pausable" | "pausing" (wraps a foreign provider)
     transport: String,          // sink short name: "kafka" | "memory" | "directory" | "parquet" | "noop"
     sourceConnection: String,   // e.g. topic / regex / path / jdbc url
     sourcePartitions: Int = 1,

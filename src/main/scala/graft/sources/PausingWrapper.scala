@@ -155,3 +155,72 @@ final class PausingMicroBatchStream(
   override def createReaderFactory(): PartitionReaderFactory =
     inner.createReaderFactory()
 }
+
+/**
+ * Provider-level integration: `spark.readStream
+ *   .format(classOf[PausingProvider].getName)
+ *   .option("innerFormat", "<TableProvider class name>")
+ *   .option("offsetCodec", "vector" | "kafka")
+ *   .option("pauseFile", path)
+ *   .options(<inner source options>)` — wraps ANY foreign DSv2
+ * TableProvider's micro-batch stream in [[PausingMicroBatchStream]]
+ * without the inner source changing a line. Inner options pass
+ * through untouched (the wrapper consumes only its own three).
+ *
+ * The reference shape being matched: the connector-level pause set is
+ * applied OUTSIDE the consumer (preConsumerPollHook reconciles before
+ * every poll) — here outside the wrapped source, at offset planning.
+ */
+final class PausingProvider extends org.apache.spark.sql.connector.catalog.TableProvider {
+  import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+  import org.apache.spark.sql.connector.expressions.Transform
+  import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+  import org.apache.spark.sql.types.StructType
+  import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+  private def innerProvider(opts: CaseInsensitiveStringMap): TableProvider = {
+    val cls = opts.get("innerformat")
+    require(cls != null && cls.nonEmpty,
+      "pausing source requires option 'innerFormat' (inner TableProvider class)")
+    Class.forName(cls).getDeclaredConstructor()
+      .newInstance().asInstanceOf[TableProvider]
+  }
+
+  private def codecOf(opts: CaseInsensitiveStringMap): PartitionedOffsetCodec =
+    opts.getOrDefault("offsetcodec", "vector") match {
+      case "vector" => VectorOffsetCodec
+      case "kafka" => KafkaOffsetCodec
+      case other => throw new IllegalArgumentException(
+        s"unknown offsetCodec '$other' (known: vector, kafka)")
+    }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    innerProvider(options).inferSchema(options)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val inner = innerProvider(opts).getTable(schema, partitioning, properties)
+    val codec = codecOf(opts)
+    val pauseFile = opts.getOrDefault("pausefile", "")
+    new Table with SupportsRead {
+      override def name(): String = s"pausing(${inner.name()})"
+      override def schema(): StructType = inner.schema()
+      override def capabilities(): java.util.Set[TableCapability] =
+        inner.capabilities()
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        () => {
+          val innerScan = inner.asInstanceOf[SupportsRead]
+            .newScanBuilder(options).build()
+          new Scan {
+            override def readSchema(): StructType = innerScan.readSchema()
+            override def toMicroBatchStream(checkpointLocation: String) =
+              new PausingMicroBatchStream(
+                innerScan.toMicroBatchStream(checkpointLocation)
+                  .asInstanceOf[MicroBatchStream with SupportsAdmissionControl],
+                codec, pauseFile)
+          }
+        }
+    }
+  }
+}

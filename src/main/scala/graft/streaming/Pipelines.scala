@@ -351,6 +351,16 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
           .filterKeys(Set("numPartitions", "batchPerPartition", "payloadSize",
             "pauseFile")).toMap)
         .load()
+    case "pausing" =>
+      // F2 for FOREIGN DSv2 sources: sourceConnection names the inner
+      // TableProvider class; pauseFile/offsetCodec plus every inner
+      // option ride metadata (unconsumed keys pass through harmlessly
+      // — DSv2 options are an open map).
+      spark.readStream
+        .format(classOf[graft.sources.PausingProvider].getName)
+        .option("innerFormat", spec.sourceConnection)
+        .options(spec.metadata)
+        .load()
     case other => throw new IllegalArgumentException(s"unknown connector $other")
   }
 

@@ -48,6 +48,50 @@ class PausingWrapperSpec extends SparkTestBase {
     assert(VectorOffsetCodec.merge(VectorOffsetCodec.split(j)) == j)
   }
 
+  test("provider wrapper drives a real query; pause survives a restart") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = Files.createTempDirectory("graft-wrap-ckpt").toString
+    val pauseFile = Files.createTempFile("graft-wrap-pause-", ".txt")
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long)]()
+    def drain(run: Int): Unit = {
+      val q = spark.readStream
+        .format(classOf[PausingProvider].getName)
+        .option("innerFormat", classOf[PausableProvider].getName)
+        .option("offsetCodec", "vector")
+        .option("pauseFile", pauseFile.toString)
+        // inner source options pass through untouched; its OWN pause
+        // file stays unset — the inner source is pause-unaware here
+        .option("rowsPerPartition", "50")
+        .option("numPartitions", "3")
+        .option("batchPerPartition", "20")
+        .option("payloadSize", "4")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.collect().foreach(r => out.add((run, r.getInt(0), r.getLong(1))))
+        }
+        .start()
+      q.awaitTermination()
+    }
+    import scala.jdk.CollectionConverters._
+    Files.writeString(pauseFile, "1")
+    drain(1)
+    val afterRun1 = out.asScala.toSeq
+    assert(afterRun1.forall(_._2 != 1), "paused component must deliver nothing")
+    assert(afterRun1.count(_._2 == 0) == 50 && afterRun1.count(_._2 == 2) == 50)
+    // unpause + restart from the same checkpoint: the held range
+    // drains exactly once
+    Files.writeString(pauseFile, "")
+    drain(2)
+    val all = out.asScala.toSeq
+    val run2 = all.filter(_._1 == 2)
+    assert(run2.forall(_._2 == 1) && run2.map(_._3).sorted == (0L until 50L))
+    assert(all.map(r => (r._2, r._3)).distinct.size == 150 && all.size == 150)
+  }
+
   test("kafka codec reshapes the public KafkaSourceOffset JSON") {
     val j = """{"topicA":{"0":123,"1":45},"topic-B":{"2":7}}"""
     val parts = KafkaOffsetCodec.split(j)

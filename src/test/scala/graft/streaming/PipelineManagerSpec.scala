@@ -109,6 +109,32 @@ class PipelineManagerSpec extends SparkTestBase {
     assert(pm.get("p1").isEmpty)
   }
 
+  test("pausing connector wraps a foreign provider through the manager") {
+    val pm = newManager()
+    val pauseFile = Files.createTempFile("graft-pm-wrap-", ".txt")
+    Files.writeString(pauseFile, "1")
+    // inner = the pause-UNAWARE PausableProvider (its own pauseFile
+    // unset); the wrapper's offset-layer hold does all the pausing
+    val spec = pm.create(PipelineSpec("pw", "pausing", "parquet",
+      classOf[graft.sources.PausableProvider].getName,
+      metadata = Map("pauseFile" -> pauseFile.toString,
+        "offsetCodec" -> "vector", "rowsPerPartition" -> "40",
+        "numPartitions" -> "2", "batchPerPartition" -> "20",
+        "payloadSize" -> "4")))
+    pm.start("pw", identity).awaitTermination()
+    val run1 = spark.read.parquet(spec.destinationConnection)
+      .select("partition", "idx").as[(Int, Long)].collect().toSeq
+    assert(run1.forall(_._1 == 0) && run1.size == 40)
+    Files.writeString(pauseFile, "")
+    pm.pause("pw")
+    pm.resume("pw", identity).awaitTermination()
+    val all = spark.read.parquet(spec.destinationConnection)
+      .select("partition", "idx").as[(Int, Long)].collect().toSeq
+    assert(all.size == 80 && all.distinct.size == 80)
+    assert(all.count(_._1 == 1) == 40)
+    pm.delete("pw")
+  }
+
   test("pausable connector: source-layer offset holds through the manager") {
     val pm = newManager()
     val pauseFile = Files.createTempFile("graft-pm-pause-", ".txt")
