@@ -29,13 +29,16 @@ import graft.streaming.PipelineManager
  *   POST   /pipelines                 create (spec JSON; X-Owner header)
  *   PUT    /pipelines/{name}          update
  *   POST   /pipelines/{name}/start    start (transform by name; ?await=true)
- *   POST   /pipelines/{name}/pause    pause
+ *   POST   /pipelines/{name}/pause    pause (assignment retained)
+ *   POST   /pipelines/{name}/stop     stop (?force=true → whole group)
  *   POST   /pipelines/{name}/resume   resume (?await=true)
  *   DELETE /pipelines/{name}          delete
  *   GET    /diag                      per-query status scatter-gather (A10)
  *   GET    /diag/{name}               metrics + paused partitions
  *   GET    /pipelines/{name}/assignment[?task=] task→instance view
  *   POST   /pipelines/{name}/movePartitions    pin partitions to a host
+ *   POST   /pipelines/{name}/pauseSourcePartitions   partition-level pause
+ *   POST   /pipelines/{name}/resumeSourcePartitions  ("*" = all paused)
  *
  * Transforms cannot travel over HTTP; like the reference — where a
  * datastream names its connector and the server resolves behavior —
@@ -227,11 +230,65 @@ final class ManagementServer(pm: PipelineManager,
       case ("POST", List("pipelines", name, "pause")) =>
         pm.pause(name)
         respond(ex, 200, specToJson(pm.get(name).get))
+      // pauseSourcePartitions / resumeSourcePartitions
+      // (DatastreamResources.java:604-680 / :682-750): partition-level
+      // pause with the reference's semantics — additive pause set,
+      // "*" resumes everything paused, only meaningful on a READY
+      // stream (405 otherwise). Both restart the query (holdback-and-
+      // replay is applied on every (re)start); ?await=true blocks
+      // until the restarted AvailableNow run drains.
+      case ("POST", List("pipelines", name, verb @ ("pauseSourcePartitions" | "resumeSourcePartitions"))) =>
+        val spec = pm.get(name).getOrElse(sys.error(s"unknown pipeline $name"))
+        if (spec.status != PipelineStatus.Ready) {
+          error(ex, 405,
+            s"can only $verb in a READY pipeline state: $name " +
+              s"(current: ${spec.status})")
+        } else {
+          val body = readBody(ex)
+          val parts = body \ "partitions" match {
+            case JString("*") if verb == "resumeSourcePartitions" =>
+              pm.paused(name)
+            case JString(v) =>
+              v.split(",").toSeq.map(_.trim).filter(_.nonEmpty).toSet
+            case _ => Set.empty[String]
+          }
+          require(parts.nonEmpty, s"$verb requires partitions")
+          val q =
+            if (verb == "pauseSourcePartitions") {
+              val pcol = body \ "partitionCol" match {
+                case JString(v) if v.nonEmpty => v
+                case _ => throw new IllegalArgumentException(
+                  "pauseSourcePartitions requires partitionCol")
+              }
+              pm.pausePartitions(name, pcol, parts, transformOf(spec))
+            } else pm.resumePartitions(name, parts, transformOf(spec))
+          if (queryParams(ex).get("await").contains("true")) q.awaitTermination()
+          respond(ex, 200, JObject(
+            "name" -> JString(name),
+            "pausedPartitions" -> JArray(
+              pm.paused(name).toList.sorted.map(JString(_): JValue))))
+        }
+      // stop (DatastreamResources.java:462-546): STOPPING → STOPPED,
+      // releases execution resources; ?force=true stops the whole
+      // task group. Already-STOPPED is a no-op (200), as reference.
+      case ("POST", List("pipelines", name, "stop")) =>
+        pm.get(name).getOrElse(sys.error(s"unknown pipeline $name"))
+        pm.stop(name, force = queryParams(ex).get("force").contains("true"))
+        respond(ex, 200, specToJson(pm.get(name).get))
       case ("POST", List("pipelines", name, "resume")) =>
         val spec = pm.get(name).getOrElse(sys.error(s"unknown pipeline $name"))
-        val q = pm.resume(name, transformOf(spec))
-        if (queryParams(ex).get("await").contains("true")) q.awaitTermination()
-        respond(ex, 200, specToJson(pm.get(name).get))
+        // reference precondition (DatastreamResources.java:568-572):
+        // only a PAUSED or STOPPED stream can resume
+        if (spec.status != PipelineStatus.Paused &&
+            spec.status != PipelineStatus.Stopped) {
+          error(ex, 405,
+            s"pipeline is not paused or stopped, cannot resume: $name " +
+              s"(current: ${spec.status})")
+        } else {
+          val q = pm.resume(name, transformOf(spec))
+          if (queryParams(ex).get("await").contains("true")) q.awaitTermination()
+          respond(ex, 200, specToJson(pm.get(name).get))
+        }
       case ("DELETE", List("pipelines", name)) =>
         pm.get(name).getOrElse(sys.error(s"unknown pipeline $name"))
         pm.delete(name)

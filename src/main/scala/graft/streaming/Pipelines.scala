@@ -627,6 +627,34 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     hooks.onStateChange(name, PipelineStatus.Paused)
   }
 
+  /**
+   * Stop — distinct from [[pause]] exactly as the reference
+   * distinguishes STOPPED from PAUSED (DatastreamResources.java
+   * :462-546): a paused stream keeps its task assignment and is
+   * expected back; a stopped one transitions STOPPING → STOPPED and
+   * releases its execution resources (here: the streaming query and
+   * the pipeline's scheduler pool jobs), keeping only durable state
+   * (checkpoints, holdback) so a later [[resume]] can still replay
+   * from them. `force` extends the stop to the whole task group, the
+   * reference's force flag. Stopping an already-STOPPED stream is a
+   * no-op, as in the reference.
+   */
+  def stop(name: String, force: Boolean = false): Unit = {
+    val targets =
+      if (force) findGroup(name).map(_.name)
+      else Seq(specs.getOrElse(name, sys.error(s"unknown pipeline $name")).name)
+    targets.foreach { n =>
+      if (!specs.get(n).map(_.status).contains(PipelineStatus.Stopped)) {
+        specs.updateWith(n)(_.map(_.copy(status = PipelineStatus.Stopping)))
+        hooks.onStateChange(n, PipelineStatus.Stopping)
+        Option(queries.remove(n)).foreach(_.stop())
+        spark.sparkContext.cancelJobGroup(s"graft-$n")
+        specs.updateWith(n)(_.map(_.copy(status = PipelineStatus.Stopped)))
+        hooks.onStateChange(n, PipelineStatus.Stopped)
+      }
+    }
+  }
+
   /** Resume = restart from the same checkpointLocation. */
   def resume(name: String, transform: DataFrame => DataFrame): StreamingQuery = {
     specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Ready)))

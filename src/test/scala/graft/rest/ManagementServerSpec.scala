@@ -203,6 +203,91 @@ class ManagementServerSpec extends SparkTestBase {
     } finally { srvA.stop(); srvB.stop(); pmA.close(); pmB.close() }
   }
 
+  test("stop is distinct from pause and resume enforces preconditions") {
+    val pm = new PipelineManager(spark,
+      Files.createTempDirectory("graft-rest-stop-").toString)
+    val srv = new ManagementServer(pm).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      val srcDir = Files.createTempDirectory("graft-rest-stop-src-").toString
+      Seq((1L, "v1"), (2L, "v2")).toDF("k", "v")
+        .write.mode(SaveMode.Append).parquet(srcDir)
+      // two same-source pipelines = one task group (D1 dedup)
+      req(base, "POST", "/pipelines", Some(
+        s"""{"name":"g1","connector":"parquet","transport":"parquet",
+           |"sourceConnection":"$srcDir"}""".stripMargin.replace("\n", "")))
+      req(base, "POST", "/pipelines", Some(
+        s"""{"name":"g2","connector":"parquet","transport":"parquet",
+           |"sourceConnection":"$srcDir"}""".stripMargin.replace("\n", "")))
+
+      // resuming a READY stream is a 405 (reference precondition)
+      assert(req(base, "POST", "/pipelines/g1/resume").statusCode() == 405)
+
+      // force-stop ripples through the whole task group
+      val stopped = req(base, "POST", "/pipelines/g1/stop?force=true")
+      assert(stopped.statusCode() == 200 &&
+        stopped.body().contains("\"status\":\"Stopped\""))
+      assert(req(base, "GET", "/pipelines/g2").body().contains("Stopped"))
+      // stopping an already-stopped stream is a no-op 200
+      assert(req(base, "POST", "/pipelines/g1/stop").statusCode() == 200)
+
+      // resume from STOPPED is allowed and delivers
+      val resumed = req(base, "POST", "/pipelines/g1/resume?await=true")
+      assert(resumed.statusCode() == 200 && resumed.body().contains("Ready"))
+      assert(spark.read.parquet(pm.get("g1").get.destinationConnection)
+        .count() == 2)
+      assert(req(base, "POST", "/pipelines/nope/stop").statusCode() == 404)
+    } finally { srv.stop(); pm.close() }
+  }
+
+  test("partition-level pause/resume verbs hold and replay over REST") {
+    val pm = new PipelineManager(spark,
+      Files.createTempDirectory("graft-rest-pp-").toString)
+    val srv = new ManagementServer(pm).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      val srcDir = Files.createTempDirectory("graft-rest-pp-src-").toString
+      Seq((1L, "vA"), (2L, "vB"), (3L, "vA"), (4L, "vB")).toDF("k", "v")
+        .write.mode(SaveMode.Append).parquet(srcDir)
+      req(base, "POST", "/pipelines", Some(
+        s"""{"name":"pp","connector":"parquet","transport":"parquet",
+           |"sourceConnection":"$srcDir"}""".stripMargin.replace("\n", "")))
+
+      // pause vA at the partition level, then run: vA rows are HELD
+      // (durable holdback), not delivered and not dropped
+      val paused = req(base, "POST",
+        "/pipelines/pp/pauseSourcePartitions?await=true",
+        Some("""{"partitionCol":"v","partitions":"vA"}"""))
+      assert(paused.statusCode() == 200 && paused.body().contains("vA"),
+        paused.body())
+      val dest = pm.get("pp").get.destinationConnection
+      val delivered = spark.read.parquet(dest)
+        .as[(Long, String)].collect().toSet
+      assert(delivered == Set((2L, "vB"), (4L, "vB")))
+      assert(req(base, "GET", "/diag/pp").body().contains("vA"))
+
+      // "*" resumes everything paused; held rows replay exactly once
+      val resumed = req(base, "POST",
+        "/pipelines/pp/resumeSourcePartitions?await=true",
+        Some("""{"partitions":"*"}"""))
+      assert(resumed.statusCode() == 200 &&
+        !resumed.body().contains("vA"), resumed.body())
+      val all = spark.read.parquet(dest).as[(Long, String)].collect().toSeq
+      assert(all.toSet == Set((1L, "vA"), (2L, "vB"), (3L, "vA"), (4L, "vB")))
+      assert(all.size == 4)
+
+      // conflict paths: missing partitionCol 400, unknown pipeline
+      // 404, non-READY 405
+      assert(req(base, "POST", "/pipelines/pp/pauseSourcePartitions",
+        Some("""{"partitions":"vB"}""")).statusCode() == 400)
+      assert(req(base, "POST", "/pipelines/nope/pauseSourcePartitions",
+        Some("""{"partitionCol":"v","partitions":"vA"}""")).statusCode() == 404)
+      req(base, "POST", "/pipelines/pp/pause")
+      assert(req(base, "POST", "/pipelines/pp/resumeSourcePartitions",
+        Some("""{"partitions":"*"}""")).statusCode() == 405)
+    } finally { srv.stop(); pm.close() }
+  }
+
   test("task assignment view and movePartitions verbs") {
     val pm = new PipelineManager(spark,
       Files.createTempDirectory("graft-rest-move-").toString)
