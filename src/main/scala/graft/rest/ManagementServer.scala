@@ -33,6 +33,7 @@ import graft.streaming.PipelineManager
  *   POST   /pipelines/{name}/stop     stop (?force=true → whole group)
  *   POST   /pipelines/{name}/resume   resume (?await=true)
  *   DELETE /pipelines/{name}          delete
+ *   GET    /health                   instance health (per-connector tasks)
  *   GET    /diag                      per-query status scatter-gather (A10)
  *   GET    /diag/{name}               metrics + paused partitions
  *   GET    /pipelines/{name}/assignment[?task=] task→instance view
@@ -48,7 +49,8 @@ import graft.streaming.PipelineManager
 final class ManagementServer(pm: PipelineManager,
     transforms: Map[String, DataFrame => DataFrame] = Map.empty,
     port: Int = 0,
-    instances: Seq[String] = Seq("local")) {
+    instances: Seq[String] = Seq("local"),
+    clusterName: String = "graft") {
   require(instances.nonEmpty, "instance ring must name at least one host")
 
   private val registry: Map[String, DataFrame => DataFrame] =
@@ -228,7 +230,14 @@ final class ManagementServer(pm: PipelineManager,
         if (queryParams(ex).get("await").contains("true")) q.awaitTermination()
         respond(ex, 200, JObject("name" -> JString(name), "started" -> JBool(true)))
       case ("POST", List("pipelines", name, "pause")) =>
-        pm.pause(name)
+        pm.get(name).getOrElse(sys.error(s"unknown pipeline $name"))
+        // ?force=true pauses the whole task group, as the reference's
+        // force flag (DatastreamResources.java:358-408)
+        val targets =
+          if (queryParams(ex).get("force").contains("true"))
+            pm.findGroup(name).map(_.name)
+          else Seq(name)
+        targets.foreach(pm.pause)
         respond(ex, 200, specToJson(pm.get(name).get))
       // pauseSourcePartitions / resumeSourcePartitions
       // (DatastreamResources.java:604-680 / :682-750): partition-level
@@ -285,8 +294,18 @@ final class ManagementServer(pm: PipelineManager,
             s"pipeline is not paused or stopped, cannot resume: $name " +
               s"(current: ${spec.status})")
         } else {
-          val q = pm.resume(name, transformOf(spec))
-          if (queryParams(ex).get("await").contains("true")) q.awaitTermination()
+          // ?force=true resumes every PAUSED/STOPPED group member
+          // (the reference resumes the group, skipping members not in
+          // a resumable state, :575-593)
+          val targets =
+            if (queryParams(ex).get("force").contains("true"))
+              pm.findGroup(name).filter(m =>
+                m.status == PipelineStatus.Paused ||
+                  m.status == PipelineStatus.Stopped)
+            else Seq(spec)
+          val qs = targets.map(m => pm.resume(m.name, transformOf(m)))
+          if (queryParams(ex).get("await").contains("true"))
+            qs.foreach(_.awaitTermination())
           respond(ex, 200, specToJson(pm.get(name).get))
         }
       case ("DELETE", List("pipelines", name)) =>
@@ -339,6 +358,34 @@ final class ManagementServer(pm: PipelineManager,
             "staged" -> JBool(!notify),
             "assignment" -> assignmentJson(table)))
         }
+      // Instance health (health/ServerHealthResources.java: instance
+      // + cluster identity, per-connector task health rollup). Task
+      // facts come from the live query status plus the spec table —
+      // the same sources the reference's Coordinator serves them from.
+      case ("GET", List("health")) =>
+        val statusRows = pm.status()
+          .map { case (n, st, rows) => n -> (st, rows) }.toMap
+        val byConnector = pm.list(0, Int.MaxValue).groupBy(_.connector)
+        respond(ex, 200, JObject(
+          "instanceName" -> JString(instances.head),
+          "clusterName" -> JString(clusterName),
+          "connectors" -> JArray(byConnector.toList.sortBy(_._1).map {
+            case (c, specs) =>
+              JObject("connectorName" -> JString(c),
+                "tasks" -> JArray(specs.sortBy(_.name).map { sp =>
+                  val (st, rows) =
+                    statusRows.getOrElse(sp.name, ("UNSTARTED", 0L))
+                  JObject(
+                    "name" -> JString(sp.name),
+                    "datastreamStatus" -> JString(sp.status.toString),
+                    "queryState" -> JString(st),
+                    "rows" -> JLong(rows),
+                    "source" -> JString(sp.sourceConnection),
+                    "destination" -> JString(sp.destinationConnection),
+                    "pausedPartitions" -> JArray(pm.paused(sp.name)
+                      .toList.sorted.map(JString(_): JValue))): JValue
+                }.toList)): JValue
+          })))
       case ("GET", List("diag")) =>
         queryParams(ex).get("peers").filter(_.nonEmpty) match {
           case Some(peers) =>

@@ -231,12 +231,23 @@ class ManagementServerSpec extends SparkTestBase {
       // stopping an already-stopped stream is a no-op 200
       assert(req(base, "POST", "/pipelines/g1/stop").statusCode() == 200)
 
-      // resume from STOPPED is allowed and delivers
-      val resumed = req(base, "POST", "/pipelines/g1/resume?await=true")
+      // force-resume revives every stopped group member and delivers
+      val resumed = req(base, "POST",
+        "/pipelines/g1/resume?await=true&force=true")
       assert(resumed.statusCode() == 200 && resumed.body().contains("Ready"))
+      assert(req(base, "GET", "/pipelines/g2").body().contains("Ready"))
       assert(spark.read.parquet(pm.get("g1").get.destinationConnection)
-        .count() == 2)
+        .count() >= 2) // g1+g2 share the dest; each delivered the rows
       assert(req(base, "POST", "/pipelines/nope/stop").statusCode() == 404)
+
+      // health rollup: cluster + instance identity, per-connector
+      // tasks with status and source/destination facts
+      val health = req(base, "GET", "/health")
+      assert(health.statusCode() == 200, health.body())
+      assert(health.body().contains("\"clusterName\":\"graft\""))
+      assert(health.body().contains("\"connectorName\":\"parquet\""))
+      assert(health.body().contains("\"g1\"") &&
+        health.body().contains("\"g2\""))
     } finally { srv.stop(); pm.close() }
   }
 
