@@ -639,4 +639,23 @@ class PlanSpec extends SparkTestBase {
         s"$name: partial/final aggregate split expected")
     }
   }
+
+  test("t19/d23 window audits read the spilled frame, never rescan the corpus") {
+    // The exploded window frame feeds BOTH the per-window aggregate
+    // and the join-back. Round 10 ran the corpus's widest scan
+    // (tokenize + shingle + explode) twice per call; the fix spills
+    // the 16-20-byte frame once to parquet. The executed GATE plan
+    // must therefore read only the spill — no corpus file scan and no
+    // Generate (explode) node may survive into it.
+    for ((name, tag) <- Seq("t19_window_novelty" -> "graft_win_novelty",
+        "d23_dup_spans" -> "graft_win_spans")) {
+      val plan = planOf(name).toString
+      assert(plan.contains(tag),
+        s"$name must read its parquet spill; got plan:\n${plan.take(3000)}")
+      assert(!plan.contains("documents.parquet"),
+        s"$name re-scanned the corpus instead of the spill")
+      assert(!plan.contains("Generate"),
+        s"$name re-ran the explode that the spill already materialized")
+    }
+  }
 }
