@@ -957,6 +957,10 @@ object StreamingQueries {
       pm.start("q62a", identity).awaitTermination()
       pm.pause("q62a")
       pm.resume("q62a", identity).awaitTermination()
+      // stop is DISTINCT from pause (STOPPING → STOPPED, resources
+      // released); a stopped stream still resumes from durable state
+      pm.stop("q62a")
+      pm.resume("q62a", identity).awaitTermination()
       pm.delete("q62a")
       pm.close()
       val stateRows = transitions.asScala.toSeq.filter(_._1 == "q62a")
@@ -1258,7 +1262,10 @@ object StreamingQueries {
         |('state', 'q62a:0', 'Ready'),
         |('state', 'q62a:1', 'Paused'),
         |('state', 'q62a:2', 'Ready'),
-        |('state', 'q62a:3', 'Deleting'),
+        |('state', 'q62a:3', 'Stopping'),
+        |('state', 'q62a:4', 'Stopped'),
+        |('state', 'q62a:5', 'Ready'),
+        |('state', 'q62a:6', 'Deleting'),
         |('rows', 'delivered', '600'),
         |('validate', 'unauthorized_rejected', 'true'),
         |('dedup', 'q62b_prefix', 'q62a'),
