@@ -647,8 +647,9 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       if (!specs.get(n).map(_.status).contains(PipelineStatus.Stopped)) {
         specs.updateWith(n)(_.map(_.copy(status = PipelineStatus.Stopping)))
         hooks.onStateChange(n, PipelineStatus.Stopping)
+        // StreamingQuery.stop() cancels the query's in-flight jobs —
+        // nothing of the pipeline's scheduler pool outlives it
         Option(queries.remove(n)).foreach(_.stop())
-        spark.sparkContext.cancelJobGroup(s"graft-$n")
         specs.updateWith(n)(_.map(_.copy(status = PipelineStatus.Stopped)))
         hooks.onStateChange(n, PipelineStatus.Stopped)
       }
