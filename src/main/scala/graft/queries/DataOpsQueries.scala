@@ -720,6 +720,20 @@ object DataOpsQueries {
     "t18_quality_funnel" -> ((s, d) =>
       Text.qualityFunnel(t(s, d, "documents"), col("doc_id"), col("text"))),
 
+    // PII scrub: emails/IPv4s/long digit runs detected and masked.
+    // The corpus carries no guaranteed PII, so a deterministic PII
+    // tail derived from doc_id is appended (both engines build the
+    // identical input), making every pattern fire on every row and
+    // the masked output byte-comparable.
+    "t20_pii_scrub" -> ((s, d) => {
+      val withPii = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com from "),
+          lit("10.0."), pmod(col("doc_id"), lit(256L)), lit(".1 ref "),
+          lit("9999999"), col("doc_id")).as("text"))
+      Text.piiScrub(withPii, col("doc_id"), col("text"))
+    }),
+
     // Corpus integrity pre-flight: the referential/shape audit run
     // before spending a training job — row counts, doc↔embedding
     // orphans (anti-joins both ways), empty/whitespace-only texts,
@@ -1975,6 +1989,30 @@ object DataOpsQueries {
     // of the sorted list, identical after the shared 6-dp rounding).
     // Token-less docs have no repetition row -> LEFT JOIN + COALESCE
     // false, mirroring the Spark side's n > 0 guards.
+    // Same fixed-order progressive masking as Text.piiScrub; counts
+    // taken on the text each pattern actually scanned. Patterns are
+    // in the Java-regex ∩ RE2 subset, so both engines see identical
+    // matches.
+    "t20_pii_scrub" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+      val num = "\\b\\d{9,}\\b"
+      s"""WITH src AS (SELECT doc_id,
+         |text || ' contact user' || doc_id || '@example.com from 10.0.'
+         | || (doc_id % 256) || '.1 ref 9999999' || doc_id AS text
+         |FROM documents),
+         |e AS (SELECT doc_id,
+         |CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+         |regexp_replace(text, '$email', '<EMAIL>', 'g') AS t1 FROM src),
+         |i AS (SELECT doc_id, n_emails,
+         |CAST(len(regexp_extract_all(t1, '$ip')) AS BIGINT) AS n_ips,
+         |regexp_replace(t1, '$ip', '<IP>', 'g') AS t2 FROM e)
+         |SELECT doc_id, n_emails, n_ips,
+         |CAST(len(regexp_extract_all(t2, '$num')) AS BIGINT) AS n_ids,
+         |regexp_replace(t2, '$num', '<ID>', 'g') AS clean FROM i"""
+        .stripMargin.replace("\n", " ")
+    },
+
     "t18_quality_funnel" -> {
       val langs = Text.LangMarkers.toSeq.sortBy(_._1)
       val names = langs.map(_._1)

@@ -79,6 +79,42 @@ object Text {
     length(regexp_replace(text, "[a-z A-Z]", "")).cast("double") /
       length(text).cast("double")
 
+  // PII patterns, written in the regex subset Java's engine and
+  // DuckDB's RE2 evaluate identically (char classes, bounded
+  // repetition, non-capturing groups, \b): the driver's oracle runs
+  // the SAME patterns, so the scrub is verified byte-for-byte across
+  // engines. Deliberately high-recall/simple — the shape of C4-style
+  // pre-training scrubbing, not a compliance-grade detector.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val LongNumRe = "\\b\\d{9,}\\b" // SSN/account/credit-card-ish runs
+
+  /**
+   * PII detect + mask (the privacy-scrub pass every LLM training
+   * pipeline runs before tokenization): emails, IPv4 addresses, and
+   * long digit runs replaced by typed mask tokens, with per-document
+   * detection counts so corpus-level PII density is auditable.
+   * Patterns apply in a FIXED order on the progressively-masked text
+   * (emails first — their host part would otherwise feed the IP/number
+   * patterns), and each count is taken on the text the pattern
+   * actually scanned, so counts + masks are reproducible exactly.
+   *
+   * Scale shape: three codegen'd regexp passes riding the corpus
+   * scan — no explode, no shuffle, no UDF.
+   */
+  def piiScrub(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val t0 = text
+    val t1 = regexp_replace(t0, EmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, Ipv4Re, "<IP>")
+    val t3 = regexp_replace(t2, LongNumRe, "<ID>")
+    df.select(
+      id.as("doc_id"),
+      regexp_count(t0, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t1, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(t2, lit(LongNumRe)).cast("long").as("n_ids"),
+      t3.as("clean"))
+  }
+
   /**
    * Composite quality score in [0,1]: penalize too-short docs, extreme
    * stopword ratios, and non-alpha noise. Deterministic arithmetic.

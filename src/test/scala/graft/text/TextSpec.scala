@@ -176,4 +176,23 @@ class TextSpec extends SparkTestBase {
       funnel("3_gopher") >= funnel("4_repetition"),
       "funnel stages must be monotonically non-increasing")
   }
+
+  test("piiScrub masks emails, IPs, and long digit runs in fixed order") {
+    val rows = Seq(
+      (1L, "mail a.b+c@sub.ex.org and bob@ex.co now"),
+      (2L, "srv 10.0.255.1 and 192.168.0.12, acct 123456789 ok"),
+      (3L, "mixed x@y.io at 8.8.8.8 ref 99999999999"),
+      (4L, "clean text, short 12345678 and ip-ish 1.2.3 stay"),
+      (5L, "")).toDF("id", "t")
+    val got = Text.piiScrub(rows, $"id", $"t")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == (1L, 2L, 0L, 0L, "mail <EMAIL> and <EMAIL> now"))
+    assert(got(2L) == (2L, 0L, 2L, 1L, "srv <IP> and <IP>, acct <ID> ok"))
+    assert(got(3L) == (3L, 1L, 1L, 1L, "mixed <EMAIL> at <IP> ref <ID>"))
+    // 8-digit run is below the threshold; 1.2.3 is not a full IPv4
+    assert(got(4L) ==
+      (4L, 0L, 0L, 0L, "clean text, short 12345678 and ip-ish 1.2.3 stay"))
+    assert(got(5L) == (5L, 0L, 0L, 0L, ""))
+  }
 }
