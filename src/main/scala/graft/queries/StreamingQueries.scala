@@ -920,6 +920,46 @@ object StreamingQueries {
       out
     }),
 
+    // K7 retention tier: the broker's `retention.ms` behavior for
+    // filesystem transports. Four deterministic epoch files land via
+    // the K3 commit path; two are aged past the provisioned window
+    // (explicit mtimes — no clock races) and enforcement must delete
+    // exactly those, leaving the other epochs' rows intact and the
+    // commit markers untouched.
+    "q63_retention" -> ((s, d) => {
+      val ckptRoot = Files.createTempDirectory("graft-q63-pm-").toString
+      val destDir = Files.createTempDirectory("graft-q63-dest-").toString
+      val pm = new PipelineManager(s, ckptRoot)
+      pm.create(PipelineSpec("q63", "parquet", "parquet",
+        sourceConnection = destDir, destinationConnection = destDir,
+        metadata = Map("retentionMs" -> "3600000")))
+      val slice = Tables.t(s, d, "events")
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), pmod(col("event_id"), lit(4L)).as("bucket"))
+      for (e <- 0 until 4)
+        PipelineManager.epochAppend(
+          slice.filter(col("bucket") === e.toLong).coalesce(1),
+          destDir, e.toLong, "q63")
+      // age epochs 0 and 2 beyond the 1-hour window
+      val fs = new org.apache.hadoop.fs.Path(destDir).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val now = System.currentTimeMillis()
+      for (e <- Seq(0, 2)) {
+        val p = new org.apache.hadoop.fs.Path(destDir,
+          s"graft-${PipelineManager.namespaceOf("q63")}-e$e-p0.parquet")
+        fs.setTimes(p, now - 7200000L, -1)
+      }
+      val removed = pm.enforceRetention("q63", nowMs = now)
+      import s.implicits._
+      val out = s.read.parquet(destDir)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .unionByName(Seq((-1L, removed.toLong)).toDF("bucket", "n"))
+        .localCheckpoint()
+      pm.close()
+      deleteTree(ckptRoot, destDir)
+      out
+    }),
+
     // §2.10: the full SPI lifecycle through PipelineManager — every
     // pluggable hook fires and every state transition lands where the
     // reference's Coordinator would put it: Authorizer rejects an
@@ -1253,6 +1293,16 @@ object StreamingQueries {
       """SELECT event_id, user_id, event_type,
         |'mem.' || event_type AS route
         |FROM events WHERE event_type IN ('click', 'error')"""
+        .stripMargin.replace("\n", " "),
+
+    // K7 retention closed form: aged epochs 0/2 gone (2 files
+    // removed), epochs 1/3 intact.
+    "q63_retention" ->
+      """SELECT CAST(event_id % 4 AS BIGINT) AS bucket,
+        |COUNT(*) AS n FROM events
+        |WHERE event_type = 'click' AND event_id % 4 IN (1, 3)
+        |GROUP BY 1
+        |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(2 AS BIGINT)"""
         .stripMargin.replace("\n", " "),
 
     // §2.10 closed form: lifecycle transitions, delivered rows,
