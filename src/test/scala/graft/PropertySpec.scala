@@ -376,4 +376,71 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("offset codecs: merge inverts split for arbitrary offsets") {
+    val rnd = new Random(47)
+    for (_ <- 1 to Rounds) {
+      // vector shape
+      val vec = List.fill(1 + rnd.nextInt(8))(rnd.nextLong().abs).mkString(",")
+      assert(graft.sources.VectorOffsetCodec.merge(
+        graft.sources.VectorOffsetCodec.split(vec)) == vec)
+      // kafka shape (topic names may themselves contain dashes)
+      val topics = List.fill(1 + rnd.nextInt(3))(
+        s"t${rnd.nextInt(9)}-x${rnd.nextInt(9)}")
+        .distinct.sorted
+      val json = topics.map { t =>
+        val parts = (0 to rnd.nextInt(3))
+          .map(p => s""""$p":${rnd.nextInt(100000)}""").mkString(",")
+        s""""$t":{$parts}"""
+      }.mkString("{", ",", "}")
+      val split = graft.sources.KafkaOffsetCodec.split(json)
+      assert(graft.sources.KafkaOffsetCodec.split(
+        graft.sources.KafkaOffsetCodec.merge(split)) == split)
+    }
+  }
+
+  test("pausing wrapper: paused components hold, others match the inner advance") {
+    import java.nio.file.Files
+    val rnd = new Random(48)
+    for (_ <- 1 to Rounds) {
+      val parts = 2 + rnd.nextInt(5)
+      val paused = (0 until parts).filter(_ => rnd.nextBoolean()).toSet
+      val pauseFile = Files.createTempFile("graft-prop-pause-", ".txt")
+      Files.writeString(pauseFile, paused.mkString(","))
+      val inner = new graft.sources.PausableStream(rows = 100, parts = parts,
+        batchPer = 10 + rnd.nextInt(30), size = 4, pauseFile = "")
+      val wrapped = new graft.sources.PausingMicroBatchStream(inner,
+        graft.sources.VectorOffsetCodec, pauseFile.toString)
+      val start = graft.sources.VectorOffset(
+        IndexedSeq.fill(parts)(rnd.nextInt(50).toLong))
+      val innerEnd = inner.latestOffset(start, inner.getDefaultReadLimit)
+        .asInstanceOf[graft.sources.VectorOffset]
+      val end = wrapped.latestOffset(start, wrapped.getDefaultReadLimit)
+        .asInstanceOf[graft.sources.VectorOffset]
+      for (p <- 0 until parts) {
+        if (paused(p)) assert(end.next(p) == start.next(p),
+          s"paused $p advanced: ${start.next(p)} -> ${end.next(p)}")
+        else assert(end.next(p) == innerEnd.next(p),
+          s"active $p diverged from inner: ${end.next(p)} vs ${innerEnd.next(p)}")
+      }
+      Files.deleteIfExists(pauseFile)
+    }
+  }
+
+  test("piiScrub is idempotent: a scrubbed text has zero detections") {
+    val rnd = new Random(49)
+    val words = Seq("alice@ex.org", "10.0.0.1", "9999999991", "plain",
+      "x@y.io,", "172.16.254.3;", "12345", "a.b", "ref:1234567890")
+    for (_ <- 1 to Rounds) {
+      val txt = List.fill(12)(words(rnd.nextInt(words.size))).mkString(" ")
+      val once = graft.text.Text.piiScrub(
+        Seq((1L, txt)).toDF("id", "t"), $"id", $"t")
+        .as[(Long, Long, Long, Long, String)].head()
+      val twice = graft.text.Text.piiScrub(
+        Seq((1L, once._5)).toDF("id", "t"), $"id", $"t")
+        .as[(Long, Long, Long, Long, String)].head()
+      assert(twice == (1L, 0L, 0L, 0L, once._5),
+        s"scrub not idempotent on: $txt -> ${once._5}")
+    }
+  }
 }
