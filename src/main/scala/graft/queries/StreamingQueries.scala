@@ -839,6 +839,49 @@ object StreamingQueries {
       out
     }),
 
+    // F2 for FOREIGN DSv2 sources, oracle-gated: the same
+    // pause-survives-restart contract as s18, but the inner source is
+    // pause-UNAWARE (its own pause file unset) and the hold happens
+    // entirely in the wrapping PausingMicroBatchStream (offset-layer
+    // clamp via the vector codec). Same closed form as s18: partition
+    // 1's rows arrive only in run 2, everything exactly once.
+    "s19_wrapped_pause" -> ((s, d) => {
+      val outDir = Files.createTempDirectory("graft-s19-out-").toString
+      val ckpt = Files.createTempDirectory("graft-s19-ckpt-").toString
+      val pauseFile = Files.createTempFile("graft-s19-pause-", ".txt")
+      def drain(run: Int): Unit = {
+        val q = s.readStream
+          .format(classOf[graft.sources.PausingProvider].getName)
+          .option("innerFormat", classOf[graft.sources.PausableProvider].getName)
+          .option("offsetCodec", "vector")
+          .option("pauseFile", pauseFile.toString)
+          .option("rowsPerPartition", "150")
+          .option("numPartitions", "4")
+          .option("batchPerPartition", "40")
+          .option("payloadSize", "16")
+          .load()
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            PipelineManager.epochAppend(
+              batch.withColumn("run", lit(run)).coalesce(1),
+              outDir, epoch, "s19")
+          }
+          .start()
+        q.awaitTermination()
+      }
+      Files.writeString(pauseFile, "1")
+      drain(1)
+      Files.writeString(pauseFile, "")
+      drain(2)
+      val out = s.read.parquet(outDir).localCheckpoint()
+      deleteTree(outDir, ckpt)
+      Files.deleteIfExists(pauseFile)
+      out
+    }),
+
     // K3: the flush/epoch-commit barrier. Per epoch the transport
     // flush (epochAppend's staged write + rename) completes BEFORE
     // the commit marker appears — the reference's flush-then-commit
@@ -1273,6 +1316,15 @@ object StreamingQueries {
     // Every (partition, idx) exactly once; partition 1 (paused during
     // run 1) arrives only in run 2, everything else only in run 1.
     "s18_paused_source" ->
+      """SELECT CAST(p.range AS INTEGER) AS partition, i.range AS idx,
+        |printf('event-%012d-', i.range) || repeat('x', 16) AS payload,
+        |CASE WHEN p.range = 1 THEN 2 ELSE 1 END AS run
+        |FROM range(4) p CROSS JOIN range(150) i"""
+        .stripMargin.replace("\n", " "),
+
+    // identical closed form: the wrapper reproduces the native
+    // pausable source's pause-survives-restart behavior exactly
+    "s19_wrapped_pause" ->
       """SELECT CAST(p.range AS INTEGER) AS partition, i.range AS idx,
         |printf('event-%012d-', i.range) || repeat('x', 16) AS payload,
         |CASE WHEN p.range = 1 THEN 2 ELSE 1 END AS run
