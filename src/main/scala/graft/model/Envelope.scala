@@ -81,3 +81,62 @@ final case class PipelineSpec(
 object PipelineStatus extends Enumeration {
   val Initializing, Ready, Paused, Deleting, Stopped, Stopping = Value
 }
+
+/**
+ * Full-fidelity JSON (de)serialization of [[PipelineSpec]] — the wire
+ * AND storage shape shared by the REST surface and the manager's
+ * durable spec store (the reference serializes the same Datastream
+ * record into ZooKeeper and onto the REST wire,
+ * ZookeeperBackedDatastreamStore + DatastreamResources). Every field
+ * round-trips, including the serde names the REST layer's earlier
+ * hand mapping dropped.
+ */
+object PipelineSpecJson {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  def toJson(s: PipelineSpec): JValue = JObject(
+    "name" -> JString(s.name),
+    "connector" -> JString(s.connector),
+    "transport" -> JString(s.transport),
+    "sourceConnection" -> JString(s.sourceConnection),
+    "sourcePartitions" -> JInt(s.sourcePartitions),
+    "destinationConnection" -> JString(s.destinationConnection),
+    "destinationPartitions" -> JInt(s.destinationPartitions),
+    "keySerde" -> JString(s.keySerde),
+    "payloadSerde" -> JString(s.payloadSerde),
+    "envelopeSerde" -> JString(s.envelopeSerde),
+    "metadata" -> JObject(s.metadata.toList.sortBy(_._1)
+      .map { case (k, v) => k -> (JString(v): JValue) }),
+    "status" -> JString(s.status.toString))
+
+  def fromJson(j: JValue): PipelineSpec = {
+    def str(f: String, dflt: String = ""): String =
+      j \ f match { case JString(v) => v; case _ => dflt }
+    def int(f: String, dflt: Int): Int =
+      j \ f match { case JInt(v) => v.toInt; case _ => dflt }
+    val md = j \ "metadata" match {
+      case JObject(fields) =>
+        fields.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty[String, String]
+    }
+    PipelineSpec(
+      name = str("name"),
+      connector = str("connector"),
+      transport = str("transport"),
+      sourceConnection = str("sourceConnection"),
+      sourcePartitions = int("sourcePartitions", 1),
+      destinationConnection = str("destinationConnection"),
+      destinationPartitions = int("destinationPartitions", 1),
+      keySerde = str("keySerde"),
+      payloadSerde = str("payloadSerde"),
+      envelopeSerde = str("envelopeSerde"),
+      metadata = md,
+      status = PipelineStatus.values.find(_.toString == str("status"))
+        .getOrElse(PipelineStatus.Initializing))
+  }
+
+  def write(s: PipelineSpec): String =
+    JsonMethods.compact(JsonMethods.render(toJson(s)))
+  def read(json: String): PipelineSpec = fromJson(JsonMethods.parse(json))
+}

@@ -13,7 +13,7 @@ import org.json4s.jackson.JsonMethods
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 
-import graft.model.{PipelineSpec, PipelineStatus}
+import graft.model.{PipelineSpec, PipelineSpecJson, PipelineStatus}
 import graft.operators.Control
 import graft.streaming.PipelineManager
 
@@ -61,39 +61,17 @@ final class ManagementServer(pm: PipelineManager,
   /** The bound port (useful with port=0 for tests). */
   def boundPort: Int = server.getAddress.getPort
 
-  // ---- JSON (hand-rolled AST mapping: stable field set, no
-  // reflection over the status enum) ----
+  // ---- JSON: the shared full-fidelity spec serde (same shape the
+  // durable spec store writes — one wire format everywhere, as the
+  // reference serializes one Datastream record to ZK and REST). A
+  // spec arriving over the wire always enters as a fresh
+  // Initializing registration regardless of any status field the
+  // client sent. ----
 
-  private def specToJson(s: PipelineSpec): JValue = JObject(
-    "name" -> JString(s.name),
-    "connector" -> JString(s.connector),
-    "transport" -> JString(s.transport),
-    "sourceConnection" -> JString(s.sourceConnection),
-    "sourcePartitions" -> JInt(s.sourcePartitions),
-    "destinationConnection" -> JString(s.destinationConnection),
-    "destinationPartitions" -> JInt(s.destinationPartitions),
-    "metadata" -> JObject(s.metadata.toList.map { case (k, v) => k -> (JString(v): JValue) }),
-    "status" -> JString(s.status.toString))
+  private def specToJson(s: PipelineSpec): JValue = PipelineSpecJson.toJson(s)
 
-  private def specFromJson(j: JValue): PipelineSpec = {
-    def str(f: String, dflt: String = ""): String =
-      j \ f match { case JString(v) => v; case _ => dflt }
-    def int(f: String, dflt: Int): Int =
-      j \ f match { case JInt(v) => v.toInt; case _ => dflt }
-    val md = j \ "metadata" match {
-      case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
-      case _ => Map.empty[String, String]
-    }
-    PipelineSpec(
-      name = str("name"),
-      connector = str("connector"),
-      transport = str("transport"),
-      sourceConnection = str("sourceConnection"),
-      sourcePartitions = int("sourcePartitions", 1),
-      destinationConnection = str("destinationConnection"),
-      destinationPartitions = int("destinationPartitions", 1),
-      metadata = md)
-  }
+  private def specFromJson(j: JValue): PipelineSpec =
+    PipelineSpecJson.fromJson(j).copy(status = PipelineStatus.Initializing)
 
   // ---- Task-assignment table (the DMS movePartitions /
   // getTaskAssignment verbs, DatastreamResources.java:410-456 and

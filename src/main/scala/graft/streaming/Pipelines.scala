@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.BinaryType
 
-import graft.model.{PipelineSpec, PipelineStatus}
+import graft.model.{PipelineSpec, PipelineSpecJson, PipelineStatus}
 
 /**
  * Thin pipeline manager: the engine's control plane.
@@ -64,7 +64,58 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   // otherwise a restart would deliver fresh paused-partition rows
   // while earlier ones sit in holdback.
   private val pausedPartitions = TrieMap.empty[String, (String, Set[String])]
+  loadSpecs()
   loadPausedState()
+
+  // ---- Durable spec store (the reference's
+  // ZookeeperBackedDatastreamStore role): every registered spec lives
+  // as one JSON file under checkpointRoot/specs, written on every
+  // mutation and reloaded by a new manager on the same root — a
+  // restarted driver sees every pipeline it had, with durable state
+  // (checkpoints, holdback, pause sets) intact. ----
+
+  private def specFilePath(name: String) =
+    new Path(s"$checkpointRoot/specs/${PipelineManager.namespaceOf(name)}.json")
+
+  private def persistSpec(spec: PipelineSpec): Unit = {
+    val p = specFilePath(spec.name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(PipelineSpecJson.write(spec).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def removeSpecFile(name: String): Unit = {
+    val p = specFilePath(name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false): Unit
+  }
+
+  private def loadSpecs(): Unit = {
+    val dir = new Path(s"$checkpointRoot/specs")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) {
+      fs.listStatus(dir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+        .foreach { st =>
+          val in = fs.open(st.getPath)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          val spec = PipelineSpecJson.read(text)
+          spec.status match {
+            // a mid-flight delete finishes now
+            case PipelineStatus.Deleting => fs.delete(st.getPath, false): Unit
+            // a restored spec has no live query: READY/STOPPING
+            // collapse to STOPPED (the query died with the previous
+            // process; resume() replays from the checkpoint)
+            case PipelineStatus.Ready | PipelineStatus.Stopping =>
+              specs.put(spec.name, spec.copy(status = PipelineStatus.Stopped))
+            case _ => specs.put(spec.name, spec)
+          }
+        }
+    }
+  }
 
   private def pausedStatePath(name: String) = new Path(s"$checkpointRoot/$name.paused")
 
@@ -174,6 +225,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         deduped.metadata + (PipelineManager.TaskPrefixKey -> deduped.name))
     val ready = prefixed.copy(status = PipelineStatus.Ready)
     specs.put(spec.name, ready)
+    persistSpec(ready)
     provisionDestination(ready)
     hooks.onStateChange(spec.name, PipelineStatus.Ready)
     ready
@@ -269,6 +321,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         if (newSpec.destinationConnection.nonEmpty) newSpec.destinationConnection
         else existing.destinationConnection)
     specs.put(name, updated)
+    persistSpec(updated)
     updated
   }
 
@@ -624,6 +677,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   def pause(name: String): Unit = {
     Option(queries.remove(name)).foreach(_.stop())
     specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Paused)))
+    specs.get(name).foreach(persistSpec)
     hooks.onStateChange(name, PipelineStatus.Paused)
   }
 
@@ -651,6 +705,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         // nothing of the pipeline's scheduler pool outlives it
         Option(queries.remove(n)).foreach(_.stop())
         specs.updateWith(n)(_.map(_.copy(status = PipelineStatus.Stopped)))
+        specs.get(n).foreach(persistSpec)
         hooks.onStateChange(n, PipelineStatus.Stopped)
       }
     }
@@ -659,6 +714,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   /** Resume = restart from the same checkpointLocation. */
   def resume(name: String, transform: DataFrame => DataFrame): StreamingQuery = {
     specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Ready)))
+    specs.get(name).foreach(persistSpec)
     hooks.onStateChange(name, PipelineStatus.Ready)
     start(name, transform)
   }
@@ -667,6 +723,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     Option(queries.remove(name)).foreach(_.stop())
     specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Deleting)))
     specs.remove(name)
+    removeSpecFile(name)
     hooks.onStateChange(name, PipelineStatus.Deleting)
   }
 

@@ -109,6 +109,46 @@ class PipelineManagerSpec extends SparkTestBase {
     assert(pm.get("p1").isEmpty)
   }
 
+  test("specs survive a manager restart (durable store)") {
+    val root = Files.createTempDirectory("graft-pm-durable-").toString
+    val srcDir = Files.createTempDirectory("graft-pm-durable-src-").toString
+    Seq((1L, "v1"), (2L, "v2")).toDF("k", "v")
+      .write.mode(SaveMode.Append).parquet(srcDir)
+
+    val pm1 = new PipelineManager(spark, root)
+    val spec = pm1.create(PipelineSpec("dur1", "parquet", "parquet", srcDir,
+      metadata = Map("custom" -> "x"), keySerde = "string"))
+    pm1.start("dur1", identity).awaitTermination()
+    pm1.create(PipelineSpec("dur2", "parquet", "parquet", srcDir + "/"))
+    pm1.pause("dur2")
+    pm1.close()
+
+    // a NEW manager on the same root sees both pipelines: the one
+    // that was running comes back STOPPED (its query died with the
+    // process), the paused one stays PAUSED, every field intact
+    val pm2 = new PipelineManager(spark, root)
+    val r1 = pm2.get("dur1").get
+    assert(r1.status == PipelineStatus.Stopped)
+    assert(r1.metadata("custom") == "x" && r1.keySerde == "string" &&
+      r1.destinationConnection == spec.destinationConnection)
+    assert(pm2.get("dur2").get.status == PipelineStatus.Paused)
+
+    // resume replays nothing old, picks up only the new file
+    Seq((3L, "v3")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    pm2.resume("dur1", identity).awaitTermination()
+    assert(spark.read.parquet(spec.destinationConnection)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "v1"), (2L, "v2"), (3L, "v3")))
+
+    // delete removes the stored spec: a third manager doesn't see it
+    pm2.delete("dur1")
+    pm2.close()
+    val pm3 = new PipelineManager(spark, root)
+    assert(pm3.get("dur1").isEmpty && pm3.get("dur2").isDefined)
+    pm3.delete("dur2")
+    pm3.close()
+  }
+
   test("pausing connector wraps a foreign provider through the manager") {
     val pm = newManager()
     val pauseFile = Files.createTempFile("graft-pm-wrap-", ".txt")
@@ -260,9 +300,10 @@ class PipelineManagerSpec extends SparkTestBase {
     pmA.close()
 
     // a NEW manager on the same checkpoint root (driver restart)
-    // reloads the durable pause set: fresh p1 data stays held back
+    // reloads the durable SPEC and pause set: no re-create needed,
+    // and fresh p1 data stays held back
     val pmB = new PipelineManager(spark, root)
-    pmB.create(PipelineSpec("pd", "parquet", "parquet", srcDir))
+    assert(pmB.get("pd").isDefined, "spec lost across restart")
     assert(pmB.paused("pd") == Set("p1"), "pause set lost across restart")
     Seq((3L, "p1"), (4L, "p0")).toDF("k", "part")
       .write.mode(SaveMode.Append).parquet(srcDir)
