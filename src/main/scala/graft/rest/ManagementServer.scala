@@ -215,7 +215,7 @@ final class ManagementServer(pm: PipelineManager,
           if (queryParams(ex).get("force").contains("true"))
             pm.findGroup(name).map(_.name)
           else Seq(name)
-        targets.foreach(pm.pause)
+        targets.foreach(pm.pause(_, owner(ex)))
         respond(ex, 200, specToJson(pm.get(name).get))
       // pauseSourcePartitions / resumeSourcePartitions
       // (DatastreamResources.java:604-680 / :682-750): partition-level
@@ -260,7 +260,8 @@ final class ManagementServer(pm: PipelineManager,
       // task group. Already-STOPPED is a no-op (200), as reference.
       case ("POST", List("pipelines", name, "stop")) =>
         pm.get(name).getOrElse(sys.error(s"unknown pipeline $name"))
-        pm.stop(name, force = queryParams(ex).get("force").contains("true"))
+        pm.stop(name, force = queryParams(ex).get("force").contains("true"),
+          owner = owner(ex))
         respond(ex, 200, specToJson(pm.get(name).get))
       case ("POST", List("pipelines", name, "resume")) =>
         val spec = pm.get(name).getOrElse(sys.error(s"unknown pipeline $name"))
@@ -281,14 +282,14 @@ final class ManagementServer(pm: PipelineManager,
                 m.status == PipelineStatus.Paused ||
                   m.status == PipelineStatus.Stopped)
             else Seq(spec)
-          val qs = targets.map(m => pm.resume(m.name, transformOf(m)))
+          val qs = targets.map(m => pm.resume(m.name, transformOf(m), owner(ex)))
           if (queryParams(ex).get("await").contains("true"))
             qs.foreach(_.awaitTermination())
           respond(ex, 200, specToJson(pm.get(name).get))
         }
       case ("DELETE", List("pipelines", name)) =>
         pm.get(name).getOrElse(sys.error(s"unknown pipeline $name"))
-        pm.delete(name)
+        pm.delete(name, owner(ex))
         respond(ex, 200, JObject("name" -> JString(name), "deleted" -> JBool(true)))
       // getTaskAssignment (DatastreamResources.java:826-849): the
       // instance hosting one task, or the whole table without ?task=.

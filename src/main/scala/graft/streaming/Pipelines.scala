@@ -674,7 +674,18 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     pausedPartitions.get(name).map(_._2).getOrElse(Set.empty)
 
   /** Pause = stop the query; offsets stay in the checkpoint. */
-  def pause(name: String): Unit = {
+  /** Authorize a mutating lifecycle call against the Authorizer hook
+    * — the reference authorizes EVERY DMS mutation, not just
+    * create/update (Coordinator.java:2371-2393). */
+  private def authorizeLifecycle(name: String, owner: String): PipelineSpec = {
+    val spec = specs.getOrElse(name, sys.error(s"unknown pipeline $name"))
+    require(hooks.authorize(spec, owner),
+      s"owner $owner not authorized for $name")
+    spec
+  }
+
+  def pause(name: String, owner: String = "anonymous"): Unit = {
+    authorizeLifecycle(name, owner)
     Option(queries.remove(name)).foreach(_.stop())
     specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Paused)))
     specs.get(name).foreach(persistSpec)
@@ -693,7 +704,9 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
    * reference's force flag. Stopping an already-STOPPED stream is a
    * no-op, as in the reference.
    */
-  def stop(name: String, force: Boolean = false): Unit = {
+  def stop(name: String, force: Boolean = false,
+      owner: String = "anonymous"): Unit = {
+    authorizeLifecycle(name, owner)
     val targets =
       if (force) findGroup(name).map(_.name)
       else Seq(specs.getOrElse(name, sys.error(s"unknown pipeline $name")).name)
@@ -712,14 +725,17 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   }
 
   /** Resume = restart from the same checkpointLocation. */
-  def resume(name: String, transform: DataFrame => DataFrame): StreamingQuery = {
+  def resume(name: String, transform: DataFrame => DataFrame,
+      owner: String = "anonymous"): StreamingQuery = {
+    authorizeLifecycle(name, owner)
     specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Ready)))
     specs.get(name).foreach(persistSpec)
     hooks.onStateChange(name, PipelineStatus.Ready)
     start(name, transform)
   }
 
-  def delete(name: String): Unit = {
+  def delete(name: String, owner: String = "anonymous"): Unit = {
+    authorizeLifecycle(name, owner)
     Option(queries.remove(name)).foreach(_.stop())
     specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Deleting)))
     specs.remove(name)

@@ -73,6 +73,12 @@ class PipelineManagerSpec extends SparkTestBase {
     assert(up.sourceConnection == "/src/y")
     assert(up.destinationConnection == "dest-h1") // auto-provisioned kept
 
+    // every mutating lifecycle verb authorizes, not just create/update
+    intercept[IllegalArgumentException] { pm.pause("h1", owner = "mallory") }
+    intercept[IllegalArgumentException] { pm.stop("h1", owner = "mallory") }
+    intercept[IllegalArgumentException] { pm.delete("h1", owner = "mallory") }
+    assert(pm.get("h1").isDefined, "denied mutations must not change state")
+
     pm.pause("h1")
     assert(changes.contains(("h1", PipelineStatus.Paused)))
     pm.delete("h1")
