@@ -1,10 +1,11 @@
 package graft.rest
 
-import java.net.URI
-import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.json4s.jackson.JsonMethods
+
+import graft.model.PipelineSpecJson
 
 /**
- * Command-line client for [[ManagementServer]] — the engine's
+ * Command-line adapter over [[ManagementClient]] — the engine's
  * DatastreamRestClientCli (reference: datastream-client/.../
  * DatastreamRestClientCli; operations mirror DatastreamResources).
  *
@@ -13,7 +14,7 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
  *   ManagementCli <baseUrl> get|delete <name>
  *   ManagementCli <baseUrl> pause|stop <name> [--force]
  *   ManagementCli <baseUrl> start|resume <name> [--await] [--force]
- *   ManagementCli <baseUrl> create|update-json '<spec json>' [name]
+ *   ManagementCli <baseUrl> create|update-json '<spec json>'
  *   ManagementCli <baseUrl> group <name>
  *   ManagementCli <baseUrl> assignment <name> [task]
  *   ManagementCli <baseUrl> move-partitions <name> <parts> <host> [--stage]
@@ -28,64 +29,54 @@ object ManagementCli {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ManagementCli <baseUrl> <command> [args...]")
-    val base = args(0).stripSuffix("/")
     val owner = sys.env.getOrElse("GRAFT_OWNER", "anonymous")
-    val client = HttpClient.newHttpClient()
-
-    def send(method: String, path: String, body: Option[String] = None): String = {
-      val b = HttpRequest.newBuilder(URI.create(base + path))
-        .header("X-Owner", owner)
-      val req = (body match {
-        case Some(json) => b.header("Content-Type", "application/json")
-          .method(method, HttpRequest.BodyPublishers.ofString(json))
-        case None => b.method(method, HttpRequest.BodyPublishers.noBody())
-      }).build()
-      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() >= 400)
-        sys.error(s"HTTP ${resp.statusCode()}: ${resp.body()}")
-      resp.body()
-    }
-
-    // positional args with the --flags stripped
+    val c = new ManagementClient(args(0), owner)
     val pos = args.filterNot(_.startsWith("--"))
-    def flags(names: String*): String = {
-      val qs = names.collect {
-        case "await" if args.contains("--await") => "await=true"
-        case "force" if args.contains("--force") => "force=true"
-      }
-      if (qs.isEmpty) "" else qs.mkString("?", "&", "")
-    }
+    val await = args.contains("--await")
+    val force = args.contains("--force")
+
+    def specJson(s: graft.model.PipelineSpec): String = PipelineSpecJson.write(s)
+    def specsJson(ss: Seq[graft.model.PipelineSpec]): String =
+      ss.map(specJson).mkString("[", ",", "]")
+
     val out = args(1) match {
       case "list" =>
-        val page = if (pos.length >= 4) s"?start=${pos(2)}&count=${pos(3)}" else ""
-        send("GET", s"/pipelines$page")
-      case "get" => send("GET", s"/pipelines/${pos(2)}")
-      case "create" => send("POST", "/pipelines", Some(pos(2)))
-      case "update-json" => send("PUT", s"/pipelines/${pos(3)}", Some(pos(2)))
-      case "start" => send("POST", s"/pipelines/${pos(2)}/start${flags("await")}")
-      case "pause" => send("POST", s"/pipelines/${pos(2)}/pause${flags("force")}")
-      case "stop" => send("POST", s"/pipelines/${pos(2)}/stop${flags("force")}")
-      case "resume" =>
-        send("POST", s"/pipelines/${pos(2)}/resume${flags("await", "force")}")
-      case "delete" => send("DELETE", s"/pipelines/${pos(2)}")
-      case "group" => send("GET", s"/pipelines/${pos(2)}/group")
+        if (pos.length >= 4) specsJson(c.list(pos(2).toInt, pos(3).toInt))
+        else specsJson(c.list())
+      case "get" => c.get(pos(2)) match {
+        case Some(s) => specJson(s)
+        case None => sys.error(s"unknown pipeline ${pos(2)}")
+      }
+      case "create" => specJson(c.create(PipelineSpecJson.read(pos(2))))
+      case "update-json" => specJson(c.update(PipelineSpecJson.read(pos(2))))
+      case "start" => c.start(pos(2), await); s"""{"name":"${pos(2)}","started":true}"""
+      case "pause" => specJson(c.pause(pos(2), force))
+      case "stop" => specJson(c.stop(pos(2), force))
+      case "resume" => specJson(c.resume(pos(2), await, force))
+      case "delete" => c.delete(pos(2)); s"""{"name":"${pos(2)}","deleted":true}"""
+      case "group" => specsJson(c.group(pos(2)))
       case "assignment" =>
-        val task = if (pos.length >= 4) s"?task=${pos(3)}" else ""
-        send("GET", s"/pipelines/${pos(2)}/assignment$task")
+        if (pos.length >= 4) c.taskInstance(pos(2), pos(3)) match {
+          case Some(i) => s"""{"task":"${pos(3)}","instance":"$i"}"""
+          case None => sys.error(s"connector task not found: ${pos(3)}")
+        }
+        else c.assignment(pos(2)).toSeq.sortBy(kv => (kv._1.length, kv._1))
+          .map { case (t, i) => s"""{"task":"$t","instance":"$i"}""" }
+          .mkString("[", ",", "]")
       case "move-partitions" =>
-        val notify = !args.contains("--stage")
-        send("POST", s"/pipelines/${pos(2)}/movePartitions", Some(
-          s"""{"partitions":"${pos(3)}","targetHost":"${pos(4)}","notify":$notify}"""))
+        c.movePartitions(pos(2), pos(3).split(",").toSeq, pos(4),
+          notify = !args.contains("--stage"))
+        s"""{"name":"${pos(2)}","moved":true}"""
       case "pause-partitions" =>
-        send("POST", s"/pipelines/${pos(2)}/pauseSourcePartitions${flags("await")}",
-          Some(s"""{"partitionCol":"${pos(3)}","partitions":"${pos(4)}"}"""))
+        c.pauseSourcePartitions(pos(2), pos(3), pos(4).split(",").toSeq, await)
+        s"""{"name":"${pos(2)}","pausedPartitions":"${pos(4)}"}"""
       case "resume-partitions" =>
-        send("POST", s"/pipelines/${pos(2)}/resumeSourcePartitions${flags("await")}",
-          Some(s"""{"partitions":"${pos(3)}"}"""))
+        c.resumeSourcePartitions(pos(2), pos(3).split(",").toSeq, await)
+        s"""{"name":"${pos(2)}","resumedPartitions":"${pos(3)}"}"""
       case "diag" =>
-        if (pos.length >= 3) send("GET", s"/diag/${pos(2)}")
-        else send("GET", "/diag")
-      case "health" => send("GET", "/health")
+        if (pos.length >= 3) JsonMethods.compact(JsonMethods.render(c.diagOf(pos(2))))
+        else JsonMethods.compact(JsonMethods.render(c.diag()))
+      case "health" => JsonMethods.compact(JsonMethods.render(c.health()))
       case other => sys.error(s"unknown command $other")
     }
     println(out)

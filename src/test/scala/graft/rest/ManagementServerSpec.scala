@@ -203,6 +203,83 @@ class ManagementServerSpec extends SparkTestBase {
     } finally { srvA.stop(); srvB.stop(); pmA.close(); pmB.close() }
   }
 
+  test("programmatic client drives the full verb set") {
+    import graft.model.{PipelineSpec, PipelineStatus}
+    val pm = new PipelineManager(spark,
+      Files.createTempDirectory("graft-rest-client-").toString)
+    val srv = new ManagementServer(pm,
+      instances = Seq("hA", "hB")).start()
+    try {
+      val c = new ManagementClient(s"http://localhost:${srv.boundPort}",
+        owner = "alice")
+      val srcDir = Files.createTempDirectory("graft-rest-client-src-").toString
+      Seq((1L, "v1"), (2L, "v2")).toDF("k", "v")
+        .write.mode(SaveMode.Append).parquet(srcDir)
+
+      val created = c.create(PipelineSpec("mc", "parquet", "parquet", srcDir,
+        sourcePartitions = 4, keySerde = "string"))
+      assert(created.status == PipelineStatus.Ready &&
+        created.keySerde == "string") // serde fields survive the wire
+      assert(c.get("mc").exists(_.destinationConnection.nonEmpty))
+      assert(c.get("nope").isEmpty)
+      assert(c.list().map(_.name) == Seq("mc"))
+
+      c.start("mc", await = true)
+      assert(spark.read.parquet(created.destinationConnection).count() == 2)
+
+      // assignment + move through the typed API
+      assert(c.assignment("mc").keySet == Set("0", "1", "2", "3"))
+      assert(c.taskInstance("mc", "0").contains("hA"))
+      assert(c.taskInstance("mc", "9").isEmpty)
+      c.movePartitions("mc", Seq("0"), "hB")
+      assert(c.taskInstance("mc", "0").contains("hB"))
+
+      // lifecycle with typed statuses + error mapping
+      assert(c.pause("mc").status == PipelineStatus.Paused)
+      assert(c.resume("mc", await = true).status == PipelineStatus.Ready)
+      assert(c.stop("mc").status == PipelineStatus.Stopped)
+      val denied = intercept[ManagementClientException] {
+        new ManagementClient(s"http://localhost:${srv.boundPort}",
+          owner = "x").movePartitions("mc", Seq("1"), "hA")
+      }
+      assert(denied.status == 405) // stopped, not READY
+      c.delete("mc")
+      assert(c.get("mc").isEmpty)
+      assert((c.health() \ "clusterName") ==
+        org.json4s.JString("graft"))
+    } finally { srv.stop(); pm.close() }
+  }
+
+  test("CLI adapter round-trips through a live server") {
+    val pm = new PipelineManager(spark,
+      Files.createTempDirectory("graft-rest-cli-").toString)
+    val srv = new ManagementServer(pm).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      val srcDir = Files.createTempDirectory("graft-rest-cli-src-").toString
+      Seq((1L, "v1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+      def cli(args: String*): String = {
+        val buf = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(buf)) {
+          ManagementCli.main((base +: args).toArray)
+        }
+        buf.toString("UTF-8").trim
+      }
+      val created = cli("create",
+        s"""{"name":"cl1","connector":"parquet","transport":"parquet","sourceConnection":"$srcDir"}""")
+      assert(created.contains("\"status\":\"Ready\""), created)
+      assert(cli("list").contains("\"cl1\""))
+      assert(cli("start", "cl1", "--await").contains("started"))
+      assert(cli("assignment", "cl1", "0").contains("\"instance\""))
+      assert(cli("pause", "cl1").contains("Paused"))
+      assert(cli("resume", "cl1", "--await").contains("Ready"))
+      assert(cli("stop", "cl1").contains("Stopped"))
+      assert(cli("health").contains("clusterName"))
+      assert(cli("delete", "cl1").contains("deleted"))
+      intercept[RuntimeException] { cli("get", "cl1") }
+    } finally { srv.stop(); pm.close() }
+  }
+
   test("stop is distinct from pause and resume enforces preconditions") {
     val pm = new PipelineManager(spark,
       Files.createTempDirectory("graft-rest-stop-").toString)
