@@ -224,7 +224,12 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       else deduped.copy(metadata =
         deduped.metadata + (PipelineManager.TaskPrefixKey -> deduped.name))
     val ready = prefixed.copy(status = PipelineStatus.Ready)
-    specs.put(spec.name, ready)
+    // registration is ATOMIC (putIfAbsent): the duplicate require at
+    // the top is a fast-fail courtesy; two racing creates of one name
+    // must not both succeed (the reference's ZK store gives the same
+    // guarantee via the create-znode atomicity)
+    require(specs.putIfAbsent(spec.name, ready).isEmpty,
+      s"duplicate pipeline ${spec.name}")
     persistSpec(ready)
     provisionDestination(ready)
     hooks.onStateChange(spec.name, PipelineStatus.Ready)
