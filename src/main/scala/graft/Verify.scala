@@ -36,15 +36,33 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // Same execution discipline as Bench (it exists for correctness
+    // here, not timing): batch families first, d/e scratch released
+    // before the wide t-family, the state-store-heavy s-family last
+    // with a provider unload after each gate — peak heap in the
+    // driver's correctness run stays family-local.
+    val familyRank: Char => Int =
+      Map('d' -> 0, 'e' -> 1, 'm' -> 2, 'p' -> 3, 'q' -> 4, 't' -> 5,
+        's' -> 6).withDefaultValue(4)
+    var released = false
+    selected.toSeq.sortBy { case (n, _) => (familyRank(n.head), n) }
+      .foreach { case (name, fn) =>
+        if (!released && familyRank(name.head) >= 5) {
+          graft.queries.DataOpsQueries.release(sfDir)
+          released = true
+        }
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+        if (name.startsWith("s")) {
+          org.apache.spark.sql.GraftBridge.unloadStateStores()
+        }
       }
-    }
     // Scope teardown: drop the per-corpus materialize-once artifacts
-    // (signature spill, band index, codebook) now that the run is done.
+    // (signature spill, band index, codebook, window spills) now that
+    // the run is done.
     graft.queries.DataOpsQueries.release(sfDir)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
