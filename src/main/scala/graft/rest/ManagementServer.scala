@@ -57,6 +57,15 @@ final class ManagementServer(pm: PipelineManager,
     Map[String, DataFrame => DataFrame]("identity" -> identity) ++ transforms
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // The JDK server's default executor runs handlers on the dispatch
+  // thread — serial. A diag scatter-gather blocks its handler on peer
+  // responses, so two instances diag-ing each other concurrently
+  // would wedge until the peer timeout. A small pool keeps the
+  // control plane non-blocking (the reference's Jetty server is
+  // pooled for the same reason).
+  private val handlerPool = java.util.concurrent.Executors.newFixedThreadPool(8,
+    r => { val t = new Thread(r, "graft-mgmt-http"); t.setDaemon(true); t })
+  server.setExecutor(handlerPool)
 
   /** The bound port (useful with port=0 for tests). */
   def boundPort: Int = server.getAddress.getPort
@@ -468,5 +477,5 @@ final class ManagementServer(pm: PipelineManager,
   }
 
   def start(): ManagementServer = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); handlerPool.shutdown() }
 }
