@@ -99,23 +99,40 @@ final class ManagementServer(pm: PipelineManager,
   private val stagedMoves =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
 
+  /** Applied moves are pinned into the spec's metadata under this key
+    * — the durable analog of the reference writing HostTargetAssignment
+    * onto the datastream's ZK node: the pins ride the manager's spec
+    * store and survive server AND manager restarts. */
+  private val TargetAssignmentKey = "graft.targetAssignment"
+
+  private def parsePins(spec: PipelineSpec): Map[String, String] =
+    spec.metadata.get(TargetAssignmentKey).map(_.split(",").toSeq
+      .flatMap(_.split(":", 2) match {
+        case Array(t, h) if t.nonEmpty && h.nonEmpty => Some(t -> h)
+        case _ => None
+      }).toMap).getOrElse(Map.empty)
+
   private def assignmentOf(spec: PipelineSpec): Map[String, String] =
     assignments.computeIfAbsent(spec.name, _ => {
       val s = pm.session
       import s.implicits._
       val tasks = (0 until spec.sourcePartitions).map(_.toString).toDF("task")
       val prev = Seq.empty[(String, String)].toDF("task", "instance")
-      Control.stickyAssign(tasks, prev, "task", "instance", instances.size)
+      val base = Control.stickyAssign(tasks, prev, "task", "instance",
+          instances.size)
         .collect().map { r =>
           // with an empty previous assignment every row comes from the
           // round-robin branch: a ring index to resolve to a host name
           r.getAs[String]("task") ->
             instances(r.get(r.fieldIndex("instance")).toString.toDouble.toInt)
         }.toMap
+      // overlay pins recorded by earlier (possibly pre-restart) moves;
+      // pins for partitions the spec no longer has are dropped
+      base ++ parsePins(spec).filter(kv => base.contains(kv._1))
     })
 
   private def movePartitions(spec: PipelineSpec, partitions: Seq[String],
-      targetHost: String, notify: Boolean): Map[String, String] = {
+      targetHost: String, notify: Boolean, owner: String): Map[String, String] = {
     val table = assignmentOf(spec)
     val unknown = partitions.filterNot(table.contains)
     require(unknown.isEmpty,
@@ -129,6 +146,13 @@ final class ManagementServer(pm: PipelineManager,
       val staged = Option(stagedMoves.remove(spec.name)).getOrElse(Map.empty)
       val updated = table ++ staged ++ move
       assignments.put(spec.name, updated)
+      // persist the applied table through the spec store
+      val serialized = updated.toSeq.sortBy(kv => (kv._1.length, kv._1))
+        .map { case (t, h) => s"$t:$h" }.mkString(",")
+      pm.get(spec.name).foreach { cur =>
+        pm.update(cur.name, cur.copy(metadata =
+          cur.metadata + (TargetAssignmentKey -> serialized)), owner)
+      }
       updated
     }
   }
@@ -340,7 +364,7 @@ final class ManagementServer(pm: PipelineManager,
             case JBool(v) => v
             case _ => true
           }
-          val table = movePartitions(spec, parts, target, notify)
+          val table = movePartitions(spec, parts, target, notify, owner(ex))
           respond(ex, 200, JObject(
             "name" -> JString(name),
             "staged" -> JBool(!notify),

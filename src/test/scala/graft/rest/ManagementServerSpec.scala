@@ -425,6 +425,19 @@ class ManagementServerSpec extends SparkTestBase {
       assert(req(base, "GET", "/pipelines/mv/assignment?task=3").body()
         .contains("hostA"))
 
+      // applied moves are durable: a FRESH server over the same
+      // manager (and, via the spec store, a fresh manager) rebuilds
+      // the table with the pins intact
+      val srv2 = new ManagementServer(pm,
+        instances = Seq("hostA", "hostB")).start()
+      try {
+        val base2 = s"http://localhost:${srv2.boundPort}"
+        assert(req(base2, "GET", "/pipelines/mv/assignment?task=0").body()
+          .contains("hostB"), "pinned assignment lost on server restart")
+        assert(req(base2, "GET", "/pipelines/mv/assignment?task=3").body()
+          .contains("hostA"))
+      } finally srv2.stop()
+
       // conflict paths: partitions out of range 400, missing target
       // 400, non-READY pipeline 405
       assert(req(base, "POST", "/pipelines/mv/movePartitions", Some(
