@@ -280,8 +280,8 @@ final class ManagementServer(pm: PipelineManager,
                 case _ => throw new IllegalArgumentException(
                   "pauseSourcePartitions requires partitionCol")
               }
-              pm.pausePartitions(name, pcol, parts, transformOf(spec))
-            } else pm.resumePartitions(name, parts, transformOf(spec))
+              pm.pausePartitions(name, pcol, parts, transformOf(spec), owner(ex))
+            } else pm.resumePartitions(name, parts, transformOf(spec), owner(ex))
           if (queryParams(ex).get("await").contains("true")) q.awaitTermination()
           respond(ex, 200, JObject(
             "name" -> JString(name),

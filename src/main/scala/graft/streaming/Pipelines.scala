@@ -445,7 +445,9 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
    * column; a different column replaces the set).
    */
   def pausePartitions(name: String, partitionCol: String, values: Set[String],
-      transform: DataFrame => DataFrame): StreamingQuery = {
+      transform: DataFrame => DataFrame,
+      owner: String = "anonymous"): StreamingQuery = {
+    authorizeLifecycle(name, owner)
     pausedPartitions.updateWith(name) {
       case Some((pc, vs)) if pc == partitionCol => Some((pc, vs ++ values))
       case _ => Some((partitionCol, values))
@@ -464,7 +466,9 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
    * touched — each value owns its own holdback subdirectory.
    */
   def resumePartitions(name: String, values: Set[String],
-      transform: DataFrame => DataFrame): StreamingQuery = {
+      transform: DataFrame => DataFrame,
+      owner: String = "anonymous"): StreamingQuery = {
+    authorizeLifecycle(name, owner)
     Option(queries.remove(name)).foreach(_.stop())
     replayHoldback(name, values)
     shrinkPauseSet(name, values)
