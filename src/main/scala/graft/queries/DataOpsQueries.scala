@@ -466,6 +466,24 @@ object DataOpsQueries {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // Metadata-FILTERED ANN (hybrid search, the production retrieval
+    // shape: a structured predicate plus a vector query). Candidates
+    // are PRE-filtered — the doc-metadata join shrinks the candidate
+    // side BEFORE any distance math, the order that preserves recall
+    // (post-filtering a top-k can return fewer than k survivors) and
+    // at 100 TB turns a corpus-wide scan into a partition-pruned one
+    // when the filter column is a partition key.
+    "e17_filtered_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val en = emb.join(
+          t(s, d, "documents").filter(col("lang") === "en")
+            .select(col("doc_id")),
+          col("vec_id") === col("doc_id"))
+        .select(emb.columns.map(col): _*)
+      Ann.bruteForceTopK(emb.filter(col("vec_id") < 10), en, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // LSH-bucketed ANN (the scale path).
     "e03_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -1679,6 +1697,19 @@ object DataOpsQueries {
          |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
          |round(${dotSql("q.e", "c.e")} / (q.nr * c.nr), 6) AS cos
          |FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         |SELECT query_id, cand_id, rank, cos FROM (
+         |SELECT query_id, cand_id, cos, ROW_NUMBER() OVER
+         |(PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM scored)
+         |WHERE rank <= 5""".stripMargin.replace("\n", " "),
+
+    // same ranking as e02, candidates pre-filtered by the doc join
+    "e17_filtered_ann" ->
+      s"""WITH $vecCte, $normCte,
+         |f AS (SELECT n.* FROM n JOIN documents d ON n.vec_id = d.doc_id
+         |WHERE d.lang = 'en'),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |round(${dotSql("q.e", "c.e")} / (q.nr * c.nr), 6) AS cos
+         |FROM n q JOIN f c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
          |SELECT query_id, cand_id, rank, cos FROM (
          |SELECT query_id, cand_id, cos, ROW_NUMBER() OVER
          |(PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM scored)
