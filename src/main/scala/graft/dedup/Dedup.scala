@@ -379,6 +379,45 @@ object Dedup {
   }
 
   /**
+   * Asymmetric CONTAINMENT per candidate pair: |A∩B|/|A| and
+   * |A∩B|/|B| alongside the symmetric Jaccard. Containment is the
+   * superset-detection signal symmetric Jaccard dilutes: a short
+   * document quoted whole inside a long one has high containment in
+   * the small direction but low Jaccard (the union is dominated by
+   * the long side), so a Jaccard-threshold dedup pass keeps both
+   * copies while a containment pass flags the inclusion (the
+   * Broder-containment variant of the shingle framework).
+   *
+   * Scale shape: identical to [[jaccardForShingles]] — candidate-gated
+   * equi-joins over the shared shingle frame, one keyed intersection
+   * aggregate, two broadcast-size size joins; nothing pairwise beyond
+   * the LSH candidates.
+   */
+  def containmentForShingles(sh: DataFrame, pairs: DataFrame): DataFrame = {
+    val cand = pairs.select(col("doc_a"), col("doc_b"))
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("a"), col("doc_a") === col("a.doc"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc") && col("a.s") === col("b.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"),
+        Seq("doc_a"), "left")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "nb"),
+        Seq("doc_b"), "left")
+      .withColumn("i", coalesce(col("inter"), lit(0L)))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double"), 6).as("jaccard"),
+        round(col("i").cast("double") / col("na").cast("double"), 6)
+          .as("containment_a"),
+        round(col("i").cast("double") / col("nb").cast("double"), 6)
+          .as("containment_b"))
+  }
+
+  /**
    * MinHash estimator quality: for every LSH candidate pair, the
    * signature-agreement Jaccard ESTIMATE (matching lanes / k — what
    * the index believes) next to the exact shingle-set Jaccard (the

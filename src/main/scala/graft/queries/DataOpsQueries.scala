@@ -205,6 +205,17 @@ object DataOpsQueries {
         .filter(col("jaccard") >= 0.5)
     }),
 
+    // Asymmetric containment on the same candidates: flags
+    // quote-inclusion supersets (small doc contained in a big one)
+    // that the symmetric-Jaccard threshold dilutes — the
+    // Broder-containment variant, candidate-gated like d04.
+    "d28_containment" -> ((s, d) => {
+      val sg = sigs(s, d)
+      Dedup.containmentForShingles(sg.shingles,
+          Dedup.lshCandidatesFromBands(sg.bands))
+        .filter(col("containment_a") >= 0.8 || col("containment_b") >= 0.8)
+    }),
+
     // 63-bit SimHash fingerprints (from the shared signature set).
     "d05_simhash" -> ((s, d) => sigs(s, d).simhash),
 
@@ -1162,6 +1173,30 @@ object DataOpsQueries {
          |FROM inter JOIN sizes na ON na.doc = doc_a
          |JOIN sizes nb ON nb.doc = doc_b
          |WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.5"""
+        .stripMargin.replace("\n", " "),
+
+    // d04's candidate CTEs with both containment directions.
+    "d28_containment" ->
+      s"""WITH $wordsCte, $shinglesCte, ${minhashSigCte(MinHashK)},
+         |bands AS (SELECT doc, i // $LshRows AS band,
+         |${h("string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i)")} AS bh
+         |FROM sig GROUP BY doc, i // $LshRows),
+         |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |FROM bands a JOIN bands b
+         |ON a.band = b.band AND a.bh = b.bh AND a.doc < b.doc),
+         |shd AS (SELECT DISTINCT doc, s FROM sh),
+         |sizes AS (SELECT doc, COUNT(*) AS n FROM shd GROUP BY doc),
+         |inter AS (SELECT doc_a, doc_b, COUNT(*) AS inter
+         |FROM cand c JOIN shd a ON a.doc = c.doc_a
+         |JOIN shd b ON b.doc = c.doc_b AND b.s = a.s GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |round(CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE), 6) AS jaccard,
+         |round(CAST(inter AS DOUBLE) / CAST(na.n AS DOUBLE), 6) AS containment_a,
+         |round(CAST(inter AS DOUBLE) / CAST(nb.n AS DOUBLE), 6) AS containment_b
+         |FROM inter JOIN sizes na ON na.doc = doc_a
+         |JOIN sizes nb ON nb.doc = doc_b
+         |WHERE round(CAST(inter AS DOUBLE) / CAST(na.n AS DOUBLE), 6) >= 0.8
+         |OR round(CAST(inter AS DOUBLE) / CAST(nb.n AS DOUBLE), 6) >= 0.8"""
         .stripMargin.replace("\n", " "),
 
     // d04's verified pairs joined to sources, direction-normalized.
