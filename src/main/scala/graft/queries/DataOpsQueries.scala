@@ -759,7 +759,7 @@ object DataOpsQueries {
         concat(col("text"),
           lit(" contact user"), col("doc_id"), lit("@example.com from "),
           lit("10.0."), pmod(col("doc_id"), lit(256L)), lit(".1 ref "),
-          lit("9999999"), col("doc_id")).as("text"))
+          lit("99999999"), col("doc_id")).as("text"))
       Text.piiScrub(withPii, col("doc_id"), col("text"))
     }),
 
@@ -2065,7 +2065,7 @@ object DataOpsQueries {
       val num = "\\b\\d{9,}\\b"
       s"""WITH src AS (SELECT doc_id,
          |text || ' contact user' || doc_id || '@example.com from 10.0.'
-         | || (doc_id % 256) || '.1 ref 9999999' || doc_id AS text
+         | || (doc_id % 256) || '.1 ref 99999999' || doc_id AS text
          |FROM documents),
          |e AS (SELECT doc_id,
          |CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,

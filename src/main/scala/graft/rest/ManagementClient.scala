@@ -55,6 +55,12 @@ final class ManagementClient(baseUrl: String, owner: String = "anonymous",
     if (on.isEmpty) "" else on.mkString("?", "&", "")
   }
 
+  private def enc(v: String): String =
+    java.net.URLEncoder.encode(v, java.nio.charset.StandardCharsets.UTF_8)
+
+  private def obj(fields: (String, JValue)*): String =
+    JsonMethods.compact(JsonMethods.render(JObject(fields.toList)))
+
   def create(spec: PipelineSpec): PipelineSpec =
     PipelineSpecJson.fromJson(
       send("POST", "/pipelines", Some(PipelineSpecJson.write(spec))))
@@ -106,36 +112,38 @@ final class ManagementClient(baseUrl: String, owner: String = "anonymous",
 
   /** The instance hosting one task; None on 404 (task not found). */
   def taskInstance(name: String, task: String): Option[String] =
-    try send("GET", s"/pipelines/$name/assignment?task=$task") \ "instance" match {
+    try send("GET", s"/pipelines/$name/assignment?task=${enc(task)}") \ "instance" match {
       case JString(v) => Some(v)
       case _ => None
     } catch { case ManagementClientException(404, _) => None }
 
   def movePartitions(name: String, partitions: Seq[String],
       targetHost: String, notify: Boolean = true): Unit =
-    send("POST", s"/pipelines/$name/movePartitions", Some(
-      s"""{"partitions":"${partitions.mkString(",")}",""" +
-        s""""targetHost":"$targetHost","notify":$notify}""")): Unit
+    send("POST", s"/pipelines/$name/movePartitions", Some(obj(
+      "partitions" -> JString(partitions.mkString(",")),
+      "targetHost" -> JString(targetHost),
+      "notify" -> JBool(notify)))): Unit
 
   def pauseSourcePartitions(name: String, partitionCol: String,
       partitions: Seq[String], await: Boolean = false): Unit =
     send("POST",
       s"/pipelines/$name/pauseSourcePartitions${flags("await" -> await)}",
-      Some(s"""{"partitionCol":"$partitionCol",""" +
-        s""""partitions":"${partitions.mkString(",")}"}""")): Unit
+      Some(obj(
+        "partitionCol" -> JString(partitionCol),
+        "partitions" -> JString(partitions.mkString(","))))): Unit
 
   /** partitions = Seq("*") resumes everything paused. */
   def resumeSourcePartitions(name: String, partitions: Seq[String],
       await: Boolean = false): Unit =
     send("POST",
       s"/pipelines/$name/resumeSourcePartitions${flags("await" -> await)}",
-      Some(s"""{"partitions":"${partitions.mkString(",")}"}""")): Unit
+      Some(obj("partitions" -> JString(partitions.mkString(","))))): Unit
 
   def health(): JValue = send("GET", "/health")
 
   def diag(peers: Seq[String] = Nil): JValue =
     if (peers.isEmpty) send("GET", "/diag")
-    else send("GET", s"/diag?peers=${peers.mkString(",")}")
+    else send("GET", s"/diag?peers=${enc(peers.mkString(","))}")
 
   def diagOf(name: String): JValue = send("GET", s"/diag/$name")
 }

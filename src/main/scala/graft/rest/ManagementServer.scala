@@ -185,10 +185,15 @@ final class ManagementServer(pm: PipelineManager,
   private def readBody(ex: HttpExchange): JValue =
     JsonMethods.parse(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
 
+  // Split the RAW query, then percent-decode each component — so
+  // values containing '&', '=', or spaces survive when the client
+  // URL-encodes them (URI.getQuery would decode BEFORE the split).
   private def queryParams(ex: HttpExchange): Map[String, String] =
-    Option(ex.getRequestURI.getQuery).map(_.split("&").toSeq
+    Option(ex.getRequestURI.getRawQuery).map(_.split("&").toSeq
       .flatMap { kv => kv.split("=", 2) match {
-        case Array(k, v) => Some(k -> v)
+        case Array(k, v) => Some(
+          java.net.URLDecoder.decode(k, StandardCharsets.UTF_8) ->
+            java.net.URLDecoder.decode(v, StandardCharsets.UTF_8))
         case _ => None
       }}.toMap).getOrElse(Map.empty)
 
@@ -234,6 +239,11 @@ final class ManagementServer(pm: PipelineManager,
         respond(ex, 201, specToJson(created))
       case ("PUT", List("pipelines", name)) =>
         val updated = pm.update(name, specFromJson(readBody(ex)), owner(ex))
+        // an update may change sourcePartitions — drop the cached
+        // assignment table (and staged moves) so it is rebuilt against
+        // the new partition set
+        assignments.remove(name)
+        stagedMoves.remove(name)
         respond(ex, 200, specToJson(updated))
       case ("POST", List("pipelines", name, "start")) =>
         val spec = pm.get(name).getOrElse(sys.error(s"unknown pipeline $name"))
@@ -323,6 +333,10 @@ final class ManagementServer(pm: PipelineManager,
       case ("DELETE", List("pipelines", name)) =>
         pm.get(name).getOrElse(sys.error(s"unknown pipeline $name"))
         pm.delete(name, owner(ex))
+        // delete-then-recreate of the same name must not inherit the
+        // deleted pipeline's assignment table or staged moves
+        assignments.remove(name)
+        stagedMoves.remove(name)
         respond(ex, 200, JObject("name" -> JString(name), "deleted" -> JBool(true)))
       // getTaskAssignment (DatastreamResources.java:826-849): the
       // instance hosting one task, or the whole table without ?task=.

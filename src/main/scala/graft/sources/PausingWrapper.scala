@@ -157,6 +157,45 @@ final class PausingMicroBatchStream(
 }
 
 /**
+ * Server-side registry of inner providers the pausing wrapper may
+ * instantiate. The reference only ever constructs connectors from its
+ * server-configured factory list (the coordinator's connector
+ * registry), never from client input — mirroring that, `innerFormat`
+ * is resolved against this allowlist, not raw `Class.forName` on
+ * whatever a REST create carried. Engine-authored providers are
+ * pre-registered; an operator extends the list at deploy time via
+ * [[PausingProvider.register]] (server code, not the management API).
+ */
+object PausingProvider {
+  private val allowed = new java.util.concurrent.ConcurrentHashMap[String, Unit]()
+  Seq(
+    classOf[PausableProvider].getName,
+    classOf[SyntheticProvider].getName,
+    classOf[DirWatchProvider].getName,
+    // the Spark Kafka provider, when its jar is on the classpath
+    "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+  ).foreach(allowed.put(_, ()))
+
+  /** Deploy-time extension point (server configuration, like the
+    * reference's connector factory list). */
+  def register(className: String): Unit = allowed.put(className, ())
+
+  private[sources] def resolveInner(className: String)
+      : org.apache.spark.sql.connector.catalog.TableProvider = {
+    require(allowed.containsKey(className),
+      s"innerFormat '$className' is not a registered inner provider; " +
+        "register it server-side via PausingProvider.register")
+    val loaded = Class.forName(className)
+    require(
+      classOf[org.apache.spark.sql.connector.catalog.TableProvider]
+        .isAssignableFrom(loaded),
+      s"innerFormat '$className' is not a TableProvider")
+    loaded.getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableProvider]
+  }
+}
+
+/**
  * Provider-level integration: `spark.readStream
  *   .format(classOf[PausingProvider].getName)
  *   .option("innerFormat", "<TableProvider class name>")
@@ -166,6 +205,8 @@ final class PausingMicroBatchStream(
  * TableProvider's micro-batch stream in [[PausingMicroBatchStream]]
  * without the inner source changing a line. Inner options pass
  * through untouched (the wrapper consumes only its own three).
+ * `innerFormat` must name a provider registered in the server-side
+ * allowlist ([[PausingProvider.register]]).
  *
  * The reference shape being matched: the connector-level pause set is
  * applied OUTSIDE the consumer (preConsumerPollHook reconciles before
@@ -182,8 +223,7 @@ final class PausingProvider extends org.apache.spark.sql.connector.catalog.Table
     val cls = opts.get("innerformat")
     require(cls != null && cls.nonEmpty,
       "pausing source requires option 'innerFormat' (inner TableProvider class)")
-    Class.forName(cls).getDeclaredConstructor()
-      .newInstance().asInstanceOf[TableProvider]
+    PausingProvider.resolveInner(cls)
   }
 
   private def codecOf(opts: CaseInsensitiveStringMap): PartitionedOffsetCodec =

@@ -321,7 +321,16 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       require(!inUse,
         s"destination ${newSpec.destinationConnection} already in use")
     }
+    // Server-managed metadata (task prefix, applied partition pins)
+    // survives a PUT that was not round-tripped from GET: when the
+    // incoming spec omits one of these keys, the existing value is
+    // carried over (mirroring how status/destinationConnection are
+    // carried); a spec that DOES carry the key — e.g. movePartitions
+    // persisting a new pin table through this path — keeps its value.
+    val managed = PipelineManager.ServerManagedMetadataKeys.iterator
+      .flatMap(k => existing.metadata.get(k).map(k -> _)).toMap
     val updated = newSpec.copy(status = existing.status,
+      metadata = managed ++ newSpec.metadata,
       destinationConnection =
         if (newSpec.destinationConnection.nonEmpty) newSpec.destinationConnection
         else existing.destinationConnection)
@@ -784,6 +793,14 @@ object PipelineManager {
     * DatastreamMetadataConstants.java:46): streams sharing it form one
     * task group — set at create, inherited on destination-reuse. */
   val TaskPrefixKey: String = "taskPrefix"
+
+  /** Metadata keys the SERVER owns: preserved across [[PipelineManager
+    * .update]] even when the client's PUT body omits them (the
+    * reference likewise carries system.* metadata through updates).
+    * "graft.targetAssignment" is the management plane's applied
+    * partition-pin table (ManagementServer.TargetAssignmentKey). */
+  val ServerManagedMetadataKeys: Set[String] =
+    Set(TaskPrefixKey, "graft.targetAssignment")
 
   /**
    * Injective filesystem-safe encoding of a pipeline name (see

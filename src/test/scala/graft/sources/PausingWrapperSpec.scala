@@ -103,4 +103,28 @@ class PausingWrapperSpec extends SparkTestBase {
     val held = parts.updated("topicA-1", "40")
     assert(KafkaOffsetCodec.split(KafkaOffsetCodec.merge(held)) == held)
   }
+
+  test("innerFormat resolves only through the server-side allowlist") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    // engine-authored providers are pre-registered
+    assert(PausingProvider.resolveInner(classOf[PausableProvider].getName)
+      .isInstanceOf[PausableProvider])
+    // an arbitrary classpath class is rejected BEFORE any reflection
+    val e = intercept[IllegalArgumentException] {
+      PausingProvider.resolveInner("java.lang.ProcessBuilder")
+    }
+    assert(e.getMessage.contains("not a registered inner provider"))
+    // registering a non-TableProvider still fails the type check
+    PausingProvider.register("java.lang.StringBuilder")
+    val e2 = intercept[IllegalArgumentException] {
+      PausingProvider.resolveInner("java.lang.StringBuilder")
+    }
+    assert(e2.getMessage.contains("not a TableProvider"))
+    // the provider path itself enforces it (option wiring)
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("innerFormat", "java.lang.ProcessBuilder")
+    intercept[IllegalArgumentException] {
+      new PausingProvider().inferSchema(new CaseInsensitiveStringMap(opts))
+    }
+  }
 }

@@ -631,4 +631,25 @@ class PipelineManagerSpec extends SparkTestBase {
     } finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
     pm.delete("isoC")
   }
+
+  test("update preserves server-managed metadata when the PUT omits it") {
+    val pm = newManager()
+    pm.create(PipelineSpec("sm1", "parquet", "memory", "/src/a",
+      metadata = Map("graft.targetAssignment" -> "0:hostB")))
+    val prefix = pm.get("sm1").get.metadata(PipelineManager.TaskPrefixKey)
+    // a PUT not round-tripped from GET: no metadata at all
+    val up = pm.update("sm1", PipelineSpec("sm1", "parquet", "memory", "/src/b",
+      metadata = Map("client.key" -> "v")))
+    assert(up.metadata(PipelineManager.TaskPrefixKey) == prefix,
+      "task prefix dropped by update")
+    assert(up.metadata("graft.targetAssignment") == "0:hostB",
+      "partition pins dropped by update")
+    assert(up.metadata("client.key") == "v")
+    // a spec that DOES carry the key keeps its value (movePartitions
+    // persists new pin tables through this same path)
+    val up2 = pm.update("sm1", up.copy(
+      metadata = up.metadata + ("graft.targetAssignment" -> "0:hostA")))
+    assert(up2.metadata("graft.targetAssignment") == "0:hostA")
+    pm.delete("sm1")
+  }
 }
