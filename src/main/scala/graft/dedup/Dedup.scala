@@ -235,11 +235,16 @@ object Dedup {
   def indexDedupBatch(index: DataFrame, batchBands: DataFrame,
       batchDocs: DataFrame): DataFrame = {
     val idx = index.select(col("doc").as("corpus_doc"), col("band"), col("bh"))
-    val hits = batchBands.join(idx, Seq("band", "bh"))
+    // The BATCH side broadcasts: it is O(batch) by contract while the
+    // index is O(corpus) — the index must never be shuffled, each of
+    // its partitions probes the broadcast batch in place. (This is the
+    // hint's point at 100 TB; at suite scale it also collapses the
+    // shuffle stages per epoch.)
+    val hits = idx.join(broadcast(batchBands), Seq("band", "bh"))
       .groupBy(col("doc"))
       .agg(countDistinct(col("corpus_doc")).as("n_dups"),
         min(col("corpus_doc")).as("first_dup"))
-    batchDocs.join(hits, Seq("doc"), "left")
+    batchDocs.join(broadcast(hits), Seq("doc"), "left")
       .select(col("doc"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
         coalesce(col("first_dup"), lit(-1L)).as("first_dup"))
@@ -262,15 +267,18 @@ object Dedup {
    * index.)
    */
   def admitBands(batchBands: DataFrame, verdicts: DataFrame): DataFrame = {
-    val clean = batchBands.join(
-      verdicts.filter(col("n_dups") === 0).select(col("doc")), Seq("doc"))
+    // Everything here is O(batch) — broadcast the join sides so the
+    // per-epoch admission plan needs no shuffle at all (the groupBy in
+    // the verdict pass is the loop's only keyed exchange).
+    val clean = batchBands.join(broadcast(
+      verdicts.filter(col("n_dups") === 0).select(col("doc"))), Seq("doc"))
     val earlier = clean.select(
       col("doc").as("lo"), col("band").as("eb"), col("bh").as("ebh"))
-    val intraDups = clean.join(earlier,
+    val intraDups = clean.join(broadcast(earlier),
         col("band") === col("eb") && col("bh") === col("ebh") &&
           col("lo") < col("doc"))
       .select(col("doc")).distinct()
-    clean.join(intraDups, Seq("doc"), "left_anti")
+    clean.join(broadcast(intraDups), Seq("doc"), "left_anti")
   }
 
   /** SimHash width: 63 bits (2^63-1 is the signed-64 max, so the

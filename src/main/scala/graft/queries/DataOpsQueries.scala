@@ -66,6 +66,15 @@ object DataOpsQueries {
     f
   }
 
+  /** The corpus LSH band frame (doc, band, bh) from the shared
+    * signature spill — exposed for the streaming band-admission gates
+    * (s14/s15), which dedup on EXACTLY this frame (k=MinHashK,
+    * r=LshRows): they ride the materialize-once spill instead of each
+    * re-running the tokenize→shingle→MinHash corpus pass per run.
+    * Same scope contract as every spill consumer: [[release]] ends the
+    * corpus's scratch lifetime; the next caller rebuilds. */
+  def sharedBands(s: SparkSession, d: String): DataFrame = sigs(s, d).bands
+
   private def sigs(s: SparkSession, d: String): Dedup.SignatureSet =
     sigCache.compute(d, (_, cur) =>
       if (cur != null && (cur._1 eq s)) cur

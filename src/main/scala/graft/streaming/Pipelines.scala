@@ -899,14 +899,22 @@ object PipelineManager {
    * producer-(id, sequence) role.
    */
   def epochAppend(batch: DataFrame, dest: String, epoch: Long,
-      pipeline: String = ""): Unit = {
-    if (epoch < 0) { batch.write.mode("append").parquet(dest); return }
+      pipeline: String = ""): Seq[String] = {
+    if (epoch < 0) { batch.write.mode("append").parquet(dest); return Nil }
     val ns = namespaceOf(pipeline)
     val destPath = new Path(dest)
     val fs = destPath.getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
+    // Returned so a caller can reuse the commit as the batch's
+    // materialization point (the durable-index loops read the epoch's
+    // committed files back instead of paying a second localCheckpoint
+    // job); the replayed-epoch path returns the SAME files, so a
+    // replay reads identical bytes.
+    def committedFiles: Seq[String] =
+      Option(fs.globStatus(new Path(destPath, s"graft-$ns-e$epoch-p*.parquet")))
+        .toSeq.flatten.map(_.getPath.toString).sorted
     val marker = new Path(destPath, s"_graft_commits/$ns/$epoch")
-    if (fs.exists(marker)) return // replayed epoch: already committed
+    if (fs.exists(marker)) return committedFiles // replayed epoch: already committed
     val staging = new Path(destPath, s"_staging-$ns-$epoch")
     fs.delete(staging, true)
     batch.write.mode("overwrite").parquet(staging.toString)
@@ -922,6 +930,7 @@ object PipelineManager {
     fs.delete(staging, true)
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
+    committedFiles
   }
 
   def applyDirectoryOps(batch: DataFrame, dest: String,

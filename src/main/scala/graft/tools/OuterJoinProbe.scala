@@ -57,7 +57,7 @@ object OuterJoinProbe {
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, epoch: Long) =>
           graft.streaming.PipelineManager.epochAppend(
-            batch, outDir, epoch, "probe")
+            batch, outDir, epoch, "probe"): Unit
         }
         .start()
       q.awaitTermination()
@@ -103,7 +103,7 @@ object OuterJoinProbe {
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, epoch: Long) =>
           graft.streaming.PipelineManager.epochAppend(
-            batch, outDir2, epoch, "probe")
+            batch, outDir2, epoch, "probe"): Unit
         }
         .start()
       q.awaitTermination()

@@ -53,7 +53,7 @@ class TwsSessionContractSpec extends SparkTestBase {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, epoch: Long) =>
-          PipelineManager.epochAppend(batch, outDir, epoch, "tws-sess")
+          PipelineManager.epochAppend(batch, outDir, epoch, "tws-sess"): Unit
         }.start()
       q.awaitTermination()
     }
@@ -112,7 +112,7 @@ class TwsSessionContractSpec extends SparkTestBase {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, epoch: Long) =>
-          PipelineManager.epochAppend(batch, outDir, epoch, "tws-eq")
+          PipelineManager.epochAppend(batch, outDir, epoch, "tws-eq"): Unit
         }.start()
       q.awaitTermination()
     }
