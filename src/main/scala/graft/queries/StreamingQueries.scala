@@ -1063,6 +1063,84 @@ object StreamingQueries {
       out
     }),
 
+    // Manager crash-and-recover, end-to-end — the reference's
+    // node-failure e2e (TestDatastreamServer.java:334-492 kills an
+    // instance and asserts continued delivery). Spark shape: two
+    // pipelines deliver epoch 0 (one with a paused partition holding
+    // rows back), the manager "crashes" (close() WITHOUT stopping the
+    // pipelines — specs stay Ready on disk, exactly what a dead
+    // driver leaves), and a NEW manager on the same checkpoint root
+    // must (a) reload both specs (Ready collapses to Stopped: the
+    // queries died with the process), (b) reload the durable pause
+    // set, (c) deliver epoch 1 WITHOUT redelivering epoch 0 (file
+    // source checkpoint continuity), and (d) replay BOTH managers'
+    // held rows exactly once on resume. The oracle is closed-form:
+    // every click and every view lands exactly once, so per-pipeline
+    // counts equal the corpus counts and the state facts are
+    // literals.
+    "q64_manager_failover" -> ((s, d) => {
+      val ckptRoot = Files.createTempDirectory("graft-q64-pm-").toString
+      val srcA = Files.createTempDirectory("graft-q64-srcA-").toString
+      val srcB = Files.createTempDirectory("graft-q64-srcB-").toString
+      val destA = Files.createTempDirectory("graft-q64-destA-").toString + "/d"
+      val destB = Files.createTempDirectory("graft-q64-destB-").toString + "/d"
+      val ev = Tables.t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          pmod(col("user_id"), lit(2L)).cast("string").as("part"))
+      def epochOf(df: DataFrame, e: Long): DataFrame =
+        df.filter(pmod(col("event_id"), lit(2L)) === e)
+      // epoch 0 source files
+      PipelineManager.epochAppend(epochOf(clicks, 0).coalesce(1), srcA, 0, "q64a")
+      PipelineManager.epochAppend(epochOf(views, 0).coalesce(1), srcB, 0, "q64b")
+      val pm1 = new PipelineManager(s, ckptRoot)
+      pm1.create(PipelineSpec("q64a", "parquet", "parquet", srcA,
+        destinationConnection = destA))
+      pm1.create(PipelineSpec("q64b", "parquet", "parquet", srcB,
+        destinationConnection = destB))
+      pm1.start("q64a", identity).awaitTermination()
+      // partition "1" of the view stream held back into holdback
+      pm1.pausePartitions("q64b", "part", Set("1"), identity).awaitTermination()
+      // CRASH: no stop(), no delete — the specs on disk still read
+      // Ready, the queries just die with the manager
+      pm1.close()
+
+      // failover: a fresh manager on the same durable root
+      val pm2 = new PipelineManager(s, ckptRoot)
+      val aStatus = pm2.get("q64a").map(_.status.toString).getOrElse("LOST")
+      val bStatus = pm2.get("q64b").map(_.status.toString).getOrElse("LOST")
+      val bPaused = pm2.paused("q64b").toSeq.sorted.mkString(",")
+      // epoch 1 arrives after the failover; continued delivery must
+      // pick it up without redelivering epoch 0
+      PipelineManager.epochAppend(epochOf(clicks, 1).coalesce(1), srcA, 1, "q64a")
+      PipelineManager.epochAppend(epochOf(views, 1).coalesce(1), srcB, 1, "q64b")
+      pm2.start("q64a", identity).awaitTermination()
+      pm2.start("q64b", identity).awaitTermination()
+      // release the held partition: BOTH managers' held rows replay
+      pm2.resumePartitions("q64b", Set("1"), identity).awaitTermination()
+      val a = s.read.parquet(destA)
+        .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+        .head()
+      val b = s.read.parquet(destB)
+        .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+        .head()
+      pm2.close()
+      deleteTree(ckptRoot, srcA, srcB,
+        new java.io.File(destA).getParent, new java.io.File(destB).getParent)
+      import s.implicits._
+      Seq(
+        ("spec", "a_status_after_failover", aStatus),
+        ("spec", "b_status_after_failover", bStatus),
+        ("paused", "b_paused_after_failover", bPaused),
+        ("rows", "a_n", a.getLong(0).toString),
+        ("rows", "a_distinct", a.getLong(1).toString),
+        ("rows", "b_n", b.getLong(0).toString),
+        ("rows", "b_distinct", b.getLong(1).toString))
+        .toDF("kind", "k", "v")
+    }),
+
     // §2.10: the full SPI lifecycle through PipelineManager — every
     // pluggable hook fires and every state transition lands where the
     // reference's Coordinator would put it: Authorizer rejects an
@@ -1415,6 +1493,26 @@ object StreamingQueries {
         |WHERE event_type = 'click' AND event_id % 4 IN (1, 3)
         |GROUP BY 1
         |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(2 AS BIGINT)"""
+        .stripMargin.replace("\n", " "),
+
+    // Failover closed form: reloaded specs collapse Ready->Stopped,
+    // the pause set survives as the literal "1", and exactly-once
+    // delivery across the crash means each pipeline's count (and
+    // distinct count) equals its corpus slice.
+    "q64_manager_failover" ->
+      """SELECT 'spec' AS kind, 'a_status_after_failover' AS k, 'Stopped' AS v
+        |UNION ALL SELECT 'spec', 'b_status_after_failover', 'Stopped'
+        |UNION ALL SELECT 'paused', 'b_paused_after_failover', '1'
+        |UNION ALL SELECT 'rows', 'a_n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL SELECT 'rows', 'a_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL SELECT 'rows', 'b_n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'view'
+        |UNION ALL SELECT 'rows', 'b_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'view'"""
         .stripMargin.replace("\n", " "),
 
     // §2.10 closed form: lifecycle transitions, delivered rows,
