@@ -177,6 +177,42 @@ object Ann {
       .select(col("query_id"), col("cent_id"), col("cand_id"), col("rank"), col("cos"))
   }
 
+  /**
+   * Metadata-filtered IVF search — the 100 TB hybrid-search shape:
+   * the structured predicate rides INSIDE the cell probe. Candidates
+   * are cell-assigned exactly as [[ivfTopKWith]] (the index is built
+   * on the full corpus, offline), the probe selects its nprobe cells,
+   * and the `keep` id set prunes candidates at the cell gate — BEFORE
+   * any exact scoring — so filter selectivity can never re-inflate
+   * the candidate set back to a corpus scan (the e17 prefilter+exact
+   * baseline rescans the filtered corpus per query batch; this form
+   * touches only probed cells). `keep` is one id column, joined
+   * left-semi: an O(matching-ids) keyed join, not a broadcast — at
+   * scale the filter side may be most of the corpus.
+   */
+  def ivfFilteredTopKWith(centroids: DataFrame, probes: DataFrame,
+      candidates: DataFrame, keep: DataFrame, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    val cents = centroids.select(col("cent_id"), col("ce"))
+      .withColumn("cnr", norm(col("ce")))
+    val keepIds = keep.select(keep.columns.head).toDF("vec_id")
+    val c = cellAssign(cents, candidates, 1)
+      .join(keepIds, Seq("vec_id"), "left_semi")
+      .withColumnRenamed("vec_id", "cand_id")
+      .withColumnRenamed("v", "cv").withColumnRenamed("nr", "cn")
+    val p = cellAssign(cents, probes, nprobe)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("v", "qv").withColumnRenamed("nr", "qn")
+    val scored = p.join(c, Seq("cent_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cent_id"), col("cand_id"), col("rank"), col("cos"))
+  }
+
   /** Attach each vector's `n` nearest cell ids (one output row per
     * cell): broadcast join against the tiny centroid relation, cosine
     * rounded to 6 dp, ties to the lower cell — the shared cell

@@ -504,6 +504,28 @@ object DataOpsQueries {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // Metadata-filtered ANN on the IVF path — e17's hybrid search
+    // re-shaped for 100 TB: the lang='en' predicate gates candidates
+    // INSIDE the probed cells (after nprobe cell selection, before
+    // exact scoring), so the filter never re-inflates the candidate
+    // set to a corpus scan. Trained cells (the shared e13 codebook);
+    // output is recall@3 of the filtered-IVF retrieval against the
+    // filtered-exact truth — the measurement that prices the probe
+    // cut directly.
+    "e18_ivf_filtered_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val keep = t(s, d, "documents").filter(col("lang") === "en")
+        .select(col("doc_id"))
+      val cents = codebook(s, d)
+        .select(col("cluster").as("cent_id"), col("c").as("ce"))
+      val probes = emb.filter(col("vec_id") < 10)
+      val en = emb.join(keep, col("vec_id") === col("doc_id"))
+        .select(emb.columns.map(col): _*)
+      Ann.recallAtK(
+        Ann.bruteForceTopK(probes, en, k = 3),
+        Ann.ivfFilteredTopKWith(cents, probes, emb, keep, k = 3, nprobe = 2))
+    }),
+
     // LSH-bucketed ANN (the scale path).
     "e03_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -1758,6 +1780,39 @@ object DataOpsQueries {
          |SELECT query_id, cand_id, cos, ROW_NUMBER() OVER
          |(PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank FROM scored)
          |WHERE rank <= 5""".stripMargin.replace("\n", " "),
+
+    // Filtered-IVF replay: f = the en id set; truth = exact top-3
+    // over the filtered corpus (the e17 shape at k=3); retrieval =
+    // the e13 trained-cell probe with the candidate side gated by f;
+    // recall join as e12.
+    "e18_ivf_filtered_ann" ->
+      s"""WITH $vecCte, $normCte, $kmeansCtes, $ivfCellCtes,
+         |f AS (SELECT n.vec_id FROM n JOIN documents d
+         |ON n.vec_id = d.doc_id WHERE d.lang = 'en'),
+         |tsc AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |round(${dotSql("q.e", "c.e")} / (q.nr * c.nr), 6) AS cos
+         |FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |JOIN f ON c.vec_id = f.vec_id),
+         |truth AS (SELECT query_id, cand_id FROM (
+         |SELECT query_id, cand_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |ORDER BY cos DESC, cand_id) AS rank FROM tsc) WHERE rank <= 3),
+         |nbc AS (SELECT n.vec_id, e, nr, a.cent_id FROM n
+         |JOIN casg a USING (vec_id) JOIN f USING (vec_id)),
+         |nbp AS (SELECT n.vec_id, e, nr, a.cent_id FROM n
+         |JOIN pasg a USING (vec_id)),
+         |rsc AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |round(${dotSql("q.e", "c.e")} / (q.nr * c.nr), 6) AS cos
+         |FROM nbp q JOIN nbc c ON q.cent_id = c.cent_id
+         |AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |retr AS (SELECT query_id, cand_id FROM (
+         |SELECT query_id, cand_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |ORDER BY cos DESC, cand_id) AS rank FROM rsc) WHERE rank <= 3)
+         |SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+         |CAST(COUNT(r.cand_id) AS BIGINT) AS n_hit,
+         |round(CAST(COUNT(r.cand_id) AS DOUBLE) / COUNT(*), 6) AS recall
+         |FROM truth t LEFT JOIN retr r
+         |ON r.query_id = t.query_id AND r.cand_id = t.cand_id
+         |GROUP BY t.query_id""".stripMargin.replace("\n", " "),
 
     "e03_ann_lsh" ->
       s"""WITH $vecCte, $normCte,
