@@ -384,10 +384,18 @@ class PropertySpec extends SparkTestBase {
       val vec = List.fill(1 + rnd.nextInt(8))(rnd.nextLong().abs).mkString(",")
       assert(graft.sources.VectorOffsetCodec.merge(
         graft.sources.VectorOffsetCodec.split(vec)) == vec)
-      // kafka shape (topic names may themselves contain dashes)
-      val topics = List.fill(1 + rnd.nextInt(3))(
-        s"t${rnd.nextInt(9)}-x${rnd.nextInt(9)}")
-        .distinct.sorted
+      // kafka shape — adversarial names: topics containing dashes,
+      // DIGIT-suffixed topics ("topic-0" + partition 1 makes the key
+      // "topic-0-1", the shape that would be ambiguous if partitions
+      // were not digits-only and the split not at the LAST dash), and
+      // Kafka's full legal charset (alnum, '.', '_', '-')
+      val shapes = List(
+        () => s"t${rnd.nextInt(9)}-x${rnd.nextInt(9)}",
+        () => s"topic-${rnd.nextInt(10)}",          // digit-suffixed
+        () => s"a-${rnd.nextInt(10)}-${rnd.nextInt(10)}",
+        () => s"t.${rnd.nextInt(9)}_x-${rnd.nextInt(9)}")
+      val topics = List.fill(1 + rnd.nextInt(4))(
+        shapes(rnd.nextInt(shapes.size))()).distinct.sorted
       val json = topics.map { t =>
         val parts = (0 to rnd.nextInt(3))
           .map(p => s""""$p":${rnd.nextInt(100000)}""").mkString(",")
@@ -396,7 +404,21 @@ class PropertySpec extends SparkTestBase {
       val split = graft.sources.KafkaOffsetCodec.split(json)
       assert(graft.sources.KafkaOffsetCodec.split(
         graft.sources.KafkaOffsetCodec.merge(split)) == split)
+      // no two (topic, partition) pairs may collide onto one component
+      // key: partitions are digits-only, so key = topic + '-' + part
+      // inverts at the last dash even when the topic ends in "-<n>"
+      val pairs = topics.flatMap(t => (0 until 4).map(p => (t, p)))
+      val keys = pairs.map { case (t, p) => s"$t-$p" }
+      assert(keys.distinct.size == pairs.size,
+        s"component-key collision among $pairs")
     }
+    // the concrete verdict case: "topic-0" partition 1 and the
+    // round-trip of a map whose keys all end in digits
+    val m = Map("topic-0-1" -> "77", "topic-0-0" -> "5", "topic-1-1" -> "9")
+    assert(graft.sources.KafkaOffsetCodec.split(
+      graft.sources.KafkaOffsetCodec.merge(m)) == m)
+    assert(graft.sources.KafkaOffsetCodec.merge(m) ==
+      """{"topic-0":{"0":5,"1":77},"topic-1":{"1":9}}""")
   }
 
   test("pausing wrapper: paused components hold, others match the inner advance") {
