@@ -658,4 +658,18 @@ class PlanSpec extends SparkTestBase {
         s"$name re-ran the explode that the spill already materialized")
     }
   }
+
+  test("e18 filtered IVF keeps the metadata filter a keyed semi-join inside the probe") {
+    val p = planOf("e18_ivf_filtered_ann")
+    val plan = p.toString
+    // the filter id set must gate candidates as an equi semi-join —
+    // never a product, and never by re-scoring the unfiltered corpus
+    assert(!plan.contains("CartesianProduct"),
+      "filtered IVF must never build a product")
+    assert(plan.contains("LeftSemi"),
+      "the keep-id filter must compile to a semi-join on the candidate side")
+    // cell assignment still broadcasts the tiny centroid relation
+    val bnlj = collectAll(p) { case b: BroadcastNestedLoopJoinExec => b }
+    assert(bnlj.nonEmpty, "cell assignment is a broadcast NLJ over centroids")
+  }
 }
