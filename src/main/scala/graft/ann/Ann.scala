@@ -193,24 +193,14 @@ object Ann {
   def ivfFilteredTopKWith(centroids: DataFrame, probes: DataFrame,
       candidates: DataFrame, keep: DataFrame, k: Int,
       nprobe: Int = 1): DataFrame = {
-    val cents = centroids.select(col("cent_id"), col("ce"))
-      .withColumn("cnr", norm(col("ce")))
+    // Cell assignment is per-row, so semi-joining the candidate frame
+    // on the keep ids before [[ivfTopKWith]] is plan-identical to
+    // filtering after assignment — one body to maintain, and Catalyst
+    // places the semi-join against the assigned/probed candidate scan
+    // either way (pinned in PlanSpec).
     val keepIds = keep.select(keep.columns.head).toDF("vec_id")
-    val c = cellAssign(cents, candidates, 1)
-      .join(keepIds, Seq("vec_id"), "left_semi")
-      .withColumnRenamed("vec_id", "cand_id")
-      .withColumnRenamed("v", "cv").withColumnRenamed("nr", "cn")
-    val p = cellAssign(cents, probes, nprobe)
-      .withColumnRenamed("vec_id", "query_id")
-      .withColumnRenamed("v", "qv").withColumnRenamed("nr", "qn")
-    val scored = p.join(c, Seq("cent_id"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cent_id"), col("cand_id"), col("rank"), col("cos"))
+    ivfTopKWith(centroids, probes,
+      candidates.join(keepIds, Seq("vec_id"), "left_semi"), k, nprobe)
   }
 
   /** Attach each vector's `n` nearest cell ids (one output row per

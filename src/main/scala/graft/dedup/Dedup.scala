@@ -235,16 +235,17 @@ object Dedup {
   def indexDedupBatch(index: DataFrame, batchBands: DataFrame,
       batchDocs: DataFrame): DataFrame = {
     val idx = index.select(col("doc").as("corpus_doc"), col("band"), col("bh"))
-    // The BATCH side broadcasts: it is O(batch) by contract while the
-    // index is O(corpus) — the index must never be shuffled, each of
-    // its partitions probes the broadcast batch in place. (This is the
-    // hint's point at 100 TB; at suite scale it also collapses the
-    // shuffle stages per epoch.)
-    val hits = idx.join(broadcast(batchBands), Seq("band", "bh"))
+    // No forced broadcast: the streaming ingest loops pass a small
+    // per-epoch batch (which the planner auto-broadcasts under the
+    // threshold), but d19's batch is a fixed 1-in-5 corpus slice —
+    // O(corpus), not O(batch) — and a mandatory broadcast of it would
+    // hit the 8 GB broadcast limit at scale. The equi-join keys let
+    // the planner pick broadcast vs shuffle per actual sizes.
+    val hits = idx.join(batchBands, Seq("band", "bh"))
       .groupBy(col("doc"))
       .agg(countDistinct(col("corpus_doc")).as("n_dups"),
         min(col("corpus_doc")).as("first_dup"))
-    batchDocs.join(broadcast(hits), Seq("doc"), "left")
+    batchDocs.join(hits, Seq("doc"), "left")
       .select(col("doc"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
         coalesce(col("first_dup"), lit(-1L)).as("first_dup"))
@@ -267,18 +268,18 @@ object Dedup {
    * index.)
    */
   def admitBands(batchBands: DataFrame, verdicts: DataFrame): DataFrame = {
-    // Everything here is O(batch) — broadcast the join sides so the
-    // per-epoch admission plan needs no shuffle at all (the groupBy in
-    // the verdict pass is the loop's only keyed exchange).
-    val clean = batchBands.join(broadcast(
-      verdicts.filter(col("n_dups") === 0).select(col("doc"))), Seq("doc"))
+    // No forced broadcast (see indexDedupBatch): d19-style callers
+    // pass corpus-slice "batches", so sizing is the planner's call —
+    // every join here is keyed, never a product.
+    val clean = batchBands.join(
+      verdicts.filter(col("n_dups") === 0).select(col("doc")), Seq("doc"))
     val earlier = clean.select(
       col("doc").as("lo"), col("band").as("eb"), col("bh").as("ebh"))
-    val intraDups = clean.join(broadcast(earlier),
+    val intraDups = clean.join(earlier,
         col("band") === col("eb") && col("bh") === col("ebh") &&
           col("lo") < col("doc"))
       .select(col("doc")).distinct()
-    clean.join(broadcast(intraDups), Seq("doc"), "left_anti")
+    clean.join(intraDups, Seq("doc"), "left_anti")
   }
 
   /** SimHash width: 63 bits (2^63-1 is the signed-64 max, so the

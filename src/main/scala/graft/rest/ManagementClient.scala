@@ -55,8 +55,12 @@ final class ManagementClient(baseUrl: String, owner: String = "anonymous",
     if (on.isEmpty) "" else on.mkString("?", "&", "")
   }
 
+  // URLEncoder emits form-style '+' for space; query strings use URI
+  // conventions where '+' is a literal — emit %20 so the server (and
+  // any standards-following proxy) reads spaces back as spaces.
   private def enc(v: String): String =
     java.net.URLEncoder.encode(v, java.nio.charset.StandardCharsets.UTF_8)
+      .replace("+", "%20")
 
   private def obj(fields: (String, JValue)*): String =
     JsonMethods.compact(JsonMethods.render(JObject(fields.toList)))

@@ -188,14 +188,18 @@ final class ManagementServer(pm: PipelineManager,
   // Split the RAW query, then percent-decode each component — so
   // values containing '&', '=', or spaces survive when the client
   // URL-encodes them (URI.getQuery would decode BEFORE the split).
-  private def queryParams(ex: HttpExchange): Map[String, String] =
+  // A literal unencoded '+' stays a '+' (URI convention; the old
+  // URI.getQuery behavior): URLDecoder alone would turn it into a
+  // space per the form convention, so shield it first.
+  private def queryParams(ex: HttpExchange): Map[String, String] = {
+    def dec(v: String): String =
+      java.net.URLDecoder.decode(v.replace("+", "%2B"), StandardCharsets.UTF_8)
     Option(ex.getRequestURI.getRawQuery).map(_.split("&").toSeq
       .flatMap { kv => kv.split("=", 2) match {
-        case Array(k, v) => Some(
-          java.net.URLDecoder.decode(k, StandardCharsets.UTF_8) ->
-            java.net.URLDecoder.decode(v, StandardCharsets.UTF_8))
+        case Array(k, v) => Some(dec(k) -> dec(v))
         case _ => None
       }}.toMap).getOrElse(Map.empty)
+  }
 
   private def owner(ex: HttpExchange): String =
     Option(ex.getRequestHeaders.getFirst("X-Owner")).getOrElse("anonymous")

@@ -909,7 +909,10 @@ object PipelineManager {
     // materialization point (the durable-index loops read the epoch's
     // committed files back instead of paying a second localCheckpoint
     // job); the replayed-epoch path returns the SAME files, so a
-    // replay reads identical bytes.
+    // replay reads identical bytes. The negative-epoch (holdback
+    // replay) branch above returns Nil even though it wrote data —
+    // plain appends have no deterministic file names to report; do
+    // not use the return value on that path.
     def committedFiles: Seq[String] =
       Option(fs.globStatus(new Path(destPath, s"graft-$ns-e$epoch-p*.parquet")))
         .toSeq.flatten.map(_.getPath.toString).sorted

@@ -39,7 +39,7 @@ object ScaleProbe {
         (col("doc_id") * factor + i).as("doc_id"),
         concat(lit(s"copy$i "), col("text")).as("text"),
         col("lang"), col("source"),
-        (col("n_chars") + lit(6 + i.toString.length)).as("n_chars"))
+        (col("n_chars") + lit(5 + i.toString.length)).as("n_chars"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
 

@@ -15,8 +15,9 @@ import graft.streaming.PipelineManager
  * epochs and its later epochs dedup against an index ~8× the base
  * run's. What the probe must show for the 100 TB claim:
  *
- *  - per-epoch wall time stays ~flat as the index grows (the batch
- *    side is broadcast; the index side is scanned, never shuffled);
+ *  - per-epoch wall time stays ~flat as the index grows (the planner
+ *    broadcasts the small batch side under its threshold, so the
+ *    index side is scanned, never shuffled);
  *  - driver heap stays flat across epochs (O(batch) memory — the
  *    in-memory "view" is a union of parquet scans, not cached rows).
  *
@@ -48,7 +49,7 @@ object StreamScaleProbe {
         (col("doc_id") * factor + i).as("doc_id"),
         concat(lit(s"copy$i "), col("text")).as("text"),
         col("lang"), col("source"),
-        (col("n_chars") + lit(6 + i.toString.length)).as("n_chars"))
+        (col("n_chars") + lit(5 + i.toString.length)).as("n_chars"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
 

@@ -115,11 +115,14 @@ class PausingWrapperSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("not a registered inner provider"))
     // registering a non-TableProvider still fails the type check
+    // (unregister in finally: the allowlist is process-global)
     PausingProvider.register("java.lang.StringBuilder")
-    val e2 = intercept[IllegalArgumentException] {
-      PausingProvider.resolveInner("java.lang.StringBuilder")
-    }
-    assert(e2.getMessage.contains("not a TableProvider"))
+    try {
+      val e2 = intercept[IllegalArgumentException] {
+        PausingProvider.resolveInner("java.lang.StringBuilder")
+      }
+      assert(e2.getMessage.contains("not a TableProvider"))
+    } finally PausingProvider.unregister("java.lang.StringBuilder")
     // the provider path itself enforces it (option wiring)
     val opts = new java.util.HashMap[String, String]()
     opts.put("innerFormat", "java.lang.ProcessBuilder")
