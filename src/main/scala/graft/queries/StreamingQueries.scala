@@ -942,6 +942,83 @@ object StreamingQueries {
       out
     }),
 
+    // Streaming DECONTAMINATION on the ingest path — the guard a
+    // 100 TB pipeline runs in FRONT of training data: a STATIC
+    // benchmark band index (the eval suites, built once, never grows)
+    // flags every incoming batch's docs that share an LSH band with
+    // any benchmark doc, so contaminated docs are quarantined at
+    // ingest instead of discovered by a post-hoc d10/d20 sweep.
+    // Contrast s15 (the index grows by admission — dedup) and d20
+    // (batch decontam): here the index is immutable, which makes the
+    // verdicts epoch-ORDER-INDEPENDENT — the streaming machinery
+    // contributes idempotent epoch commits and checkpoint recovery
+    // (two runs over one checkpoint), and the oracle needs no
+    // epoch unrolling at all.
+    "s20_stream_decontam" -> ((s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      // Shared-spill band frame — see s14.
+      val bands = DataOpsQueries.sharedBands(s, d)
+      val rows = docs.select(col("doc_id").as("doc"))
+        .join(bands, Seq("doc"), "left")
+        .select(col("doc"), col("band").cast("long").as("band"), col("bh"))
+        .persist()
+      val srcDir = Files.createTempDirectory("graft-s20-src-").toString
+      val idxDir = Files.createTempDirectory("graft-s20-idx-").toString
+      val outDir = Files.createTempDirectory("graft-s20-out-").toString
+      val ckpt = Files.createTempDirectory("graft-s20-ckpt-").toString
+      // the benchmark corpus: docs 0-1 of 10, banded once, compacted
+      rows.filter(pmod(col("doc"), lit(10L)) < 2 && col("band").isNotNull)
+        .coalesce(1).write.mode("overwrite").parquet(idxDir)
+      val schema = rows.schema
+      val streamed = rows.filter(pmod(col("doc"), lit(10L)) >= 2)
+      val stamped = scala.collection.mutable.Set[String]()
+      def writeBucket(b: Int): Unit = {
+        streamed.filter(pmod(col("doc"), lit(3L)) === b)
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        new java.io.File(srcDir).listFiles()
+          .filter(f => f.getName.startsWith("part-") && !stamped(f.getName))
+          .foreach { f =>
+            f.setLastModified(1700000000000L + b * 60000L); stamped += f.getName }
+      }
+      def runIngest(): Unit = {
+        val bench = s.read.parquet(idxDir) // static; one read per run
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            val bb = batch.filter(col("band").isNotNull)
+            // same collision machinery as the dedup loops, read as
+            // contamination: n_hits colliding benchmark docs,
+            // first_hit the smallest (-1 = clean)
+            PipelineManager.epochAppend(
+              graft.dedup.Dedup.indexDedupBatch(bench, bb,
+                batch.select(col("doc")).distinct())
+                .select(col("doc"), col("n_dups").as("n_hits"),
+                  col("first_dup").as("first_hit"))
+                .coalesce(1),
+              outDir, epoch, "s20"): Unit
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      try {
+        writeBucket(0); runIngest()
+        writeBucket(1); writeBucket(2); runIngest()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", before)
+        rows.unpersist(false)
+      }
+      val out = s.read.parquet(outDir).localCheckpoint()
+      deleteTree(srcDir, idxDir, outDir, ckpt)
+      out
+    }),
+
     // K3: the flush/epoch-commit barrier. Per epoch the transport
     // flush (epochAppend's staged write + rename) completes BEFORE
     // the commit marker appears — the reference's flush-then-commit
@@ -1493,6 +1570,27 @@ object StreamingQueries {
         |WHERE event_type = 'click' AND event_id % 4 IN (1, 3)
         |GROUP BY 1
         |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(2 AS BIGINT)"""
+        .stripMargin.replace("\n", " "),
+
+    // Decontam-on-ingest closed form: the static benchmark index
+    // makes verdicts epoch-order-independent, so the replay is ONE
+    // left join — no batch unrolling (contrast s15, whose growing
+    // index forces per-epoch corpus_i CTEs).
+    "s20_stream_decontam" ->
+      s"""WITH ${DataOpsQueries.wordsCte}, ${DataOpsQueries.shinglesCte},
+         |${DataOpsQueries.minhashSigCte(16)}, ${DataOpsQueries.bandsCte(4)},
+         |bench AS (SELECT doc AS bench_doc, band, bh FROM bands
+         |WHERE MOD(doc, 10) < 2),
+         |streamed AS (SELECT doc_id AS doc FROM documents
+         |WHERE MOD(doc_id, 10) >= 2),
+         |sb AS (SELECT b.doc, b.band, b.bh FROM bands b JOIN streamed USING (doc)),
+         |hits AS (SELECT sb.doc, COUNT(DISTINCT bench_doc) AS n_hits,
+         |MIN(bench_doc) AS first_hit
+         |FROM sb JOIN bench ON bench.band = sb.band AND bench.bh = sb.bh
+         |GROUP BY sb.doc)
+         |SELECT s.doc, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |CAST(COALESCE(h.first_hit, -1) AS BIGINT) AS first_hit
+         |FROM streamed s LEFT JOIN hits h USING (doc)"""
         .stripMargin.replace("\n", " "),
 
     // Failover closed form: reloaded specs collapse Ready->Stopped,
