@@ -794,6 +794,46 @@ object DataOpsQueries {
       Text.piiScrub(withPii, col("doc_id"), col("text"))
     }),
 
+    // Per-source vocabulary drift: KL of each source's token mix vs
+    // the corpus head — the snapshot monitoring read that catches a
+    // source gone bad (template spam, language shift) between crawls.
+    "t21_source_drift" -> ((s, d) =>
+      Text.sourceDrift(t(s, d, "documents"), col("source"), col("text"))),
+
+    // Embedding-health pre-flight (t14's counterpart for the vector
+    // corpus): NaN detection, zero vectors, and the norm envelope
+    // (min / lower-median / max) — the audit run before pointing any
+    // ANN build or cosine math at a new embedding snapshot, where a
+    // NaN silently poisons every distance it touches. All scan
+    // aggregates plus one partial-top-k window for the exact median;
+    // the final combine crosses 1-row frames.
+    "e19_embedding_health" -> ((s, d) => {
+      val v = t(s, d, "embeddings")
+        .select(col("vec_id"), Ann.toDouble(col("embedding")).as("v"))
+      val f = v.select(col("vec_id"),
+        exists(col("v"), x => isnan(x)).as("has_nan"),
+        round(Ann.norm(col("v")), 6).as("nr"))
+      val counts = f.agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_nan"),
+        sum(when(!col("has_nan") && col("nr") === 0.0, 1L).otherwise(0L))
+          .as("n_zero"))
+      val clean = f.filter(!col("has_nan"))
+      val stats = clean.agg(
+        round(min(col("nr")), 6).as("min_norm"),
+        round(max(col("nr")), 6).as("max_norm"),
+        count(lit(1)).as("nc"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("nr").asc, col("vec_id"))
+      val med = clean.withColumn("rn", row_number().over(w))
+        .crossJoin(stats.select(col("nc")))
+        .filter(col("rn") === floor((col("nc") + 1) / 2).cast("long"))
+        .select(round(col("nr"), 6).as("med_norm"))
+      counts.crossJoin(stats.drop("nc")).crossJoin(med)
+        .select(col("n_vectors"), col("n_nan"), col("n_zero"),
+          col("min_norm"), col("med_norm"), col("max_norm"))
+    }),
+
     // Corpus integrity pre-flight: the referential/shape audit run
     // before spending a training job — row counts, doc↔embedding
     // orphans (anti-joins both ways), empty/whitespace-only texts,
@@ -2023,6 +2063,53 @@ object DataOpsQueries {
          |ON r.query_id = t.query_id AND r.cand_id = t.cand_id
          |GROUP BY t.query_id""".stripMargin.replace("\n", " ")
     },
+
+    // Head selection (count desc, token asc) and all probabilities
+    // are exact-integer-derived; the only float work is the <=50-term
+    // KL sum, rounded to 6 dp like every cross-engine float.
+    "t21_source_drift" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT doc, unnest(w) AS t FROM w),
+         |st AS (SELECT d.source, tok.t FROM tok
+         |JOIN documents d ON d.doc_id = tok.doc),
+         |cnt AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+         |head AS (SELECT t, n AS nw FROM (SELECT t, n,
+         |ROW_NUMBER() OVER (ORDER BY n DESC, t) AS rn FROM cnt)
+         |WHERE rn <= 50),
+         |ht AS (SELECT CAST(SUM(nw) AS BIGINT) AS nh FROM head),
+         |sc AS (SELECT source, st.t, COUNT(*) AS ns FROM st
+         |JOIN head ON head.t = st.t GROUP BY source, st.t),
+         |stot AS (SELECT source, CAST(SUM(ns) AS BIGINT) AS nstot
+         |FROM sc GROUP BY source)
+         |SELECT sc.source, MAX(stot.nstot) AS n_head,
+         |round(SUM((CAST(ns AS DOUBLE) / nstot)
+         |* ln((CAST(ns AS DOUBLE) / nstot)
+         |/ (CAST(nw AS DOUBLE) / nh))), 6) AS kl
+         |FROM sc JOIN stot USING (source) JOIN head ON head.t = sc.t
+         |CROSS JOIN ht GROUP BY sc.source""".stripMargin.replace("\n", " "),
+
+    // Embedding-health closed form: the norm is rounded at source so
+    // min/median/max aggregate already-rounded values; the median is
+    // the exact lower median ((nc+1)//2) over (norm, vec_id) order.
+    "e19_embedding_health" ->
+      s"""WITH $vecCte,
+         |f AS (SELECT vec_id,
+         |len(list_filter(e, x -> isnan(x))) > 0 AS has_nan,
+         |round(sqrt(${dotSql("e", "e")}), 6) AS nr FROM v),
+         |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |CAST(SUM(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+         |CAST(SUM(CASE WHEN NOT has_nan AND nr = 0 THEN 1 ELSE 0 END)
+         |AS BIGINT) AS n_zero FROM f),
+         |cl AS (SELECT * FROM f WHERE NOT has_nan),
+         |s AS (SELECT round(MIN(nr), 6) AS min_norm,
+         |round(MAX(nr), 6) AS max_norm,
+         |CAST(COUNT(*) AS BIGINT) AS nc FROM cl),
+         |r AS (SELECT nr, ROW_NUMBER() OVER (ORDER BY nr ASC, vec_id) AS rn
+         |FROM cl),
+         |m AS (SELECT round(r.nr, 6) AS med_norm FROM r CROSS JOIN s
+         |WHERE r.rn = (s.nc + 1) // 2)
+         |SELECT n_vectors, n_nan, n_zero, min_norm, med_norm, max_norm
+         |FROM c CROSS JOIN s CROSS JOIN m""".stripMargin.replace("\n", " "),
 
     "t12_charclass" ->
       """SELECT doc_id,

@@ -355,6 +355,42 @@ object Text {
               sum(col("c")).cast("double"), 6).as("token_entropy"))
 
   /**
+   * Per-source vocabulary-drift audit: KL divergence of each source's
+   * token distribution from the corpus-wide distribution, both
+   * restricted to the corpus's top-`topN` tokens (the shared head —
+   * comparing full vocabularies would let each source's long tail
+   * dominate the score with noise). The snapshot-over-snapshot
+   * monitoring read of a multi-source ingest pipeline: a source whose
+   * KL jumps between crawls changed its content mix (template spam,
+   * language shift, markup bleed) and gets inspected before the next
+   * training run. Head selection is deterministic (count desc, token
+   * asc — compiled to a partial top-k, see d15's WindowGroupLimit);
+   * all probabilities derive from exact integer counts, so the only
+   * float work is the ≤topN-term KL sum, rounded as usual.
+   */
+  def sourceDrift(df: DataFrame, source: Column, text: Column,
+      topN: Int = 50): DataFrame = {
+    val tok = df.select(source.as("source"), explode(tokens(text)).as("t"))
+    val counts = tok.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("t"))
+    val head = counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topN).select(col("t"), col("n").as("nw"))
+    val q = head.crossJoin(head.agg(sum(col("nw")).as("nh")))
+    val sc = tok.join(head.select(col("t")), Seq("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("ns"))
+    val stot = sc.groupBy(col("source")).agg(sum(col("ns")).as("nstot"))
+    sc.join(stot, Seq("source")).join(q, Seq("t"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("nstot")).as("n_head"),
+        round(sum(
+          (col("ns").cast("double") / col("nstot")) *
+            log((col("ns").cast("double") / col("nstot")) /
+              (col("nw").cast("double") / col("nh")))), 6).as("kl"))
+  }
+
+  /**
    * Rolling/position-weighted document fingerprint:
    * sum over tokens of hash(token) * (position) — order-sensitive,
    * overflow-free (hash < 2^32, pos < 2^20), and identical in any
