@@ -374,13 +374,24 @@ object Text {
     val counts = tok.groupBy(col("t")).agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n").desc, col("t"))
+    // Materialize the head ONCE (topN rows): it feeds four consumers
+    // (its own total, the q denominators, the per-source gate join,
+    // and the final join) and as a lazy plan each would re-run the
+    // corpus tokenize+count pass. The rank filter itself compiles to
+    // a distributed partial top-k (TakeOrderedAndProject), so the
+    // vocabulary is never globally sorted.
     val head = counts.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topN).select(col("t"), col("n").as("nw"))
+      .localCheckpoint()
     val q = head.crossJoin(head.agg(sum(col("nw")).as("nh")))
     val sc = tok.join(head.select(col("t")), Seq("t"))
       .groupBy(col("source"), col("t")).agg(count(lit(1)).as("ns"))
-    val stot = sc.groupBy(col("source")).agg(sum(col("ns")).as("nstot"))
-    sc.join(stot, Seq("source")).join(q, Seq("t"))
+    // per-source totals as a window over sc (sources × topN rows):
+    // a separate groupBy would replicate sc's whole subplan — and its
+    // corpus tokenize pass — into the join tree
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    sc.withColumn("nstot", sum(col("ns")).over(sw)).join(q, Seq("t"))
       .groupBy(col("source"))
       .agg(
         max(col("nstot")).as("n_head"),

@@ -672,4 +672,17 @@ class PlanSpec extends SparkTestBase {
     val bnlj = collectAll(p) { case b: BroadcastNestedLoopJoinExec => b }
     assert(bnlj.nonEmpty, "cell assignment is a broadcast NLJ over centroids")
   }
+
+  test("t21 head is materialized once; only the per-source pass re-tokenizes") {
+    // the head's own top-k runs at construction (TakeOrderedAndProject
+    // inside the localCheckpoint — a partial top-k, never a global
+    // vocabulary sort); the GATE plan must consume the materialized
+    // 50 rows, not re-run the corpus tokenize+count per consumer
+    val plan = planOf("t21_source_drift").toString
+    assert(plan.contains("ExistingRDD"),
+      "head must be the checkpointed 50-row frame")
+    assert("Generate explode".r.findAllIn(plan).size == 1,
+      "exactly one tokenize pass (the per-source gate join) may remain; " +
+        "more means a head consumer re-derived the corpus counts")
+  }
 }
