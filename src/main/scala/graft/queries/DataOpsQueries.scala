@@ -813,23 +813,35 @@ object DataOpsQueries {
       val f = v.select(col("vec_id"),
         exists(col("v"), x => isnan(x)).as("has_nan"),
         round(Ann.norm(col("v")), 6).as("nr"))
-      val counts = f.agg(
+      // ALL scalar facts in ONE corpus pass (conditional aggregates —
+      // a per-fact frame would replicate the embedding scan); the
+      // 1-row result is materialized so its two consumers below don't
+      // re-derive it either.
+      val stats = f.agg(
         count(lit(1)).as("n_vectors"),
         sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_nan"),
         sum(when(!col("has_nan") && col("nr") === 0.0, 1L).otherwise(0L))
-          .as("n_zero"))
-      val clean = f.filter(!col("has_nan"))
-      val stats = clean.agg(
-        round(min(col("nr")), 6).as("min_norm"),
-        round(max(col("nr")), 6).as("max_norm"),
-        count(lit(1)).as("nc"))
+          .as("n_zero"),
+        round(min(when(!col("has_nan"), col("nr"))), 6).as("min_norm"),
+        round(max(when(!col("has_nan"), col("nr"))), 6).as("max_norm"),
+        sum(when(!col("has_nan"), 1L).otherwise(0L)).as("nc"))
+        .localCheckpoint()
+      // Exact lower median by rank — the audit's second (and last)
+      // corpus pass. Honest scale note: an exact median needs one
+      // global-order pass and this window ranks in a single task; a
+      // 100 TB deployment would swap in a quantile sketch here at the
+      // cost of oracle exactness. Aggregating (min over the single
+      // matching rank) keeps the output 1-row even when EVERY vector
+      // is NaN — the audit must report n_nan, not vanish, exactly
+      // when the corpus is fully poisoned (med_norm is NULL then).
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("nr").asc, col("vec_id"))
-      val med = clean.withColumn("rn", row_number().over(w))
+      val med = f.filter(!col("has_nan"))
+        .withColumn("rn", row_number().over(w))
         .crossJoin(stats.select(col("nc")))
         .filter(col("rn") === floor((col("nc") + 1) / 2).cast("long"))
-        .select(round(col("nr"), 6).as("med_norm"))
-      counts.crossJoin(stats.drop("nc")).crossJoin(med)
+        .agg(round(min(col("nr")), 6).as("med_norm"))
+      stats.crossJoin(med)
         .select(col("n_vectors"), col("n_nan"), col("n_zero"),
           col("min_norm"), col("med_norm"), col("max_norm"))
     }),
@@ -2080,13 +2092,17 @@ object DataOpsQueries {
          |sc AS (SELECT source, st.t, COUNT(*) AS ns FROM st
          |JOIN head ON head.t = st.t GROUP BY source, st.t),
          |stot AS (SELECT source, CAST(SUM(ns) AS BIGINT) AS nstot
-         |FROM sc GROUP BY source)
-         |SELECT sc.source, MAX(stot.nstot) AS n_head,
+         |FROM sc GROUP BY source),
+         |drift AS (SELECT sc.source, MAX(stot.nstot) AS n_head,
          |round(SUM((CAST(ns AS DOUBLE) / nstot)
          |* ln((CAST(ns AS DOUBLE) / nstot)
          |/ (CAST(nw AS DOUBLE) / nh))), 6) AS kl
          |FROM sc JOIN stot USING (source) JOIN head ON head.t = sc.t
-         |CROSS JOIN ht GROUP BY sc.source""".stripMargin.replace("\n", " "),
+         |CROSS JOIN ht GROUP BY sc.source),
+         |srcs AS (SELECT DISTINCT source FROM documents)
+         |SELECT srcs.source, CAST(COALESCE(d.n_head, 0) AS BIGINT) AS n_head,
+         |d.kl FROM srcs LEFT JOIN drift d USING (source)"""
+        .stripMargin.replace("\n", " "),
 
     // Embedding-health closed form: the norm is rounded at source so
     // min/median/max aggregate already-rounded values; the median is
@@ -2096,20 +2112,20 @@ object DataOpsQueries {
          |f AS (SELECT vec_id,
          |len(list_filter(e, x -> isnan(x))) > 0 AS has_nan,
          |round(sqrt(${dotSql("e", "e")}), 6) AS nr FROM v),
-         |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
          |CAST(SUM(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
          |CAST(SUM(CASE WHEN NOT has_nan AND nr = 0 THEN 1 ELSE 0 END)
-         |AS BIGINT) AS n_zero FROM f),
-         |cl AS (SELECT * FROM f WHERE NOT has_nan),
-         |s AS (SELECT round(MIN(nr), 6) AS min_norm,
-         |round(MAX(nr), 6) AS max_norm,
-         |CAST(COUNT(*) AS BIGINT) AS nc FROM cl),
+         |AS BIGINT) AS n_zero,
+         |round(MIN(CASE WHEN NOT has_nan THEN nr END), 6) AS min_norm,
+         |round(MAX(CASE WHEN NOT has_nan THEN nr END), 6) AS max_norm,
+         |CAST(SUM(CASE WHEN NOT has_nan THEN 1 ELSE 0 END) AS BIGINT) AS nc
+         |FROM f),
          |r AS (SELECT nr, ROW_NUMBER() OVER (ORDER BY nr ASC, vec_id) AS rn
-         |FROM cl),
-         |m AS (SELECT round(r.nr, 6) AS med_norm FROM r CROSS JOIN s
+         |FROM f WHERE NOT has_nan),
+         |m AS (SELECT round(MIN(r.nr), 6) AS med_norm FROM r CROSS JOIN s
          |WHERE r.rn = (s.nc + 1) // 2)
          |SELECT n_vectors, n_nan, n_zero, min_norm, med_norm, max_norm
-         |FROM c CROSS JOIN s CROSS JOIN m""".stripMargin.replace("\n", " "),
+         |FROM s CROSS JOIN m""".stripMargin.replace("\n", " "),
 
     "t12_charclass" ->
       """SELECT doc_id,

@@ -23,6 +23,26 @@ object StreamingQueries {
 
   private val runId = new AtomicInteger(0)
 
+  /** Append one source-bucket file and force a strictly-increasing
+    * modification time keyed by the bucket number, so a run that
+    * plans several buckets as maxFilesPerTrigger=1 epochs replays
+    * them in bucket order (the file source admits oldest-modtime
+    * first; same-millisecond writes would otherwise tie-break on an
+    * arbitrary uuid path). Shared by every bucketed ingest gate —
+    * even where verdicts are epoch-order-independent (s20), the
+    * pinned order keeps epoch attribution reproducible. `stamped`
+    * tracks files already assigned a time across calls. */
+  private def writeStampedBucket(srcDir: String,
+      stamped: scala.collection.mutable.Set[String], b: Int,
+      bucket: DataFrame): Unit = {
+    bucket.coalesce(1).write.mode("append").parquet(srcDir)
+    new java.io.File(srcDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && !stamped(f.getName))
+      .foreach { f =>
+        f.setLastModified(1700000000000L + b * 60000L): Unit
+        stamped += f.getName }
+  }
+
   /** Per-user running totals for s09 (top-level so the product encoder
     * derives cleanly). */
   case class CounterState(nEvents: Long, nBatches: Long)
@@ -383,14 +403,8 @@ object StreamingQueries {
       // Forced mod-time bucket order (see s15) so two buckets landing
       // in one run replay as ordered maxFilesPerTrigger=1 epochs.
       val stamped = scala.collection.mutable.Set[String]()
-      def writeBucket(b: Int): Unit = {
-        base.filter(pmod(col("doc"), lit(3L)) === b).drop("doc")
-          .coalesce(1).write.mode("append").parquet(srcDir)
-        new java.io.File(srcDir).listFiles()
-          .filter(f => f.getName.startsWith("part-") && !stamped(f.getName))
-          .foreach { f =>
-            f.setLastModified(1700000000000L + b * 60000L); stamped += f.getName }
-      }
+      def writeBucket(b: Int): Unit = writeStampedBucket(srcDir, stamped, b,
+        base.filter(pmod(col("doc"), lit(3L)) === b).drop("doc"))
       def runIngest(): Unit = {
         val admitted = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
@@ -465,14 +479,8 @@ object StreamingQueries {
       // admits oldest-modtime first; same-millisecond writes would
       // otherwise tie-break on an arbitrary uuid path).
       val stamped = scala.collection.mutable.Set[String]()
-      def writeBucket(b: Int): Unit = {
-        rows.filter(pmod(col("doc"), lit(5L)) === b)
-          .coalesce(1).write.mode("append").parquet(srcDir)
-        new java.io.File(srcDir).listFiles()
-          .filter(f => f.getName.startsWith("part-") && !stamped(f.getName))
-          .foreach { f =>
-            f.setLastModified(1700000000000L + b * 60000L); stamped += f.getName }
-      }
+      def writeBucket(b: Int): Unit = writeStampedBucket(srcDir, stamped, b,
+        rows.filter(pmod(col("doc"), lit(5L)) === b))
       // One ingest RUN = recovery read of the durable index (run-start
       // view rebuild — the production restart path), then epochs
       // extend the view with their own COMMITTED files: the epoch
@@ -575,14 +583,8 @@ object StreamingQueries {
       // commit-as-materialization epochs — see s15 for the rationale
       // and the replay-safety argument.
       val stamped = scala.collection.mutable.Set[String]()
-      def writeBucket(b: Int): Unit = {
-        rows.filter(pmod(col("doc"), lit(5L)) === b)
-          .coalesce(1).write.mode("append").parquet(srcDir)
-        new java.io.File(srcDir).listFiles()
-          .filter(f => f.getName.startsWith("part-") && !stamped(f.getName))
-          .foreach { f =>
-            f.setLastModified(1700000000000L + b * 60000L); stamped += f.getName }
-      }
+      def writeBucket(b: Int): Unit = writeStampedBucket(srcDir, stamped, b,
+        rows.filter(pmod(col("doc"), lit(5L)) === b))
       def runIngest(): Unit = {
         var idxView = s.read.parquet(idxDir) // listing frozen here
         val q = s.readStream.schema(schema)
@@ -972,14 +974,8 @@ object StreamingQueries {
       val schema = rows.schema
       val streamed = rows.filter(pmod(col("doc"), lit(10L)) >= 2)
       val stamped = scala.collection.mutable.Set[String]()
-      def writeBucket(b: Int): Unit = {
-        streamed.filter(pmod(col("doc"), lit(3L)) === b)
-          .coalesce(1).write.mode("append").parquet(srcDir)
-        new java.io.File(srcDir).listFiles()
-          .filter(f => f.getName.startsWith("part-") && !stamped(f.getName))
-          .foreach { f =>
-            f.setLastModified(1700000000000L + b * 60000L); stamped += f.getName }
-      }
+      def writeBucket(b: Int): Unit = writeStampedBucket(srcDir, stamped, b,
+        streamed.filter(pmod(col("doc"), lit(3L)) === b))
       def runIngest(): Unit = {
         val bench = s.read.parquet(idxDir) // static; one read per run
         val q = s.readStream.schema(schema)

@@ -374,15 +374,21 @@ object Text {
     val counts = tok.groupBy(col("t")).agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n").desc, col("t"))
-    // Materialize the head ONCE (topN rows): it feeds four consumers
-    // (its own total, the q denominators, the per-source gate join,
-    // and the final join) and as a lazy plan each would re-run the
-    // corpus tokenize+count pass. The rank filter itself compiles to
-    // a distributed partial top-k (TakeOrderedAndProject), so the
-    // vocabulary is never globally sorted.
-    val head = counts.withColumn("rn", row_number().over(w))
+    // The head is computed ONCE (a distributed partial top-k —
+    // TakeOrderedAndProject, never a global vocabulary sort) and
+    // embedded as topN LITERAL rows: it feeds four consumers, and as
+    // a lazy plan each would re-run the corpus tokenize+count pass;
+    // a checkpoint would instead pin executor blocks past the gate
+    // (the suite's nothing-outlives-the-gate contract). topN rows on
+    // the driver is control-plane-sized, like the CDC merge's
+    // touched-bucket ids.
+    val headRows = counts.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topN).select(col("t"), col("n").as("nw"))
-      .localCheckpoint()
+    val head = {
+      import scala.jdk.CollectionConverters._
+      df.sparkSession.createDataFrame(
+        headRows.collect().toList.asJava, headRows.schema)
+    }
     val q = head.crossJoin(head.agg(sum(col("nw")).as("nh")))
     val sc = tok.join(head.select(col("t")), Seq("t"))
       .groupBy(col("source"), col("t")).agg(count(lit(1)).as("ns"))
@@ -391,7 +397,8 @@ object Text {
     // corpus tokenize pass — into the join tree
     val sw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
-    sc.withColumn("nstot", sum(col("ns")).over(sw)).join(q, Seq("t"))
+    val drifted = sc
+      .withColumn("nstot", sum(col("ns")).over(sw)).join(q, Seq("t"))
       .groupBy(col("source"))
       .agg(
         max(col("nstot")).as("n_head"),
@@ -399,6 +406,14 @@ object Text {
           (col("ns").cast("double") / col("nstot")) *
             log((col("ns").cast("double") / col("nstot")) /
               (col("nw").cast("double") / col("nh")))), 6).as("kl"))
+    // Every source gets a row: a source with ZERO head overlap is the
+    // most drifted one there is (binary junk, language flip) and must
+    // not silently vanish from the monitoring read — it reports
+    // n_head=0 with a NULL kl (the divergence is unbounded).
+    df.select(source.as("source")).distinct()
+      .join(drifted, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_head"), lit(0L)).as("n_head"), col("kl"))
   }
 
   /**

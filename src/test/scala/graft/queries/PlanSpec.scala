@@ -679,8 +679,8 @@ class PlanSpec extends SparkTestBase {
     // vocabulary sort); the GATE plan must consume the materialized
     // 50 rows, not re-run the corpus tokenize+count per consumer
     val plan = planOf("t21_source_drift").toString
-    assert(plan.contains("ExistingRDD"),
-      "head must be the checkpointed 50-row frame")
+    assert(plan.contains("LocalTableScan") || plan.contains("LocalRelation"),
+      "head must be the embedded 50-row literal frame")
     assert("Generate explode".r.findAllIn(plan).size == 1,
       "exactly one tokenize pass (the per-source gate join) may remain; " +
         "more means a head consumer re-derived the corpus counts")
