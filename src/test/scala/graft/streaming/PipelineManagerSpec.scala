@@ -508,6 +508,28 @@ class PipelineManagerSpec extends SparkTestBase {
     assert(spark.read.parquet(dest).count() == 5)
   }
 
+  test("epochAppend returns the committed files; a replay returns the SAME files") {
+    // the durable-index loops use the commit as the batch's
+    // materialization point — the return must name exactly the
+    // epoch's published files, byte-identical on replay
+    val dest = Files.createTempDirectory("graft-eor-").toString
+    val first = PipelineManager.epochAppend(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), dest, 0L, "p")
+    assert(first.size == 1 && first.head.contains("graft-p-e0-p0.parquet"))
+    assert(spark.read.parquet(first: _*).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // replay with DIFFERENT data: the marker wins, the original files
+    // (and their bytes) come back
+    val replay = PipelineManager.epochAppend(
+      Seq((9L, "x")).toDF("id", "v").coalesce(1), dest, 0L, "p")
+    assert(replay == first)
+    assert(spark.read.parquet(replay: _*).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // the negative-epoch branch documents returning Nil
+    assert(PipelineManager.epochAppend(
+      Seq((3L, "c")).toDF("id", "v"), dest, -1L, "p").isEmpty)
+  }
+
   test("epochAppend: two pipelines sharing a destination don't collide") {
     // D1 destination-reuse lets pipelines share one dest, each with an
     // independent epoch counter from 0 — markers/files are namespaced
