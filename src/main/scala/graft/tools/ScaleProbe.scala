@@ -43,7 +43,12 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
 
-    val gates = Seq("d03_lsh_candidates", "t08_repetition", "t19_window_novelty")
+    // default = the widest text/dedup gates; pass gate names as args
+    // to probe others (documents-only gates — the scaled corpus has
+    // no embeddings table)
+    val gates =
+      if (args.nonEmpty) args.toSeq
+      else Seq("d03_lsh_candidates", "t08_repetition", "t19_window_novelty")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       DataOpsQueries.queries(name)(spark, dir)
