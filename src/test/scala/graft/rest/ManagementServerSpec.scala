@@ -200,6 +200,21 @@ class ManagementServerSpec extends SparkTestBase {
       val degraded = req(baseA, "GET", "/diag?peers=localhost:1")
       assert(degraded.statusCode() == 200)
       assert(degraded.body().contains("\"error\""))
+
+      // query-param encoding survives the real HTTP stack end to end:
+      // the client percent-encodes, the server splits the RAW query
+      // and decodes each component — a peer name with a space and an
+      // '&' must come back verbatim as the (degraded) instance key,
+      // and a literal unencoded '+' must stay a '+', not a space
+      val c = new ManagementClient(baseA)
+      val weird = c.diag(Seq("bad host:1&x=y"))
+      assert(org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(weird))
+        .contains("\"bad host:1&x=y\""),
+        "encoded peer name mangled on the wire")
+      val plus = req(baseA, "GET", "/diag?peers=a+b:1")
+      assert(plus.statusCode() == 200 && plus.body().contains("\"a+b:1\""),
+        "literal unencoded '+' must survive (URI convention)")
     } finally { srvA.stop(); srvB.stop(); pmA.close(); pmB.close() }
   }
 
