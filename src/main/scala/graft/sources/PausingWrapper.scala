@@ -180,6 +180,11 @@ object PausingProvider {
     * reference's connector factory list). */
   def register(className: String): Unit = allowed.put(className, ())
 
+  /** Symmetric removal — a registration typo should not require a
+    * process restart (and tests must not leak entries into the
+    * process-global allowlist). */
+  def unregister(className: String): Unit = { allowed.remove(className): Unit }
+
   private[sources] def resolveInner(className: String)
       : org.apache.spark.sql.connector.catalog.TableProvider = {
     require(allowed.containsKey(className),
