@@ -815,9 +815,11 @@ object DataOpsQueries {
         round(Ann.norm(col("v")), 6).as("nr"))
       // ALL scalar facts in ONE corpus pass (conditional aggregates —
       // a per-fact frame would replicate the embedding scan); the
-      // 1-row result is materialized so its two consumers below don't
-      // re-derive it either.
-      val stats = f.agg(
+      // 1-row result is embedded as a LITERAL row so its two
+      // consumers below neither re-derive it nor pin a checkpoint
+      // block past the gate (the nothing-outlives-the-gate contract —
+      // same reasoning as t21's head).
+      val statsAgg = f.agg(
         count(lit(1)).as("n_vectors"),
         sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_nan"),
         sum(when(!col("has_nan") && col("nr") === 0.0, 1L).otherwise(0L))
@@ -825,7 +827,10 @@ object DataOpsQueries {
         round(min(when(!col("has_nan"), col("nr"))), 6).as("min_norm"),
         round(max(when(!col("has_nan"), col("nr"))), 6).as("max_norm"),
         sum(when(!col("has_nan"), 1L).otherwise(0L)).as("nc"))
-        .localCheckpoint()
+      val stats = {
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(statsAgg.collect().toList.asJava, statsAgg.schema)
+      }
       // Exact lower median by rank — the audit's second (and last)
       // corpus pass. Honest scale note: an exact median needs one
       // global-order pass and this window ranks in a single task; a
@@ -2101,7 +2106,8 @@ object DataOpsQueries {
          |CROSS JOIN ht GROUP BY sc.source),
          |srcs AS (SELECT DISTINCT source FROM documents)
          |SELECT srcs.source, CAST(COALESCE(d.n_head, 0) AS BIGINT) AS n_head,
-         |d.kl FROM srcs LEFT JOIN drift d USING (source)"""
+         |d.kl FROM srcs LEFT JOIN drift d
+         |ON srcs.source IS NOT DISTINCT FROM d.source"""
         .stripMargin.replace("\n", " "),
 
     // Embedding-health closed form: the norm is rounded at source so

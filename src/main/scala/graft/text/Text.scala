@@ -409,9 +409,13 @@ object Text {
     // Every source gets a row: a source with ZERO head overlap is the
     // most drifted one there is (binary junk, language flip) and must
     // not silently vanish from the monitoring read — it reports
-    // n_head=0 with a NULL kl (the divergence is unbounded).
+    // n_head=0 with a NULL kl (the divergence is unbounded). The join
+    // is NULL-SAFE: a NULL-keyed source bucket (an ingest bug the
+    // audit should surface) keeps its computed row instead of being
+    // zeroed by NULL-never-equals-NULL.
     df.select(source.as("source")).distinct()
-      .join(drifted, Seq("source"), "left")
+      .join(drifted.withColumnRenamed("source", "dsource"),
+        col("source") <=> col("dsource"), "left")
       .select(col("source"),
         coalesce(col("n_head"), lit(0L)).as("n_head"), col("kl"))
   }

@@ -45,10 +45,17 @@ object ScaleProbe {
 
     // default = the widest text/dedup gates; pass gate names as args
     // to probe others (documents-only gates — the scaled corpus has
-    // no embeddings table)
+    // no embeddings table). Validate BEFORE the expensive scaled-
+    // corpus build so a typo fails in milliseconds, not minutes.
     val gates =
       if (args.nonEmpty) args.toSeq
       else Seq("d03_lsh_candidates", "t08_repetition", "t19_window_novelty")
+    val unknown = gates.filterNot(DataOpsQueries.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown/non-batch gates: ${unknown.mkString(",")} " +
+        "(ScaleProbe covers DataOpsQueries gates only)")
+    require(!gates.exists(g => g.startsWith("e")),
+      "e-family gates need embeddings.parquet, which the scaled corpus lacks")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       DataOpsQueries.queries(name)(spark, dir)

@@ -674,9 +674,10 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("t21 head is materialized once; only the per-source pass re-tokenizes") {
-    // the head's own top-k runs at construction (TakeOrderedAndProject
-    // inside the localCheckpoint — a partial top-k, never a global
-    // vocabulary sort); the GATE plan must consume the materialized
+    // the head's own top-k runs at construction (a distributed
+    // TakeOrderedAndProject job whose 50 rows are collected and
+    // embedded as literals — a partial top-k, never a global
+    // vocabulary sort); the GATE plan must consume the embedded
     // 50 rows, not re-run the corpus tokenize+count per consumer
     val plan = planOf("t21_source_drift").toString
     assert(plan.contains("LocalTableScan") || plan.contains("LocalRelation"),
