@@ -1173,9 +1173,13 @@ object StreamingQueries {
         destinationConnection = destA))
       pm1.create(PipelineSpec("q64b", "parquet", "parquet", srcB,
         destinationConnection = destB))
-      pm1.start("q64a", identity).awaitTermination()
+      // both pipelines drain CONCURRENTLY — the shape a real manager
+      // runs (each pipeline is its own StreamingQuery; epoch 0 of A
+      // and the partition-holding run of B overlap)
+      val qa0 = pm1.start("q64a", identity)
       // partition "1" of the view stream held back into holdback
-      pm1.pausePartitions("q64b", "part", Set("1"), identity).awaitTermination()
+      val qb0 = pm1.pausePartitions("q64b", "part", Set("1"), identity)
+      qa0.awaitTermination(); qb0.awaitTermination()
       // CRASH: no stop(), no delete — the specs on disk still read
       // Ready, the queries just die with the manager
       pm1.close()
@@ -1189,8 +1193,9 @@ object StreamingQueries {
       // pick it up without redelivering epoch 0
       PipelineManager.epochAppend(epochOf(clicks, 1).coalesce(1), srcA, 1, "q64a")
       PipelineManager.epochAppend(epochOf(views, 1).coalesce(1), srcB, 1, "q64b")
-      pm2.start("q64a", identity).awaitTermination()
-      pm2.start("q64b", identity).awaitTermination()
+      val qa1 = pm2.start("q64a", identity)
+      val qb1 = pm2.start("q64b", identity)
+      qa1.awaitTermination(); qb1.awaitTermination()
       // release the held partition: BOTH managers' held rows replay
       pm2.resumePartitions("q64b", Set("1"), identity).awaitTermination()
       val a = s.read.parquet(destA)
