@@ -137,10 +137,11 @@ object Bench {
     val medians = results.collect {
       case (name, first) if first >= 0 && (name.startsWith("s") || slowNonS(name)) =>
         val times = (first +: (1 to 2).flatMap(_ => rerun(name, SparkEntry.queries(name)))).sorted
-        // n=2 has no middle element; publish the smaller (the warmed
-        // rerun in practice — the larger is the contended first shot
-        // this mechanism exists to exclude)
-        val med = times((times.size - 1) / 2)
+        // n=2 has no middle element; publish the LARGER of the two —
+        // conservative by construction, so a failed rerun can only
+        // make the suite look slower, never flatter it. (n=3 is the
+        // true median; n=1 is the first shot itself.)
+        val med = times(times.size / 2)
         System.err.println(f"[bench] $name median=${med}%.2fs of n=${times.size} $times")
         name -> (med, times.size)
     }.toMap

@@ -39,7 +39,10 @@ object StreamingQueries {
     new java.io.File(srcDir).listFiles()
       .filter(f => f.getName.startsWith("part-") && !stamped(f.getName))
       .foreach { f =>
-        f.setLastModified(1700000000000L + b * 60000L): Unit
+        // A silently-failed stamp would make epoch replay order (and
+        // the gates' epoch attribution) arbitrary — fail loudly.
+        require(f.setLastModified(1700000000000L + b * 60000L),
+          s"setLastModified failed for ${f.getPath}; bucket order would be nondeterministic")
         stamped += f.getName }
   }
 
@@ -492,7 +495,12 @@ object StreamingQueries {
       // back, and duplicate view rows cannot change a verdict
       // (countDistinct/min).
       def runIngest(): Unit = {
-        var idxView = s.read.parquet(idxDir) // listing frozen here
+        // Run-start recovery read; per-epoch extensions ride the
+        // committed files, and every K epochs the view swaps back to
+        // a fresh read of the compacted dir so the union plan stays
+        // bounded (DurableIndexView — kills the measured late-epoch
+        // planning drift at high epoch counts).
+        val idx = new graft.streaming.DurableIndexView(s, idxDir)
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(srcDir)
@@ -505,7 +513,7 @@ object StreamingQueries {
             // one-file scan (maxFilesPerTrigger=1), so re-evaluating
             // it per consumer is cheaper than a materialization job —
             // and the old growing-index hazard is gone because the
-            // view's file listing was frozen at run start.
+            // view's file listing never covers the current epoch.
             val bb = batch.filter(col("band").isNotNull)
             // One file per epoch commit: both frames are O(batch)
             // small here, and a crash-restart re-lists the index dir
@@ -513,16 +521,19 @@ object StreamingQueries {
             // recovery pay file-listing + task-per-file overhead.
             // (At production batch sizes the caller sizes this by
             // rows-per-file instead of pinning 1.)
+            val verdictFrame = graft.dedup.Dedup.indexDedupBatch(
+              idx.frame, bb, batch.select(col("doc")).distinct())
             val vFiles = PipelineManager.epochAppend(
-              graft.dedup.Dedup.indexDedupBatch(idxView, bb,
-                batch.select(col("doc")).distinct()).coalesce(1),
-              outDir, epoch, "s15out")
-            val aFiles = PipelineManager.epochAppend(
-              graft.dedup.Dedup.admitBands(
-                bb, s.read.parquet(vFiles: _*)).coalesce(1),
-              idxDir, epoch, "s15idx")
-            if (aFiles.nonEmpty)
-              idxView = idxView.union(s.read.parquet(aFiles: _*))
+              verdictFrame.coalesce(1), outDir, epoch, "s15out")
+            // An empty epoch commit (no part files) must not turn the
+            // read-back into an AnalysisException — fall back to the
+            // frame's own empty form (limit 0 folds to an empty local
+            // relation), symmetric with extend()'s nonEmpty guard.
+            val verdicts = if (vFiles.isEmpty) verdictFrame.limit(0)
+              else s.read.parquet(vFiles: _*)
+            idx.extend(PipelineManager.epochAppend(
+              graft.dedup.Dedup.admitBands(bb, verdicts).coalesce(1),
+              idxDir, epoch, "s15idx"))
           }
           .start()
         q.awaitTermination()
@@ -586,7 +597,8 @@ object StreamingQueries {
       def writeBucket(b: Int): Unit = writeStampedBucket(srcDir, stamped, b,
         rows.filter(pmod(col("doc"), lit(5L)) === b))
       def runIngest(): Unit = {
-        var idxView = s.read.parquet(idxDir) // listing frozen here
+        // Bounded-plan index view + empty-commit guard — see s15.
+        val idx = new graft.streaming.DurableIndexView(s, idxDir)
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(srcDir)
@@ -596,16 +608,15 @@ object StreamingQueries {
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (batch: DataFrame, epoch: Long) =>
             // No batch checkpoint — deterministic one-file scan; see s15.
+            val verdictFrame = graft.dedup.Dedup.indexDedupBatch(
+              idx.frame, batch, batch.select(col("doc")).distinct())
             val vFiles = PipelineManager.epochAppend(
-              graft.dedup.Dedup.indexDedupBatch(idxView, batch,
-                batch.select(col("doc")).distinct()).coalesce(1),
-              outDir, epoch, "s16out")
-            val aFiles = PipelineManager.epochAppend(
-              graft.dedup.Dedup.admitBands(
-                batch, s.read.parquet(vFiles: _*)).coalesce(1),
-              idxDir, epoch, "s16idx")
-            if (aFiles.nonEmpty)
-              idxView = idxView.union(s.read.parquet(aFiles: _*))
+              verdictFrame.coalesce(1), outDir, epoch, "s16out")
+            val verdicts = if (vFiles.isEmpty) verdictFrame.limit(0)
+              else s.read.parquet(vFiles: _*)
+            idx.extend(PipelineManager.epochAppend(
+              graft.dedup.Dedup.admitBands(batch, verdicts).coalesce(1),
+              idxDir, epoch, "s16idx"))
           }
           .start()
         q.awaitTermination()

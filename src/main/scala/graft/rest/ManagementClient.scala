@@ -62,6 +62,12 @@ final class ManagementClient(baseUrl: String, owner: String = "anonymous",
     java.net.URLEncoder.encode(v, java.nio.charset.StandardCharsets.UTF_8)
       .replace("+", "%20")
 
+  // Path segments get the same treatment as query values: a pipeline
+  // name containing '/', ' ', or '?' must reach the server as ONE
+  // segment, not restructure the request path. (URLEncoder's %2F for
+  // '/' is exactly the segment-preserving form.)
+  private def seg(v: String): String = enc(v)
+
   private def obj(fields: (String, JValue)*): String =
     JsonMethods.compact(JsonMethods.render(JObject(fields.toList)))
 
@@ -70,42 +76,42 @@ final class ManagementClient(baseUrl: String, owner: String = "anonymous",
       send("POST", "/pipelines", Some(PipelineSpecJson.write(spec))))
 
   def update(spec: PipelineSpec): PipelineSpec =
-    PipelineSpecJson.fromJson(send("PUT", s"/pipelines/${spec.name}",
+    PipelineSpecJson.fromJson(send("PUT", s"/pipelines/${seg(spec.name)}",
       Some(PipelineSpecJson.write(spec))))
 
   /** None on 404, as the reference's getDatastream(name) contract. */
   def get(name: String): Option[PipelineSpec] =
-    try Some(PipelineSpecJson.fromJson(send("GET", s"/pipelines/$name")))
+    try Some(PipelineSpecJson.fromJson(send("GET", s"/pipelines/${seg(name)}")))
     catch { case ManagementClientException(404, _) => None }
 
   def list(start: Int = 0, count: Int = Int.MaxValue): Seq[PipelineSpec] =
     specs(send("GET", s"/pipelines?start=$start&count=$count"))
 
   def group(name: String): Seq[PipelineSpec] =
-    specs(send("GET", s"/pipelines/$name/group"))
+    specs(send("GET", s"/pipelines/${seg(name)}/group"))
 
   def start(name: String, await: Boolean = false): Unit =
-    send("POST", s"/pipelines/$name/start${flags("await" -> await)}"): Unit
+    send("POST", s"/pipelines/${seg(name)}/start${flags("await" -> await)}"): Unit
 
   def pause(name: String, force: Boolean = false): PipelineSpec =
     PipelineSpecJson.fromJson(
-      send("POST", s"/pipelines/$name/pause${flags("force" -> force)}"))
+      send("POST", s"/pipelines/${seg(name)}/pause${flags("force" -> force)}"))
 
   def stop(name: String, force: Boolean = false): PipelineSpec =
     PipelineSpecJson.fromJson(
-      send("POST", s"/pipelines/$name/stop${flags("force" -> force)}"))
+      send("POST", s"/pipelines/${seg(name)}/stop${flags("force" -> force)}"))
 
   def resume(name: String, await: Boolean = false,
       force: Boolean = false): PipelineSpec =
     PipelineSpecJson.fromJson(send("POST",
-      s"/pipelines/$name/resume${flags("await" -> await, "force" -> force)}"))
+      s"/pipelines/${seg(name)}/resume${flags("await" -> await, "force" -> force)}"))
 
   def delete(name: String): Unit =
-    send("DELETE", s"/pipelines/$name"): Unit
+    send("DELETE", s"/pipelines/${seg(name)}"): Unit
 
   /** The full task→instance view. */
   def assignment(name: String): Map[String, String] =
-    send("GET", s"/pipelines/$name/assignment") match {
+    send("GET", s"/pipelines/${seg(name)}/assignment") match {
       case JArray(xs) => xs.map { j =>
         val t = j \ "task" match { case JString(v) => v; case _ => "" }
         val i = j \ "instance" match { case JString(v) => v; case _ => "" }
@@ -116,14 +122,14 @@ final class ManagementClient(baseUrl: String, owner: String = "anonymous",
 
   /** The instance hosting one task; None on 404 (task not found). */
   def taskInstance(name: String, task: String): Option[String] =
-    try send("GET", s"/pipelines/$name/assignment?task=${enc(task)}") \ "instance" match {
+    try send("GET", s"/pipelines/${seg(name)}/assignment?task=${enc(task)}") \ "instance" match {
       case JString(v) => Some(v)
       case _ => None
     } catch { case ManagementClientException(404, _) => None }
 
   def movePartitions(name: String, partitions: Seq[String],
       targetHost: String, notify: Boolean = true): Unit =
-    send("POST", s"/pipelines/$name/movePartitions", Some(obj(
+    send("POST", s"/pipelines/${seg(name)}/movePartitions", Some(obj(
       "partitions" -> JString(partitions.mkString(",")),
       "targetHost" -> JString(targetHost),
       "notify" -> JBool(notify)))): Unit
@@ -131,7 +137,7 @@ final class ManagementClient(baseUrl: String, owner: String = "anonymous",
   def pauseSourcePartitions(name: String, partitionCol: String,
       partitions: Seq[String], await: Boolean = false): Unit =
     send("POST",
-      s"/pipelines/$name/pauseSourcePartitions${flags("await" -> await)}",
+      s"/pipelines/${seg(name)}/pauseSourcePartitions${flags("await" -> await)}",
       Some(obj(
         "partitionCol" -> JString(partitionCol),
         "partitions" -> JString(partitions.mkString(","))))): Unit
@@ -140,7 +146,7 @@ final class ManagementClient(baseUrl: String, owner: String = "anonymous",
   def resumeSourcePartitions(name: String, partitions: Seq[String],
       await: Boolean = false): Unit =
     send("POST",
-      s"/pipelines/$name/resumeSourcePartitions${flags("await" -> await)}",
+      s"/pipelines/${seg(name)}/resumeSourcePartitions${flags("await" -> await)}",
       Some(obj("partitions" -> JString(partitions.mkString(","))))): Unit
 
   def health(): JValue = send("GET", "/health")
@@ -149,5 +155,5 @@ final class ManagementClient(baseUrl: String, owner: String = "anonymous",
     if (peers.isEmpty) send("GET", "/diag")
     else send("GET", s"/diag?peers=${enc(peers.mkString(","))}")
 
-  def diagOf(name: String): JValue = send("GET", s"/diag/$name")
+  def diagOf(name: String): JValue = send("GET", s"/diag/${seg(name)}")
 }

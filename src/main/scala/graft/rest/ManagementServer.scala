@@ -215,9 +215,17 @@ final class ManagementServer(pm: PipelineManager,
   })
 
   private def route(ex: HttpExchange): Unit = {
-    val path = ex.getRequestURI.getPath.stripSuffix("/")
+    // Split the RAW path, then percent-decode each segment — the
+    // mirror of queryParams' raw-query handling, so a pipeline name
+    // the client sent as one %2F/%20-encoded segment routes as ONE
+    // segment (URI.getPath would decode %2F to '/' BEFORE the split
+    // and restructure the route). '+' stays literal per URI path
+    // conventions.
+    def dec(v: String): String =
+      java.net.URLDecoder.decode(v.replace("+", "%2B"), StandardCharsets.UTF_8)
+    val path = ex.getRequestURI.getRawPath.stripSuffix("/")
     val method = ex.getRequestMethod
-    (method, path.split("/").toList.drop(1)) match {
+    (method, path.split("/").toList.drop(1).map(dec)) match {
       case ("GET", List("pipelines")) =>
         val q = queryParams(ex)
         val start = q.getOrElse("start", "0").toInt

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * In-run view of a durable, epoch-committed parquet index (the
+ * s15/s16 streaming-dedup loops and any d19-style incremental-index
+ * ingest).
+ *
+ * Lifecycle: starts from a fresh read of the compacted index dir (the
+ * same read the crash-recovery path performs), and after each epoch's
+ * admission commit extends itself with just that epoch's committed
+ * files — so an epoch never re-lists the whole (growing) directory.
+ *
+ * The bound this class exists for: a plain per-epoch
+ * `view = view.union(read(newFiles))` grows the logical plan by one
+ * relation per epoch, and analysis/planning cost grows with it — the
+ * round-12 StreamScaleProbe measured ~22% late-over-early per-epoch
+ * drift at 40 epochs from exactly this. Every `refreshEvery`
+ * extensions the view therefore swaps back to a single fresh read of
+ * the compacted dir (one relation, flat listing), so the union plan
+ * never exceeds `refreshEvery` relations no matter how many epochs a
+ * run processes. Correctness is unchanged: the dir holds precisely
+ * the committed files the unions accumulated ([[PipelineManager
+ * .epochAppend]]'s rename-then-marker contract; Spark's parquet
+ * reader ignores the `_staging-*`/`_graft_commits` metadata paths),
+ * so the refreshed frame has the same rows as the union it replaces.
+ *
+ * At 100 TB the same bound matters more, not less: a long-running
+ * ingest does thousands of epochs per run, and the periodic re-read
+ * amortizes a directory listing over K epochs instead of carrying an
+ * ever-wider plan into every batch's analysis.
+ */
+final class DurableIndexView(spark: SparkSession, dir: String,
+    refreshEvery: Int = DurableIndexView.DefaultRefreshEvery) {
+  require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
+  private var view: DataFrame = spark.read.parquet(dir)
+  private var sinceRefresh = 0
+
+  /** The current index frame — bootstrap plus every committed epoch
+    * extension so far. */
+  def frame: DataFrame = view
+
+  /** Fold one epoch's committed admission files into the view. A
+    * replayed epoch hands back the SAME files (epochAppend is
+    * idempotent), and duplicate rows cannot change a dedup verdict
+    * (countDistinct/min), so extending twice is harmless. */
+  def extend(committed: Seq[String]): Unit = if (committed.nonEmpty) {
+    sinceRefresh += 1
+    if (sinceRefresh >= refreshEvery) {
+      view = spark.read.parquet(dir) // one relation again: plan reset
+      sinceRefresh = 0
+    } else view = view.union(spark.read.parquet(committed: _*))
+  }
+}
+
+object DurableIndexView {
+  /** Union plan width cap — listing cost amortized over 8 epochs while
+    * the analyzed plan stays <= 8 relations wide. */
+  val DefaultRefreshEvery = 8
+}

@@ -84,10 +84,17 @@ object StreamScaleProbe {
       val files = new java.io.File(srcDir).listFiles()
         .filter(_.getName.startsWith("part-")).sortBy(_.lastModified())
       files.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(1700000000000L + i * 60000L): Unit }
+        require(f.setLastModified(1700000000000L + i * 60000L),
+          s"setLastModified failed for ${f.getPath}; epoch order would be nondeterministic") }
 
       val epochSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var idxView = spark.read.parquet(idxDir)
+      // The production view: union extensions with a periodic compacted
+      // re-read bounding the plan width. SPARK_GRAFT_REFRESH_EPOCHS
+      // overrides the cap (set it above the epoch count to reproduce
+      // the round-12 unbounded-union drift for comparison).
+      val refreshEvery = sys.env.getOrElse("SPARK_GRAFT_REFRESH_EPOCHS",
+        graft.streaming.DurableIndexView.DefaultRefreshEvery.toString).toInt
+      val idx = new graft.streaming.DurableIndexView(spark, idxDir, refreshEvery)
       val q = spark.readStream.schema(rows.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
@@ -98,16 +105,15 @@ object StreamScaleProbe {
         .foreachBatch { (batch: DataFrame, epoch: Long) =>
           val t0 = System.nanoTime()
           val bb = batch.filter(col("band").isNotNull)
+          val verdictFrame = graft.dedup.Dedup.indexDedupBatch(idx.frame, bb,
+            batch.select(col("doc")).distinct())
           val vFiles = PipelineManager.epochAppend(
-            graft.dedup.Dedup.indexDedupBatch(idxView, bb,
-              batch.select(col("doc")).distinct()).coalesce(1),
-            outDir, epoch, "sscale-out")
-          val aFiles = PipelineManager.epochAppend(
-            graft.dedup.Dedup.admitBands(
-              bb, spark.read.parquet(vFiles: _*)).coalesce(1),
-            idxDir, epoch, "sscale-idx")
-          if (aFiles.nonEmpty)
-            idxView = idxView.union(spark.read.parquet(aFiles: _*))
+            verdictFrame.coalesce(1), outDir, epoch, "sscale-out")
+          val verdicts = if (vFiles.isEmpty) verdictFrame.limit(0)
+            else spark.read.parquet(vFiles: _*)
+          idx.extend(PipelineManager.epochAppend(
+            graft.dedup.Dedup.admitBands(bb, verdicts).coalesce(1),
+            idxDir, epoch, "sscale-idx"))
           val dt = (System.nanoTime() - t0) / 1e9
           epochSecs += dt
           println(f"[sscale] $label epoch=$epoch ${dt}%.2fs heap=${heapMb}MB")

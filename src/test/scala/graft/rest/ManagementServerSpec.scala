@@ -467,4 +467,29 @@ class ManagementServerSpec extends SparkTestBase {
         """{"partitions":"1","targetHost":"hostA"}""")).statusCode() == 404)
     } finally { srv.stop(); pm.close() }
   }
+
+  test("path segments with '/', space, and '?' round-trip encoded") {
+    // The client percent-encodes interpolated path segments and the
+    // server splits the RAW path before decoding — so a hostile name
+    // routes as ONE segment instead of restructuring the request.
+    val pm = new PipelineManager(spark,
+      Files.createTempDirectory("graft-rest-seg-").toString)
+    val srv = new ManagementServer(pm).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      val mc = new ManagementClient(base, owner = "alice")
+      val srcDir = Files.createTempDirectory("graft-rest-seg-src-").toString
+      Seq((1L, "v1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+      val name = "team a/pipe?1"
+      mc.create(graft.model.PipelineSpec(name, "parquet", "memory", srcDir))
+      // get/list see the literal name; the unencoded prefix segment
+      // alone is a 404, proving the encoded form didn't split
+      assert(mc.get(name).exists(_.name == name))
+      assert(mc.get("team a").isEmpty)
+      mc.pause(name)
+      assert(mc.get(name).exists(_.status.toString == "Paused"))
+      mc.delete(name)
+      assert(mc.get(name).isEmpty)
+    } finally { srv.stop(); pm.close() }
+  }
 }
