@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 import graft.model.{PipelineSpec, PipelineStatus}
 import graft.operators.Translate
-import graft.streaming.{PipelineHooks, PipelineManager, TwsCounterProcessor, TwsSessionProcessor}
+import graft.streaming.{PipelineHooks, PipelineLockedException, PipelineManager, TwsCounterProcessor, TwsSessionProcessor}
 
 /**
  * Structured-Streaming forms of the data-plane operators, run
@@ -1230,6 +1230,77 @@ object StreamingQueries {
         .toDF("kind", "k", "v")
     }),
 
+    // Two-LIVE-manager mutual exclusion — the guarantee q64 does NOT
+    // cover (it proves sequential failover): a task has exactly ONE
+    // owner among live instances. Reference: a DatastreamTask is
+    // exclusively owned via a ZK ephemeral lock node
+    // (DatastreamTaskImpl.java:126-139 acquire/release, lock paths
+    // ZkAdapter.java:123); a second live instance's acquire fails
+    // rather than double-running the task. Spark shape: two
+    // PipelineManagers live on one durable root; the loser's start()
+    // throws PipelineLockedException BEFORE any StreamingQuery or
+    // checkpoint touch exists (no double delivery is structural, and
+    // the destination count proves it); the lock is MANAGER ownership,
+    // not query activity — still held after the winner's query drains
+    // — and only the winner's session end (close) makes it an orphan
+    // the loser can reclaim. Epoch 1 lands only after the takeover, so
+    // the loser's delivery continuing from the winner's checkpoint is
+    // also pinned. Oracle is closed-form: lock-event literals plus
+    // exactly-once corpus counts.
+    "q65_manager_mutex" -> ((s, d) => {
+      val ckptRoot = Files.createTempDirectory("graft-q65-pm-").toString
+      val srcDir = Files.createTempDirectory("graft-q65-src-").toString
+      val destDir = Files.createTempDirectory("graft-q65-dest-").toString + "/d"
+      try {
+        val clicks = Tables.t(s, d, "events")
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"))
+        def epochOf(e: Long): DataFrame =
+          clicks.filter(pmod(col("event_id"), lit(2L)) === e)
+        PipelineManager.epochAppend(epochOf(0).coalesce(1), srcDir, 0, "q65src")
+        val m1 = new PipelineManager(s, ckptRoot, instance = "mgr1")
+        m1.create(PipelineSpec("q65p", "parquet", "parquet", srcDir,
+          destinationConnection = destDir))
+        // mgr2 joins the cluster AFTER the create (a new manager loads
+        // the durable spec store) — BOTH are now live on the root
+        val m2 = new PipelineManager(s, ckptRoot, instance = "mgr2")
+        val sawSpec = m2.get("q65p").isDefined
+        val q1 = m1.start("q65p", identity)
+        // loser: clean rejection, no second query
+        val rejectedBy =
+          try { m2.start("q65p", identity); "NONE" }
+          catch { case e: PipelineLockedException => e.lockedBy }
+        val loserHasQuery = m2.queryOf("q65p").isDefined
+        q1.awaitTermination()
+        // ownership is the MANAGER's, not the query's: the winner's
+        // query has drained, the winner is still live — still locked
+        val rejectedAfterDrain =
+          try { m2.start("q65p", identity); "NONE" }
+          catch { case e: PipelineLockedException => e.lockedBy }
+        // winner's session ends; its lock is now an orphan
+        m1.close()
+        PipelineManager.epochAppend(epochOf(1).coalesce(1), srcDir, 1, "q65src")
+        val tookOver =
+          try { m2.start("q65p", identity).awaitTermination(); true }
+          catch { case _: PipelineLockedException => false }
+        val r = s.read.parquet(destDir)
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+          .head()
+        m2.close()
+        import s.implicits._
+        Seq(
+          ("cluster", "loser_sees_spec", sawSpec.toString),
+          ("lock", "loser_rejected_by", rejectedBy),
+          ("lock", "loser_has_query", loserHasQuery.toString),
+          ("lock", "rejected_after_drain_by", rejectedAfterDrain),
+          ("lock", "takeover_after_close", tookOver.toString),
+          ("rows", "n", r.getLong(0).toString),
+          ("rows", "n_distinct", r.getLong(1).toString))
+          .toDF("kind", "k", "v")
+      } finally deleteTree(ckptRoot, srcDir,
+        new java.io.File(destDir).getParent)
+    }),
+
     // §2.10: the full SPI lifecycle through PipelineManager — every
     // pluggable hook fires and every state transition lands where the
     // reference's Coordinator would put it: Authorizer rejects an
@@ -1623,6 +1694,23 @@ object StreamingQueries {
         |UNION ALL SELECT 'rows', 'b_distinct',
         |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
         |FROM events WHERE event_type = 'view'"""
+        .stripMargin.replace("\n", " "),
+
+    // Mutual-exclusion closed form: every lock event is a literal
+    // (mgr1 rejects twice, no loser query, takeover succeeds), and
+    // exactly-once delivery across the ownership change means the
+    // destination count equals the click corpus.
+    "q65_manager_mutex" ->
+      """SELECT 'cluster' AS kind, 'loser_sees_spec' AS k, 'true' AS v
+        |UNION ALL SELECT 'lock', 'loser_rejected_by', 'mgr1'
+        |UNION ALL SELECT 'lock', 'loser_has_query', 'false'
+        |UNION ALL SELECT 'lock', 'rejected_after_drain_by', 'mgr1'
+        |UNION ALL SELECT 'lock', 'takeover_after_close', 'true'
+        |UNION ALL SELECT 'rows', 'n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL SELECT 'rows', 'n_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'"""
         .stripMargin.replace("\n", " "),
 
     // §2.10 closed form: lifecycle transitions, delivered rows,

@@ -207,6 +207,7 @@ final class ManagementServer(pm: PipelineManager,
   server.createContext("/", (ex: HttpExchange) => {
     try route(ex)
     catch {
+      case e: graft.streaming.PipelineLockedException => error(ex, 409, e.getMessage)
       case e: IllegalArgumentException => error(ex, 400, e.getMessage)
       case e: RuntimeException if e.getMessage != null &&
           e.getMessage.startsWith("unknown") => error(ex, 404, e.getMessage)

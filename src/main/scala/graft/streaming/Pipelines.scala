@@ -50,8 +50,26 @@ final case class PipelineHooks(
     dedupe: (PipelineSpec, Iterable[PipelineSpec]) => Option[PipelineSpec] =
       (spec, existing) => existing.find(_.sourceConnection == spec.sourceConnection))
 
+/** Thrown when a LIVE manager instance already owns a pipeline's
+  * execution lock — the reference's failed task acquire: a
+  * DatastreamTask is exclusively owned via a ZK ephemeral lock node
+  * (DatastreamTask acquire/release, DatastreamTaskImpl.java:126-139;
+  * lock paths ZkAdapter.java:123) and a second live instance's
+  * acquire times out rather than double-running the task. */
+final case class PipelineLockedException(pipeline: String, lockedBy: String)
+  extends IllegalStateException(s"pipeline $pipeline locked by live instance $lockedBy")
+
 final class PipelineManager(spark: SparkSession, checkpointRoot: String,
-    hooks: PipelineHooks = PipelineHooks()) {
+    hooks: PipelineHooks = PipelineHooks(), instance: String = "") {
+
+  /** This manager's live-instance identity — the analog of the
+    * reference coordinator's ZK `/liveinstances/<id>` registration
+    * (ZkAdapter.java joinLeaderElection/liveinstance nodes). Lock
+    * ownership below is judged against the LIVE set: a lock whose
+    * owner has no live registration is an orphan and is reclaimed. */
+  val instanceId: String =
+    if (instance.nonEmpty) instance
+    else "inst-" + java.util.UUID.randomUUID().toString.take(8)
 
   private val specs = TrieMap.empty[String, PipelineSpec]
   private val queries = new ConcurrentHashMap[String, StreamingQuery]()
@@ -66,6 +84,70 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   private val pausedPartitions = TrieMap.empty[String, (String, Set[String])]
   loadSpecs()
   loadPausedState()
+
+  // ---- Pipeline execution locks (D4 at the manager level): a
+  // pipeline may run under exactly ONE live manager sharing a durable
+  // root. The lock is an atomically-created file carrying the owner's
+  // instanceId (HDFS create-without-overwrite is the atomic
+  // primitive, standing in for the reference's ZK ephemeral lock
+  // node); liveness is the owner's instance registration, so a dead
+  // manager's locks are orphans and are reclaimed by the next
+  // acquirer — the reference's cleanUpOrphanLocks sweep. close()
+  // models session end (ZK ephemeral expiry): the registration
+  // disappears and every lock this instance held goes stale. A
+  // production multi-host deployment additionally ages registrations
+  // by heartbeat mod-time; in-process managers need only existence. --
+  private val rootFs = new Path(checkpointRoot)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def instancePath(id: String) =
+    new Path(s"$checkpointRoot/instances/$id")
+  rootFs.mkdirs(instancePath(instanceId).getParent)
+  rootFs.create(instancePath(instanceId), true).close()
+
+  private def lockPath(name: String) =
+    new Path(s"$checkpointRoot/locks/${PipelineManager.namespaceOf(name)}.lock")
+
+  private def lockOwner(p: Path): String =
+    if (!rootFs.exists(p)) ""
+    else {
+      val in = rootFs.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+
+  /** Acquire (or re-enter) the pipeline's execution lock. Re-entrant
+    * for this instance — pause/resume/restart cycles keep ownership,
+    * matching the reference's paused-task-keeps-assignment contract.
+    * Throws [[PipelineLockedException]] when another LIVE instance
+    * owns it; silently reclaims a dead instance's orphan lock. */
+  private def acquireLock(name: String): Unit = {
+    val p = lockPath(name)
+    rootFs.mkdirs(p.getParent)
+    def tryCreate(): Boolean =
+      try {
+        val out = rootFs.create(p, false)
+        try out.write(instanceId.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (tryCreate()) return
+    val owner = lockOwner(p)
+    if (owner == instanceId) return
+    if (owner.nonEmpty && rootFs.exists(instancePath(owner)))
+      throw PipelineLockedException(name, owner)
+    // orphan lock of a dead instance — reclaim and retry once; a
+    // concurrent reclaimer winning the retry is a live owner
+    rootFs.delete(p, false)
+    if (!tryCreate()) {
+      val o2 = lockOwner(p)
+      if (o2 != instanceId) throw PipelineLockedException(name, o2)
+    }
+  }
+
+  /** Release the lock if this instance holds it (stop/delete — the
+    * task returns to the pool; the reference's task release). */
+  private def releaseLock(name: String): Unit = {
+    val p = lockPath(name)
+    if (lockOwner(p) == instanceId) rootFs.delete(p, false): Unit
+  }
 
   // ---- Durable spec store (the reference's
   // ZookeeperBackedDatastreamStore role): every registered spec lives
@@ -179,6 +261,12 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     queries.values().asScala.foreach(q => if (q.isActive) q.stop())
     queries.clear()
     spark.streams.removeListener(listener)
+    // Session end (the reference's ZK session close/expiry): the
+    // live-instance registration disappears, so every lock this
+    // instance held is now an orphan that the next live acquirer
+    // reclaims — deliberately NOT deleting the lock files themselves,
+    // so the q64 crash-failover path exercises orphan reclamation.
+    rootFs.delete(instancePath(instanceId), false): Unit
   }
 
   /** Validate + authorize + dedup + register (the "create" DDL).
@@ -598,6 +686,11 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   private def startInPool(name: String, transform: DataFrame => DataFrame,
       trigger: Trigger): StreamingQuery = {
     val spec = specs.getOrElse(name, sys.error(s"unknown pipeline $name"))
+    // Single-owner guarantee BEFORE any query exists: a second live
+    // manager's start is rejected here with no StreamingQuery, no
+    // checkpoint touch, no delivery (D4; DatastreamTaskImpl.java
+    // :126-139 acquire).
+    acquireLock(name)
     // A6/A7: per-epoch throughput metrics ride the query itself via
     // observe() — no second pass over the data; the listener above
     // collects them (the reference's EventProducer SLA counters).
@@ -735,6 +828,10 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         // StreamingQuery.stop() cancels the query's in-flight jobs —
         // nothing of the pipeline's scheduler pool outlives it
         Option(queries.remove(n)).foreach(_.stop())
+        // resources released ⇒ the task returns to the pool: another
+        // live manager may now acquire it (contrast pause, which keeps
+        // the assignment AND the lock)
+        releaseLock(n)
         specs.updateWith(n)(_.map(_.copy(status = PipelineStatus.Stopped)))
         specs.get(n).foreach(persistSpec)
         hooks.onStateChange(n, PipelineStatus.Stopped)
@@ -755,6 +852,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   def delete(name: String, owner: String = "anonymous"): Unit = {
     authorizeLifecycle(name, owner)
     Option(queries.remove(name)).foreach(_.stop())
+    releaseLock(name)
     specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Deleting)))
     specs.remove(name)
     removeSpecFile(name)

@@ -8,28 +8,37 @@ import graft.queries.DataOpsQueries
 import graft.streaming.PipelineManager
 
 /**
- * Streaming-ingest scale probe: the s15 durable-band-index dedup shape
- * (bootstrap index → fixed-size batches stream in → per-epoch verdict
- * commit + admission append) driven at a FIXED batch size over the
- * base corpus and an 8×-unioned corpus — so the 8× run has 8× the
- * epochs and its later epochs dedup against an index ~8× the base
- * run's. What the probe must show for the 100 TB claim:
+ * Streaming-ingest scale probes for the three durable/stateful ingest
+ * shapes, each driven at a FIXED batch size over the base corpus and
+ * an 8×-unioned corpus — so the 8× run has 8× the epochs. Per-epoch
+ * wall time staying ~flat as epochs accumulate is the 100 TB claim
+ * under test; each shape has its own reason to stay flat:
  *
- *  - per-epoch wall time stays ~flat as the index grows (the planner
- *    broadcasts the small batch side under its threshold, so the
- *    index side is scanned, never shuffled);
- *  - driver heap stays flat across epochs (O(batch) memory — the
- *    in-memory "view" is a union of parquet scans, not cached rows).
+ *  - s15 shape (growing durable band index): the planner broadcasts
+ *    the O(batch) side, the index side is scanned never shuffled, and
+ *    the in-run view's union plan is BOUNDED (DurableIndexView swaps
+ *    to a compacted re-read every K epochs — the round-12 probe
+ *    measured 22% late-epoch drift from the unbounded union).
+ *  - s14 shape (watermark-bounded streaming dedup): state-store size
+ *    is bounded by the watermark, so per-epoch maintenance cost is
+ *    O(batch + in-horizon state), independent of how many epochs ran.
+ *  - s20 shape (static benchmark decontamination): the index is
+ *    immutable, read once per run — per-epoch cost must be O(batch)
+ *    BY CONSTRUCTION; the probe proves the construction.
  *
- * Prints one line per epoch (seconds, heap, index size) plus an
- * early-vs-late mean comparison per corpus. Numbers land in
- * PERF_NOTES.md.
+ * Prints one line per epoch (seconds, heap) plus an early-vs-late
+ * mean comparison per corpus and shape. Numbers land in PERF_NOTES.md.
+ * SPARK_GRAFT_PROBE_SHAPES selects shapes (default "s15,s14,s20");
+ * SPARK_GRAFT_REFRESH_EPOCHS overrides the s15 view's plan-width cap
+ * (set it above the epoch count to reproduce the unbounded drift).
  */
 object StreamScaleProbe {
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "8").toInt
     val batchDocs = sys.env.getOrElse("SPARK_GRAFT_BATCH_DOCS", "500").toInt
+    val shapes = sys.env.getOrElse("SPARK_GRAFT_PROBE_SHAPES", "s15,s14,s20")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val scaled = s"/tmp/graft_sscale$factor"
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -56,91 +65,185 @@ object StreamScaleProbe {
     val rt = Runtime.getRuntime
     def heapMb: Long = (rt.totalMemory - rt.freeMemory) >> 20
 
-    def run(dir: String, label: String): Unit = {
+    def tmp(tag: String): String =
+      java.nio.file.Files.createTempDirectory(tag).toString
+
+    def deleteAll(paths: String*): Unit = paths.foreach { p =>
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(del)); f.delete(): Unit
+      }
+      del(new java.io.File(p))
+    }
+
+    /** Corpus band frame (doc, band, bh), persisted; caller unpersists. */
+    def bandRows(dir: String): DataFrame = {
       DataOpsQueries.release(dir)
       val d = spark.read.parquet(s"$dir/documents.parquet")
-      val bands = DataOpsQueries.sharedBands(spark, dir)
-      val rows = d.select(col("doc_id").as("doc"))
-        .join(bands, Seq("doc"), "left")
+      d.select(col("doc_id").as("doc"))
+        .join(DataOpsQueries.sharedBands(spark, dir), Seq("doc"), "left")
         .select(col("doc"), col("band").cast("long").as("band"), col("bh"))
         .persist()
-      val srcDir = java.nio.file.Files.createTempDirectory(s"sscale-src-").toString
-      val idxDir = java.nio.file.Files.createTempDirectory(s"sscale-idx-").toString
-      val outDir = java.nio.file.Files.createTempDirectory(s"sscale-out-").toString
-      val ckpt = java.nio.file.Files.createTempDirectory(s"sscale-ckpt-").toString
-      // bootstrap: even docs pre-exist in the corpus index
-      rows.filter(pmod(col("doc"), lit(2L)) === 0 && col("band").isNotNull)
-        .write.mode("overwrite").parquet(idxDir)
-      // odd docs arrive as FIXED-SIZE batches (same batchDocs at 1×
-      // and 8×, so the 8× run has ~8× the epochs)
+    }
+
+    /** Write the odd-doc half of `rows` as nBatches one-file batches
+      * (hash-spread so sizes stay even under the 8× id remap), with
+      * forced strictly-increasing mod times so maxFilesPerTrigger=1
+      * replays them in write order. Returns the batch count. An
+      * optional per-batch projection lets a shape attach batch-indexed
+      * columns (s14's event-time). */
+    def writeOddBatches(rows: DataFrame, srcDir: String,
+        project: (DataFrame, Int) => DataFrame = (df, _) => df): Int = {
       val odd = rows.filter(pmod(col("doc"), lit(2L)) === 1)
       val nOdd = odd.select(col("doc")).distinct().count()
       val nBatches = math.max(1, (nOdd / batchDocs).toInt)
       (0 until nBatches).foreach { b =>
-        odd.filter(pmod(Portable.h(col("doc")), lit(nBatches.toLong)) === b)
+        project(odd.filter(
+            pmod(Portable.h(col("doc")), lit(nBatches.toLong)) === b), b)
           .coalesce(1).write.mode("append").parquet(srcDir)
       }
-      // force strictly-increasing mod times in write order
       val files = new java.io.File(srcDir).listFiles()
         .filter(_.getName.startsWith("part-")).sortBy(_.lastModified())
       files.zipWithIndex.foreach { case (f, i) =>
         require(f.setLastModified(1700000000000L + i * 60000L),
           s"setLastModified failed for ${f.getPath}; epoch order would be nondeterministic") }
+      nBatches
+    }
 
+    /** Drive a stream of `srcDir` files (one epoch each) through
+      * `body`, timing each epoch, then print the flatness summary. */
+    def drive(shape: String, label: String, srcDir: String, ckpt: String,
+        schema: org.apache.spark.sql.types.StructType,
+        pre: DataFrame => DataFrame)(body: (DataFrame, Long) => Unit): Unit = {
       val epochSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
-      // The production view: union extensions with a periodic compacted
-      // re-read bounding the plan width. SPARK_GRAFT_REFRESH_EPOCHS
-      // overrides the cap (set it above the epoch count to reproduce
-      // the round-12 unbounded-union drift for comparison).
-      val refreshEvery = sys.env.getOrElse("SPARK_GRAFT_REFRESH_EPOCHS",
-        graft.streaming.DurableIndexView.DefaultRefreshEvery.toString).toInt
-      val idx = new graft.streaming.DurableIndexView(spark, idxDir, refreshEvery)
-      val q = spark.readStream.schema(rows.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(srcDir)
+      val q = pre(spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir))
         .writeStream
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, epoch: Long) =>
           val t0 = System.nanoTime()
-          val bb = batch.filter(col("band").isNotNull)
-          val verdictFrame = graft.dedup.Dedup.indexDedupBatch(idx.frame, bb,
-            batch.select(col("doc")).distinct())
-          val vFiles = PipelineManager.epochAppend(
-            verdictFrame.coalesce(1), outDir, epoch, "sscale-out")
-          val verdicts = if (vFiles.isEmpty) verdictFrame.limit(0)
-            else spark.read.parquet(vFiles: _*)
-          idx.extend(PipelineManager.epochAppend(
-            graft.dedup.Dedup.admitBands(bb, verdicts).coalesce(1),
-            idxDir, epoch, "sscale-idx"))
+          body(batch, epoch)
           val dt = (System.nanoTime() - t0) / 1e9
           epochSecs += dt
-          println(f"[sscale] $label epoch=$epoch ${dt}%.2fs heap=${heapMb}MB")
+          println(f"[sscale] $shape $label epoch=$epoch ${dt}%.2fs heap=${heapMb}MB")
         }
         .start()
       q.awaitTermination()
       val n = epochSecs.size
       val head = epochSecs.take(3)
       val tail = epochSecs.takeRight(3)
-      println(f"[sscale] $label SUMMARY epochs=$n batchDocs=$batchDocs " +
+      println(f"[sscale] $shape $label SUMMARY epochs=$n batchDocs=$batchDocs " +
         f"first3_mean=${head.sum / head.size}%.2fs " +
         f"last3_mean=${tail.sum / tail.size}%.2fs " +
         f"late_over_early=${(tail.sum / tail.size) / (head.sum / head.size)}%.2f " +
         f"heap=${heapMb}MB")
+    }
+
+    // ---- s15 shape: growing durable band index, bounded-plan view ----
+    def runIndexDedup(dir: String, label: String): Unit = {
+      val rows = bandRows(dir)
+      val srcDir = tmp("sscale-src-"); val idxDir = tmp("sscale-idx-")
+      val outDir = tmp("sscale-out-"); val ckpt = tmp("sscale-ckpt-")
+      // bootstrap: even docs pre-exist in the corpus index
+      rows.filter(pmod(col("doc"), lit(2L)) === 0 && col("band").isNotNull)
+        .write.mode("overwrite").parquet(idxDir)
+      writeOddBatches(rows, srcDir): Unit
+      val refreshEvery = sys.env.getOrElse("SPARK_GRAFT_REFRESH_EPOCHS",
+        graft.streaming.DurableIndexView.DefaultRefreshEvery.toString).toInt
+      val idx = new graft.streaming.DurableIndexView(spark, idxDir, refreshEvery)
+      drive("s15shape", label, srcDir, ckpt, rows.schema, identity) { (batch, epoch) =>
+        val bb = batch.filter(col("band").isNotNull)
+        val verdictFrame = graft.dedup.Dedup.indexDedupBatch(idx.frame, bb,
+          batch.select(col("doc")).distinct())
+        val vFiles = PipelineManager.epochAppend(
+          verdictFrame.coalesce(1), outDir, epoch, "sscale-out")
+        val verdicts = if (vFiles.isEmpty) verdictFrame.limit(0)
+          else spark.read.parquet(vFiles: _*)
+        idx.extend(PipelineManager.epochAppend(
+          graft.dedup.Dedup.admitBands(bb, verdicts).coalesce(1),
+          idxDir, epoch, "sscale-idx"))
+      }
       rows.unpersist(true)
       org.apache.spark.sql.GraftBridge.unloadStateStores()
       DataOpsQueries.release(dir)
-      Seq(srcDir, idxDir, outDir, ckpt).foreach { p =>
-        def del(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(del)); f.delete(): Unit
-        }
-        del(new java.io.File(p))
-      }
+      deleteAll(srcDir, idxDir, outDir, ckpt)
     }
 
-    run(base, "1x")
-    run(scaled, s"${factor}x")
+    // ---- s14 shape: watermark-bounded streaming dedup ----
+    // Event time advances ONE HOUR per batch against a 30-minute
+    // watermark delay, so each epoch's dedup state is evicted as soon
+    // as the next epoch's watermark lands — in-horizon state is
+    // O(batch) no matter how many epochs the run processes. The 8×
+    // run's 8× epoch count probes exactly that bound.
+    def runWatermarkDedup(dir: String, label: String): Unit = {
+      val rows = bandRows(dir)
+      val srcDir = tmp("sscale14-src-"); val outDir = tmp("sscale14-out-")
+      val ckpt = tmp("sscale14-ckpt-")
+      writeOddBatches(rows, srcDir, (df, b) =>
+        df.filter(col("band").isNotNull).select(col("band"), col("bh"),
+          expr(s"timestampadd(HOUR, $b, timestamp'2024-01-01 00:00:00')")
+            .as("hr"))): Unit
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("band",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bh",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("hr",
+          org.apache.spark.sql.types.TimestampType)))
+      drive("s14shape", label, srcDir, ckpt, schema,
+        _.withWatermark("hr", "30 minutes")
+          .dropDuplicatesWithinWatermark("band", "bh", "hr")) { (batch, epoch) =>
+        PipelineManager.epochAppend(batch.coalesce(1), outDir, epoch,
+          "sscale-wm"): Unit
+      }
+      rows.unpersist(true)
+      org.apache.spark.sql.GraftBridge.unloadStateStores()
+      DataOpsQueries.release(dir)
+      deleteAll(srcDir, outDir, ckpt)
+    }
+
+    // ---- s20 shape: static benchmark index decontamination ----
+    // The SAME static benchmark index serves the 1× and 8× runs (built
+    // once from the base corpus's even docs), so flat per-epoch cost at
+    // 8× the epoch count shows the verdict join is O(batch) against an
+    // index whose plan and size never change.
+    def runDecontam(dir: String, label: String, benchDir: String): Unit = {
+      val rows = bandRows(dir)
+      val srcDir = tmp("sscale20-src-"); val outDir = tmp("sscale20-out-")
+      val ckpt = tmp("sscale20-ckpt-")
+      writeOddBatches(rows, srcDir): Unit
+      val bench = spark.read.parquet(benchDir) // static; one read per run
+      drive("s20shape", label, srcDir, ckpt, rows.schema, identity) { (batch, epoch) =>
+        val bb = batch.filter(col("band").isNotNull)
+        PipelineManager.epochAppend(
+          graft.dedup.Dedup.indexDedupBatch(bench, bb,
+            batch.select(col("doc")).distinct()).coalesce(1),
+          outDir, epoch, "sscale-dc"): Unit
+      }
+      rows.unpersist(true)
+      org.apache.spark.sql.GraftBridge.unloadStateStores()
+      DataOpsQueries.release(dir)
+      deleteAll(srcDir, outDir, ckpt)
+    }
+
+    if (shapes("s15")) {
+      runIndexDedup(base, "1x"); runIndexDedup(scaled, s"${factor}x")
+    }
+    if (shapes("s14")) {
+      runWatermarkDedup(base, "1x"); runWatermarkDedup(scaled, s"${factor}x")
+    }
+    if (shapes("s20")) {
+      val benchDir = tmp("sscale20-bench-")
+      val baseRows = bandRows(base)
+      baseRows.filter(pmod(col("doc"), lit(2L)) === 0 && col("band").isNotNull)
+        .coalesce(1).write.mode("overwrite").parquet(benchDir)
+      baseRows.unpersist(true)
+      runDecontam(base, "1x", benchDir)
+      runDecontam(scaled, s"${factor}x", benchDir)
+      deleteAll(benchDir)
+    }
     spark.stop()
   }
 

@@ -674,4 +674,35 @@ class PipelineManagerSpec extends SparkTestBase {
     assert(up2.metadata("graft.targetAssignment") == "0:hostA")
     pm.delete("sm1")
   }
+
+  test("pipeline lock: one owner among live managers, stop releases, close orphans") {
+    val root = Files.createTempDirectory("graft-lock-").toString
+    val srcDir = Files.createTempDirectory("graft-lock-src-").toString
+    Seq((1L, "v1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+
+    val pmA = new PipelineManager(spark, root, instance = "A")
+    pmA.create(PipelineSpec("lk", "parquet", "parquet", srcDir))
+    val pmB = new PipelineManager(spark, root, instance = "B")
+    pmA.start("lk", identity).awaitTermination()
+
+    // B is live but A owns the lock — rejection names the owner and
+    // leaves B with no query
+    val e = intercept[PipelineLockedException] { pmB.start("lk", identity) }
+    assert(e.lockedBy == "A" && pmB.queryOf("lk").isEmpty)
+
+    // pause keeps the assignment (and the lock); stop releases it
+    pmA.pause("lk")
+    intercept[PipelineLockedException] { pmB.resume("lk", identity) }
+    pmA.stop("lk")
+    pmB.resume("lk", identity).awaitTermination()
+
+    // ownership flipped: now A is the one locked out
+    intercept[PipelineLockedException] { pmA.resume("lk", identity) }
+
+    // B's session ends without releasing — A reclaims the orphan
+    pmB.close()
+    pmA.resume("lk", identity).awaitTermination()
+    pmA.delete("lk")
+    pmA.close()
+  }
 }
