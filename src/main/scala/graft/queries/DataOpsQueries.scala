@@ -831,20 +831,44 @@ object DataOpsQueries {
         import scala.jdk.CollectionConverters._
         s.createDataFrame(statsAgg.collect().toList.asJava, statsAgg.schema)
       }
-      // Exact lower median by rank — the audit's second (and last)
-      // corpus pass. Honest scale note: an exact median needs one
-      // global-order pass and this window ranks in a single task; a
-      // 100 TB deployment would swap in a quantile sketch here at the
-      // cost of oracle exactness. Aggregating (min over the single
-      // matching rank) keeps the output 1-row even when EVERY vector
-      // is NaN — the audit must report n_nan, not vanish, exactly
-      // when the corpus is fully poisoned (med_norm is NULL then).
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("nr").asc, col("vec_id"))
-      val med = f.filter(!col("has_nan"))
-        .withColumn("rn", row_number().over(w))
-        .crossJoin(stats.select(col("nc")))
-        .filter(col("rn") === floor((col("nc") + 1) / 2).cast("long"))
+      // Exact lower median WITHOUT a corpus-sized global sort — the
+      // audit's second (and last) corpus pass, as distributed
+      // counting-selection: (1) collapse to per-DISTINCT-rounded-norm
+      // counts (partial-agg groupBy — the only operator that touches
+      // corpus rows); (2) range-bucket the distinct values by the
+      // min/max literals already in `stats`; (3) per-bucket totals
+      // (<= P rows) pick the bucket containing global rank
+      // m = ⌈(nc+1)/2⌉ and its preceding-count offset; (4) a
+      // cumulative count ordered by nr INSIDE that one bucket finds
+      // the smallest value whose global cumulative reaches m. The two
+      // empty-partition windows run over <= P bucket rows and over
+      // one bucket's distinct values (bounded by rounding granularity
+      // × bucket width, never the corpus) — no single task ever
+      // orders corpus-sized data. Aggregating (min over the
+      // qualifying values) keeps the output 1-row even when EVERY
+      // vector is NaN — the audit must report n_nan, not vanish,
+      // exactly when the corpus is fully poisoned (med_norm NULL).
+      val P = 32
+      val g = f.filter(!col("has_nan")).groupBy(col("nr"))
+        .agg(count(lit(1)).as("c"))
+        .crossJoin(stats.select(col("min_norm"), col("max_norm"), col("nc")))
+        .withColumn("b",
+          when(col("max_norm") > col("min_norm"),
+            least(lit(P - 1), greatest(lit(0),
+              floor((col("nr") - col("min_norm")) /
+                (col("max_norm") - col("min_norm")) * P))))
+            .otherwise(lit(0)).cast("long"))
+        .withColumn("m", floor((col("nc") + 1) / 2).cast("long"))
+      val wb = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
+      val bsel = g.groupBy(col("b"), col("m")).agg(sum(col("c")).as("bc"))
+        .withColumn("cum", sum(col("bc")).over(wb))
+        .filter(col("cum") >= col("m"))
+        .orderBy(col("b")).limit(1)
+        .select(col("b").as("tb"), (col("cum") - col("bc")).as("off"))
+      val wn = org.apache.spark.sql.expressions.Window.orderBy(col("nr"))
+      val med = g.join(bsel, col("b") === col("tb"))
+        .withColumn("cumn", sum(col("c")).over(wn) + col("off"))
+        .filter(col("cumn") >= col("m"))
         .agg(round(min(col("nr")), 6).as("med_norm"))
       stats.crossJoin(med)
         .select(col("n_vectors"), col("n_nan"), col("n_zero"),

@@ -673,6 +673,29 @@ class PlanSpec extends SparkTestBase {
     assert(bnlj.nonEmpty, "cell assignment is a broadcast NLJ over centroids")
   }
 
+  test("e19 median never orders corpus rows in a single task") {
+    // The exact median runs as distributed counting-selection: the
+    // only operator touching corpus vectors is the distinct-norm
+    // groupBy. Every empty-partition window (bucket totals <= P rows;
+    // one bucket's distinct values) must therefore sit ABOVE an
+    // aggregate — a window whose subtree has no aggregate would be
+    // ordering raw corpus rows in one task, the exact shape this
+    // formulation removed.
+    val p = planOf("e19_embedding_health")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "counting-selection keeps its two windows")
+    windows.foreach { w =>
+      val hasAggBelow = flatten(w).exists(n =>
+        n.nodeName.contains("HashAggregate") ||
+          n.nodeName.contains("SortAggregate") ||
+          n.nodeName.contains("ObjectHashAggregate"))
+      assert(hasAggBelow,
+        s"window over non-aggregated (corpus-sized) input:\n$w")
+    }
+  }
+
   test("t21 head is materialized once; only the per-source pass re-tokenizes") {
     // the head's own top-k runs at construction (a distributed
     // TakeOrderedAndProject job whose 50 rows are collected and
