@@ -1116,35 +1116,38 @@ object StreamingQueries {
     "q63_retention" -> ((s, d) => {
       val ckptRoot = Files.createTempDirectory("graft-q63-pm-").toString
       val destDir = Files.createTempDirectory("graft-q63-dest-").toString
-      val pm = new PipelineManager(s, ckptRoot)
-      pm.create(PipelineSpec("q63", "parquet", "parquet",
-        sourceConnection = destDir, destinationConnection = destDir,
-        metadata = Map("retentionMs" -> "3600000")))
-      val slice = Tables.t(s, d, "events")
-        .filter(col("event_type") === "click")
-        .select(col("event_id"), pmod(col("event_id"), lit(4L)).as("bucket"))
-      for (e <- 0 until 4)
-        PipelineManager.epochAppend(
-          slice.filter(col("bucket") === e.toLong).coalesce(1),
-          destDir, e.toLong, "q63")
-      // age epochs 0 and 2 beyond the 1-hour window
-      val fs = new org.apache.hadoop.fs.Path(destDir).getFileSystem(
-        s.sparkContext.hadoopConfiguration)
-      val now = System.currentTimeMillis()
-      for (e <- Seq(0, 2)) {
-        val p = new org.apache.hadoop.fs.Path(destDir,
-          s"graft-${PipelineManager.namespaceOf("q63")}-e$e-p0.parquet")
-        fs.setTimes(p, now - 7200000L, -1)
-      }
-      val removed = pm.enforceRetention("q63", nowMs = now)
-      import s.implicits._
-      val out = s.read.parquet(destDir)
-        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-        .unionByName(Seq((-1L, removed.toLong)).toDF("bucket", "n"))
-        .localCheckpoint()
-      pm.close()
-      deleteTree(ckptRoot, destDir)
-      out
+      // finally-scoped: a throw anywhere (epoch write, retention
+      // enforcement, read-back) must not leak the temp trees
+      try {
+        val pm = new PipelineManager(s, ckptRoot)
+        pm.create(PipelineSpec("q63", "parquet", "parquet",
+          sourceConnection = destDir, destinationConnection = destDir,
+          metadata = Map("retentionMs" -> "3600000")))
+        val slice = Tables.t(s, d, "events")
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), pmod(col("event_id"), lit(4L)).as("bucket"))
+        for (e <- 0 until 4)
+          PipelineManager.epochAppend(
+            slice.filter(col("bucket") === e.toLong).coalesce(1),
+            destDir, e.toLong, "q63")
+        // age epochs 0 and 2 beyond the 1-hour window
+        val fs = new org.apache.hadoop.fs.Path(destDir).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        val now = System.currentTimeMillis()
+        for (e <- Seq(0, 2)) {
+          val p = new org.apache.hadoop.fs.Path(destDir,
+            s"graft-${PipelineManager.namespaceOf("q63")}-e$e-p0.parquet")
+          fs.setTimes(p, now - 7200000L, -1)
+        }
+        val removed = pm.enforceRetention("q63", nowMs = now)
+        import s.implicits._
+        val out = s.read.parquet(destDir)
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+          .unionByName(Seq((-1L, removed.toLong)).toDF("bucket", "n"))
+          .localCheckpoint()
+        pm.close()
+        out
+      } finally deleteTree(ckptRoot, destDir)
     }),
 
     // Manager crash-and-recover, end-to-end — the reference's
@@ -1168,6 +1171,9 @@ object StreamingQueries {
       val srcB = Files.createTempDirectory("graft-q64-srcB-").toString
       val destA = Files.createTempDirectory("graft-q64-destA-").toString + "/d"
       val destB = Files.createTempDirectory("graft-q64-destB-").toString + "/d"
+      // finally-scoped: an awaitTermination throw must not leak the
+      // five temp trees (same guard as q63/q65)
+      try {
       val ev = Tables.t(s, d, "events")
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"))
@@ -1216,8 +1222,6 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
         .head()
       pm2.close()
-      deleteTree(ckptRoot, srcA, srcB,
-        new java.io.File(destA).getParent, new java.io.File(destB).getParent)
       import s.implicits._
       Seq(
         ("spec", "a_status_after_failover", aStatus),
@@ -1228,6 +1232,8 @@ object StreamingQueries {
         ("rows", "b_n", b.getLong(0).toString),
         ("rows", "b_distinct", b.getLong(1).toString))
         .toDF("kind", "k", "v")
+      } finally deleteTree(ckptRoot, srcA, srcB,
+        new java.io.File(destA).getParent, new java.io.File(destB).getParent)
     }),
 
     // Two-LIVE-manager mutual exclusion — the guarantee q64 does NOT

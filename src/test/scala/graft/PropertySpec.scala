@@ -465,4 +465,79 @@ class PropertySpec extends SparkTestBase {
         s"scrub not idempotent on: $txt -> ${once._5}")
     }
   }
+
+  test("admitBands: equals the lower-id-wins model; dup bands never admitted") {
+    val rnd = new Random(53)
+    import graft.dedup.Dedup
+    for (_ <- 1 to Rounds) {
+      def bandRows(ids: Seq[Long]) = ids.flatMap(doc =>
+        List.fill(1 + rnd.nextInt(3))((doc, rnd.nextInt(3).toLong, rnd.nextInt(6).toLong)))
+      val idx = bandRows(1L to 4L)
+      val batch = bandRows(10L to 16L)
+      val batchDf = batch.toDF("doc", "band", "bh")
+      val verdicts = Dedup.indexDedupBatch(idx.toDF("doc", "band", "bh"),
+        batchDf, batch.map(_._1).distinct.toDF("doc"))
+      val admitted = Dedup.admitBands(batchDf, verdicts)
+        .as[(Long, Long, Long)].collect().toSet
+      // naive model: clean = no corpus collision; the conservative
+      // intra-batch rule then drops any clean doc sharing a (band,bh)
+      // with a LOWER-id clean doc
+      val clean = batch.map(_._1).distinct.filter { d =>
+        !batch.exists { case (bd, b, h) => bd == d &&
+          idx.exists { case (_, cb, ch) => cb == b && ch == h } }
+      }.toSet
+      val keep = clean.filter { d =>
+        !batch.exists { case (bd, b, h) => bd == d &&
+          batch.exists { case (od, ob, oh) =>
+            clean(od) && od < d && ob == b && oh == h } }
+      }
+      assert(admitted == batch.filter(r => keep(r._1)).toSet,
+        "admitBands diverged from the lower-id-wins model")
+      // a flagged dup never contributes bands, and the admitted set is
+      // pairwise band-disjoint (so the index invariant is preserved)
+      assert(admitted.forall(r => clean(r._1)))
+      assert(admitted.groupBy(r => (r._2, r._3)).forall(_._2.map(_._1).size == 1),
+        "two admitted docs share a (band,bh)")
+    }
+    // the named contract: two same-band clean copies in ONE batch
+    // admit exactly one — the lower id
+    val pair = Seq((9L, 0L, 99L), (7L, 0L, 99L))
+    val v = Dedup.indexDedupBatch(
+      Seq((1L, 2L, 5L)).toDF("doc", "band", "bh"),
+      pair.toDF("doc", "band", "bh"), Seq(7L, 9L).toDF("doc"))
+    assert(Dedup.admitBands(pair.toDF("doc", "band", "bh"), v)
+      .as[(Long, Long, Long)].collect().toSet == Set((7L, 0L, 99L)))
+  }
+
+  test("admitBands: corpus-clean admission is invariant across batch splits") {
+    val rnd = new Random(54)
+    import graft.dedup.Dedup
+    for (_ <- 1 to Rounds) {
+      // each doc owns UNIQUE bands (no intra-batch sharing), a random
+      // subset colliding with the corpus — the admitted set must be
+      // exactly the non-colliding docs for EVERY split and order
+      val docs = (10L to 17L).toList
+      val contaminated = docs.filter(_ => rnd.nextBoolean()).toSet
+      val idx = contaminated.toSeq.map(d => (d - 100L, d * 10 + 1, 0L))
+      val batch = docs.flatMap(d => Seq((d, d * 10, 0L), (d, d * 10 + 1, 0L)))
+      val splits = Seq(
+        Seq(docs),
+        Seq(docs.take(4), docs.drop(4)),
+        Seq(docs.drop(4), docs.take(4)),
+        Seq(docs.drop(5), docs.take(2), docs.slice(2, 5)))
+      val results = splits.map { parts =>
+        var index = idx.toDF("doc", "band", "bh")
+        parts.foreach { part =>
+          val sub = batch.filter(r => part.contains(r._1)).toDF("doc", "band", "bh")
+          val verd = Dedup.indexDedupBatch(index, sub, part.toDF("doc"))
+          index = index.union(Dedup.admitBands(sub, verd))
+        }
+        index.filter($"doc" >= 10L).select($"doc").distinct()
+          .as[Long].collect().toSet
+      }
+      val want = docs.toSet -- contaminated
+      results.foreach(r => assert(r == want,
+        s"split-dependent admission: got $r want $want"))
+    }
+  }
 }
