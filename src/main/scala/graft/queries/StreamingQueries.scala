@@ -1307,6 +1307,70 @@ object StreamingQueries {
         new java.io.File(destDir).getParent)
     }),
 
+    // Destination-reuse fan-out — D1's RUNTIME half (SURVEY §4's CSE
+    // analog). Create dedups a same-source BYOT spec into the
+    // existing task group (prefix inherited, own destination kept);
+    // startGroup then serves the WHOLE group from ONE StreamingQuery:
+    // the shared source is read and checkpointed once per epoch and
+    // each micro-batch fans to the group's distinct destinations
+    // (reference: SourceBasedDeduper.java:66 finds the duplicate,
+    // Coordinator.java:2406-2453 reuses destination AND tasks — here
+    // the destinations differ, so the task sharing is the scan, the
+    // 100 TB half). Two runs over the group checkpoint prove the
+    // shared offsets survive restart: epoch 1 lands in both sinks
+    // with no epoch-0 redelivery. Closed-form oracle: group facts are
+    // literals (incl. BOTH managers' query handles being one object),
+    // and each sink holds every click exactly once.
+    "q66_dest_fanout" -> ((s, d) => {
+      val ckptRoot = Files.createTempDirectory("graft-q66-pm-").toString
+      val srcDir = Files.createTempDirectory("graft-q66-src-").toString
+      val destX = Files.createTempDirectory("graft-q66-destX-").toString + "/d"
+      val destY = Files.createTempDirectory("graft-q66-destY-").toString + "/d"
+      try {
+        val clicks = Tables.t(s, d, "events")
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"))
+        def epochOf(e: Long): DataFrame =
+          clicks.filter(pmod(col("event_id"), lit(2L)) === e)
+        PipelineManager.epochAppend(epochOf(0).coalesce(1), srcDir, 0, "q66src")
+        val pm = new PipelineManager(s, ckptRoot)
+        pm.create(PipelineSpec("q66a", "parquet", "parquet", srcDir,
+          destinationConnection = destX))
+        val bSpec = pm.create(PipelineSpec("q66b", "parquet", "parquet", srcDir,
+          destinationConnection = destY))
+        val bPrefix = bSpec.metadata
+          .getOrElse(PipelineManager.TaskPrefixKey, "MISSING")
+        val groupSize = pm.findGroup("q66a").size
+        pm.startGroup("q66a", identity).awaitTermination()
+        val sharedQuery = (pm.queryOf("q66a"), pm.queryOf("q66b")) match {
+          case (Some(qa), Some(qb)) => (qa eq qb).toString
+          case _ => "absent"
+        }
+        // epoch 1 after a group restart: the group checkpoint carries
+        // the shared offsets — no epoch-0 redelivery in either sink
+        PipelineManager.epochAppend(epochOf(1).coalesce(1), srcDir, 1, "q66src")
+        pm.startGroup("q66a", identity).awaitTermination()
+        val x = s.read.parquet(destX)
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+          .head()
+        val y = s.read.parquet(destY)
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+          .head()
+        pm.close()
+        import s.implicits._
+        Seq(
+          ("group", "b_prefix", bPrefix),
+          ("group", "size", groupSize.toString),
+          ("group", "shared_query", sharedQuery),
+          ("rows", "x_n", x.getLong(0).toString),
+          ("rows", "x_distinct", x.getLong(1).toString),
+          ("rows", "y_n", y.getLong(0).toString),
+          ("rows", "y_distinct", y.getLong(1).toString))
+          .toDF("kind", "k", "v")
+      } finally deleteTree(ckptRoot, srcDir,
+        new java.io.File(destX).getParent, new java.io.File(destY).getParent)
+    }),
+
     // §2.10: the full SPI lifecycle through PipelineManager — every
     // pluggable hook fires and every state transition lands where the
     // reference's Coordinator would put it: Authorizer rejects an
@@ -1715,6 +1779,24 @@ object StreamingQueries {
         |UNION ALL SELECT 'rows', 'n', CAST(COUNT(*) AS VARCHAR)
         |FROM events WHERE event_type = 'click'
         |UNION ALL SELECT 'rows', 'n_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'"""
+        .stripMargin.replace("\n", " "),
+
+    // Fan-out closed form: group facts are literals; each sink holds
+    // every click exactly once (one shared scan, two deliveries).
+    "q66_dest_fanout" ->
+      """SELECT 'group' AS kind, 'b_prefix' AS k, 'q66a' AS v
+        |UNION ALL SELECT 'group', 'size', '2'
+        |UNION ALL SELECT 'group', 'shared_query', 'true'
+        |UNION ALL SELECT 'rows', 'x_n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL SELECT 'rows', 'x_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL SELECT 'rows', 'y_n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL SELECT 'rows', 'y_distinct',
         |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
         |FROM events WHERE event_type = 'click'"""
         .stripMargin.replace("\n", " "),

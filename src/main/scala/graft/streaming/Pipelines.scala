@@ -296,6 +296,16 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
           metadata = spec.metadata + (PipelineManager.TaskPrefixKey ->
             existing.metadata.getOrElse(PipelineManager.TaskPrefixKey,
               existing.name)))
+      case Some(existing) =>
+        // BYOT with its own destination but a deduped (shared) source
+        // still joins the task group — the runtime half of D1 (SURVEY
+        // §4's CSE analog): [[startGroup]] can then serve the whole
+        // group from ONE query, fanning each micro-batch to the
+        // group's distinct destinations instead of scanning the
+        // source once per member.
+        spec.copy(metadata = spec.metadata + (PipelineManager.TaskPrefixKey ->
+          existing.metadata.getOrElse(PipelineManager.TaskPrefixKey,
+            existing.name)))
       case _ if spec.destinationConnection.isEmpty =>
         // auto-provision a destination (the analog of the reference's
         // Coordinator.createTopic): durable sinks get a real path.
@@ -681,6 +691,57 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-$name")
     try startInPool(name, transform, trigger)
     finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", prevPool)
+  }
+
+  /**
+   * D1's runtime half (SURVEY §4's destination-reuse / CSE analog):
+   * run `name`'s WHOLE task group as ONE StreamingQuery. The shared
+   * source is read and checkpointed once per epoch (group-scoped
+   * checkpoint), and each micro-batch is delivered to every DISTINCT
+   * member destination — members sharing a destination deliver once,
+   * the reference's duplicate-stream contract where consumers fan in
+   * on the shared topic (SourceBasedDeduper.java:66;
+   * Coordinator.java:2406-2453 reuses destination AND tasks). The
+   * batch is pinned with persist() around the sink loop so N sinks
+   * cost one source scan plus N writes, never N scans — at 100 TB the
+   * scan is the expensive half, which is why the group runs as one
+   * query at all. Every member's execution lock is acquired first:
+   * single-owner applies to the whole group.
+   *
+   * Members with admission holdback (paused partitions) should run
+   * individually via [[start]] — this is the plain fan-out path.
+   */
+  def startGroup(name: String, transform: DataFrame => DataFrame,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val members = findGroup(name)
+    require(members.nonEmpty, s"unknown pipeline $name")
+    val srcs = members.map(_.sourceConnection).distinct
+    require(srcs.size == 1,
+      s"task group spans ${srcs.size} sources; group fan-out needs exactly one")
+    members.foreach(m => acquireLock(m.name))
+    val prefix = members.head.metadata
+      .getOrElse(PipelineManager.TaskPrefixKey, members.head.name)
+    val writers = members.groupBy(_.destinationConnection).toSeq.sortBy(_._1)
+      .map { case (_, ms) => transportWriter(ms.head) }
+    val prevPool = spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-$prefix")
+    try {
+      val q = transform(source(members.head)).writeStream
+        .queryName(s"group-$prefix")
+        .outputMode("append")
+        .option("checkpointLocation",
+          s"$checkpointRoot/group-${PipelineManager.namespaceOf(prefix)}")
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          // one materialization serves every sink
+          batch.persist()
+          try writers.foreach(w => w(batch, epoch))
+          finally { batch.unpersist(); () }
+        }
+        .start()
+      members.foreach(m => queries.put(m.name, q))
+      q
+    } finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", prevPool)
   }
 
   private def startInPool(name: String, transform: DataFrame => DataFrame,
