@@ -468,6 +468,30 @@ class ManagementServerSpec extends SparkTestBase {
     } finally { srv.stop(); pm.close() }
   }
 
+  test("a second live manager's REST start is a 409 naming the lock owner") {
+    val root = Files.createTempDirectory("graft-rest-409-").toString
+    val srcDir = Files.createTempDirectory("graft-rest-409-src-").toString
+    Seq((1L, "v1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    val pmA = new PipelineManager(spark, root, instance = "hostA")
+    val srvA = new ManagementServer(pmA).start()
+    try {
+      val baseA = s"http://localhost:${srvA.boundPort}"
+      assert(req(baseA, "POST", "/pipelines", Some(
+        s"""{"name":"mx","connector":"parquet","transport":"parquet","sourceConnection":"$srcDir"}"""))
+        .statusCode() == 201)
+      assert(req(baseA, "POST", "/pipelines/mx/start?await=true").statusCode() == 200)
+      // hostB joins the cluster on the same durable root
+      val pmB = new PipelineManager(spark, root, instance = "hostB")
+      val srvB = new ManagementServer(pmB).start()
+      try {
+        val resp = req(s"http://localhost:${srvB.boundPort}", "POST",
+          "/pipelines/mx/start")
+        assert(resp.statusCode() == 409, resp.body())
+        assert(resp.body().contains("hostA"), resp.body())
+      } finally { srvB.stop(); pmB.close() }
+    } finally { srvA.stop(); pmA.close() }
+  }
+
   test("path segments with '/', space, and '?' round-trip encoded") {
     // The client percent-encodes interpolated path segments and the
     // server splits the RAW path before decoding — so a hostile name
