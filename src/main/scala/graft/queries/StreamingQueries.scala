@@ -1117,9 +1117,12 @@ object StreamingQueries {
       val ckptRoot = Files.createTempDirectory("graft-q63-pm-").toString
       val destDir = Files.createTempDirectory("graft-q63-dest-").toString
       // finally-scoped: a throw anywhere (epoch write, retention
-      // enforcement, read-back) must not leak the temp trees
+      // enforcement, read-back) must not leak the temp trees or the
+      // manager's listener registration (close() is idempotent)
+      var pms = List.empty[PipelineManager]
       try {
         val pm = new PipelineManager(s, ckptRoot)
+        pms ::= pm
         pm.create(PipelineSpec("q63", "parquet", "parquet",
           sourceConnection = destDir, destinationConnection = destDir,
           metadata = Map("retentionMs" -> "3600000")))
@@ -1147,7 +1150,10 @@ object StreamingQueries {
           .localCheckpoint()
         pm.close()
         out
-      } finally deleteTree(ckptRoot, destDir)
+      } finally {
+        pms.foreach(p => try p.close() catch { case _: Throwable => () })
+        deleteTree(ckptRoot, destDir)
+      }
     }),
 
     // Manager crash-and-recover, end-to-end — the reference's
@@ -1172,7 +1178,10 @@ object StreamingQueries {
       val destA = Files.createTempDirectory("graft-q64-destA-").toString + "/d"
       val destB = Files.createTempDirectory("graft-q64-destB-").toString + "/d"
       // finally-scoped: an awaitTermination throw must not leak the
-      // five temp trees (same guard as q63/q65)
+      // five temp trees or either manager's listener registration
+      // (same guard as q63/q65; close() is idempotent, so the happy
+      // path's crash-simulating close() composes with it)
+      var pms = List.empty[PipelineManager]
       try {
       val ev = Tables.t(s, d, "events")
       val clicks = ev.filter(col("event_type") === "click")
@@ -1186,6 +1195,7 @@ object StreamingQueries {
       PipelineManager.epochAppend(epochOf(clicks, 0).coalesce(1), srcA, 0, "q64a")
       PipelineManager.epochAppend(epochOf(views, 0).coalesce(1), srcB, 0, "q64b")
       val pm1 = new PipelineManager(s, ckptRoot)
+      pms ::= pm1
       pm1.create(PipelineSpec("q64a", "parquet", "parquet", srcA,
         destinationConnection = destA))
       pm1.create(PipelineSpec("q64b", "parquet", "parquet", srcB,
@@ -1203,6 +1213,7 @@ object StreamingQueries {
 
       // failover: a fresh manager on the same durable root
       val pm2 = new PipelineManager(s, ckptRoot)
+      pms ::= pm2
       val aStatus = pm2.get("q64a").map(_.status.toString).getOrElse("LOST")
       val bStatus = pm2.get("q64b").map(_.status.toString).getOrElse("LOST")
       val bPaused = pm2.paused("q64b").toSeq.sorted.mkString(",")
@@ -1232,8 +1243,11 @@ object StreamingQueries {
         ("rows", "b_n", b.getLong(0).toString),
         ("rows", "b_distinct", b.getLong(1).toString))
         .toDF("kind", "k", "v")
-      } finally deleteTree(ckptRoot, srcA, srcB,
-        new java.io.File(destA).getParent, new java.io.File(destB).getParent)
+      } finally {
+        pms.foreach(p => try p.close() catch { case _: Throwable => () })
+        deleteTree(ckptRoot, srcA, srcB,
+          new java.io.File(destA).getParent, new java.io.File(destB).getParent)
+      }
     }),
 
     // Two-LIVE-manager mutual exclusion — the guarantee q64 does NOT
@@ -1257,6 +1271,7 @@ object StreamingQueries {
       val ckptRoot = Files.createTempDirectory("graft-q65-pm-").toString
       val srcDir = Files.createTempDirectory("graft-q65-src-").toString
       val destDir = Files.createTempDirectory("graft-q65-dest-").toString + "/d"
+      var pms = List.empty[PipelineManager]
       try {
         val clicks = Tables.t(s, d, "events")
           .filter(col("event_type") === "click")
@@ -1265,11 +1280,13 @@ object StreamingQueries {
           clicks.filter(pmod(col("event_id"), lit(2L)) === e)
         PipelineManager.epochAppend(epochOf(0).coalesce(1), srcDir, 0, "q65src")
         val m1 = new PipelineManager(s, ckptRoot, instance = "mgr1")
+        pms ::= m1
         m1.create(PipelineSpec("q65p", "parquet", "parquet", srcDir,
           destinationConnection = destDir))
         // mgr2 joins the cluster AFTER the create (a new manager loads
         // the durable spec store) — BOTH are now live on the root
         val m2 = new PipelineManager(s, ckptRoot, instance = "mgr2")
+        pms ::= m2
         val sawSpec = m2.get("q65p").isDefined
         val q1 = m1.start("q65p", identity)
         // loser: clean rejection, no second query
@@ -1303,8 +1320,10 @@ object StreamingQueries {
           ("rows", "n", r.getLong(0).toString),
           ("rows", "n_distinct", r.getLong(1).toString))
           .toDF("kind", "k", "v")
-      } finally deleteTree(ckptRoot, srcDir,
-        new java.io.File(destDir).getParent)
+      } finally {
+        pms.foreach(p => try p.close() catch { case _: Throwable => () })
+        deleteTree(ckptRoot, srcDir, new java.io.File(destDir).getParent)
+      }
     }),
 
     // Destination-reuse fan-out — D1's RUNTIME half (SURVEY §4's CSE
@@ -1326,6 +1345,7 @@ object StreamingQueries {
       val srcDir = Files.createTempDirectory("graft-q66-src-").toString
       val destX = Files.createTempDirectory("graft-q66-destX-").toString + "/d"
       val destY = Files.createTempDirectory("graft-q66-destY-").toString + "/d"
+      var pms = List.empty[PipelineManager]
       try {
         val clicks = Tables.t(s, d, "events")
           .filter(col("event_type") === "click")
@@ -1334,6 +1354,7 @@ object StreamingQueries {
           clicks.filter(pmod(col("event_id"), lit(2L)) === e)
         PipelineManager.epochAppend(epochOf(0).coalesce(1), srcDir, 0, "q66src")
         val pm = new PipelineManager(s, ckptRoot)
+        pms ::= pm
         pm.create(PipelineSpec("q66a", "parquet", "parquet", srcDir,
           destinationConnection = destX))
         val bSpec = pm.create(PipelineSpec("q66b", "parquet", "parquet", srcDir,
@@ -1367,8 +1388,11 @@ object StreamingQueries {
           ("rows", "y_n", y.getLong(0).toString),
           ("rows", "y_distinct", y.getLong(1).toString))
           .toDF("kind", "k", "v")
-      } finally deleteTree(ckptRoot, srcDir,
-        new java.io.File(destX).getParent, new java.io.File(destY).getParent)
+      } finally {
+        pms.foreach(p => try p.close() catch { case _: Throwable => () })
+        deleteTree(ckptRoot, srcDir,
+          new java.io.File(destX).getParent, new java.io.File(destY).getParent)
+      }
     }),
 
     // §2.10: the full SPI lifecycle through PipelineManager — every

@@ -117,9 +117,21 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   /** Acquire (or re-enter) the pipeline's execution lock. Re-entrant
     * for this instance — pause/resume/restart cycles keep ownership,
     * matching the reference's paused-task-keeps-assignment contract.
-    * Throws [[PipelineLockedException]] when another LIVE instance
-    * owns it; silently reclaims a dead instance's orphan lock. */
-  private def acquireLock(name: String): Unit = {
+    * Returns true when the lock was NEWLY acquired, false when this
+    * instance already held it (callers rolling back a multi-lock
+    * acquisition must release only what they newly took). Throws
+    * [[PipelineLockedException]] when another LIVE instance owns it;
+    * silently reclaims a dead instance's orphan lock.
+    *
+    * The exclusive create and the owner write are two steps, so a
+    * reader can observe a created-but-not-yet-written lock (empty
+    * owner). An empty owner within [[PipelineManager.AcquireGraceMs]]
+    * of the file's mod-time is treated as a LIVE in-flight acquire —
+    * never reclaimed — so a concurrent acquirer cannot steal a lock
+    * whose owner bytes simply haven't landed yet; only an empty lock
+    * OLDER than the grace window (a crash between create and write)
+    * is an orphan. */
+  private def acquireLock(name: String): Boolean = {
     val p = lockPath(name)
     rootFs.mkdirs(p.getParent)
     def tryCreate(): Boolean =
@@ -128,26 +140,54 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         try out.write(instanceId.getBytes("UTF-8")) finally out.close()
         true
       } catch { case _: java.io.IOException => false }
-    if (tryCreate()) return
+    if (tryCreate()) return true
     val owner = lockOwner(p)
-    if (owner == instanceId) return
+    if (owner == instanceId) return false
     if (owner.nonEmpty && rootFs.exists(instancePath(owner)))
       throw PipelineLockedException(name, owner)
+    if (owner.isEmpty) {
+      val age =
+        try System.currentTimeMillis() - rootFs.getFileStatus(p).getModificationTime
+        catch { case _: java.io.IOException => Long.MaxValue } // vanished: retry below
+      if (age < PipelineManager.AcquireGraceMs)
+        throw PipelineLockedException(name, "(acquiring)")
+    }
     // orphan lock of a dead instance — reclaim and retry once; a
     // concurrent reclaimer winning the retry is a live owner
     rootFs.delete(p, false)
-    if (!tryCreate()) {
-      val o2 = lockOwner(p)
-      if (o2 != instanceId) throw PipelineLockedException(name, o2)
+    if (tryCreate()) true
+    else lockOwner(p) match {
+      case `instanceId` => false // another thread of this instance won
+      case "" => throw PipelineLockedException(name, "(acquiring)")
+      case o2 => throw PipelineLockedException(name, o2)
     }
   }
 
   /** Release the lock if this instance holds it (stop/delete — the
-    * task returns to the pool; the reference's task release). */
+    * task returns to the pool; the reference's task release). The
+    * owner-check-then-delete pair is safe against concurrent reclaim
+    * because reclaim only fires when the owner's live registration is
+    * ABSENT — and this instance is, by definition, live while
+    * releasing; its registration only disappears at close(). */
   private def releaseLock(name: String): Unit = {
     val p = lockPath(name)
     if (lockOwner(p) == instanceId) rootFs.delete(p, false): Unit
   }
+
+  /** Stop and unregister `name`'s query. A GROUP query (one object
+    * registered under several member names by [[startGroup]]) is
+    * stopped once and unregistered from EVERY member — otherwise the
+    * other members would keep a handle to a dead query while their
+    * specs still read Ready, and a later status()/metrics read would
+    * report a phantom stream. Lifecycle verbs touching one member of
+    * a running group therefore stop delivery for the whole group
+    * (the group IS one task — the reference's shared-task contract);
+    * restart it with [[startGroup]]. */
+  private def stopQueryOf(name: String): Unit =
+    Option(queries.remove(name)).foreach { q =>
+      q.stop()
+      queries.entrySet().removeIf(e => e.getValue eq q)
+    }
 
   // ---- Durable spec store (the reference's
   // ZookeeperBackedDatastreamStore role): every registered spec lives
@@ -560,7 +600,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       case _ => Some((partitionCol, values))
     }
     persistPausedState(name)
-    Option(queries.remove(name)).foreach(_.stop())
+    stopQueryOf(name)
     start(name, transform)
   }
 
@@ -576,7 +616,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       transform: DataFrame => DataFrame,
       owner: String = "anonymous"): StreamingQuery = {
     authorizeLifecycle(name, owner)
-    Option(queries.remove(name)).foreach(_.stop())
+    stopQueryOf(name)
     replayHoldback(name, values)
     shrinkPauseSet(name, values)
     persistPausedState(name)
@@ -718,7 +758,13 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     val srcs = members.map(_.sourceConnection).distinct
     require(srcs.size == 1,
       s"task group spans ${srcs.size} sources; group fan-out needs exactly one")
-    members.foreach(m => acquireLock(m.name))
+    // All-or-nothing lock acquisition: a member already owned by
+    // another live manager must not leave earlier members locked by
+    // an instance that runs no query — roll back what THIS call newly
+    // took (locks held before the call stay held).
+    val newlyLocked = scala.collection.mutable.ListBuffer.empty[String]
+    try members.foreach(m => if (acquireLock(m.name)) newlyLocked += m.name)
+    catch { case e: Throwable => newlyLocked.foreach(releaseLock); throw e }
     val prefix = members.head.metadata
       .getOrElse(PipelineManager.TaskPrefixKey, members.head.name)
     val writers = members.groupBy(_.destinationConnection).toSeq.sortBy(_._1)
@@ -726,7 +772,9 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     val prevPool = spark.sparkContext.getLocalProperty("spark.scheduler.pool")
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-$prefix")
     try {
-      val q = transform(source(members.head)).writeStream
+      // metrics ride the shared query (observed under the group query
+      // name "group-<prefix>": one scan → one set of counters)
+      val q = observed(transform(source(members.head))).writeStream
         .queryName(s"group-$prefix")
         .outputMode("append")
         .option("checkpointLocation",
@@ -744,6 +792,25 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     } finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", prevPool)
   }
 
+  /** A6/A7: per-epoch throughput metrics ride the query itself via
+    * observe() — no second pass over the data; the listener collects
+    * them (the reference's EventProducer SLA counters). Shared by the
+    * solo and group start paths. */
+  private def observed(transformed: DataFrame): DataFrame =
+    if (transformed.columns.contains("value")) {
+      // octet_length: true payload size for binary AND string values
+      // (cast-to-string re-encoded binary and miscounted multi-byte
+      // characters).
+      val bytes = transformed.schema("value").dataType match {
+        case BinaryType => octet_length(col("value"))
+        case _ => octet_length(col("value").cast("string"))
+      }
+      transformed.observe("graft_metrics",
+        count(lit(1)).as("events"), sum(bytes.cast("long")).as("bytes"))
+    } else
+      transformed.observe("graft_metrics",
+        count(lit(1)).as("events"), max(lit(0L)).as("bytes"))
+
   private def startInPool(name: String, transform: DataFrame => DataFrame,
       trigger: Trigger): StreamingQuery = {
     val spec = specs.getOrElse(name, sys.error(s"unknown pipeline $name"))
@@ -751,25 +818,20 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     // manager's start is rejected here with no StreamingQuery, no
     // checkpoint touch, no delivery (D4; DatastreamTaskImpl.java
     // :126-139 acquire).
-    acquireLock(name)
-    // A6/A7: per-epoch throughput metrics ride the query itself via
-    // observe() — no second pass over the data; the listener above
-    // collects them (the reference's EventProducer SLA counters).
-    val transformed = transform(source(spec))
-    val out =
-      if (transformed.columns.contains("value")) {
-        // octet_length: true payload size for binary AND string values
-        // (cast-to-string re-encoded binary and miscounted multi-byte
-        // characters).
-        val bytes = transformed.schema("value").dataType match {
-          case BinaryType => octet_length(col("value"))
-          case _ => octet_length(col("value").cast("string"))
-        }
-        transformed.observe("graft_metrics",
-          count(lit(1)).as("events"), sum(bytes.cast("long")).as("bytes"))
-      } else
-        transformed.observe("graft_metrics",
-          count(lit(1)).as("events"), max(lit(0L)).as("bytes"))
+    acquireLock(name): Unit
+    // A member whose last run was group-scoped has its offsets in the
+    // GROUP checkpoint; a solo restart would begin from an empty
+    // per-name checkpoint and redeliver every epoch the group already
+    // delivered. Fail loudly instead — the group restarts via
+    // startGroup.
+    val prefix = spec.metadata.getOrElse(PipelineManager.TaskPrefixKey, name)
+    val groupCkpt = new Path(
+      s"$checkpointRoot/group-${PipelineManager.namespaceOf(prefix)}")
+    if (rootFs.exists(groupCkpt) &&
+        !rootFs.exists(new Path(s"$checkpointRoot/$name")))
+      throw new IllegalStateException(s"pipeline $name last ran as part of " +
+        s"task group '$prefix' (shared checkpoint); restart it with startGroup")
+    val out = observed(transform(source(spec)))
     val writer = out.writeStream
       .queryName(name)
       .outputMode("append")
@@ -824,7 +886,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     val toPause = finalAction.collect { case (p, "PAUSE") => p }.toSet
     val toResume = finalAction.collect { case (p, "RESUME") => p }.toSet
     if (toPause.isEmpty && toResume.isEmpty) return
-    Option(queries.remove(name)).foreach(_.stop())
+    stopQueryOf(name)
     if (toPause.nonEmpty) pausedPartitions.updateWith(name) {
       case Some((pc, vs)) if pc == partitionCol => Some((pc, vs ++ toPause))
       case _ => Some((partitionCol, toPause))
@@ -858,7 +920,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
 
   def pause(name: String, owner: String = "anonymous"): Unit = {
     authorizeLifecycle(name, owner)
-    Option(queries.remove(name)).foreach(_.stop())
+    stopQueryOf(name)
     specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Paused)))
     specs.get(name).foreach(persistSpec)
     hooks.onStateChange(name, PipelineStatus.Paused)
@@ -888,7 +950,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         hooks.onStateChange(n, PipelineStatus.Stopping)
         // StreamingQuery.stop() cancels the query's in-flight jobs —
         // nothing of the pipeline's scheduler pool outlives it
-        Option(queries.remove(n)).foreach(_.stop())
+        stopQueryOf(n)
         // resources released ⇒ the task returns to the pool: another
         // live manager may now acquire it (contrast pause, which keeps
         // the assignment AND the lock)
@@ -912,7 +974,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
 
   def delete(name: String, owner: String = "anonymous"): Unit = {
     authorizeLifecycle(name, owner)
-    Option(queries.remove(name)).foreach(_.stop())
+    stopQueryOf(name)
     releaseLock(name)
     specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Deleting)))
     specs.remove(name)
@@ -946,6 +1008,10 @@ object PipelineManager {
   /** Namespace used by [[epochAppend]] when no pipeline name is given;
     * reserved — [[PipelineManager.create]] rejects it as a name. */
   val ReservedNamespace: String = "default"
+
+  /** Empty-owner lock files younger than this are a concurrent
+    * acquire's create-to-write window, not an orphan (acquireLock). */
+  val AcquireGraceMs: Long = 5000L
 
   /** Metadata key carrying a pipeline's task-group prefix (the
     * reference's `system.taskPrefix`,

@@ -675,6 +675,55 @@ class PipelineManagerSpec extends SparkTestBase {
     pm.delete("sm1")
   }
 
+  test("group lifecycle: member stop sweeps the shared query; solo restart after a group run is rejected") {
+    val root = Files.createTempDirectory("graft-grp-").toString
+    val srcDir = Files.createTempDirectory("graft-grp-src-").toString
+    Seq((1L, "v1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    val da = Files.createTempDirectory("graft-grp-da-").toString + "/d"
+    val db = Files.createTempDirectory("graft-grp-db-").toString + "/d"
+    val pm = new PipelineManager(spark, root)
+    pm.create(PipelineSpec("ga", "parquet", "parquet", srcDir,
+      destinationConnection = da))
+    pm.create(PipelineSpec("gb", "parquet", "parquet", srcDir,
+      destinationConnection = db))
+    pm.startGroup("ga", identity).awaitTermination()
+    // stopping ONE member stops the one shared query and unregisters
+    // it from EVERY member — no dead handle left under gb
+    pm.stop("ga")
+    assert(pm.queryOf("ga").isEmpty && pm.queryOf("gb").isEmpty,
+      "shared query handle survived a member stop")
+    // a solo restart would replay from an empty per-name checkpoint
+    // and redeliver what the group already delivered — rejected
+    intercept[IllegalStateException] { pm.resume("gb", identity) }
+    // the group itself restarts fine from the group checkpoint
+    pm.startGroup("ga", identity).awaitTermination()
+    assert(spark.read.parquet(da).count() == 1 &&
+      spark.read.parquet(db).count() == 1, "group restart redelivered")
+    pm.close()
+  }
+
+  test("startGroup rolls back partially-acquired locks on rejection") {
+    val root = Files.createTempDirectory("graft-grplk-").toString
+    val srcDir = Files.createTempDirectory("graft-grplk-src-").toString
+    Seq((1L, "v1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    val da = Files.createTempDirectory("graft-grplk-da-").toString + "/d"
+    val db = Files.createTempDirectory("graft-grplk-db-").toString + "/d"
+    val pmA = new PipelineManager(spark, root, instance = "A")
+    pmA.create(PipelineSpec("ga", "parquet", "parquet", srcDir,
+      destinationConnection = da))
+    pmA.create(PipelineSpec("gb", "parquet", "parquet", srcDir,
+      destinationConnection = db))
+    val pmB = new PipelineManager(spark, root, instance = "B")
+    // B owns gb solo; A's group start must fail on gb AND release the
+    // ga lock it had just taken — otherwise ga stays locked by a
+    // manager that runs no query
+    pmB.start("gb", identity).awaitTermination()
+    intercept[PipelineLockedException] { pmA.startGroup("ga", identity) }
+    pmB.start("ga", identity).awaitTermination()
+    assert(pmB.queryOf("ga").isDefined, "A leaked ga's lock on rollback")
+    pmB.close(); pmA.close()
+  }
+
   test("pipeline lock: one owner among live managers, stop releases, close orphans") {
     val root = Files.createTempDirectory("graft-lock-").toString
     val srcDir = Files.createTempDirectory("graft-lock-src-").toString
