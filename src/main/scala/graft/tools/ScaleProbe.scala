@@ -33,6 +33,17 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // default = the widest text/dedup gates; pass gate names as args
+    // to probe others. Validate BEFORE the expensive scaled-corpus
+    // build so a typo fails in milliseconds, not minutes.
+    val gates =
+      if (args.nonEmpty) args.toSeq
+      else Seq("d03_lsh_candidates", "t08_repetition", "t19_window_novelty")
+    val unknown = gates.filterNot(DataOpsQueries.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown/non-batch gates: ${unknown.mkString(",")} " +
+        "(ScaleProbe covers DataOpsQueries gates only)")
+
     val docs = spark.read.parquet(s"$base/documents.parquet")
     (0 until factor).map { i =>
       docs.select(
@@ -42,20 +53,22 @@ object ScaleProbe {
         (col("n_chars") + lit(5 + i.toString.length)).as("n_chars"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
-
-    // default = the widest text/dedup gates; pass gate names as args
-    // to probe others (documents-only gates — the scaled corpus has
-    // no embeddings table). Validate BEFORE the expensive scaled-
-    // corpus build so a typo fails in milliseconds, not minutes.
-    val gates =
-      if (args.nonEmpty) args.toSeq
-      else Seq("d03_lsh_candidates", "t08_repetition", "t19_window_novelty")
-    val unknown = gates.filterNot(DataOpsQueries.queries.contains)
-    require(unknown.isEmpty,
-      s"unknown/non-batch gates: ${unknown.mkString(",")} " +
-        "(ScaleProbe covers DataOpsQueries gates only)")
-    require(!gates.exists(g => g.startsWith("e")),
-      "e-family gates need embeddings.parquet, which the scaled corpus lacks")
+    // Scaled embeddings only when an e-family gate is probed: ids
+    // remapped, each copy's vectors scaled by a distinct factor so
+    // copies are distinct vectors and the NORM DISTRIBUTION gains ~8×
+    // the distinct values (the adversarial end for e19's
+    // counting-selection median).
+    if (gates.exists(_.startsWith("e"))) {
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+      (0 until factor).map { i =>
+        emb.select(
+          (col("vec_id") * factor + i).as("vec_id"),
+          transform(col("embedding"),
+            x => x * lit(1.0f + i * 0.01f)).as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
+    }
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       DataOpsQueries.queries(name)(spark, dir)
