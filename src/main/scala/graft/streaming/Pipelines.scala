@@ -60,7 +60,8 @@ final case class PipelineLockedException(pipeline: String, lockedBy: String)
   extends IllegalStateException(s"pipeline $pipeline locked by live instance $lockedBy")
 
 final class PipelineManager(spark: SparkSession, checkpointRoot: String,
-    hooks: PipelineHooks = PipelineHooks(), instance: String = "") {
+    hooks: PipelineHooks = PipelineHooks(), instance: String = "",
+    livenessLeaseMs: Long = 0L) {
 
   /** This manager's live-instance identity — the analog of the
     * reference coordinator's ZK `/liveinstances/<id>` registration
@@ -95,14 +96,36 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   // acquirer — the reference's cleanUpOrphanLocks sweep. close()
   // models session end (ZK ephemeral expiry): the registration
   // disappears and every lock this instance held goes stale. A
-  // production multi-host deployment additionally ages registrations
-  // by heartbeat mod-time; in-process managers need only existence. --
+  // multi-host deployment sets livenessLeaseMs > 0 so registrations
+  // also age out by heartbeat mod-time (hard-crash detection without
+  // close()); in-process managers need only existence. --
   private val rootFs = new Path(checkpointRoot)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def instancePath(id: String) =
     new Path(s"$checkpointRoot/instances/$id")
   rootFs.mkdirs(instancePath(instanceId).getParent)
   rootFs.create(instancePath(instanceId), true).close()
+
+  /** Is `id` a live lock owner? Existence of the registration by
+    * default; with `livenessLeaseMs > 0` (the multi-host production
+    * setting) the registration must ALSO have been touched within the
+    * lease — a hard-crashed peer that never ran close() stops being
+    * "live" one lease after its last [[heartbeat]], exactly the ZK
+    * session-timeout analog. In-process managers (close() always
+    * runs) keep the existence-only default. */
+  private def instanceLive(id: String): Boolean = {
+    val p = instancePath(id)
+    try rootFs.exists(p) && (livenessLeaseMs <= 0L ||
+      System.currentTimeMillis() - rootFs.getFileStatus(p).getModificationTime <
+        livenessLeaseMs)
+    catch { case _: java.io.IOException => false } // vanished mid-check
+  }
+
+  /** Refresh this instance's liveness lease (production deployments
+    * call this on a timer well under `livenessLeaseMs`; the reference
+    * analog is the ZK session heartbeat keeping ephemerals alive). */
+  def heartbeat(): Unit =
+    rootFs.setTimes(instancePath(instanceId), System.currentTimeMillis(), -1)
 
   private def lockPath(name: String) =
     new Path(s"$checkpointRoot/locks/${PipelineManager.namespaceOf(name)}.lock")
@@ -143,7 +166,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     if (tryCreate()) return true
     val owner = lockOwner(p)
     if (owner == instanceId) return false
-    if (owner.nonEmpty && rootFs.exists(instancePath(owner)))
+    if (owner.nonEmpty && instanceLive(owner))
       throw PipelineLockedException(name, owner)
     if (owner.isEmpty) {
       val age =

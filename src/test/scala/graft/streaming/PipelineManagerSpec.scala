@@ -675,6 +675,34 @@ class PipelineManagerSpec extends SparkTestBase {
     pm.delete("sm1")
   }
 
+  test("liveness lease: a hard-crashed peer's lock is reclaimable one lease after its last heartbeat") {
+    val root = Files.createTempDirectory("graft-lease-").toString
+    val srcDir = Files.createTempDirectory("graft-lease-src-").toString
+    Seq((1L, "v1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    // lease far above test runtime for the held cases, then aged past
+    val lease = 3000L
+    val pmA = new PipelineManager(spark, root, instance = "A",
+      livenessLeaseMs = lease)
+    pmA.create(PipelineSpec("hl", "parquet", "parquet", srcDir))
+    pmA.start("hl", identity).awaitTermination()
+    val pmB = new PipelineManager(spark, root, instance = "B",
+      livenessLeaseMs = lease)
+    // within the lease A is live — B rejected
+    intercept[PipelineLockedException] { pmB.start("hl", identity) }
+    // simulate A hard-crashing `lease` ago (no close()): age its
+    // registration past the lease instead of sleeping the test
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$root/instances/A"),
+      System.currentTimeMillis() - lease - 1000L, -1)
+    // B now reclaims the dead peer's lock and resumes delivery
+    pmB.resume("hl", identity).awaitTermination()
+    // a heartbeat would have kept A live: B's ownership now excludes A
+    pmB.heartbeat()
+    intercept[PipelineLockedException] { pmA.resume("hl", identity) }
+    pmB.close(); pmA.close()
+  }
+
   test("group lifecycle: member stop sweeps the shared query; solo restart after a group run is rejected") {
     val root = Files.createTempDirectory("graft-grp-").toString
     val srcDir = Files.createTempDirectory("graft-grp-src-").toString
