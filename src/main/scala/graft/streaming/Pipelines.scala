@@ -153,8 +153,19 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     * never reclaimed — so a concurrent acquirer cannot steal a lock
     * whose owner bytes simply haven't landed yet; only an empty lock
     * OLDER than the grace window (a crash between create and write)
-    * is an orphan. */
-  private def acquireLock(name: String): Boolean = {
+    * is an orphan.
+    *
+    * Atomicity is two-layer: ACROSS processes the exclusive HDFS
+    * create is the primitive (atomic on HDFS; the reference's ZK
+    * ephemeral create); WITHIN a JVM the per-path monitor below
+    * serializes contenders, because the local filesystem's
+    * create(overwrite=false) is check-then-create and two in-process
+    * managers could otherwise both "win" the same lock file. */
+  private def acquireLock(name: String): Boolean =
+    PipelineManager.lockStripe(lockPath(name).toString)
+      .synchronized { acquireLockUnsynced(name) }
+
+  private def acquireLockUnsynced(name: String): Boolean = {
     val p = lockPath(name)
     rootFs.mkdirs(p.getParent)
     def tryCreate(): Boolean =
@@ -194,7 +205,9 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     * releasing; its registration only disappears at close(). */
   private def releaseLock(name: String): Unit = {
     val p = lockPath(name)
-    if (lockOwner(p) == instanceId) rootFs.delete(p, false): Unit
+    PipelineManager.lockStripe(p.toString).synchronized {
+      if (lockOwner(p) == instanceId) rootFs.delete(p, false): Unit
+    }
   }
 
   /** Stop and unregister `name`'s query. A GROUP query (one object
@@ -1035,6 +1048,15 @@ object PipelineManager {
   /** Empty-owner lock files younger than this are a concurrent
     * acquire's create-to-write window, not an orphan (acquireLock). */
   val AcquireGraceMs: Long = 5000L
+
+  /** Per-lock-path monitors serializing IN-PROCESS lock operations —
+    * the local-filesystem complement of HDFS's atomic exclusive
+    * create (acquireLock's cross-process primitive). Bounded by the
+    * number of distinct pipelines a JVM ever locks. */
+  private val lockStripes =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[streaming] def lockStripe(path: String): Object =
+    lockStripes.computeIfAbsent(path, _ => new Object)
 
   /** Metadata key carrying a pipeline's task-group prefix (the
     * reference's `system.taskPrefix`,

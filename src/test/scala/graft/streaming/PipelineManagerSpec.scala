@@ -675,6 +675,49 @@ class PipelineManagerSpec extends SparkTestBase {
     pm.delete("sm1")
   }
 
+  test("lock acquisition is race-free for in-process contenders") {
+    // Two live managers start the same pipeline from two threads at
+    // once: exactly one may win each round (the per-path monitor
+    // serializes in-JVM contenders where the local filesystem's
+    // create(overwrite=false) is only check-then-create; on HDFS the
+    // exclusive create itself is the cross-process primitive).
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft-race-").toString
+    val srcDir = Files.createTempDirectory("graft-race-src-").toString
+    Seq((1L, "v1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    val dest = Files.createTempDirectory("graft-race-dest-").toString + "/d"
+    val pmA = new PipelineManager(spark, root, instance = "A")
+    // durable transport: the checkpoint must survive rounds (a memory
+    // sink cannot recover from an existing checkpoint)
+    pmA.create(PipelineSpec("rc", "parquet", "parquet", srcDir,
+      destinationConnection = dest))
+    val pmB = new PipelineManager(spark, root, instance = "B")
+    for (round <- 1 to 6) {
+      val results =
+        new java.util.concurrent.ConcurrentLinkedQueue[(String, Either[String, Unit])]()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val threads = Seq(("A", pmA), ("B", pmB)).map { case (id, pm) =>
+        new Thread(() => {
+          gate.await()
+          try { pm.start("rc", identity); results.add(id -> Right(())): Unit }
+          catch { case e: PipelineLockedException =>
+            results.add(id -> Left(e.lockedBy)): Unit }
+        })
+      }
+      threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+      val wins = results.asScala.collect { case (id, Right(_)) => id }.toSeq
+      val losses = results.asScala.collect { case (id, Left(by)) => (id, by) }.toSeq
+      assert(wins.size == 1 && losses.size == 1,
+        s"round $round: winners=$wins losers=$losses")
+      assert(losses.head._2 == wins.head,
+        s"round $round: loser saw owner ${losses.head._2}, winner was ${wins.head}")
+      val winner = if (wins.head == "A") pmA else pmB
+      winner.queryOf("rc").foreach(_.awaitTermination())
+      winner.stop("rc") // releases the lock for the next round
+    }
+    pmA.close(); pmB.close()
+  }
+
   test("liveness lease: a hard-crashed peer's lock is reclaimable one lease after its last heartbeat") {
     val root = Files.createTempDirectory("graft-lease-").toString
     val srcDir = Files.createTempDirectory("graft-lease-src-").toString
