@@ -112,20 +112,50 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     * lease — a hard-crashed peer that never ran close() stops being
     * "live" one lease after its last [[heartbeat]], exactly the ZK
     * session-timeout analog. In-process managers (close() always
-    * runs) keep the existence-only default. */
-  private def instanceLive(id: String): Boolean = {
-    val p = instancePath(id)
-    try rootFs.exists(p) && (livenessLeaseMs <= 0L ||
-      System.currentTimeMillis() - rootFs.getFileStatus(p).getModificationTime <
-        livenessLeaseMs)
-    catch { case _: java.io.IOException => false } // vanished mid-check
-  }
+    * runs) keep the existence-only default.
+    *
+    * Only a MISSING registration reports dead; any other filesystem
+    * error propagates and aborts the caller's acquire — a transient
+    * RPC failure must never be read as "the owner died" (that
+    * judgment steals live locks). Lease caveats a deployment must
+    * size for: the mod-time is stamped by the owner's clock and read
+    * against the checker's, so `livenessLeaseMs` must dominate
+    * max cross-host clock skew plus the heartbeat interval (the
+    * reference's ZK analog uses the single server-side clock and has
+    * neither term). */
+  private def instanceLive(id: String): Boolean =
+    try {
+      val st = rootFs.getFileStatus(instancePath(id))
+      livenessLeaseMs <= 0L ||
+        System.currentTimeMillis() - st.getModificationTime < livenessLeaseMs
+    } catch { case _: java.io.FileNotFoundException => false }
 
   /** Refresh this instance's liveness lease (production deployments
     * call this on a timer well under `livenessLeaseMs`; the reference
-    * analog is the ZK session heartbeat keeping ephemerals alive). */
-  def heartbeat(): Unit =
-    rootFs.setTimes(instancePath(instanceId), System.currentTimeMillis(), -1)
+    * analog is the ZK session heartbeat keeping ephemerals alive).
+    *
+    * Returns false — and never throws, so a scheduled timer task
+    * survives — when the lease could NOT be confirmed: the
+    * registration is missing, was already past the lease when
+    * touched, or the touch itself failed. A false return is the ZK
+    * session-expiry signal: the caller must SELF-DEMOTE (stop its
+    * queries; a peer may have legitimately reclaimed its locks) — it
+    * must NOT re-register and carry on. Delivery through epochAppend
+    * transports stays idempotent across the overlap window either
+    * way (commit markers); non-idempotent transports inherit their
+    * documented at-least-once contract. An already-expired lease is
+    * NOT refreshed — an expired session cannot heartbeat itself back
+    * to life (peers may be mid-reclaim on the strength of the stale
+    * mod-time), exactly as a ZK session past its timeout is gone. */
+  def heartbeat(): Boolean =
+    try {
+      val p = instancePath(instanceId)
+      val st = rootFs.getFileStatus(p) // throws FNF if reclaimed/closed
+      val fresh = livenessLeaseMs <= 0L ||
+        System.currentTimeMillis() - st.getModificationTime < livenessLeaseMs
+      if (fresh) rootFs.setTimes(p, System.currentTimeMillis(), -1)
+      fresh
+    } catch { case _: java.io.IOException => false }
 
   private def lockPath(name: String) =
     new Path(s"$checkpointRoot/locks/${PipelineManager.namespaceOf(name)}.lock")
@@ -186,9 +216,30 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       if (age < PipelineManager.AcquireGraceMs)
         throw PipelineLockedException(name, "(acquiring)")
     }
-    // orphan lock of a dead instance — reclaim and retry once; a
-    // concurrent reclaimer winning the retry is a live owner
-    rootFs.delete(p, false)
+    // Orphan lock of a dead instance — reclaim by ATOMIC RENAME to a
+    // unique tombstone, then VERIFY the moved bytes, not a blind
+    // delete: rename fails when the source is gone, so of N
+    // cross-process reclaimers exactly one moves a given lock file
+    // aside (the FS analog of ZK's versioned delete; a blind delete
+    // could remove a RIVAL reclaimer's freshly created lock and mint
+    // two owners). If the moved content is NOT the dead owner we
+    // judged — we yanked a rival's fresh lock — restore it and report
+    // that rival as the live owner. (A third contender interleaving
+    // inside this already-RPC-narrow window is past what filesystem
+    // primitives can order; a deployment needing that contention
+    // level layers a real coordination service, as the reference
+    // does with ZK.) The reclaim winner still has to win tryCreate —
+    // a rival that created in between is a live owner.
+    val tombstone = new Path(p.getParent,
+      s"_reclaim-${p.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
+    if (rootFs.rename(p, tombstone)) {
+      val moved = lockOwner(tombstone)
+      if (moved != owner && moved.nonEmpty) {
+        if (!rootFs.rename(tombstone, p)) rootFs.delete(tombstone, false): Unit
+        throw PipelineLockedException(name, moved)
+      }
+      rootFs.delete(tombstone, false): Unit
+    }
     if (tryCreate()) true
     else lockOwner(p) match {
       case `instanceId` => false // another thread of this instance won
@@ -199,14 +250,18 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
 
   /** Release the lock if this instance holds it (stop/delete — the
     * task returns to the pool; the reference's task release). The
-    * owner-check-then-delete pair is safe against concurrent reclaim
-    * because reclaim only fires when the owner's live registration is
-    * ABSENT — and this instance is, by definition, live while
-    * releasing; its registration only disappears at close(). */
+    * owner-check-then-delete pair cannot delete a peer's lock: a peer
+    * can only reclaim while this instance is NOT live, so release
+    * first re-confirms its own liveness and SKIPS the delete when its
+    * lease has already expired (the lock may legitimately belong to a
+    * reclaimer by then; the stale lock it leaves behind is reclaimable
+    * by construction). The residual window is one owner-read RPC
+    * against the lease length — size `livenessLeaseMs` accordingly. */
   private def releaseLock(name: String): Unit = {
     val p = lockPath(name)
     PipelineManager.lockStripe(p.toString).synchronized {
-      if (lockOwner(p) == instanceId) rootFs.delete(p, false): Unit
+      if (instanceLive(instanceId) && lockOwner(p) == instanceId)
+        rootFs.delete(p, false): Unit
     }
   }
 
@@ -1049,14 +1104,16 @@ object PipelineManager {
     * acquire's create-to-write window, not an orphan (acquireLock). */
   val AcquireGraceMs: Long = 5000L
 
-  /** Per-lock-path monitors serializing IN-PROCESS lock operations —
+  /** Fixed pool of monitors serializing IN-PROCESS lock operations —
     * the local-filesystem complement of HDFS's atomic exclusive
-    * create (acquireLock's cross-process primitive). Bounded by the
-    * number of distinct pipelines a JVM ever locks. */
-  private val lockStripes =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    * create (acquireLock's cross-process primitive). A fixed array
+    * (hash of the lock path picks the stripe) instead of a per-path
+    * map: a long-lived multi-tenant JVM creates unboundedly many
+    * (root, pipeline) pairs, and a hash collision merely
+    * over-serializes two unrelated acquires. */
+  private val lockStripes = Array.fill(64)(new Object)
   private[streaming] def lockStripe(path: String): Object =
-    lockStripes.computeIfAbsent(path, _ => new Object)
+    lockStripes(math.floorMod(path.hashCode, lockStripes.length))
 
   /** Metadata key carrying a pipeline's task-group prefix (the
     * reference's `system.taskPrefix`,

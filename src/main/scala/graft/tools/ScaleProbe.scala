@@ -53,12 +53,13 @@ object ScaleProbe {
         (col("n_chars") + lit(5 + i.toString.length)).as("n_chars"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
-    // Scaled embeddings only when an e-family gate is probed: ids
-    // remapped, each copy's vectors scaled by a distinct factor so
-    // copies are distinct vectors and the NORM DISTRIBUTION gains ~8×
-    // the distinct values (the adversarial end for e19's
+    // Scaled embeddings whenever a probed gate reads them (the
+    // e-family plus t14's doc↔vec integrity joins): ids remapped,
+    // each copy's vectors scaled by a distinct factor so copies are
+    // distinct vectors and the NORM DISTRIBUTION gains ~8× the
+    // distinct values (the adversarial end for e19's
     // counting-selection median).
-    if (gates.exists(_.startsWith("e"))) {
+    if (gates.exists(g => g.startsWith("e") || g == "t14_integrity")) {
       val emb = spark.read.parquet(s"$base/embeddings.parquet")
       (0 until factor).map { i =>
         emb.select(

@@ -730,7 +730,9 @@ class PipelineManagerSpec extends SparkTestBase {
     pmA.start("hl", identity).awaitTermination()
     val pmB = new PipelineManager(spark, root, instance = "B",
       livenessLeaseMs = lease)
-    // within the lease A is live — B rejected
+    // heartbeat pins A's registration fresh regardless of how long
+    // the streaming setup above took — B must see a live owner
+    assert(pmA.heartbeat(), "A's own lease lapsed before the test's clock control")
     intercept[PipelineLockedException] { pmB.start("hl", identity) }
     // simulate A hard-crashing `lease` ago (no close()): age its
     // registration past the lease instead of sleeping the test
@@ -738,10 +740,13 @@ class PipelineManagerSpec extends SparkTestBase {
       spark.sparkContext.hadoopConfiguration)
     fs.setTimes(new org.apache.hadoop.fs.Path(s"$root/instances/A"),
       System.currentTimeMillis() - lease - 1000L, -1)
+    // an expired session cannot heartbeat itself back to life — A
+    // learns it must self-demote, and its registration stays stale
+    assert(!pmA.heartbeat(), "expired lease must not be refreshable")
     // B now reclaims the dead peer's lock and resumes delivery
     pmB.resume("hl", identity).awaitTermination()
     // a heartbeat would have kept A live: B's ownership now excludes A
-    pmB.heartbeat()
+    assert(pmB.heartbeat(), "B's lease should be confirmable")
     intercept[PipelineLockedException] { pmA.resume("hl", identity) }
     pmB.close(); pmA.close()
   }
