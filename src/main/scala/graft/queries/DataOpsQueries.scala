@@ -800,6 +800,24 @@ object DataOpsQueries {
     "t21_source_drift" -> ((s, d) =>
       Text.sourceDrift(t(s, d, "documents"), col("source"), col("text"))),
 
+    // Unicode canonicalization (UAX #15 NFC) over the corpus — the
+    // pre-dedup pass that makes composed and decomposed encodings of
+    // the same text hash identically. The gate appends a DECOMPOSED
+    // tail (e+U+0301, a+U+030A) to each document's prefix, so both
+    // engines must compose it (→ é, å: 2 chars shorter) on top of
+    // normalizing the corpus text itself. Runs as a native codegen'd
+    // Expression (graft.functions.UnicodeNormalize) — one static
+    // Normalizer call inside WholeStageCodegen, no UDF boxing.
+    "t22_nfc_normalize" -> ((s, d) => {
+      val raw = concat(substring(col("text"), 1, 12), lit("e\u0301a\u030A"))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        graft.functions.TextExpressions.nfc(raw).as("norm"),
+        length(graft.functions.TextExpressions.nfc(raw)).cast("long").as("n_norm"),
+        (length(raw) - length(graft.functions.TextExpressions.nfc(raw)))
+          .cast("long").as("n_composed"))
+    }),
+
     // Embedding-health pre-flight (t14's counterpart for the vector
     // corpus): NaN detection, zero vectors, and the norm envelope
     // (min / lower-median / max) — the audit run before pointing any
@@ -2133,6 +2151,19 @@ object DataOpsQueries {
          |d.kl FROM srcs LEFT JOIN drift d
          |ON srcs.source IS NOT DISTINCT FROM d.source"""
         .stripMargin.replace("\n", " "),
+
+    // Both engines implement UAX #15, so NFC outputs are
+    // bit-identical; chr(769)/chr(778) are the combining acute/ring
+    // the Spark side appends as ́/̊. length() is
+    // char-counted in both engines.
+    "t22_nfc_normalize" ->
+      """WITH r AS (SELECT doc_id,
+        |substr(text, 1, 12) || 'e' || chr(769) || 'a' || chr(778) AS raw
+        |FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS norm,
+        |CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_norm,
+        |CAST(length(raw) - length(nfc_normalize(raw)) AS BIGINT) AS n_composed
+        |FROM r""".stripMargin.replace("\n", " "),
 
     // Embedding-health closed form: the norm is rounded at source so
     // min/median/max aggregate already-rounded values; the median is

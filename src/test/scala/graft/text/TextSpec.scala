@@ -195,4 +195,26 @@ class TextSpec extends SparkTestBase {
       (4L, 0L, 0L, 0L, "clean text, short 12345678 and ip-ish 1.2.3 stay"))
     assert(got(5L) == (5L, 0L, 0L, 0L, ""))
   }
+
+  test("UnicodeNormalize: NFC composes, NFKC folds compatibility forms, null passes") {
+    import graft.functions.TextExpressions
+    val df = Seq(
+      (1L, "é"),       // decomposed é
+      (2L, "åb"),      // decomposed å + b
+      (3L, "ﬁle"),      // ﬁ ligature → "file" under NFKC only
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val got = df.select($"id", TextExpressions.nfc($"t").as("c"),
+        TextExpressions.nfkc($"t").as("k"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got(0) == (1L, "\u00E9", "\u00E9"))
+    assert(got(1) == (2L, "\u00E5b", "\u00E5b"))
+    assert(got(2)._2 == "\uFB01le" && got(2)._3 == "file")
+    assert(got(3)._2 == null && got(3)._3 == null)
+    // idempotent: normalizing twice is the same column value
+    val twice = df.filter($"t".isNotNull)
+      .select((TextExpressions.nfc(TextExpressions.nfc($"t")) ===
+        TextExpressions.nfc($"t")).as("eq")).as[Boolean].collect()
+    assert(twice.forall(identity))
+  }
 }
