@@ -146,13 +146,21 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     * documented at-least-once contract. An already-expired lease is
     * NOT refreshed — an expired session cannot heartbeat itself back
     * to life (peers may be mid-reclaim on the strength of the stale
-    * mod-time), exactly as a ZK session past its timeout is gone. */
+    * mod-time), exactly as a ZK session past its timeout is gone.
+    * The refresh cutoff is 3/4 of the lease, not the lease itself:
+    * the check-then-touch pair is not atomic, so a heartbeat that
+    * squeaked in at lease-minus-epsilon could land its touch AFTER a
+    * peer's reclaim began. Demoting a quarter-lease early is safe in
+    * the only direction that matters (the owner stops before anyone
+    * can have reclaimed); the deployment sizes the lease so a quarter
+    * of it dominates worst-case touch latency. */
   def heartbeat(): Boolean =
     try {
       val p = instancePath(instanceId)
       val st = rootFs.getFileStatus(p) // throws FNF if reclaimed/closed
       val fresh = livenessLeaseMs <= 0L ||
-        System.currentTimeMillis() - st.getModificationTime < livenessLeaseMs
+        System.currentTimeMillis() - st.getModificationTime <
+          livenessLeaseMs - livenessLeaseMs / 4
       if (fresh) rootFs.setTimes(p, System.currentTimeMillis(), -1)
       fresh
     } catch { case _: java.io.IOException => false }
@@ -210,9 +218,15 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     if (owner.nonEmpty && instanceLive(owner))
       throw PipelineLockedException(name, owner)
     if (owner.isEmpty) {
+      // Grace check for an in-flight rival create. A vanished file
+      // (FNF) falls through — the rename below fails cleanly and
+      // tryCreate decides. ANY OTHER filesystem error propagates: the
+      // same transient-error-is-not-a-death-certificate rule as
+      // instanceLive — reading a hiccup as "old empty orphan" would
+      // reclaim a live rival's in-flight lock.
       val age =
         try System.currentTimeMillis() - rootFs.getFileStatus(p).getModificationTime
-        catch { case _: java.io.IOException => Long.MaxValue } // vanished: retry below
+        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
       if (age < PipelineManager.AcquireGraceMs)
         throw PipelineLockedException(name, "(acquiring)")
     }
@@ -222,21 +236,38 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     // cross-process reclaimers exactly one moves a given lock file
     // aside (the FS analog of ZK's versioned delete; a blind delete
     // could remove a RIVAL reclaimer's freshly created lock and mint
-    // two owners). If the moved content is NOT the dead owner we
-    // judged — we yanked a rival's fresh lock — restore it and report
-    // that rival as the live owner. (A third contender interleaving
-    // inside this already-RPC-narrow window is past what filesystem
-    // primitives can order; a deployment needing that contention
-    // level layers a real coordination service, as the reference
-    // does with ZK.) The reclaim winner still has to win tryCreate —
-    // a rival that created in between is a live owner.
+    // two owners). Moved-content cases:
+    //  - matches the dead owner we judged → legitimate reclaim;
+    //  - a DIFFERENT written owner → we yanked a rival's fresh lock:
+    //    restore it and report that rival live;
+    //  - EMPTY but young → a rival's create-to-write window (it won a
+    //    reclaim race just before us): restore and report in-flight —
+    //    deleting it would mint two owners;
+    //  - empty and past the grace window → crashed mid-create, a
+    //    genuine orphan.
+    // A failed restore NEVER deletes the tombstone (the rival's lock
+    // bytes are the audit trail; a stranded _reclaim-* file is
+    // reclaim-age garbage, not a lock). The reclaim winner still has
+    // to win tryCreate — a rival that created in between is a live
+    // owner.
     val tombstone = new Path(p.getParent,
       s"_reclaim-${p.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
     if (rootFs.rename(p, tombstone)) {
-      val moved = lockOwner(tombstone)
-      if (moved != owner && moved.nonEmpty) {
-        if (!rootFs.rename(tombstone, p)) rootFs.delete(tombstone, false): Unit
-        throw PipelineLockedException(name, moved)
+      def restoreAndReject(as: String): Nothing = {
+        rootFs.rename(tombstone, p): Unit // keep tombstone if dest exists
+        throw PipelineLockedException(name, as)
+      }
+      val moved =
+        try lockOwner(tombstone)
+        catch { case _: java.io.IOException => restoreAndReject("(acquiring)") }
+      if (moved != owner) {
+        if (moved.nonEmpty) restoreAndReject(moved)
+        val tombAge =
+          try System.currentTimeMillis() -
+            rootFs.getFileStatus(tombstone).getModificationTime
+          catch { case _: java.io.IOException => restoreAndReject("(acquiring)") }
+        if (tombAge < PipelineManager.AcquireGraceMs)
+          restoreAndReject("(acquiring)")
       }
       rootFs.delete(tombstone, false): Unit
     }

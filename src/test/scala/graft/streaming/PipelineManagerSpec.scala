@@ -722,8 +722,10 @@ class PipelineManagerSpec extends SparkTestBase {
     val root = Files.createTempDirectory("graft-lease-").toString
     val srcDir = Files.createTempDirectory("graft-lease-src-").toString
     Seq((1L, "v1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
-    // lease far above test runtime for the held cases, then aged past
-    val lease = 3000L
+    // lease far above any CI runtime (expiry is SIMULATED via
+    // setTimes below, never waited for), so no in-test duration can
+    // flake the within-lease assertions
+    val lease = 600000L
     val pmA = new PipelineManager(spark, root, instance = "A",
       livenessLeaseMs = lease)
     pmA.create(PipelineSpec("hl", "parquet", "parquet", srcDir))
@@ -744,6 +746,8 @@ class PipelineManagerSpec extends SparkTestBase {
     // learns it must self-demote, and its registration stays stale
     assert(!pmA.heartbeat(), "expired lease must not be refreshable")
     // B now reclaims the dead peer's lock and resumes delivery
+    // (its own registration pinned fresh first — mirrors A's pin)
+    assert(pmB.heartbeat(), "B's lease lapsed before the reclaim")
     pmB.resume("hl", identity).awaitTermination()
     // a heartbeat would have kept A live: B's ownership now excludes A
     assert(pmB.heartbeat(), "B's lease should be confirmable")
