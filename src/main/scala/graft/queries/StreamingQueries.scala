@@ -1395,6 +1395,75 @@ object StreamingQueries {
       }
     }),
 
+    // HARD-crash lease failover — the case q64 (graceful close) and
+    // q65 (live mutual exclusion) leave open: the owner dies WITHOUT
+    // close(), so its registration file persists and only the
+    // heartbeat lease can declare it dead. With livenessLeaseMs set,
+    // a peer reclaims the stale owner's lock one lease after its last
+    // heartbeat (simulated by aging the registration mod-time — never
+    // by sleeping), the expired owner's own heartbeat refuses to
+    // resurrect it (self-demotion signal), delivery continues from
+    // the shared checkpoint exactly once, and a zombie of the crashed
+    // manager is rejected by the new live owner. Reference contract:
+    // ZK session timeout expiring a dead instance's ephemerals
+    // (ZkAdapter.java liveinstance nodes; task locks die with the
+    // session). Closed-form oracle: lease-event literals plus
+    // exactly-once corpus counts.
+    "q67_lease_failover" -> ((s, d) => {
+      val ckptRoot = Files.createTempDirectory("graft-q67-pm-").toString
+      val srcDir = Files.createTempDirectory("graft-q67-src-").toString
+      val destDir = Files.createTempDirectory("graft-q67-dest-").toString + "/d"
+      var pms = List.empty[PipelineManager]
+      try {
+        val clicks = Tables.t(s, d, "events")
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"))
+        def epochOf(e: Long): DataFrame =
+          clicks.filter(pmod(col("event_id"), lit(2L)) === e)
+        PipelineManager.epochAppend(epochOf(0).coalesce(1), srcDir, 0, "q67src")
+        val lease = 600000L // expiry below is SIMULATED, never slept for
+        val mA = new PipelineManager(s, ckptRoot, instance = "mgrA",
+          livenessLeaseMs = lease)
+        pms ::= mA
+        mA.create(PipelineSpec("q67p", "parquet", "parquet", srcDir,
+          destinationConnection = destDir))
+        mA.start("q67p", identity).awaitTermination()
+        // HARD CRASH: no close() — the registration file stays on
+        // disk; age it one lease past its last heartbeat
+        val fs = new org.apache.hadoop.fs.Path(ckptRoot).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        fs.setTimes(new org.apache.hadoop.fs.Path(s"$ckptRoot/instances/mgrA"),
+          System.currentTimeMillis() - lease - 60000L, -1)
+        // the expired session cannot heartbeat itself back
+        val selfDemoted = (!mA.heartbeat()).toString
+        val mB = new PipelineManager(s, ckptRoot, instance = "mgrB",
+          livenessLeaseMs = lease)
+        pms ::= mB
+        PipelineManager.epochAppend(epochOf(1).coalesce(1), srcDir, 1, "q67src")
+        val tookOver =
+          try { mB.start("q67p", identity).awaitTermination(); true }
+          catch { case _: PipelineLockedException => false }
+        // a zombie of the crashed manager cannot re-take the pipeline
+        val zombieRejectedBy =
+          try { mA.start("q67p", identity); "NONE" }
+          catch { case e: PipelineLockedException => e.lockedBy }
+        val r = s.read.parquet(destDir)
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+          .head()
+        import s.implicits._
+        Seq(
+          ("lease", "self_demoted", selfDemoted),
+          ("lease", "takeover_after_expiry", tookOver.toString),
+          ("lease", "zombie_rejected_by", zombieRejectedBy),
+          ("rows", "n", r.getLong(0).toString),
+          ("rows", "n_distinct", r.getLong(1).toString))
+          .toDF("kind", "k", "v")
+      } finally {
+        pms.foreach(p => try p.close() catch { case _: Throwable => () })
+        deleteTree(ckptRoot, srcDir, new java.io.File(destDir).getParent)
+      }
+    }),
+
     // §2.10: the full SPI lifecycle through PipelineManager — every
     // pluggable hook fires and every state transition lands where the
     // reference's Coordinator would put it: Authorizer rejects an
@@ -1821,6 +1890,21 @@ object StreamingQueries {
         |UNION ALL SELECT 'rows', 'y_n', CAST(COUNT(*) AS VARCHAR)
         |FROM events WHERE event_type = 'click'
         |UNION ALL SELECT 'rows', 'y_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'"""
+        .stripMargin.replace("\n", " "),
+
+    // Lease-failover closed form: every lease event is a literal
+    // (expired owner self-demotes, peer reclaims, zombie rejected by
+    // the new owner), and exactly-once delivery across the hard crash
+    // means the destination count equals the click corpus.
+    "q67_lease_failover" ->
+      """SELECT 'lease' AS kind, 'self_demoted' AS k, 'true' AS v
+        |UNION ALL SELECT 'lease', 'takeover_after_expiry', 'true'
+        |UNION ALL SELECT 'lease', 'zombie_rejected_by', 'mgrB'
+        |UNION ALL SELECT 'rows', 'n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL SELECT 'rows', 'n_distinct',
         |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
         |FROM events WHERE event_type = 'click'"""
         .stripMargin.replace("\n", " "),
