@@ -266,12 +266,12 @@ final class ManagementServer(pm: PipelineManager,
       case ("POST", List("pipelines", name, "pause")) =>
         pm.get(name).getOrElse(sys.error(s"unknown pipeline $name"))
         // ?force=true pauses the whole task group, as the reference's
-        // force flag (DatastreamResources.java:358-408)
-        val targets =
-          if (queryParams(ex).get("force").contains("true"))
-            pm.findGroup(name).map(_.name)
-          else Seq(name)
-        targets.foreach(pm.pause(_, owner(ex)))
+        // force flag (DatastreamResources.java:358-408); the default
+        // pauses ONE member — inside a running destination-reuse group
+        // the manager keeps the shared query serving the siblings and
+        // holds this member's rows back (q68 semantics).
+        pm.pause(name, force = queryParams(ex).get("force").contains("true"),
+          owner = owner(ex))
         respond(ex, 200, specToJson(pm.get(name).get))
       // pauseSourcePartitions / resumeSourcePartitions
       // (DatastreamResources.java:604-680 / :682-750): partition-level
@@ -338,7 +338,8 @@ final class ManagementServer(pm: PipelineManager,
                 m.status == PipelineStatus.Paused ||
                   m.status == PipelineStatus.Stopped)
             else Seq(spec)
-          val qs = targets.map(m => pm.resume(m.name, transformOf(m), owner(ex)))
+          val qs = targets.map(m =>
+            pm.resume(m.name, transformOf(m), owner = owner(ex)))
           if (queryParams(ex).get("await").contains("true"))
             qs.foreach(_.awaitTermination())
           respond(ex, 200, specToJson(pm.get(name).get))

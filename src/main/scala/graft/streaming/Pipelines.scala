@@ -61,7 +61,8 @@ final case class PipelineLockedException(pipeline: String, lockedBy: String)
 
 final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     hooks: PipelineHooks = PipelineHooks(), instance: String = "",
-    livenessLeaseMs: Long = 0L) {
+    livenessLeaseMs: Long = 0L, autoHeartbeat: Boolean = false,
+    heartbeatIntervalMs: Long = 0L) {
 
   /** This manager's live-instance identity — the analog of the
     * reference coordinator's ZK `/liveinstances/<id>` registration
@@ -104,7 +105,58 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   private def instancePath(id: String) =
     new Path(s"$checkpointRoot/instances/$id")
   rootFs.mkdirs(instancePath(instanceId).getParent)
-  rootFs.create(instancePath(instanceId), true).close()
+  registerInstance()
+
+  /** Register this instance's liveness file with an EXCLUSIVE create.
+    * Overwriting an existing registration would refresh a dead
+    * same-id registration's mod-time and make its stale locks look
+    * live again while a peer may be mid-reclaim — the "expired
+    * session cannot come back" contract extends to rebirths. A
+    * registration that is still LIVE (existence-only mode, or within
+    * its lease) is therefore a hard construction error (duplicate
+    * instanceId, or a static-named host restarting before its lease
+    * ran out — the reference rejects a second coordinator joining
+    * under an occupied ZK liveinstance name the same way). Only an
+    * EXPIRED same-id registration is fenced: the predecessor's stale
+    * locks are reclaimed FIRST through the same tombstone rename-
+    * verify protocol peers use (a blind delete could remove a rival
+    * reclaimer's freshly-won lock), then the stale registration is
+    * replaced — so the new incarnation starts with no inherited
+    * ownership at all. */
+  private def registerInstance(): Unit = {
+    val p = instancePath(instanceId)
+    def tryCreate(): Boolean =
+      try { rootFs.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (tryCreate()) return
+    if (instanceLive(instanceId))
+      throw new IllegalStateException(s"instance $instanceId is already " +
+        s"registered and live on $checkpointRoot; a crashed predecessor " +
+        "under a static name becomes replaceable one lease after its " +
+        "last heartbeat")
+    // expired predecessor: sweep its stale locks before re-registering
+    // (once registered, those locks would read as live-owned by a
+    // process that holds no queries for them)
+    val locksDir = new Path(s"$checkpointRoot/locks")
+    if (rootFs.exists(locksDir)) {
+      rootFs.listStatus(locksDir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".lock"))
+        .foreach { st =>
+          PipelineManager.lockStripe(st.getPath.toString).synchronized {
+            val owner = try lockOwner(st.getPath)
+              catch { case _: java.io.IOException => "" }
+            if (owner == instanceId)
+              try reclaimLockFile(st.getPath, owner)
+              catch { case _: PipelineLockedException => () } // a rival won it; leave it
+          }
+        }
+    }
+    rootFs.delete(p, false): Unit
+    if (!tryCreate())
+      throw new IllegalStateException(s"instance $instanceId lost the " +
+        s"re-registration race on $checkpointRoot (a same-id rival " +
+        "registered concurrently)")
+  }
 
   /** Is `id` a live lock owner? Existence of the registration by
     * default; with `livenessLeaseMs > 0` (the multi-host production
@@ -164,6 +216,62 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       if (fresh) rootFs.setTimes(p, System.currentTimeMillis(), -1)
       fresh
     } catch { case _: java.io.IOException => false }
+
+  // ---- Scheduled heartbeat + enforced self-demotion: the runtime
+  // loop the [[heartbeat]] contract assigns to the deployment's timer,
+  // now shipped in the manager itself (`autoHeartbeat = true`). The
+  // reference analog is ZK session expiry propagating into
+  // Coordinator.onSessionExpired (Coordinator.java:705,783): the
+  // expired coordinator stops its own work; it does not keep producing
+  // on the strength of locks a peer may already have reclaimed. ----
+
+  @volatile private var demotedFlag = false
+
+  /** True once this manager has self-demoted on lease expiry. A
+    * demoted manager refuses to start queries; its locks stay on disk
+    * for peers to reclaim. */
+  def isDemoted: Boolean = demotedFlag
+
+  /** Enforce the self-demotion a false [[heartbeat]] demands: stop
+    * every query WITHOUT releasing locks (a reclaimer may
+    * legitimately own them by now — deleting the lock files here
+    * could erase the new owner's lock), flip the affected specs to
+    * Stopped IN MEMORY only (a demoted instance must not write to the
+    * shared durable store — the reclaiming owner's writes are
+    * authoritative), and refuse all further starts. Idempotent. */
+  def demote(): Unit = {
+    demotedFlag = true
+    val affected = queries.keySet().asScala.toSet
+    queries.values().asScala.toSet[StreamingQuery]
+      .foreach(q => if (q.isActive) q.stop())
+    queries.clear()
+    affected.foreach { n =>
+      specs.updateWith(n)(_.map(_.copy(status = PipelineStatus.Stopped)))
+      hooks.onStateChange(n, PipelineStatus.Stopped)
+    }
+  }
+
+  /** Heartbeat timer: every interval (default lease/4 — the refresh
+    * cutoff [[heartbeat]] itself enforces, so the timer can never be
+    * the reason a fresh lease reads expired) refresh the lease; on
+    * the first false return, [[demote]] and stop ticking — an expired
+    * session cannot come back, so there is nothing left to schedule. */
+  private val heartbeatExec: Option[java.util.concurrent.ScheduledExecutorService] =
+    if (!autoHeartbeat) None
+    else {
+      val interval =
+        if (heartbeatIntervalMs > 0L) heartbeatIntervalMs
+        else math.max(livenessLeaseMs / 4, 1L)
+      val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+        (r: Runnable) => {
+          val t = new Thread(r, s"graft-heartbeat-$instanceId")
+          t.setDaemon(true); t
+        })
+      ex.scheduleWithFixedDelay(
+        () => if (!heartbeat()) { demote(); ex.shutdown() },
+        interval, interval, java.util.concurrent.TimeUnit.MILLISECONDS): Unit
+      Some(ex)
+    }
 
   private def lockPath(name: String) =
     new Path(s"$checkpointRoot/locks/${PipelineManager.namespaceOf(name)}.lock")
@@ -230,26 +338,40 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       if (age < PipelineManager.AcquireGraceMs)
         throw PipelineLockedException(name, "(acquiring)")
     }
-    // Orphan lock of a dead instance — reclaim by ATOMIC RENAME to a
-    // unique tombstone, then VERIFY the moved bytes, not a blind
-    // delete: rename fails when the source is gone, so of N
-    // cross-process reclaimers exactly one moves a given lock file
-    // aside (the FS analog of ZK's versioned delete; a blind delete
-    // could remove a RIVAL reclaimer's freshly created lock and mint
-    // two owners). Moved-content cases:
-    //  - matches the dead owner we judged → legitimate reclaim;
-    //  - a DIFFERENT written owner → we yanked a rival's fresh lock:
-    //    restore it and report that rival live;
-    //  - EMPTY but young → a rival's create-to-write window (it won a
-    //    reclaim race just before us): restore and report in-flight —
-    //    deleting it would mint two owners;
-    //  - empty and past the grace window → crashed mid-create, a
-    //    genuine orphan.
-    // A failed restore NEVER deletes the tombstone (the rival's lock
-    // bytes are the audit trail; a stranded _reclaim-* file is
-    // reclaim-age garbage, not a lock). The reclaim winner still has
-    // to win tryCreate — a rival that created in between is a live
-    // owner.
+    reclaimLockFile(p, owner, name)
+    if (tryCreate()) true
+    else lockOwner(p) match {
+      case `instanceId` => false // another thread of this instance won
+      case "" => throw PipelineLockedException(name, "(acquiring)")
+      case o2 => throw PipelineLockedException(name, o2)
+    }
+  }
+
+  /** Remove a lock file judged to belong to dead `owner` — by ATOMIC
+    * RENAME to a unique tombstone, then VERIFYING the moved bytes, not
+    * a blind delete: rename fails when the source is gone, so of N
+    * cross-process reclaimers exactly one moves a given lock file
+    * aside (the FS analog of ZK's versioned delete; a blind delete
+    * could remove a RIVAL reclaimer's freshly created lock and mint
+    * two owners). Moved-content cases:
+    *  - matches the dead owner we judged → legitimate reclaim;
+    *  - a DIFFERENT written owner → we yanked a rival's fresh lock:
+    *    restore it and report that rival live;
+    *  - EMPTY but young → a rival's create-to-write window (it won a
+    *    reclaim race just before us): restore and report in-flight —
+    *    deleting it would mint two owners;
+    *  - empty and past the grace window → crashed mid-create, a
+    *    genuine orphan.
+    * A failed restore NEVER deletes the tombstone (the rival's lock
+    * bytes are the audit trail; a stranded _reclaim-* file is
+    * reclaim-age garbage, not a lock). Returns normally when the dead
+    * lock is gone; throws [[PipelineLockedException]] when the file
+    * turned out to be a rival's live or in-flight lock. Callers that
+    * go on to acquire still have to win the exclusive create — a
+    * rival that created in between is a live owner. */
+  private def reclaimLockFile(p: Path, owner: String,
+      label: String = ""): Unit = {
+    val name = if (label.nonEmpty) label else p.getName.stripSuffix(".lock")
     val tombstone = new Path(p.getParent,
       s"_reclaim-${p.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
     if (rootFs.rename(p, tombstone)) {
@@ -270,12 +392,6 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
           restoreAndReject("(acquiring)")
       }
       rootFs.delete(tombstone, false): Unit
-    }
-    if (tryCreate()) true
-    else lockOwner(p) match {
-      case `instanceId` => false // another thread of this instance won
-      case "" => throw PipelineLockedException(name, "(acquiring)")
-      case o2 => throw PipelineLockedException(name, o2)
     }
   }
 
@@ -301,10 +417,10 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     * stopped once and unregistered from EVERY member — otherwise the
     * other members would keep a handle to a dead query while their
     * specs still read Ready, and a later status()/metrics read would
-    * report a phantom stream. Lifecycle verbs touching one member of
-    * a running group therefore stop delivery for the whole group
-    * (the group IS one task — the reference's shared-task contract);
-    * restart it with [[startGroup]]. */
+    * report a phantom stream. This is the FORCE scope — [[pause]]/
+    * [[stop]]/[[resume]] default to per-member admission inside a
+    * group run and only sweep through here under `force = true` (or
+    * when stopping the last remaining member). */
   private def stopQueryOf(name: String): Unit =
     Option(queries.remove(name)).foreach { q =>
       q.stop()
@@ -420,6 +536,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     * session-scoped resources; leaking listeners retains the manager
     * and slows every future progress event). */
   def close(): Unit = {
+    heartbeatExec.foreach(_.shutdownNow(): Unit)
     queries.values().asScala.foreach(q => if (q.isActive) q.stop())
     queries.clear()
     spark.streams.removeListener(listener)
@@ -875,43 +992,156 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
    */
   def startGroup(name: String, transform: DataFrame => DataFrame,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    if (demotedFlag) throw new IllegalStateException(s"manager $instanceId " +
+      "is demoted (lease expired); it must not start queries")
     val members = findGroup(name)
     require(members.nonEmpty, s"unknown pipeline $name")
     val srcs = members.map(_.sourceConnection).distinct
     require(srcs.size == 1,
       s"task group spans ${srcs.size} sources; group fan-out needs exactly one")
-    // All-or-nothing lock acquisition: a member already owned by
-    // another live manager must not leave earlier members locked by
-    // an instance that runs no query — roll back what THIS call newly
-    // took (locks held before the call stay held).
-    val newlyLocked = scala.collection.mutable.ListBuffer.empty[String]
-    try members.foreach(m => if (acquireLock(m.name)) newlyLocked += m.name)
-    catch { case e: Throwable => newlyLocked.foreach(releaseLock); throw e }
     val prefix = members.head.metadata
       .getOrElse(PipelineManager.TaskPrefixKey, members.head.name)
-    val writers = members.groupBy(_.destinationConnection).toSeq.sortBy(_._1)
-      .map { case (_, ms) => transportWriter(ms.head) }
-    val prevPool = spark.sparkContext.getLocalProperty("spark.scheduler.pool")
-    spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-$prefix")
+    val groupCkpt = groupCheckpointPath(prefix)
+    // All-or-nothing lock acquisition, and EVERYTHING after it rolls
+    // back on failure: a member already owned by another live manager
+    // — or a guard/build/start failure below — must not leave members
+    // locked by an instance that runs no query. Only locks THIS call
+    // newly took are released (locks held before the call stay held).
+    val newlyLocked = scala.collection.mutable.ListBuffer.empty[String]
     try {
-      // metrics ride the shared query (observed under the group query
-      // name "group-<prefix>": one scan → one set of counters)
-      val q = observed(transform(source(members.head))).writeStream
-        .queryName(s"group-$prefix")
-        .outputMode("append")
-        .option("checkpointLocation",
-          s"$checkpointRoot/group-${PipelineManager.namespaceOf(prefix)}")
-        .trigger(trigger)
-        .foreachBatch { (batch: DataFrame, epoch: Long) =>
-          // one materialization serves every sink
-          batch.persist()
-          try writers.foreach(w => w(batch, epoch))
-          finally { batch.unpersist(); () }
+      members.foreach(m => if (acquireLock(m.name)) newlyLocked += m.name)
+      // Mirror of startInPool's solo-after-group guard, other
+      // direction: a member whose last run was SOLO has its offsets in
+      // the per-name checkpoint; a group start from an empty group
+      // checkpoint would redeliver every epoch that member's
+      // destination already received.
+      if (!rootFs.exists(groupCkpt)) members.foreach { m =>
+        if (rootFs.exists(new Path(s"$checkpointRoot/${m.name}")))
+          throw new IllegalStateException(s"pipeline ${m.name} last ran solo " +
+            "(per-name checkpoint exists, group checkpoint does not); a group " +
+            "start would redeliver its delivered epochs")
+      }
+      // A still-active member query must not keep running beside the
+      // shared query (double delivery with no handle left to stop it):
+      // stop and unregister every member's previous query first.
+      members.foreach(m => stopQueryOf(m.name))
+      // An explicit group (re)start runs every member that is not held
+      // back: members stopped per-member in an earlier run rejoin here
+      // (their stop forfeited the epochs delivered while stopped —
+      // that is stop's released-resources contract; a member that must
+      // NOT lose epochs is paused, not stopped).
+      members.filter(m =>
+          specs.get(m.name).exists(_.status == PipelineStatus.Stopped))
+        .foreach { m =>
+          specs.updateWith(m.name)(_.map(_.copy(status = PipelineStatus.Ready)))
+          specs.get(m.name).foreach(persistSpec)
+          hooks.onStateChange(m.name, PipelineStatus.Ready)
         }
-        .start()
-      members.foreach(m => queries.put(m.name, q))
-      q
-    } finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", prevPool)
+      // Per-DESTINATION delivery groups (members sharing a destination
+      // deliver once — the reference's duplicate-stream contract). The
+      // leader (lexicographically first member) carries the transport
+      // identity: its name namespaces the destination's epoch markers
+      // AND the dest-group's holdback, so held epochs replay into
+      // exactly the namespace live delivery uses — exactly-once by the
+      // same markers.
+      val destGroups = members.groupBy(_.destinationConnection).toSeq
+        .sortBy(_._1)
+        .map { case (_, ms) => (ms.head, ms.map(_.name), transportWriter(ms.head)) }
+      val prevPool = spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-$prefix")
+      try {
+        // metrics ride the shared query (observed under the group query
+        // name "group-<prefix>": one scan → one set of counters)
+        val q = observed(transform(source(members.head))).writeStream
+          .queryName(s"group-$prefix")
+          .outputMode("append")
+          .option("checkpointLocation", groupCkpt.toString)
+          .trigger(trigger)
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            // one materialization serves every sink
+            batch.persist()
+            try destGroups.foreach { case (leader, memberNames, write) =>
+              // Per-member admission (q68; the reference's force=false
+              // pause scope, DatastreamResources.java:355-377), judged
+              // at batch time from the live spec store:
+              //  - any member Ready → the destination receives (and any
+              //    held epochs drain first — self-healing after a
+              //    resume that raced an in-flight batch);
+              //  - members only Paused → the epoch lands in the
+              //    dest-group's durable holdback, never dropped;
+              //  - members only Stopped/absent → skipped (stop released
+              //    the member's resources; its sink forfeits epochs
+              //    until it rejoins).
+              val statuses = memberNames.flatMap(n => specs.get(n)).map(_.status)
+              if (statuses.contains(PipelineStatus.Ready)) {
+                replayGroupHoldback(leader)
+                write(batch, epoch)
+              } else if (statuses.contains(PipelineStatus.Paused))
+                PipelineManager.epochAppend(batch,
+                  groupHoldbackPath(leader.name), epoch, leader.name): Unit
+            }
+            finally { batch.unpersist(); () }
+          }
+          .start()
+        members.foreach(m => queries.put(m.name, q))
+        q
+      } finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", prevPool)
+    } catch {
+      case e: Throwable => newlyLocked.foreach(releaseLock); throw e
+    }
+  }
+
+  private def groupCheckpointPath(prefix: String): Path =
+    new Path(s"$checkpointRoot/group-${PipelineManager.namespaceOf(prefix)}")
+
+  /** Has `name`'s task group ever run as ONE shared query? True once
+    * the group checkpoint exists (only [[startGroup]] creates it, and
+    * solo restarts are rejected from then on) — the state in which
+    * lifecycle verbs on a member mean per-member admission, not
+    * query-wide control. */
+  private def isGroupRun(name: String): Boolean =
+    specs.get(name).exists { spec =>
+      val prefix = spec.metadata.getOrElse(PipelineManager.TaskPrefixKey, spec.name)
+      rootFs.exists(groupCheckpointPath(prefix))
+    }
+
+  /** Durable holdback of a destination group inside a running group:
+    * epochs withheld while every member of the destination was paused,
+    * written with the SAME epoch markers as live delivery so replay is
+    * exactly-once. Keyed by the dest-group leader's name. */
+  private def groupHoldbackPath(leaderName: String): String =
+    s"$checkpointRoot/group-holdback/${PipelineManager.namespaceOf(leaderName)}"
+
+  /** Deliver (then remove) every held-back epoch of a dest group, in
+    * epoch order, through the leader's own transport — for parquet
+    * transports each replayed epoch re-enters [[PipelineManager
+    * .epochAppend]] under the leader's namespace with its ORIGINAL
+    * epoch number, so a crash between deliver and cleanup re-replays
+    * into a no-op (the destination's commit marker already exists):
+    * exactly-once end to end. Serialized per leader (a resume() on the
+    * caller thread and the group query's self-healing drain may race;
+    * two concurrent epochAppends of one epoch would collide in the
+    * staging directory). */
+  private def replayGroupHoldback(leader: PipelineSpec): Unit = {
+    val hb = new Path(groupHoldbackPath(leader.name))
+    PipelineManager.lockStripe(hb.toString).synchronized {
+      if (!rootFs.exists(hb)) return
+      val ns = PipelineManager.namespaceOf(leader.name)
+      val markers = new Path(hb, s"_graft_commits/$ns")
+      if (!rootFs.exists(markers)) return
+      val epochs = rootFs.listStatus(markers).toSeq
+        .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption).sorted
+      if (epochs.isEmpty) return
+      val deliver = transportWriter(leader)
+      epochs.foreach { e =>
+        val files = Option(rootFs.globStatus(
+          new Path(hb, s"graft-$ns-e$e-p*.parquet"))).toSeq.flatten
+        if (files.nonEmpty)
+          deliver(spark.read.parquet(files.map(_.getPath.toString): _*), e)
+        files.foreach(f => rootFs.delete(f.getPath, false))
+        rootFs.delete(new Path(markers, e.toString), false): Unit
+      }
+    }
   }
 
   /** A6/A7: per-epoch throughput metrics ride the query itself via
@@ -935,20 +1165,29 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
 
   private def startInPool(name: String, transform: DataFrame => DataFrame,
       trigger: Trigger): StreamingQuery = {
+    if (demotedFlag) throw new IllegalStateException(s"manager $instanceId " +
+      "is demoted (lease expired); it must not start queries")
     val spec = specs.getOrElse(name, sys.error(s"unknown pipeline $name"))
     // Single-owner guarantee BEFORE any query exists: a second live
     // manager's start is rejected here with no StreamingQuery, no
     // checkpoint touch, no delivery (D4; DatastreamTaskImpl.java
-    // :126-139 acquire).
-    acquireLock(name): Unit
+    // :126-139 acquire). A failure ANYWHERE below (guard, source
+    // build, .start()) releases a lock this call newly took — an
+    // instance must never sit on a lock while running no query.
+    val newlyLocked = acquireLock(name)
+    try startLocked(name, spec, transform, trigger)
+    catch { case e: Throwable => if (newlyLocked) releaseLock(name); throw e }
+  }
+
+  private def startLocked(name: String, spec: PipelineSpec,
+      transform: DataFrame => DataFrame, trigger: Trigger): StreamingQuery = {
     // A member whose last run was group-scoped has its offsets in the
     // GROUP checkpoint; a solo restart would begin from an empty
     // per-name checkpoint and redeliver every epoch the group already
     // delivered. Fail loudly instead — the group restarts via
     // startGroup.
     val prefix = spec.metadata.getOrElse(PipelineManager.TaskPrefixKey, name)
-    val groupCkpt = new Path(
-      s"$checkpointRoot/group-${PipelineManager.namespaceOf(prefix)}")
+    val groupCkpt = groupCheckpointPath(prefix)
     if (rootFs.exists(groupCkpt) &&
         !rootFs.exists(new Path(s"$checkpointRoot/$name")))
       throw new IllegalStateException(s"pipeline $name last ran as part of " +
@@ -1040,12 +1279,35 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     spec
   }
 
-  def pause(name: String, owner: String = "anonymous"): Unit = {
+  /**
+   * Pause. Solo-run pipelines stop their query (offsets stay in the
+   * checkpoint; the assignment and the lock are kept — contrast
+   * [[stop]]). For a member of a GROUP-RUN task group the default
+   * (`force = false`) pauses ONLY that member — the reference's
+   * single-datastream pause scope (DatastreamResources.java:355-377:
+   * `force ? getGroupedDatastreams(datastream) : singletonList(
+   * datastream)`): the shared query keeps serving the siblings, and
+   * once every member of the paused member's DESTINATION group is
+   * paused, that destination's epochs divert to a durable holdback
+   * ([[groupHoldbackPath]]) that [[resume]] replays exactly-once —
+   * never dropped, never redelivered. `force = true` extends the
+   * pause to the whole group and stops the shared query (every
+   * member flips Paused, matching the reference's force scope).
+   */
+  def pause(name: String, force: Boolean = false,
+      owner: String = "anonymous"): Unit = {
     authorizeLifecycle(name, owner)
-    stopQueryOf(name)
-    specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Paused)))
-    specs.get(name).foreach(persistSpec)
-    hooks.onStateChange(name, PipelineStatus.Paused)
+    val groupRun = isGroupRun(name)
+    val targets = if (force) findGroup(name).map(_.name) else Seq(name)
+    // per-member group pause keeps the shared query running; every
+    // other shape stops the target queries (the members' own solo
+    // queries, or — group-run force — the shared query, swept once)
+    if (!(groupRun && !force)) targets.foreach(stopQueryOf)
+    targets.foreach { n =>
+      specs.updateWith(n)(_.map(_.copy(status = PipelineStatus.Paused)))
+      specs.get(n).foreach(persistSpec)
+      hooks.onStateChange(n, PipelineStatus.Paused)
+    }
   }
 
   /**
@@ -1063,6 +1325,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   def stop(name: String, force: Boolean = false,
       owner: String = "anonymous"): Unit = {
     authorizeLifecycle(name, owner)
+    val groupRun = isGroupRun(name)
     val targets =
       if (force) findGroup(name).map(_.name)
       else Seq(specs.getOrElse(name, sys.error(s"unknown pipeline $name")).name)
@@ -1070,9 +1333,26 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       if (!specs.get(n).map(_.status).contains(PipelineStatus.Stopped)) {
         specs.updateWith(n)(_.map(_.copy(status = PipelineStatus.Stopping)))
         hooks.onStateChange(n, PipelineStatus.Stopping)
-        // StreamingQuery.stop() cancels the query's in-flight jobs —
-        // nothing of the pipeline's scheduler pool outlives it
-        stopQueryOf(n)
+        if (groupRun && !force) {
+          // Per-member stop inside a group run (same default scope as
+          // [[pause]]): drop only this member's handle — the shared
+          // query keeps serving the siblings, and the batch loop skips
+          // this member's delivery from its next epoch (Stopped ≠
+          // Paused: no holdback; released resources forfeit epochs).
+          // Only when NO other member still references the shared
+          // query (every member stopped one by one) does the query
+          // itself stop.
+          Option(queries.remove(n)).foreach { q =>
+            if (!queries.values().asScala.exists(_ eq q) && q.isActive)
+              q.stop()
+          }
+        } else
+          // StreamingQuery.stop() cancels the query's in-flight jobs —
+          // nothing of the pipeline's scheduler pool outlives it. For a
+          // force group stop the first sweep stops the shared query;
+          // every target still gets its transition and lock release
+          // below — no member is left Ready with no running query.
+          stopQueryOf(n)
         // resources released ⇒ the task returns to the pool: another
         // live manager may now acquire it (contrast pause, which keeps
         // the assignment AND the lock)
@@ -1084,14 +1364,44 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     }
   }
 
-  /** Resume = restart from the same checkpointLocation. */
+  /**
+   * Resume = restart from the same checkpointLocation. For a member
+   * of a GROUP-RUN task group the default re-admits ONLY that member
+   * (the [[pause]] scope mirrored): it flips Ready, REPLAYS its
+   * destination group's held-back epochs exactly-once through the
+   * leader's transport, and leaves the shared query alone — returning
+   * the registered group query, or restarting the group when none is
+   * registered (an AvailableNow group between drains). `force = true`
+   * re-admits every member then restarts the group.
+   */
   def resume(name: String, transform: DataFrame => DataFrame,
-      owner: String = "anonymous"): StreamingQuery = {
+      force: Boolean = false, owner: String = "anonymous"): StreamingQuery = {
     authorizeLifecycle(name, owner)
-    specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Ready)))
-    specs.get(name).foreach(persistSpec)
-    hooks.onStateChange(name, PipelineStatus.Ready)
-    start(name, transform)
+    if (isGroupRun(name)) {
+      val targets = if (force) findGroup(name).map(_.name).toSet else Set(name)
+      targets.foreach { n =>
+        specs.updateWith(n)(_.map(_.copy(status = PipelineStatus.Ready)))
+        specs.get(n).foreach(persistSpec)
+        hooks.onStateChange(n, PipelineStatus.Ready)
+      }
+      // Drain the holdback of every dest group that now has a Ready
+      // member. Leaders are computed exactly as startGroup computes
+      // them (lexicographically-first member per destination), so the
+      // replay lands in the namespace live delivery uses. The batch
+      // loop's own self-healing drain covers a resume that races an
+      // in-flight epoch (both paths serialize per leader).
+      findGroup(name).groupBy(_.destinationConnection).values
+        .filter(ms => ms.exists(m => targets.contains(m.name)) &&
+          ms.exists(m =>
+            specs.get(m.name).exists(_.status == PipelineStatus.Ready)))
+        .foreach(ms => replayGroupHoldback(ms.head))
+      Option(queries.get(name)).getOrElse(startGroup(name, transform))
+    } else {
+      specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Ready)))
+      specs.get(name).foreach(persistSpec)
+      hooks.onStateChange(name, PipelineStatus.Ready)
+      start(name, transform)
+    }
   }
 
   def delete(name: String, owner: String = "anonymous"): Unit = {

@@ -755,7 +755,7 @@ class PipelineManagerSpec extends SparkTestBase {
     pmB.close(); pmA.close()
   }
 
-  test("group lifecycle: member stop sweeps the shared query; solo restart after a group run is rejected") {
+  test("group lifecycle: member stop is per-member (reference force=false scope); solo restart after a group run is rejected") {
     val root = Files.createTempDirectory("graft-grp-").toString
     val srcDir = Files.createTempDirectory("graft-grp-src-").toString
     Seq((1L, "v1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
@@ -767,19 +767,173 @@ class PipelineManagerSpec extends SparkTestBase {
     pm.create(PipelineSpec("gb", "parquet", "parquet", srcDir,
       destinationConnection = db))
     pm.startGroup("ga", identity).awaitTermination()
-    // stopping ONE member stops the one shared query and unregisters
-    // it from EVERY member — no dead handle left under gb
+    // NON-force stop of one member affects only that member
+    // (DatastreamResources.java:355-377 scope): its handle and lock
+    // go, the sibling keeps its registration — it is NOT left Ready
+    // with its lock held by a swept-away query
     pm.stop("ga")
-    assert(pm.queryOf("ga").isEmpty && pm.queryOf("gb").isEmpty,
-      "shared query handle survived a member stop")
+    assert(pm.queryOf("ga").isEmpty, "stopped member kept a handle")
+    assert(pm.queryOf("gb").isDefined, "sibling lost its query handle")
+    assert(pm.get("ga").get.status == PipelineStatus.Stopped)
+    assert(pm.get("gb").get.status == PipelineStatus.Ready)
+    // the stopped member's lock is RELEASED: another manager may take
+    // it (here: gb delivers new data while ga's sink forfeits it)
+    Seq((2L, "v2")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    pm.startGroup("gb", identity).awaitTermination()
+    // ga rejoined on the explicit group start (Stopped → Ready), but
+    // only from this epoch on — v2 delivered to both, nothing redone
+    assert(pm.get("ga").get.status == PipelineStatus.Ready)
+    assert(spark.read.parquet(da).count() == 2 &&
+      spark.read.parquet(db).count() == 2, "group restart redelivered")
     // a solo restart would replay from an empty per-name checkpoint
     // and redeliver what the group already delivered — rejected
-    intercept[IllegalStateException] { pm.resume("gb", identity) }
-    // the group itself restarts fine from the group checkpoint
-    pm.startGroup("ga", identity).awaitTermination()
-    assert(spark.read.parquet(da).count() == 1 &&
-      spark.read.parquet(db).count() == 1, "group restart redelivered")
+    intercept[IllegalStateException] { pm.start("gb", identity) }
+    // FORCE stop sweeps the whole group: every member transitioned,
+    // every handle gone, every lock released
+    pm.stop("ga", force = true)
+    assert(pm.queryOf("ga").isEmpty && pm.queryOf("gb").isEmpty)
+    assert(pm.get("ga").get.status == PipelineStatus.Stopped &&
+      pm.get("gb").get.status == PipelineStatus.Stopped)
+    // released: a second manager can acquire both members
+    val pm2 = new PipelineManager(spark, root, instance = "second")
+    pm2.startGroup("ga", identity).awaitTermination()
+    assert(spark.read.parquet(da).count() == 2, "force-stop restart redelivered")
+    pm2.close()
     pm.close()
+  }
+
+  test("per-member pause in a running group holds back exactly that destination and resume replays exactly once") {
+    val root = Files.createTempDirectory("graft-gpause-").toString
+    val srcDir = Files.createTempDirectory("graft-gpause-src-").toString
+    Seq((1L, "v1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    val da = Files.createTempDirectory("graft-gpause-da-").toString + "/d"
+    val db = Files.createTempDirectory("graft-gpause-db-").toString + "/d"
+    val pm = new PipelineManager(spark, root)
+    pm.create(PipelineSpec("pa", "parquet", "parquet", srcDir,
+      destinationConnection = da))
+    pm.create(PipelineSpec("pb", "parquet", "parquet", srcDir,
+      destinationConnection = db))
+    pm.startGroup("pa", identity).awaitTermination()
+    assert(spark.read.parquet(da).count() == 1 &&
+      spark.read.parquet(db).count() == 1)
+    // default pause scope = ONE member: pb's spec flips Paused, the
+    // shared query's registration survives under both names
+    pm.pause("pb")
+    assert(pm.get("pb").get.status == PipelineStatus.Paused)
+    assert(pm.get("pa").get.status == PipelineStatus.Ready)
+    assert(pm.queryOf("pb").isDefined, "per-member pause dropped the group handle")
+    // sibling keeps receiving; the paused member's epochs divert to
+    // durable holdback (never dropped, not delivered)
+    Seq((2L, "v2")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    pm.startGroup("pa", identity).awaitTermination()
+    assert(spark.read.parquet(da).count() == 2, "sibling delivery stalled")
+    assert(spark.read.parquet(db).count() == 1, "paused member kept receiving")
+    // resume replays the held epoch exactly once...
+    pm.resume("pb", identity)
+    assert(spark.read.parquet(db).as[(Long, String)].collect().toSet ==
+      Set((1L, "v1"), (2L, "v2")), "holdback replay lost or duplicated rows")
+    // ...and is idempotent (a crash between replay and cleanup would
+    // re-replay into marker no-ops)
+    pm.resume("pb", identity)
+    assert(spark.read.parquet(db).count() == 2, "second resume redelivered")
+    // both flow again from the next epoch
+    Seq((3L, "v3")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    pm.startGroup("pa", identity).awaitTermination()
+    assert(spark.read.parquet(da).count() == 3 &&
+      spark.read.parquet(db).count() == 3)
+    // FORCE pause stops the shared query and flips every member
+    pm.pause("pa", force = true)
+    assert(pm.queryOf("pa").isEmpty && pm.queryOf("pb").isEmpty)
+    assert(pm.get("pa").get.status == PipelineStatus.Paused &&
+      pm.get("pb").get.status == PipelineStatus.Paused)
+    // force resume restarts the group and delivers the epoch both
+    // members missed while force-paused
+    Seq((4L, "v4")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    pm.resume("pa", identity, force = true).awaitTermination()
+    assert(spark.read.parquet(da).count() == 4 &&
+      spark.read.parquet(db).count() == 4, "force resume lost the missed epoch")
+    pm.close()
+  }
+
+  test("heartbeat timer self-demotes an expired manager: queries stop, locks stay, starts refuse") {
+    val root = Files.createTempDirectory("graft-hb-").toString
+    val lease = 600000L // expiry is SIMULATED by aging, never slept for
+    val pmA = new PipelineManager(spark, root, instance = "A",
+      livenessLeaseMs = lease, autoHeartbeat = true, heartbeatIntervalMs = 50L)
+    pmA.create(PipelineSpec("hb", "rate", "noop", "ignored"))
+    val q = pmA.start("hb", identity,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+    assert(q.isActive)
+    assert(!pmA.isDemoted, "demoted while the lease was fresh")
+    // hard-expire the lease: age the registration past it — the NEXT
+    // heartbeat tick must demote this manager on its own
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$root/instances/A"),
+      System.currentTimeMillis() - lease - 60000L, -1)
+    val deadline = System.currentTimeMillis() + 30000L
+    while (!pmA.isDemoted && System.currentTimeMillis() < deadline)
+      Thread.sleep(20L)
+    assert(pmA.isDemoted, "heartbeat loop never demoted the expired manager")
+    assert(!q.isActive, "demotion left the query running")
+    assert(pmA.queryOf("hb").isEmpty)
+    assert(pmA.get("hb").get.status == PipelineStatus.Stopped)
+    // the lock is NOT released (a reclaimer may own it by now); it is
+    // still on disk, and a live peer reclaims it through the lease
+    val lockFile = new org.apache.hadoop.fs.Path(s"$root/locks/hb.lock")
+    assert(fs.exists(lockFile), "demotion deleted the lock")
+    // a demoted manager refuses to start anything
+    intercept[IllegalStateException] { pmA.start("hb", identity) }
+    intercept[IllegalStateException] { pmA.resume("hb", identity) }
+    // ...and the pipeline fails over to a live peer
+    val pmB = new PipelineManager(spark, root, instance = "B",
+      livenessLeaseMs = lease)
+    val q2 = pmB.start("hb", identity,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+    assert(q2.isActive, "peer could not reclaim the demoted manager's lock")
+    pmB.close()
+    pmA.close()
+  }
+
+  test("instance registration is exclusive: live same-id rebirth rejected, expired same-id fenced") {
+    val root = Files.createTempDirectory("graft-reg-").toString
+    val srcDir = Files.createTempDirectory("graft-reg-src-").toString
+    Seq((1L, "v1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    // existence-only mode: a second manager under an occupied id is a
+    // config error, not a silent mod-time refresh
+    val pm1 = new PipelineManager(spark, root, instance = "dup")
+    intercept[IllegalStateException] {
+      new PipelineManager(spark, root, instance = "dup")
+    }
+    pm1.close()
+    // lease mode: a crashed host restarting under its static name
+    // BEFORE the lease ran out is rejected the same way...
+    val lease = 600000L
+    val pmOld = new PipelineManager(spark, root, instance = "host1",
+      livenessLeaseMs = lease)
+    pmOld.create(PipelineSpec("rg", "parquet", "parquet", srcDir))
+    pmOld.start("rg", identity).awaitTermination()
+    intercept[IllegalStateException] {
+      new PipelineManager(spark, root, instance = "host1",
+        livenessLeaseMs = lease)
+    }
+    // ...and AFTER expiry the rebirth is fenced: the predecessor's
+    // stale locks are reclaimed (not resurrected as live-owned), so
+    // the new incarnation starts with no inherited ownership
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$root/instances/host1"),
+      System.currentTimeMillis() - lease - 60000L, -1)
+    val reborn = new PipelineManager(spark, root, instance = "host1",
+      livenessLeaseMs = lease)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/locks/rg.lock")),
+      "fence left the predecessor's stale lock to read as live-owned")
+    // the zombie predecessor cannot act: its heartbeat stays false
+    // (the fresh registration belongs to the new incarnation)
+    assert(reborn.heartbeat(), "reborn instance's lease not confirmable")
+    reborn.resume("rg", identity).awaitTermination()
+    reborn.close()
+    pmOld.close()
   }
 
   test("startGroup rolls back partially-acquired locks on rejection") {
