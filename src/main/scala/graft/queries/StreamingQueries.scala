@@ -1464,6 +1464,161 @@ object StreamingQueries {
       }
     }),
 
+    // Per-member pause/resume INSIDE a running destination-reuse
+    // group — the reference's default pause scope: force=false pauses
+    // ONE datastream of a group and leaves its siblings flowing
+    // (DatastreamResources.java:355-377 — `force ?
+    // getGroupedDatastreams(datastream) : singletonList(datastream)`).
+    // The group keeps running as ONE shared query; the paused
+    // member's destination group diverts its epochs to a durable
+    // epoch-marked holdback, the sibling's destination keeps
+    // receiving, and resume replays the held epochs EXACTLY ONCE
+    // through the same commit markers live delivery uses (a second
+    // resume is a marker no-op — the crash-between-replay-and-cleanup
+    // path). Closed-form oracle: status literals plus per-destination
+    // delivered counts at every phase, derived from the click corpus
+    // by epoch arithmetic (event_id mod 3 = the epoch).
+    "q68_group_member_pause" -> ((s, d) => {
+      val ckptRoot = Files.createTempDirectory("graft-q68-pm-").toString
+      val srcDir = Files.createTempDirectory("graft-q68-src-").toString
+      val destX = Files.createTempDirectory("graft-q68-destX-").toString + "/d"
+      val destY = Files.createTempDirectory("graft-q68-destY-").toString + "/d"
+      var pms = List.empty[PipelineManager]
+      try {
+        val clicks = Tables.t(s, d, "events")
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"))
+        def epochOf(e: Long): DataFrame =
+          clicks.filter(pmod(col("event_id"), lit(3L)) === e)
+        def n(dest: String): Long = s.read.parquet(dest).count()
+        PipelineManager.epochAppend(epochOf(0).coalesce(1), srcDir, 0, "q68src")
+        val pm = new PipelineManager(s, ckptRoot)
+        pms ::= pm
+        pm.create(PipelineSpec("q68a", "parquet", "parquet", srcDir,
+          destinationConnection = destX))
+        pm.create(PipelineSpec("q68b", "parquet", "parquet", srcDir,
+          destinationConnection = destY))
+        pm.startGroup("q68a", identity).awaitTermination()
+        // default (force=false) pause scope: ONLY q68b
+        pm.pause("q68b")
+        val bStatus = pm.get("q68b").get.status.toString
+        val aStatus = pm.get("q68a").get.status.toString
+        // epoch 1 while b is paused: the SIBLING keeps receiving from
+        // the still-shared query; b's epochs land in durable holdback
+        PipelineManager.epochAppend(epochOf(1).coalesce(1), srcDir, 1, "q68src")
+        pm.startGroup("q68a", identity).awaitTermination()
+        val xMid = n(destX) // epochs 0+1
+        val yMid = n(destY) // epoch 0 only — held, not dropped
+        // resume replays the held epoch exactly once...
+        pm.resume("q68b", identity)
+        val yResumed = n(destY)
+        // ...and a re-replay (crash between replay and cleanup) no-ops
+        pm.resume("q68b", identity)
+        val yResumedAgain = n(destY)
+        // both members flow again
+        PipelineManager.epochAppend(epochOf(2).coalesce(1), srcDir, 2, "q68src")
+        pm.startGroup("q68a", identity).awaitTermination()
+        val x = s.read.parquet(destX)
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+          .head()
+        val y = s.read.parquet(destY)
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+          .head()
+        pm.close()
+        import s.implicits._
+        Seq(
+          ("pause", "b_status", bStatus),
+          ("pause", "a_status", aStatus),
+          ("rows", "x_mid", xMid.toString),
+          ("rows", "y_mid", yMid.toString),
+          ("rows", "y_resumed", yResumed.toString),
+          ("rows", "y_resumed_again", yResumedAgain.toString),
+          ("rows", "x_n", x.getLong(0).toString),
+          ("rows", "x_distinct", x.getLong(1).toString),
+          ("rows", "y_n", y.getLong(0).toString),
+          ("rows", "y_distinct", y.getLong(1).toString))
+          .toDF("kind", "k", "v")
+      } finally {
+        pms.foreach(p => try p.close() catch { case _: Throwable => () })
+        deleteTree(ckptRoot, srcDir,
+          new java.io.File(destX).getParent, new java.io.File(destY).getParent)
+      }
+    }),
+
+    // Heartbeat-driven self-demotion — the RUNTIME half of the q67
+    // lease contract: nothing external tells the expired manager to
+    // stand down; its OWN scheduled heartbeat (interval = lease/4)
+    // observes the unconfirmable lease and demotes the instance —
+    // stopping its queries WITHOUT releasing locks (a reclaimer may
+    // own them), flipping its specs in memory, refusing further
+    // starts. Reference contract: ZK session expiry propagating into
+    // Coordinator.onSessionExpired (Coordinator.java:705,783). The
+    // expiry is SIMULATED by aging the registration mod-time; the
+    // test waits only for the 50 ms timer tick, never for a lease.
+    "q69_heartbeat_demotion" -> ((s, d) => {
+      val ckptRoot = Files.createTempDirectory("graft-q69-pm-").toString
+      val srcDir = Files.createTempDirectory("graft-q69-src-").toString
+      val destDir = Files.createTempDirectory("graft-q69-dest-").toString + "/d"
+      var pms = List.empty[PipelineManager]
+      try {
+        val clicks = Tables.t(s, d, "events")
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"))
+        def epochOf(e: Long): DataFrame =
+          clicks.filter(pmod(col("event_id"), lit(2L)) === e)
+        PipelineManager.epochAppend(epochOf(0).coalesce(1), srcDir, 0, "q69src")
+        val lease = 600000L // expiry below is SIMULATED, never slept for
+        val mA = new PipelineManager(s, ckptRoot, instance = "mgrA",
+          livenessLeaseMs = lease, autoHeartbeat = true,
+          heartbeatIntervalMs = 50L)
+        pms ::= mA
+        mA.create(PipelineSpec("q69p", "parquet", "parquet", srcDir,
+          destinationConnection = destDir))
+        mA.start("q69p", identity).awaitTermination()
+        val liveBeforeExpiry = (!mA.isDemoted).toString
+        // hard-expire the lease; the manager's own timer must react
+        val fs = new org.apache.hadoop.fs.Path(ckptRoot).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        fs.setTimes(new org.apache.hadoop.fs.Path(s"$ckptRoot/instances/mgrA"),
+          System.currentTimeMillis() - lease - 60000L, -1)
+        val deadline = System.currentTimeMillis() + 30000L
+        while (!mA.isDemoted && System.currentTimeMillis() < deadline)
+          Thread.sleep(20L)
+        val selfDemoted = mA.isDemoted.toString
+        val startRefused =
+          try { mA.start("q69p", identity); "NONE" }
+          catch { case _: IllegalStateException => "refused" }
+        // the lock is NOT released — it belongs to the reclaim path
+        val lockKept = fs.exists(
+          new org.apache.hadoop.fs.Path(s"$ckptRoot/locks/q69p.lock")).toString
+        // failover: a live peer reclaims and delivers epoch 1 exactly
+        // once from the shared checkpoint
+        PipelineManager.epochAppend(epochOf(1).coalesce(1), srcDir, 1, "q69src")
+        val mB = new PipelineManager(s, ckptRoot, instance = "mgrB",
+          livenessLeaseMs = lease)
+        pms ::= mB
+        val tookOver =
+          try { mB.start("q69p", identity).awaitTermination(); true }
+          catch { case _: PipelineLockedException => false }
+        val r = s.read.parquet(destDir)
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+          .head()
+        import s.implicits._
+        Seq(
+          ("lease", "live_before_expiry", liveBeforeExpiry),
+          ("lease", "self_demoted_by_timer", selfDemoted),
+          ("lease", "demoted_start", startRefused),
+          ("lease", "lock_kept_for_reclaimer", lockKept),
+          ("lease", "takeover", tookOver.toString),
+          ("rows", "n", r.getLong(0).toString),
+          ("rows", "n_distinct", r.getLong(1).toString))
+          .toDF("kind", "k", "v")
+      } finally {
+        pms.foreach(p => try p.close() catch { case _: Throwable => () })
+        deleteTree(ckptRoot, srcDir, new java.io.File(destDir).getParent)
+      }
+    }),
+
     // §2.10: the full SPI lifecycle through PipelineManager — every
     // pluggable hook fires and every state transition lands where the
     // reference's Coordinator would put it: Authorizer rejects an
@@ -1902,6 +2057,52 @@ object StreamingQueries {
       """SELECT 'lease' AS kind, 'self_demoted' AS k, 'true' AS v
         |UNION ALL SELECT 'lease', 'takeover_after_expiry', 'true'
         |UNION ALL SELECT 'lease', 'zombie_rejected_by', 'mgrB'
+        |UNION ALL SELECT 'rows', 'n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL SELECT 'rows', 'n_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'"""
+        .stripMargin.replace("\n", " "),
+
+    // Per-member pause closed form: statuses are literals; every
+    // per-destination count is click-corpus arithmetic over the epoch
+    // key (event_id mod 3): the sibling's mid count spans epochs 0-1,
+    // the paused member's mid count is epoch 0 only, resume brings it
+    // to 0-1 exactly once (idempotent), and both finish with the full
+    // corpus exactly once.
+    "q68_group_member_pause" ->
+      """SELECT 'pause' AS kind, 'b_status' AS k, 'Paused' AS v
+        |UNION ALL SELECT 'pause', 'a_status', 'Ready'
+        |UNION ALL SELECT 'rows', 'x_mid', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click' AND event_id % 3 < 2
+        |UNION ALL SELECT 'rows', 'y_mid', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click' AND event_id % 3 = 0
+        |UNION ALL SELECT 'rows', 'y_resumed', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click' AND event_id % 3 < 2
+        |UNION ALL SELECT 'rows', 'y_resumed_again', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click' AND event_id % 3 < 2
+        |UNION ALL SELECT 'rows', 'x_n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL SELECT 'rows', 'x_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL SELECT 'rows', 'y_n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL SELECT 'rows', 'y_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'"""
+        .stripMargin.replace("\n", " "),
+
+    // Self-demotion closed form: every lease event is a literal (the
+    // timer demotes, starts refuse, the lock survives for the
+    // reclaimer, the peer takes over), and exactly-once delivery
+    // across the demotion means the destination equals the corpus.
+    "q69_heartbeat_demotion" ->
+      """SELECT 'lease' AS kind, 'live_before_expiry' AS k, 'true' AS v
+        |UNION ALL SELECT 'lease', 'self_demoted_by_timer', 'true'
+        |UNION ALL SELECT 'lease', 'demoted_start', 'refused'
+        |UNION ALL SELECT 'lease', 'lock_kept_for_reclaimer', 'true'
+        |UNION ALL SELECT 'lease', 'takeover', 'true'
         |UNION ALL SELECT 'rows', 'n', CAST(COUNT(*) AS VARCHAR)
         |FROM events WHERE event_type = 'click'
         |UNION ALL SELECT 'rows', 'n_distinct',
