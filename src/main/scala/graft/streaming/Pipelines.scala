@@ -307,7 +307,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     * serializes contenders, because the local filesystem's
     * create(overwrite=false) is check-then-create and two in-process
     * managers could otherwise both "win" the same lock file. */
-  private def acquireLock(name: String): Boolean =
+  private[streaming] def acquireLock(name: String): Boolean =
     PipelineManager.lockStripe(lockPath(name).toString)
       .synchronized { acquireLockUnsynced(name) }
 
@@ -404,7 +404,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     * reclaimer by then; the stale lock it leaves behind is reclaimable
     * by construction). The residual window is one owner-read RPC
     * against the lease length — size `livenessLeaseMs` accordingly. */
-  private def releaseLock(name: String): Unit = {
+  private[streaming] def releaseLock(name: String): Unit = {
     val p = lockPath(name)
     PipelineManager.lockStripe(p.toString).synchronized {
       if (instanceLive(instanceId) && lockOwner(p) == instanceId)
