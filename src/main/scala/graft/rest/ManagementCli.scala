@@ -49,7 +49,8 @@ object ManagementCli {
       }
       case "create" => specJson(c.create(PipelineSpecJson.read(pos(2))))
       case "update-json" => specJson(c.update(PipelineSpecJson.read(pos(2))))
-      case "start" => c.start(pos(2), await); s"""{"name":"${pos(2)}","started":true}"""
+      case "start" =>
+        c.start(pos(2), await, force); s"""{"name":"${pos(2)}","started":true}"""
       case "pause" => specJson(c.pause(pos(2), force))
       case "stop" => specJson(c.stop(pos(2), force))
       case "resume" => specJson(c.resume(pos(2), await, force))

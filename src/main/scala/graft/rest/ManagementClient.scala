@@ -90,8 +90,13 @@ final class ManagementClient(baseUrl: String, owner: String = "anonymous",
   def group(name: String): Seq[PipelineSpec] =
     specs(send("GET", s"/pipelines/${seg(name)}/group"))
 
-  def start(name: String, await: Boolean = false): Unit =
-    send("POST", s"/pipelines/${seg(name)}/start${flags("await" -> await)}"): Unit
+  /** `force = true` starts `name`'s WHOLE task group as one shared
+    * query (destination-reuse fan-out), mirroring the reference's
+    * force ActionParam scope on lifecycle verbs. */
+  def start(name: String, await: Boolean = false,
+      force: Boolean = false): Unit =
+    send("POST", s"/pipelines/${seg(name)}/start" +
+      flags("await" -> await, "force" -> force)): Unit
 
   def pause(name: String, force: Boolean = false): PipelineSpec =
     PipelineSpecJson.fromJson(

@@ -260,7 +260,15 @@ final class ManagementServer(pm: PipelineManager,
         respond(ex, 200, specToJson(updated))
       case ("POST", List("pipelines", name, "start")) =>
         val spec = pm.get(name).getOrElse(sys.error(s"unknown pipeline $name"))
-        val q = pm.start(name, transformOf(spec))
+        // ?force=true extends the start to the whole task group — ONE
+        // shared query fanning each micro-batch to the group's
+        // distinct destinations (the manager's startGroup; the force
+        // ActionParam scope of DatastreamResources.java:360,464,556
+        // applied to the start verb)
+        val q =
+          if (queryParams(ex).get("force").contains("true"))
+            pm.startGroup(name, transformOf(spec))
+          else pm.start(name, transformOf(spec))
         if (queryParams(ex).get("await").contains("true")) q.awaitTermination()
         respond(ex, 200, JObject("name" -> JString(name), "started" -> JBool(true)))
       case ("POST", List("pipelines", name, "pause")) =>

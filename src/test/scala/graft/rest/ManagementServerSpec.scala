@@ -343,6 +343,56 @@ class ManagementServerSpec extends SparkTestBase {
     } finally { srv.stop(); pm.close() }
   }
 
+  test("group lifecycle over REST: force start fans out one query, per-member pause holds, resume replays") {
+    val pm = new PipelineManager(spark,
+      Files.createTempDirectory("graft-rest-grp-").toString)
+    val srv = new ManagementServer(pm).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      val srcDir = Files.createTempDirectory("graft-rest-grp-src-").toString
+      val destX = Files.createTempDirectory("graft-rest-grp-dx-").toString + "/d"
+      val destY = Files.createTempDirectory("graft-rest-grp-dy-").toString + "/d"
+      Seq((1L, "v1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+      // two same-source BYOT specs = one task group, distinct sinks
+      req(base, "POST", "/pipelines", Some(
+        s"""{"name":"gm1","connector":"parquet","transport":"parquet",
+           |"sourceConnection":"$srcDir","destinationConnection":"$destX"}"""
+          .stripMargin.replace("\n", "")))
+      req(base, "POST", "/pipelines", Some(
+        s"""{"name":"gm2","connector":"parquet","transport":"parquet",
+           |"sourceConnection":"$srcDir","destinationConnection":"$destY"}"""
+          .stripMargin.replace("\n", "")))
+      val grp = req(base, "GET", "/pipelines/gm1/group")
+      assert(grp.body().contains("\"gm1\"") && grp.body().contains("\"gm2\""))
+      // force start = the whole group as ONE shared query (the force
+      // ActionParam scope applied to start); both sinks receive
+      assert(req(base, "POST",
+        "/pipelines/gm1/start?await=true&force=true").statusCode() == 200)
+      assert(pm.queryOf("gm1").isDefined &&
+        (pm.queryOf("gm1").get eq pm.queryOf("gm2").get),
+        "force start did not share one query across the group")
+      assert(spark.read.parquet(destX).count() == 1 &&
+        spark.read.parquet(destY).count() == 1)
+      // default pause scope = ONE member (reference force=false):
+      // sibling keeps delivering, the paused member's epochs hold
+      val paused = req(base, "POST", "/pipelines/gm2/pause")
+      assert(paused.statusCode() == 200 &&
+        paused.body().contains("\"status\":\"Paused\""))
+      assert(req(base, "GET", "/pipelines/gm1").body().contains("Ready"))
+      Seq((2L, "v2")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+      assert(req(base, "POST",
+        "/pipelines/gm1/start?await=true&force=true").statusCode() == 200)
+      assert(spark.read.parquet(destX).count() == 2, "sibling delivery stalled")
+      assert(spark.read.parquet(destY).count() == 1, "paused member received")
+      // resume replays the held epoch into the member's sink exactly
+      // once
+      val resumed = req(base, "POST", "/pipelines/gm2/resume?await=true")
+      assert(resumed.statusCode() == 200 && resumed.body().contains("Ready"))
+      assert(spark.read.parquet(destY).as[(Long, String)].collect().toSet ==
+        Set((1L, "v1"), (2L, "v2")), "holdback replay lost or duplicated rows")
+    } finally { srv.stop(); pm.close() }
+  }
+
   test("partition-level pause/resume verbs hold and replay over REST") {
     val pm = new PipelineManager(spark,
       Files.createTempDirectory("graft-rest-pp-").toString)
