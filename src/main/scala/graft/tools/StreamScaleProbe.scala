@@ -228,6 +228,57 @@ object StreamScaleProbe {
       deleteAll(srcDir, outDir, ckpt)
     }
 
+    // ---- q66 shape: destination-reuse fan-out cost curve ----
+    // One source, N destinations served by ONE group query — the real
+    // startGroup path (persist around the sink loop). The claim under
+    // test is single-materialization: per-epoch cost grows with bytes
+    // WRITTEN only (a slope of one destination write per added
+    // member), never with N source scans. Epoch times come from the
+    // engine's own progress events (triggerExecution), so the probe
+    // measures the whole trigger, scan included.
+    def runFanout(nDest: Int): Unit = {
+      val rows = spark.read.parquet(s"$base/documents.parquet")
+        .select(col("doc_id").as("doc"), col("text"))
+      val srcDir = tmp("sscale66-src-")
+      writeOddBatches(rows, srcDir): Unit
+      val ckptRoot = tmp("sscale66-ckpt-")
+      val pm = new PipelineManager(spark, ckptRoot)
+      val destRoots = (0 until nDest).map { i =>
+        val root = tmp(s"sscale66-d$i-")
+        pm.create(graft.model.PipelineSpec(s"fan$i", "parquet", "parquet",
+          srcDir, destinationConnection = root + "/d",
+          metadata = Map("maxFilesPerTrigger" -> "1")))
+        root
+      }
+      val epochSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit =
+          if (e.progress.name == "group-fan0" && e.progress.numInputRows > 0) {
+            val dt = e.progress.durationMs.get("triggerExecution").toDouble / 1e3
+            epochSecs += dt
+            println(f"[sscale] fanout dest=$nDest epoch=${e.progress.batchId} " +
+              f"${dt}%.2fs heap=${heapMb}MB")
+          }
+      }
+      spark.streams.addListener(listener)
+      pm.startGroup("fan0", identity).awaitTermination()
+      spark.streams.removeListener(listener)
+      pm.close()
+      val n = epochSecs.size
+      val head = epochSecs.take(3); val tail = epochSecs.takeRight(3)
+      println(f"[sscale] fanout dest=$nDest SUMMARY epochs=$n " +
+        f"batchDocs=$batchDocs mean=${epochSecs.sum / n}%.3fs " +
+        f"first3_mean=${head.sum / head.size}%.3fs " +
+        f"last3_mean=${tail.sum / tail.size}%.3fs " +
+        f"late_over_early=${(tail.sum / tail.size) / (head.sum / head.size)}%.2f")
+      deleteAll(srcDir +: ckptRoot +: destRoots: _*)
+    }
+
+    if (shapes("fanout")) { runFanout(2); runFanout(8) }
+
     if (shapes("s15")) {
       runIndexDedup(base, "1x"); runIndexDedup(scaled, s"${factor}x")
     }
