@@ -818,6 +818,19 @@ object DataOpsQueries {
           .cast("long").as("n_composed"))
     }),
 
+    // Exact BM25 top-k for a literal keyword query — the lexical
+    // retrieval half of a hybrid search stack, and the scorer behind
+    // keyword-driven corpus curation ("pull the k docs most about X").
+    // The only corpus pass is tokenize → explode → filter-to-query-
+    // terms (the predicate lands BEFORE aggregation, so the groupBy
+    // runs over |q|-term postings, never the full posting list);
+    // N/avgdl cross in as a broadcast 1-row frame, df as |q| broadcast
+    // rows, and the top-k is orderBy+limit (TakeOrderedAndProject) —
+    // no global sort at any scale.
+    "t23_bm25_topk" -> ((s, d) =>
+      Text.bm25TopK(t(s, d, "documents"),
+        Seq("vector", "customer", "merge", "scan"), k = 10)),
+
     // Embedding-health pre-flight (t14's counterpart for the vector
     // corpus): NaN detection, zero vectors, and the norm envelope
     // (min / lower-median / max) — the audit run before pointing any
@@ -891,6 +904,35 @@ object DataOpsQueries {
       stats.crossJoin(med)
         .select(col("n_vectors"), col("n_nan"), col("n_zero"),
           col("min_norm"), col("med_norm"), col("max_norm"))
+    }),
+
+    // Hybrid retrieval by reciprocal-rank fusion: the t23 lexical
+    // BM25 list and an e02-shaped cosine list (query = vec 0's
+    // embedding) fused as Σ 1/(60 + rank) over the systems that
+    // returned the doc — the standard RRF form, rank-only so the two
+    // systems' incomparable scores never need calibration. Both input
+    // lists are k-bounded before the full-outer merge, so the fusion
+    // itself touches ≤ 2k rows no matter the corpus size; at 100 TB
+    // the cost IS the two retrievals, each already scale-shaped
+    // (t23's filtered postings, e02's broadcast-probe bounded top-k).
+    "e20_hybrid_rrf" -> ((s, d) => {
+      val lex = Text.bm25TopK(t(s, d, "documents"),
+          Seq("vector", "customer", "merge", "scan"), k = 10)
+        .select(col("doc_id"), col("rank").as("lex_rank"))
+      val emb = t(s, d, "embeddings")
+      val vec = Ann.bruteForceTopK(emb.filter(col("vec_id") === 0), emb, k = 10)
+        .select(col("cand_id").as("doc_id"),
+          col("rank").cast("long").as("vec_rank"))
+      val fused = lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)), 6))
+      val top = fused.orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      top.withColumn("rank", row_number()
+          .over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("rank"), col("lex_rank"),
+          col("vec_rank"), col("rrf"))
     }),
 
     // Corpus integrity pre-flight: the referential/shape audit run
@@ -2187,6 +2229,73 @@ object DataOpsQueries {
          |WHERE r.rn = (s.nc + 1) // 2)
          |SELECT n_vectors, n_nan, n_zero, min_norm, med_norm, max_norm
          |FROM s CROSS JOIN m""".stripMargin.replace("\n", " "),
+
+    // BM25 closed form (Lucene idf, k1=1.2 b=0.75): same tokenizer as
+    // every t-gate, same left-associative literal arithmetic as the
+    // Spark column expression, score rounded to 6 dp before ranking.
+    "t23_bm25_topk" ->
+      """WITH tok AS (SELECT doc_id,
+        |list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM tok),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd, AVG(dl) AS avgdl
+        |FROM dl),
+        |p AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |FROM (SELECT doc_id, unnest(w) AS term FROM tok)
+        |WHERE term IN ('vector', 'customer', 'merge', 'scan')
+        |GROUP BY doc_id, term),
+        |f AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM p
+        |GROUP BY term),
+        |sc AS (SELECT p.doc_id,
+        |round(SUM(ln((st.nd - f.df + 0.5) / (f.df + 0.5) + 1)
+        |* p.tf * 2.2
+        |/ (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+        |FROM p JOIN dl ON p.doc_id = dl.doc_id
+        |JOIN f ON p.term = f.term CROSS JOIN st GROUP BY p.doc_id)
+        |SELECT doc_id, rank, score FROM (SELECT doc_id, score,
+        |ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+        |WHERE rank <= 10""".stripMargin.replace("\n", " "),
+
+    // RRF closed form: the t23 lexical CTEs + the e02 cosine shape
+    // (query = vec 0), fused on the k-bounded lists only.
+    "e20_hybrid_rrf" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+         |FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM tok),
+         |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd, AVG(dl) AS avgdl
+         |FROM dl),
+         |p AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+         |FROM (SELECT doc_id, unnest(w) AS term FROM tok)
+         |WHERE term IN ('vector', 'customer', 'merge', 'scan')
+         |GROUP BY doc_id, term),
+         |f AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM p
+         |GROUP BY term),
+         |sc AS (SELECT p.doc_id,
+         |round(SUM(ln((st.nd - f.df + 0.5) / (f.df + 0.5) + 1)
+         |* p.tf * 2.2
+         |/ (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+         |FROM p JOIN dl ON p.doc_id = dl.doc_id
+         |JOIN f ON p.term = f.term CROSS JOIN st GROUP BY p.doc_id),
+         |lex AS (SELECT doc_id, rank AS lex_rank FROM (SELECT doc_id,
+         |ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+         |WHERE rank <= 10),
+         |$vecCte, $normCte,
+         |vsc AS (SELECT c.vec_id AS doc_id,
+         |round(${dotSql("q.e", "c.e")} / (q.nr * c.nr), 6) AS cos
+         |FROM n q JOIN n c ON q.vec_id = 0 AND c.vec_id <> 0),
+         |vec AS (SELECT doc_id, vec_rank FROM (SELECT doc_id,
+         |ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS vec_rank FROM vsc)
+         |WHERE vec_rank <= 10),
+         |fused AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |l.lex_rank, v.vec_rank,
+         |round(COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rank), 0)
+         |+ COALESCE(CAST(1 AS DOUBLE) / (60 + v.vec_rank), 0), 6) AS rrf
+         |FROM lex l FULL JOIN vec v ON l.doc_id = v.doc_id)
+         |SELECT doc_id, rank, lex_rank, vec_rank, rrf FROM (SELECT doc_id,
+         |lex_rank, vec_rank, rrf,
+         |ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+         |WHERE rank <= 10""".stripMargin.replace("\n", " "),
 
     "t12_charclass" ->
       """SELECT doc_id,

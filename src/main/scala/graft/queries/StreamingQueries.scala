@@ -1619,6 +1619,73 @@ object StreamingQueries {
       }
     }),
 
+    // Planned task handover between two LIVE managers — the third leg
+    // of the ownership trio (q65 = contention, q67/q69 = crash/lease
+    // failover, q70 = graceful migration): the reference's rebalance
+    // moves a task by having the old instance release it and the new
+    // instance acquire it (Coordinator.java task (un)assignment via
+    // ZkAdapter ephemerals). Here: mgrA delivers epoch 0, stop()
+    // releases the durable lock (resources returned to the pool),
+    // mgrB — constructed against the same durable root — acquires the
+    // released lock and RESUMES THE SAME per-name checkpoint, so it
+    // delivers epoch 1 only (no redelivery of A's epoch). While B
+    // runs, A's restart attempt is fenced by B's lock. Closed-form
+    // oracle: lock/handover facts are literals; exactly-once across
+    // the handover means the destination equals the click corpus.
+    "q70_graceful_handover" -> ((s, d) => {
+      val ckptRoot = Files.createTempDirectory("graft-q70-pm-").toString
+      val srcDir = Files.createTempDirectory("graft-q70-src-").toString
+      val destDir = Files.createTempDirectory("graft-q70-dest-").toString + "/d"
+      var pms = List.empty[PipelineManager]
+      try {
+        val clicks = Tables.t(s, d, "events")
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"))
+        def epochOf(e: Long): DataFrame =
+          clicks.filter(pmod(col("event_id"), lit(2L)) === e)
+        PipelineManager.epochAppend(epochOf(0).coalesce(1), srcDir, 0, "q70src")
+        val fs = new org.apache.hadoop.fs.Path(ckptRoot).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        val lockPath = new org.apache.hadoop.fs.Path(s"$ckptRoot/locks/q70p.lock")
+        val mA = new PipelineManager(s, ckptRoot, instance = "mgrA")
+        pms ::= mA
+        mA.create(PipelineSpec("q70p", "parquet", "parquet", srcDir,
+          destinationConnection = destDir))
+        mA.start("q70p", identity).awaitTermination()
+        val heldWhileRunning = fs.exists(lockPath)
+        // planned drain: stop releases the lock — the task returns to
+        // the pool for any live peer (contrast q67, where only lease
+        // EXPIRY frees a crashed owner's lock)
+        mA.stop("q70p")
+        val releasedAfterStop = !fs.exists(lockPath)
+        val mB = new PipelineManager(s, ckptRoot, instance = "mgrB")
+        pms ::= mB
+        PipelineManager.epochAppend(epochOf(1).coalesce(1), srcDir, 1, "q70src")
+        val tookOver =
+          try { mB.start("q70p", identity).awaitTermination(); true }
+          catch { case _: PipelineLockedException => false }
+        // the old owner is fenced while the new owner holds the task
+        val oldOwnerFencedBy =
+          try { mA.start("q70p", identity); "NONE" }
+          catch { case e: PipelineLockedException => e.lockedBy }
+        val r = s.read.parquet(destDir)
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+          .head()
+        import s.implicits._
+        Seq(
+          ("lock", "held_while_running", heldWhileRunning.toString),
+          ("lock", "released_after_stop", releasedAfterStop.toString),
+          ("lock", "takeover_after_release", tookOver.toString),
+          ("lock", "old_owner_fenced_by", oldOwnerFencedBy),
+          ("rows", "n", r.getLong(0).toString),
+          ("rows", "n_distinct", r.getLong(1).toString))
+          .toDF("kind", "k", "v")
+      } finally {
+        pms.foreach(p => try p.close() catch { case _: Throwable => () })
+        deleteTree(ckptRoot, srcDir, new java.io.File(destDir).getParent)
+      }
+    }),
+
     // §2.10: the full SPI lifecycle through PipelineManager — every
     // pluggable hook fires and every state transition lands where the
     // reference's Coordinator would put it: Authorizer rejects an
@@ -2057,6 +2124,22 @@ object StreamingQueries {
       """SELECT 'lease' AS kind, 'self_demoted' AS k, 'true' AS v
         |UNION ALL SELECT 'lease', 'takeover_after_expiry', 'true'
         |UNION ALL SELECT 'lease', 'zombie_rejected_by', 'mgrB'
+        |UNION ALL SELECT 'rows', 'n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL SELECT 'rows', 'n_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'"""
+        .stripMargin.replace("\n", " "),
+
+    // Graceful-handover closed form: lock facts are literals (held
+    // while running, released by stop, acquired by the peer, old
+    // owner fenced), and exactly-once across the migration means the
+    // destination equals the click corpus.
+    "q70_graceful_handover" ->
+      """SELECT 'lock' AS kind, 'held_while_running' AS k, 'true' AS v
+        |UNION ALL SELECT 'lock', 'released_after_stop', 'true'
+        |UNION ALL SELECT 'lock', 'takeover_after_release', 'true'
+        |UNION ALL SELECT 'lock', 'old_owner_fenced_by', 'mgrB'
         |UNION ALL SELECT 'rows', 'n', CAST(COUNT(*) AS VARCHAR)
         |FROM events WHERE event_type = 'click'
         |UNION ALL SELECT 'rows', 'n_distinct',

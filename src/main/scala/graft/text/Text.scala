@@ -565,4 +565,56 @@ object Text {
         concat_ws(" ", slice(col("w"), col("start") + 1, lit(window)))
           .as("chunk_text"))
   }
+
+  /**
+   * Exact BM25 top-k lexical retrieval for one literal query (Lucene's
+   * idf form: ln((N - df + 0.5)/(df + 0.5) + 1), k1/b the classic
+   * 1.2/0.75) — the lexical half of a hybrid retrieval stack, and the
+   * relevance scorer behind keyword curation queries over a training
+   * corpus.
+   *
+   * Scale shape: the only corpus-wide pass is tokenize → explode →
+   * FILTER to the query's terms — predicate on the exploded token
+   * BEFORE any aggregation, so the per-(doc,term) groupBy and
+   * everything after it run over postings for |q| terms, never the
+   * full postings list. Corpus stats (N, avgdl) are one scan
+   * aggregate crossed in as a 1-row frame; per-term df is |q| rows,
+   * broadcast. The final top-k is orderBy+limit — Spark's distributed
+   * TakeOrderedAndProject, never a global sort — and the rank window
+   * runs over k rows.
+   *
+   * Reference surface: the reference has no lexical scorer; this is
+   * the documents-table counterpart of the ANN retrieval family
+   * (SURVEY §2 data-pipeline ops), scored identically in DuckDB.
+   */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    val dl = tok.select(col("doc_id"), size(col("w")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("nd"),
+      avg(col("dl")).as("avgdl"))
+    val postings = tok.select(col("doc_id"), explode(col("w")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = postings.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    // idf * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl)), summed over
+    // the query terms present in the doc — literal shapes kept
+    // left-associative to match the oracle SQL bit for bit.
+    val idf = log((col("nd") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    val w = idf * col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1) - b + lit(b) * col("dl") / col("avgdl")))
+    val scored = postings
+      .join(dl, "doc_id")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(w), 6).as("score"))
+    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+    top.withColumn("rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rank"), col("score"))
+  }
 }

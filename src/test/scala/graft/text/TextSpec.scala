@@ -196,6 +196,28 @@ class TextSpec extends SparkTestBase {
     assert(got(5L) == (5L, 0L, 0L, 0L, ""))
   }
 
+  test("bm25TopK: Lucene-idf scores, rank order, and no-term docs excluded") {
+    val docs = Seq(
+      (1L, "a a b"),   // tf(a)=2, dl=3
+      (2L, "a c"),     // tf(a)=1, dl=2
+      (3L, "c c c c")) // no query term — must be absent
+      .toDF("doc_id", "text")
+    val got = Text.bm25TopK(docs, Seq("a"), k = 10)
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    // closed form: N=3, avgdl=3, df(a)=2 → idf = ln(1.6)
+    val idf = math.log((3.0 - 2 + 0.5) / (2 + 0.5) + 1)
+    def w(tf: Double, dl: Double) =
+      BigDecimal(idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 3.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_._1).toSeq == Seq(1L, 2L), "rank order by score desc")
+    assert(got.map(_._2).toSeq == Seq(1L, 2L))
+    assert(got(0)._3 == w(2, 3) && got(1)._3 == w(1, 2))
+    // k bounds the list; ties break by doc_id
+    val tied = Text.bm25TopK(Seq((5L, "a"), (4L, "a")).toDF("doc_id", "text"),
+      Seq("a"), k = 1).as[(Long, Long, Double)].collect()
+    assert(tied.toSeq.map(r => (r._1, r._2)) == Seq((4L, 1L)))
+  }
+
   test("UnicodeNormalize: NFC composes, NFKC folds compatibility forms, null passes") {
     import graft.functions.TextExpressions
     val df = Seq(
