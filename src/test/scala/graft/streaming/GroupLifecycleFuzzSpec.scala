@@ -1,0 +1,160 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+import scala.util.{Random, Try}
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkTestBase
+import graft.model.PipelineSpec
+
+/**
+ * Model-based fuzzer for the per-member group lifecycle (the q68
+ * semantics): random pause/stop/resume/append/drain sequences over a
+ * destination-reuse group run, checked after every run against an
+ * in-test admission model. The modeled contract, from
+ * [[PipelineManager.startGroup]]'s batch-time admission and the
+ * per-member verbs:
+ *
+ *  - a drain delivers every pending source epoch to each destination
+ *    whose member is Ready (held epochs replay first), diverts them
+ *    to the durable holdback when the member is Paused, and forfeits
+ *    them when the member is Stopped (stop released its resources);
+ *  - an explicit group (re)start rejoins Stopped members (Ready) —
+ *    forfeited epochs stay forfeited;
+ *  - resume flips the member Ready and replays its destination's
+ *    holdback immediately; when the member has no registered query
+ *    handle (it was stopped per-member) resume restarts the whole
+ *    group, which also rejoins the other Stopped members;
+ *  - per-destination delivery is exactly-once throughout (epoch
+ *    commit markers), no matter how often holdback replays run.
+ *
+ * Invariants per destination at every quiescent point: the delivered
+ * epoch set equals the model's, and the row count is exactly
+ * rowsPerEpoch x |epochs| (no duplicate and no partial delivery).
+ * Fixed seeds; sequential ops (interleaving at the operation level —
+ * the thread-level lock races live in [[LockFuzzSpec]]).
+ */
+class GroupLifecycleFuzzSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val Members = Vector("fz0", "fz1", "fz2")
+  private val RowsPerEpoch = 10
+
+  test("per-member group lifecycle matches the admission model on random op sequences") {
+    for (seed <- Seq(314L, 2718L, 1618L)) runFuzz(seed)
+  }
+
+  private def runFuzz(seed: Long): Unit = {
+    val root = Files.createTempDirectory(s"graft-gfz-$seed-").toString
+    val srcDir = Files.createTempDirectory(s"graft-gfz-src-$seed-").toString
+    val destRoots = Members.map(m =>
+      Files.createTempDirectory(s"graft-gfz-$m-$seed-").toString)
+    val dests = destRoots.map(_ + "/d")
+    val pm = new PipelineManager(spark, root)
+    try {
+      Members.zip(dests).foreach { case (m, dst) =>
+        pm.create(PipelineSpec(m, "parquet", "parquet", srcDir,
+          destinationConnection = dst))
+      }
+      val rng = new Random(seed)
+      var nextEp = 0L
+      var pending = Set.empty[Long]
+      val status = mutable.Map(Members.map(_ -> "Ready"): _*)
+      val hasHandle = mutable.Map(Members.map(_ -> false): _*)
+      val delivered = mutable.Map(Members.map(_ -> Set.empty[Long]): _*)
+      val holdback = mutable.Map(Members.map(_ -> Set.empty[Long]): _*)
+
+      def append(): Unit = {
+        val e = nextEp; nextEp += 1
+        val df: DataFrame = (0 until RowsPerEpoch)
+          .map(i => (e * 100 + i, e)).toDF("id", "ep")
+        PipelineManager.epochAppend(df.coalesce(1), srcDir, e, "gfzsrc"): Unit
+        pending += e
+      }
+      // batch-time admission with the statuses frozen for the drain
+      def modelDeliver(): Unit = {
+        Members.foreach { m =>
+          status(m) match {
+            case "Ready" =>
+              delivered(m) ++= holdback(m); holdback(m) = Set.empty
+              delivered(m) ++= pending
+            case "Paused" => holdback(m) ++= pending
+            case _        => () // Stopped: forfeited
+          }
+          hasHandle(m) = true
+        }
+        pending = Set.empty
+      }
+      def drain(): Unit = {
+        // a drain with no new files fires no batch (and so no replay);
+        // keep the model unambiguous by always draining real data
+        if (pending.isEmpty) append()
+        Members.filter(status(_) == "Stopped")
+          .foreach(status(_) = "Ready") // explicit group start rejoins
+        pm.startGroup("fz0", identity).awaitTermination()
+        modelDeliver()
+      }
+      def doResume(m: String): Unit = {
+        val willStart = !hasHandle(m)
+        if (willStart && pending.isEmpty) append()
+        status(m) = "Ready"
+        if (willStart)
+          Members.filter(status(_) == "Stopped").foreach(status(_) = "Ready")
+        pm.resume(m, identity).awaitTermination()
+        // resume replays the member's destination holdback directly
+        delivered(m) ++= holdback(m); holdback(m) = Set.empty
+        if (willStart) modelDeliver()
+      }
+      def check(where: String): Unit =
+        Members.zip(dests).foreach { case (m, dst) =>
+          val rows = Try(spark.read.parquet(dst)).toOption
+          val eps = rows.map(_.select($"ep").distinct().as[Long].collect().toSet)
+            .getOrElse(Set.empty)
+          val n = rows.map(_.count()).getOrElse(0L)
+          assert(eps == delivered(m),
+            s"seed=$seed $where $m: delivered $eps, model ${delivered(m)}")
+          assert(n == delivered(m).size.toLong * RowsPerEpoch,
+            s"seed=$seed $where $m: $n rows for ${delivered(m).size} epochs " +
+              "(duplicate or partial delivery)")
+          assert(pm.get(m).get.status.toString == status(m),
+            s"seed=$seed $where $m: status")
+        }
+
+      drain() // establish the group run before per-member verbs
+      def pick(): String = Members(rng.nextInt(Members.size))
+      (0 until 18).foreach { _ =>
+        rng.nextInt(6) match {
+          case 0 => append()
+          case 1 =>
+            val m = pick(); pm.pause(m); status(m) = "Paused"
+          case 2 =>
+            val m = pick()
+            if (status(m) != "Stopped") {
+              pm.stop(m); status(m) = "Stopped"; hasHandle(m) = false
+            } else pm.stop(m) // no-op on both sides
+          case 3 => doResume(pick())
+          case _ => drain()
+        }
+      }
+      check("mid")
+      // close out: everyone resumed, one final drain — holdbacks must
+      // fully flush and every destination must converge on its model
+      Members.foreach(doResume)
+      drain()
+      assert(Members.forall(m => holdback(m).isEmpty))
+      check("final")
+    } finally {
+      try pm.close() catch { case _: Throwable => () }
+      (root +: srcDir +: destRoots).foreach { p =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(p))
+      }
+    }
+  }
+}
