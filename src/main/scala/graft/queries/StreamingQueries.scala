@@ -1579,11 +1579,18 @@ object StreamingQueries {
         // hard-expire the lease; the manager's own timer must react
         val fs = new org.apache.hadoop.fs.Path(ckptRoot).getFileSystem(
           s.sparkContext.hadoopConfiguration)
-        fs.setTimes(new org.apache.hadoop.fs.Path(s"$ckptRoot/instances/mgrA"),
-          System.currentTimeMillis() - lease - 60000L, -1)
+        // Re-age every iteration: a heartbeat tick's check-then-touch
+        // is not atomic, so a single aging write can land between a
+        // tick's freshness read and its setTimes refresh and be
+        // overwritten — re-applying the aged mod-time until the timer
+        // reacts converges regardless of that interleaving.
+        val regPath = new org.apache.hadoop.fs.Path(s"$ckptRoot/instances/mgrA")
         val deadline = System.currentTimeMillis() + 30000L
-        while (!mA.isDemoted && System.currentTimeMillis() < deadline)
+        while (!mA.isDemoted && System.currentTimeMillis() < deadline) {
+          fs.setTimes(regPath,
+            System.currentTimeMillis() - lease - 60000L, -1)
           Thread.sleep(20L)
+        }
         val selfDemoted = mA.isDemoted.toString
         val startRefused =
           try { mA.start("q69p", identity); "NONE" }

@@ -142,7 +142,15 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       rootFs.listStatus(locksDir).toSeq
         .filter(s => s.isFile && s.getPath.getName.endsWith(".lock"))
         .foreach { st =>
-          PipelineManager.lockStripe(st.getPath.toString).synchronized {
+          // Stripe on the UNQUALIFIED lock path exactly as
+          // acquireLock/releaseLock do — listStatus returns
+          // scheme-qualified paths whose hashCode picks a different
+          // stripe, which would run this sweep outside the in-JVM
+          // monitor the check-then-create protocol requires on local
+          // filesystems.
+          val stripeKey =
+            new Path(s"$checkpointRoot/locks/${st.getPath.getName}").toString
+          PipelineManager.lockStripe(stripeKey).synchronized {
             val owner = try lockOwner(st.getPath)
               catch { case _: java.io.IOException => "" }
             if (owner == instanceId)
@@ -259,6 +267,12 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   private val heartbeatExec: Option[java.util.concurrent.ScheduledExecutorService] =
     if (!autoHeartbeat) None
     else {
+      // An existence-only registration (lease <= 0) never expires, so
+      // a timer would be a busy loop (interval degenerates to 1 ms)
+      // that can never demote — reject the misconfiguration instead.
+      require(livenessLeaseMs > 0L,
+        s"autoHeartbeat requires livenessLeaseMs > 0 (got $livenessLeaseMs): " +
+          "existence-only registrations have no lease to refresh or expire")
       val interval =
         if (heartbeatIntervalMs > 0L) heartbeatIntervalMs
         else math.max(livenessLeaseMs / 4, 1L)
@@ -1046,7 +1060,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       // same markers.
       val destGroups = members.groupBy(_.destinationConnection).toSeq
         .sortBy(_._1)
-        .map { case (_, ms) => (ms.head, ms.map(_.name), transportWriter(ms.head)) }
+        .map { case (_, ms) => (ms, ms.map(_.name), transportWriter(ms.head)) }
       val prevPool = spark.sparkContext.getLocalProperty("spark.scheduler.pool")
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-$prefix")
       try {
@@ -1060,7 +1074,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
           .foreachBatch { (batch: DataFrame, epoch: Long) =>
             // one materialization serves every sink
             batch.persist()
-            try destGroups.foreach { case (leader, memberNames, write) =>
+            try destGroups.foreach { case (ms, memberNames, write) =>
               // Per-member admission (q68; the reference's force=false
               // pause scope, DatastreamResources.java:355-377), judged
               // at batch time from the live spec store:
@@ -1074,16 +1088,26 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
               //    until it rejoins).
               val statuses = memberNames.flatMap(n => specs.get(n)).map(_.status)
               if (statuses.contains(PipelineStatus.Ready)) {
-                replayGroupHoldback(leader)
+                replayGroupHoldback(ms)
                 write(batch, epoch)
               } else if (statuses.contains(PipelineStatus.Paused))
                 PipelineManager.epochAppend(batch,
-                  groupHoldbackPath(leader.name), epoch, leader.name): Unit
+                  groupHoldbackPath(ms.head.name), epoch, ms.head.name): Unit
             }
             finally { batch.unpersist(); () }
           }
           .start()
         members.foreach(m => queries.put(m.name, q))
+        // Same demote() race close as startLocked: re-check AFTER the
+        // handles are registered so either demote() sweeps them or
+        // this thread unwinds itself (the catch below releases the
+        // newly-taken locks).
+        if (demotedFlag) {
+          try if (q.isActive) q.stop()
+          finally members.foreach(m => queries.remove(m.name))
+          throw new IllegalStateException(s"manager $instanceId demoted " +
+            "during group start; the query was stopped")
+        }
         q
       } finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", prevPool)
     } catch {
@@ -1113,35 +1137,51 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     s"$checkpointRoot/group-holdback/${PipelineManager.namespaceOf(leaderName)}"
 
   /** Deliver (then remove) every held-back epoch of a dest group, in
-    * epoch order, through the leader's own transport — for parquet
+    * epoch order, through the current leader's transport — for parquet
     * transports each replayed epoch re-enters [[PipelineManager
-    * .epochAppend]] under the leader's namespace with its ORIGINAL
-    * epoch number, so a crash between deliver and cleanup re-replays
-    * into a no-op (the destination's commit marker already exists):
-    * exactly-once end to end. Serialized per leader (a resume() on the
-    * caller thread and the group query's self-healing drain may race;
-    * two concurrent epochAppends of one epoch would collide in the
-    * staging directory). */
-  private def replayGroupHoldback(leader: PipelineSpec): Unit = {
-    val hb = new Path(groupHoldbackPath(leader.name))
-    PipelineManager.lockStripe(hb.toString).synchronized {
-      if (!rootFs.exists(hb)) return
-      val ns = PipelineManager.namespaceOf(leader.name)
-      val markers = new Path(hb, s"_graft_commits/$ns")
-      if (!rootFs.exists(markers)) return
-      val epochs = rootFs.listStatus(markers).toSeq
-        .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption).sorted
-      if (epochs.isEmpty) return
-      val deliver = transportWriter(leader)
-      epochs.foreach { e =>
-        val files = Option(rootFs.globStatus(
-          new Path(hb, s"graft-$ns-e$e-p*.parquet"))).toSeq.flatten
-        if (files.nonEmpty)
-          deliver(spark.read.parquet(files.map(_.getPath.toString): _*), e)
-        files.foreach(f => rootFs.delete(f.getPath, false))
-        rootFs.delete(new Path(markers, e.toString), false): Unit
+    * .epochAppend]] with its ORIGINAL epoch number, so a crash between
+    * deliver and cleanup re-replays into a no-op (the destination's
+    * commit marker already exists): exactly-once end to end.
+    *
+    * Drains the holdback dirs of EVERY member of the dest group, not
+    * just the current leader's: the leader is the lexicographically
+    * first member, and a destination-reuse create() can add a member
+    * with an EARLIER name mid-lifecycle — epochs held under the old
+    * leader's dir must still replay, never strand ("never dropped" is
+    * the pause contract). Serialized per dest group on the leader's
+    * holdback path (a resume() on the caller thread and the group
+    * query's self-healing drain may race; two concurrent epochAppends
+    * of one epoch would collide in the staging directory) — on a
+    * DEDICATED monitor pool, never the lock stripes: this method runs
+    * whole Spark read+deliver jobs, and sharing the lock layer's
+    * stripes would stall a hash-colliding acquire for the replay's
+    * duration. */
+  private def replayGroupHoldback(members: Seq[PipelineSpec]): Unit = {
+    val leader = members.minBy(_.name)
+    PipelineManager.holdbackStripe(groupHoldbackPath(leader.name))
+      .synchronized {
+        lazy val deliver = transportWriter(leader)
+        members.map(_.name).distinct.sorted.foreach { memberName =>
+          val hb = new Path(groupHoldbackPath(memberName))
+          if (rootFs.exists(hb)) {
+            val ns = PipelineManager.namespaceOf(memberName)
+            val markers = new Path(hb, s"_graft_commits/$ns")
+            if (rootFs.exists(markers)) {
+              val epochs = rootFs.listStatus(markers).toSeq
+                .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+                .sorted
+              epochs.foreach { e =>
+                val files = Option(rootFs.globStatus(
+                  new Path(hb, s"graft-$ns-e$e-p*.parquet"))).toSeq.flatten
+                if (files.nonEmpty)
+                  deliver(spark.read.parquet(files.map(_.getPath.toString): _*), e)
+                files.foreach(f => rootFs.delete(f.getPath, false))
+                rootFs.delete(new Path(markers, e.toString), false): Unit
+              }
+            }
+          }
+        }
       }
-    }
   }
 
   /** A6/A7: per-epoch throughput metrics ride the query itself via
@@ -1225,6 +1265,18 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         }.start()
     }
     queries.put(name, q)
+    // Close the demote() race: the flag check at entry and this
+    // registration are not atomic, so a heartbeat-thread demotion can
+    // land between them — demote() would then have swept an empty map
+    // while this query runs on. Re-checking AFTER the put means one
+    // side always sees the other: either demote() finds the handle and
+    // stops it, or this thread sees the flag and unwinds itself (the
+    // startInPool rollback releases a newly-taken lock on throw).
+    if (demotedFlag) {
+      try if (q.isActive) q.stop() finally queries.remove(name)
+      throw new IllegalStateException(s"manager $instanceId demoted " +
+        "during start; the query was stopped")
+    }
     q
   }
 
@@ -1273,6 +1325,13 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     * — the reference authorizes EVERY DMS mutation, not just
     * create/update (Coordinator.java:2371-2393). */
   private def authorizeLifecycle(name: String, owner: String): PipelineSpec = {
+    // A demoted instance must not run ANY lifecycle verb: each of them
+    // writes the shared durable spec store (persistSpec) — and resume
+    // additionally DELIVERS held epochs — on the strength of locks a
+    // reclaiming peer may legitimately own by now. Same fencing as
+    // start/startGroup; the reclaimer's writes are authoritative.
+    if (demotedFlag) throw new IllegalStateException(s"manager $instanceId " +
+      "is demoted (lease expired); it must not mutate pipeline state")
     val spec = specs.getOrElse(name, sys.error(s"unknown pipeline $name"))
     require(hooks.authorize(spec, owner),
       s"owner $owner not authorized for $name")
@@ -1394,7 +1453,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         .filter(ms => ms.exists(m => targets.contains(m.name)) &&
           ms.exists(m =>
             specs.get(m.name).exists(_.status == PipelineStatus.Ready)))
-        .foreach(ms => replayGroupHoldback(ms.head))
+        .foreach(replayGroupHoldback)
       Option(queries.get(name)).getOrElse(startGroup(name, transform))
     } else {
       specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Ready)))
@@ -1455,6 +1514,15 @@ object PipelineManager {
   private val lockStripes = Array.fill(64)(new Object)
   private[streaming] def lockStripe(path: String): Object =
     lockStripes(math.floorMod(path.hashCode, lockStripes.length))
+
+  /** Monitors for group-holdback replay — a SEPARATE pool from
+    * [[lockStripe]]: replay holds its monitor across whole Spark
+    * read+deliver jobs (seconds), while the lock stripes were sized
+    * for microsecond filesystem ops; sharing them would stall a
+    * hash-colliding acquire/release for a replay's duration. */
+  private val holdbackStripes = Array.fill(64)(new Object)
+  private[streaming] def holdbackStripe(path: String): Object =
+    holdbackStripes(math.floorMod(path.hashCode, holdbackStripes.length))
 
   /** Metadata key carrying a pipeline's task-group prefix (the
     * reference's `system.taskPrefix`,

@@ -869,11 +869,15 @@ class PipelineManagerSpec extends SparkTestBase {
     // heartbeat tick must demote this manager on its own
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    fs.setTimes(new org.apache.hadoop.fs.Path(s"$root/instances/A"),
-      System.currentTimeMillis() - lease - 60000L, -1)
+    // re-aged every iteration: a tick's non-atomic check-then-touch
+    // can overwrite a single aging write (read fresh, then refresh
+    // after the test's setTimes landed) — re-applying converges
+    val regA = new org.apache.hadoop.fs.Path(s"$root/instances/A")
     val deadline = System.currentTimeMillis() + 30000L
-    while (!pmA.isDemoted && System.currentTimeMillis() < deadline)
+    while (!pmA.isDemoted && System.currentTimeMillis() < deadline) {
+      fs.setTimes(regA, System.currentTimeMillis() - lease - 60000L, -1)
       Thread.sleep(20L)
+    }
     assert(pmA.isDemoted, "heartbeat loop never demoted the expired manager")
     assert(!q.isActive, "demotion left the query running")
     assert(pmA.queryOf("hb").isEmpty)
