@@ -1026,6 +1026,80 @@ object StreamingQueries {
       out
     }),
 
+    // Relevance scoring ON INGEST with a pre-trained lexical model —
+    // the retrieval counterpart of s20's static decontamination
+    // index: the BM25 model (per-term df, corpus N and avgdl for the
+    // t23 query) is trained ONCE from the corpus snapshot, then every
+    // arriving epoch scores only its own documents against the
+    // broadcast 4-row df table and two scalar literals. Per-epoch
+    // cost is O(batch) — no corpus state, no growing index — and the
+    // accumulated output equals the batch t23 scorer over the same
+    // docs, which is exactly what the oracle checks.
+    "s21_stream_bm25" -> ((s, d) => {
+      val terms = Seq("vector", "customer", "merge", "scan")
+      val docs = Tables.t(s, d, "documents").select(col("doc_id"), col("text"))
+      // train the static scorer from the corpus snapshot (one pass)
+      val tok = docs.select(col("doc_id"),
+        graft.text.Text.tokens(col("text")).as("w"))
+      val statsRow = tok
+        .agg(count(lit(1)).cast("double").as("nd"),
+          avg(size(col("w")).cast("double")).as("avgdl")).head()
+      val (nd, avgdl) = (statsRow.getDouble(0), statsRow.getDouble(1))
+      val dfTable = tok.select(col("doc_id"), explode(col("w")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+        .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+        .localCheckpoint() // 4 rows; broadcast to every epoch
+      val srcDir = Files.createTempDirectory("graft-s21-src-").toString
+      val outDir = Files.createTempDirectory("graft-s21-out-").toString
+      val ckpt = Files.createTempDirectory("graft-s21-ckpt-").toString
+      val schema = docs.schema
+      val stamped = scala.collection.mutable.Set[String]()
+      def writeBucket(b: Int): Unit = writeStampedBucket(srcDir, stamped, b,
+        docs.filter(pmod(col("doc_id"), lit(3L)) === b))
+      def runIngest(): Unit = {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            val btok = batch.select(col("doc_id"),
+              graft.text.Text.tokens(col("text")).as("w"))
+            val bdl = btok.select(col("doc_id"),
+              size(col("w")).cast("double").as("dl"))
+            val postings = btok
+              .select(col("doc_id"), explode(col("w")).as("term"))
+              .filter(col("term").isin(terms: _*))
+              .groupBy(col("doc_id"), col("term"))
+              .agg(count(lit(1)).cast("double").as("tf"))
+            // identical literal shapes to t23 / its oracle SQL
+            val wExpr = log((lit(nd) - col("df") + 0.5) /
+                (col("df") + 0.5) + 1) * col("tf") * 2.2 /
+              (col("tf") + lit(1.2) *
+                (lit(1) - 0.75 + lit(0.75) * col("dl") / lit(avgdl)))
+            val scored = postings.join(bdl, "doc_id")
+              .join(broadcast(dfTable), "term")
+              .groupBy(col("doc_id")).agg(round(sum(wExpr), 6).as("score"))
+            PipelineManager.epochAppend(scored.coalesce(1),
+              outDir, epoch, "s21"): Unit
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      try {
+        writeBucket(0); runIngest()
+        writeBucket(1); writeBucket(2); runIngest()
+      } finally s.conf.set("spark.sql.shuffle.partitions", before)
+      val out = s.read.parquet(outDir).localCheckpoint()
+      deleteTree(srcDir, outDir, ckpt)
+      out
+    }),
+
     // K3: the flush/epoch-commit barrier. Per epoch the transport
     // flush (epochAppend's staged write + rename) completes BEFORE
     // the commit marker appears — the reference's flush-then-commit
@@ -2066,6 +2140,31 @@ object StreamingQueries {
          |SELECT s.doc, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
          |CAST(COALESCE(h.first_hit, -1) AS BIGINT) AS first_hit
          |FROM streamed s LEFT JOIN hits h USING (doc)"""
+        .stripMargin.replace("\n", " "),
+
+    // Streaming BM25 closed form: ingest scoring with the
+    // corpus-trained model accumulates to exactly the batch t23
+    // scorer over every doc containing a query term (the t23 sc CTE,
+    // unranked).
+    "s21_stream_bm25" ->
+      """WITH tok AS (SELECT doc_id,
+        |list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM tok),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd, AVG(dl) AS avgdl
+        |FROM dl),
+        |p AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |FROM (SELECT doc_id, unnest(w) AS term FROM tok)
+        |WHERE term IN ('vector', 'customer', 'merge', 'scan')
+        |GROUP BY doc_id, term)
+        |SELECT p.doc_id,
+        |round(SUM(ln((st.nd - f.df + 0.5) / (f.df + 0.5) + 1)
+        |* p.tf * 2.2
+        |/ (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+        |FROM p JOIN dl ON p.doc_id = dl.doc_id
+        |JOIN (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM p
+        |GROUP BY term) f ON p.term = f.term
+        |CROSS JOIN st GROUP BY p.doc_id"""
         .stripMargin.replace("\n", " "),
 
     // Failover closed form: reloaded specs collapse Ready->Stopped,

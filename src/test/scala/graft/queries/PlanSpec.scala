@@ -696,6 +696,32 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("t23 BM25 is filtered-postings aggregation plus a distributed top-k") {
+    // the scale contract: the query-term predicate gates the exploded
+    // postings BEFORE any aggregate (the groupBy must run over
+    // |q|-term postings, never the full posting list), the top-k is
+    // TakeOrderedAndProject (never a global sort), and the rank
+    // window orders only the k-bounded frame.
+    val p = planOf("t23_bm25_topk")
+    assert(flatten(p).exists(_.nodeName.contains("TakeOrderedAndProject")),
+      "top-k must run as TakeOrderedAndProject, not a global sort")
+    val aggs = collectAll(p) {
+      case a if a.nodeName.contains("Aggregate") => a
+    }
+    assert(aggs.nonEmpty)
+    assert(aggs.exists(a => flatten(a).exists {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        f.condition.toString.contains("vector")
+      case _ => false
+    }), "the term IN (...) filter must sit below the postings aggregate")
+    collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach { w =>
+      assert(flatten(w).exists(_.nodeName.contains("TakeOrderedAndProject")),
+        s"rank window must order only the k-bounded frame:\n$w")
+    }
+  }
+
   test("t21 head is materialized once; only the per-source pass re-tokenizes") {
     // the head's own top-k runs at construction (a distributed
     // TakeOrderedAndProject job whose 50 rows are collected and
