@@ -104,6 +104,13 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def instancePath(id: String) =
     new Path(s"$checkpointRoot/instances/$id")
+  // Config validation BEFORE the registration file exists: a require
+  // that fired after registerInstance() would leak a live registration
+  // no close() ever removes, blocking every re-construction under the
+  // same instance id (existence-only registrations never expire).
+  require(!autoHeartbeat || livenessLeaseMs > 0L,
+    s"autoHeartbeat requires livenessLeaseMs > 0 (got $livenessLeaseMs): " +
+      "existence-only registrations have no lease to refresh or expire")
   rootFs.mkdirs(instancePath(instanceId).getParent)
   registerInstance()
 
@@ -267,12 +274,10 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   private val heartbeatExec: Option[java.util.concurrent.ScheduledExecutorService] =
     if (!autoHeartbeat) None
     else {
-      // An existence-only registration (lease <= 0) never expires, so
-      // a timer would be a busy loop (interval degenerates to 1 ms)
-      // that can never demote — reject the misconfiguration instead.
-      require(livenessLeaseMs > 0L,
-        s"autoHeartbeat requires livenessLeaseMs > 0 (got $livenessLeaseMs): " +
-          "existence-only registrations have no lease to refresh or expire")
+      // livenessLeaseMs > 0 was validated at construction, BEFORE the
+      // registration file was created (an existence-only registration
+      // never expires, so a timer would be a 1 ms busy loop that can
+      // never demote).
       val interval =
         if (heartbeatIntervalMs > 0L) heartbeatIntervalMs
         else math.max(livenessLeaseMs / 4, 1L)
@@ -566,6 +571,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     * Owner is checked by the Authorizer hook before any resource is
     * provisioned (Coordinator.java:2371-2393 ordering). */
   def create(spec: PipelineSpec, owner: String = "anonymous"): PipelineSpec = {
+    requireNotDemoted()
     require(spec.name.nonEmpty, "pipeline name required")
     require(spec.name != PipelineManager.ReservedNamespace,
       s"pipeline name '${PipelineManager.ReservedNamespace}' is reserved " +
@@ -692,6 +698,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
    */
   def update(name: String, newSpec: PipelineSpec,
       owner: String = "anonymous"): PipelineSpec = {
+    requireNotDemoted()
     val existing = specs.getOrElse(name, sys.error(s"unknown pipeline $name"))
     require(newSpec.name == name, "pipeline name is immutable")
     require(newSpec.sourceConnection.nonEmpty, "source connection required")
@@ -1060,7 +1067,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       // same markers.
       val destGroups = members.groupBy(_.destinationConnection).toSeq
         .sortBy(_._1)
-        .map { case (_, ms) => (ms, ms.map(_.name), transportWriter(ms.head)) }
+        .map { case (_, ms) => (ms, transportWriter(ms.head)) }
       val prevPool = spark.sparkContext.getLocalProperty("spark.scheduler.pool")
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-$prefix")
       try {
@@ -1074,7 +1081,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
           .foreachBatch { (batch: DataFrame, epoch: Long) =>
             // one materialization serves every sink
             batch.persist()
-            try destGroups.foreach { case (ms, memberNames, write) =>
+            try destGroups.foreach { case (ms, write) =>
               // Per-member admission (q68; the reference's force=false
               // pause scope, DatastreamResources.java:355-377), judged
               // at batch time from the live spec store:
@@ -1086,13 +1093,17 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
               //  - members only Stopped/absent → skipped (stop released
               //    the member's resources; its sink forfeits epochs
               //    until it rejoins).
-              val statuses = memberNames.flatMap(n => specs.get(n)).map(_.status)
+              val statuses = ms.flatMap(m => specs.get(m.name)).map(_.status)
               if (statuses.contains(PipelineStatus.Ready)) {
                 replayGroupHoldback(ms)
                 write(batch, epoch)
-              } else if (statuses.contains(PipelineStatus.Paused))
+              } else if (statuses.contains(PipelineStatus.Paused)) {
+                val hbDir = groupHoldbackPath(ms.head.name)
+                stampHoldbackOwner(hbDir, ms.head.name,
+                  ms.head.destinationConnection)
                 PipelineManager.epochAppend(batch,
-                  groupHoldbackPath(ms.head.name), epoch, ms.head.name): Unit
+                  hbDir, epoch, ms.head.name): Unit
+              }
             }
             finally { batch.unpersist(); () }
           }
@@ -1132,56 +1143,92 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   /** Durable holdback of a destination group inside a running group:
     * epochs withheld while every member of the destination was paused,
     * written with the SAME epoch markers as live delivery so replay is
-    * exactly-once. Keyed by the dest-group leader's name. */
+    * exactly-once. Keyed by the name of the dest-group leader AT
+    * APPEND TIME; each dir is stamped with its owner name and its
+    * destination (see [[stampHoldbackOwner]]) so replay can find and
+    * attribute it even after the leader changes or the owner is
+    * deleted. */
   private def groupHoldbackPath(leaderName: String): String =
     s"$checkpointRoot/group-holdback/${PipelineManager.namespaceOf(leaderName)}"
 
+  /** Stamp a holdback dir with `owner\ndestination` (idempotent).
+    * The owner names the epoch namespace inside the dir AND the
+    * destination-marker namespace its epochs replay under; the
+    * destination lets replay enumerate dirs by destination instead of
+    * by live member list, so a dir whose owner was deleted (or whose
+    * leadership moved to an earlier-named dedup'd member) still
+    * drains — "never dropped" survives membership churn. */
+  private def stampHoldbackOwner(dir: String, owner: String,
+      dest: String): Unit = {
+    val meta = new Path(dir, PipelineManager.HoldbackMetaFile)
+    if (!rootFs.exists(meta)) {
+      val out = rootFs.create(meta, true)
+      try out.write(s"$owner\n$dest".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Deliver (then remove) every held-back epoch of a dest group, in
-    * epoch order, through the current leader's transport — for parquet
-    * transports each replayed epoch re-enters [[PipelineManager
-    * .epochAppend]] with its ORIGINAL epoch number, so a crash between
+    * epoch order — for parquet transports each replayed epoch
+    * re-enters [[PipelineManager.epochAppend]] with its ORIGINAL
+    * epoch number UNDER ITS DIR-OWNER'S NAMESPACE, so a crash between
     * deliver and cleanup re-replays into a no-op (the destination's
-    * commit marker already exists): exactly-once end to end.
+    * commit marker already exists) no matter which caller view
+    * (frozen batch-loop destGroups, live resume findGroup) retries:
+    * exactly-once end to end, independent of leadership drift.
     *
-    * Drains the holdback dirs of EVERY member of the dest group, not
-    * just the current leader's: the leader is the lexicographically
-    * first member, and a destination-reuse create() can add a member
-    * with an EARLIER name mid-lifecycle — epochs held under the old
+    * Drains EVERY stamped holdback dir of this DESTINATION, found by
+    * enumerating the group-holdback store — not the caller's member
+    * list: a destination-reuse create() can add an earlier-named
+    * member mid-lifecycle (moving leadership), and delete() can
+    * remove a dir's owner entirely; epochs held under any past
     * leader's dir must still replay, never strand ("never dropped" is
-    * the pause contract). Serialized per dest group on the leader's
-    * holdback path (a resume() on the caller thread and the group
-    * query's self-healing drain may race; two concurrent epochAppends
-    * of one epoch would collide in the staging directory) — on a
-    * DEDICATED monitor pool, never the lock stripes: this method runs
-    * whole Spark read+deliver jobs, and sharing the lock layer's
-    * stripes would stall a hash-colliding acquire for the replay's
-    * duration. */
+    * the pause contract). Serialized per DESTINATION (a resume() on
+    * the caller thread and the group query's self-healing drain may
+    * race; two concurrent epochAppends of one epoch would collide in
+    * the staging directory) — on a DEDICATED monitor pool, never the
+    * lock stripes: this method runs whole Spark read+deliver jobs,
+    * and sharing the lock layer's stripes would stall a
+    * hash-colliding acquire for the replay's duration. */
   private def replayGroupHoldback(members: Seq[PipelineSpec]): Unit = {
-    val leader = members.minBy(_.name)
-    PipelineManager.holdbackStripe(groupHoldbackPath(leader.name))
-      .synchronized {
-        lazy val deliver = transportWriter(leader)
-        members.map(_.name).distinct.sorted.foreach { memberName =>
-          val hb = new Path(groupHoldbackPath(memberName))
-          if (rootFs.exists(hb)) {
-            val ns = PipelineManager.namespaceOf(memberName)
-            val markers = new Path(hb, s"_graft_commits/$ns")
-            if (rootFs.exists(markers)) {
-              val epochs = rootFs.listStatus(markers).toSeq
-                .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
-                .sorted
-              epochs.foreach { e =>
-                val files = Option(rootFs.globStatus(
-                  new Path(hb, s"graft-$ns-e$e-p*.parquet"))).toSeq.flatten
-                if (files.nonEmpty)
-                  deliver(spark.read.parquet(files.map(_.getPath.toString): _*), e)
-                files.foreach(f => rootFs.delete(f.getPath, false))
-                rootFs.delete(new Path(markers, e.toString), false): Unit
-              }
+    if (members.isEmpty) return
+    val anchor = members.minBy(_.name)
+    val dest = anchor.destinationConnection
+    PipelineManager.holdbackStripe(dest).synchronized {
+      val root = new Path(s"$checkpointRoot/group-holdback")
+      if (!rootFs.exists(root)) return
+      val dirs = rootFs.listStatus(root).toSeq.filter(_.isDirectory)
+        .map(_.getPath).sortBy(_.getName)
+      dirs.foreach { hb =>
+        val meta = new Path(hb, PipelineManager.HoldbackMetaFile)
+        val stamp =
+          try {
+            val in = rootFs.open(meta)
+            try new String(in.readAllBytes(), "UTF-8").split("\n", 2)
+            finally in.close()
+          } catch { case _: java.io.IOException => Array.empty[String] }
+        if (stamp.length == 2 && stamp(1) == dest) {
+          val owner = stamp(0)
+          val ns = PipelineManager.namespaceOf(owner)
+          val markers = new Path(hb, s"_graft_commits/$ns")
+          if (rootFs.exists(markers)) {
+            val epochs = rootFs.listStatus(markers).toSeq
+              .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+              .sorted
+            // deliver under the dir OWNER's identity: the destination
+            // markers then dedup retries from every caller view
+            lazy val deliver = transportWriter(anchor.copy(name = owner))
+            epochs.foreach { e =>
+              val files = Option(rootFs.globStatus(
+                new Path(hb, s"graft-$ns-e$e-p*.parquet"))).toSeq.flatten
+              if (files.nonEmpty)
+                deliver(spark.read.parquet(files.map(_.getPath.toString): _*), e)
+              files.foreach(f => rootFs.delete(f.getPath, false))
+              rootFs.delete(new Path(markers, e.toString), false): Unit
             }
           }
         }
       }
+    }
   }
 
   /** A6/A7: per-epoch throughput metrics ride the query itself via
@@ -1294,6 +1341,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   def applyFlowDecisions(name: String, partitionCol: String,
       decisions: Seq[FlowControl.PauseDecision],
       transform: DataFrame => DataFrame): Unit = {
+    requireNotDemoted()
     val finalAction = decisions.groupBy(_.partition)
       .map { case (p, ds) => p -> ds.last.action }
     val toPause = finalAction.collect { case (p, "PAUSE") => p }.toSet
@@ -1324,14 +1372,19 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   /** Authorize a mutating lifecycle call against the Authorizer hook
     * — the reference authorizes EVERY DMS mutation, not just
     * create/update (Coordinator.java:2371-2393). */
-  private def authorizeLifecycle(name: String, owner: String): PipelineSpec = {
-    // A demoted instance must not run ANY lifecycle verb: each of them
-    // writes the shared durable spec store (persistSpec) — and resume
-    // additionally DELIVERS held epochs — on the strength of locks a
-    // reclaiming peer may legitimately own by now. Same fencing as
-    // start/startGroup; the reclaimer's writes are authoritative.
+  /** A demoted instance must not run ANY state-mutating verb: each of
+    * them writes the shared durable spec store (persistSpec) — and
+    * resume/applyFlowDecisions additionally DELIVER held epochs — on
+    * the strength of locks a reclaiming peer may legitimately own by
+    * now. Same fencing as start/startGroup; the reclaimer's writes
+    * are authoritative. Guards the lifecycle verbs AND create/update/
+    * applyFlowDecisions. */
+  private def requireNotDemoted(): Unit =
     if (demotedFlag) throw new IllegalStateException(s"manager $instanceId " +
       "is demoted (lease expired); it must not mutate pipeline state")
+
+  private def authorizeLifecycle(name: String, owner: String): PipelineSpec = {
+    requireNotDemoted()
     val spec = specs.getOrElse(name, sys.error(s"unknown pipeline $name"))
     require(hooks.authorize(spec, owner),
       s"owner $owner not authorized for $name")
@@ -1523,6 +1576,11 @@ object PipelineManager {
   private val holdbackStripes = Array.fill(64)(new Object)
   private[streaming] def holdbackStripe(path: String): Object =
     holdbackStripes(math.floorMod(path.hashCode, holdbackStripes.length))
+
+  /** Name of the owner/destination stamp inside a group-holdback dir
+    * (`owner\ndestination`) — lets replay enumerate dirs by
+    * destination and attribute their epochs after membership churn. */
+  private[streaming] val HoldbackMetaFile = "_graft_holdback_meta"
 
   /** Metadata key carrying a pipeline's task-group prefix (the
     * reference's `system.taskPrefix`,

@@ -705,15 +705,20 @@ class PlanSpec extends SparkTestBase {
     val p = planOf("t23_bm25_topk")
     assert(flatten(p).exists(_.nodeName.contains("TakeOrderedAndProject")),
       "top-k must run as TakeOrderedAndProject, not a global sort")
-    val aggs = collectAll(p) {
-      case a if a.nodeName.contains("Aggregate") => a
+    // the TERM filter itself must have NO aggregate in its own
+    // subtree — "some aggregate above it" is vacuously true of the
+    // final per-doc groupBy; what the 100 TB contract needs is that
+    // the filter runs on the raw exploded postings, i.e. BELOW the
+    // bottom-most aggregate
+    val termFilters = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("vector") => f
     }
-    assert(aggs.nonEmpty)
-    assert(aggs.exists(a => flatten(a).exists {
-      case f: org.apache.spark.sql.execution.FilterExec =>
-        f.condition.toString.contains("vector")
-      case _ => false
-    }), "the term IN (...) filter must sit below the postings aggregate")
+    assert(termFilters.nonEmpty, "the term IN (...) filter must exist")
+    termFilters.foreach { f =>
+      assert(!flatten(f).drop(1).exists(_.nodeName.contains("Aggregate")),
+        s"term filter must gate RAW postings (no aggregate beneath it):\n$f")
+    }
     collectAll(p) {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }.foreach { w =>

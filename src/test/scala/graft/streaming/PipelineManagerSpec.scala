@@ -874,7 +874,10 @@ class PipelineManagerSpec extends SparkTestBase {
     // after the test's setTimes landed) — re-applying converges
     val regA = new org.apache.hadoop.fs.Path(s"$root/instances/A")
     val deadline = System.currentTimeMillis() + 30000L
-    while (!pmA.isDemoted && System.currentTimeMillis() < deadline) {
+    // the flag flips FIRST (it fences starts during the sweep), so
+    // wait for the handle sweep too, not just the flag
+    while ((!pmA.isDemoted || pmA.queryOf("hb").nonEmpty) &&
+        System.currentTimeMillis() < deadline) {
       fs.setTimes(regA, System.currentTimeMillis() - lease - 60000L, -1)
       Thread.sleep(20L)
     }
