@@ -995,4 +995,53 @@ class PipelineManagerSpec extends SparkTestBase {
     pmA.delete("lk")
     pmA.close()
   }
+
+  test("group holdback survives leadership change and owner deletion (never dropped)") {
+    val root = Files.createTempDirectory("graft-hbchurn-").toString
+    val srcDir = Files.createTempDirectory("graft-hbchurn-src-").toString
+    val dest = Files.createTempDirectory("graft-hbchurn-dest-").toString + "/d"
+    val pm = new PipelineManager(spark, root)
+    def append(e: Long): Unit = PipelineManager.epochAppend(
+      (0 until 10).map(i => (e * 100 + i, e)).toDF("id", "ep").coalesce(1),
+      srcDir, e, "hcsrc"): Unit
+    def destState(): (Long, Set[Long]) = {
+      val df = spark.read.parquet(dest)
+      (df.count(), df.select($"ep").distinct().as[Long].collect().toSet)
+    }
+    // b1 owns the destination; b2 dedups onto the same source and
+    // INHERITS it (D1) — one dest group with two members
+    pm.create(PipelineSpec("b1", "parquet", "parquet", srcDir,
+      destinationConnection = dest))
+    pm.create(PipelineSpec("b2", "parquet", "parquet", srcDir))
+    assert(pm.get("b2").get.destinationConnection == dest)
+    append(0)
+    pm.startGroup("b1", identity).awaitTermination()
+    // every member paused → the next epoch lands in holdback, keyed
+    // by the CURRENT leader b1
+    pm.pause("b1"); pm.pause("b2")
+    append(1)
+    pm.startGroup("b1", identity).awaitTermination()
+    assert(destState() == (10L, Set(0L)), "held epoch must not deliver")
+    // leadership change: an EARLIER-named member dedups in — the
+    // b1-keyed holdback dir must still drain on resume
+    pm.create(PipelineSpec("a0", "parquet", "parquet", srcDir))
+    pm.resume("b2", identity)
+    assert(destState() == (20L, Set(0L, 1L)),
+      "epoch held under the old leader's dir stranded after leadership moved")
+    // hold an epoch under the NEW leader a0, then DELETE a0 — the
+    // orphaned dir must still drain through its stamp
+    pm.pause("a0"); pm.pause("b1"); pm.pause("b2")
+    append(2)
+    pm.startGroup("b1", identity).awaitTermination()
+    assert(destState() == (20L, Set(0L, 1L)))
+    pm.delete("a0")
+    pm.resume("b1", identity)
+    assert(destState() == (30L, Set(0L, 1L, 2L)),
+      "epoch held under a deleted owner's dir was dropped")
+    // replay is idempotent across views: a second resume re-drains
+    // nothing (the commit markers already exist)
+    pm.resume("b2", identity)
+    assert(destState() == (30L, Set(0L, 1L, 2L)))
+    pm.close()
+  }
 }
