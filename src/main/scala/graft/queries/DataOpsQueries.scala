@@ -831,6 +831,38 @@ object DataOpsQueries {
       Text.bm25TopK(t(s, d, "documents"),
         Seq("vector", "customer", "merge", "scan"), k = 10)),
 
+    // HyperLogLog distinct-shingle cardinality per source + a merged
+    // global row ('*') — the third sketch next to t11's count-min and
+    // d17's Bloom filter, and the sizing read before an LSH/dedup
+    // index build ("how many distinct shingles will this index
+    // hold?"). The register table is ≤ |sources|·256 rows whatever
+    // the corpus size, built map-side in one pass; the global row is
+    // the MERGE of the per-source tables (groupBy-max over registers
+    // — the property that lets 1000 executors sketch independently
+    // and combine for free). n_exact (the expensive distinct the
+    // sketch replaces) rides along as the accuracy truth; err_pct is
+    // the measured estimate error, sitting inside the ±6.5% standard
+    // error of m=256.
+    "t24_hll_distinct" -> ((s, d) => {
+      val sh = t(s, d, "documents")
+        .select(col("source"), Text.tokens(col("text")).as("w"))
+        .select(col("source"), explode(Text.shinglesOf(col("w"))).as("sh"))
+      val perSrc = Sketch.hllRegisters(sh, col("sh"), Seq(col("source")))
+      val merged = perSrc.groupBy(col("reg"))
+        .agg(max(col("mj")).as("mj")).withColumn("source", lit("*"))
+      val est = Sketch.hllEstimate(
+        perSrc.unionByName(merged), Seq("source"))
+      val exact = sh.select(col("source"), col("sh"))
+        .unionByName(sh.select(lit("*").as("source"), col("sh")))
+        .groupBy(col("source"))
+        .agg(count_distinct(col("sh")).as("n_exact"))
+      exact.join(est, Seq("source"))
+        .select(col("source"), col("n_exact"), col("n_regs"), col("hll_est"),
+          round(lit(100) * (col("hll_est") - col("n_exact")) / col("n_exact"), 2)
+            .as("err_pct"))
+        .orderBy(col("source"))
+    }),
+
     // Embedding-health pre-flight (t14's counterpart for the vector
     // corpus): NaN detection, zero vectors, and the norm envelope
     // (min / lower-median / max) — the audit run before pointing any
@@ -2255,6 +2287,46 @@ object DataOpsQueries {
         |SELECT doc_id, rank, score FROM (SELECT doc_id, score,
         |ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
         |WHERE rank <= 10""".stripMargin.replace("\n", " "),
+
+    // HLL: register = low 8 hash bits, rho = 25 - bitlength of the
+    // remaining 24 (exact bin() arithmetic, the p03 idiom); the
+    // harmonic sum is all exact powers of two, α_256 is built from
+    // integer literals (a decimal literal would be DECIMAL-typed
+    // here and round differently), ln drift dies under ROUND(·,4).
+    "t24_hll_distinct" -> {
+      val hs = h("sh")
+      s"""WITH tk AS (SELECT source,
+         |list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+         |FROM documents),
+         |sg AS (SELECT source, unnest(CASE WHEN len(w) >= 3 THEN
+         |list_transform(generate_series(1, len(w) - 2),
+         |j -> concat_ws(' ', w[j], w[j+1], w[j+2])) ELSE [] END) AS sh
+         |FROM tk),
+         |hv AS (SELECT source, $hs AS hv FROM sg),
+         |rr AS (SELECT source, hv % 256 AS reg,
+         |CASE WHEN hv // 256 = 0 THEN CAST(25 AS BIGINT)
+         |ELSE 25 - length(bin(hv // 256)) END AS rho FROM hv),
+         |regs AS (SELECT source, reg, MAX(rho) AS mj FROM rr GROUP BY 1, 2),
+         |mrg AS (SELECT '*' AS source, reg, MAX(mj) AS mj FROM regs GROUP BY 2),
+         |ar AS (SELECT * FROM regs UNION ALL SELECT * FROM mrg),
+         |ag AS (SELECT source, SUM(1.0 / CAST(1 << mj AS DOUBLE)) AS z_hit,
+         |CAST(COUNT(*) AS BIGINT) AS n_regs FROM ar GROUP BY 1),
+         |es AS (SELECT source, n_regs, 256 - n_regs AS v,
+         |CAST(7213 AS DOUBLE) / 10000 / (1 + CAST(1079 AS DOUBLE) / 1000 / 256)
+         |* 65536 / (z_hit + CAST(256 - n_regs AS DOUBLE)) AS e_raw FROM ag),
+         |fe AS (SELECT source, n_regs,
+         |ROUND(CASE WHEN e_raw <= 640 AND v > 0
+         |THEN 256 * ln(CAST(256 AS DOUBLE) / v) ELSE e_raw END, 4) AS hll_est FROM es),
+         |exs AS (SELECT source, CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_exact
+         |FROM sg GROUP BY 1),
+         |exg AS (SELECT '*' AS source, CAST(COUNT(DISTINCT sh) AS BIGINT)
+         |AS n_exact FROM sg),
+         |ex AS (SELECT * FROM exs UNION ALL SELECT * FROM exg)
+         |SELECT ex.source, n_exact, n_regs, hll_est,
+         |ROUND(100 * (hll_est - n_exact) / n_exact, 2) AS err_pct
+         |FROM ex JOIN fe ON ex.source = fe.source
+         |ORDER BY ex.source""".stripMargin.replace("\n", " ")
+    },
 
     // RRF closed form: the t23 lexical CTEs + the e02 cosine shape
     // (query = vec 0), fused on the k-bounded lists only.

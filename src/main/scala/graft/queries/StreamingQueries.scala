@@ -1100,6 +1100,67 @@ object StreamingQueries {
       out
     }),
 
+    // Streaming CARDINALITY on ingest — a durable 256-row HyperLogLog
+    // register table max-merged with each arriving epoch's registers,
+    // emitting the running distinct-shingle estimate after every
+    // batch ("how big is the dedup index getting?" answered in O(1)
+    // state while the corpus is unbounded). The state story differs
+    // from every other stateful-ingest gate: max-merge is idempotent
+    // AND commutative, so a crash-replayed epoch re-merging the same
+    // batch is a NATURAL no-op — the register table needs no epoch
+    // markers at all (contrast s15's admission index, which needs
+    // idempotent epoch commits to avoid double-admission). Per-epoch
+    // cost is O(batch + 256) whatever the history; the emitted
+    // estimate after epoch e equals the batch t24 sketch over buckets
+    // 0..e, which is what the oracle unrolls.
+    "s22_stream_hll" -> ((s, d) => {
+      val docs = Tables.t(s, d, "documents").select(col("doc_id"), col("text"))
+      val srcDir = Files.createTempDirectory("graft-s22-src-").toString
+      val regDir = Files.createTempDirectory("graft-s22-reg-").toString
+      val outDir = Files.createTempDirectory("graft-s22-out-").toString
+      val ckpt = Files.createTempDirectory("graft-s22-ckpt-").toString
+      val schema = docs.schema
+      val stamped = scala.collection.mutable.Set[String]()
+      def writeBucket(b: Int): Unit = writeStampedBucket(srcDir, stamped, b,
+        docs.filter(pmod(col("doc_id"), lit(3L)) === b))
+      def runIngest(): Unit = {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            val sh = batch.select(graft.text.Text.tokens(col("text")).as("w"))
+              .select(explode(graft.text.Text.shinglesOf(col("w"))).as("sh"))
+            val bregs = graft.sketch.Sketch.hllRegisters(sh, col("sh"))
+            val priorFiles = new java.io.File(regDir).listFiles()
+            val merged = (if (priorFiles != null &&
+                priorFiles.exists(_.getName.startsWith("part-")))
+              s.read.parquet(regDir).unionByName(bregs) else bregs)
+              .groupBy(col("reg")).agg(max(col("mj")).as("mj"))
+              .localCheckpoint() // materialize BEFORE overwriting regDir
+            merged.coalesce(1).write.mode("overwrite").parquet(regDir)
+            PipelineManager.epochAppend(
+              graft.sketch.Sketch.hllEstimate(merged)
+                .withColumn("epoch", lit(epoch)).coalesce(1),
+              outDir, epoch, "s22"): Unit
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      try {
+        writeBucket(0); runIngest()
+        writeBucket(1); writeBucket(2); runIngest()
+      } finally s.conf.set("spark.sql.shuffle.partitions", before)
+      val out = s.read.parquet(outDir).localCheckpoint()
+      deleteTree(srcDir, regDir, outDir, ckpt)
+      out
+    }),
+
     // K3: the flush/epoch-commit barrier. Per epoch the transport
     // flush (epochAppend's staged write + rename) completes BEFORE
     // the commit marker appears — the reference's flush-then-commit
@@ -2166,6 +2227,38 @@ object StreamingQueries {
         |GROUP BY term) f ON p.term = f.term
         |CROSS JOIN st GROUP BY p.doc_id"""
         .stripMargin.replace("\n", " "),
+
+    // Epoch-unrolled HLL: the running register table after epoch e is
+    // exactly the registers over buckets 0..e (max-merge is
+    // order-free), so each epoch row is the t24 estimate over the
+    // widening doc_id%3 prefix. Same exact-arithmetic register/rho/
+    // harmonic-sum forms as the t24 oracle.
+    "s22_stream_hll" -> {
+      val hs = graft.functions.Portable.hash64Sql("sh")
+      s"""WITH tk AS (SELECT doc_id,
+         |list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+         |FROM documents),
+         |sg AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN
+         |list_transform(generate_series(1, len(w) - 2),
+         |j -> concat_ws(' ', w[j], w[j+1], w[j+2])) ELSE [] END) AS sh
+         |FROM tk),
+         |ep(epoch) AS (VALUES (CAST(0 AS BIGINT)), (1), (2)),
+         |hv AS (SELECT ep.epoch, $hs AS hv FROM sg
+         |JOIN ep ON MOD(sg.doc_id, 3) <= ep.epoch),
+         |rr AS (SELECT epoch, hv % 256 AS reg,
+         |CASE WHEN hv // 256 = 0 THEN CAST(25 AS BIGINT)
+         |ELSE 25 - length(bin(hv // 256)) END AS rho FROM hv),
+         |regs AS (SELECT epoch, reg, MAX(rho) AS mj FROM rr GROUP BY 1, 2),
+         |ag AS (SELECT epoch, SUM(1.0 / CAST(1 << mj AS DOUBLE)) AS z_hit,
+         |CAST(COUNT(*) AS BIGINT) AS n_regs FROM regs GROUP BY 1),
+         |es AS (SELECT epoch, n_regs, 256 - n_regs AS v,
+         |CAST(7213 AS DOUBLE) / 10000 / (1 + CAST(1079 AS DOUBLE) / 1000 / 256)
+         |* 65536 / (z_hit + CAST(256 - n_regs AS DOUBLE)) AS e_raw FROM ag)
+         |SELECT epoch, n_regs,
+         |ROUND(CASE WHEN e_raw <= 640 AND v > 0
+         |THEN 256 * ln(CAST(256 AS DOUBLE) / v) ELSE e_raw END, 4) AS hll_est
+         |FROM es ORDER BY epoch""".stripMargin.replace("\n", " ")
+    },
 
     // Failover closed form: reloaded specs collapse Ready->Stopped,
     // the pause set survives as the literal "1", and exactly-once

@@ -100,4 +100,78 @@ object Sketch {
       .groupBy(col("v"))
       .agg((count(col("set")) === k).as("bloom_positive"))
   }
+
+  /** HyperLogLog precision: p=8 → m=256 registers (standard error
+    * 1.04/√m ≈ 6.5%). The [[Portable.hash64]] value is 32 bits of
+    * md5, so the rho space is the remaining 32−8 = 24 bits and
+    * rho ∈ [1, 25]. */
+  val HllP = 8
+  val HllM: Int = 1 << HllP // 256
+
+  /**
+   * Per-group HyperLogLog register table over a value column:
+   * `groupCols ++ (reg → max rho)` — the register index is the low
+   * [[HllP]] bits of the portable hash, rho the leading-zero count
+   * (+1) of the remaining 24 bits, computed EXACTLY in integer
+   * arithmetic (`bin()` bit length, the p03 idiom — no FP log2 whose
+   * rounding could differ between engines at powers of two).
+   *
+   * Scale shape: one pass over the values, a two-level partial agg
+   * (map-side max per (group, reg) combines before the shuffle), and
+   * the result is ≤ |groups|·m rows REGARDLESS of corpus size — the
+   * whole point of the sketch at 100 TB. Duplicated values land in
+   * the same register with the same rho, so the build needs no
+   * distinct. Mergeable: register tables of two corpora union +
+   * groupBy-max into the register table of their concatenation
+   * (max is idempotent AND commutative, so replaying a batch — the
+   * s22 streaming crash case — is a natural no-op, no epoch markers
+   * needed for the state).
+   */
+  def hllRegisters(values: DataFrame, value: Column,
+      groupCols: Seq[Column] = Nil): DataFrame = {
+    val h = Portable.hash64(value)
+    val w2 = shiftright(h, HllP) // remaining 24 bits, exact
+    val rho = when(w2 === 0L, lit((32 - HllP + 1).toLong))
+      .otherwise(lit((32 - HllP + 1).toLong) - length(bin(w2)))
+    val keyed = values.select(groupCols :+ pmod(h, lit(HllM.toLong)).as("reg")
+      :+ rho.as("rho"): _*)
+    keyed.groupBy(col("reg") +: groupCols.indices.map(i => keyed.columns(i))
+      .map(col): _*)
+      .agg(max(col("rho")).as("mj"))
+  }
+
+  /**
+   * Collapse a register table to one estimate row per group:
+   * `(groupCols..., n_regs, hll_est)` — the raw HLL estimate
+   * αm·m²/Z with the small-range linear-counting correction
+   * (E ≤ 2.5m and empty registers present → m·ln(m/V)).
+   *
+   * Cross-engine determinism, term by term: every 2^−Mj is an exact
+   * power of two, so the harmonic sum Z is EXACT in binary FP (≤ m
+   * dyadic terms spanning < 53 bits — no rounding, no order
+   * sensitivity); αm is derived from integer literals by correctly
+   * rounded IEEE ops (never a decimal literal, which DuckDB types as
+   * DECIMAL and rounds through a different intermediate); the final
+   * ln sits under a round(·, 4) that absorbs last-ulp libm drift.
+   */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String] = Nil): DataFrame = {
+    val m = HllM.toDouble
+    // α_256 = 0.7213/(1 + 1.079/256), built from integer literals
+    val alpha = lit(7213).cast("double") / 10000 /
+      (lit(1) + lit(1079).cast("double") / 1000 / HllM)
+    val grouped =
+      if (groupCols.isEmpty) registers.groupBy()
+      else registers.groupBy(groupCols.map(col): _*)
+    val agg = grouped.agg(
+      sum(lit(1.0) / expr("cast(shiftleft(cast(1 as bigint), cast(mj as int)) as double)"))
+        .as("z_hit"),
+      count(lit(1)).as("n_regs"))
+    val v = lit(HllM.toLong) - col("n_regs")
+    val eRaw = alpha * lit(m * m) / (col("z_hit") + v.cast("double"))
+    agg.select(groupCols.map(col) ++ Seq(
+      col("n_regs"),
+      round(when(eRaw <= m * 2.5 && v > 0L,
+        lit(m) * log(lit(m) / v.cast("double"))).otherwise(eRaw), 4)
+        .as("hll_est")): _*)
+  }
 }
