@@ -617,4 +617,80 @@ object Text {
         .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("rank"), col("score"))
   }
+
+  /** Number of term-hash buckets the postings index is partitioned
+    * by. Partitioning by raw term would mean one directory per
+    * distinct term — pathological at a real vocabulary; hashing into
+    * a fixed bucket count keeps the directory fan-out bounded while
+    * a |q|-term query still prunes to ≤ |q| buckets. */
+  val LexIndexBuckets = 64
+
+  /**
+   * Build a durable inverted index from a document corpus — the
+   * "build once, serve many" separation d19 gives the dedup path,
+   * here for lexical retrieval: ONE tokenize pass writes
+   * `postings/` ((term, doc_id, tf), hive-partitioned by the term's
+   * hash bucket `tb`), `docstats/` (per-doc length) and `stats/`
+   * (the 1-row corpus N/avgdl), and every later query scores from
+   * these files without touching the corpus again. Postings are the
+   * real serving artifact at 100 TB — the corpus text (the heavy
+   * column) never ships to the query path.
+   */
+  def buildLexicalIndex(docs: DataFrame, dir: String): Unit = {
+    val tok = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    val dl = tok.select(col("doc_id"), size(col("w")).cast("double").as("dl"))
+      .persist()
+    try {
+      dl.agg(count(lit(1)).cast("double").as("nd"), avg(col("dl")).as("avgdl"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+      dl.write.mode("overwrite").parquet(s"$dir/docstats")
+      tok.select(col("doc_id"), explode(col("w")).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+        .withColumn("tb",
+          pmod(graft.functions.Portable.hash64(col("term")),
+            lit(LexIndexBuckets.toLong)))
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(s"$dir/postings")
+    } finally dl.unpersist(false): Unit
+  }
+
+  /**
+   * Score a query from a [[buildLexicalIndex]] directory — identical
+   * math (and bit-identical output) to [[bm25TopK]], but the only
+   * inputs are index files: the postings scan carries BOTH the
+   * term-bucket predicate (→ PartitionFilters, unvisited buckets'
+   * directories never open) and the term equality set (→
+   * PushedFilters inside the visited buckets). df comes from the |q|
+   * filtered postings groups; doc lengths join in for candidate docs
+   * only; the corpus table appears nowhere in the plan.
+   */
+  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = terms.map(t =>
+      java.lang.Math.floorMod(graft.functions.Portable.hash64Of(t),
+        LexIndexBuckets.toLong)).distinct
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select(col("doc_id"), col("term"), col("tf"))
+    val dl = spark.read.parquet(s"$dir/docstats")
+    val stats = spark.read.parquet(s"$dir/stats")
+    val df = postings.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val idf = log((col("nd") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    val w = idf * col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1) - b + lit(b) * col("dl") / col("avgdl")))
+    val scored = postings
+      .join(dl, "doc_id")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(w), 6).as("score"))
+    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+    top.withColumn("rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rank"), col("score"))
+  }
 }

@@ -400,6 +400,30 @@ class PlanSpec extends SparkTestBase {
       "index search is equi-joins on (band, bh) only")
   }
 
+  test("t25 serves BM25 from the lexical index with bucket pruning, no corpus scan") {
+    // The build-once/serve-many contract: the query plan reads ONLY
+    // index files — postings pruned to the query terms' hash buckets
+    // at the PARTITION level (unvisited buckets' directories never
+    // open), the term set pushed into the visited buckets' scans —
+    // and documents.parquet appears nowhere.
+    val p = planOf("t25_bm25_index_serve")
+    val postingScans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("postings")) => s
+    }
+    assert(postingScans.nonEmpty, "scoring must read the postings index")
+    postingScans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        "the term-bucket predicate must prune postings partitions")
+      assert(s.dataFilters.exists(_.references.exists(_.name == "term")),
+        "the term set must push into the visited buckets' scans")
+    }
+    assert(collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("documents")) => s
+    }.isEmpty, "the index-served plan must never touch the corpus")
+  }
+
   test("e14/e15 IVF+PQ score through broadcast codebook/ADC equi-joins") {
     for (name <- Seq("e14_ivf_pq", "e15_ivf_pq_trained")) {
       val p = planOf(name)

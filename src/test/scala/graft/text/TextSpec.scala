@@ -218,6 +218,33 @@ class TextSpec extends SparkTestBase {
     assert(tied.toSeq.map(r => (r._1, r._2)) == Seq((4L, 1L)))
   }
 
+  test("bm25TopKFromIndex serves bit-identical results to the corpus scan") {
+    val docs = Seq(
+      (1L, "a a b x"), (2L, "a c"), (3L, "c c c c"),
+      (4L, "b b a"), (5L, "x y z a b"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lexidx-").toString
+    try {
+      Text.buildLexicalIndex(docs, dir)
+      for (terms <- Seq(Seq("a"), Seq("a", "b"), Seq("b", "x", "z"))) {
+        val scan = Text.bm25TopK(docs, terms, k = 10)
+          .as[(Long, Long, Double)].collect().toSeq.sortBy(_._2)
+        val served = Text.bm25TopKFromIndex(spark, dir, terms, k = 10)
+          .as[(Long, Long, Double)].collect().toSeq.sortBy(_._2)
+        assert(served == scan, s"index-served must equal corpus scan for $terms")
+      }
+      // a term absent from the corpus contributes nothing either way
+      val missing = Text.bm25TopKFromIndex(spark, dir, Seq("absent"), k = 10)
+        .collect()
+      assert(missing.isEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("UnicodeNormalize: NFC composes, NFKC folds compatibility forms, null passes") {
     import graft.functions.TextExpressions
     val df = Seq(
