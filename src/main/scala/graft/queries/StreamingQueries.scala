@@ -1100,6 +1100,117 @@ object StreamingQueries {
       out
     }),
 
+    // INCREMENTAL LEXICAL-INDEX MAINTENANCE on ingest — the s15 story
+    // for the retrieval path, materialized for a STANDING query (the
+    // streaming analog of a retrieval materialized view): each epoch
+    // appends its own postings for the query's terms (tokenize only
+    // the batch; (doc,term,tf) with the doc length denormalized
+    // on-row, Lucene's norms inlined) to the durable index via the
+    // idempotent epoch commit, folds the batch's
+    // (count, Σdl) into a 1-row-per-epoch running corpus-stats
+    // accumulator — O(1) state, never a rescan of docstats history —
+    // and then RE-SERVES the standing query from the updated index:
+    // the per-epoch read is the |q|-term posting lists plus the tiny
+    // stats row, never the corpus. Exactness note: dl is an
+    // integer-valued double, so the running Σdl is exact and
+    // avgdl = Σdl/nd is bit-identical to the oracle's AVG over the
+    // epoch prefix. Replay safety: postings/stats commits are
+    // epoch-marked (skipped when already committed), and a replayed
+    // epoch whose stats row already landed REUSES that committed row
+    // instead of re-adding its batch.
+    "s23_stream_lex_index" -> ((s, d) => {
+      val terms = Seq("vector", "customer", "merge", "scan")
+      val docs = Tables.t(s, d, "documents").select(col("doc_id"), col("text"))
+      val srcDir = Files.createTempDirectory("graft-s23-src-").toString
+      val idxDir = Files.createTempDirectory("graft-s23-idx-").toString
+      val outDir = Files.createTempDirectory("graft-s23-out-").toString
+      val ckpt = Files.createTempDirectory("graft-s23-ckpt-").toString
+      val schema = docs.schema
+      val stamped = scala.collection.mutable.Set[String]()
+      def writeBucket(b: Int): Unit = writeStampedBucket(srcDir, stamped, b,
+        docs.filter(pmod(col("doc_id"), lit(3L)) === b))
+      def runIngest(): Unit = {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            val btok = batch.select(col("doc_id"),
+              graft.text.Text.tokens(col("text")).as("w"))
+            val bdl = btok.select(col("doc_id"),
+              size(col("w")).cast("double").as("dl"))
+            val bpost = btok
+              .select(col("doc_id"), explode(col("w")).as("term"))
+              .filter(col("term").isin(terms: _*))
+              .groupBy(col("doc_id"), col("term"))
+              .agg(count(lit(1)).cast("double").as("tf"))
+              .join(bdl, "doc_id")
+            PipelineManager.epochAppend(bpost.coalesce(1),
+              s"$idxDir/postings", epoch, "s23p"): Unit
+            // running corpus stats: committed row for THIS epoch wins
+            // (replay), else previous epoch's cumulative + this batch
+            val statsPath = s"$idxDir/stats"
+            // committed epoch files are named graft-<ns>-e<N>-p*.parquet
+            // (epochAppend's rename contract), NOT part-*
+            val statFiles = Option(new java.io.File(statsPath).listFiles())
+              .getOrElse(Array.empty)
+            val existing =
+              if (statFiles.exists(f => f.getName.startsWith("graft-") &&
+                  f.getName.endsWith(".parquet")))
+                s.read.parquet(statsPath).collect() // ≤ 1 row per epoch
+              else Array.empty[org.apache.spark.sql.Row]
+            val (nd, sumDl) = existing.find(_.getLong(0) == epoch) match {
+              case Some(r) => (r.getDouble(1), r.getDouble(2))
+              case None =>
+                val prior = existing.filter(_.getLong(0) < epoch)
+                  .sortBy(-_.getLong(0)).headOption
+                val b = bdl.agg(count(lit(1)).cast("double"),
+                  coalesce(sum(col("dl")), lit(0.0))).head()
+                (prior.map(_.getDouble(1)).getOrElse(0.0) + b.getDouble(0),
+                  prior.map(_.getDouble(2)).getOrElse(0.0) + b.getDouble(1))
+            }
+            PipelineManager.epochAppend(
+              { import s.implicits._
+                Seq((epoch, nd, sumDl)).toDF("epoch", "nd", "sum_dl") }
+                .coalesce(1),
+              statsPath, epoch, "s23s"): Unit
+            // serve the standing query from the updated index
+            val avgdl = sumDl / nd
+            val post = s.read.parquet(s"$idxDir/postings")
+            val dfT = post.groupBy(col("term"))
+              .agg(count(lit(1)).cast("double").as("df"))
+            val wExpr = log((lit(nd) - col("df") + 0.5) /
+                (col("df") + 0.5) + 1) * col("tf") * 2.2 /
+              (col("tf") + lit(1.2) *
+                (lit(1) - 0.75 + lit(0.75) * col("dl") / lit(avgdl)))
+            val scored = post.join(broadcast(dfT), "term")
+              .groupBy(col("doc_id")).agg(round(sum(wExpr), 6).as("score"))
+            val top = scored.orderBy(col("score").desc, col("doc_id")).limit(3)
+              .withColumn("rank", row_number().over(
+                org.apache.spark.sql.expressions.Window
+                  .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+              .select(col("doc_id"), col("rank"), col("score"))
+            PipelineManager.epochAppend(
+              top.withColumn("epoch", lit(epoch)).coalesce(1),
+              outDir, epoch, "s23"): Unit
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      try {
+        writeBucket(0); runIngest()
+        writeBucket(1); writeBucket(2); runIngest()
+      } finally s.conf.set("spark.sql.shuffle.partitions", before)
+      val out = s.read.parquet(outDir).localCheckpoint()
+      deleteTree(srcDir, idxDir, outDir, ckpt)
+      out
+    }),
+
     // Streaming CARDINALITY on ingest — a durable 256-row HyperLogLog
     // register table max-merged with each arriving epoch's registers,
     // emitting the running distinct-shingle estimate after every
@@ -2227,6 +2338,38 @@ object StreamingQueries {
         |GROUP BY term) f ON p.term = f.term
         |CROSS JOIN st GROUP BY p.doc_id"""
         .stripMargin.replace("\n", " "),
+
+    // Epoch-unrolled BM25 over the widening doc_id%3 prefix: after
+    // epoch e the durable index holds exactly the prefix's postings
+    // and the accumulator the prefix's (N, Σdl), so each epoch's
+    // top-3 is the t23 closed form over buckets 0..e.
+    "s23_stream_lex_index" ->
+      """WITH tk AS (SELECT doc_id,
+        |list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |FROM documents),
+        |ep(epoch) AS (VALUES (CAST(0 AS BIGINT)), (1), (2)),
+        |pre AS (SELECT ep.epoch, tk.doc_id, tk.w FROM tk
+        |JOIN ep ON MOD(tk.doc_id, 3) <= ep.epoch),
+        |dl AS (SELECT epoch, doc_id, CAST(len(w) AS DOUBLE) AS dl FROM pre),
+        |st AS (SELECT epoch, CAST(COUNT(*) AS DOUBLE) AS nd, AVG(dl) AS avgdl
+        |FROM dl GROUP BY 1),
+        |p AS (SELECT epoch, doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |FROM (SELECT epoch, doc_id, unnest(w) AS term FROM pre)
+        |WHERE term IN ('vector', 'customer', 'merge', 'scan')
+        |GROUP BY 1, 2, 3),
+        |f AS (SELECT epoch, term, CAST(COUNT(*) AS DOUBLE) AS df FROM p
+        |GROUP BY 1, 2),
+        |sc AS (SELECT p.epoch, p.doc_id,
+        |round(SUM(ln((st.nd - f.df + 0.5) / (f.df + 0.5) + 1)
+        |* p.tf * 2.2
+        |/ (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+        |FROM p JOIN dl ON p.epoch = dl.epoch AND p.doc_id = dl.doc_id
+        |JOIN f ON p.epoch = f.epoch AND p.term = f.term
+        |JOIN st ON st.epoch = p.epoch GROUP BY 1, 2)
+        |SELECT epoch, doc_id, rank, score FROM (SELECT epoch, doc_id, score,
+        |ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY score DESC, doc_id)
+        |AS rank FROM sc) WHERE rank <= 3
+        |ORDER BY epoch, rank""".stripMargin.replace("\n", " "),
 
     // Epoch-unrolled HLL: the running register table after epoch e is
     // exactly the registers over buckets 0..e (max-merge is
