@@ -163,8 +163,11 @@ object Sketch {
       if (groupCols.isEmpty) registers.groupBy()
       else registers.groupBy(groupCols.map(col): _*)
     val agg = grouped.agg(
-      sum(lit(1.0) / expr("cast(shiftleft(cast(1 as bigint), cast(mj as int)) as double)"))
-        .as("z_hit"),
+      // coalesce: an EMPTY register table (global groupBy of nothing)
+      // is all-registers-empty — z_hit 0, V = m, estimate exactly 0
+      coalesce(sum(lit(1.0) /
+          expr("cast(shiftleft(cast(1 as bigint), cast(mj as int)) as double)")),
+        lit(0.0)).as("z_hit"),
       count(lit(1)).as("n_regs"))
     val v = lit(HllM.toLong) - col("n_regs")
     val eRaw = alpha * lit(m * m) / (col("z_hit") + v.cast("double"))

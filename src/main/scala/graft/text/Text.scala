@@ -637,10 +637,14 @@ object Text {
    * column) never ships to the query path.
    */
   def buildLexicalIndex(docs: DataFrame, dir: String): Unit = {
+    // ONE tokenize pass feeds all three artifacts: the token frame is
+    // persisted so docstats/stats and the postings explode share it
+    // instead of re-scanning (and re-splitting) the corpus text.
     val tok = docs.select(col("doc_id"), tokens(col("text")).as("w"))
-    val dl = tok.select(col("doc_id"), size(col("w")).cast("double").as("dl"))
       .persist()
     try {
+      val dl = tok.select(col("doc_id"),
+        size(col("w")).cast("double").as("dl"))
       dl.agg(count(lit(1)).cast("double").as("nd"), avg(col("dl")).as("avgdl"))
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
       dl.write.mode("overwrite").parquet(s"$dir/docstats")
@@ -652,7 +656,7 @@ object Text {
             lit(LexIndexBuckets.toLong)))
         .write.mode("overwrite").partitionBy("tb")
         .parquet(s"$dir/postings")
-    } finally dl.unpersist(false): Unit
+    } finally tok.unpersist(false): Unit
   }
 
   /**

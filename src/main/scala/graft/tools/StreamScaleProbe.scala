@@ -277,7 +277,104 @@ object StreamScaleProbe {
       deleteAll(srcDir +: ckptRoot +: destRoots: _*)
     }
 
+    // ---- s22 shape: streaming HLL register merge ----
+    // State is structurally bounded (256 rows whatever the history);
+    // flat per-epoch cost at 8× the epoch count confirms the only
+    // variable work is the batch's own register build.
+    def runHll(dir: String, label: String): Unit = {
+      val rows = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("doc"), col("text"))
+      val srcDir = tmp("sscale22-src-"); val regDir = tmp("sscale22-reg-")
+      val outDir = tmp("sscale22-out-"); val ckpt = tmp("sscale22-ckpt-")
+      writeOddBatches(rows, srcDir): Unit
+      drive("s22shape", label, srcDir, ckpt, rows.schema, identity) { (batch, epoch) =>
+        val sh = batch.select(graft.text.Text.tokens(col("text")).as("w"))
+          .select(explode(graft.text.Text.shinglesOf(col("w"))).as("sh"))
+        val bregs = graft.sketch.Sketch.hllRegisters(sh, col("sh"))
+        val priorFiles = new java.io.File(regDir).listFiles()
+        val merged = (if (priorFiles != null &&
+            priorFiles.exists(_.getName.startsWith("part-")))
+          spark.read.parquet(regDir).unionByName(bregs) else bregs)
+          .groupBy(col("reg")).agg(max(col("mj")).as("mj"))
+          .localCheckpoint()
+        merged.coalesce(1).write.mode("overwrite").parquet(regDir)
+        PipelineManager.epochAppend(
+          graft.sketch.Sketch.hllEstimate(merged)
+            .withColumn("epoch", lit(epoch)).coalesce(1),
+          outDir, epoch, "sscale-hll"): Unit
+      }
+      deleteAll(srcDir, regDir, outDir, ckpt)
+    }
+
+    // ---- s23 shape: incremental lexical index + standing query ----
+    // The accumulator is O(1) and the append O(batch); the one
+    // component that grows is the standing query's own posting-list
+    // read (|q| terms) — the probe measures that slope directly, the
+    // honest serving cost as opposed to a corpus rescan.
+    def runLexIndex(dir: String, label: String): Unit = {
+      val terms = Seq("vector", "customer", "merge", "scan")
+      val rows = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("doc"), col("text"))
+      val srcDir = tmp("sscale23-src-"); val idxDir = tmp("sscale23-idx-")
+      val outDir = tmp("sscale23-out-"); val ckpt = tmp("sscale23-ckpt-")
+      writeOddBatches(rows, srcDir): Unit
+      drive("s23shape", label, srcDir, ckpt, rows.schema, identity) { (batch, epoch) =>
+        val btok = batch.select(col("doc").as("doc_id"),
+          graft.text.Text.tokens(col("text")).as("w"))
+        val bdl = btok.select(col("doc_id"),
+          size(col("w")).cast("double").as("dl"))
+        val bpost = btok.select(col("doc_id"), explode(col("w")).as("term"))
+          .filter(col("term").isin(terms: _*))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).cast("double").as("tf"))
+          .join(bdl, "doc_id")
+        PipelineManager.epochAppend(bpost.coalesce(1),
+          s"$idxDir/postings", epoch, "sscale-lxp"): Unit
+        val statsPath = s"$idxDir/stats"
+        val statFiles = Option(new java.io.File(statsPath).listFiles())
+          .getOrElse(Array.empty)
+        val existing =
+          if (statFiles.exists(f => f.getName.startsWith("graft-") &&
+              f.getName.endsWith(".parquet")))
+            spark.read.parquet(statsPath).collect()
+          else Array.empty[org.apache.spark.sql.Row]
+        val (nd, sumDl) = existing.find(_.getLong(0) == epoch) match {
+          case Some(r) => (r.getDouble(1), r.getDouble(2))
+          case None =>
+            val prior = existing.filter(_.getLong(0) < epoch)
+              .sortBy(-_.getLong(0)).headOption
+            val b = bdl.agg(count(lit(1)).cast("double"),
+              coalesce(sum(col("dl")), lit(0.0))).head()
+            (prior.map(_.getDouble(1)).getOrElse(0.0) + b.getDouble(0),
+              prior.map(_.getDouble(2)).getOrElse(0.0) + b.getDouble(1))
+        }
+        import spark.implicits._
+        PipelineManager.epochAppend(
+          Seq((epoch, nd, sumDl)).toDF("epoch", "nd", "sum_dl").coalesce(1),
+          statsPath, epoch, "sscale-lxs"): Unit
+        val avgdl = sumDl / nd
+        val post = spark.read.parquet(s"$idxDir/postings")
+        val dfT = post.groupBy(col("term"))
+          .agg(count(lit(1)).cast("double").as("df"))
+        val wExpr = log((lit(nd) - col("df") + 0.5) /
+            (col("df") + 0.5) + 1) * col("tf") * 2.2 /
+          (col("tf") + lit(1.2) *
+            (lit(1) - 0.75 + lit(0.75) * col("dl") / lit(avgdl)))
+        val scored = post.join(broadcast(dfT), "term")
+          .groupBy(col("doc_id")).agg(round(sum(wExpr), 6).as("score"))
+        PipelineManager.epochAppend(
+          scored.orderBy(col("score").desc, col("doc_id")).limit(3)
+            .withColumn("epoch", lit(epoch)).coalesce(1),
+          outDir, epoch, "sscale-lxq"): Unit
+      }
+      deleteAll(srcDir, idxDir, outDir, ckpt)
+    }
+
     if (shapes("fanout")) { runFanout(2); runFanout(8) }
+    if (shapes("s22")) { runHll(base, "1x"); runHll(scaled, s"${factor}x") }
+    if (shapes("s23")) {
+      runLexIndex(base, "1x"); runLexIndex(scaled, s"${factor}x")
+    }
 
     if (shapes("s15")) {
       runIndexDedup(base, "1x"); runIndexDedup(scaled, s"${factor}x")
