@@ -188,7 +188,7 @@ object Bench {
       .mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"metric":"total","value":$pubTotal,"unit":"sec","queries":$pubJson,"first_run":$firstJson,"first_run_total":$firstTotal,"spill_build_s":$spillBuildS,"rerun_n":$rerunJson,"rerun_failed":$rerunFailedJson,"heap_after_mb":$heapJson,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$pubTotal,"unit":"sec","queries":$pubJson,"first_run":$firstJson,"first_run_total":$firstTotal,"spill_build_s":${fmt2(spillBuildS)},"rerun_n":$rerunJson,"rerun_failed":$rerunFailedJson,"heap_after_mb":$heapJson,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     val qsPub = published.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(pubTotal)},"unit":"sec","queries":$qsPub,"spill_build":${fmt2(spillBuildS)},"failed":[${failedStdout.mkString(",")}],"sf":"$sfDir"}""")

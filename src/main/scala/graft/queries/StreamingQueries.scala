@@ -1153,13 +1153,11 @@ object StreamingQueries {
             // running corpus stats: committed row for THIS epoch wins
             // (replay), else previous epoch's cumulative + this batch
             val statsPath = s"$idxDir/stats"
-            // committed epoch files are named graft-<ns>-e<N>-p*.parquet
-            // (epochAppend's rename contract), NOT part-*
-            val statFiles = Option(new java.io.File(statsPath).listFiles())
-              .getOrElse(Array.empty)
+            // the committed-file probe goes through the ONE owner of
+            // epochAppend's rename contract — never a re-spelled glob
             val existing =
-              if (statFiles.exists(f => f.getName.startsWith("graft-") &&
-                  f.getName.endsWith(".parquet")))
+              if (PipelineManager.committedFiles(statsPath,
+                  s.sparkContext.hadoopConfiguration).nonEmpty)
                 s.read.parquet(statsPath).collect() // ≤ 1 row per epoch
               else Array.empty[org.apache.spark.sql.Row]
             val (nd, sumDl) = existing.find(_.getLong(0) == epoch) match {

@@ -153,6 +153,18 @@ object Sketch {
    * rounded IEEE ops (never a decimal literal, which DuckDB types as
    * DECIMAL and rounds through a different intermediate); the final
    * ln sits under a round(·, 4) that absorbs last-ulp libm drift.
+   *
+   * Usable cardinality range: the registers are built from a 32-BIT
+   * hash ([[hllRegisters]]), and only the small-range (linear
+   * counting) correction is applied — there is NO large-range
+   * (2^32) correction. Estimates are within the standard ±6.5%
+   * up to ~10^8 distinct values; beyond ~2^32/30 ≈ 1.4·10^8, hash
+   * collisions in the 32-bit space bias the raw estimate LOW, and the
+   * bias grows silently toward 2^32. Callers sizing 100 TB dedup
+   * indexes (10^9+ keys) must shard the sketch (e.g. group by a key
+   * prefix and sum the per-group estimates) or move to a 64-bit-hash
+   * register split; this function intentionally keeps the 32-bit
+   * form because the DuckDB oracle mirrors it bit for bit.
    */
   def hllEstimate(registers: DataFrame, groupCols: Seq[String] = Nil): DataFrame = {
     val m = HllM.toDouble

@@ -134,7 +134,19 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     val p = instancePath(instanceId)
     def tryCreate(): Boolean =
       try { rootFs.create(p, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.nio.file.FileAlreadyExistsException => false
+        // Filesystems that signal exclusive-create loss with a plain
+        // IOException: only "the file exists" means lost-the-race; a
+        // transient IO failure must surface as itself, never be
+        // misread as "already registered and live".
+        case e: java.io.IOException =>
+          if (try rootFs.exists(p)
+              catch { case _: java.io.IOException => throw e })
+            false
+          else throw e
+      }
     if (tryCreate()) return
     if (instanceLive(instanceId))
       throw new IllegalStateException(s"instance $instanceId is already " +
@@ -1219,7 +1231,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
             lazy val deliver = transportWriter(anchor.copy(name = owner))
             epochs.foreach { e =>
               val files = Option(rootFs.globStatus(
-                new Path(hb, s"graft-$ns-e$e-p*.parquet"))).toSeq.flatten
+                new Path(hb, PipelineManager.epochFileGlob(ns, e)))).toSeq.flatten
               if (files.nonEmpty)
                 deliver(spark.read.parquet(files.map(_.getPath.toString): _*), e)
               files.foreach(f => rootFs.delete(f.getPath, false))
@@ -1612,6 +1624,52 @@ object PipelineManager {
       else f"_${b & 0xff}%02x"
     }.mkString
 
+  // ---- THE single owner of the committed-epoch file naming
+  // convention (`graft-<ns>-e<N>-p<i>.parquet`). Writers
+  // ([[epochAppend]]) name through [[epochFileName]], redo/replay
+  // paths glob through [[epochFileGlob]], and readers probing a
+  // durable store for committed data (the s23/s24 incremental-index
+  // stats accumulators, holdback drains) go through
+  // [[committedFiles]]/[[isCommittedEpochFile]] — so a change to the
+  // rename contract can never silently desynchronize a reader. ----
+
+  /** Published name of epoch `epoch`'s `i`-th part file in namespace
+    * `ns`. '-' never appears inside an encoded namespace or an epoch
+    * number, so it stays a structural delimiter. */
+  private[streaming] def epochFileName(ns: String, epoch: Long, i: Int): String =
+    s"graft-$ns-e$epoch-p$i.parquet"
+
+  /** Glob matching exactly epoch `epoch`'s published files in `ns` —
+    * the `-p` before the wildcard keeps the epoch-N glob from ever
+    * matching epoch-N0..N9 files. */
+  private[streaming] def epochFileGlob(ns: String, epoch: Long): String =
+    s"graft-$ns-e$epoch-p*.parquet"
+
+  private val CommittedEpochFileRe =
+    "graft-[A-Za-z0-9_]+-e\\d+-p\\d+\\.parquet".r
+
+  /** Does `name` follow [[epochAppend]]'s published-file naming
+    * contract (any namespace, any epoch)? `part-*` staging names and
+    * `_`-prefixed metadata never match. */
+  def isCommittedEpochFile(name: String): Boolean =
+    CommittedEpochFileRe.matches(name)
+
+  /** The committed epoch files directly under `dir` (any namespace,
+    * any epoch), sorted; empty when the dir does not exist. The
+    * reader-side half of [[epochAppend]]'s rename-then-marker
+    * contract: probing for these names is how an incremental-index
+    * loop decides whether a durable store holds committed data yet —
+    * never by hard-coding the naming at the call site. */
+  def committedFiles(dir: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isFile && isCommittedEpochFile(st.getPath.getName))
+      .map(_.getPath.toString).sorted
+  }
+
   /**
    * Kafka subscription + consumer options for a spec (S1-S3). An
    * assigned-partition list in metadata key `assign` (the JSON the
@@ -1708,19 +1766,19 @@ object PipelineManager {
     // plain appends have no deterministic file names to report; do
     // not use the return value on that path.
     def committedFiles: Seq[String] =
-      Option(fs.globStatus(new Path(destPath, s"graft-$ns-e$epoch-p*.parquet")))
+      Option(fs.globStatus(new Path(destPath, epochFileGlob(ns, epoch))))
         .toSeq.flatten.map(_.getPath.toString).sorted
     val marker = new Path(destPath, s"_graft_commits/$ns/$epoch")
     if (fs.exists(marker)) return committedFiles // replayed epoch: already committed
     val staging = new Path(destPath, s"_staging-$ns-$epoch")
     fs.delete(staging, true)
     batch.write.mode("overwrite").parquet(staging.toString)
-    Option(fs.globStatus(new Path(destPath, s"graft-$ns-e$epoch-p*.parquet")))
+    Option(fs.globStatus(new Path(destPath, epochFileGlob(ns, epoch))))
       .foreach(_.foreach(st => fs.delete(st.getPath, false)))
     val parts = fs.listStatus(staging)
       .filter(_.getPath.getName.startsWith("part-")).sortBy(_.getPath.getName)
     parts.zipWithIndex.foreach { case (st, i) =>
-      val target = new Path(destPath, s"graft-$ns-e$epoch-p$i.parquet")
+      val target = new Path(destPath, epochFileName(ns, epoch, i))
       if (!fs.rename(st.getPath, target))
         sys.error(s"rename ${st.getPath} -> $target failed; failing epoch $epoch")
     }

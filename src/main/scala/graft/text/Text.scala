@@ -573,15 +573,18 @@ object Text {
    * relevance scorer behind keyword curation queries over a training
    * corpus.
    *
-   * Scale shape: the only corpus-wide pass is tokenize → explode →
-   * FILTER to the query's terms — predicate on the exploded token
+   * Scale shape: TWO corpus-wide passes — the 1-row stats aggregate
+   * (N, avgdl) and the postings pass, which tokenizes, carries the
+   * doc length on the exploded row (Lucene's norms inlined — no
+   * separate doc-length join), and FILTERS to the query's terms
    * BEFORE any aggregation, so the per-(doc,term) groupBy and
    * everything after it run over postings for |q| terms, never the
-   * full postings list. Corpus stats (N, avgdl) are one scan
-   * aggregate crossed in as a 1-row frame; per-term df is |q| rows,
-   * broadcast. The final top-k is orderBy+limit — Spark's distributed
-   * TakeOrderedAndProject, never a global sort — and the rank window
-   * runs over k rows.
+   * full postings list. Per-term df is |q| rows, broadcast; the
+   * stats row crosses in broadcast. The final top-k is orderBy+limit
+   * — Spark's distributed TakeOrderedAndProject, never a global sort
+   * — and the rank window runs over k rows. A serve-many caller
+   * amortizes even the two passes away with [[buildLexicalIndex]] +
+   * [[bm25TopKFromIndex]].
    *
    * Reference surface: the reference has no lexical scorer; this is
    * the documents-table counterpart of the ANN retrieval family
@@ -591,12 +594,12 @@ object Text {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col("doc_id"), tokens(col("text")).as("w"))
-    val dl = tok.select(col("doc_id"), size(col("w")).cast("double").as("dl"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("nd"),
-      avg(col("dl")).as("avgdl"))
-    val postings = tok.select(col("doc_id"), explode(col("w")).as("term"))
+    val stats = tok.agg(count(lit(1)).cast("double").as("nd"),
+      avg(size(col("w")).cast("double")).as("avgdl"))
+    val postings = tok.select(col("doc_id"),
+        size(col("w")).cast("double").as("dl"), explode(col("w")).as("term"))
       .filter(col("term").isin(terms: _*))
-      .groupBy(col("doc_id"), col("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
     val df = postings.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
@@ -607,7 +610,6 @@ object Text {
     val w = idf * col("tf") * (k1 + 1) /
       (col("tf") + lit(k1) * (lit(1) - b + lit(b) * col("dl") / col("avgdl")))
     val scored = postings
-      .join(dl, "doc_id")
       .join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
       .groupBy(col("doc_id"))

@@ -734,9 +734,12 @@ class PlanSpec extends SparkTestBase {
     // final per-doc groupBy; what the 100 TB contract needs is that
     // the filter runs on the raw exploded postings, i.e. BELOW the
     // bottom-most aggregate
+    // match the filter by its SHAPE — a predicate over the exploded
+    // `term` column — not by any literal query term, so renaming the
+    // gate's terms can never silently vacate this pin
     val termFilters = collectAll(p) {
       case f: org.apache.spark.sql.execution.FilterExec
-          if f.condition.toString.contains("vector") => f
+          if f.condition.references.exists(_.name == "term") => f
     }
     assert(termFilters.nonEmpty, "the term IN (...) filter must exist")
     termFilters.foreach { f =>

@@ -530,6 +530,36 @@ class PipelineManagerSpec extends SparkTestBase {
       Seq((3L, "c")).toDF("id", "v"), dest, -1L, "p").isEmpty)
   }
 
+  test("committedFiles is the one owner of the epoch-file naming contract") {
+    // readers (s23/s24 stats probes, index loops) must see exactly the
+    // files epochAppend published — and nothing staged, partial, or
+    // foreign — through PipelineManager.committedFiles, never a
+    // re-spelled glob. This test pins both halves: the published names
+    // and the probe's filter.
+    val dest = Files.createTempDirectory("graft-cf-").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(PipelineManager.committedFiles(s"$dest/absent", conf).isEmpty)
+    val published =
+      PipelineManager.epochAppend(
+        Seq((1L, "a")).toDF("id", "v").coalesce(1), dest, 0L, "pipeA") ++
+      PipelineManager.epochAppend(
+        Seq((2L, "b")).toDF("id", "v").coalesce(1), dest, 3L, "pipeA")
+    // the published names follow graft-<ns>-e<N>-p<i>.parquet exactly
+    assert(published.map(_.split('/').last).sorted ==
+      Seq("graft-pipeA-e0-p0.parquet", "graft-pipeA-e3-p0.parquet"))
+    // plant every shape a reader must NOT pick up: a raw spark append
+    // (part-*), metadata dirs, and a near-miss name
+    PipelineManager.epochAppend(Seq((9L, "x")).toDF("id", "v"), dest, -1L)
+    val fs = new org.apache.hadoop.fs.Path(dest).getFileSystem(conf)
+    fs.create(new org.apache.hadoop.fs.Path(dest,
+      "graft-pipeA-e3.parquet"), true).close() // no -p<i>: not committed
+    assert(PipelineManager.committedFiles(dest, conf) == published.sorted)
+    assert(PipelineManager.isCommittedEpochFile("graft-default-e0-p0.parquet"))
+    assert(!PipelineManager.isCommittedEpochFile("part-00000-abc.parquet"))
+    assert(!PipelineManager.isCommittedEpochFile("graft-pipeA-e3.parquet"))
+    assert(!PipelineManager.isCommittedEpochFile("_graft_holdback_meta"))
+  }
+
   test("epochAppend: two pipelines sharing a destination don't collide") {
     // D1 destination-reuse lets pipelines share one dest, each with an
     // independent epoch counter from 0 — markers/files are namespaced
