@@ -1209,6 +1209,60 @@ object StreamingQueries {
       out
     }),
 
+    // FULL-VOCABULARY incremental inverted index — s23 without its
+    // one caveat: ingest maintains postings for EVERY term (no term
+    // set fixed at ingest time), hive-partitioned by the same 64-way
+    // term-hash bucket t25's batch-built store uses, read through a
+    // DurableIndexView (bounded union plan, basePath-preserved
+    // partition column) and compacted every 2 epochs
+    // (publish-before-delete generations, so no crash window loses
+    // data). The standing query's terms are NEVER named at ingest —
+    // the build-once/serve-many contract honored by the streaming
+    // path. Each epoch re-serves top-3 from the updated index with
+    // t23's exact closed form over the ingested prefix; the second
+    // run constructs a FRESH index object over the surviving store,
+    // exercising the compaction recovery path.
+    "s24_stream_lex_vocab" -> ((s, d) => {
+      val qTerms = Seq("table", "stream", "window", "sort")
+      val docs = Tables.t(s, d, "documents").select(col("doc_id"), col("text"))
+      val srcDir = Files.createTempDirectory("graft-s24-src-").toString
+      val idxDir = Files.createTempDirectory("graft-s24-idx-").toString
+      val outDir = Files.createTempDirectory("graft-s24-out-").toString
+      val ckpt = Files.createTempDirectory("graft-s24-ckpt-").toString
+      val schema = docs.schema
+      val stamped = scala.collection.mutable.Set[String]()
+      def writeBucket(b: Int): Unit = writeStampedBucket(srcDir, stamped, b,
+        docs.filter(pmod(col("doc_id"), lit(3L)) === b))
+      def runIngest(): Unit = {
+        val ilx = new graft.streaming.IncrementalLexIndex(s, idxDir,
+          name = "s24", compactEvery = 2)
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            ilx.appendEpoch(batch, epoch)
+            PipelineManager.epochAppend(
+              ilx.serve(qTerms, 3).withColumn("epoch", lit(epoch)).coalesce(1),
+              outDir, epoch, "s24"): Unit
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      try {
+        writeBucket(0); runIngest()
+        writeBucket(1); writeBucket(2); runIngest()
+      } finally s.conf.set("spark.sql.shuffle.partitions", before)
+      val out = s.read.parquet(outDir).localCheckpoint()
+      deleteTree(srcDir, idxDir, outDir, ckpt)
+      out
+    }),
+
     // Streaming CARDINALITY on ingest — a durable 256-row HyperLogLog
     // register table max-merged with each arriving epoch's registers,
     // emitting the running distinct-shingle estimate after every
@@ -2354,6 +2408,39 @@ object StreamingQueries {
         |p AS (SELECT epoch, doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
         |FROM (SELECT epoch, doc_id, unnest(w) AS term FROM pre)
         |WHERE term IN ('vector', 'customer', 'merge', 'scan')
+        |GROUP BY 1, 2, 3),
+        |f AS (SELECT epoch, term, CAST(COUNT(*) AS DOUBLE) AS df FROM p
+        |GROUP BY 1, 2),
+        |sc AS (SELECT p.epoch, p.doc_id,
+        |round(SUM(ln((st.nd - f.df + 0.5) / (f.df + 0.5) + 1)
+        |* p.tf * 2.2
+        |/ (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+        |FROM p JOIN dl ON p.epoch = dl.epoch AND p.doc_id = dl.doc_id
+        |JOIN f ON p.epoch = f.epoch AND p.term = f.term
+        |JOIN st ON st.epoch = p.epoch GROUP BY 1, 2)
+        |SELECT epoch, doc_id, rank, score FROM (SELECT epoch, doc_id, score,
+        |ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY score DESC, doc_id)
+        |AS rank FROM sc) WHERE rank <= 3
+        |ORDER BY epoch, rank""".stripMargin.replace("\n", " "),
+
+    // Identical closed form to s23's oracle — BM25 over the ingested
+    // prefix, unrolled per epoch — but for query terms the ingest
+    // NEVER saw: the full-vocabulary store serves them anyway (the
+    // df/tf of the query terms and the corpus-wide N/avgdl are the
+    // same whether the store is term-filtered or full-vocab).
+    "s24_stream_lex_vocab" ->
+      """WITH tk AS (SELECT doc_id,
+        |list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |FROM documents),
+        |ep(epoch) AS (VALUES (CAST(0 AS BIGINT)), (1), (2)),
+        |pre AS (SELECT ep.epoch, tk.doc_id, tk.w FROM tk
+        |JOIN ep ON MOD(tk.doc_id, 3) <= ep.epoch),
+        |dl AS (SELECT epoch, doc_id, CAST(len(w) AS DOUBLE) AS dl FROM pre),
+        |st AS (SELECT epoch, CAST(COUNT(*) AS DOUBLE) AS nd, AVG(dl) AS avgdl
+        |FROM dl GROUP BY 1),
+        |p AS (SELECT epoch, doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |FROM (SELECT epoch, doc_id, unnest(w) AS term FROM pre)
+        |WHERE term IN ('table', 'stream', 'window', 'sort')
         |GROUP BY 1, 2, 3),
         |f AS (SELECT epoch, term, CAST(COUNT(*) AS DOUBLE) AS df FROM p
         |GROUP BY 1, 2),

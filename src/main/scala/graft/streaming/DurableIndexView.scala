@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
  * In-run view of a durable, epoch-committed parquet index (the
- * s15/s16 streaming-dedup loops and any d19-style incremental-index
- * ingest).
+ * s15/s16 streaming-dedup loops, the s24 incremental lexical index,
+ * and any d19-style incremental-index ingest).
  *
  * Lifecycle: starts from a fresh read of the compacted index dir (the
  * same read the crash-recovery path performs), and after each epoch's
@@ -30,9 +30,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * ingest does thousands of epochs per run, and the periodic re-read
  * amortizes a directory listing over K epochs instead of carrying an
  * ever-wider plan into every batch's analysis.
+ *
+ * `partitioned = true` marks a hive-partitioned store (written by
+ * [[PipelineManager.epochAppendPartitioned]]): epoch-extension reads
+ * of leaf files then set `basePath` to the store root so the
+ * partition column (and its pruning) survives the leaf-file read —
+ * without it Spark would drop the directory-encoded column and every
+ * extension would lose the bucket predicate.
  */
 final class DurableIndexView(spark: SparkSession, dir: String,
-    refreshEvery: Int = DurableIndexView.DefaultRefreshEvery) {
+    refreshEvery: Int = DurableIndexView.DefaultRefreshEvery,
+    partitioned: Boolean = false) {
   require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
   private var view: DataFrame = spark.read.parquet(dir)
   private var sinceRefresh = 0
@@ -47,10 +55,21 @@ final class DurableIndexView(spark: SparkSession, dir: String,
     * (countDistinct/min), so extending twice is harmless. */
   def extend(committed: Seq[String]): Unit = if (committed.nonEmpty) {
     sinceRefresh += 1
-    if (sinceRefresh >= refreshEvery) {
-      view = spark.read.parquet(dir) // one relation again: plan reset
-      sinceRefresh = 0
-    } else view = view.union(spark.read.parquet(committed: _*))
+    if (sinceRefresh >= refreshEvery) reset()
+    else {
+      val reader =
+        if (partitioned) spark.read.option("basePath", dir) else spark.read
+      view = view.union(reader.parquet(committed: _*))
+    }
+  }
+
+  /** Swap back to one fresh read of the store — called on the
+    * refresh cadence, and by owners whose maintenance REPLACED files
+    * under the view (the s24 compaction: the union'd plan still names
+    * the superseded files, so it must be dropped, not extended). */
+  def reset(): Unit = {
+    view = spark.read.parquet(dir) // one relation again: plan reset
+    sinceRefresh = 0
   }
 }
 

@@ -1788,6 +1788,67 @@ object PipelineManager {
     committedFiles
   }
 
+  /**
+   * [[epochAppend]] for a HIVE-PARTITIONED destination: the batch is
+   * staged `partitionBy(partCol)` and each staged partition's part
+   * files rename into `dest/<partCol>=<v>/` under the same
+   * `graft-<ns>-e<N>-p<i>.parquet` contract (file index per partition
+   * directory), with ONE marker for the whole epoch — an epoch is
+   * visible in all of its partitions or none. This is what lets a
+   * streaming ingest maintain a partition-pruned serving store (the
+   * s24 incremental lexical index appends postings by term-hash
+   * bucket, so a query's bucket predicate keeps pruning at the
+   * directory level as the store grows). Readers recover the
+   * partition column from the directory name — leaf-file reads must
+   * set `basePath` to `dest` ([[DurableIndexView]] does).
+   *
+   * Same exactly-once semantics as [[epochAppend]]: replays return
+   * the committed files; a crashed attempt's published files are
+   * cleared by the redo before re-staging. Negative epochs are not
+   * supported here (partitioned holdback replay has no use case).
+   */
+  def epochAppendPartitioned(batch: DataFrame, dest: String, partCol: String,
+      epoch: Long, pipeline: String = ""): Seq[String] = {
+    require(epoch >= 0, "epochAppendPartitioned is epoch-committed only")
+    val ns = namespaceOf(pipeline)
+    val destPath = new Path(dest)
+    val fs = destPath.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    def committedFiles: Seq[String] =
+      Option(fs.globStatus(
+          new Path(destPath, s"$partCol=*/${epochFileGlob(ns, epoch)}")))
+        .toSeq.flatten.map(_.getPath.toString).sorted
+    val marker = new Path(destPath, s"_graft_commits/$ns/$epoch")
+    if (fs.exists(marker)) return committedFiles // replayed epoch
+    val staging = new Path(destPath, s"_staging-$ns-$epoch")
+    fs.delete(staging, true)
+    batch.write.mode("overwrite").partitionBy(partCol)
+      .parquet(staging.toString)
+    Option(fs.globStatus(
+        new Path(destPath, s"$partCol=*/${epochFileGlob(ns, epoch)}")))
+      .foreach(_.foreach(st => fs.delete(st.getPath, false)))
+    fs.listStatus(staging)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+      .sortBy(_.getPath.getName)
+      .foreach { pd =>
+        val targetDir = new Path(destPath, pd.getPath.getName)
+        fs.mkdirs(targetDir)
+        val parts = fs.listStatus(pd.getPath)
+          .filter(_.getPath.getName.startsWith("part-"))
+          .sortBy(_.getPath.getName)
+        parts.zipWithIndex.foreach { case (st, i) =>
+          val target = new Path(targetDir, epochFileName(ns, epoch, i))
+          if (!fs.rename(st.getPath, target))
+            sys.error(s"rename ${st.getPath} -> $target failed; " +
+              s"failing epoch $epoch")
+        }
+      }
+    fs.delete(staging, true)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    committedFiles
+  }
+
   def applyDirectoryOps(batch: DataFrame, dest: String,
       orderCol: Option[String]): Unit = {
     val hasContent = batch.columns.contains("content")

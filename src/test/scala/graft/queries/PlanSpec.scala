@@ -424,6 +424,40 @@ class PlanSpec extends SparkTestBase {
     }.isEmpty, "the index-served plan must never touch the corpus")
   }
 
+  test("s24 incremental lexical index serves with bucket pruning, no corpus scan") {
+    // the streaming-maintained store must keep t25's serving
+    // contract: the postings scan prunes to the query terms' hash
+    // buckets at the PARTITION level, pushes the term set into the
+    // visited buckets, and never touches the corpus — both in the
+    // fresh-read view state AND after an epoch extension (the
+    // basePath leaf-file read must preserve the partition column).
+    val dir = java.nio.file.Files.createTempDirectory("plan-ilx-").toString
+    val ilx = new graft.streaming.IncrementalLexIndex(spark, dir, name = "p")
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    ilx.appendEpoch(docs.limit(40), 0L) // view = fresh read
+    ilx.appendEpoch(docs.limit(80), 1L) // view = fresh ∪ epoch-1 leaf read
+    val p = ilx.serve(Seq("table", "stream"), 5).queryExecution.executedPlan
+    val postingScans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("postings")) => s
+    }
+    assert(postingScans.size >= 2,
+      "the extended view must scan both the store and the epoch's files")
+    postingScans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        "the term-bucket predicate must prune postings partitions " +
+          s"(scan of ${s.relation.location.rootPaths})")
+      assert(s.dataFilters.exists(_.references.exists(_.name == "term")),
+        "the term set must push into the visited buckets' scans")
+    }
+    assert(collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("documents")) => s
+    }.isEmpty, "the index-served plan must never touch the corpus")
+  }
+
   test("e14/e15 IVF+PQ score through broadcast codebook/ADC equi-joins") {
     for (name <- Seq("e14_ivf_pq", "e15_ivf_pq_trained")) {
       val p = planOf(name)
