@@ -1843,6 +1843,100 @@ object StreamingQueries {
       }
     }),
 
+    // MID-RUN GROUP MEMBERSHIP CHANGE — the reference reassigns tasks
+    // when a datastream is added (Coordinator.java:1434 →
+    // handleLeaderDoAssignment :1680); the Spark analog is a
+    // manager-driven restart of the group's shared query with the
+    // widened membership, triggered by create()-on-a-running-group
+    // (PipelineManager.rejoinRunningGroup). Contract under test: a
+    // group of two runs a CONTINUOUS (ProcessingTime) shared query;
+    // a third same-source member with its own destination is created
+    // while it runs; after the automatic restart the new destination
+    // receives from the first post-join epoch (nothing earlier), the
+    // siblings see every epoch exactly once (group checkpoint +
+    // commit markers across the restart), and the old query handle is
+    // dead with a live replacement under the same group name. All
+    // waits poll the engine's own commit log — never sleeps sized to
+    // the work.
+    "q71_group_rejoin" -> ((s, d) => {
+      val ckptRoot = Files.createTempDirectory("graft-q71-pm-").toString
+      val srcDir = Files.createTempDirectory("graft-q71-src-").toString
+      val destX = Files.createTempDirectory("graft-q71-destX-").toString + "/d"
+      val destY = Files.createTempDirectory("graft-q71-destY-").toString + "/d"
+      val destZ = Files.createTempDirectory("graft-q71-destZ-").toString + "/d"
+      var pms = List.empty[PipelineManager]
+      try {
+        val conf = s.sparkContext.hadoopConfiguration
+        val clicks = Tables.t(s, d, "events")
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"))
+        def epochOf(e: Long): DataFrame =
+          clicks.filter(pmod(col("event_id"), lit(2L)) === e)
+        val fs = new org.apache.hadoop.fs.Path(ckptRoot)
+          .getFileSystem(conf)
+        def commitDone(b: Long): Boolean = fs.exists(
+          new org.apache.hadoop.fs.Path(s"$ckptRoot/group-q71a/commits/$b"))
+        def awaitTrue(what: String)(cond: => Boolean): Unit = {
+          val deadline = System.currentTimeMillis() + 60000L
+          while (!cond && System.currentTimeMillis() < deadline)
+            Thread.sleep(25L)
+          require(cond, s"q71: timed out waiting for $what")
+        }
+        PipelineManager.epochAppend(epochOf(0).coalesce(1), srcDir, 0, "q71src")
+        val pm = new PipelineManager(s, ckptRoot)
+        pms ::= pm
+        pm.create(PipelineSpec("q71a", "parquet", "parquet", srcDir,
+          destinationConnection = destX))
+        pm.create(PipelineSpec("q71b", "parquet", "parquet", srcDir,
+          destinationConnection = destY))
+        val q0 = pm.startGroup("q71a", identity,
+          Trigger.ProcessingTime("50 milliseconds"))
+        // epoch 0 fully COMMITTED (not just delivered) before the join
+        // — so the restart deterministically resumes at epoch 1 and
+        // the new member can never replay epoch 0
+        awaitTrue("epoch 0 commit")(commitDone(0))
+        pm.create(PipelineSpec("q71c", "parquet", "parquet", srcDir,
+          destinationConnection = destZ))
+        val restarted = (!q0.isActive).toString
+        val newLive = s.streams.active.exists(q =>
+          q.name == "group-q71a" && q.isActive).toString
+        val zAtJoin = PipelineManager.committedFiles(destZ, conf).size.toString
+        PipelineManager.epochAppend(epochOf(1).coalesce(1), srcDir, 1, "q71src")
+        awaitTrue("epoch 1 commit")(commitDone(1))
+        awaitTrue("post-join delivery to all three")(
+          PipelineManager.committedFiles(destZ, conf).nonEmpty &&
+            PipelineManager.committedFiles(destX, conf).size >= 2)
+        pm.stop("q71a", force = true)
+        val x = s.read.parquet(destX)
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+          .head()
+        val y = s.read.parquet(destY)
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+          .head()
+        val z = s.read.parquet(destZ)
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+          .head()
+        pm.close()
+        import s.implicits._
+        Seq(
+          ("join", "restarted", restarted),
+          ("join", "new_query_live", newLive),
+          ("join", "z_rows_at_join", zAtJoin),
+          ("rows", "x_n", x.getLong(0).toString),
+          ("rows", "x_distinct", x.getLong(1).toString),
+          ("rows", "y_n", y.getLong(0).toString),
+          ("rows", "y_distinct", y.getLong(1).toString),
+          ("rows", "z_n", z.getLong(0).toString),
+          ("rows", "z_distinct", z.getLong(1).toString))
+          .toDF("kind", "k", "v")
+      } finally {
+        pms.foreach(p => try p.close() catch { case _: Throwable => () })
+        deleteTree(ckptRoot, srcDir, new java.io.File(destX).getParent,
+          new java.io.File(destY).getParent,
+          new java.io.File(destZ).getParent)
+      }
+    }),
+
     // Heartbeat-driven self-demotion — the RUNTIME half of the q67
     // lease contract: nothing external tells the expired manager to
     // stand down; its OWN scheduled heartbeat (interval = lease/4)
@@ -2601,6 +2695,31 @@ object StreamingQueries {
         |UNION ALL SELECT 'rows', 'y_distinct',
         |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
         |FROM events WHERE event_type = 'click'"""
+        .stripMargin.replace("\n", " "),
+
+    // Mid-run membership closed form: the join happens with epoch 0
+    // committed, so the new destination holds exactly the post-join
+    // epoch (event_id % 2 = 1) while the siblings hold everything
+    // exactly once across the restart.
+    "q71_group_rejoin" ->
+      """SELECT 'join' AS kind, 'restarted' AS k, 'true' AS v
+        |UNION ALL SELECT 'join', 'new_query_live', 'true'
+        |UNION ALL SELECT 'join', 'z_rows_at_join', '0'
+        |UNION ALL SELECT 'rows', 'x_n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL SELECT 'rows', 'x_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL SELECT 'rows', 'y_n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL SELECT 'rows', 'y_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL SELECT 'rows', 'z_n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click' AND event_id % 2 = 1
+        |UNION ALL SELECT 'rows', 'z_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'click' AND event_id % 2 = 1"""
         .stripMargin.replace("\n", " "),
 
     // Self-demotion closed form: every lease event is a literal (the

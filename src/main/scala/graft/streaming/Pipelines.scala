@@ -541,6 +541,14 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         }
     }
   }
+  // The transform/trigger of each group prefix's LAST startGroup call
+  // — what a membership-change reassignment restarts with (the
+  // reference's Coordinator re-runs assignment with the persisted
+  // connector config; here the group query's shape lives in caller
+  // code, so the manager remembers it per prefix).
+  private val groupRuns =
+    TrieMap.empty[String, (DataFrame => DataFrame, Trigger)]
+
   // A6/A7: last observed per-epoch metrics per pipeline (fed by the
   // observe() aggregation through a StreamingQueryListener).
   private val lastMetrics = TrieMap.empty[String, Map[String, Long]]
@@ -642,7 +650,36 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     persistSpec(ready)
     provisionDestination(ready)
     hooks.onStateChange(spec.name, PipelineStatus.Ready)
+    rejoinRunningGroup(ready)
     ready
+  }
+
+  /** Membership-change reassignment (q71): a create() that joined a
+    * group whose shared query is CURRENTLY RUNNING restarts that
+    * query with the widened membership — the Spark analog of the
+    * reference reassigning on datastream add (Coordinator.java:1434 →
+    * handleLeaderDoAssignment :1680). The restart resumes from the
+    * group checkpoint, so the siblings' destinations see every epoch
+    * exactly once (commit markers make any interrupted epoch's replay
+    * a no-op) and the new member's destination receives from the
+    * first epoch committed after the join. Without a running query
+    * there is nothing to reassign: the next startGroup call fans out
+    * to the widened membership anyway (destGroups is computed per
+    * start). The restart reuses the transform/trigger the running
+    * query was started with ([[groupRuns]]). */
+  private def rejoinRunningGroup(spec: PipelineSpec): Unit = {
+    val prefix = spec.metadata.getOrElse(PipelineManager.TaskPrefixKey,
+      spec.name)
+    val runningShared = findGroup(spec.name)
+      .filterNot(_.name == spec.name)
+      .flatMap(m => Option(queries.get(m.name)))
+      .exists(q => q.isActive && q.name == s"group-$prefix")
+    if (runningShared) groupRuns.get(prefix).foreach {
+      case (transform, trigger) =>
+        // startGroup stops the running shared query itself
+        // (stopQueryOf per member) before starting the widened one
+        startGroup(spec.name, transform, trigger): Unit
+    }
   }
 
   /**
@@ -1022,6 +1059,12 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
    *
    * Members with admission holdback (paused partitions) should run
    * individually via [[start]] — this is the plain fan-out path.
+   *
+   * Membership is (re)computed HERE, per start: the per-destination
+   * fan-out below is frozen for the query's lifetime, so a member
+   * created while the query runs joins through
+   * [[rejoinRunningGroup]]'s restart (create() triggers it), and a
+   * member created between runs joins on the next start.
    */
   def startGroup(name: String, transform: DataFrame => DataFrame,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
@@ -1121,6 +1164,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
           }
           .start()
         members.foreach(m => queries.put(m.name, q))
+        groupRuns.put(prefix, (transform, trigger))
         // Same demote() race close as startLocked: re-check AFTER the
         // handles are registered so either demote() sweeps them or
         // this thread unwinds itself (the catch below releases the

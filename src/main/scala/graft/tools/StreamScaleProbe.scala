@@ -370,6 +370,37 @@ object StreamScaleProbe {
       deleteAll(srcDir, idxDir, outDir, ckpt)
     }
 
+    // ---- s24 shape: full-vocab incremental lexical index ----
+    // The two bounds under test: per-epoch cost flat (append is
+    // O(batch), serve reads |q|-term postings through a bounded view)
+    // and FILE COUNT flat (compaction rewrites one-file-per-bucket
+    // every 8 epochs) — both independent of how many epochs ran.
+    def runLexVocab(dir: String, label: String): Unit = {
+      val qTerms = Seq("table", "stream", "window", "sort")
+      val rows = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("doc"), col("text"))
+      val srcDir = tmp("sscale24-src-"); val idxDir = tmp("sscale24-idx-")
+      val outDir = tmp("sscale24-out-"); val ckpt = tmp("sscale24-ckpt-")
+      writeOddBatches(rows, srcDir): Unit
+      val ilx = new graft.streaming.IncrementalLexIndex(spark, idxDir,
+        name = "sscale24", compactEvery = 8)
+      val files = scala.collection.mutable.ArrayBuffer.empty[Int]
+      drive("s24shape", label, srcDir, ckpt, rows.schema, identity) { (batch, epoch) =>
+        ilx.appendEpoch(batch.withColumnRenamed("doc", "doc_id"), epoch)
+        files += ilx.postingsFileCount()
+        PipelineManager.epochAppend(
+          ilx.serve(qTerms, 3).withColumn("epoch", lit(epoch)).coalesce(1),
+          outDir, epoch, "sscale-lxv"): Unit
+      }
+      println(s"[sscale] s24shape $label FILES first=${files.head} " +
+        s"max=${files.max} last=${files.last} n=${files.size}")
+      deleteAll(srcDir, idxDir, outDir, ckpt)
+    }
+
+    if (shapes("s24")) {
+      runLexVocab(base, "1x"); runLexVocab(scaled, s"${factor}x")
+    }
+
     if (shapes("fanout")) { runFanout(2); runFanout(8) }
     if (shapes("s22")) { runHll(base, "1x"); runHll(scaled, s"${factor}x") }
     if (shapes("s23")) {
