@@ -1263,6 +1263,90 @@ object StreamingQueries {
       out
     }),
 
+    // STREAMING HYBRID RETRIEVAL — e20's reciprocal-rank fusion served
+    // ON INGEST from two durable indexes: the full-vocab incremental
+    // lexical index (s24) and an epoch-appended vector store read
+    // through a bounded DurableIndexView (the s16 pattern). Per epoch:
+    // both stores fold the batch in, the lexical top-10 (BM25, t23's
+    // closed form over the prefix) and the cosine top-10 (e02's
+    // broadcast-probe bounded top-k over the ingested vectors) are
+    // k-bounded BEFORE the full-outer RRF merge — the fusion touches
+    // ≤ 2k rows per epoch no matter how large the ingested corpus is,
+    // exactly e20's 100 TB contract, now holding while both indexes
+    // grow. The second run re-opens both stores (recovery paths).
+    "s25_stream_hybrid" -> ((s, d) => {
+      val qTerms = Seq("vector", "customer", "merge", "scan")
+      val docs = Tables.t(s, d, "documents").select(col("doc_id"), col("text"))
+      val emb = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val probe = emb.filter(col("vec_id") === 0).localCheckpoint()
+      val srcDir = Files.createTempDirectory("graft-s25-src-").toString
+      val idxDir = Files.createTempDirectory("graft-s25-idx-").toString
+      val vecDir = Files.createTempDirectory("graft-s25-vec-").toString + "/v"
+      val outDir = Files.createTempDirectory("graft-s25-out-").toString
+      val ckpt = Files.createTempDirectory("graft-s25-ckpt-").toString
+      val schema = docs.schema
+      val stamped = scala.collection.mutable.Set[String]()
+      def writeBucket(b: Int): Unit = writeStampedBucket(srcDir, stamped, b,
+        docs.filter(pmod(col("doc_id"), lit(3L)) === b))
+      def runIngest(): Unit = {
+        val ilx = new graft.streaming.IncrementalLexIndex(s, idxDir,
+          name = "s25")
+        var vview: Option[graft.streaming.DurableIndexView] = None
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            // lexical store: the batch's full-vocab postings
+            ilx.appendEpoch(batch, epoch)
+            // vector store: this epoch's embeddings slice
+            val vFiles = PipelineManager.epochAppend(
+              emb.filter(pmod(col("vec_id"), lit(3L)) === epoch).coalesce(1),
+              vecDir, epoch, "s25v")
+            val vecs = vview match {
+              case None =>
+                val v = new graft.streaming.DurableIndexView(s, vecDir)
+                vview = Some(v); v.frame
+              case Some(v) => v.extend(vFiles); v.frame
+            }
+            val lex = ilx.serve(qTerms, 10)
+              .select(col("doc_id"), col("rank").as("lex_rank"))
+            val vec = graft.ann.Ann.bruteForceTopK(probe, vecs, 10)
+              .select(col("cand_id").as("doc_id"),
+                col("rank").cast("long").as("vec_rank"))
+            val fused = lex.join(vec, Seq("doc_id"), "full_outer")
+              .withColumn("rrf", round(
+                coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+                  coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)), 6))
+            val top = fused.orderBy(col("rrf").desc, col("doc_id")).limit(10)
+              .withColumn("rank", row_number()
+                .over(org.apache.spark.sql.expressions.Window
+                  .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+              .select(col("doc_id"), col("rank"), col("lex_rank"),
+                col("vec_rank"), col("rrf"))
+            PipelineManager.epochAppend(
+              top.withColumn("epoch", lit(epoch)).coalesce(1),
+              outDir, epoch, "s25"): Unit
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      try {
+        writeBucket(0); runIngest()
+        writeBucket(1); writeBucket(2); runIngest()
+      } finally s.conf.set("spark.sql.shuffle.partitions", before)
+      val out = s.read.parquet(outDir).localCheckpoint()
+      deleteTree(srcDir, idxDir, new java.io.File(vecDir).getParent,
+        outDir, ckpt)
+      out
+    }),
+
     // Streaming CARDINALITY on ingest — a durable 256-row HyperLogLog
     // register table max-merged with each arriving epoch's registers,
     // emitting the running distinct-shingle estimate after every
@@ -2548,6 +2632,62 @@ object StreamingQueries {
         |SELECT epoch, doc_id, rank, score FROM (SELECT epoch, doc_id, score,
         |ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY score DESC, doc_id)
         |AS rank FROM sc) WHERE rank <= 3
+        |ORDER BY epoch, rank""".stripMargin.replace("\n", " "),
+
+    // Epoch-unrolled hybrid RRF: e20's closed form (t23 lexical CTEs +
+    // e02 cosine, k-bounded lists, 1/(60+rank) fusion) computed over
+    // each ingested prefix — lexical over docs with MOD(doc_id,3) <=
+    // epoch, cosine candidates over vectors with MOD(vec_id,3) <=
+    // epoch, probe fixed at vec 0.
+    "s25_stream_hybrid" ->
+      """WITH ep(epoch) AS (VALUES (CAST(0 AS BIGINT)), (1), (2)),
+        |tk AS (SELECT doc_id,
+        |list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |FROM documents),
+        |pre AS (SELECT ep.epoch, tk.doc_id, tk.w FROM tk
+        |JOIN ep ON MOD(tk.doc_id, 3) <= ep.epoch),
+        |dl AS (SELECT epoch, doc_id, CAST(len(w) AS DOUBLE) AS dl FROM pre),
+        |st AS (SELECT epoch, CAST(COUNT(*) AS DOUBLE) AS nd, AVG(dl) AS avgdl
+        |FROM dl GROUP BY 1),
+        |p AS (SELECT epoch, doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |FROM (SELECT epoch, doc_id, unnest(w) AS term FROM pre)
+        |WHERE term IN ('vector', 'customer', 'merge', 'scan')
+        |GROUP BY 1, 2, 3),
+        |f AS (SELECT epoch, term, CAST(COUNT(*) AS DOUBLE) AS df FROM p
+        |GROUP BY 1, 2),
+        |sc AS (SELECT p.epoch, p.doc_id,
+        |round(SUM(ln((st.nd - f.df + 0.5) / (f.df + 0.5) + 1)
+        |* p.tf * 2.2
+        |/ (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+        |FROM p JOIN dl ON p.epoch = dl.epoch AND p.doc_id = dl.doc_id
+        |JOIN f ON p.epoch = f.epoch AND p.term = f.term
+        |JOIN st ON st.epoch = p.epoch GROUP BY 1, 2),
+        |lex AS (SELECT epoch, doc_id, rank AS lex_rank FROM (SELECT epoch,
+        |doc_id, ROW_NUMBER() OVER (PARTITION BY epoch
+        |ORDER BY score DESC, doc_id) AS rank FROM sc) WHERE rank <= 10),
+        |ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |sqrt(list_reduce(list_transform(e, (x, i) -> x * (e)[i]),
+        |(acc, u) -> acc + u)) AS nr FROM ve),
+        |vsc AS (SELECT ep.epoch, c.vec_id AS doc_id,
+        |round(list_reduce(list_transform(q.e, (x, i) -> x * (c.e)[i]),
+        |(acc, u) -> acc + u) / (q.nr * c.nr), 6) AS cos
+        |FROM n q JOIN n c ON q.vec_id = 0 AND c.vec_id <> 0
+        |JOIN ep ON MOD(c.vec_id, 3) <= ep.epoch),
+        |vec AS (SELECT epoch, doc_id, vec_rank FROM (SELECT epoch, doc_id,
+        |ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY cos DESC, doc_id)
+        |AS vec_rank FROM vsc) WHERE vec_rank <= 10),
+        |fused AS (SELECT COALESCE(l.epoch, w2.epoch) AS epoch,
+        |COALESCE(l.doc_id, w2.doc_id) AS doc_id, l.lex_rank, w2.vec_rank,
+        |round(COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rank), 0)
+        |+ COALESCE(CAST(1 AS DOUBLE) / (60 + w2.vec_rank), 0), 6) AS rrf
+        |FROM lex l FULL JOIN vec w2
+        |ON l.epoch = w2.epoch AND l.doc_id = w2.doc_id)
+        |SELECT epoch, doc_id, rank, lex_rank, vec_rank, rrf FROM (SELECT
+        |epoch, doc_id, lex_rank, vec_rank, rrf,
+        |ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY rrf DESC, doc_id)
+        |AS rank FROM fused) WHERE rank <= 10
         |ORDER BY epoch, rank""".stripMargin.replace("\n", " "),
 
     // Epoch-unrolled HLL: the running register table after epoch e is
