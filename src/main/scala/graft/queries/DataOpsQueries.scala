@@ -866,6 +866,18 @@ object DataOpsQueries {
       Text.bm25TopKFromIndex(s, lexIndexPath(s, d),
         Seq("vector", "customer", "merge", "scan"), k = 10)),
 
+    // Multi-query BM25 in ONE postings scan — the curation-batch
+    // shape (hundreds of keyword queries over one corpus): the union
+    // of the term sets prunes one bucket-partitioned read, df is a
+    // count-over-window on the filtered postings, the (query, term)
+    // table broadcasts, and each query's rows equal an independent
+    // t23/t25 run bit for bit.
+    "t26_bm25_multi" -> ((s, d) =>
+      Text.bm25TopKFromIndexMulti(s, lexIndexPath(s, d), Seq(
+        "qA" -> Seq("vector", "customer", "merge", "scan"),
+        "qB" -> Seq("table", "stream", "window", "sort"),
+        "qC" -> Seq("join", "hash", "fast", "slow")), k = 10)),
+
     // HyperLogLog distinct-shingle cardinality per source + a merged
     // global row ('*') — the third sketch next to t11's count-min and
     // d17's Bloom filter, and the sizing read before an LSH/dedup
@@ -2331,6 +2343,37 @@ object DataOpsQueries {
     // pins both plans to one truth (the index changes cost, not the
     // answer).
     "t25_bm25_index_serve" -> bm25OracleSql,
+
+    // Multi-query closed form: per query, the SAME arithmetic as the
+    // t23/t25 oracle — df/N/avgdl are corpus facts, so scoring three
+    // queries from one filtered postings pass changes nothing.
+    "t26_bm25_multi" ->
+      """WITH tk AS (SELECT doc_id,
+        |list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM tk),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd, AVG(dl) AS avgdl
+        |FROM dl),
+        |qt(query_id, term) AS (VALUES
+        |('qA', 'vector'), ('qA', 'customer'), ('qA', 'merge'), ('qA', 'scan'),
+        |('qB', 'table'), ('qB', 'stream'), ('qB', 'window'), ('qB', 'sort'),
+        |('qC', 'join'), ('qC', 'hash'), ('qC', 'fast'), ('qC', 'slow')),
+        |p AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |FROM (SELECT doc_id, unnest(w) AS term FROM tk)
+        |WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+        |f AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM p
+        |GROUP BY 1),
+        |sc AS (SELECT qt.query_id, p.doc_id,
+        |round(SUM(ln((st.nd - f.df + 0.5) / (f.df + 0.5) + 1)
+        |* p.tf * 2.2
+        |/ (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+        |FROM p JOIN qt ON p.term = qt.term
+        |JOIN dl ON p.doc_id = dl.doc_id
+        |JOIN f ON p.term = f.term CROSS JOIN st GROUP BY 1, 2)
+        |SELECT query_id, doc_id, rank, score FROM (SELECT query_id, doc_id,
+        |score, ROW_NUMBER() OVER (PARTITION BY query_id
+        |ORDER BY score DESC, doc_id) AS rank FROM sc) WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin.replace("\n", " "),
 
     // HLL: register = low 8 hash bits, rho = 25 - bitlength of the
     // remaining 24 (exact bin() arithmetic, the p03 idiom); the

@@ -441,12 +441,21 @@ final class ManagementServer(pm: PipelineManager,
           case None => respond(ex, 200, localDiag())
         }
       case ("GET", List("diag", name)) =>
-        respond(ex, 200, JObject(
+        // delivered-corpus cardinality from the pipeline's durable HLL
+        // register table (opt-in via graft.sketchColumn) — the diag
+        // answer to "how big is this stream's key space", read from
+        // 256 rows however large the stream has grown
+        val sketch = pm.cardinality(name).map { case (nregs, est) =>
+          List("sketchRegisters" -> (JLong(nregs): JValue),
+            "cardinalityEstimate" -> (JDouble(est): JValue))
+        }.getOrElse(Nil)
+        respond(ex, 200, JObject(List[(String, JValue)](
           "name" -> JString(name),
           "metrics" -> JObject(pm.metrics(name).toList.map {
             case (k, v) => k -> (JLong(v): JValue) }),
           "pausedPartitions" -> JArray(
-            pm.paused(name).toList.sorted.map(JString(_): JValue))))
+            pm.paused(name).toList.sorted.map(JString(_): JValue)))
+          ++ sketch))
       case _ => error(ex, 404, s"no route $method $path")
     }
   }

@@ -1152,6 +1152,8 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
               if (statuses.contains(PipelineStatus.Ready)) {
                 replayGroupHoldback(ms)
                 write(batch, epoch)
+                ms.filter(_.metadata.contains(PipelineManager.SketchColumnKey))
+                  .foreach(updateCardinalitySketch(_, batch))
               } else if (statuses.contains(PipelineStatus.Paused)) {
                 val hbDir = groupHoldbackPath(ms.head.name)
                 stampHoldbackOwner(hbDir, ms.head.name,
@@ -1322,6 +1324,46 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     catch { case e: Throwable => if (newlyLocked) releaseLock(name); throw e }
   }
 
+  private def sketchDir(name: String): String =
+    s"$checkpointRoot/sketch/${PipelineManager.namespaceOf(name)}"
+
+  private def sketchHasData(name: String): Boolean = {
+    val p = new Path(sketchDir(name))
+    rootFs.exists(p) && rootFs.listStatus(p).exists(st =>
+      st.isFile && st.getPath.getName.startsWith("part-"))
+  }
+
+  /** Max-merge the delivered batch's HLL registers into the
+    * pipeline's durable register table (the s22 ingest shape) when
+    * the spec opted in via [[PipelineManager.SketchColumnKey]]. State
+    * is 256 rows forever; max-merge is idempotent AND commutative, so
+    * a crash-replayed epoch re-merging the same batch is a natural
+    * no-op — no epoch markers needed. The localCheckpoint pins the
+    * merged table before the overwrite replaces the files it read. */
+  private def updateCardinalitySketch(spec: PipelineSpec,
+      batch: DataFrame): Unit =
+    spec.metadata.get(PipelineManager.SketchColumnKey).foreach { c =>
+      val dir = sketchDir(spec.name)
+      val bregs = graft.sketch.Sketch.hllRegisters(
+        batch.select(col(c)), col(c))
+      val merged = (if (sketchHasData(spec.name))
+          spark.read.parquet(dir).unionByName(bregs) else bregs)
+        .groupBy(col("reg")).agg(max(col("mj")).as("mj"))
+        .localCheckpoint()
+      merged.coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+
+  /** Running delivered-corpus cardinality: (occupied registers,
+    * estimate) from the pipeline's sketch table, or None before any
+    * delivery / for pipelines without the sketch opt-in. */
+  def cardinality(name: String): Option[(Long, Double)] =
+    if (!sketchHasData(name)) None
+    else {
+      val r = graft.sketch.Sketch
+        .hllEstimate(spark.read.parquet(sketchDir(name))).head()
+      Some((r.getAs[Long]("n_regs"), r.getAs[Double]("hll_est")))
+    }
+
   private def startLocked(name: String, spec: PipelineSpec,
       transform: DataFrame => DataFrame, trigger: Trigger): StreamingQuery = {
     // A member whose last run was group-scoped has its offsets in the
@@ -1363,7 +1405,10 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
                 .withColumn("__pp", col(pcol).cast("string"))
                 .write.mode("append").partitionBy("__pp").parquet(hbPath)
               deliver(batch.filter(!isPaused), epoch)
-            case _ => deliver(batch, epoch)
+              updateCardinalitySketch(spec, batch.filter(!isPaused))
+            case _ =>
+              deliver(batch, epoch)
+              updateCardinalitySketch(spec, batch)
           }
         }.start()
     }
@@ -1579,6 +1624,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Deleting)))
     specs.remove(name)
     removeSpecFile(name)
+    rootFs.delete(new Path(sketchDir(name)), true): Unit
     hooks.onStateChange(name, PipelineStatus.Deleting)
   }
 
@@ -1651,6 +1697,16 @@ object PipelineManager {
     * partition-pin table (ManagementServer.TargetAssignmentKey). */
   val ServerManagedMetadataKeys: Set[String] =
     Set(TaskPrefixKey, "graft.targetAssignment")
+
+  /** Metadata key opting a pipeline into a delivered-corpus
+    * cardinality sketch: the value names the delivered column whose
+    * distinct count the manager tracks in a durable 256-row
+    * HyperLogLog register table (the s22 ingest shape), surfaced on
+    * the management plane as `/diag/{name}`'s cardinalityEstimate —
+    * the diag answer to "how big is this stream's key space" at O(1)
+    * state. Durable transports only (the memory sink has no
+    * foreachBatch to ride). */
+  val SketchColumnKey: String = "graft.sketchColumn"
 
   /**
    * Injective filesystem-safe encoding of a pipeline name (see

@@ -699,4 +699,56 @@ object Text {
         .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("rank"), col("score"))
   }
+
+  /**
+   * Score Q keyword queries against a [[buildLexicalIndex]] directory
+   * in ONE postings scan — the curation-batch shape: a training-data
+   * pipeline runs hundreds of keyword queries over one corpus, and Q
+   * independent [[bm25TopKFromIndex]] calls would open the same
+   * bucket files Q times. Here the union of all query term sets
+   * prunes/filters ONE postings read; per-term df comes from a
+   * count-over-window partitioned by term (only the filtered postings
+   * shuffle — never a second scan); the tiny (query, term) table
+   * broadcasts onto the postings so a term shared by two queries
+   * scores for both; and the per-query top-k is a rank window
+   * partitioned by query (Q-way parallel, each query's candidate set
+   * sorts in its own partition). Per query, rows and scores are
+   * BIT-IDENTICAL to an independent [[bm25TopKFromIndex]] run: df,
+   * N, avgdl are corpus facts, unchanged by which query asks.
+   *
+   * Returns (query_id, doc_id, rank, score), rank 1..k per query.
+   */
+  def bm25TopKFromIndexMulti(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: Seq[(String, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val buckets = allTerms.map(t =>
+      java.lang.Math.floorMod(graft.functions.Portable.hash64Of(t),
+        LexIndexBuckets.toLong)).distinct
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("tb").isin(buckets: _*) && col("term").isin(allTerms: _*))
+      .select(col("doc_id"), col("term"), col("tf"))
+    val dl = spark.read.parquet(s"$dir/docstats")
+    val stats = spark.read.parquet(s"$dir/stats")
+    val qt = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
+      .toDF("query_id", "term")
+    val df = count(lit(1)).over(Window.partitionBy(col("term")))
+      .cast("double").as("df")
+    val idf = log((col("nd") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    val w = idf * col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1) - b + lit(b) * col("dl") / col("avgdl")))
+    val scored = postings.withColumn("df", df)
+      .join(dl, "doc_id")
+      .join(broadcast(qt), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(w), 6).as("score"))
+    val rw = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
+  }
 }

@@ -424,6 +424,36 @@ class PlanSpec extends SparkTestBase {
     }.isEmpty, "the index-served plan must never touch the corpus")
   }
 
+  test("t26 multi-query BM25 reads the postings index exactly once") {
+    // the point of the batch API: Q queries must NOT open the bucket
+    // files Q times. One pruned postings scan (df comes from a window
+    // over it, never a second read), no corpus scan, and the per-query
+    // rank window is partitioned (Q-way parallel, never global).
+    val p = planOf("t26_bm25_multi")
+    val postingScans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("postings")) => s
+    }
+    assert(postingScans.size == 1,
+      s"expected exactly one postings scan, got ${postingScans.size}")
+    postingScans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        "the union term-bucket predicate must prune postings partitions")
+      assert(s.dataFilters.exists(_.references.exists(_.name == "term")),
+        "the union term set must push into the visited buckets' scans")
+    }
+    assert(collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("documents")) => s
+    }.isEmpty, "the index-served plan must never touch the corpus")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "both the df window and the rank window must be partitioned — " +
+        "a global window would serialize Q queries through one task")
+  }
+
   test("s24 incremental lexical index serves with bucket pruning, no corpus scan") {
     // the streaming-maintained store must keep t25's serving
     // contract: the postings scan prunes to the query terms' hash

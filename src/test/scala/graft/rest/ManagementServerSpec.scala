@@ -96,6 +96,64 @@ class ManagementServerSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("diag surfaces the delivered-corpus cardinality sketch") {
+    // the Brooklin-diag analog of "how big is this stream's key
+    // space": a pipeline opted in via graft.sketchColumn maintains a
+    // durable 256-row HLL register table as it delivers, and
+    // /diag/{name} serves the estimate — asserted here to be
+    // BIT-EQUAL to the library sketch over the same delivered corpus,
+    // and within the sketch's standard error of the exact count.
+    val pm = new PipelineManager(spark,
+      Files.createTempDirectory("graft-rest-hll-").toString)
+    val srv = new ManagementServer(pm).start()
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      val srcDir = Files.createTempDirectory("graft-rest-hll-src-").toString
+      def estimateOf(body: String): Double = {
+        val m = """"cardinalityEstimate":([-0-9.Ee+]+)""".r
+          .findFirstMatchIn(body)
+        assert(m.nonEmpty, s"no cardinalityEstimate in $body")
+        m.get.group(1).toDouble
+      }
+      def wantFor(df: org.apache.spark.sql.DataFrame): Double =
+        graft.sketch.Sketch.hllEstimate(
+            graft.sketch.Sketch.hllRegisters(df.select(col("v")), col("v")))
+          .head().getAs[Double]("hll_est")
+      val part1 = (0L until 400L).map(i => (i, s"k${i % 300}"))
+        .toDF("k", "v")
+      part1.coalesce(1).write.mode(SaveMode.Append).parquet(srcDir)
+      val created = req(base, "POST", "/pipelines", Some(
+        s"""{"name":"h1","connector":"parquet","transport":"parquet",
+           |"sourceConnection":"$srcDir",
+           |"metadata":{"graft.sketchColumn":"v"}}"""
+          .stripMargin.replace("\n", "")))
+      assert(created.statusCode() == 201, created.body())
+      // before any delivery: no sketch fields
+      assert(!req(base, "GET", "/diag/h1").body()
+        .contains("cardinalityEstimate"))
+      assert(req(base, "POST", "/pipelines/h1/start?await=true")
+        .statusCode() == 200)
+      val est1 = estimateOf(req(base, "GET", "/diag/h1").body())
+      assert(est1 == wantFor(part1),
+        "REST estimate must equal the library sketch over the delivery")
+      assert(math.abs(est1 - 300.0) / 300.0 < 0.15,
+        s"estimate $est1 outside the sketch's error envelope of 300")
+      // a second delivery max-merges: the served estimate tracks the
+      // UNION of everything delivered so far
+      val part2 = (0L until 200L).map(i => (1000L + i, s"k${200 + (i % 300)}"))
+        .toDF("k", "v")
+      part2.coalesce(1).write.mode(SaveMode.Append).parquet(srcDir)
+      assert(req(base, "POST", "/pipelines/h1/pause").statusCode() == 200)
+      assert(req(base, "POST", "/pipelines/h1/resume?await=true")
+        .statusCode() == 200)
+      val est2 = estimateOf(req(base, "GET", "/diag/h1").body())
+      assert(est2 == wantFor(part1.unionByName(part2)),
+        "merged estimate must equal the sketch over the full delivered corpus")
+      pm.delete("h1")
+      assert(pm.cardinality("h1").isEmpty, "delete must drop the sketch")
+    } finally { srv.stop(); pm.close() }
+  }
+
   test("findGroup lists the task group formed by destination-reuse dedup") {
     val pm = new PipelineManager(spark,
       Files.createTempDirectory("graft-rest-grp-").toString)
