@@ -82,8 +82,14 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
   private val statsPipe = s"$name.s"
   private val genPipe = s"$name.g"
   private val postNs = PipelineManager.namespaceOf(postPipe)
+  private val statsNs = PipelineManager.namespaceOf(statsPipe)
   private val genNs = PipelineManager.namespaceOf(genPipe)
   private var view: Option[DurableIndexView] = None
+  // Latest cumulative stats row (epoch, nd, sum_dl) — the single-
+  // writer contract makes this cache exact, so the per-epoch hot path
+  // never re-reads the stats store; fresh opens and replays of older
+  // epochs fall back to the (compaction-swept, bounded) store read.
+  private var lastStats: Option[(Long, Double, Double)] = None
 
   recover()
 
@@ -112,7 +118,11 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
   private def stateFile(gen: Long) = new Path(dir, s"_compact_state-$gen")
 
   /** Highest durably-recorded compaction generation and the epoch it
-    * covers, or None before the first compaction. */
+    * covers, or None before the first compaction. The generation
+    * number in the FILE NAME is the authority; the body (always
+    * upTo == gen by construction) is informational — a crash between
+    * the record's create and its write leaves an empty file, which
+    * must read as the generation it names, never brick recovery. */
   private def latestGenState: Option[(Long, Long)] = {
     val states = Option(fs.globStatus(new Path(dir, "_compact_state-*")))
       .toSeq.flatten
@@ -121,9 +131,9 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
     else {
       val g = states.max
       val in = fs.open(stateFile(g))
-      val upTo = try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      val body = try new String(in.readAllBytes(), "UTF-8").trim
         finally in.close()
-      Some((g, upTo))
+      Some((g, if (body.isEmpty) g else body.toLong))
     }
   }
 
@@ -154,6 +164,16 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
       .foreach(st => fs.delete(st.getPath, false))
     postingFiles(genNs).filter(st => epochOf(st.getPath.getName) < gen)
       .foreach(st => fs.delete(st.getPath, false))
+    // stats rows are cumulative, so every row below the compaction
+    // point is subsumed by the row AT it — sweeping them keeps the
+    // stats store's file count flat too (their epoch markers stay:
+    // a replayed epoch's marker hit means its row is already folded
+    // into the surviving cumulative row)
+    Option(fs.globStatus(
+        new Path(statsDir, s"graft-$statsNs-e*-p*.parquet")))
+      .toSeq.flatten
+      .filter(st => epochOf(st.getPath.getName) < upTo)
+      .foreach(st => fs.delete(st.getPath, false))
     val genMarkers = new Path(postingsDir, s"_graft_commits/$genNs")
     if (fs.exists(genMarkers))
       fs.listStatus(genMarkers).toSeq.filter(_.getPath.getName.toLong < gen)
@@ -172,27 +192,41 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
 
   /** Cumulative (nd, sum_dl) after folding `epoch`'s batch in — the
     * committed row for THIS epoch wins (crash replay), else the
-    * previous epoch's cumulative row plus this batch's 1-row
-    * aggregate. The read is ≤ 1 row per epoch, never a history scan. */
+    * previous cumulative plus this batch's 1-row aggregate. The hot
+    * path (a new epoch on a warm instance) is O(1) from the in-memory
+    * cache; fresh opens and replays of older epochs read the store,
+    * whose row count compaction keeps bounded. */
   private def updateStats(batchDl: DataFrame, epoch: Long): (Double, Double) = {
-    val existing =
-      if (PipelineManager.committedFiles(statsDir, conf).nonEmpty)
-        spark.read.parquet(statsDir).collect()
-      else Array.empty[org.apache.spark.sql.Row]
-    val (nd, sumDl) = existing.find(_.getLong(0) == epoch) match {
-      case Some(r) => (r.getDouble(1), r.getDouble(2))
-      case None =>
-        val prior = existing.filter(_.getLong(0) < epoch)
-          .sortBy(-_.getLong(0)).headOption
-        val b = batchDl.agg(count(lit(1)).cast("double"),
-          coalesce(sum(col("dl")), lit(0.0))).head()
-        (prior.map(_.getDouble(1)).getOrElse(0.0) + b.getDouble(0),
-          prior.map(_.getDouble(2)).getOrElse(0.0) + b.getDouble(1))
+    def batchAgg(): (Double, Double) = {
+      val b = batchDl.agg(count(lit(1)).cast("double"),
+        coalesce(sum(col("dl")), lit(0.0))).head()
+      (b.getDouble(0), b.getDouble(1))
+    }
+    val (nd, sumDl) = lastStats match {
+      case Some((e, n, s)) if epoch == e => (n, s) // in-run replay
+      case Some((e, n, s)) if epoch > e =>
+        val (bn, bs) = batchAgg()
+        (n + bn, s + bs)
+      case _ => // fresh open, or a replay older than the cache
+        val existing =
+          if (PipelineManager.committedFiles(statsDir, conf).nonEmpty)
+            spark.read.parquet(statsDir).collect()
+          else Array.empty[org.apache.spark.sql.Row]
+        existing.find(_.getLong(0) == epoch) match {
+          case Some(r) => (r.getDouble(1), r.getDouble(2))
+          case None =>
+            val prior = existing.filter(_.getLong(0) < epoch)
+              .sortBy(-_.getLong(0)).headOption
+            val (bn, bs) = batchAgg()
+            (prior.map(_.getDouble(1)).getOrElse(0.0) + bn,
+              prior.map(_.getDouble(2)).getOrElse(0.0) + bs)
+        }
     }
     import spark.implicits._
     PipelineManager.epochAppend(
       Seq((epoch, nd, sumDl)).toDF("epoch", "nd", "sum_dl").coalesce(1),
       statsDir, epoch, statsPipe): Unit
+    if (lastStats.forall(_._1 <= epoch)) lastStats = Some((epoch, nd, sumDl))
     (nd, sumDl)
   }
 
@@ -206,18 +240,27 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
    * one-file-per-bucket. Idempotent per epoch end to end.
    */
   def appendEpoch(batch: DataFrame, epoch: Long): Unit = {
+    // ONE tokenize of the batch feeds both actions below (the
+    // postings write and the stats aggregate) — persisted for exactly
+    // the reason buildLexicalIndex persists its token frame: unpinned,
+    // each action would re-read the micro-batch and re-split every
+    // document.
     val btok = batch.select(col("doc_id"), Text.tokens(col("text")).as("w"))
-    val bpost = btok.select(col("doc_id"),
-        size(col("w")).cast("double").as("dl"), explode(col("w")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
-        pmod(graft.functions.Portable.hash64(col("term")),
-          lit(Text.LexIndexBuckets.toLong)).as("tb"))
-    val files = PipelineManager.epochAppendPartitioned(
-      bpost, postingsDir, "tb", epoch, postPipe)
-    updateStats(btok.select(col("doc_id"),
-      size(col("w")).cast("double").as("dl")), epoch): Unit
+      .persist()
+    val files = try {
+      val bpost = btok.select(col("doc_id"),
+          size(col("w")).cast("double").as("dl"), explode(col("w")).as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+          pmod(graft.functions.Portable.hash64(col("term")),
+            lit(Text.LexIndexBuckets.toLong)).as("tb"))
+      val f = PipelineManager.epochAppendPartitioned(
+        bpost, postingsDir, "tb", epoch, postPipe)
+      updateStats(btok.select(col("doc_id"),
+        size(col("w")).cast("double").as("dl")), epoch): Unit
+      f
+    } finally btok.unpersist(false): Unit
     if (epoch > lastSeenEpoch) {
       if (view.isEmpty) { if (files.nonEmpty) ensureView(): Unit }
       else ensureView().extend(files)
@@ -257,9 +300,24 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
   def serve(terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val latest = spark.read.parquet(statsDir).collect() // ≤ 1 row/epoch
-      .maxBy(_.getLong(0))
-    val (nd, avgdl) = (latest.getDouble(1), latest.getDouble(2) / latest.getDouble(1))
+    import spark.implicits._
+    // an index that has seen no documents yet (no epochs, or only
+    // empty batches) serves an empty result — a ProcessingTime
+    // stream's first data-free triggers must not kill the query on
+    // an uninferrable-schema read
+    val latest: Option[(Double, Double)] =
+      lastStats.map(t => (t._2, t._3)).orElse {
+        if (PipelineManager.committedFiles(statsDir, conf).isEmpty) None
+        else {
+          val r = spark.read.parquet(statsDir).collect().maxBy(_.getLong(0))
+          Some((r.getDouble(1), r.getDouble(2)))
+        }
+      }
+    val hasPostings = view.nonEmpty ||
+      postingFiles(postNs).nonEmpty || postingFiles(genNs).nonEmpty
+    if (latest.forall(_._1 == 0.0) || !hasPostings)
+      return Seq.empty[(Long, Long, Double)].toDF("doc_id", "rank", "score")
+    val (nd, avgdl) = (latest.get._1, latest.get._2 / latest.get._1)
     val buckets = terms.map(t =>
       java.lang.Math.floorMod(graft.functions.Portable.hash64Of(t),
         Text.LexIndexBuckets.toLong).toInt).distinct

@@ -578,6 +578,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     heartbeatExec.foreach(_.shutdownNow(): Unit)
     queries.values().asScala.foreach(q => if (q.isActive) q.stop())
     queries.clear()
+    groupRuns.clear()
     spark.streams.removeListener(listener)
     // Session end (the reference's ZK session close/expiry): the
     // live-instance registration disappears, so every lock this
@@ -670,15 +671,29 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   private def rejoinRunningGroup(spec: PipelineSpec): Unit = {
     val prefix = spec.metadata.getOrElse(PipelineManager.TaskPrefixKey,
       spec.name)
-    val runningShared = findGroup(spec.name)
-      .filterNot(_.name == spec.name)
+    val siblings = findGroup(spec.name).filterNot(_.name == spec.name)
+    val runningShared = siblings
       .flatMap(m => Option(queries.get(m.name)))
       .exists(q => q.isActive && q.name == s"group-$prefix")
     if (runningShared) groupRuns.get(prefix).foreach {
       case (transform, trigger) =>
         // startGroup stops the running shared query itself
-        // (stopQueryOf per member) before starting the widened one
-        startGroup(spec.name, transform, trigger): Unit
+        // (stopQueryOf per member) before starting the widened one.
+        // A restart failure must not leave the previously-running
+        // siblings silently stopped while create() throws with the
+        // spec persisted: unregister the new member (create stays
+        // atomic — the caller can retry it) and put the ORIGINAL
+        // membership back in service before rethrowing.
+        try startGroup(spec.name, transform, trigger): Unit
+        catch {
+          case e: Throwable =>
+            specs.remove(spec.name)
+            try removeSpecFile(spec.name)
+            catch { case e2: Throwable => e.addSuppressed(e2) }
+            try startGroup(siblings.head.name, transform, trigger): Unit
+            catch { case e2: Throwable => e.addSuppressed(e2) }
+            throw e
+        }
     }
   }
 
@@ -949,7 +964,12 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
           if (values.contains(value)) {
             // Subdir files carry the full original row (only the
             // derived __pp partition key was projected away).
-            deliver(spark.read.parquet(st.getPath.toString), -1L)
+            val held = spark.read.parquet(st.getPath.toString)
+            deliver(held, -1L)
+            // replayed rows ARE deliveries: the cardinality sketch
+            // must fold them in, or keys unique to a paused
+            // partition undercount forever
+            updateCardinalitySketch(spec, held)
             fs.delete(st.getPath, true)
           }
         }
@@ -1278,8 +1298,15 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
             epochs.foreach { e =>
               val files = Option(rootFs.globStatus(
                 new Path(hb, PipelineManager.epochFileGlob(ns, e)))).toSeq.flatten
-              if (files.nonEmpty)
-                deliver(spark.read.parquet(files.map(_.getPath.toString): _*), e)
+              if (files.nonEmpty) {
+                val held = spark.read.parquet(files.map(_.getPath.toString): _*)
+                deliver(held, e)
+                // held epochs that finally deliver count toward the
+                // members' delivered-corpus cardinality sketches too
+                members
+                  .filter(_.metadata.contains(PipelineManager.SketchColumnKey))
+                  .foreach(updateCardinalitySketch(_, held))
+              }
               files.foreach(f => rootFs.delete(f.getPath, false))
               rootFs.delete(new Path(markers, e.toString), false): Unit
             }
@@ -1333,35 +1360,74 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       st.isFile && st.getPath.getName.startsWith("part-"))
   }
 
+  /** Put the sketch store back to exactly one complete table after a
+    * crash mid-swap. The swap's ordering (staging write completes →
+    * live renamed aside → staging promoted → aside deleted) means a
+    * MISSING live dir proves the staging write finished — promote it;
+    * failing that, the set-aside previous table is the newest
+    * complete one. A stray staging NEXT TO a live dir is a crashed
+    * pre-rename attempt whose epoch will replay: drop it. Idempotent;
+    * callers hold [[PipelineManager.sketchStripe]]. */
+  private def recoverSketch(name: String): Unit = {
+    val dir = new Path(sketchDir(name))
+    val aside = new Path(sketchDir(name) + ".old")
+    val staging = new Path(sketchDir(name) + ".staging")
+    if (!rootFs.exists(dir)) {
+      if (rootFs.exists(staging)) rootFs.rename(staging, dir): Unit
+      else if (rootFs.exists(aside)) rootFs.rename(aside, dir): Unit
+    } else rootFs.delete(staging, true): Unit
+    rootFs.delete(aside, true): Unit
+  }
+
   /** Max-merge the delivered batch's HLL registers into the
     * pipeline's durable register table (the s22 ingest shape) when
     * the spec opted in via [[PipelineManager.SketchColumnKey]]. State
     * is 256 rows forever; max-merge is idempotent AND commutative, so
     * a crash-replayed epoch re-merging the same batch is a natural
-    * no-op — no epoch markers needed. The localCheckpoint pins the
-    * merged table before the overwrite replaces the files it read. */
+    * no-op — no epoch markers needed. The table is REPLACED by
+    * staged-write-then-rename (never an in-place overwrite, whose
+    * delete-before-commit window would silently reset the cumulative
+    * registers to one batch on a crash); [[recoverSketch]] completes
+    * or discards an interrupted swap. */
   private def updateCardinalitySketch(spec: PipelineSpec,
       batch: DataFrame): Unit =
     spec.metadata.get(PipelineManager.SketchColumnKey).foreach { c =>
-      val dir = sketchDir(spec.name)
-      val bregs = graft.sketch.Sketch.hllRegisters(
-        batch.select(col(c)), col(c))
-      val merged = (if (sketchHasData(spec.name))
-          spark.read.parquet(dir).unionByName(bregs) else bregs)
-        .groupBy(col("reg")).agg(max(col("mj")).as("mj"))
-        .localCheckpoint()
-      merged.coalesce(1).write.mode("overwrite").parquet(dir)
+      PipelineManager.sketchStripe(sketchDir(spec.name)).synchronized {
+        recoverSketch(spec.name)
+        val dir = sketchDir(spec.name)
+        val bregs = graft.sketch.Sketch.hllRegisters(
+          batch.select(col(c)), col(c))
+        val merged = (if (sketchHasData(spec.name))
+            spark.read.parquet(dir).unionByName(bregs) else bregs)
+          .groupBy(col("reg")).agg(max(col("mj")).as("mj"))
+        val staging = new Path(dir + ".staging")
+        val aside = new Path(dir + ".old")
+        // the staging job reads the live dir while it still exists
+        merged.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        val dirP = new Path(dir)
+        if (rootFs.exists(dirP)) {
+          rootFs.delete(aside, true)
+          if (!rootFs.rename(dirP, aside))
+            sys.error(s"sketch set-aside failed for ${spec.name}")
+        }
+        if (!rootFs.rename(staging, dirP))
+          sys.error(s"sketch swap failed for ${spec.name}")
+        rootFs.delete(aside, true): Unit
+      }
     }
 
   /** Running delivered-corpus cardinality: (occupied registers,
     * estimate) from the pipeline's sketch table, or None before any
     * delivery / for pipelines without the sketch opt-in. */
   def cardinality(name: String): Option[(Long, Double)] =
-    if (!sketchHasData(name)) None
-    else {
-      val r = graft.sketch.Sketch
-        .hllEstimate(spark.read.parquet(sketchDir(name))).head()
-      Some((r.getAs[Long]("n_regs"), r.getAs[Double]("hll_est")))
+    PipelineManager.sketchStripe(sketchDir(name)).synchronized {
+      recoverSketch(name)
+      if (!sketchHasData(name)) None
+      else {
+        val r = graft.sketch.Sketch
+          .hllEstimate(spark.read.parquet(sketchDir(name))).head()
+        Some((r.getAs[Long]("n_regs"), r.getAs[Double]("hll_est")))
+      }
     }
 
   private def startLocked(name: String, spec: PipelineSpec,
@@ -1575,6 +1641,12 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         hooks.onStateChange(n, PipelineStatus.Stopped)
       }
     }
+    // a force stop ends the whole group run: drop the remembered
+    // transform/trigger so the caller's closure is not retained for
+    // the manager's lifetime (resume/startGroup re-remember on restart)
+    if (force) specs.get(name)
+      .map(s => s.metadata.getOrElse(PipelineManager.TaskPrefixKey, s.name))
+      .foreach(groupRuns.remove(_): Unit)
   }
 
   /**
@@ -1619,12 +1691,20 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
 
   def delete(name: String, owner: String = "anonymous"): Unit = {
     authorizeLifecycle(name, owner)
+    val prefix = specs.get(name)
+      .map(s => s.metadata.getOrElse(PipelineManager.TaskPrefixKey, s.name))
     stopQueryOf(name)
     releaseLock(name)
     specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Deleting)))
     specs.remove(name)
     removeSpecFile(name)
-    rootFs.delete(new Path(sketchDir(name)), true): Unit
+    Seq("", ".old", ".staging").foreach(sfx =>
+      rootFs.delete(new Path(sketchDir(name) + sfx), true): Unit)
+    // last member gone -> the remembered group run (and its captured
+    // transform closure) has nothing left to restart
+    prefix.filterNot(p => specs.values.exists(s =>
+        s.metadata.getOrElse(PipelineManager.TaskPrefixKey, s.name) == p))
+      .foreach(groupRuns.remove(_): Unit)
     hooks.onStateChange(name, PipelineStatus.Deleting)
   }
 
@@ -1683,6 +1763,15 @@ object PipelineManager {
     * (`owner\ndestination`) — lets replay enumerate dirs by
     * destination and attribute their epochs after membership churn. */
   private[streaming] val HoldbackMetaFile = "_graft_holdback_meta"
+
+  /** Monitors for the cardinality-sketch swap — like
+    * [[holdbackStripe]], these guard whole Spark jobs (a register
+    * merge + directory swap), so they get their own pool: a /diag
+    * read and the delivery thread's sketch update of one pipeline
+    * serialize here instead of racing the rename window. */
+  private val sketchStripes = Array.fill(64)(new Object)
+  private[streaming] def sketchStripe(path: String): Object =
+    sketchStripes(math.floorMod(path.hashCode, sketchStripes.length))
 
   /** Metadata key carrying a pipeline's task-group prefix (the
     * reference's `system.taskPrefix`,
@@ -1853,10 +1942,6 @@ object PipelineManager {
   def epochAppend(batch: DataFrame, dest: String, epoch: Long,
       pipeline: String = ""): Seq[String] = {
     if (epoch < 0) { batch.write.mode("append").parquet(dest); return Nil }
-    val ns = namespaceOf(pipeline)
-    val destPath = new Path(dest)
-    val fs = destPath.getFileSystem(
-      batch.sparkSession.sparkContext.hadoopConfiguration)
     // Returned so a caller can reuse the commit as the batch's
     // materialization point (the durable-index loops read the epoch's
     // committed files back instead of paying a second localCheckpoint
@@ -1865,27 +1950,57 @@ object PipelineManager {
     // replay) branch above returns Nil even though it wrote data —
     // plain appends have no deterministic file names to report; do
     // not use the return value on that path.
+    epochCommitCore(batch, dest, epoch, pipeline,
+      stage = (b, s) => b.write.mode("overwrite").parquet(s),
+      relativeGlob = ns => epochFileGlob(ns, epoch),
+      publish = (fs, staging, destPath, ns) =>
+        renameStagedParts(fs, staging, destPath, ns, epoch))
+  }
+
+  /** One spelling of the exactly-once redo protocol shared by
+    * [[epochAppend]] and [[epochAppendPartitioned]]: marker check →
+    * stage → clear the previous attempt's published files → rename
+    * into place → marker. A future change to any step lands in both
+    * stores by construction. */
+  private def epochCommitCore(batch: DataFrame, dest: String, epoch: Long,
+      pipeline: String,
+      stage: (DataFrame, String) => Unit,
+      relativeGlob: String => String,
+      publish: (org.apache.hadoop.fs.FileSystem, Path, Path, String) => Unit)
+      : Seq[String] = {
+    val ns = namespaceOf(pipeline)
+    val destPath = new Path(dest)
+    val fs = destPath.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
     def committedFiles: Seq[String] =
-      Option(fs.globStatus(new Path(destPath, epochFileGlob(ns, epoch))))
+      Option(fs.globStatus(new Path(destPath, relativeGlob(ns))))
         .toSeq.flatten.map(_.getPath.toString).sorted
     val marker = new Path(destPath, s"_graft_commits/$ns/$epoch")
     if (fs.exists(marker)) return committedFiles // replayed epoch: already committed
     val staging = new Path(destPath, s"_staging-$ns-$epoch")
     fs.delete(staging, true)
-    batch.write.mode("overwrite").parquet(staging.toString)
-    Option(fs.globStatus(new Path(destPath, epochFileGlob(ns, epoch))))
+    stage(batch, staging.toString)
+    Option(fs.globStatus(new Path(destPath, relativeGlob(ns))))
       .foreach(_.foreach(st => fs.delete(st.getPath, false)))
-    val parts = fs.listStatus(staging)
-      .filter(_.getPath.getName.startsWith("part-")).sortBy(_.getPath.getName)
-    parts.zipWithIndex.foreach { case (st, i) =>
-      val target = new Path(destPath, epochFileName(ns, epoch, i))
-      if (!fs.rename(st.getPath, target))
-        sys.error(s"rename ${st.getPath} -> $target failed; failing epoch $epoch")
-    }
+    publish(fs, staging, destPath, ns)
     fs.delete(staging, true)
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
     committedFiles
+  }
+
+  /** Rename one staged directory's part files into `toDir` under the
+    * committed-epoch naming contract, failing the epoch on a false
+    * rename return. */
+  private def renameStagedParts(fs: org.apache.hadoop.fs.FileSystem,
+      fromDir: Path, toDir: Path, ns: String, epoch: Long): Unit = {
+    val parts = fs.listStatus(fromDir)
+      .filter(_.getPath.getName.startsWith("part-")).sortBy(_.getPath.getName)
+    parts.zipWithIndex.foreach { case (st, i) =>
+      val target = new Path(toDir, epochFileName(ns, epoch, i))
+      if (!fs.rename(st.getPath, target))
+        sys.error(s"rename ${st.getPath} -> $target failed; failing epoch $epoch")
+    }
   }
 
   /**
@@ -1910,43 +2025,20 @@ object PipelineManager {
   def epochAppendPartitioned(batch: DataFrame, dest: String, partCol: String,
       epoch: Long, pipeline: String = ""): Seq[String] = {
     require(epoch >= 0, "epochAppendPartitioned is epoch-committed only")
-    val ns = namespaceOf(pipeline)
-    val destPath = new Path(dest)
-    val fs = destPath.getFileSystem(
-      batch.sparkSession.sparkContext.hadoopConfiguration)
-    def committedFiles: Seq[String] =
-      Option(fs.globStatus(
-          new Path(destPath, s"$partCol=*/${epochFileGlob(ns, epoch)}")))
-        .toSeq.flatten.map(_.getPath.toString).sorted
-    val marker = new Path(destPath, s"_graft_commits/$ns/$epoch")
-    if (fs.exists(marker)) return committedFiles // replayed epoch
-    val staging = new Path(destPath, s"_staging-$ns-$epoch")
-    fs.delete(staging, true)
-    batch.write.mode("overwrite").partitionBy(partCol)
-      .parquet(staging.toString)
-    Option(fs.globStatus(
-        new Path(destPath, s"$partCol=*/${epochFileGlob(ns, epoch)}")))
-      .foreach(_.foreach(st => fs.delete(st.getPath, false)))
-    fs.listStatus(staging)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
-      .sortBy(_.getPath.getName)
-      .foreach { pd =>
-        val targetDir = new Path(destPath, pd.getPath.getName)
-        fs.mkdirs(targetDir)
-        val parts = fs.listStatus(pd.getPath)
-          .filter(_.getPath.getName.startsWith("part-"))
+    epochCommitCore(batch, dest, epoch, pipeline,
+      stage = (b, s) =>
+        b.write.mode("overwrite").partitionBy(partCol).parquet(s),
+      relativeGlob = ns => s"$partCol=*/${epochFileGlob(ns, epoch)}",
+      publish = (fs, staging, destPath, ns) =>
+        fs.listStatus(staging)
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith(s"$partCol="))
           .sortBy(_.getPath.getName)
-        parts.zipWithIndex.foreach { case (st, i) =>
-          val target = new Path(targetDir, epochFileName(ns, epoch, i))
-          if (!fs.rename(st.getPath, target))
-            sys.error(s"rename ${st.getPath} -> $target failed; " +
-              s"failing epoch $epoch")
-        }
-      }
-    fs.delete(staging, true)
-    fs.mkdirs(marker.getParent)
-    fs.create(marker, true).close()
-    committedFiles
+          .foreach { pd =>
+            val targetDir = new Path(destPath, pd.getPath.getName)
+            fs.mkdirs(targetDir)
+            renameStagedParts(fs, pd.getPath, targetDir, ns, epoch)
+          })
   }
 
   def applyDirectoryOps(batch: DataFrame, dest: String,

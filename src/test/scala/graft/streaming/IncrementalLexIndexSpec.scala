@@ -53,6 +53,21 @@ class IncrementalLexIndexSpec extends SparkTestBase {
         s"store not at its compacted floor after epoch $e: $fileCounts")
     assert(fileCounts(5) <= fileCounts(1),
       s"compacted floor grew with epoch count: $fileCounts")
+    // the stats store is swept too: cumulative rows below the
+    // compaction point are subsumed by the row at it
+    assert(PipelineManager.committedFiles(s"$dir/stats",
+        spark.sparkContext.hadoopConfiguration).size <= 2,
+      "stats store must not grow one file per epoch across compactions")
+  }
+
+  test("an index with no documents yet serves an empty result, not a crash") {
+    val dir = tmp("ilx-empty-")
+    val ilx = new IncrementalLexIndex(spark, dir, name = "t")
+    assert(serveRows(ilx).isEmpty, "fresh index must serve empty")
+    ilx.appendEpoch(docs.limit(0), 0L) // a data-free first trigger
+    assert(serveRows(ilx).isEmpty, "empty-epoch index must serve empty")
+    ilx.appendEpoch(docs.limit(50), 1L)
+    assert(serveRows(ilx) == oracleRows(docs.limit(50)))
   }
 
   test("a replayed epoch (and a replayed compaction trigger) is a no-op") {
