@@ -97,13 +97,19 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
   // already contains: a REPLAYED epoch (epoch <= this) must not
   // extend the view — its files are already in the view's fresh read,
   // and a second union of the same postings would double tf/df and
-  // every score. Initialized from the surviving file names plus the
+  // every score. Computed from the surviving file names plus the
   // recorded compaction coverage (compaction sweeps the files but its
   // record keeps the coverage).
-  private var lastSeenEpoch: Long =
+  private def storeCeiling: Long =
     (postingFiles(postNs).map(st => epochOf(st.getPath.getName)) ++
       latestGenState.map(_._2))
       .foldLeft(Long.MinValue)(math.max)
+  private var lastSeenEpoch: Long = storeCeiling
+  // Serializes view creation/extension/reset between the maintenance
+  // thread and concurrent serve() readers: a serve()-created fresh
+  // view already contains the in-flight epoch's committed files, and
+  // an unsynchronized extend right after would union them twice.
+  private val viewLock = new Object
 
   /** Epoch number parsed from a committed file name
     * `graft-<ns>-e<N>-p<i>.parquet` ('-' is structural: it never
@@ -119,22 +125,16 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
 
   /** Highest durably-recorded compaction generation and the epoch it
     * covers, or None before the first compaction. The generation
-    * number in the FILE NAME is the authority; the body (always
-    * upTo == gen by construction) is informational — a crash between
-    * the record's create and its write leaves an empty file, which
-    * must read as the generation it names, never brick recovery. */
+    * number in the FILE NAME is the sole authority (upTo == gen by
+    * construction; [[compact]] writes the body for humans only) — the
+    * body is never parsed, so a crash that tears it (empty OR
+    * partial, e.g. "1" of "12") can neither brick recovery with a
+    * parse error nor under-sweep and double scores. */
   private def latestGenState: Option[(Long, Long)] = {
     val states = Option(fs.globStatus(new Path(dir, "_compact_state-*")))
       .toSeq.flatten
       .map(st => st.getPath.getName.stripPrefix("_compact_state-").toLong)
-    if (states.isEmpty) None
-    else {
-      val g = states.max
-      val in = fs.open(stateFile(g))
-      val body = try new String(in.readAllBytes(), "UTF-8").trim
-        finally in.close()
-      Some((g, if (body.isEmpty) g else body.toLong))
-    }
+    if (states.isEmpty) None else { val g = states.max; Some((g, g)) }
   }
 
   /** Roll back unrecorded compaction attempts, then re-run the
@@ -183,11 +183,16 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
       .foreach(st => fs.delete(st.getPath, false))
   }
 
-  private def ensureView(): DurableIndexView = view.getOrElse {
-    val v = new DurableIndexView(spark, postingsDir, refreshEvery,
-      partitioned = true)
-    view = Some(v)
-    v
+  private def ensureView(): DurableIndexView = viewLock.synchronized {
+    view.getOrElse {
+      val v = new DurableIndexView(spark, postingsDir, refreshEvery,
+        partitioned = true)
+      view = Some(v)
+      // everything committed so far is in the fresh read — a still-
+      // running appendEpoch of the newest epoch must NOT extend again
+      lastSeenEpoch = math.max(lastSeenEpoch, storeCeiling)
+      v
+    }
   }
 
   /** Cumulative (nd, sum_dl) after folding `epoch`'s batch in — the
@@ -261,10 +266,12 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
         size(col("w")).cast("double").as("dl")), epoch): Unit
       f
     } finally btok.unpersist(false): Unit
-    if (epoch > lastSeenEpoch) {
-      if (view.isEmpty) { if (files.nonEmpty) ensureView(): Unit }
-      else ensureView().extend(files)
-      lastSeenEpoch = epoch
+    viewLock.synchronized {
+      if (epoch > lastSeenEpoch) {
+        if (view.isEmpty) { if (files.nonEmpty) ensureView(): Unit }
+        else view.get.extend(files)
+        lastSeenEpoch = epoch
+      }
     }
     if (compactEvery > 0 && (epoch + 1) % compactEvery == 0) compact(epoch)
   }
@@ -285,7 +292,7 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
     try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
     sweep(epoch, epoch)
     // the view's union plan still names swept files — drop it
-    view.foreach(_.reset())
+    viewLock.synchronized(view.foreach(_.reset()))
   }
 
   /**

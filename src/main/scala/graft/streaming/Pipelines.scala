@@ -690,6 +690,10 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
             specs.remove(spec.name)
             try removeSpecFile(spec.name)
             catch { case e2: Throwable => e.addSuppressed(e2) }
+            // observers saw Ready at registration; tell them the
+            // member is gone again (same signal delete() sends)
+            try hooks.onStateChange(spec.name, PipelineStatus.Deleting)
+            catch { case e2: Throwable => e.addSuppressed(e2) }
             try startGroup(siblings.head.name, transform, trigger): Unit
             catch { case e2: Throwable => e.addSuppressed(e2) }
             throw e
@@ -963,13 +967,16 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
             .unescapePathName(st.getPath.getName.stripPrefix("__pp="))
           if (values.contains(value)) {
             // Subdir files carry the full original row (only the
-            // derived __pp partition key was projected away).
-            val held = spark.read.parquet(st.getPath.toString)
-            deliver(held, -1L)
-            // replayed rows ARE deliveries: the cardinality sketch
-            // must fold them in, or keys unique to a paused
-            // partition undercount forever
-            updateCardinalitySketch(spec, held)
+            // derived __pp partition key was projected away). One
+            // materialization serves delivery AND the sketch fold.
+            val held = spark.read.parquet(st.getPath.toString).persist()
+            try {
+              deliver(held, -1L)
+              // replayed rows ARE deliveries: the cardinality sketch
+              // must fold them in, or keys unique to a paused
+              // partition undercount forever
+              updateCardinalitySketch(spec, held)
+            } finally held.unpersist(): Unit
             fs.delete(st.getPath, true)
           }
         }
@@ -1299,13 +1306,19 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
               val files = Option(rootFs.globStatus(
                 new Path(hb, PipelineManager.epochFileGlob(ns, e)))).toSeq.flatten
               if (files.nonEmpty) {
-                val held = spark.read.parquet(files.map(_.getPath.toString): _*)
-                deliver(held, e)
-                // held epochs that finally deliver count toward the
-                // members' delivered-corpus cardinality sketches too
-                members
-                  .filter(_.metadata.contains(PipelineManager.SketchColumnKey))
-                  .foreach(updateCardinalitySketch(_, held))
+                // one materialization serves the delivery and every
+                // member's sketch fold (the batch-loop persist rule)
+                val held = spark.read
+                  .parquet(files.map(_.getPath.toString): _*).persist()
+                try {
+                  deliver(held, e)
+                  // held epochs that finally deliver count toward the
+                  // members' delivered-corpus cardinality sketches too
+                  members
+                    .filter(_.metadata
+                      .contains(PipelineManager.SketchColumnKey))
+                    .foreach(updateCardinalitySketch(_, held))
+                } finally held.unpersist(): Unit
               }
               files.foreach(f => rootFs.delete(f.getPath, false))
               rootFs.delete(new Path(markers, e.toString), false): Unit
@@ -1418,16 +1431,33 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
 
   /** Running delivered-corpus cardinality: (occupied registers,
     * estimate) from the pipeline's sketch table, or None before any
-    * delivery / for pipelines without the sketch opt-in. */
+    * delivery / for pipelines without the sketch opt-in.
+    *
+    * STRICTLY READ-ONLY: this can be called from any manager sharing
+    * the checkpoint root (a standby's /diag), while only the
+    * execution-lock owner delivers — so it must never run the swap
+    * recovery (a cross-JVM recover could promote/delete directories
+    * out from under the owner's in-flight rename pair). Instead it
+    * reads the newest COMPLETE snapshot: the live dir, else the
+    * staging dir (whose write finished before the live dir was
+    * renamed aside), else the set-aside previous table. */
   def cardinality(name: String): Option[(Long, Double)] =
     PipelineManager.sketchStripe(sketchDir(name)).synchronized {
-      recoverSketch(name)
-      if (!sketchHasData(name)) None
-      else {
-        val r = graft.sketch.Sketch
-          .hllEstimate(spark.read.parquet(sketchDir(name))).head()
-        Some((r.getAs[Long]("n_regs"), r.getAs[Double]("hll_est")))
-      }
+      def tryRead(dir: String): Option[(Long, Double)] =
+        try {
+          val p = new Path(dir)
+          val hasData = rootFs.exists(p) && rootFs.listStatus(p).exists(st =>
+            st.isFile && st.getPath.getName.startsWith("part-"))
+          if (!hasData) None
+          else {
+            val r = graft.sketch.Sketch
+              .hllEstimate(spark.read.parquet(dir)).head()
+            Some((r.getAs[Long]("n_regs"), r.getAs[Double]("hll_est")))
+          }
+        } catch { case _: Exception => None } // racing a swap: next candidate
+      tryRead(sketchDir(name))
+        .orElse(tryRead(sketchDir(name) + ".staging"))
+        .orElse(tryRead(sketchDir(name) + ".old"))
     }
 
   private def startLocked(name: String, spec: PipelineSpec,
@@ -1622,8 +1652,16 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
           // query (every member stopped one by one) does the query
           // itself stop.
           Option(queries.remove(n)).foreach { q =>
-            if (!queries.values().asScala.exists(_ eq q) && q.isActive)
-              q.stop()
+            if (!queries.values().asScala.exists(_ eq q)) {
+              if (q.isActive) q.stop()
+              // the last member's stop ended the group run: drop the
+              // remembered transform closure here too, not only on
+              // the force path
+              specs.get(n)
+                .map(s => s.metadata
+                  .getOrElse(PipelineManager.TaskPrefixKey, s.name))
+                .foreach(groupRuns.remove(_): Unit)
+            }
           }
         } else
           // StreamingQuery.stop() cancels the query's in-flight jobs —
@@ -1698,8 +1736,10 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Deleting)))
     specs.remove(name)
     removeSpecFile(name)
-    Seq("", ".old", ".staging").foreach(sfx =>
-      rootFs.delete(new Path(sketchDir(name) + sfx), true): Unit)
+    PipelineManager.sketchStripe(sketchDir(name)).synchronized {
+      Seq("", ".old", ".staging").foreach(sfx =>
+        rootFs.delete(new Path(sketchDir(name) + sfx), true): Unit)
+    }
     // last member gone -> the remembered group run (and its captured
     // transform closure) has nothing left to restart
     prefix.filterNot(p => specs.values.exists(s =>
