@@ -560,6 +560,76 @@ class PipelineManagerSpec extends SparkTestBase {
     assert(!PipelineManager.isCommittedEpochFile("_graft_holdback_meta"))
   }
 
+  test("epochAppendPartitioned: per-bucket names, one whole-epoch marker, exactly-once redo") {
+    val dest = Files.createTempDirectory("graft-eop-").toString
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b0 = Seq((1L, 0L), (2L, 1L), (3L, 0L)).toDF("id", "tb")
+    val files = PipelineManager.epochAppendPartitioned(
+      b0.repartition(col("tb")), dest, "tb", 0L, "pp")
+    assert(files.nonEmpty && files.forall(f => f.contains("/tb=") &&
+      f.split('/').last.matches("graft-pp-e0-p\\d+\\.parquet")),
+      s"published names break the partitioned contract: $files")
+    // ONE marker for the whole epoch — visible in all partitions or none
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dest, "_graft_commits/pp/0")))
+    // replay with DIFFERENT data: the marker wins, the SAME files return
+    val replay = PipelineManager.epochAppendPartitioned(
+      Seq((9L, 9L)).toDF("id", "tb"), dest, "tb", 0L, "pp")
+    assert(replay == files)
+    // partition discovery recovers tb from the directory names
+    assert(spark.read.parquet(dest)
+      .select(col("id"), col("tb").cast("long")).as[(Long, Long)]
+      .collect().toSet == Set((1L, 0L), (2L, 1L), (3L, 0L)))
+    // crashed attempt (files published, marker lost): redo replaces
+    fs.delete(new org.apache.hadoop.fs.Path(dest, "_graft_commits/pp/0"), false)
+    PipelineManager.epochAppendPartitioned(b0, dest, "tb", 0L, "pp"): Unit
+    assert(spark.read.parquet(dest).count() == 3)
+  }
+
+  test("create on a running group rolls back atomically when the restart cannot start") {
+    // a third member that CANNOT legally join the running shared query
+    // (different source behind a forced task prefix — startGroup's
+    // one-source invariant) must leave no trace: create() throws, the
+    // spec is unregistered, and the original membership is restarted.
+    val root = Files.createTempDirectory("graft-rejoin-rb-").toString
+    val srcDir = Files.createTempDirectory("graft-rejoin-src-").toString
+    val src2Dir = Files.createTempDirectory("graft-rejoin-src2-").toString
+    val pm = new PipelineManager(spark, root)
+    try {
+      Seq((1L, "a")).toDF("k", "v").coalesce(1)
+        .write.mode(SaveMode.Append).parquet(srcDir)
+      Seq((2L, "b")).toDF("k", "v").coalesce(1)
+        .write.mode(SaveMode.Append).parquet(src2Dir)
+      def dest(tag: String) =
+        Files.createTempDirectory(s"graft-rejoin-$tag-").toString + "/d"
+      pm.create(PipelineSpec("rga", "parquet", "parquet", srcDir,
+        destinationConnection = dest("x")))
+      pm.create(PipelineSpec("rgb", "parquet", "parquet", srcDir,
+        destinationConnection = dest("y")))
+      pm.startGroup("rga", identity,
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val deadline = System.currentTimeMillis() + 60000L
+      def committed0 = fs.exists(
+        new org.apache.hadoop.fs.Path(s"$root/group-rga/commits/0"))
+      while (!committed0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(25L)
+      assert(committed0, "group query never committed its first epoch")
+      val bad = PipelineSpec("rgc", "parquet", "parquet", src2Dir,
+        destinationConnection = dest("z"),
+        metadata = Map(PipelineManager.TaskPrefixKey -> "rga"))
+      val e = intercept[IllegalArgumentException] { pm.create(bad) }
+      assert(e.getMessage.contains("sources"))
+      assert(pm.get("rgc").isEmpty, "failed join must unregister the spec")
+      // the original two-member query is back in service
+      assert(spark.streams.active.exists(q =>
+        q.name == "group-rga" && q.isActive),
+        "rollback must return the original membership to service")
+      pm.stop("rga", force = true)
+    } finally pm.close()
+  }
+
   test("epochAppend: two pipelines sharing a destination don't collide") {
     // D1 destination-reuse lets pipelines share one dest, each with an
     // independent epoch counter from 0 — markers/files are namespaced
