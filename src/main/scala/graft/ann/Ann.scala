@@ -208,7 +208,7 @@ object Ann {
     * rounded to 6 dp, ties to the lower cell — the shared cell
     * mapping of [[ivfTopKWith]] and [[ivfPqTopK]]. Returns
     * (vec_id, v, nr, cent_id). */
-  private def cellAssign(cents: DataFrame, df: DataFrame, n: Int): DataFrame = {
+  private[graft] def cellAssign(cents: DataFrame, df: DataFrame, n: Int): DataFrame = {
     val v = df.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nr", norm(col("v")))
     val scored = v.join(broadcast(cents), lit(true))

@@ -1347,6 +1347,61 @@ object StreamingQueries {
       out
     }),
 
+    // INCREMENTAL IVF VECTOR INDEX — the s24 story for the vector
+    // side: ingest maintains a durable CELL-PARTITIONED vector store
+    // (fixed codebook trained at creation; nearest-cell assignment on
+    // ingest through the same EpochPartitionedStore protocol —
+    // bounded view, generation compaction, crash recovery), and each
+    // epoch re-serves an nprobe-gated ANN query whose candidate scan
+    // reads ONLY the probed cells' directories. Bit-matches the batch
+    // IVF closed form (e06's shapes) over every ingested prefix; the
+    // second run re-opens the store through recovery.
+    "s26_stream_ivf" -> ((s, d) => {
+      val emb = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"),
+          graft.ann.Ann.toDouble(col("embedding")).as("ce"))
+      val probes = emb.filter(col("vec_id") < 4).localCheckpoint()
+      val srcDir = Files.createTempDirectory("graft-s26-src-").toString
+      val idxDir = Files.createTempDirectory("graft-s26-idx-").toString
+      val outDir = Files.createTempDirectory("graft-s26-out-").toString
+      val ckpt = Files.createTempDirectory("graft-s26-ckpt-").toString
+      val schema = emb.schema
+      val stamped = scala.collection.mutable.Set[String]()
+      def writeBucket(b: Int): Unit = writeStampedBucket(srcDir, stamped, b,
+        emb.filter(pmod(col("vec_id"), lit(3L)) === b))
+      def runIngest(): Unit = {
+        val ivx = new graft.streaming.IncrementalVectorIndex(s, idxDir,
+          cents, name = "s26", compactEvery = 2)
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            ivx.appendEpoch(batch, epoch)
+            PipelineManager.epochAppend(
+              ivx.serve(probes, k = 3, nprobe = 2)
+                .withColumn("epoch", lit(epoch)).coalesce(1),
+              outDir, epoch, "s26"): Unit
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      try {
+        writeBucket(0); runIngest()
+        writeBucket(1); writeBucket(2); runIngest()
+      } finally s.conf.set("spark.sql.shuffle.partitions", before)
+      val out = s.read.parquet(outDir).localCheckpoint()
+      deleteTree(srcDir, idxDir, outDir, ckpt)
+      out
+    }),
+
     // Streaming CARDINALITY on ingest — a durable 256-row HyperLogLog
     // register table max-merged with each arriving epoch's registers,
     // emitting the running distinct-shingle estimate after every
@@ -2689,6 +2744,50 @@ object StreamingQueries {
         |ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY rrf DESC, doc_id)
         |AS rank FROM fused) WHERE rank <= 10
         |ORDER BY epoch, rank""".stripMargin.replace("\n", " "),
+
+    // Epoch-unrolled IVF: e06's closed form (8 fixed cells from
+    // vec_id < 8, candidate cells rn=1, probe cells rn<=2, cosine
+    // rounded to 6 dp, per-probe top-3) with the CANDIDATE side gated
+    // to each epoch's ingested prefix. Cell assignment is
+    // epoch-independent (the codebook is fixed), so only nbc carries
+    // the prefix join.
+    "s26_stream_ivf" ->
+      """WITH ep(epoch) AS (VALUES (CAST(0 AS BIGINT)), (1), (2)),
+        |ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |sqrt(list_reduce(list_transform(e, (x, i) -> x * (e)[i]),
+        |(acc, u) -> acc + u)) AS nr FROM ve),
+        |cents AS (SELECT vec_id AS cent_id, e AS ce, nr AS cnr FROM n
+        |WHERE vec_id < 8),
+        |sa AS (SELECT n.vec_id, c.cent_id,
+        |round(list_reduce(list_transform(n.e, (x, i) -> x * (c.ce)[i]),
+        |(acc, u) -> acc + u) / (n.nr * c.cnr), 6) AS acos
+        |FROM n CROSS JOIN cents c),
+        |casg AS (SELECT vec_id, cent_id FROM (
+        |SELECT vec_id, cent_id, ROW_NUMBER() OVER
+        |(PARTITION BY vec_id ORDER BY acos DESC, cent_id) AS rn FROM sa)
+        |WHERE rn = 1),
+        |pasg AS (SELECT vec_id, cent_id FROM (
+        |SELECT vec_id, cent_id, ROW_NUMBER() OVER
+        |(PARTITION BY vec_id ORDER BY acos DESC, cent_id) AS rn FROM sa)
+        |WHERE rn <= 2),
+        |nbc AS (SELECT ep.epoch, n.vec_id, e, nr, a.cent_id FROM n
+        |JOIN casg a USING (vec_id)
+        |JOIN ep ON MOD(n.vec_id, 3) <= ep.epoch),
+        |nbp AS (SELECT n.vec_id, e, nr, a.cent_id FROM n
+        |JOIN pasg a USING (vec_id) WHERE n.vec_id < 4),
+        |scored AS (SELECT c.epoch, q.vec_id AS query_id,
+        |q.cent_id AS cent_id, c.vec_id AS cand_id,
+        |round(list_reduce(list_transform(q.e, (x, i) -> x * (c.e)[i]),
+        |(acc, u) -> acc + u) / (q.nr * c.nr), 6) AS cos
+        |FROM nbp q JOIN nbc c ON q.cent_id = c.cent_id
+        |AND q.vec_id <> c.vec_id)
+        |SELECT epoch, query_id, cent_id, cand_id, rank, cos FROM (
+        |SELECT epoch, query_id, cent_id, cand_id, cos, ROW_NUMBER() OVER
+        |(PARTITION BY epoch, query_id ORDER BY cos DESC, cand_id) AS rank
+        |FROM scored) WHERE rank <= 3
+        |ORDER BY epoch, query_id, rank""".stripMargin.replace("\n", " "),
 
     // Epoch-unrolled HLL: the running register table after epoch e is
     // exactly the registers over buckets 0..e (max-merge is

@@ -488,6 +488,40 @@ class PlanSpec extends SparkTestBase {
     }.isEmpty, "the index-served plan must never touch the corpus")
   }
 
+  test("s26 incremental IVF serves with cell-partition pruning and a broadcast probe") {
+    // the IVF contract surviving to the physical plan: the candidate
+    // scan reads ONLY the probed cells' directories (PartitionFilters
+    // on the cell store), the probe side broadcasts onto it, and the
+    // per-probe rank window is partitioned, never global
+    val dir = java.nio.file.Files.createTempDirectory("plan-ivx-").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val cents = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("cent_id"),
+        graft.ann.Ann.toDouble(
+          org.apache.spark.sql.functions.col("embedding")).as("ce"))
+    val ivx = new graft.streaming.IncrementalVectorIndex(spark, dir, cents,
+      name = "p")
+    ivx.appendEpoch(emb.limit(200), 0L)
+    val p = ivx.serve(emb.filter(
+        org.apache.spark.sql.functions.col("vec_id") < 4), k = 3, nprobe = 2)
+      .queryExecution.executedPlan
+    val cellScans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("cells")) => s
+    }
+    assert(cellScans.nonEmpty, "the candidate side must read the cell store")
+    cellScans.foreach(s => assert(s.partitionFilters.nonEmpty,
+      "the probed-cell set must prune cell partitions"))
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "the probe fan-out must broadcast onto the candidate cells")
+    collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "per-probe ranking must never be a global window"))
+  }
+
   test("e14/e15 IVF+PQ score through broadcast codebook/ADC equi-joins") {
     for (name <- Seq("e14_ivf_pq", "e15_ivf_pq_trained")) {
       val p = planOf(name)

@@ -115,7 +115,8 @@ class IncrementalLexIndexSpec extends SparkTestBase {
       compactEvery = 2)
     ilx2.appendEpoch(docs.limit(0), 4L)
     ilx2.appendEpoch(docs.limit(0), 5L) // triggers gen 5 for real
-    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_compact_state-5")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/postings/_compact_state-5")))
     val ilx3 = new IncrementalLexIndex(spark, dir, name = "t")
     assert(serveRows(ilx3) == want)
   }
