@@ -1402,6 +1402,82 @@ object StreamingQueries {
       out
     }),
 
+    // HYBRID RETRIEVAL FROM TWO INGEST-MAINTAINED INDEXES — the
+    // production shape s25 approximates: the lexical list comes from
+    // the full-vocab incremental inverted index (s24) and the vector
+    // list from the incremental IVF store (s26, nprobe-gated cell
+    // pruning — NOT a brute-force scan of a flat store), fused by
+    // reciprocal rank exactly as e20. Per epoch both indexes fold the
+    // batch in and the standing hybrid query re-serves top-10; both
+    // input lists are k-bounded before the full-outer merge. Query
+    // terms never named at ingest; probe fixed at vec 0.
+    "s27_stream_hybrid_indexed" -> ((s, d) => {
+      val qTerms = Seq("table", "stream", "window", "sort")
+      val docs = Tables.t(s, d, "documents").select(col("doc_id"), col("text"))
+      val emb = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"),
+          graft.ann.Ann.toDouble(col("embedding")).as("ce"))
+      val probe = emb.filter(col("vec_id") === 0).localCheckpoint()
+      val srcDir = Files.createTempDirectory("graft-s27-src-").toString
+      val lexDir = Files.createTempDirectory("graft-s27-lex-").toString
+      val vecDir = Files.createTempDirectory("graft-s27-vec-").toString
+      val outDir = Files.createTempDirectory("graft-s27-out-").toString
+      val ckpt = Files.createTempDirectory("graft-s27-ckpt-").toString
+      val schema = docs.schema
+      val stamped = scala.collection.mutable.Set[String]()
+      def writeBucket(b: Int): Unit = writeStampedBucket(srcDir, stamped, b,
+        docs.filter(pmod(col("doc_id"), lit(3L)) === b))
+      def runIngest(): Unit = {
+        val ilx = new graft.streaming.IncrementalLexIndex(s, lexDir,
+          name = "s27l", compactEvery = 2)
+        val ivx = new graft.streaming.IncrementalVectorIndex(s, vecDir,
+          cents, name = "s27v", compactEvery = 2)
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            ilx.appendEpoch(batch, epoch)
+            ivx.appendEpoch(
+              emb.filter(pmod(col("vec_id"), lit(3L)) === epoch), epoch)
+            val lex = ilx.serve(qTerms, 10)
+              .select(col("doc_id"), col("rank").as("lex_rank"))
+            val vec = ivx.serve(probe, k = 10, nprobe = 2)
+              .select(col("cand_id").as("doc_id"),
+                col("rank").as("vec_rank"))
+            val fused = lex.join(vec, Seq("doc_id"), "full_outer")
+              .withColumn("rrf", round(
+                coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+                  coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)), 6))
+            val top = fused.orderBy(col("rrf").desc, col("doc_id")).limit(10)
+              .withColumn("rank", row_number()
+                .over(org.apache.spark.sql.expressions.Window
+                  .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+              .select(col("doc_id"), col("rank"), col("lex_rank"),
+                col("vec_rank"), col("rrf"))
+            PipelineManager.epochAppend(
+              top.withColumn("epoch", lit(epoch)).coalesce(1),
+              outDir, epoch, "s27"): Unit
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      try {
+        writeBucket(0); runIngest()
+        writeBucket(1); writeBucket(2); runIngest()
+      } finally s.conf.set("spark.sql.shuffle.partitions", before)
+      val out = s.read.parquet(outDir).localCheckpoint()
+      deleteTree(srcDir, lexDir, vecDir, outDir, ckpt)
+      out
+    }),
+
     // Streaming CARDINALITY on ingest — a durable 256-row HyperLogLog
     // register table max-merged with each arriving epoch's registers,
     // emitting the running distinct-shingle estimate after every
@@ -2730,6 +2806,80 @@ object StreamingQueries {
         |(acc, u) -> acc + u) / (q.nr * c.nr), 6) AS cos
         |FROM n q JOIN n c ON q.vec_id = 0 AND c.vec_id <> 0
         |JOIN ep ON MOD(c.vec_id, 3) <= ep.epoch),
+        |vec AS (SELECT epoch, doc_id, vec_rank FROM (SELECT epoch, doc_id,
+        |ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY cos DESC, doc_id)
+        |AS vec_rank FROM vsc) WHERE vec_rank <= 10),
+        |fused AS (SELECT COALESCE(l.epoch, w2.epoch) AS epoch,
+        |COALESCE(l.doc_id, w2.doc_id) AS doc_id, l.lex_rank, w2.vec_rank,
+        |round(COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rank), 0)
+        |+ COALESCE(CAST(1 AS DOUBLE) / (60 + w2.vec_rank), 0), 6) AS rrf
+        |FROM lex l FULL JOIN vec w2
+        |ON l.epoch = w2.epoch AND l.doc_id = w2.doc_id)
+        |SELECT epoch, doc_id, rank, lex_rank, vec_rank, rrf FROM (SELECT
+        |epoch, doc_id, lex_rank, vec_rank, rrf,
+        |ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY rrf DESC, doc_id)
+        |AS rank FROM fused) WHERE rank <= 10
+        |ORDER BY epoch, rank""".stripMargin.replace("\n", " "),
+
+    // Epoch-unrolled indexed hybrid: the s24 lexical closed form
+    // (rank <= 10) fused with the s26 IVF closed form restricted to
+    // probe vec 0 (nprobe=2, rank <= 10) through e20's 1/(60+rank)
+    // reciprocal-rank formula, per ingested prefix.
+    "s27_stream_hybrid_indexed" ->
+      """WITH ep(epoch) AS (VALUES (CAST(0 AS BIGINT)), (1), (2)),
+        |tk AS (SELECT doc_id,
+        |list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |FROM documents),
+        |pre AS (SELECT ep.epoch, tk.doc_id, tk.w FROM tk
+        |JOIN ep ON MOD(tk.doc_id, 3) <= ep.epoch),
+        |dl AS (SELECT epoch, doc_id, CAST(len(w) AS DOUBLE) AS dl FROM pre),
+        |st AS (SELECT epoch, CAST(COUNT(*) AS DOUBLE) AS nd, AVG(dl) AS avgdl
+        |FROM dl GROUP BY 1),
+        |p AS (SELECT epoch, doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |FROM (SELECT epoch, doc_id, unnest(w) AS term FROM pre)
+        |WHERE term IN ('table', 'stream', 'window', 'sort')
+        |GROUP BY 1, 2, 3),
+        |f AS (SELECT epoch, term, CAST(COUNT(*) AS DOUBLE) AS df FROM p
+        |GROUP BY 1, 2),
+        |sc AS (SELECT p.epoch, p.doc_id,
+        |round(SUM(ln((st.nd - f.df + 0.5) / (f.df + 0.5) + 1)
+        |* p.tf * 2.2
+        |/ (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+        |FROM p JOIN dl ON p.epoch = dl.epoch AND p.doc_id = dl.doc_id
+        |JOIN f ON p.epoch = f.epoch AND p.term = f.term
+        |JOIN st ON st.epoch = p.epoch GROUP BY 1, 2),
+        |lex AS (SELECT epoch, doc_id, rank AS lex_rank FROM (SELECT epoch,
+        |doc_id, ROW_NUMBER() OVER (PARTITION BY epoch
+        |ORDER BY score DESC, doc_id) AS rank FROM sc) WHERE rank <= 10),
+        |ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |sqrt(list_reduce(list_transform(e, (x, i) -> x * (e)[i]),
+        |(acc, u) -> acc + u)) AS nr FROM ve),
+        |cents AS (SELECT vec_id AS cent_id, e AS ce, nr AS cnr FROM n
+        |WHERE vec_id < 8),
+        |sa AS (SELECT n.vec_id, c.cent_id,
+        |round(list_reduce(list_transform(n.e, (x, i) -> x * (c.ce)[i]),
+        |(acc, u) -> acc + u) / (n.nr * c.cnr), 6) AS acos
+        |FROM n CROSS JOIN cents c),
+        |casg AS (SELECT vec_id, cent_id FROM (
+        |SELECT vec_id, cent_id, ROW_NUMBER() OVER
+        |(PARTITION BY vec_id ORDER BY acos DESC, cent_id) AS rn FROM sa)
+        |WHERE rn = 1),
+        |pasg AS (SELECT vec_id, cent_id FROM (
+        |SELECT vec_id, cent_id, ROW_NUMBER() OVER
+        |(PARTITION BY vec_id ORDER BY acos DESC, cent_id) AS rn FROM sa)
+        |WHERE rn <= 2),
+        |nbc AS (SELECT ep.epoch, n.vec_id, e, nr, a.cent_id FROM n
+        |JOIN casg a USING (vec_id)
+        |JOIN ep ON MOD(n.vec_id, 3) <= ep.epoch),
+        |nbp AS (SELECT n.vec_id, e, nr, a.cent_id FROM n
+        |JOIN pasg a USING (vec_id) WHERE n.vec_id = 0),
+        |vsc AS (SELECT c.epoch, c.vec_id AS doc_id,
+        |round(list_reduce(list_transform(q.e, (x, i) -> x * (c.e)[i]),
+        |(acc, u) -> acc + u) / (q.nr * c.nr), 6) AS cos
+        |FROM nbp q JOIN nbc c ON q.cent_id = c.cent_id
+        |AND q.vec_id <> c.vec_id),
         |vec AS (SELECT epoch, doc_id, vec_rank FROM (SELECT epoch, doc_id,
         |ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY cos DESC, doc_id)
         |AS vec_rank FROM vsc) WHERE vec_rank <= 10),
