@@ -92,10 +92,11 @@ object StreamScaleProbe {
       * optional per-batch projection lets a shape attach batch-indexed
       * columns (s14's event-time). */
     def writeOddBatches(rows: DataFrame, srcDir: String,
-        project: (DataFrame, Int) => DataFrame = (df, _) => df): Int = {
+        project: (DataFrame, Int) => DataFrame = (df, _) => df,
+        docsPerBatch: Int = batchDocs): Int = {
       val odd = rows.filter(pmod(col("doc"), lit(2L)) === 1)
       val nOdd = odd.select(col("doc")).distinct().count()
-      val nBatches = math.max(1, (nOdd / batchDocs).toInt)
+      val nBatches = math.max(1, (nOdd / docsPerBatch).toInt)
       (0 until nBatches).foreach { b =>
         project(odd.filter(
             pmod(Portable.h(col("doc")), lit(nBatches.toLong)) === b), b)
@@ -400,6 +401,46 @@ object StreamScaleProbe {
     if (shapes("s24")) {
       runLexVocab(base, "1x"); runLexVocab(scaled, s"${factor}x")
     }
+
+    // ---- s26 shape: incremental IVF vector index ----
+    // Same two bounds as s24, on the vector store: per-epoch cost
+    // flat (assignment is O(batch) against a broadcast codebook,
+    // serve reads nprobe cells through the bounded view) and file
+    // count flat (compaction to ~one file per cell every 8 epochs).
+    // The embeddings corpus has no 8× variant, so the deeper run
+    // replays the same corpus in QUARTER-sized batches (4× the
+    // epochs) — the axis under test is epoch count, not bytes.
+    def runIvf(batchFrac: Int, label: String): Unit = {
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+        .select(col("vec_id").as("doc"), col("embedding"))
+      val cents = emb.filter(col("doc") < 8)
+        .select(col("doc").as("cent_id"),
+          graft.ann.Ann.toDouble(col("embedding")).as("ce"))
+      val probes = emb.filter(col("doc") < 4)
+        .select(col("doc").as("vec_id"), col("embedding")).localCheckpoint()
+      val srcDir = tmp("sscale26-src-"); val idxDir = tmp("sscale26-idx-")
+      val outDir = tmp("sscale26-out-"); val ckpt = tmp("sscale26-ckpt-")
+      val savedBatch = batchDocs
+      writeOddBatches(emb, srcDir,
+        docsPerBatch = math.max(1, batchDocs / batchFrac)): Unit
+      val ivx = new graft.streaming.IncrementalVectorIndex(spark, idxDir,
+        cents, name = "sscale26", compactEvery = 8)
+      val files = scala.collection.mutable.ArrayBuffer.empty[Int]
+      drive("s26shape", label, srcDir, ckpt, emb.schema, identity) { (batch, epoch) =>
+        ivx.appendEpoch(batch.withColumnRenamed("doc", "vec_id"), epoch)
+        files += ivx.cellFileCount()
+        PipelineManager.epochAppend(
+          ivx.serve(probes, k = 3, nprobe = 2)
+            .withColumn("epoch", lit(epoch)).coalesce(1),
+          outDir, epoch, "sscale-ivf"): Unit
+      }
+      println(s"[sscale] s26shape $label FILES first=${files.head} " +
+        s"max=${files.max} last=${files.last} n=${files.size} " +
+        s"batchDocs=${savedBatch / batchFrac}")
+      deleteAll(srcDir, idxDir, outDir, ckpt)
+    }
+
+    if (shapes("s26")) { runIvf(1, "1x"); runIvf(4, "4xepochs") }
 
     if (shapes("fanout")) { runFanout(2); runFanout(8) }
     if (shapes("s22")) { runHll(base, "1x"); runHll(scaled, s"${factor}x") }
