@@ -205,18 +205,24 @@ object Ann {
 
   /** Attach each vector's `n` nearest cell ids (one output row per
     * cell): broadcast join against the tiny centroid relation, cosine
-    * rounded to 6 dp, ties to the lower cell — the shared cell
-    * mapping of [[ivfTopKWith]] and [[ivfPqTopK]]. Returns
-    * (vec_id, v, nr, cent_id). */
-  private[graft] def cellAssign(cents: DataFrame, df: DataFrame, n: Int): DataFrame = {
-    val v = df.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    * rounded to 6 dp, ties to the lower cell — the ONE spelling of
+    * the cell mapping shared by [[ivfTopKWith]], [[ivfPqTopK]], and
+    * the incremental vector index's ingest-time assignment (which
+    * must agree bit for bit with the serve-time probe assignment).
+    * Returns (vec_id, `keep`..., v, nr, cent_id); `keep` names input
+    * columns carried through unchanged. */
+  private[graft] def cellAssign(cents: DataFrame, df: DataFrame, n: Int,
+      keep: Seq[String] = Nil): DataFrame = {
+    val v = df.select(col("vec_id") +: keep.map(col) :+
+        toDouble(col("embedding")).as("v"): _*)
       .withColumn("nr", norm(col("v")))
     val scored = v.join(broadcast(cents), lit(true))
       .withColumn("acos", round(cosine(col("v"), col("ce"), col("nr"), col("cnr")), 6))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("acos").desc, col("cent_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
-      .select(col("vec_id"), col("v"), col("nr"), col("cent_id"))
+      .select(col("vec_id") +: keep.map(col) ++:
+        Seq(col("v"), col("nr"), col("cent_id")): _*)
   }
 
   /**

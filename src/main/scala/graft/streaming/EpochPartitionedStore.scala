@@ -84,6 +84,16 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
   // thread and concurrent reader threads: a reader-created fresh view
   // already contains the in-flight epoch's committed files, and an
   // unsynchronized extend right after would union them twice.
+  //
+  // What this lock does NOT give: isolation of an in-flight reader
+  // JOB from a compaction sweep — a Spark job scanning the old union
+  // plan while sweep() deletes its files fails with FileNotFound.
+  // With `compactEvery` enabled the owner must consume each serve
+  // result before the maintenance thread's next appendEpoch (the
+  // foreachBatch ingest loops do exactly this: the serve output is
+  // epoch-committed before the loop advances). Snapshot-isolated
+  // concurrent readers would need a table format with a manifest
+  // (Iceberg/Delta), which this store deliberately does not reinvent.
   private val viewLock = new Object
 
   /** Epoch number parsed from a committed file name
@@ -190,6 +200,10 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
     * that triggered an already-recorded generation is a no-op. */
   private def compact(epoch: Long): Unit = {
     if (latestGenState.exists(_._1 >= epoch)) return // replayed trigger
+    // an all-empty-epoch store has nothing to rewrite — and a parquet
+    // read over a dir holding only markers would throw, killing the
+    // stream on a cadence tick
+    if (!hasData) return
     val full = spark.read.parquet(dir).repartition(col(partCol))
     PipelineManager.epochAppendPartitioned(
       full, dir, partCol, epoch, genPipe): Unit

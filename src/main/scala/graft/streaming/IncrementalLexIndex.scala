@@ -55,6 +55,24 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
   // epochs fall back to the (compaction-swept, bounded) store read.
   private var lastStats: Option[(Long, Double, Double)] = None
 
+  // Migration: builds prior to the EpochPartitionedStore extraction
+  // kept the compaction state records at the INDEX root; the store
+  // owns them under dir/postings now. Move any legacy records in
+  // BEFORE the store's recovery runs — without this, recovery would
+  // read "no generation recorded" and delete the compacted data as
+  // an unrecorded attempt.
+  locally {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(dir, "_compact_state-*")))
+      .toSeq.flatten
+      .foreach { st =>
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/postings"))
+        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
+          s"$dir/postings/${st.getPath.getName}")): Unit
+      }
+  }
+
   private val store = new EpochPartitionedStore(spark, s"$dir/postings",
     "tb", name, refreshEvery, compactEvery, onSweep = (_, upTo) => {
       val fs = new org.apache.hadoop.fs.Path(statsDir).getFileSystem(conf)

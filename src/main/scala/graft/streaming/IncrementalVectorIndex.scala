@@ -55,19 +55,13 @@ final class IncrementalVectorIndex(spark: SparkSession, dir: String,
     * nearest-cell assignment against the fixed codebook, then one
     * partitioned epoch commit. Idempotent per epoch. */
   def appendEpoch(batch: DataFrame, epoch: Long): Unit = {
-    // the cellAssign contract inlined so the original embedding
-    // column rides along (no join-back): broadcast codebook cosine,
-    // rounded to 6 dp, ties to the lower cell
-    val v = batch.select(col("vec_id"), col("embedding"),
-        Ann.toDouble(col("embedding")).as("v"))
-      .withColumn("nr", Ann.norm(col("v")))
-    val scored = v.join(broadcast(cents), lit(true))
-      .withColumn("acos",
-        round(Ann.cosine(col("v"), col("ce"), col("nr"), col("cnr")), 6))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("acos").desc, col("cent_id"))
-    val assigned = scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // THE cell mapping (Ann.cellAssign: broadcast codebook cosine,
+    // rounded to 6 dp, ties to the lower cell) with the original
+    // embedding column carried through — ingest-time assignment and
+    // serve-time probe assignment share one spelling by construction
+    val assigned = Ann.cellAssign(cents,
+        batch.select(col("vec_id"), col("embedding")), 1,
+        keep = Seq("embedding"))
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
     store.appendEpoch(assigned, epoch)
   }
@@ -90,12 +84,16 @@ final class IncrementalVectorIndex(spark: SparkSession, dir: String,
         Seq.empty[(Long, Long, Long, Long, Double)]
           .toDF("query_id", "cent_id", "cand_id", "rank", "cos")
       case Some(fr) =>
+        // materialized once (bounded at |probes|·nprobe rows): the
+        // cell collect below and the broadcast join share one
+        // assignment job instead of running it twice per serve
         val p = Ann.cellAssign(cents, probes, nprobe)
           .withColumnRenamed("vec_id", "query_id")
           .withColumnRenamed("v", "qv").withColumnRenamed("nr", "qn")
+          .localCheckpoint()
         val probeCells = p.select(col("cent_id")).distinct()
           .collect() // ≤ |probes|·nprobe rows — bounded by construction
-          .map(_.get(0).asInstanceOf[Number].intValue()).toSeq.sorted
+          .map(_.get(0).asInstanceOf[Number].longValue()).toSeq.sorted
         val cand = fr.filter(col("cell").isin(probeCells: _*))
           .select(col("vec_id").as("cand_id"),
             Ann.toDouble(col("embedding")).as("cv"), col("cell"))

@@ -114,7 +114,8 @@ object StreamScaleProbe {
       * `body`, timing each epoch, then print the flatness summary. */
     def drive(shape: String, label: String, srcDir: String, ckpt: String,
         schema: org.apache.spark.sql.types.StructType,
-        pre: DataFrame => DataFrame)(body: (DataFrame, Long) => Unit): Unit = {
+        pre: DataFrame => DataFrame, docsLabel: Int = batchDocs)(
+        body: (DataFrame, Long) => Unit): Unit = {
       val epochSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
       val q = pre(spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
@@ -135,7 +136,7 @@ object StreamScaleProbe {
       val n = epochSecs.size
       val head = epochSecs.take(3)
       val tail = epochSecs.takeRight(3)
-      println(f"[sscale] $shape $label SUMMARY epochs=$n batchDocs=$batchDocs " +
+      println(f"[sscale] $shape $label SUMMARY epochs=$n batchDocs=$docsLabel " +
         f"first3_mean=${head.sum / head.size}%.2fs " +
         f"last3_mean=${tail.sum / tail.size}%.2fs " +
         f"late_over_early=${(tail.sum / tail.size) / (head.sum / head.size)}%.2f " +
@@ -420,13 +421,13 @@ object StreamScaleProbe {
         .select(col("doc").as("vec_id"), col("embedding")).localCheckpoint()
       val srcDir = tmp("sscale26-src-"); val idxDir = tmp("sscale26-idx-")
       val outDir = tmp("sscale26-out-"); val ckpt = tmp("sscale26-ckpt-")
-      val savedBatch = batchDocs
-      writeOddBatches(emb, srcDir,
-        docsPerBatch = math.max(1, batchDocs / batchFrac)): Unit
+      val effectiveDocs = math.max(1, batchDocs / batchFrac)
+      writeOddBatches(emb, srcDir, docsPerBatch = effectiveDocs): Unit
       val ivx = new graft.streaming.IncrementalVectorIndex(spark, idxDir,
         cents, name = "sscale26", compactEvery = 8)
       val files = scala.collection.mutable.ArrayBuffer.empty[Int]
-      drive("s26shape", label, srcDir, ckpt, emb.schema, identity) { (batch, epoch) =>
+      drive("s26shape", label, srcDir, ckpt, emb.schema, identity,
+          docsLabel = effectiveDocs) { (batch, epoch) =>
         ivx.appendEpoch(batch.withColumnRenamed("doc", "vec_id"), epoch)
         files += ivx.cellFileCount()
         PipelineManager.epochAppend(
@@ -436,7 +437,7 @@ object StreamScaleProbe {
       }
       println(s"[sscale] s26shape $label FILES first=${files.head} " +
         s"max=${files.max} last=${files.last} n=${files.size} " +
-        s"batchDocs=${savedBatch / batchFrac}")
+        s"batchDocs=$effectiveDocs")
       deleteAll(srcDir, idxDir, outDir, ckpt)
     }
 

@@ -62,12 +62,42 @@ class IncrementalLexIndexSpec extends SparkTestBase {
 
   test("an index with no documents yet serves an empty result, not a crash") {
     val dir = tmp("ilx-empty-")
-    val ilx = new IncrementalLexIndex(spark, dir, name = "t")
+    // compactEvery=1: every data-free epoch also ticks the compaction
+    // cadence, which must no-op on an empty store rather than die on
+    // an uninferrable-schema read
+    val ilx = new IncrementalLexIndex(spark, dir, name = "t",
+      compactEvery = 1)
     assert(serveRows(ilx).isEmpty, "fresh index must serve empty")
     ilx.appendEpoch(docs.limit(0), 0L) // a data-free first trigger
     assert(serveRows(ilx).isEmpty, "empty-epoch index must serve empty")
     ilx.appendEpoch(docs.limit(50), 1L)
     assert(serveRows(ilx) == oracleRows(docs.limit(50)))
+  }
+
+  test("a legacy root-level compaction record migrates instead of deleting data") {
+    // builds prior to the EpochPartitionedStore extraction kept
+    // _compact_state-* at the index ROOT; a reopen must move the
+    // record into the store, not read "no generation recorded" and
+    // sweep the compacted data as an unrecorded attempt
+    val dir = tmp("ilx-mig-")
+    val ilx = new IncrementalLexIndex(spark, dir, name = "t",
+      compactEvery = 2)
+    (0 until 2).foreach { e =>
+      ilx.appendEpoch(docs.filter(pmod(col("doc_id"), lit(2L)) === e), e)
+    }
+    val want = serveRows(ilx)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the legacy layout: record back at the root
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/postings/_compact_state-1"),
+      new org.apache.hadoop.fs.Path(s"$dir/_compact_state-1")))
+    val reopened = new IncrementalLexIndex(spark, dir, name = "t")
+    assert(serveRows(reopened) == want,
+      "legacy record must be honored — data survived the reopen")
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/postings/_compact_state-1")),
+      "the record must have migrated into the store")
   }
 
   test("a replayed epoch (and a replayed compaction trigger) is a no-op") {
