@@ -2152,6 +2152,86 @@ object StreamingQueries {
       }
     }),
 
+    // MID-RUN MEMBERSHIP REMOVAL — q71's mirror: deleting a member of
+    // a RUNNING group reassigns (restarts the shared query with the
+    // narrowed fan-out from the group checkpoint), because stopping
+    // the member's handle necessarily stops the one query serving the
+    // whole group. The reference reassigns on datastream delete
+    // through the same path as add. Contract under test: after
+    // delete, the survivor's destination keeps receiving exactly
+    // once, the deleted member's destination receives NOTHING after
+    // its last pre-delete epoch, and the old handle is dead with a
+    // live replacement.
+    "q72_group_member_delete" -> ((s, d) => {
+      val ckptRoot = Files.createTempDirectory("graft-q72-pm-").toString
+      val srcDir = Files.createTempDirectory("graft-q72-src-").toString
+      val destX = Files.createTempDirectory("graft-q72-destX-").toString + "/d"
+      val destY = Files.createTempDirectory("graft-q72-destY-").toString + "/d"
+      var pms = List.empty[PipelineManager]
+      try {
+        val conf = s.sparkContext.hadoopConfiguration
+        val clicks = Tables.t(s, d, "events")
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"))
+        def epochOf(e: Long): DataFrame =
+          clicks.filter(pmod(col("event_id"), lit(2L)) === e)
+        val fs = new org.apache.hadoop.fs.Path(ckptRoot).getFileSystem(conf)
+        def commitDone(b: Long): Boolean = fs.exists(
+          new org.apache.hadoop.fs.Path(s"$ckptRoot/group-q72a/commits/$b"))
+        def awaitTrue(what: String)(cond: => Boolean): Unit = {
+          val deadline = System.currentTimeMillis() + 60000L
+          while (!cond && System.currentTimeMillis() < deadline)
+            Thread.sleep(25L)
+          require(cond, s"q72: timed out waiting for $what")
+        }
+        PipelineManager.epochAppend(epochOf(0).coalesce(1), srcDir, 0, "q72src")
+        val pm = new PipelineManager(s, ckptRoot)
+        pms ::= pm
+        pm.create(PipelineSpec("q72a", "parquet", "parquet", srcDir,
+          destinationConnection = destX))
+        pm.create(PipelineSpec("q72b", "parquet", "parquet", srcDir,
+          destinationConnection = destY))
+        val q0 = pm.startGroup("q72a", identity,
+          Trigger.ProcessingTime("50 milliseconds"))
+        awaitTrue("epoch 0 commit")(commitDone(0))
+        pm.delete("q72b")
+        val restarted = (!q0.isActive).toString
+        val newLive = s.streams.active.exists(q =>
+          q.name == "group-q72a" && q.isActive).toString
+        val bGone = pm.get("q72b").isEmpty.toString
+        val yFilesAtDelete = PipelineManager.committedFiles(destY, conf).size
+        PipelineManager.epochAppend(epochOf(1).coalesce(1), srcDir, 1, "q72src")
+        awaitTrue("epoch 1 commit")(commitDone(1))
+        awaitTrue("post-delete delivery to the survivor")(
+          PipelineManager.committedFiles(destX, conf).size >= 2)
+        val yFilesAfter = PipelineManager.committedFiles(destY, conf).size
+        pm.stop("q72a", force = true)
+        val x = s.read.parquet(destX)
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+          .head()
+        val y = s.read.parquet(destY)
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+          .head()
+        pm.close()
+        import s.implicits._
+        Seq(
+          ("del", "restarted", restarted),
+          ("del", "new_query_live", newLive),
+          ("del", "b_gone", bGone),
+          ("del", "y_frozen",
+            (yFilesAfter == yFilesAtDelete).toString),
+          ("rows", "x_n", x.getLong(0).toString),
+          ("rows", "x_distinct", x.getLong(1).toString),
+          ("rows", "y_n", y.getLong(0).toString),
+          ("rows", "y_distinct", y.getLong(1).toString))
+          .toDF("kind", "k", "v")
+      } finally {
+        pms.foreach(p => try p.close() catch { case _: Throwable => () })
+        deleteTree(ckptRoot, srcDir, new java.io.File(destX).getParent,
+          new java.io.File(destY).getParent)
+      }
+    }),
+
     // Heartbeat-driven self-demotion — the RUNTIME half of the q67
     // lease contract: nothing external tells the expired manager to
     // stand down; its OWN scheduled heartbeat (interval = lease/4)
@@ -2192,7 +2272,10 @@ object StreamingQueries {
         // overwritten — re-applying the aged mod-time until the timer
         // reacts converges regardless of that interleaving.
         val regPath = new org.apache.hadoop.fs.Path(s"$ckptRoot/instances/mgrA")
-        val deadline = System.currentTimeMillis() + 30000L
+        // 90 s: the timer reacts in well under a second unloaded, but
+        // the driver's bench window runs gates under load and the
+        // aging write must land inside a tick's check-then-touch gap
+        val deadline = System.currentTimeMillis() + 90000L
         while (!mA.isDemoted && System.currentTimeMillis() < deadline) {
           fs.setTimes(regPath,
             System.currentTimeMillis() - lease - 60000L, -1)
@@ -3109,6 +3192,27 @@ object StreamingQueries {
         |UNION ALL SELECT 'rows', 'z_distinct',
         |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
         |FROM events WHERE event_type = 'click' AND event_id % 2 = 1"""
+        .stripMargin.replace("\n", " "),
+
+    // Membership-removal closed form: the delete happens with epoch 0
+    // committed, so the deleted member's destination froze at the
+    // epoch-0 slice while the survivor holds everything exactly once
+    // across the narrowed restart.
+    "q72_group_member_delete" ->
+      """SELECT 'del' AS kind, 'restarted' AS k, 'true' AS v
+        |UNION ALL SELECT 'del', 'new_query_live', 'true'
+        |UNION ALL SELECT 'del', 'b_gone', 'true'
+        |UNION ALL SELECT 'del', 'y_frozen', 'true'
+        |UNION ALL SELECT 'rows', 'x_n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL SELECT 'rows', 'x_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL SELECT 'rows', 'y_n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click' AND event_id % 2 = 0
+        |UNION ALL SELECT 'rows', 'y_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'click' AND event_id % 2 = 0"""
         .stripMargin.replace("\n", " "),
 
     // Self-demotion closed form: every lease event is a literal (the

@@ -1727,10 +1727,28 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     }
   }
 
+  /** Unregister a pipeline. Deleting a member of a task group whose
+    * shared query is RUNNING triggers the membership-change
+    * reassignment (q72 — the remove-side mirror of
+    * [[rejoinRunningGroup]]; the reference reassigns on datastream
+    * delete through the same handleLeaderDoAssignment): stopping the
+    * member's handle necessarily stops the SHARED query (one query
+    * serves the whole group), so the remaining members are restarted
+    * from the group checkpoint with the narrowed fan-out — exactly
+    * once for the survivors, nothing further for the deleted
+    * member's destination. Deleting the last member stops the group
+    * for good. */
   def delete(name: String, owner: String = "anonymous"): Unit = {
     authorizeLifecycle(name, owner)
     val prefix = specs.get(name)
       .map(s => s.metadata.getOrElse(PipelineManager.TaskPrefixKey, s.name))
+    // capture BEFORE the stop: was the group's shared query live, and
+    // who survives to restart it
+    val sharedWasActive = prefix.exists(p =>
+      Option(queries.get(name)).exists(q =>
+        q.isActive && q.name == s"group-$p"))
+    val survivor = findGroup(name).filterNot(_.name == name)
+      .sortBy(_.name).headOption.map(_.name)
     stopQueryOf(name)
     releaseLock(name)
     specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Deleting)))
@@ -1746,6 +1764,11 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         s.metadata.getOrElse(PipelineManager.TaskPrefixKey, s.name) == p))
       .foreach(groupRuns.remove(_): Unit)
     hooks.onStateChange(name, PipelineStatus.Deleting)
+    if (sharedWasActive) for {
+      p <- prefix
+      s <- survivor
+      (transform, trigger) <- groupRuns.get(p)
+    } startGroup(s, transform, trigger): Unit
   }
 
   /** The session this manager schedules on (control-plane consumers

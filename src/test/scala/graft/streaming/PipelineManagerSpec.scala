@@ -973,7 +973,11 @@ class PipelineManagerSpec extends SparkTestBase {
     // can overwrite a single aging write (read fresh, then refresh
     // after the test's setTimes landed) — re-applying converges
     val regA = new org.apache.hadoop.fs.Path(s"$root/instances/A")
-    val deadline = System.currentTimeMillis() + 30000L
+    // 90 s: the 50 ms timer normally reacts in well under a second,
+    // but this suite runs beside gate batteries on a loaded box and
+    // the aging write must land in a tick's check-then-touch gap —
+    // a short deadline here has flaked purely on scheduler delay
+    val deadline = System.currentTimeMillis() + 90000L
     // the flag flips FIRST (it fences starts during the sweep), so
     // wait for the handle sweep too, not just the flag
     while ((!pmA.isDemoted || pmA.queryOf("hb").nonEmpty) &&
