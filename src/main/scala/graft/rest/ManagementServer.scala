@@ -354,11 +354,18 @@ final class ManagementServer(pm: PipelineManager,
         }
       case ("DELETE", List("pipelines", name)) =>
         pm.get(name).getOrElse(sys.error(s"unknown pipeline $name"))
-        pm.delete(name, owner(ex))
+        // pm.delete can throw AFTER the deletion completed (a failed
+        // narrowed-group restart); the inheritance cleanup must key on
+        // whether the spec is actually gone, not on a clean return —
+        // a recreate after a 500'd-but-completed delete must still
+        // start with no assignment table or staged moves
+        try pm.delete(name, owner(ex))
+        finally if (pm.get(name).isEmpty) {
+          assignments.remove(name)
+          stagedMoves.remove(name): Unit
+        }
         // delete-then-recreate of the same name must not inherit the
         // deleted pipeline's assignment table or staged moves
-        assignments.remove(name)
-        stagedMoves.remove(name)
         respond(ex, 200, JObject("name" -> JString(name), "deleted" -> JBool(true)))
       // getTaskAssignment (DatastreamResources.java:826-849): the
       // instance hosting one task, or the whole table without ?task=.

@@ -671,33 +671,42 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   private def rejoinRunningGroup(spec: PipelineSpec): Unit = {
     val prefix = spec.metadata.getOrElse(PipelineManager.TaskPrefixKey,
       spec.name)
-    val siblings = findGroup(spec.name).filterNot(_.name == spec.name)
-    val runningShared = siblings
-      .flatMap(m => Option(queries.get(m.name)))
-      .exists(q => q.isActive && q.name == s"group-$prefix")
-    if (runningShared) groupRuns.get(prefix).foreach {
-      case (transform, trigger) =>
-        // startGroup stops the running shared query itself
-        // (stopQueryOf per member) before starting the widened one.
-        // A restart failure must not leave the previously-running
-        // siblings silently stopped while create() throws with the
-        // spec persisted: unregister the new member (create stays
-        // atomic — the caller can retry it) and put the ORIGINAL
-        // membership back in service before rethrowing.
-        try startGroup(spec.name, transform, trigger): Unit
-        catch {
-          case e: Throwable =>
-            specs.remove(spec.name)
-            try removeSpecFile(spec.name)
-            catch { case e2: Throwable => e.addSuppressed(e2) }
-            // observers saw Ready at registration; tell them the
-            // member is gone again (same signal delete() sends)
-            try hooks.onStateChange(spec.name, PipelineStatus.Deleting)
-            catch { case e2: Throwable => e.addSuppressed(e2) }
-            try startGroup(siblings.head.name, transform, trigger): Unit
-            catch { case e2: Throwable => e.addSuppressed(e2) }
-            throw e
-        }
+    PipelineManager.membershipStripe(prefix).synchronized {
+      val siblings = findGroup(spec.name).filterNot(_.name == spec.name)
+      val runningShared = siblings
+        .flatMap(m => Option(queries.get(m.name)))
+        .exists(q => q.isActive && q.name == s"group-$prefix")
+      if (runningShared) groupRuns.get(prefix).foreach {
+        case (transform, trigger) =>
+          // startGroup stops the running shared query itself
+          // (stopQueryOf per member) before starting the widened one;
+          // reAdmitStopped=false — joining a member must not
+          // resurrect a sibling its owner explicitly stopped. The new
+          // member can never steal a shared destination's marker
+          // namespace mid-epoch: destLeader keeps leadership with the
+          // namespace that already holds markers.
+          // A restart failure must not leave the previously-running
+          // siblings silently stopped while create() throws with the
+          // spec persisted: unregister the new member (create stays
+          // atomic — the caller can retry it) and put the ORIGINAL
+          // membership back in service before rethrowing.
+          try startGroup(spec.name, transform, trigger,
+            reAdmitStopped = false): Unit
+          catch {
+            case e: Throwable =>
+              specs.remove(spec.name)
+              try removeSpecFile(spec.name)
+              catch { case e2: Throwable => e.addSuppressed(e2) }
+              // observers saw Ready at registration; tell them the
+              // member is gone again (same signal delete() sends)
+              try hooks.onStateChange(spec.name, PipelineStatus.Deleting)
+              catch { case e2: Throwable => e.addSuppressed(e2) }
+              try startGroup(siblings.head.name, transform, trigger,
+                reAdmitStopped = false): Unit
+              catch { case e2: Throwable => e.addSuppressed(e2) }
+              throw e
+          }
+      }
     }
   }
 
@@ -1094,7 +1103,8 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
    * member created between runs joins on the next start.
    */
   def startGroup(name: String, transform: DataFrame => DataFrame,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      reAdmitStopped: Boolean = true): StreamingQuery = {
     if (demotedFlag) throw new IllegalStateException(s"manager $instanceId " +
       "is demoted (lease expired); it must not start queries")
     val members = findGroup(name)
@@ -1105,6 +1115,16 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     val prefix = members.head.metadata
       .getOrElse(PipelineManager.TaskPrefixKey, members.head.name)
     val groupCkpt = groupCheckpointPath(prefix)
+    // Members that STAY stopped across this start (reassignment
+    // restarts pass reAdmitStopped=false): their resources were
+    // released, so this start must neither flip them Ready nor pull
+    // their locks back from the pool (another live manager may own
+    // one — that would abort a restart the member takes no part in).
+    val stayStopped: Set[String] =
+      if (reAdmitStopped) Set.empty
+      else members.filter(m =>
+          specs.get(m.name).exists(_.status == PipelineStatus.Stopped))
+        .map(_.name).toSet
     // All-or-nothing lock acquisition, and EVERYTHING after it rolls
     // back on failure: a member already owned by another live manager
     // — or a guard/build/start failure below — must not leave members
@@ -1112,7 +1132,8 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     // newly took are released (locks held before the call stay held).
     val newlyLocked = scala.collection.mutable.ListBuffer.empty[String]
     try {
-      members.foreach(m => if (acquireLock(m.name)) newlyLocked += m.name)
+      members.filterNot(m => stayStopped(m.name))
+        .foreach(m => if (acquireLock(m.name)) newlyLocked += m.name)
       // Mirror of startInPool's solo-after-group guard, other
       // direction: a member whose last run was SOLO has its offsets in
       // the per-name checkpoint; a group start from an empty group
@@ -1132,9 +1153,13 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       // back: members stopped per-member in an earlier run rejoin here
       // (their stop forfeited the epochs delivered while stopped —
       // that is stop's released-resources contract; a member that must
-      // NOT lose epochs is paused, not stopped).
+      // NOT lose epochs is paused, not stopped). Reassignment restarts
+      // (create/delete on a running group) keep them stopped: an
+      // unrelated member's membership change must never resurrect a
+      // sibling its owner explicitly stopped.
       members.filter(m =>
           specs.get(m.name).exists(_.status == PipelineStatus.Stopped))
+        .filterNot(m => stayStopped(m.name))
         .foreach { m =>
           specs.updateWith(m.name)(_.map(_.copy(status = PipelineStatus.Ready)))
           specs.get(m.name).foreach(persistSpec)
@@ -1142,14 +1167,18 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         }
       // Per-DESTINATION delivery groups (members sharing a destination
       // deliver once — the reference's duplicate-stream contract). The
-      // leader (lexicographically first member) carries the transport
-      // identity: its name namespaces the destination's epoch markers
-      // AND the dest-group's holdback, so held epochs replay into
-      // exactly the namespace live delivery uses — exactly-once by the
-      // same markers.
+      // leader carries the transport identity: its name namespaces the
+      // destination's epoch markers AND the dest-group's holdback, so
+      // held epochs replay into exactly the namespace live delivery
+      // uses — exactly-once by the same markers. Leadership is STICKY
+      // ([[destLeader]]): a membership change never silently moves the
+      // marker namespace out from under an uncommitted epoch.
       val destGroups = members.groupBy(_.destinationConnection).toSeq
         .sortBy(_._1)
-        .map { case (_, ms) => (ms, transportWriter(ms.head)) }
+        .map { case (_, ms) =>
+          val leader = destLeader(ms)
+          (ms, leader, transportWriter(leader))
+        }
       val prevPool = spark.sparkContext.getLocalProperty("spark.scheduler.pool")
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-$prefix")
       try {
@@ -1163,7 +1192,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
           .foreachBatch { (batch: DataFrame, epoch: Long) =>
             // one materialization serves every sink
             batch.persist()
-            try destGroups.foreach { case (ms, write) =>
+            try destGroups.foreach { case (ms, leader, write) =>
               // Per-member admission (q68; the reference's force=false
               // pause scope, DatastreamResources.java:355-377), judged
               // at batch time from the live spec store:
@@ -1182,11 +1211,11 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
                 ms.filter(_.metadata.contains(PipelineManager.SketchColumnKey))
                   .foreach(updateCardinalitySketch(_, batch))
               } else if (statuses.contains(PipelineStatus.Paused)) {
-                val hbDir = groupHoldbackPath(ms.head.name)
-                stampHoldbackOwner(hbDir, ms.head.name,
-                  ms.head.destinationConnection)
+                val hbDir = groupHoldbackPath(leader.name)
+                stampHoldbackOwner(hbDir, leader.name,
+                  leader.destinationConnection)
                 PipelineManager.epochAppend(batch,
-                  hbDir, epoch, ms.head.name): Unit
+                  hbDir, epoch, leader.name): Unit
               }
             }
             finally { batch.unpersist(); () }
@@ -1208,6 +1237,49 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       } finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", prevPool)
     } catch {
       case e: Throwable => newlyLocked.foreach(releaseLock); throw e
+    }
+  }
+
+  /** The member whose namespace carries a destination's epoch
+    * markers. STICKY: prefer the members whose marker namespace
+    * already exists at the destination (lexicographically first among
+    * them), so a membership change — an earlier-sorting member
+    * joining (q71), or any reshuffle short of deleting the leader —
+    * never silently moves the exactly-once namespace out from under
+    * an epoch that delivered but has not yet checkpoint-committed.
+    * Falls back to the lexicographically-first member (the historical
+    * rule, so fresh destinations behave exactly as before). Deleting
+    * the leader itself is handled by [[delete]]'s marker migration. */
+  private def destLeader(ms: Seq[PipelineSpec]): PipelineSpec = {
+    val sorted = ms.sortBy(_.name)
+    val dest = sorted.head.destinationConnection
+    val withMarkers =
+      if (!dest.startsWith("/")) Nil // memory/logical transports
+      else sorted.filter { m =>
+        try rootFs.exists(new Path(dest,
+          s"_graft_commits/${PipelineManager.namespaceOf(m.name)}"))
+        catch { case _: java.io.IOException => false }
+      }
+    withMarkers.headOption.getOrElse(sorted.head)
+  }
+
+  /** Copy every epoch marker of `fromName`'s namespace at `dest` into
+    * `toName`'s namespace (idempotent; markers are empty files). Run
+    * BEFORE a restart that moves dest-group leadership — a replayed
+    * in-flight epoch must find its marker under the NEW leader's
+    * namespace and no-op, or the destination double-receives. */
+  private def migrateDestMarkers(dest: String, fromName: String,
+      toName: String): Unit = if (dest.startsWith("/")) {
+    val fromDir = new Path(dest,
+      s"_graft_commits/${PipelineManager.namespaceOf(fromName)}")
+    val toDir = new Path(dest,
+      s"_graft_commits/${PipelineManager.namespaceOf(toName)}")
+    if (rootFs.exists(fromDir)) {
+      rootFs.mkdirs(toDir)
+      rootFs.listStatus(fromDir).toSeq.filter(_.isFile).foreach { st =>
+        val target = new Path(toDir, st.getPath.getName)
+        if (!rootFs.exists(target)) rootFs.create(target, false).close()
+      }
     }
   }
 
@@ -1735,40 +1807,92 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     * member's handle necessarily stops the SHARED query (one query
     * serves the whole group), so the remaining members are restarted
     * from the group checkpoint with the narrowed fan-out — exactly
-    * once for the survivors, nothing further for the deleted
-    * member's destination. Deleting the last member stops the group
-    * for good. */
+    * once for the survivors (if the deleted member LED a shared
+    * destination's marker namespace, its markers migrate to the new
+    * leader first, so a replayed in-flight epoch still no-ops),
+    * nothing further for the deleted member's destination, and
+    * individually-stopped survivors STAY stopped. Deleting the last
+    * member stops the group for good.
+    *
+    * The member's durable per-name state goes with it — solo
+    * checkpoint, solo pause holdback, pause set, sketch — so a later
+    * pipeline recreated under the same name starts clean instead of
+    * inheriting a dead predecessor's offsets or holdback. (Group
+    * holdback dirs are NOT deleted: they belong to the DESTINATION
+    * and drain by stamp even after their owner is gone.)
+    *
+    * If the narrowed restart itself fails, the deletion stands and
+    * the survivors are transitioned to Stopped (the truthful state:
+    * no query is running; an explicit startGroup restarts them), and
+    * the failure is rethrown. Membership changes of one group
+    * serialize on [[PipelineManager.membershipStripe]]. */
   def delete(name: String, owner: String = "anonymous"): Unit = {
     authorizeLifecycle(name, owner)
-    val prefix = specs.get(name)
+    val deletedSpec = specs.get(name)
+    val prefix = deletedSpec
       .map(s => s.metadata.getOrElse(PipelineManager.TaskPrefixKey, s.name))
-    // capture BEFORE the stop: was the group's shared query live, and
-    // who survives to restart it
-    val sharedWasActive = prefix.exists(p =>
-      Option(queries.get(name)).exists(q =>
-        q.isActive && q.name == s"group-$p"))
-    val survivor = findGroup(name).filterNot(_.name == name)
-      .sortBy(_.name).headOption.map(_.name)
-    stopQueryOf(name)
-    releaseLock(name)
-    specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Deleting)))
-    specs.remove(name)
-    removeSpecFile(name)
-    PipelineManager.sketchStripe(sketchDir(name)).synchronized {
-      Seq("", ".old", ".staging").foreach(sfx =>
-        rootFs.delete(new Path(sketchDir(name) + sfx), true): Unit)
+    PipelineManager.membershipStripe(prefix.getOrElse(name)).synchronized {
+      // capture BEFORE the stop: was the group's shared query live,
+      // and who survives to restart it
+      val sharedWasActive = prefix.exists(p =>
+        Option(queries.get(name)).exists(q =>
+          q.isActive && q.name == s"group-$p"))
+      val survivors = findGroup(name).filterNot(_.name == name)
+      stopQueryOf(name)
+      releaseLock(name)
+      specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Deleting)))
+      specs.remove(name)
+      removeSpecFile(name)
+      PipelineManager.sketchStripe(sketchDir(name)).synchronized {
+        Seq("", ".old", ".staging").foreach(sfx =>
+          rootFs.delete(new Path(sketchDir(name) + sfx), true): Unit)
+      }
+      // per-name durable state dies with the pipeline: a recreated
+      // same-name pipeline must not inherit offsets, holdback, or a
+      // pause set from this incarnation
+      rootFs.delete(new Path(s"$checkpointRoot/$name"), true): Unit
+      rootFs.delete(new Path(holdbackPath(name)), true): Unit
+      rootFs.delete(pausedStatePath(name), false): Unit
+      pausedPartitions.remove(name): Unit
+      // last member gone -> the remembered group run (and its captured
+      // transform closure) has nothing left to restart
+      prefix.filterNot(p => specs.values.exists(s =>
+          s.metadata.getOrElse(PipelineManager.TaskPrefixKey, s.name) == p))
+        .foreach(groupRuns.remove(_): Unit)
+      hooks.onStateChange(name, PipelineStatus.Deleting)
+      if (sharedWasActive && survivors.nonEmpty) for {
+        p <- prefix
+        (transform, trigger) <- groupRuns.get(p)
+      } {
+        // exactly-once across a leader change: if the deleted member
+        // owned a shared destination's marker namespace, hand its
+        // markers to the destination's next leader BEFORE the restart
+        deletedSpec.foreach { del =>
+          val sharing = survivors
+            .filter(_.destinationConnection == del.destinationConnection)
+          if (sharing.nonEmpty)
+            migrateDestMarkers(del.destinationConnection, del.name,
+              destLeader(sharing).name)
+        }
+        try startGroup(survivors.minBy(_.name).name, transform, trigger,
+          reAdmitStopped = false): Unit
+        catch {
+          case e: Throwable =>
+            // the deletion stands; leave the group in the truthful
+            // Stopped state rather than Ready-with-no-query
+            survivors.foreach { m =>
+              try {
+                releaseLock(m.name)
+                specs.updateWith(m.name)(
+                  _.map(_.copy(status = PipelineStatus.Stopped)))
+                specs.get(m.name).foreach(persistSpec)
+                hooks.onStateChange(m.name, PipelineStatus.Stopped)
+              } catch { case e2: Throwable => e.addSuppressed(e2) }
+            }
+            throw e
+        }
+      }
     }
-    // last member gone -> the remembered group run (and its captured
-    // transform closure) has nothing left to restart
-    prefix.filterNot(p => specs.values.exists(s =>
-        s.metadata.getOrElse(PipelineManager.TaskPrefixKey, s.name) == p))
-      .foreach(groupRuns.remove(_): Unit)
-    hooks.onStateChange(name, PipelineStatus.Deleting)
-    if (sharedWasActive) for {
-      p <- prefix
-      s <- survivor
-      (transform, trigger) <- groupRuns.get(p)
-    } startGroup(s, transform, trigger): Unit
   }
 
   /** The session this manager schedules on (control-plane consumers
@@ -1835,6 +1959,16 @@ object PipelineManager {
   private val sketchStripes = Array.fill(64)(new Object)
   private[streaming] def sketchStripe(path: String): Object =
     sketchStripes(math.floorMod(path.hashCode, sketchStripes.length))
+
+  /** Monitors serializing MEMBERSHIP CHANGES of one task group (the
+    * capture-stop-restart sequences of create-on-running-group and
+    * delete-on-running-group): two overlapping changes would both
+    * observe the shared query live and both race to start its
+    * replacement. Own pool — the critical section spans a query stop
+    * and start (seconds). */
+  private val membershipStripes = Array.fill(64)(new Object)
+  private[streaming] def membershipStripe(prefix: String): Object =
+    membershipStripes(math.floorMod(prefix.hashCode, membershipStripes.length))
 
   /** Metadata key carrying a pipeline's task-group prefix (the
     * reference's `system.taskPrefix`,

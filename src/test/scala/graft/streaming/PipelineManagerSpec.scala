@@ -630,6 +630,94 @@ class PipelineManagerSpec extends SparkTestBase {
     } finally pm.close()
   }
 
+  test("deleting a shared destination's leader migrates its markers: no duplicates") {
+    // ga and gb SHARE one destination (gb dedup-inherits ga's dest).
+    // ga is the marker-namespace leader; deleting it mid-run must
+    // hand the namespace to gb before the narrowed restart, so the
+    // destination sees every epoch exactly once across the change.
+    val root = Files.createTempDirectory("graft-lead-").toString
+    val srcDir = Files.createTempDirectory("graft-lead-src-").toString
+    val pm = new PipelineManager(spark, root)
+    try {
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+        .write.mode(SaveMode.Append).parquet(srcDir)
+      val ga = pm.create(PipelineSpec("ga", "parquet", "parquet", srcDir))
+      pm.create(PipelineSpec("gb", "parquet", "parquet", srcDir)) // shares dest
+      val dest = ga.destinationConnection
+      pm.startGroup("ga", identity,
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def commitDone(b: Long) = fs.exists(
+        new org.apache.hadoop.fs.Path(s"$root/group-ga/commits/$b"))
+      val deadline = System.currentTimeMillis() + 60000L
+      while (!commitDone(0) && System.currentTimeMillis() < deadline)
+        Thread.sleep(25L)
+      assert(commitDone(0))
+      pm.delete("ga") // the LEADER goes; gb must inherit the namespace
+      assert(fs.exists(new org.apache.hadoop.fs.Path(dest,
+        s"_graft_commits/${PipelineManager.namespaceOf("gb")}")),
+        "leader deletion must migrate markers to the survivor")
+      Seq((3L, "c")).toDF("k", "v").coalesce(1)
+        .write.mode(SaveMode.Append).parquet(srcDir)
+      val d2 = System.currentTimeMillis() + 60000L
+      while (!commitDone(1) && System.currentTimeMillis() < d2)
+        Thread.sleep(25L)
+      assert(commitDone(1))
+      val dl2 = System.currentTimeMillis() + 60000L
+      while (spark.read.parquet(dest).count() < 3 &&
+          System.currentTimeMillis() < dl2) Thread.sleep(25L)
+      pm.stop("gb", force = true)
+      // exactly once across the leadership change: 3 rows, 3 distinct
+      assert(spark.read.parquet(dest).as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b"), (3L, "c")),
+        "destination must hold every epoch exactly once")
+    } finally pm.close()
+  }
+
+  test("membership-change restarts never resurrect an individually stopped member") {
+    val root = Files.createTempDirectory("graft-staystop-").toString
+    val srcDir = Files.createTempDirectory("graft-staystop-src-").toString
+    val pm = new PipelineManager(spark, root)
+    try {
+      Seq((1L, "a")).toDF("k", "v").coalesce(1)
+        .write.mode(SaveMode.Append).parquet(srcDir)
+      def dest(tag: String) =
+        Files.createTempDirectory(s"graft-staystop-$tag-").toString + "/d"
+      pm.create(PipelineSpec("ma", "parquet", "parquet", srcDir,
+        destinationConnection = dest("a")))
+      pm.create(PipelineSpec("mb", "parquet", "parquet", srcDir,
+        destinationConnection = dest("b")))
+      val mc = pm.create(PipelineSpec("mc", "parquet", "parquet", srcDir,
+        destinationConnection = dest("c")))
+      pm.startGroup("ma", identity,
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val deadline = System.currentTimeMillis() + 60000L
+      while (!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$root/group-ma/commits/0")) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(25L)
+      pm.stop("mc") // per-member: mc's owner explicitly stopped it
+      assert(pm.get("mc").get.status == PipelineStatus.Stopped)
+      val cFiles = PipelineManager.committedFiles(mc.destinationConnection,
+        spark.sparkContext.hadoopConfiguration).size
+      pm.delete("mb") // unrelated member's removal triggers a restart
+      assert(pm.get("mc").get.status == PipelineStatus.Stopped,
+        "the reassignment restart must not resurrect a stopped sibling")
+      Seq((2L, "b")).toDF("k", "v").coalesce(1)
+        .write.mode(SaveMode.Append).parquet(srcDir)
+      val d2 = System.currentTimeMillis() + 60000L
+      while (!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$root/group-ma/commits/1")) &&
+          System.currentTimeMillis() < d2) Thread.sleep(25L)
+      assert(PipelineManager.committedFiles(mc.destinationConnection,
+        spark.sparkContext.hadoopConfiguration).size == cFiles,
+        "a stopped member's destination must not receive after the restart")
+      pm.stop("ma", force = true)
+    } finally pm.close()
+  }
+
   test("epochAppend: two pipelines sharing a destination don't collide") {
     // D1 destination-reuse lets pipelines share one dest, each with an
     // independent epoch counter from 0 — markers/files are namespaced
