@@ -1347,6 +1347,60 @@ object StreamingQueries {
       out
     }),
 
+    // STANDING MULTI-QUERY CURATION over the live index — t26's
+    // one-postings-pass batch shape (union term set prunes one read,
+    // df via count-over-window, broadcast (query, term) table,
+    // query-partitioned top-k) served per epoch from the s24
+    // incremental store: the shape of a curation pipeline running a
+    // whole keyword-query portfolio as a standing query, re-scored as
+    // the index absorbs each batch. None of the 12 terms is named at
+    // ingest; per (epoch, query) the rows bit-match independent
+    // single-query serves, which is what the unrolled oracle scores.
+    "s28_stream_multi_bm25" -> ((s, d) => {
+      val qset = Seq(
+        "qA" -> Seq("table", "stream", "window", "sort"),
+        "qB" -> Seq("vector", "customer", "merge", "scan"),
+        "qC" -> Seq("join", "hash", "fast", "slow"))
+      val docs = Tables.t(s, d, "documents").select(col("doc_id"), col("text"))
+      val srcDir = Files.createTempDirectory("graft-s28-src-").toString
+      val idxDir = Files.createTempDirectory("graft-s28-idx-").toString
+      val outDir = Files.createTempDirectory("graft-s28-out-").toString
+      val ckpt = Files.createTempDirectory("graft-s28-ckpt-").toString
+      val schema = docs.schema
+      val stamped = scala.collection.mutable.Set[String]()
+      def writeBucket(b: Int): Unit = writeStampedBucket(srcDir, stamped, b,
+        docs.filter(pmod(col("doc_id"), lit(3L)) === b))
+      def runIngest(): Unit = {
+        val ilx = new graft.streaming.IncrementalLexIndex(s, idxDir,
+          name = "s28", compactEvery = 2)
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            ilx.appendEpoch(batch, epoch)
+            PipelineManager.epochAppend(
+              ilx.serveMulti(qset, 3)
+                .withColumn("epoch", lit(epoch)).coalesce(1),
+              outDir, epoch, "s28"): Unit
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      try {
+        writeBucket(0); runIngest()
+        writeBucket(1); writeBucket(2); runIngest()
+      } finally s.conf.set("spark.sql.shuffle.partitions", before)
+      val out = s.read.parquet(outDir).localCheckpoint()
+      deleteTree(srcDir, idxDir, outDir, ckpt)
+      out
+    }),
+
     // INCREMENTAL IVF VECTOR INDEX — the s24 story for the vector
     // side: ingest maintains a durable CELL-PARTITIONED vector store
     // (fixed codebook trained at creation; nearest-cell assignment on
@@ -2903,6 +2957,45 @@ object StreamingQueries {
         |ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY rrf DESC, doc_id)
         |AS rank FROM fused) WHERE rank <= 10
         |ORDER BY epoch, rank""".stripMargin.replace("\n", " "),
+
+    // Epoch-unrolled multi-query BM25: the s24 lexical closed form
+    // crossed with the t26 (query, term) table — per (epoch, query)
+    // the same arithmetic as independent single-query serves, since
+    // df/N/avgdl are corpus-prefix facts unchanged by which query
+    // asks.
+    "s28_stream_multi_bm25" ->
+      """WITH ep(epoch) AS (VALUES (CAST(0 AS BIGINT)), (1), (2)),
+        |tk AS (SELECT doc_id,
+        |list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |FROM documents),
+        |pre AS (SELECT ep.epoch, tk.doc_id, tk.w FROM tk
+        |JOIN ep ON MOD(tk.doc_id, 3) <= ep.epoch),
+        |dl AS (SELECT epoch, doc_id, CAST(len(w) AS DOUBLE) AS dl FROM pre),
+        |st AS (SELECT epoch, CAST(COUNT(*) AS DOUBLE) AS nd, AVG(dl) AS avgdl
+        |FROM dl GROUP BY 1),
+        |qt(query_id, term) AS (VALUES
+        |('qA', 'table'), ('qA', 'stream'), ('qA', 'window'), ('qA', 'sort'),
+        |('qB', 'vector'), ('qB', 'customer'), ('qB', 'merge'), ('qB', 'scan'),
+        |('qC', 'join'), ('qC', 'hash'), ('qC', 'fast'), ('qC', 'slow')),
+        |p AS (SELECT epoch, doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |FROM (SELECT epoch, doc_id, unnest(w) AS term FROM pre)
+        |WHERE term IN (SELECT term FROM qt)
+        |GROUP BY 1, 2, 3),
+        |f AS (SELECT epoch, term, CAST(COUNT(*) AS DOUBLE) AS df FROM p
+        |GROUP BY 1, 2),
+        |sc AS (SELECT p.epoch, qt.query_id, p.doc_id,
+        |round(SUM(ln((st.nd - f.df + 0.5) / (f.df + 0.5) + 1)
+        |* p.tf * 2.2
+        |/ (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+        |FROM p JOIN qt ON p.term = qt.term
+        |JOIN dl ON p.epoch = dl.epoch AND p.doc_id = dl.doc_id
+        |JOIN f ON p.epoch = f.epoch AND p.term = f.term
+        |JOIN st ON st.epoch = p.epoch GROUP BY 1, 2, 3)
+        |SELECT epoch, query_id, doc_id, rank, score FROM (SELECT epoch,
+        |query_id, doc_id, score, ROW_NUMBER() OVER
+        |(PARTITION BY epoch, query_id ORDER BY score DESC, doc_id) AS rank
+        |FROM sc) WHERE rank <= 3
+        |ORDER BY epoch, query_id, rank""".stripMargin.replace("\n", " "),
 
     // Epoch-unrolled indexed hybrid: the s24 lexical closed form
     // (rank <= 10) fused with the s26 IVF closed form restricted to

@@ -205,6 +205,61 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
     }
   }
 
+  /**
+   * Q keyword queries against the LIVE index in ONE postings pass —
+   * [[graft.text.Text.bm25TopKFromIndexMulti]]'s curation-batch shape
+   * against the streaming store: the union of the term sets prunes
+   * one bucket-filtered read of the view, per-term df comes from a
+   * count-over-window on those filtered postings (never a second
+   * pass), the tiny (query, term) table broadcasts so shared terms
+   * score for every query that asks, and the per-query top-k is a
+   * query-partitioned rank window. Per query, rows and scores are
+   * bit-identical to Q independent [[serve]] calls. Returns
+   * (query_id, doc_id, rank, score); empty before any data.
+   */
+  def serveMulti(queries: Seq[(String, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val latest: Option[(Double, Double)] =
+      lastStats.map(t => (t._2, t._3)).orElse {
+        if (PipelineManager.committedFiles(statsDir, conf).isEmpty) None
+        else {
+          val r = spark.read.parquet(statsDir).collect().maxBy(_.getLong(0))
+          Some((r.getDouble(1), r.getDouble(2)))
+        }
+      }
+    (latest.filter(_._1 > 0.0), store.frameIfAny) match {
+      case (Some((nd, sumDl)), Some(fr)) =>
+        val avgdl = sumDl / nd
+        val allTerms = queries.flatMap(_._2).distinct
+        val buckets = allTerms.map(t =>
+          java.lang.Math.floorMod(graft.functions.Portable.hash64Of(t),
+            Text.LexIndexBuckets.toLong).toInt).distinct
+        val post = fr.filter(
+          col("tb").isin(buckets: _*) && col("term").isin(allTerms: _*))
+        val qt = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
+          .toDF("query_id", "term")
+        val df = count(lit(1)).over(Window.partitionBy(col("term")))
+          .cast("double").as("df")
+        val idf = log((lit(nd) - col("df") + 0.5) / (col("df") + 0.5) + 1)
+        val w: Column = idf * col("tf") * (k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1) - b + lit(b) * col("dl") / lit(avgdl)))
+        val scored = post.withColumn("df", df)
+          .join(broadcast(qt), "term")
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(round(sum(w), 6).as("score"))
+        val rw = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))
+        scored.withColumn("rank", row_number().over(rw).cast("long"))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
+      case _ =>
+        Seq.empty[(String, Long, Long, Double)]
+          .toDF("query_id", "doc_id", "rank", "score")
+    }
+  }
+
   /** Committed postings data-file count (all buckets) — the quantity
     * compaction keeps flat; probes and specs assert on it. */
   def postingsFileCount(): Int = store.fileCount

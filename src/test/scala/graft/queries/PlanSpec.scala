@@ -488,6 +488,41 @@ class PlanSpec extends SparkTestBase {
     }.isEmpty, "the index-served plan must never touch the corpus")
   }
 
+  test("s28 serveMulti reads the incremental postings store exactly once") {
+    // the live-index counterpart of the t26 pin: Q standing queries
+    // must not open the store Q times — one bucket-pruned scan, df
+    // from a window over it, no corpus, no un-partitioned window
+    val dir = java.nio.file.Files.createTempDirectory("plan-ilxm-").toString
+    val ilx = new graft.streaming.IncrementalLexIndex(spark, dir, name = "p")
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    ilx.appendEpoch(docs.limit(60), 0L)
+    val p = ilx.serveMulti(Seq(
+        "qA" -> Seq("table", "stream"), "qB" -> Seq("join", "hash")), 5)
+      .queryExecution.executedPlan
+    val postingScans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("postings")) => s
+    }
+    assert(postingScans.size == 1,
+      s"expected exactly one postings scan, got ${postingScans.size}")
+    postingScans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        "the union term-bucket predicate must prune postings partitions")
+      assert(s.dataFilters.exists(_.references.exists(_.name == "term")),
+        "the union term set must push into the visited buckets' scans")
+    }
+    assert(collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("documents")) => s
+    }.isEmpty, "the index-served plan must never touch the corpus")
+    collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "df and rank windows must be partitioned — never global"))
+  }
+
   test("s26 incremental IVF serves with cell-partition pruning and a broadcast probe") {
     // the IVF contract surviving to the physical plan: the candidate
     // scan reads ONLY the probed cells' directories (PartitionFilters
