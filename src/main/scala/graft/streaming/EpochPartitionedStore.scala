@@ -170,6 +170,21 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
   def hasData: Boolean =
     view.nonEmpty || dataFiles(dataNs).nonEmpty || dataFiles(genNs).nonEmpty
 
+  /** Highest epoch DURABLY COMMITTED into the store — marker-based
+    * (real-epoch markers are kept forever), so an epoch whose batch
+    * produced no data files still counts, and compaction (which
+    * sweeps files but never real-epoch markers) cannot lower it.
+    * Long.MinValue before the first commit. Owners whose sibling
+    * stores commit BEFORE this one (the lexical index's stats
+    * accumulator) cap their cold reads here, so a crash between the
+    * two commits can never serve stats describing absent data. */
+  def committedEpochCeiling: Long = {
+    val markers = new Path(dir, s"_graft_commits/$dataNs")
+    val ms = if (fs.exists(markers))
+      fs.listStatus(markers).toSeq.map(_.getPath.getName.toLong) else Nil
+    ms.foldLeft(Long.MinValue)(math.max)
+  }
+
   /** The bounded in-run view of the store, or None before any data —
     * readers must not force a schema inference over an empty dir. */
   def frameIfAny: Option[DataFrame] =

@@ -100,16 +100,21 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
       case Some((e, n, s)) if epoch > e =>
         val (bn, bs) = batchAgg()
         (n + bn, s + bs)
-      case _ => // fresh open, or a replay older than the cache
-        val existing =
-          if (PipelineManager.committedFiles(statsDir, conf).nonEmpty)
-            spark.read.parquet(statsDir).collect()
-          else Array.empty[org.apache.spark.sql.Row]
-        existing.find(_.getLong(0) == epoch) match {
-          case Some(r) => (r.getDouble(1), r.getDouble(2))
+      case _ => // fresh open, or a replay older than the cache:
+        // committed file NAMES carry their epoch, so the cumulative
+        // chain resumes from ONE file read — the exact row for a
+        // replayed epoch (it wins: crash replay must reuse, never
+        // re-add), else the newest prior row plus this batch.
+        val byEpoch = PipelineManager.committedFiles(statsDir, conf)
+          .map(f => (PipelineManager.epochOfCommittedFile(f), f))
+        byEpoch.find(_._1 == epoch) match {
+          case Some((_, f)) =>
+            val r = spark.read.parquet(f).head()
+            (r.getDouble(1), r.getDouble(2))
           case None =>
-            val prior = existing.filter(_.getLong(0) < epoch)
-              .sortBy(-_.getLong(0)).headOption
+            val prior = byEpoch.filter(_._1 < epoch)
+              .sortBy(-_._1).headOption
+              .map { case (_, f) => spark.read.parquet(f).head() }
             val (bn, bs) = batchAgg()
             (prior.map(_.getDouble(1)).getOrElse(0.0) + bn,
               prior.map(_.getDouble(2)).getOrElse(0.0) + bs)
@@ -165,6 +170,32 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
    * latest row. Identical literal shapes (and bit-identical scores)
    * to [[graft.text.Text.bm25TopK]] over the ingested prefix.
    */
+  /** Newest USABLE cumulative stats row for serving, from at most ONE
+    * stats file read. Two properties at once:
+    *  - O(1) cold open: committed file names carry their epoch, so
+    *    "latest" is a name sort, never a read of every row —
+    *    `compactEvery = 0` after 10 000 epochs still reads one file.
+    *  - Capped at the postings store's committed ceiling: stats
+    *    commit BEFORE postings inside [[appendEpoch]] (compaction's
+    *    onSweep needs the row), so a crash between the two leaves a
+    *    stats row whose batch has no postings — serving it would
+    *    transiently break the bit-identical-to-batch contract. The
+    *    cap makes stats and postings always describe the same
+    *    prefix; the orphan row is simply reused when its epoch
+    *    replays. */
+  private def latestServableStats(): Option[(Double, Double)] =
+    lastStats.map(t => (t._2, t._3)).orElse {
+      val ceiling = store.committedEpochCeiling
+      PipelineManager.committedFiles(statsDir, conf)
+        .map(f => (PipelineManager.epochOfCommittedFile(f), f))
+        .filter(_._1 <= ceiling)
+        .sortBy(-_._1).headOption
+        .map { case (_, f) =>
+          val r = spark.read.parquet(f).head()
+          (r.getDouble(1), r.getDouble(2))
+        }
+    }
+
   def serve(terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -173,14 +204,7 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
     // empty batches) serves an empty result — a ProcessingTime
     // stream's first data-free triggers must not kill the query on
     // an uninferrable-schema read
-    val latest: Option[(Double, Double)] =
-      lastStats.map(t => (t._2, t._3)).orElse {
-        if (PipelineManager.committedFiles(statsDir, conf).isEmpty) None
-        else {
-          val r = spark.read.parquet(statsDir).collect().maxBy(_.getLong(0))
-          Some((r.getDouble(1), r.getDouble(2)))
-        }
-      }
+    val latest: Option[(Double, Double)] = latestServableStats()
     (latest.filter(_._1 > 0.0), store.frameIfAny) match {
       case (Some((nd, sumDl)), Some(fr)) =>
         val avgdl = sumDl / nd
@@ -221,14 +245,7 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val latest: Option[(Double, Double)] =
-      lastStats.map(t => (t._2, t._3)).orElse {
-        if (PipelineManager.committedFiles(statsDir, conf).isEmpty) None
-        else {
-          val r = spark.read.parquet(statsDir).collect().maxBy(_.getLong(0))
-          Some((r.getDouble(1), r.getDouble(2)))
-        }
-      }
+    val latest: Option[(Double, Double)] = latestServableStats()
     (latest.filter(_._1 > 0.0), store.frameIfAny) match {
       case (Some((nd, sumDl)), Some(fr)) =>
         val avgdl = sumDl / nd

@@ -703,7 +703,23 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
               catch { case e2: Throwable => e.addSuppressed(e2) }
               try startGroup(siblings.head.name, transform, trigger,
                 reAdmitStopped = false): Unit
-              catch { case e2: Throwable => e.addSuppressed(e2) }
+              catch {
+                case e2: Throwable =>
+                  e.addSuppressed(e2)
+                  // restore ALSO failed: no query is running, so the
+                  // truthful state is Stopped (delete()'s analogous
+                  // failure path) — never phantom-Ready members whose
+                  // locks a dead start left behind
+                  siblings.foreach { m =>
+                    try {
+                      releaseLock(m.name)
+                      specs.updateWith(m.name)(
+                        _.map(_.copy(status = PipelineStatus.Stopped)))
+                      specs.get(m.name).foreach(persistSpec)
+                      hooks.onStateChange(m.name, PipelineStatus.Stopped)
+                    } catch { case e3: Throwable => e.addSuppressed(e3) }
+                  }
+              }
               throw e
           }
       }
@@ -1515,20 +1531,37 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     * renamed aside), else the set-aside previous table. */
   def cardinality(name: String): Option[(Long, Double)] =
     PipelineManager.sketchStripe(sketchDir(name)).synchronized {
-      def tryRead(dir: String): Option[(Long, Double)] =
+      // requireSuccess: a CROSS-JVM reader can see the owner's staging
+      // dir mid-write with only a subset of part files visible —
+      // Spark's job-commit `_SUCCESS` marker is what proves the write
+      // finished (the swap promotes staging only after that write
+      // returned). The live and set-aside dirs were complete tables
+      // when they were (re)named into place, so they need no marker.
+      def tryRead(dir: String,
+          requireSuccess: Boolean = false): Option[(Long, Double)] =
         try {
           val p = new Path(dir)
           val hasData = rootFs.exists(p) && rootFs.listStatus(p).exists(st =>
-            st.isFile && st.getPath.getName.startsWith("part-"))
+            st.isFile && st.getPath.getName.startsWith("part-")) &&
+            (!requireSuccess || rootFs.exists(new Path(p, "_SUCCESS")))
           if (!hasData) None
           else {
             val r = graft.sketch.Sketch
               .hllEstimate(spark.read.parquet(dir)).head()
             Some((r.getAs[Long]("n_regs"), r.getAs[Double]("hll_est")))
           }
-        } catch { case _: Exception => None } // racing a swap: next candidate
+        } catch {
+          // ONLY swap-race shapes fall through to the next candidate
+          // (a dir renamed away between the existence probe and the
+          // read): IO, a parquet listing/analysis failure, or a Spark
+          // job killed by the vanished files. Anything else — OOM,
+          // interrupt, a genuine bug — propagates.
+          case _: java.io.IOException => None
+          case _: org.apache.spark.sql.AnalysisException => None
+          case _: org.apache.spark.SparkException => None
+        }
       tryRead(sketchDir(name))
-        .orElse(tryRead(sketchDir(name) + ".staging"))
+        .orElse(tryRead(sketchDir(name) + ".staging", requireSuccess = true))
         .orElse(tryRead(sketchDir(name) + ".old"))
     }
 
@@ -1860,20 +1893,26 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
           s.metadata.getOrElse(PipelineManager.TaskPrefixKey, s.name) == p))
         .foreach(groupRuns.remove(_): Unit)
       hooks.onStateChange(name, PipelineStatus.Deleting)
+      // Exactly-once across a leader change: if the deleted member
+      // owned a shared destination's marker namespace, hand its
+      // markers to the destination's next leader. UNCONDITIONAL
+      // (idempotent empty-file copies): deleting a stopped group's
+      // leader — or deleting after a manager restart whose fresh
+      // groupRuns can't see the old run — must not orphan the
+      // namespace, or a delivered-but-uncommitted epoch replays under
+      // the survivor leader's namespace on the next startGroup and
+      // double-delivers.
+      deletedSpec.foreach { del =>
+        val sharing = survivors
+          .filter(_.destinationConnection == del.destinationConnection)
+        if (sharing.nonEmpty)
+          migrateDestMarkers(del.destinationConnection, del.name,
+            destLeader(sharing).name)
+      }
       if (sharedWasActive && survivors.nonEmpty) for {
         p <- prefix
         (transform, trigger) <- groupRuns.get(p)
       } {
-        // exactly-once across a leader change: if the deleted member
-        // owned a shared destination's marker namespace, hand its
-        // markers to the destination's next leader BEFORE the restart
-        deletedSpec.foreach { del =>
-          val sharing = survivors
-            .filter(_.destinationConnection == del.destinationConnection)
-          if (sharing.nonEmpty)
-            migrateDestMarkers(del.destinationConnection, del.name,
-              destLeader(sharing).name)
-        }
         try startGroup(survivors.minBy(_.name).name, transform, trigger,
           reAdmitStopped = false): Unit
         catch {
@@ -2039,6 +2078,19 @@ object PipelineManager {
     * `_`-prefixed metadata never match. */
   def isCommittedEpochFile(name: String): Boolean =
     CommittedEpochFileRe.matches(name)
+
+  /** Epoch number parsed from a committed epoch file name or full
+    * path (`graft-<ns>-e<N>-p<i>.parquet` — '-' is structural: it
+    * never appears inside an encoded namespace or a number). The
+    * reader-side complement of [[epochFileName]]: epoch-keyed stores
+    * (the s23/s24 stats accumulators, [[EpochPartitionedStore]])
+    * discover "the newest row" from NAMES instead of reading every
+    * file — O(1) data read on a cold open no matter how many epochs
+    * the store holds. */
+  def epochOfCommittedFile(path: String): Long = {
+    val name = path.substring(path.lastIndexOf('/') + 1)
+    name.split('-')(2).drop(1).toLong
+  }
 
   /** The committed epoch files directly under `dir` (any namespace,
     * any epoch), sorted; empty when the dir does not exist. The
