@@ -40,9 +40,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 final class DurableIndexView(spark: SparkSession, dir: String,
     refreshEvery: Int = DurableIndexView.DefaultRefreshEvery,
-    partitioned: Boolean = false) {
+    partitioned: Boolean = false,
+    snapshotFiles: Option[() => Seq[String]] = None) {
   require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
-  private var view: DataFrame = spark.read.parquet(dir)
+
+  /** One fresh read of the store. With a `snapshotFiles` supplier
+    * (the [[EpochPartitionedStore]] form) the read is PINNED to the
+    * supplier's live-file set instead of a directory glob — the
+    * difference between reading a committed snapshot and racing a
+    * concurrent compaction's renames/deletes (and, under the store's
+    * deferred sweep, the only read shape that doesn't double-count
+    * superseded files still inside their grace window). */
+  private def freshRead(): DataFrame = snapshotFiles match {
+    case Some(f) =>
+      val files = f()
+      if (files.isEmpty) spark.read.parquet(dir) // pre-data bootstrap only
+      else spark.read.option("basePath", dir).parquet(files: _*)
+    case None => spark.read.parquet(dir)
+  }
+
+  private var view: DataFrame = freshRead()
   private var sinceRefresh = 0
 
   /** The current index frame — bootstrap plus every committed epoch
@@ -68,7 +85,7 @@ final class DurableIndexView(spark: SparkSession, dir: String,
     * under the view (the s24 compaction: the union'd plan still names
     * the superseded files, so it must be dropped, not extended). */
   def reset(): Unit = {
-    view = spark.read.parquet(dir) // one relation again: plan reset
+    view = freshRead() // one relation again: plan reset
     sinceRefresh = 0
   }
 }

@@ -1,70 +1,101 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /**
  * Durable hive-partitioned, epoch-committed parquet store with a
- * bounded in-run view and generation compaction — the persistence
- * half shared by [[IncrementalLexIndex]] (postings partitioned by
- * term-hash bucket) and [[IncrementalVectorIndex]] (vectors
- * partitioned by IVF cell). One crash protocol, two indexes.
+ * bounded in-run view, SIZE-TIERED generation compaction, and
+ * snapshot-consistent reads — the persistence half shared by
+ * [[IncrementalLexIndex]] (postings partitioned by term-hash bucket)
+ * and [[IncrementalVectorIndex]] (vectors partitioned by IVF cell).
+ * One crash protocol, two indexes.
  *
  * Layout under `dir`:
  *  - `<partCol>=<v>/graft-<ns>-e<N>-p<i>.parquet` — epoch data,
  *    committed through [[PipelineManager.epochAppendPartitioned]]
  *    (whole-epoch marker: an epoch is visible in all partitions or
- *    none).
- *  - `_graft_commits/...` — epoch/generation markers. Real-epoch
- *    markers are kept FOREVER (they are the replay protection);
- *    generation markers only until superseded.
- *  - `_compact_state-<g>` — compaction generation `g` is durably
- *    recorded. Written create-once AFTER the generation's data
- *    commits; the highest such file is the recovery authority, and
- *    ONLY its name is authoritative (the body is never parsed, so a
- *    torn write can neither brick recovery nor under-sweep).
+ *    none). `<ns>` is the RAW namespace (`<name>.p`) for ingest
+ *    epochs and a per-level RUN namespace (`<name>.g<L>`) for
+ *    compacted runs; `<name>.g` without a level digit is the legacy
+ *    full-rewrite namespace, still honored on read.
+ *  - `_graft_commits/...` — epoch/run markers. Raw-epoch markers are
+ *    kept FOREVER (they are the replay protection); run markers only
+ *    until the run is superseded.
+ *  - `_compact_state-<L>-<lo>-<hi>` — compacted run: level `L`
+ *    holding the merged rows of raw epochs `[lo, hi]`. Written
+ *    create-once AFTER the run's data commits, and ONLY the NAME is
+ *    authoritative (the body is never parsed, so a torn write can
+ *    neither brick recovery nor under-sweep). `_compact_state-<g>`
+ *    (one number) is the legacy full-rewrite record, read as a
+ *    level-1 run `[0, g]`.
  *
- * The two bounds this class owns:
- *  - The in-run view is a [[DurableIndexView]] (union plan never
- *    wider than `refreshEvery`, partition column preserved across
- *    leaf-file extensions via basePath).
- *  - Every `compactEvery` epochs the store is rewritten ~one file per
- *    partition value and superseded epoch files are swept, so FILE
- *    COUNT stays flat in epoch count — the difference between a demo
- *    and a month-long 100 TB ingest.
+ * WHY TIERS. The previous design rewrote the ENTIRE store every
+ * `compactEvery` epochs — file-count-flat, but quadratic total write
+ * volume over a long ingest (Σ i·b ≈ b·E²/2 bytes for E epochs): a
+ * month-long 100 TB ingest would spend ever-growing O(corpus)
+ * wall-time on every cadence tick. Tiered generations bound it:
+ *  - A cadence tick merges ONLY the raw epochs since the last tick
+ *    into one new LEVEL-1 run (cost O(new data)).
+ *  - When a level accumulates `tierFanIn` live runs, they merge into
+ *    ONE run at the next level up.
+ *  Each byte is rewritten at most once per level, so total write
+ *  volume is O(N · levels) = O(N · log_T N), while the serving
+ *  fan-out stays ≤ `tierFanIn · levels` files per partition value —
+ *  still flat in epoch count.
  *
- * Crash contract (single maintenance thread — the foreachBatch loop):
+ * READ SNAPSHOTS. All fresh reads (the in-run view's bootstrap and
+ * refresh, [[snapshotFrame]], cross-JVM [[EpochPartitionedStore
+ * .readSnapshot]]) go through ONE live-file computation that lists
+ * the durable RUN RECORDS FIRST, then data files, then keeps exactly
+ * (a) raw files of marker-committed epochs beyond the compacted
+ * frontier and (b) files of recorded, non-superseded runs. Because
+ * records are create-once and sweeping is DEFERRED BY ONE CADENCE
+ * TICK (a tick first deletes what the PREVIOUS tick superseded, then
+ * merges), a snapshot's files remain on disk for at least one full
+ * compaction cadence after it is taken — a concurrent reader never
+ * races the sweep, without reinventing a table format. Mid-publish
+ * epochs are invisible (no marker yet), mid-publish runs are
+ * invisible (no record yet): snapshots are committed-prefix-exact.
+ *
+ * Crash contract (single maintenance thread — the foreachBatch loop;
+ * recovery runs ONLY in this owner's constructor, never on a
+ * read-only snapshot path):
  *  - A crashed EPOCH append left no marker; the streaming replay of
  *    that epoch redoes it through the epochAppend redo path before
  *    anything reads the store again.
- *  - A crashed COMPACTION is rolled back or completed by the next
- *    constructor: a generation with data (or marker) but no state
- *    record never happened (its inputs are still present — the sweep
- *    only runs after the record lands) and is deleted; the recorded
- *    generation's sweep is re-run (idempotent).
+ *  - A crashed RUN merge is rolled back or completed by the next
+ *    constructor: run files (or markers) with no state record never
+ *    happened (their inputs are still present — nothing is deleted
+ *    before the NEXT tick after the record lands) and are removed;
+ *    the recorded runs' sweep is re-run (idempotent).
  *
  * `onSweep(gen, upTo)` lets the owner sweep sibling artifacts on the
  * same cadence (the lexical index compacts its cumulative stats rows
- * there); it runs inside both [[compact]] and constructor recovery
+ * there); it runs inside the deferred sweep and constructor recovery
  * and must be idempotent.
  */
 final class EpochPartitionedStore(spark: SparkSession, val dir: String,
     partCol: String, name: String,
     refreshEvery: Int = DurableIndexView.DefaultRefreshEvery,
     compactEvery: Int = 0,
+    tierFanIn: Int = EpochPartitionedStore.DefaultTierFanIn,
     onSweep: (Long, Long) => Unit = (_, _) => ()) {
+  import EpochPartitionedStore._
   require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
+  require(tierFanIn >= 2, s"tierFanIn must be >= 2, got $tierFanIn")
   private val conf = spark.sparkContext.hadoopConfiguration
   private val fs = new Path(dir).getFileSystem(conf)
-  // distinct epoch namespaces for data vs compaction generations:
-  // markers and file names can never collide (namespaceOf is
-  // injective; '.' encodes to _2e)
-  private val dataPipe = s"$name.p"
-  private val genPipe = s"$name.g"
-  private val dataNs = PipelineManager.namespaceOf(dataPipe)
-  private val genNs = PipelineManager.namespaceOf(genPipe)
+  private val names = StoreNames(name)
   private var view: Option[DurableIndexView] = None
+  // write-amplification telemetry: bytes of input files re-read and
+  // re-written by compaction, last tick and cumulative — the
+  // quantities the scale probe bounds (per-tick ~ O(new data),
+  // cumulative ~ O(total data · levels), never quadratic)
+  private var lastTickRewrite = 0L
+  private var totalRewrite = 0L
+  private var totalEpochCoverage = 0L
 
   recover()
 
@@ -72,92 +103,117 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
   // already contains: a REPLAYED epoch (epoch <= this) must not
   // extend the view — its files are already in the view's fresh read,
   // and a second union of the same rows would double every
-  // aggregate computed over the store. Computed from the surviving
-  // file names plus the recorded compaction coverage (compaction
-  // sweeps the files but its record keeps the coverage).
-  private def storeCeiling: Long =
-    (dataFiles(dataNs).map(st => epochOf(st.getPath.getName)) ++
-      latestGenState.map(_._2))
-      .foldLeft(Long.MinValue)(math.max)
+  // aggregate computed over the store.
+  private def storeCeiling: Long = {
+    val fr = frontier(recordedRuns(fs, dir))
+    allDataFiles(fs, dir, partCol, names)
+      .collect { case (RawKind, e, _) => e }
+      .foldLeft(fr)(math.max)
+  }
   private var lastSeenEpoch: Long = storeCeiling
   // Serializes view creation/extension/reset between the maintenance
   // thread and concurrent reader threads: a reader-created fresh view
   // already contains the in-flight epoch's committed files, and an
   // unsynchronized extend right after would union them twice.
-  //
-  // What this lock does NOT give: isolation of an in-flight reader
-  // JOB from a compaction sweep — a Spark job scanning the old union
-  // plan while sweep() deletes its files fails with FileNotFound.
-  // With `compactEvery` enabled the owner must consume each serve
-  // result before the maintenance thread's next appendEpoch (the
-  // foreachBatch ingest loops do exactly this: the serve output is
-  // epoch-committed before the loop advances). Snapshot-isolated
-  // concurrent readers would need a table format with a manifest
-  // (Iceberg/Delta), which this store deliberately does not reinvent.
   private val viewLock = new Object
 
-  /** Epoch number parsed from a committed file name
-    * `graft-<ns>-e<N>-p<i>.parquet` ('-' is structural: it never
-    * appears inside an encoded namespace or a number). */
-  private def epochOf(fileName: String): Long =
-    fileName.split('-')(2).drop(1).toLong
-
-  private def dataFiles(ns: String): Seq[org.apache.hadoop.fs.FileStatus] =
-    Option(fs.globStatus(
-        new Path(dir, s"$partCol=*/graft-$ns-e*-p*.parquet")))
-      .toSeq.flatten.toSeq
-
-  private def stateFile(gen: Long) = new Path(dir, s"_compact_state-$gen")
-
-  /** Highest durably-recorded compaction generation and the epoch it
-    * covers (upTo == gen by construction), or None before the first
-    * compaction. */
-  private def latestGenState: Option[(Long, Long)] = {
-    val states = Option(fs.globStatus(new Path(dir, "_compact_state-*")))
-      .toSeq.flatten
-      .map(st => st.getPath.getName.stripPrefix("_compact_state-").toLong)
-    if (states.isEmpty) None else { val g = states.max; Some((g, g)) }
-  }
-
-  /** Roll back unrecorded compaction attempts, then re-run the
-    * recorded generation's sweep — both idempotent, both no-ops on a
-    * cleanly-closed store. */
+  /** Roll back unrecorded run attempts (files and markers in a run
+    * namespace whose (level, hi) has no state record), then re-run
+    * the recorded runs' sweep — both idempotent, both no-ops on a
+    * cleanly-closed store. OWNER-ONLY: this deletes files a crashed
+    * merge may have half-published; a read-only peer uses
+    * [[EpochPartitionedStore.readSnapshot]], which touches nothing. */
   private def recover(): Unit = {
-    val recorded = latestGenState
-    val cutoff = recorded.map(_._1).getOrElse(Long.MinValue)
-    dataFiles(genNs).filter(st => epochOf(st.getPath.getName) > cutoff)
-      .foreach(st => fs.delete(st.getPath, false))
-    val genMarkers = new Path(dir, s"_graft_commits/$genNs")
-    if (fs.exists(genMarkers))
-      fs.listStatus(genMarkers).toSeq
-        .filter(_.getPath.getName.toLong > cutoff)
-        .foreach(st => fs.delete(st.getPath, false))
-    recorded.foreach { case (g, upTo) => sweep(g, upTo) }
+    val runs = recordedRuns(fs, dir)
+    val keys = runs.map(runKey).toSet
+    allDataFiles(fs, dir, partCol, names).foreach {
+      case (k @ (LegacyKind | LevelKind(_)), e, st) =>
+        if (!keys.contains((k, e))) fs.delete(st.getPath, false): Unit
+      case _ => ()
+    }
+    runMarkerDirs().foreach { md =>
+      val k = kindOf(md.getPath.getName, names)
+      fs.listStatus(md.getPath).toSeq.foreach { st =>
+        val e = st.getPath.getName.toLong
+        if (k.exists(kk => !keys.contains((kk, e))))
+          fs.delete(st.getPath, false): Unit
+      }
+    }
+    sweepSuperseded()
   }
 
-  /** Delete everything generation `gen` superseded: real-epoch data
-    * ≤ `upTo`, older generations, their markers (NOT the real-epoch
-    * markers — those are the replay protection), older state records,
-    * and whatever the owner's `onSweep` covers. Idempotent. */
-  private def sweep(gen: Long, upTo: Long): Unit = {
-    dataFiles(dataNs).filter(st => epochOf(st.getPath.getName) <= upTo)
-      .foreach(st => fs.delete(st.getPath, false))
-    dataFiles(genNs).filter(st => epochOf(st.getPath.getName) < gen)
-      .foreach(st => fs.delete(st.getPath, false))
-    val genMarkers = new Path(dir, s"_graft_commits/$genNs")
-    if (fs.exists(genMarkers))
-      fs.listStatus(genMarkers).toSeq.filter(_.getPath.getName.toLong < gen)
-        .foreach(st => fs.delete(st.getPath, false))
-    Option(fs.globStatus(new Path(dir, "_compact_state-*"))).toSeq.flatten
-      .filter(_.getPath.getName.stripPrefix("_compact_state-").toLong < gen)
-      .foreach(st => fs.delete(st.getPath, false))
-    onSweep(gen, upTo)
+  /** Marker directories of every RUN namespace (legacy and leveled;
+    * never the raw namespace — raw markers are the replay
+    * protection and live forever). */
+  private def runMarkerDirs(): Seq[FileStatus] = {
+    val root = new Path(dir, "_graft_commits")
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.filter { st =>
+      kindOf(st.getPath.getName, names) match {
+        case Some(LegacyKind) | Some(LevelKind(_)) => true
+        case _ => false
+      }
+    }
+  }
+
+  /** THE DEFERRED SWEEP: delete everything the current records
+    * supersede — raw epochs at or below the compacted frontier,
+    * runs covered by a recorded higher-level (or newer legacy) run,
+    * their markers and their state records — and fire the owner's
+    * `onSweep` at the frontier. Runs at the START of a compaction
+    * tick (and in recovery), so files superseded by tick T survive
+    * until tick T+1: the snapshot grace window. Idempotent. */
+  private def sweepSuperseded(): Unit = {
+    val runs = recordedRuns(fs, dir)
+    if (runs.isEmpty) return
+    val fr = frontier(runs)
+    val dead = runs.filter(r => isSuperseded(r, runs))
+    val deadKeys = dead.map(runKey).toSet
+    allDataFiles(fs, dir, partCol, names).foreach {
+      case (RawKind, e, st) =>
+        if (e <= fr) fs.delete(st.getPath, false): Unit
+      case (k, e, st) =>
+        if (deadKeys.contains((k, e))) fs.delete(st.getPath, false): Unit
+    }
+    runMarkerDirs().foreach { md =>
+      val k = kindOf(md.getPath.getName, names)
+      fs.listStatus(md.getPath).toSeq.foreach { st =>
+        if (k.exists(kk => deadKeys.contains((kk, st.getPath.getName.toLong))))
+          fs.delete(st.getPath, false): Unit
+      }
+    }
+    dead.foreach(r => fs.delete(stateFile(dir, r), false): Unit)
+    onSweep(fr, fr)
+  }
+
+  /** Live data files, newest-records-first ordering — see
+    * [[EpochPartitionedStore.liveFiles]]. */
+  private[streaming] def liveDataFiles(): Seq[FileStatus] =
+    liveFiles(fs, dir, partCol, names)
+
+  /** Does the store hold any committed data files? */
+  def hasData: Boolean = view.nonEmpty || liveDataFiles().nonEmpty
+
+  /** Highest epoch DURABLY COMMITTED into the store — marker-based
+    * (raw-epoch markers are kept forever), so an epoch whose batch
+    * produced no data files still counts, and compaction (which
+    * sweeps files but never raw-epoch markers) cannot lower it.
+    * Long.MinValue before the first commit. Owners whose sibling
+    * stores commit BEFORE this one (the lexical index's stats
+    * accumulator) cap their cold reads here, so a crash between the
+    * two commits can never serve stats describing absent data. */
+  def committedEpochCeiling: Long = {
+    val markers = new Path(dir, s"_graft_commits/${names.dataNs}")
+    val ms = if (fs.exists(markers))
+      fs.listStatus(markers).toSeq.map(_.getPath.getName.toLong) else Nil
+    ms.foldLeft(Long.MinValue)(math.max)
   }
 
   private def ensureView(): DurableIndexView = viewLock.synchronized {
     view.getOrElse {
       val v = new DurableIndexView(spark, dir, refreshEvery,
-        partitioned = true)
+        partitioned = true,
+        snapshotFiles = Some(() => liveDataFiles().map(_.getPath.toString)))
       view = Some(v)
       // everything committed so far is in the fresh read — a still-
       // running appendEpoch of the newest epoch must NOT extend again
@@ -166,36 +222,28 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
     }
   }
 
-  /** Does the store hold any committed data files? */
-  def hasData: Boolean =
-    view.nonEmpty || dataFiles(dataNs).nonEmpty || dataFiles(genNs).nonEmpty
-
-  /** Highest epoch DURABLY COMMITTED into the store — marker-based
-    * (real-epoch markers are kept forever), so an epoch whose batch
-    * produced no data files still counts, and compaction (which
-    * sweeps files but never real-epoch markers) cannot lower it.
-    * Long.MinValue before the first commit. Owners whose sibling
-    * stores commit BEFORE this one (the lexical index's stats
-    * accumulator) cap their cold reads here, so a crash between the
-    * two commits can never serve stats describing absent data. */
-  def committedEpochCeiling: Long = {
-    val markers = new Path(dir, s"_graft_commits/$dataNs")
-    val ms = if (fs.exists(markers))
-      fs.listStatus(markers).toSeq.map(_.getPath.getName.toLong) else Nil
-    ms.foldLeft(Long.MinValue)(math.max)
-  }
-
   /** The bounded in-run view of the store, or None before any data —
     * readers must not force a schema inference over an empty dir. */
   def frameIfAny: Option[DataFrame] =
     if (!hasData) None else Some(ensureView().frame)
+
+  /** One-shot snapshot read (no view state): exactly the committed,
+    * non-superseded files at call time, pinned so a compaction tick
+    * landing mid-job cannot pull files out from under it (grace
+    * window: one full cadence). The in-process sibling of
+    * [[EpochPartitionedStore.readSnapshot]]. */
+  def snapshotFrame(): Option[DataFrame] = {
+    val files = liveDataFiles().map(_.getPath.toString)
+    if (files.isEmpty) None
+    else Some(spark.read.option("basePath", dir).parquet(files: _*))
+  }
 
   /** Commit one epoch's rows (which must carry `partCol`), extend the
     * view by exactly this epoch's files (replays never double-extend),
     * and compact when the cadence lands. Idempotent per epoch. */
   def appendEpoch(frame: DataFrame, epoch: Long): Unit = {
     val files = PipelineManager.epochAppendPartitioned(
-      frame, dir, partCol, epoch, dataPipe)
+      frame, dir, partCol, epoch, names.dataPipe)
     viewLock.synchronized {
       if (epoch > lastSeenEpoch) {
         if (view.isEmpty) { if (files.nonEmpty) ensureView(): Unit }
@@ -206,30 +254,241 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
     if (compactEvery > 0 && (epoch + 1) % compactEvery == 0) compact(epoch)
   }
 
-  /** Rewrite the whole store as generation `epoch`: one shuffle by
-    * partition value (so each directory ends with ~one file),
-    * committed through the same partitioned epoch append under the
-    * generation namespace, recorded durably, THEN the superseded
-    * files are swept — publish-before-delete, so no crash window
-    * ever loses the only copy of an epoch. A replay of the epoch
-    * that triggered an already-recorded generation is a no-op. */
-  private def compact(epoch: Long): Unit = {
-    if (latestGenState.exists(_._1 >= epoch)) return // replayed trigger
-    // an all-empty-epoch store has nothing to rewrite — and a parquet
-    // read over a dir holding only markers would throw, killing the
-    // stream on a cadence tick
-    if (!hasData) return
-    val full = spark.read.parquet(dir).repartition(col(partCol))
+  /** Merge `inputs` into ONE run at `level` covering raw epochs
+    * `[lo, hi]`: one shuffle by partition value (each directory ends
+    * with ~one file for this run), committed through the partitioned
+    * epoch append under the level's namespace, then recorded durably
+    * by a create-once state file whose NAME is the whole truth.
+    * Publish-before-delete: nothing is removed here — the inputs
+    * stay until the NEXT tick's deferred sweep. */
+  private def publishRun(level: Int, lo: Long, hi: Long,
+      inputs: Seq[FileStatus]): Run = {
+    val in = spark.read.option("basePath", dir)
+      .parquet(inputs.map(_.getPath.toString): _*)
+      .repartition(col(partCol))
     PipelineManager.epochAppendPartitioned(
-      full, dir, partCol, epoch, genPipe): Unit
-    val out = fs.create(stateFile(epoch), false) // create-once: authority
-    try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
-    sweep(epoch, epoch)
-    // the view's union plan still names swept files — drop it
+      in, dir, partCol, hi, s"$name.g$level"): Unit
+    val run = Run(level, lo, hi, legacy = false)
+    val out = fs.create(stateFile(dir, run), false) // create-once: authority
+    try out.write(s"$level-$lo-$hi".getBytes("UTF-8")) finally out.close()
+    val bytes = inputs.map(_.getLen).sum
+    lastTickRewrite += bytes
+    totalRewrite += bytes
+    totalEpochCoverage += hi - lo + 1
+    run
+  }
+
+  /** One compaction tick at `epoch`: close the grace window (sweep
+    * what the PREVIOUS tick superseded), merge the raw backlog into a
+    * new level-1 run, then cascade any level that reached `tierFanIn`
+    * live runs into the next level up. A replay of the epoch that
+    * already triggered a recorded run is a no-op. */
+  private def compact(epoch: Long): Unit = {
+    var runs = recordedRuns(fs, dir)
+    if (frontier(runs) >= epoch) return // replayed trigger
+    lastTickRewrite = 0L
+    sweepSuperseded()
+    val fr = frontier(runs)
+    val rawBacklog = allDataFiles(fs, dir, partCol, names)
+      .collect { case (RawKind, e, st) if e > fr && e <= epoch => st }
+    if (rawBacklog.nonEmpty)
+      runs :+= publishRun(1, fr + 1, epoch, rawBacklog)
+    // cascade: merge whole levels bottom-up. Runs at one level cover
+    // contiguous, disjoint epoch ranges by construction (each new
+    // level-1 run starts at the global frontier + 1; a merge spans
+    // whole runs), so the merged run's [min lo, max hi] has no holes.
+    var merged = true
+    while (merged) {
+      val live = runs.filterNot(r => isSuperseded(r, runs))
+      live.groupBy(_.level).filter(_._2.size >= tierFanIn)
+        .keys.minOption match {
+        case Some(l) =>
+          val ins = live.filter(_.level == l)
+          val files = allDataFiles(fs, dir, partCol, names).collect {
+            case (k, e, st) if ins.exists(r =>
+              runKey(r) == ((k, e): (Kind, Long))) => st
+          }
+          runs :+= publishRun(l + 1,
+            ins.map(_.lo).min, ins.map(_.hi).max, files)
+        case None => merged = false
+      }
+    }
+    // the view's union plan may still name files a FUTURE sweep will
+    // delete and now double-counts nothing only because fresh reads
+    // are record-pinned — swap to one fresh (pinned) read
     viewLock.synchronized(view.foreach(_.reset()))
   }
 
-  /** Committed data-file count across all partitions — the quantity
-    * compaction keeps flat; probes and specs assert on it. */
-  def fileCount: Int = dataFiles(dataNs).size + dataFiles(genNs).size
+  /** Committed LIVE data-file count across all partitions (raw
+    * backlog + non-superseded runs — exactly what a snapshot reads):
+    * the quantity tiered compaction keeps flat in epoch count;
+    * probes and specs assert on it. */
+  def fileCount: Int = liveDataFiles().size
+
+  /** Bytes of compaction input re-read and re-written by the LAST
+    * cadence tick — O(new data) except on the ticks where a tier
+    * fills and one level merges up. */
+  def lastTickRewriteBytes: Long = lastTickRewrite
+
+  /** Cumulative compaction rewrite bytes over this instance's life —
+    * bounded by O(total ingested bytes · levels), the quantity that
+    * was quadratic under full-store rewrites. */
+  def totalRewriteBytes: Long = totalRewrite
+
+  /** Σ over every run this instance published of the number of raw
+    * epochs the run covers — the scale-free write-amplification
+    * measure (each epoch counts once per level it has been merged
+    * into). Over E epochs at fan-in T this is ≤ E·log_T(E); the old
+    * full-store rewrite was Σe ≈ E²/2. Probes and the fuzzer assert
+    * on this because at toy scale parquet footer overhead swamps any
+    * byte-based comparison. */
+  def totalEpochsRewritten: Long = totalEpochCoverage
+}
+
+object EpochPartitionedStore {
+  /** Runs per level before they merge into the next level up. 4 keeps
+    * serving fan-out ≤ 4·levels files per partition value while each
+    * byte is rewritten only ~log₄(E) times over E epochs. */
+  val DefaultTierFanIn = 4
+
+  /** A durably-recorded compacted run: the merged rows of raw epochs
+    * `[lo, hi]` at tier `level`. `legacy` marks the pre-tiered
+    * full-rewrite form (record `_compact_state-<g>`, namespace
+    * `<name>.g`), read as a level-1 run `[0, g]`. */
+  private[streaming] final case class Run(level: Int, lo: Long, hi: Long,
+      legacy: Boolean)
+
+  /** File-name kinds under a store: raw ingest epochs, legacy
+    * full-rewrite generations, and leveled runs. */
+  private[streaming] sealed trait Kind
+  private[streaming] case object RawKind extends Kind
+  private[streaming] case object LegacyKind extends Kind
+  private[streaming] final case class LevelKind(level: Int) extends Kind
+
+  /** The store's three namespace spellings, derived once from its
+    * name. Level namespaces are `dataNs`-disjoint and mutually
+    * prefix-unambiguous because '-' is the structural delimiter in
+    * file names and digits pass [[PipelineManager.namespaceOf]]
+    * unchanged. */
+  private[streaming] final case class StoreNames(name: String) {
+    val dataPipe: String = s"$name.p"
+    val dataNs: String = PipelineManager.namespaceOf(dataPipe)
+    val genNs: String = PipelineManager.namespaceOf(s"$name.g")
+  }
+
+  private[streaming] def kindOf(ns: String,
+      names: StoreNames): Option[Kind] =
+    if (ns == names.dataNs) Some(RawKind)
+    else if (ns == names.genNs) Some(LegacyKind)
+    else if (ns.startsWith(names.genNs) && ns.length > names.genNs.length &&
+        ns.drop(names.genNs.length).forall(_.isDigit))
+      Some(LevelKind(ns.drop(names.genNs.length).toInt))
+    else None
+
+  /** A run's identity as carried by its FILE NAMES: (namespace kind,
+    * epoch field) — `hi` for tiered runs, `g` for legacy. */
+  private[streaming] def runKey(r: Run): (Kind, Long) =
+    (if (r.legacy) LegacyKind else LevelKind(r.level), r.hi)
+
+  private[streaming] def stateFile(dir: String, r: Run): Path =
+    if (r.legacy) new Path(dir, s"_compact_state-${r.hi}")
+    else new Path(dir, s"_compact_state-${r.level}-${r.lo}-${r.hi}")
+
+  /** Every durably-recorded run, parsed from state-record NAMES only
+    * (create-once files; bodies are never read). */
+  private[streaming] def recordedRuns(fs: FileSystem,
+      dir: String): Seq[Run] =
+    Option(fs.globStatus(new Path(dir, "_compact_state-*")))
+      .toSeq.flatten
+      .flatMap { st =>
+        st.getPath.getName.stripPrefix("_compact_state-").split('-') match {
+          case Array(g) => Some(Run(1, 0L, g.toLong, legacy = true))
+          case Array(l, lo, hi) =>
+            Some(Run(l.toInt, lo.toLong, hi.toLong, legacy = false))
+          case _ => None
+        }
+      }
+
+  /** Does `o` make `r` redundant? A higher-level run whose range
+    * contains `r`'s (merges only ever merge whole runs, so ranges
+    * nest), or — legacy pair — a newer full rewrite. Same-level
+    * tiered runs never supersede each other (disjoint ranges). */
+  private def covers(o: Run, r: Run): Boolean =
+    o != r && (o.level > r.level || (o.legacy && r.legacy)) &&
+      o.lo <= r.lo && o.hi >= r.hi
+
+  private[streaming] def isSuperseded(r: Run, all: Seq[Run]): Boolean =
+    all.exists(o => covers(o, r))
+
+  /** Highest raw epoch covered by any recorded run (coverage is
+    * contiguous from 0), or -1 before the first run. */
+  private[streaming] def frontier(runs: Seq[Run]): Long =
+    runs.map(_.hi).maxOption.getOrElse(-1L)
+
+  /** Epoch parsed from a committed file name
+    * `graft-<ns>-e<N>-p<i>.parquet` ('-' is structural: it never
+    * appears inside an encoded namespace or a number). */
+  private def fileEpoch(fileName: String): Long =
+    fileName.split('-')(2).drop(1).toLong
+  private def fileNs(fileName: String): String = fileName.split('-')(1)
+
+  /** Every committed-contract data file under the store, classified
+    * (kind, epoch, status). Files in namespaces this store does not
+    * own are ignored. */
+  private[streaming] def allDataFiles(fs: FileSystem, dir: String,
+      partCol: String, names: StoreNames): Seq[(Kind, Long, FileStatus)] =
+    Option(fs.globStatus(
+        new Path(dir, s"$partCol=*/graft-*-e*-p*.parquet")))
+      .toSeq.flatten
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (!PipelineManager.isCommittedEpochFile(n)) None
+        else kindOf(fileNs(n), names).map(k => (k, fileEpoch(n), st))
+      }
+
+  /** THE live-file computation every fresh read goes through.
+    * Ordering is the snapshot protocol: (1) run records, (2) raw
+    * commit markers, (3) data files — so a run recorded after step 1
+    * is excluded while its raw inputs are still listed (they survive
+    * ≥ one cadence tick past supersession: the deferred sweep), and
+    * an epoch mid-publish after step 2 is excluded entirely. The
+    * returned set is therefore always a committed, exactly-once
+    * prefix of the ingest. */
+  private[streaming] def liveFiles(fs: FileSystem, dir: String,
+      partCol: String, names: StoreNames): Seq[FileStatus] = {
+    val runs = recordedRuns(fs, dir)
+    val fr = frontier(runs)
+    val liveKeys = runs.filterNot(r => isSuperseded(r, runs))
+      .map(runKey).toSet
+    val markerDir = new Path(dir, s"_graft_commits/${names.dataNs}")
+    val committed: Set[Long] =
+      if (!fs.exists(markerDir)) Set.empty
+      else fs.listStatus(markerDir).toSeq
+        .map(_.getPath.getName.toLong).toSet
+    allDataFiles(fs, dir, partCol, names).collect {
+      case (RawKind, e, st) if e > fr && committed(e) => st
+      case (k @ (LegacyKind | LevelKind(_)), e, st)
+        if liveKeys.contains((k, e)) => st
+    }
+  }
+
+  /**
+   * READ-ONLY cross-JVM snapshot of a store another instance (or
+   * JVM) maintains: the same committed-prefix live-file set the
+   * owner's view reads, pinned with `basePath` so partition pruning
+   * survives, touching NOTHING on disk — a standby/serving session
+   * must never run the owner's recovery (it could delete a
+   * half-published run the owner is about to record). Safe against a
+   * concurrent compaction tick for one full cadence (the deferred
+   * sweep); None before any committed data.
+   */
+  def readSnapshot(spark: SparkSession, dir: String, partCol: String,
+      name: String): Option[DataFrame] = {
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val files = liveFiles(fs, dir, partCol, StoreNames(name))
+      .map(_.getPath.toString)
+    if (files.isEmpty) None
+    else Some(spark.read.option("basePath", dir).parquet(files: _*))
+  }
 }

@@ -280,4 +280,8 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
   /** Committed postings data-file count (all buckets) — the quantity
     * compaction keeps flat; probes and specs assert on it. */
   def postingsFileCount(): Int = store.fileCount
+
+  /** The postings store, for probes and the /diag health surface —
+    * telemetry reads only; all writes go through [[appendEpoch]]. */
+  private[graft] def postingsStore: EpochPartitionedStore = store
 }

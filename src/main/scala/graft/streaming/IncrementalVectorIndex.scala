@@ -115,4 +115,8 @@ final class IncrementalVectorIndex(spark: SparkSession, dir: String,
   /** Committed data-file count across all cells — the quantity
     * compaction keeps flat; probes and specs assert on it. */
   def cellFileCount(): Int = store.fileCount
+
+  /** The cell store, for probes and the /diag health surface —
+    * telemetry reads only; all writes go through [[appendEpoch]]. */
+  private[graft] def cellStore: EpochPartitionedStore = store
 }

@@ -396,6 +396,16 @@ object StreamScaleProbe {
       }
       println(s"[sscale] s24shape $label FILES first=${files.head} " +
         s"max=${files.max} last=${files.last} n=${files.size}")
+      // write-cost telemetry: epochs-rewritten is Σ per merge of the
+      // raw epochs it covers — the old full-store rewrite on the same
+      // cadence would be Σ_tick(ticks seen so far)·compactEvery ≈
+      // n²/(2·compactEvery), the quadratic this bounds
+      val st = ilx.postingsStore
+      val n = files.size
+      println(s"[sscale] s24shape $label REWRITE " +
+        s"epochsRewritten=${st.totalEpochsRewritten} " +
+        s"fullRewriteAlt=${(n.toLong * n) / 16} " +
+        s"bytes=${st.totalRewriteBytes}")
       deleteAll(srcDir, idxDir, outDir, ckpt)
     }
 
@@ -438,6 +448,12 @@ object StreamScaleProbe {
       println(s"[sscale] s26shape $label FILES first=${files.head} " +
         s"max=${files.max} last=${files.last} n=${files.size} " +
         s"batchDocs=$effectiveDocs")
+      val st = ivx.cellStore
+      val n = files.size
+      println(s"[sscale] s26shape $label REWRITE " +
+        s"epochsRewritten=${st.totalEpochsRewritten} " +
+        s"fullRewriteAlt=${(n.toLong * n) / 16} " +
+        s"bytes=${st.totalRewriteBytes}")
       deleteAll(srcDir, idxDir, outDir, ckpt)
     }
 

@@ -44,19 +44,21 @@ class IncrementalLexIndexSpec extends SparkTestBase {
         s"epoch $e serve diverged from the batch closed form")
     }
     // compaction ran after epochs 1, 3, 5: at each of those points
-    // the store must sit at its compacted floor — at most one file
-    // per term-hash bucket (the repartition-by-bucket write), never
-    // the accumulated epochs' worth. Flatness in epoch count IS the
-    // claim: counts at epochs 1, 3, 5 must not grow.
-    for (e <- Seq(1, 3, 5))
-      assert(fileCounts(e) <= Text.LexIndexBuckets,
+    // the store must sit at its TIERED floor — at most one file per
+    // term-hash bucket PER LIVE RUN (one level-1 run per tick until
+    // tierFanIn fills a level), never the accumulated raw epochs'
+    // worth. The bound in epoch count is tierFanIn·levels runs, not
+    // one — that is the price of O(N·levels) instead of O(N²) total
+    // rewrite bytes (StoreFuzzSpec and StreamScaleProbe carry the
+    // long-horizon flatness/write-cost evidence).
+    for ((e, liveRuns) <- Seq(1 -> 1, 3 -> 2, 5 -> 3))
+      assert(fileCounts(e) <= Text.LexIndexBuckets * liveRuns,
         s"store not at its compacted floor after epoch $e: $fileCounts")
-    assert(fileCounts(5) <= fileCounts(1),
-      s"compacted floor grew with epoch count: $fileCounts")
     // the stats store is swept too: cumulative rows below the
-    // compaction point are subsumed by the row at it
+    // compaction FRONTIER are subsumed by the row at it (the sweep is
+    // deferred one tick, so rows from the frontier on linger)
     assert(PipelineManager.committedFiles(s"$dir/stats",
-        spark.sparkContext.hadoopConfiguration).size <= 2,
+        spark.sparkContext.hadoopConfiguration).size <= 4,
       "stats store must not grow one file per epoch across compactions")
   }
 
@@ -74,30 +76,41 @@ class IncrementalLexIndexSpec extends SparkTestBase {
     assert(serveRows(ilx) == oracleRows(docs.limit(50)))
   }
 
-  test("a legacy root-level compaction record migrates instead of deleting data") {
-    // builds prior to the EpochPartitionedStore extraction kept
-    // _compact_state-* at the index ROOT; a reopen must move the
-    // record into the store, not read "no generation recorded" and
-    // sweep the compacted data as an unrecorded attempt
+  test("a legacy full-rewrite store (root-level record) migrates and reads as a level-1 run") {
+    // builds prior to the tiered rework wrote FULL-STORE generations
+    // under `<name>.g` recorded as `_compact_state-<g>` (and, before
+    // the EpochPartitionedStore extraction, kept that record at the
+    // index ROOT). A reopen must (a) move a root record into the
+    // store and (b) honor the legacy record as a level-1 run [0, g] —
+    // not read "no run recorded" and sweep the data as an unrecorded
+    // attempt.
     val dir = tmp("ilx-mig-")
-    val ilx = new IncrementalLexIndex(spark, dir, name = "t",
-      compactEvery = 2)
+    val ilx = new IncrementalLexIndex(spark, dir, name = "t")
     (0 until 2).foreach { e =>
       ilx.appendEpoch(docs.filter(pmod(col("doc_id"), lit(2L)) === e), e)
     }
     val want = serveRows(ilx)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // simulate the legacy layout: record back at the root
-    assert(fs.rename(
-      new org.apache.hadoop.fs.Path(s"$dir/postings/_compact_state-1"),
-      new org.apache.hadoop.fs.Path(s"$dir/_compact_state-1")))
+    // fabricate exactly what the legacy code produced: a full rewrite
+    // of the store under the un-leveled generation namespace plus a
+    // ROOT-level single-number record
+    PipelineManager.epochAppendPartitioned(
+      spark.read.parquet(s"$dir/postings").repartition(col("tb")),
+      s"$dir/postings", "tb", 1L, "t.g"): Unit
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/_compact_state-1"), false)
+    out.close()
     val reopened = new IncrementalLexIndex(spark, dir, name = "t")
     assert(serveRows(reopened) == want,
       "legacy record must be honored — data survived the reopen")
     assert(fs.exists(
       new org.apache.hadoop.fs.Path(s"$dir/postings/_compact_state-1")),
       "the record must have migrated into the store")
+    // and the raw epochs the legacy generation covers are swept by
+    // recovery, leaving the legacy run serving alone
+    val again = new IncrementalLexIndex(spark, dir, name = "t")
+    assert(serveRows(again) == want)
   }
 
   test("a replayed epoch (and a replayed compaction trigger) is a no-op") {
@@ -126,28 +139,35 @@ class IncrementalLexIndexSpec extends SparkTestBase {
     assert(serveRows(ilx) == want)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // crash window A: a generation's data + marker landed but its
-    // state record did not (crash between commit and record).
-    // Fabricate exactly that: publish a gen-5 rewrite of the current
-    // store with NO record. Without rollback the store holds every
-    // row twice and every score doubles.
-    val full = spark.read.parquet(s"$dir/postings").repartition(col("tb"))
+    // crash window A: a run's data + marker landed but its state
+    // record did not (crash between commit and record). Fabricate
+    // exactly that in BOTH run namespaces — a legacy full rewrite
+    // ("t.g", gen 5) and a tiered level-2 merge ("t.g2", covering
+    // epoch 5) — with NO records. Without rollback the store holds
+    // rows multiple times and every score multiplies.
+    val poison = spark.read.parquet(s"$dir/postings").repartition(col("tb"))
     PipelineManager.epochAppendPartitioned(
-      full, s"$dir/postings", "tb", 5L, "t.g"): Unit
+      poison, s"$dir/postings", "tb", 5L, "t.g"): Unit
+    PipelineManager.epochAppendPartitioned(
+      poison, s"$dir/postings", "tb", 5L, "t.g2"): Unit
     val reopened = new IncrementalLexIndex(spark, dir, name = "t")
     assert(serveRows(reopened) == want,
-      "recovery must delete an unrecorded generation (else scores double)")
-    // crash window B: record landed, sweep may not have finished — a
-    // fresh open re-runs the recorded sweep (idempotent) and serves
-    // the same rows. Drive a real gen 5 (two more epochs, empty
-    // batches so the corpus is unchanged), then re-open.
-    val ilx2 = new IncrementalLexIndex(spark, dir, name = "t",
-      compactEvery = 2)
-    ilx2.appendEpoch(docs.limit(0), 4L)
-    ilx2.appendEpoch(docs.limit(0), 5L) // triggers gen 5 for real
-    assert(fs.exists(new org.apache.hadoop.fs.Path(
-      s"$dir/postings/_compact_state-5")))
+      "recovery must delete unrecorded runs (else scores multiply)")
+    // crash window B: records landed, the DEFERRED sweep has not run
+    // yet (tick T+1 never came) — a fresh open re-runs the recorded
+    // runs' sweep (idempotent): the raw epochs inside the grace
+    // window disappear, the live runs serve alone, and a second
+    // reopen changes nothing further.
     val ilx3 = new IncrementalLexIndex(spark, dir, name = "t")
     assert(serveRows(ilx3) == want)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/postings/_compact_state-1-0-1")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/postings/_compact_state-1-2-3")),
+      "the tiered run records are the surviving authority")
+    assert(ilx3.postingsFileCount() <= 2 * Text.LexIndexBuckets,
+      "after recovery's sweep only the two live runs' files remain")
+    val ilx4 = new IncrementalLexIndex(spark, dir, name = "t")
+    assert(serveRows(ilx4) == want)
   }
 }

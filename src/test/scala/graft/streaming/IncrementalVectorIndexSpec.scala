@@ -49,9 +49,11 @@ class IncrementalVectorIndexSpec extends SparkTestBase {
         s"epoch $e serve diverged from the batch IVF form")
     }
     // compaction ran after epochs 1 and 3: the store sits at its
-    // floor (~one file per occupied cell, 8 cells) at those points
-    for (e <- Seq(1, 3))
-      assert(fileCounts(e) <= 8,
+    // TIERED floor — one file per occupied cell (8 cells) PER LIVE
+    // RUN (one level-1 run per tick until tierFanIn fills), never
+    // the accumulated raw epochs' worth
+    for ((e, liveRuns) <- Seq(1 -> 1, 3 -> 2))
+      assert(fileCounts(e) <= 8 * liveRuns,
         s"cell store not at its compacted floor after epoch $e: $fileCounts")
   }
 

@@ -14,20 +14,21 @@ import graft.SparkTestBase
  * model of what the store must contain; after EVERY op the store's
  * rows must equal the model exactly. The deterministic crash-window
  * tests pin each protocol transition one at a time; this pins their
- * COMPOSITIONS (replay after crash after compact after reopen...),
+ * COMPOSITIONS (replay after crash after tier-merge after reopen...),
  * which is where the lock fuzzers found their bugs in rounds 13-14.
+ * Crash fabrications now cover every run namespace the tiered
+ * protocol owns: legacy full rewrites ("fz.g") and leveled runs
+ * ("fz.g1", "fz.g2").
  */
 class StoreFuzzSpec extends SparkTestBase {
   import spark.implicits._
-
-  private val genPipe = "fz.g" // the store's generation namespace for name="fz"
 
   test("seeded op streams: store contents always equal the model") {
     for (seed <- Seq(11, 42, 97)) {
       val rnd = new scala.util.Random(seed)
       val dir = Files.createTempDirectory(s"sfz-$seed-").toString
       var store = new EpochPartitionedStore(spark, dir, "pc", "fz",
-        refreshEvery = 3, compactEvery = 3)
+        refreshEvery = 3, compactEvery = 3, tierFanIn = 3)
       // model: first committed rows per epoch; replays never change it
       val model = scala.collection.mutable.Map.empty[Long, Seq[(Long, String, Int)]]
       var nextEpoch = 0L
@@ -54,6 +55,13 @@ class StoreFuzzSpec extends SparkTestBase {
         assert(got == want,
           s"seed=$seed after $opLabel: store diverged from model " +
             s"(${got.size} vs ${want.size} rows)")
+        // the read-only cross-JVM snapshot must agree with the view
+        val snap = EpochPartitionedStore.readSnapshot(spark, dir, "pc", "fz")
+          .map(_.select(col("id"), col("v"), col("pc").cast("int"))
+            .as[(Long, String, Int)].collect().toSeq.sorted)
+          .getOrElse(Nil)
+        assert(snap == want,
+          s"seed=$seed after $opLabel: readSnapshot diverged from model")
       }
 
       (0 until 28).foreach { step =>
@@ -72,32 +80,109 @@ class StoreFuzzSpec extends SparkTestBase {
             check(s"replay($e)")
           case r if r < 85 => // process restart: fresh open, recovery
             store = new EpochPartitionedStore(spark, dir, "pc", "fz",
-              refreshEvery = 3, compactEvery = 3)
+              refreshEvery = 3, compactEvery = 3, tierFanIn = 3)
             check("reopen")
-          case _ => // compaction crashed before its state record, then
-            // the process died: publish an unrecorded generation over
-            // the current contents and re-open — recovery must roll it
-            // back (its inputs are still present), never double rows
+          case _ => // a merge crashed before its state record, then
+            // the process died: publish an unrecorded run over the
+            // current contents — in a random RUN namespace (legacy
+            // full rewrite, level-1, level-2) — and re-open; recovery
+            // must roll it back (its inputs are still present), never
+            // double rows
             if (store.hasData) {
               val gen = nextEpoch + 1000 + step // beyond any real epoch
+              val ns = Seq("fz.g", "fz.g1", "fz.g2")(rnd.nextInt(3))
               PipelineManager.epochAppendPartitioned(
                 spark.read.parquet(dir).repartition(col("pc")),
-                dir, "pc", gen, genPipe): Unit
+                dir, "pc", gen, ns): Unit
               store = new EpochPartitionedStore(spark, dir, "pc", "fz",
-                refreshEvery = 3, compactEvery = 3)
-              check(s"crashed-compaction($gen)+reopen")
+                refreshEvery = 3, compactEvery = 3, tierFanIn = 3)
+              check(s"crashed-merge($ns/$gen)+reopen")
             }
         }
       }
       // end-state: one more reopen and a final exact check, plus the
-      // file-count bound compaction exists for (4 partition values,
-      // refresh/compact cadence 3 -> never more than a few epochs of
-      // un-compacted files per partition)
+      // file-count bound tiered compaction exists for: ≤ tierFanIn
+      // live runs per level (2 levels reachable here) + one cadence
+      // of raw backlog, ~one file per partition value (4 values) each
       store = new EpochPartitionedStore(spark, dir, "pc", "fz",
-        refreshEvery = 3, compactEvery = 3)
+        refreshEvery = 3, compactEvery = 3, tierFanIn = 3)
       check("final-reopen")
-      assert(store.fileCount <= 4 * 4,
+      assert(store.fileCount <= 4 * (3 + 3 + 3),
         s"seed=$seed: file count ${store.fileCount} not bounded by compaction")
     }
+  }
+
+  test("tiers cascade, write amplification stays O(N·levels), snapshots pin through sweeps") {
+    val dir = Files.createTempDirectory("sfz-tier-").toString
+    // compactEvery=1: every epoch is a tick; tierFanIn=2: levels fill
+    // fast, so 16 epochs exercise level-3+ merges and many sweeps
+    val store = new EpochPartitionedStore(spark, dir, "pc", "fz",
+      refreshEvery = 3, compactEvery = 1, tierFanIn = 2)
+    val perEpoch = 8
+    (0 until 16).foreach { e =>
+      val rs = (0 until perEpoch).map(i => (e * 100L + i, s"v-$e-$i", i % 4))
+      store.appendEpoch(rs.toDF("id", "v", "pc").coalesce(1), e.toLong)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val records = fs.globStatus(
+        new org.apache.hadoop.fs.Path(dir, "_compact_state-*"))
+      .map(_.getPath.getName).toSeq
+    assert(records.exists(_.startsWith("_compact_state-3-")) ||
+      records.exists(_.startsWith("_compact_state-4-")),
+      s"16 epochs at tierFanIn=2 must cascade past level 2: $records")
+    // THE write-amplification claim, in its scale-free form: every
+    // epoch is rewritten once per level it merges into. 16 epochs at
+    // fan-in 2 is exactly 16 L1 + 8·2 L2 + 4·4 L3 + 2·8 L4 + 1·16 L5
+    // = 80 epoch-rewrites = E·log₂E. The old full-store rewrite on
+    // the same cadence was Σe = 136 and grows quadratically — at
+    // E = 10 000 that is 50 M vs 140 k.
+    assert(store.totalEpochsRewritten == 80L,
+      s"epoch-rewrites ${store.totalEpochsRewritten} != E·log₂E = 80 " +
+        "— tiering is not merging the shapes it should")
+    assert(store.fileCount <= 4 * (2 + 2 * 4),
+      s"file count ${store.fileCount} not flat under tiering")
+    // rows still exactly the committed prefix after all that
+    val got = store.frameIfAny.get.count()
+    assert(got == 16L * perEpoch, s"row count $got after 16 epochs")
+  }
+
+  test("a concurrent reader never races the sweep: snapshot reads during compaction") {
+    val dir = Files.createTempDirectory("sfz-rd-").toString
+    val store = new EpochPartitionedStore(spark, dir, "pc", "fz",
+      refreshEvery = 3, compactEvery = 2, tierFanIn = 2)
+    val perEpoch = 6
+    val validCounts = (0 to 24).map(_.toLong * perEpoch).toSet
+    @volatile var done = false
+    @volatile var readerError: Option[Throwable] = None
+    val observed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    // the reader is the CROSS-JVM shape: no store instance, no shared
+    // state, never mutates — just readSnapshot in a loop while the
+    // owner appends and compacts (which repeatedly sweeps files).
+    // Before the deferred sweep + record-pinned reads, this died with
+    // FileNotFoundException on the first post-compaction glob.
+    val reader = new Thread(() => {
+      try {
+        while (!done) {
+          EpochPartitionedStore.readSnapshot(spark, dir, "pc", "fz")
+            .foreach { df => observed.add(df.count()): Unit }
+        }
+      } catch { case t: Throwable => readerError = Some(t) }
+    }, "sfz-concurrent-reader")
+    reader.start()
+    try {
+      (0 until 24).foreach { e =>
+        val rs = (0 until perEpoch).map(i => (e * 100L + i, s"v-$e-$i", i % 3))
+        store.appendEpoch(rs.toDF("id", "v", "pc").coalesce(1), e.toLong)
+      }
+    } finally { done = true; reader.join(30000) }
+    assert(readerError.isEmpty,
+      s"concurrent reader failed: ${readerError.map(_.toString)}")
+    assert(!observed.isEmpty, "reader never completed a snapshot read")
+    val bad = observed.toArray.map(_.asInstanceOf[Long])
+      .filterNot(validCounts)
+    assert(bad.isEmpty,
+      s"reader observed non-prefix row counts: ${bad.mkString(",")} " +
+        "(a snapshot must be a committed, exactly-once prefix)")
   }
 }
