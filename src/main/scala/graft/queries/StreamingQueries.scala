@@ -1456,6 +1456,66 @@ object StreamingQueries {
       out
     }),
 
+    // INCREMENTAL IVF+PQ INDEX, MULTI-PROBE SERVE — s26 with the
+    // raw-embedding byte cost taken out of the scoring scan: ingest
+    // stores each vector's m=8 PQ codes (deterministic first-16
+    // codebook, e11/e14's form — a deployment passes a
+    // pqTrainCodebook-trained one) next to the raw embedding in the
+    // cell-partitioned store; the FOUR standing probes are served in
+    // ONE pass per scan kind (union of probed cells — the s28
+    // serveMulti contract on the vector side): ADC over the code
+    // column (top-6 per probe, embedding never read), then exact
+    // cosine re-rank of only those candidates to top-3. Bit-matches
+    // the e14 closed form + re-rank over every ingested prefix; the
+    // second run re-opens the store through recovery.
+    "s29_stream_pq_ivf" -> ((s, d) => {
+      val emb = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"),
+          graft.ann.Ann.toDouble(col("embedding")).as("ce"))
+      val cb = graft.ann.Ann.pqCodebook(
+        graft.ann.Ann.pqSubvectors(emb, 8), 16).localCheckpoint()
+      val probes = emb.filter(col("vec_id") < 4).localCheckpoint()
+      val srcDir = Files.createTempDirectory("graft-s29-src-").toString
+      val idxDir = Files.createTempDirectory("graft-s29-idx-").toString
+      val outDir = Files.createTempDirectory("graft-s29-out-").toString
+      val ckpt = Files.createTempDirectory("graft-s29-ckpt-").toString
+      val schema = emb.schema
+      val stamped = scala.collection.mutable.Set[String]()
+      def writeBucket(b: Int): Unit = writeStampedBucket(srcDir, stamped, b,
+        emb.filter(pmod(col("vec_id"), lit(3L)) === b))
+      def runIngest(): Unit = {
+        val ipx = new graft.streaming.IncrementalPqIndex(s, idxDir,
+          cents, cb, m = 8, name = "s29", compactEvery = 2)
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            ipx.appendEpoch(batch, epoch)
+            PipelineManager.epochAppend(
+              ipx.serve(probes, k = 3, nprobe = 2, rerank = 6)
+                .withColumn("epoch", lit(epoch)).coalesce(1),
+              outDir, epoch, "s29"): Unit
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      try {
+        writeBucket(0); runIngest()
+        writeBucket(1); writeBucket(2); runIngest()
+      } finally s.conf.set("spark.sql.shuffle.partitions", before)
+      val out = s.read.parquet(outDir).localCheckpoint()
+      deleteTree(srcDir, idxDir, outDir, ckpt)
+      out
+    }),
+
     // HYBRID RETRIEVAL FROM TWO INGEST-MAINTAINED INDEXES — the
     // production shape s25 approximates: the lexical list comes from
     // the full-vocab incremental inverted index (s24) and the vector
@@ -2283,6 +2343,100 @@ object StreamingQueries {
         pms.foreach(p => try p.close() catch { case _: Throwable => () })
         deleteTree(ckptRoot, srcDir, new java.io.File(destX).getParent,
           new java.io.File(destY).getParent)
+      }
+    }),
+
+    // MID-RUN MEMBER UPDATE — the third membership-change direction
+    // after q71 (create) and q72 (delete): a DELIVERY-RELEVANT update
+    // (destination re-pointed) of a running group member triggers the
+    // same manager-driven restart from the group checkpoint (the
+    // reference validates AND reassigns on update —
+    // DatastreamResources.java:410 → Coordinator.java:1680). Contract
+    // under test: after update("q73b" -> destZ), the new destination
+    // receives from the first post-update epoch (nothing earlier),
+    // the OLD destination receives nothing further (frozen at its
+    // pre-update files), the sibling sees every epoch exactly once
+    // across the restart, and the old handle is dead with a live
+    // replacement under the same group name. All waits poll the
+    // engine's own commit log — never sleeps sized to the work.
+    "q73_group_member_update" -> ((s, d) => {
+      val ckptRoot = Files.createTempDirectory("graft-q73-pm-").toString
+      val srcDir = Files.createTempDirectory("graft-q73-src-").toString
+      val destX = Files.createTempDirectory("graft-q73-destX-").toString + "/d"
+      val destY = Files.createTempDirectory("graft-q73-destY-").toString + "/d"
+      val destZ = Files.createTempDirectory("graft-q73-destZ-").toString + "/d"
+      var pms = List.empty[PipelineManager]
+      try {
+        val conf = s.sparkContext.hadoopConfiguration
+        val clicks = Tables.t(s, d, "events")
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"))
+        def epochOf(e: Long): DataFrame =
+          clicks.filter(pmod(col("event_id"), lit(2L)) === e)
+        val fs = new org.apache.hadoop.fs.Path(ckptRoot).getFileSystem(conf)
+        def commitDone(b: Long): Boolean = fs.exists(
+          new org.apache.hadoop.fs.Path(s"$ckptRoot/group-q73a/commits/$b"))
+        def awaitTrue(what: String)(cond: => Boolean): Unit = {
+          val deadline = System.currentTimeMillis() + 60000L
+          while (!cond && System.currentTimeMillis() < deadline)
+            Thread.sleep(25L)
+          require(cond, s"q73: timed out waiting for $what")
+        }
+        PipelineManager.epochAppend(epochOf(0).coalesce(1), srcDir, 0, "q73src")
+        val pm = new PipelineManager(s, ckptRoot)
+        pms ::= pm
+        pm.create(PipelineSpec("q73a", "parquet", "parquet", srcDir,
+          destinationConnection = destX))
+        pm.create(PipelineSpec("q73b", "parquet", "parquet", srcDir,
+          destinationConnection = destY))
+        val q0 = pm.startGroup("q73a", identity,
+          Trigger.ProcessingTime("50 milliseconds"))
+        // epoch 0 fully COMMITTED before the update — the restart
+        // deterministically resumes at epoch 1, so the new
+        // destination can never replay epoch 0
+        awaitTrue("epoch 0 commit")(commitDone(0))
+        val yFilesAtUpdate = PipelineManager.committedFiles(destY, conf).size
+        pm.update("q73b", PipelineSpec("q73b", "parquet", "parquet", srcDir,
+          destinationConnection = destZ)): Unit
+        val restarted = (!q0.isActive).toString
+        val newLive = s.streams.active.exists(q =>
+          q.name == "group-q73a" && q.isActive).toString
+        val zAtUpdate = PipelineManager.committedFiles(destZ, conf).size.toString
+        PipelineManager.epochAppend(epochOf(1).coalesce(1), srcDir, 1, "q73src")
+        awaitTrue("epoch 1 commit")(commitDone(1))
+        awaitTrue("post-update delivery to survivor and new dest")(
+          PipelineManager.committedFiles(destZ, conf).nonEmpty &&
+            PipelineManager.committedFiles(destX, conf).size >= 2)
+        val yFilesAfter = PipelineManager.committedFiles(destY, conf).size
+        pm.stop("q73a", force = true)
+        val x = s.read.parquet(destX)
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+          .head()
+        val y = s.read.parquet(destY)
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+          .head()
+        val z = s.read.parquet(destZ)
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+          .head()
+        pm.close()
+        import s.implicits._
+        Seq(
+          ("upd", "restarted", restarted),
+          ("upd", "new_query_live", newLive),
+          ("upd", "z_rows_at_update", zAtUpdate),
+          ("upd", "y_frozen", (yFilesAfter == yFilesAtUpdate).toString),
+          ("rows", "x_n", x.getLong(0).toString),
+          ("rows", "x_distinct", x.getLong(1).toString),
+          ("rows", "y_n", y.getLong(0).toString),
+          ("rows", "y_distinct", y.getLong(1).toString),
+          ("rows", "z_n", z.getLong(0).toString),
+          ("rows", "z_distinct", z.getLong(1).toString))
+          .toDF("kind", "k", "v")
+      } finally {
+        pms.foreach(p => try p.close() catch { case _: Throwable => () })
+        deleteTree(ckptRoot, srcDir, new java.io.File(destX).getParent,
+          new java.io.File(destY).getParent,
+          new java.io.File(destZ).getParent)
       }
     }),
 
@@ -3115,6 +3269,79 @@ object StreamingQueries {
         |FROM scored) WHERE rank <= 3
         |ORDER BY epoch, query_id, rank""".stripMargin.replace("\n", " "),
 
+    // Epoch-unrolled IVF+PQ with exact re-rank: s26's fixed cells
+    // (vec_id < 8) gate the candidates, e11/e14's deterministic
+    // first-16 codebook encodes them (both epoch-independent — only
+    // the candidate prefix join carries ep), the ADC fold (list
+    // ORDER BY sub, 6 dp) takes top-6 per (epoch, probe), and the
+    // final top-3 re-ranks exactly those candidates by full-precision
+    // cosine — the two-pass serve the PQ store runs.
+    "s29_stream_pq_ivf" ->
+      """WITH ep(epoch) AS (VALUES (CAST(0 AS BIGINT)), (1), (2)),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |sqrt(list_reduce(list_transform(e, (x, i) -> x * (e)[i]),
+        |(acc, u) -> acc + u)) AS nr FROM v),
+        |cents AS (SELECT vec_id AS cent_id, e AS ce, nr AS cnr FROM n
+        |WHERE vec_id < 8),
+        |sa AS (SELECT n.vec_id, c.cent_id,
+        |round(list_reduce(list_transform(n.e, (x, i) -> x * (c.ce)[i]),
+        |(acc, u) -> acc + u) / (n.nr * c.cnr), 6) AS acos
+        |FROM n CROSS JOIN cents c),
+        |casg AS (SELECT vec_id, cent_id FROM (
+        |SELECT vec_id, cent_id, ROW_NUMBER() OVER
+        |(PARTITION BY vec_id ORDER BY acos DESC, cent_id) AS rn FROM sa)
+        |WHERE rn = 1),
+        |pasg AS (SELECT vec_id, cent_id FROM (
+        |SELECT vec_id, cent_id, ROW_NUMBER() OVER
+        |(PARTITION BY vec_id ORDER BY acos DESC, cent_id) AS rn FROM sa)
+        |WHERE rn <= 2),
+        |sp AS (SELECT vec_id, r.range AS sub,
+        |e[(CAST(r.range AS INTEGER) * (len(e) // 8) + 1):
+        |((CAST(r.range AS INTEGER) + 1) * (len(e) // 8))] AS sv
+        |FROM v CROSS JOIN range(0, 8) r),
+        |cb AS (SELECT sub, CAST(vec_id AS INTEGER) AS code, sv AS cv
+        |FROM sp WHERE vec_id < 16),
+        |codes AS (SELECT vec_id AS cand_id, sub, code FROM (
+        |SELECT sp.vec_id, sp.sub, cb.code,
+        |ROW_NUMBER() OVER (PARTITION BY sp.vec_id, sp.sub ORDER BY
+        |round(list_reduce(list_transform(cb.cv, (x, i) -> x * (cb.cv)[i]),
+        |(acc, u) -> acc + u)
+        |- 2 * list_reduce(list_transform(sp.sv, (x, i) -> x * (cb.cv)[i]),
+        |(acc, u) -> acc + u), 6), cb.code) AS rn
+        |FROM sp JOIN cb USING (sub)) WHERE rn = 1),
+        |adc AS (SELECT q.vec_id AS query_id, q.sub, cb.code,
+        |round(list_reduce(list_transform(q.sv, (x, i) -> x * (cb.cv)[i]),
+        |(acc, u) -> acc + u), 6) AS part
+        |FROM sp q JOIN cb USING (sub) WHERE q.vec_id < 4),
+        |nbc AS (SELECT ep.epoch, a.vec_id, a.cent_id FROM casg a
+        |JOIN ep ON MOD(a.vec_id, 3) <= ep.epoch),
+        |pairs AS (SELECT c.epoch, p.vec_id AS query_id, c.vec_id AS cand_id
+        |FROM pasg p JOIN nbc c ON c.cent_id = p.cent_id
+        |WHERE p.vec_id < 4 AND p.vec_id <> c.vec_id),
+        |sc AS (SELECT pr.epoch, pr.query_id, pr.cand_id,
+        |round(list_reduce(list(a.part ORDER BY a.sub),
+        |(acc, x) -> acc + x), 6) AS adc_dot
+        |FROM pairs pr JOIN codes co ON co.cand_id = pr.cand_id
+        |JOIN adc a ON a.query_id = pr.query_id AND a.sub = co.sub
+        |AND a.code = co.code
+        |GROUP BY 1, 2, 3),
+        |adctop AS (SELECT epoch, query_id, cand_id FROM (
+        |SELECT epoch, query_id, cand_id, ROW_NUMBER() OVER
+        |(PARTITION BY epoch, query_id ORDER BY adc_dot DESC, cand_id)
+        |AS rn FROM sc) WHERE rn <= 6),
+        |rr AS (SELECT t.epoch, t.query_id, t.cand_id,
+        |round(list_reduce(list_transform(q.e, (x, i) -> x * (c.e)[i]),
+        |(acc, u) -> acc + u) / (q.nr * c.nr), 6) AS cos
+        |FROM adctop t JOIN n q ON q.vec_id = t.query_id
+        |JOIN n c ON c.vec_id = t.cand_id)
+        |SELECT epoch, query_id, cand_id, rank, cos FROM (
+        |SELECT epoch, query_id, cand_id, cos, ROW_NUMBER() OVER
+        |(PARTITION BY epoch, query_id ORDER BY cos DESC, cand_id) AS rank
+        |FROM rr) WHERE rank <= 3
+        |ORDER BY epoch, query_id, rank""".stripMargin.replace("\n", " "),
+
     // Epoch-unrolled HLL: the running register table after epoch e is
     // exactly the registers over buckets 0..e (max-merge is
     // order-free), so each epoch row is the t24 estimate over the
@@ -3306,6 +3533,33 @@ object StreamingQueries {
         |UNION ALL SELECT 'rows', 'y_distinct',
         |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
         |FROM events WHERE event_type = 'click' AND event_id % 2 = 0"""
+        .stripMargin.replace("\n", " "),
+
+    // Mid-run member-update closed form: the update happens with
+    // epoch 0 committed, so the old destination froze at the epoch-0
+    // slice, the new destination holds exactly the post-update epoch
+    // (event_id % 2 = 1), and the sibling holds everything exactly
+    // once across the restart.
+    "q73_group_member_update" ->
+      """SELECT 'upd' AS kind, 'restarted' AS k, 'true' AS v
+        |UNION ALL SELECT 'upd', 'new_query_live', 'true'
+        |UNION ALL SELECT 'upd', 'z_rows_at_update', '0'
+        |UNION ALL SELECT 'upd', 'y_frozen', 'true'
+        |UNION ALL SELECT 'rows', 'x_n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL SELECT 'rows', 'x_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL SELECT 'rows', 'y_n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click' AND event_id % 2 = 0
+        |UNION ALL SELECT 'rows', 'y_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'click' AND event_id % 2 = 0
+        |UNION ALL SELECT 'rows', 'z_n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click' AND event_id % 2 = 1
+        |UNION ALL SELECT 'rows', 'z_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'click' AND event_id % 2 = 1"""
         .stripMargin.replace("\n", " "),
 
     // Self-demotion closed form: every lease event is a literal (the

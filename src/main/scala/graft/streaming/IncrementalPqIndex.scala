@@ -1,0 +1,166 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ann.Ann
+
+/**
+ * Incremental IVF+PQ vector index — [[IncrementalVectorIndex]] with
+ * the raw-embedding byte cost taken out of the SERVING scan: each
+ * ingested vector is stored cell-partitioned with its m-subspace
+ * product-quantization CODES (m small integers) next to the raw
+ * embedding, and a query is answered in two column-pruned passes
+ * over ONLY the probed cells' directories:
+ *
+ *  1. ADC scan — reads (vec_id, codes, cell): the per-probe
+ *     asymmetric-distance table (m·k_code entries against the
+ *     broadcast codebook) scores every candidate from its codes
+ *     alone. The `embedding` column never leaves parquet here —
+ *     column pruning is what PQ buys at 100 TB, where raw float
+ *     vectors are the dominant byte cost of the corpus.
+ *  2. Re-rank scan — reads (vec_id, embedding) for the ADC top-R
+ *     candidates only (a broadcast semi-join of a ≤ |probes|·R row
+ *     set against the same cell-pruned directories), exact cosine,
+ *     final top-k.
+ *
+ * Like the plain IVF index, BOTH codebooks are fixed at creation
+ * (coarse centroids for the cell gating, the (sub, code, cv) PQ
+ * codebook for encoding — [[Ann.pqTrainCodebook]] trains one), so a
+ * vector's cell and codes never change and epoch files never
+ * reshuffle. Persistence is the shared [[EpochPartitionedStore]]:
+ * tiered compaction, snapshot reads, crash recovery — nothing new.
+ *
+ * Serving is MULTI-PROBE by construction (the s28 `serveMulti`
+ * contract, which [[IncrementalVectorIndex.serve]] also honors): N
+ * standing probes cost ONE pass per scan kind, pruned to the UNION
+ * of their probed cells, with per-probe rank windows — never N
+ * store reads.
+ *
+ * Reference surface: the reference has no vector serving; this is
+ * the 100 TB-honest storage form of the engine's own e14/e15 batch
+ * composition ([[Ann.ivfPqSearchIndexed]] is the scoring half).
+ */
+final class IncrementalPqIndex(spark: SparkSession, dir: String,
+    centroids: DataFrame, codebook: DataFrame, m: Int,
+    name: String = "pqidx",
+    refreshEvery: Int = DurableIndexView.DefaultRefreshEvery,
+    compactEvery: Int = 0) {
+  require(m >= 1, s"m must be >= 1, got $m")
+  // the two tiny fixed codebooks, pinned so every epoch's encode and
+  // every serve reuse one materialization
+  private val cents = centroids.select(col("cent_id"), col("ce"))
+    .withColumn("cnr", Ann.norm(col("ce")))
+    .localCheckpoint()
+  private val cb = codebook.select(col("sub"), col("code"), col("cv"))
+    .localCheckpoint()
+
+  private val store = new EpochPartitionedStore(spark, s"$dir/cells",
+    "cell", name, refreshEvery, compactEvery)
+
+  /** Fold one ingest batch (`vec_id`, `embedding`) into the index:
+    * nearest-cell assignment + PQ encode against the fixed codebooks
+    * (one row per vector: codes inlined as an m-array in subspace
+    * order), then one partitioned epoch commit. Idempotent per
+    * epoch. */
+  def appendEpoch(batch: DataFrame, epoch: Long): Unit = {
+    val b = batch.select(col("vec_id"), col("embedding"))
+    val assigned = Ann.cellAssign(cents, b, 1, keep = Seq("embedding"))
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    // (vec_id, codes): pqEncode's long form rolled up, subspace order
+    // fixed by the sort so posexplode at serve time recovers `sub`
+    val codes = Ann.pqEncode(Ann.pqSubvectors(b, m), cb)
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("codes"))
+    store.appendEpoch(assigned.join(codes, Seq("vec_id")), epoch)
+  }
+
+  /**
+   * nprobe-gated ANN top-`k` for each probe vector: ADC over the
+   * probed cells' code columns (top `rerank` candidates per probe,
+   * scored from codes alone — bit-identical to
+   * [[Ann.ivfPqSearchIndexed]] over the ingested prefix), then exact
+   * cosine over ONLY those candidates' raw embeddings. Returns
+   * (query_id, cand_id, rank, cos); empty before any data.
+   */
+  def serve(probes: DataFrame, k: Int, nprobe: Int = 1,
+      rerank: Int = 0): DataFrame = {
+    import spark.implicits._
+    val r = if (rerank > 0) rerank else 2 * k
+    store.frameIfAny match {
+      case None =>
+        Seq.empty[(Long, Long, Long, Double)]
+          .toDF("query_id", "cand_id", "rank", "cos")
+      case Some(fr) =>
+        // bounded at |probes|·nprobe rows; materialized once and
+        // reused for the cell collect AND the pairs broadcast
+        val pAssign = Ann.cellAssign(cents, probes, nprobe)
+          .select(col("vec_id").as("query_id"), col("cent_id"))
+          .localCheckpoint()
+        val pc = pAssign.select(col("cent_id")).distinct()
+          .collect() // ≤ |probes|·nprobe rows — bounded by construction
+          .map(_.get(0).asInstanceOf[Number].longValue()).toSeq.sorted
+        val gated = fr.filter(col("cell").isin(pc: _*))
+        // pass 1 (ADC): ONE scan reading (vec_id, codes, cell) — the
+        // cell rides the code rows into the probe pairs join, and the
+        // scoring is [[Ann.ivfPqSearchIndexed]]'s exact literal
+        // shapes (adc table, (query, sub, code) equi-join,
+        // in-subspace-order fold, 6 dp)
+        val codesLong = gated
+          .select(col("vec_id").as("cand_id"), col("cell"),
+            posexplode(col("codes")))
+          .select(col("cand_id"), col("cell"),
+            col("pos").cast("long").as("sub"), col("col").as("code"))
+        val adc = Ann.pqSubvectors(probes, m)
+          .withColumnRenamed("vec_id", "query_id")
+          .withColumnRenamed("sv", "qsv")
+          .join(broadcast(cb), Seq("sub"))
+          .select(col("query_id"), col("sub").cast("long").as("sub"),
+            col("code"), round(Ann.dot(col("qsv"), col("cv")), 6).as("part"))
+        val scored = codesLong
+          .join(broadcast(pAssign), col("cell") === col("cent_id"))
+          .filter(col("query_id") =!= col("cand_id"))
+          .join(broadcast(adc), Seq("query_id", "sub", "code"))
+          .groupBy(col("query_id"), col("cand_id"))
+          .agg(round(aggregate(
+            transform(array_sort(collect_list(struct(col("sub"), col("part")))),
+              x => x.getField("part")),
+            lit(0.0), (acc, x) => acc + x), 6).as("adc_dot"))
+        val wa = Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_dot").desc, col("cand_id"))
+        val adcTop = scored.withColumn("rn", row_number().over(wa))
+          .filter(col("rn") <= r)
+          .select(col("query_id"), col("cand_id"))
+        // pass 2 (re-rank): raw embeddings for the bounded ADC-top
+        // set only — the scan stays cell-pruned, the candidate set
+        // broadcasts
+        val qv = probes.select(col("vec_id").as("query_id"),
+            Ann.toDouble(col("embedding")).as("qv"))
+          .withColumn("qn", Ann.norm(col("qv")))
+        val cv = gated.select(col("vec_id").as("cand_id"),
+            Ann.toDouble(col("embedding")).as("cv"))
+          .withColumn("cn", Ann.norm(col("cv")))
+        val exact = cv
+          .join(broadcast(adcTop), Seq("cand_id"))
+          .join(broadcast(qv), Seq("query_id"))
+          .withColumn("cos",
+            round(Ann.cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("cand_id"))
+        exact.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("cand_id"), col("rank"), col("cos"))
+    }
+  }
+
+  /** Committed data-file count across all cells — the quantity
+    * compaction keeps flat; probes and specs assert on it. */
+  def cellFileCount(): Int = store.fileCount
+
+  /** The cell store, for probes and the /diag health surface —
+    * telemetry reads only; all writes go through [[appendEpoch]]. */
+  private[graft] def cellStore: EpochPartitionedStore = store
+}

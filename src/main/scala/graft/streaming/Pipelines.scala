@@ -786,8 +786,22 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   /**
    * Update a registered spec (the reference's update path,
    * DatastreamResources update :410 → validateUpdateDatastreams).
-   * The running query, if any, must be restarted by the caller to pick
-   * up the new spec — same restart contract as the reference.
+   *
+   * Reassignment contract (q73): a DELIVERY-RELEVANT update — the
+   * destination re-pointed — of a member whose group's shared query
+   * is RUNNING in this manager triggers the same membership-change
+   * restart as create/delete on a running group (the reference
+   * reassigns on update through Coordinator.java:1680
+   * handleLeaderDoAssignment): the shared query restarts from the
+   * group checkpoint, the new destination receives from the first
+   * post-update epoch, the old destination receives nothing further,
+   * and siblings see every epoch exactly once across the restart
+   * (the updated member's old-destination markers migrate to that
+   * destination's next leader first, so a delivered-but-uncommitted
+   * epoch's replay still no-ops there). Metadata-only updates (pause
+   * pins, labels) do NOT restart — the management plane persists pin
+   * tables through this path mid-run. A SOLO running pipeline keeps
+   * the old contract: the caller restarts it to pick up the spec.
    */
   def update(name: String, newSpec: PipelineSpec,
       owner: String = "anonymous"): PipelineSpec = {
@@ -827,7 +841,60 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         else existing.destinationConnection)
     specs.put(name, updated)
     persistSpec(updated)
+    if (updated.destinationConnection != existing.destinationConnection) {
+      provisionDestination(updated) // a re-point gets the same K7 layout
+      reassignUpdatedMember(updated, existing)
+    }
     updated
+  }
+
+  /** The update-side membership-change restart (q73) — see
+    * [[update]]'s reassignment contract. Mirrors [[delete]]'s shape:
+    * marker migration BEFORE the restart, survivors flipped to
+    * Stopped (locks released) when the restart itself fails — the
+    * update stands either way, as the deletion does. */
+  private def reassignUpdatedMember(updated: PipelineSpec,
+      previous: PipelineSpec): Unit = {
+    val name = updated.name
+    val prefix = updated.metadata.getOrElse(PipelineManager.TaskPrefixKey,
+      name)
+    PipelineManager.membershipStripe(prefix).synchronized {
+      val runningShared = Option(queries.get(name)).exists(q =>
+        q.isActive && q.name == s"group-$prefix")
+      if (!runningShared) return
+      groupRuns.get(prefix).foreach { case (transform, trigger) =>
+        // stop the shared query FIRST so no further epoch marker can
+        // land under the old-destination namespace after migration
+        stopQueryOf(name)
+        // the updated member leaves its old destination's delivery
+        // group; if it led that group's marker namespace, hand the
+        // markers to the destination's next leader (idempotent
+        // empty-file copies) so a replayed in-flight epoch no-ops
+        val sharingOld = findGroup(name)
+          .filterNot(_.name == name)
+          .filter(_.destinationConnection == previous.destinationConnection)
+        if (sharingOld.nonEmpty)
+          migrateDestMarkers(previous.destinationConnection, name,
+            destLeader(sharingOld).name)
+        try startGroup(name, transform, trigger,
+          reAdmitStopped = false): Unit
+        catch {
+          case e: Throwable =>
+            // the update stands; leave the group in the truthful
+            // Stopped state rather than Ready-with-no-query
+            findGroup(name).foreach { m =>
+              try {
+                releaseLock(m.name)
+                specs.updateWith(m.name)(
+                  _.map(_.copy(status = PipelineStatus.Stopped)))
+                specs.get(m.name).foreach(persistSpec)
+                hooks.onStateChange(m.name, PipelineStatus.Stopped)
+              } catch { case e2: Throwable => e.addSuppressed(e2) }
+            }
+            throw e
+        }
+      }
+    }
   }
 
   def get(name: String): Option[PipelineSpec] = specs.get(name)

@@ -557,6 +557,76 @@ class PlanSpec extends SparkTestBase {
       "per-probe ranking must never be a global window"))
   }
 
+  test("s26 multi-probe serve reads the cell store exactly once") {
+    // the serveMulti contract on the vector side: N standing probes
+    // are served from ONE scan of the store pruned to the UNION of
+    // their probed cells — never N store reads
+    val dir = java.nio.file.Files.createTempDirectory("plan-ivxm-").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val cents = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("cent_id"),
+        graft.ann.Ann.toDouble(
+          org.apache.spark.sql.functions.col("embedding")).as("ce"))
+    val ivx = new graft.streaming.IncrementalVectorIndex(spark, dir, cents,
+      name = "p")
+    ivx.appendEpoch(emb.limit(200), 0L)
+    val p = ivx.serve(emb.filter(
+        org.apache.spark.sql.functions.col("vec_id") < 4), k = 3, nprobe = 2)
+      .queryExecution.executedPlan
+    val cellScans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("cells")) => s
+    }
+    assert(cellScans.size == 1,
+      s"4 probes must share ONE cell-store scan, got ${cellScans.size}")
+  }
+
+  test("s29 PQ index: ADC scan never reads embeddings; both scans cell-pruned") {
+    // the point of PQ at 100 TB surviving to the physical plan: the
+    // scoring pass reads (vec_id, codes, cell) — the raw embedding
+    // column stays in parquet — and only the bounded re-rank pass
+    // reads embeddings; both scans carry the probed-cell
+    // PartitionFilters, and each scan kind appears exactly once for
+    // the 4 standing probes (the multi-probe contract).
+    val dir = java.nio.file.Files.createTempDirectory("plan-ipx-").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val cents = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("cent_id"),
+        graft.ann.Ann.toDouble(
+          org.apache.spark.sql.functions.col("embedding")).as("ce"))
+    val cb = graft.ann.Ann.pqCodebook(
+      graft.ann.Ann.pqSubvectors(emb, 8), 16)
+    val ipx = new graft.streaming.IncrementalPqIndex(spark, dir, cents, cb,
+      m = 8, name = "p")
+    ipx.appendEpoch(emb.limit(200), 0L)
+    val p = ipx.serve(emb.filter(
+        org.apache.spark.sql.functions.col("vec_id") < 4),
+        k = 3, nprobe = 2, rerank = 6)
+      .queryExecution.executedPlan
+    val cellScans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("cells")) => s
+    }
+    assert(cellScans.size == 2,
+      s"expected exactly the ADC scan + the re-rank scan, got ${cellScans.size}")
+    cellScans.foreach(s => assert(s.partitionFilters.nonEmpty,
+      "every cell-store scan must carry the probed-cell partition filter"))
+    val (embScans, codeScans) = cellScans.partition(
+      _.schema.fieldNames.contains("embedding"))
+    assert(codeScans.size == 1 &&
+      codeScans.head.schema.fieldNames.contains("codes"),
+      "exactly one scan scores from codes alone")
+    assert(!codeScans.head.schema.fieldNames.contains("embedding"),
+      "the ADC scan must never read the raw embedding column")
+    assert(embScans.size == 1 &&
+      !embScans.head.schema.fieldNames.contains("codes"),
+      "exactly one (re-rank) scan reads embeddings, without codes")
+  }
+
   test("e14/e15 IVF+PQ score through broadcast codebook/ADC equi-joins") {
     for (name <- Seq("e14_ivf_pq", "e15_ivf_pq_trained")) {
       val p = planOf(name)

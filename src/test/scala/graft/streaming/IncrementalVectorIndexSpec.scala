@@ -57,6 +57,25 @@ class IncrementalVectorIndexSpec extends SparkTestBase {
         s"cell store not at its compacted floor after epoch $e: $fileCounts")
   }
 
+  test("N standing probes equal N independent single-probe serves") {
+    // the s28 serveMulti contract on the vector side: serve() is
+    // multi-probe by construction — one store pass pruned to the
+    // union of probed cells (PlanSpec pins the single scan), rows
+    // identical to running each probe alone
+    val dir = Files.createTempDirectory("ivx-mp-").toString
+    val ivx = new IncrementalVectorIndex(spark, dir, cents, name = "t")
+    ivx.appendEpoch(emb.limit(300), 0L)
+    def rows(p: DataFrame) = ivx.serve(p, k = 3, nprobe = 2)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+      .sortBy(r => (r._1, r._4))
+    val multi = rows(probes)
+    val singles = (0L until 4L).flatMap { q =>
+      rows(emb.filter(col("vec_id") === q))
+    }.sortBy(r => (r._1, r._4))
+    assert(multi == singles,
+      "multi-probe serve must be row-identical to independent serves")
+  }
+
   test("a replayed epoch is a no-op; a fresh open serves the same rows") {
     val dir = Files.createTempDirectory("ivx-rp-").toString
     val ivx = new IncrementalVectorIndex(spark, dir, cents, name = "t",
