@@ -456,13 +456,21 @@ final class ManagementServer(pm: PipelineManager,
           List("sketchRegisters" -> (JLong(nregs): JValue),
             "cardinalityEstimate" -> (JDouble(est): JValue))
         }.getOrElse(Nil)
+        // durable-index health for index-maintaining pipelines: the
+        // store's committed epoch / frontier / live file+run counts /
+        // deepest tier / rewrite counters (+ lexical corpus stats) —
+        // the numbers the scale probes assert, live for operators
+        val index = pm.indexHealth(name).map { h =>
+          List("index" -> (JObject(h.toList.sortBy(_._1).map {
+            case (k, v) => k -> (JDouble(v): JValue) }): JValue))
+        }.getOrElse(Nil)
         respond(ex, 200, JObject(List[(String, JValue)](
           "name" -> JString(name),
           "metrics" -> JObject(pm.metrics(name).toList.map {
             case (k, v) => k -> (JLong(v): JValue) }),
           "pausedPartitions" -> JArray(
             pm.paused(name).toList.sorted.map(JString(_): JValue)))
-          ++ sketch))
+          ++ sketch ++ index))
       case _ => error(ex, 404, s"no route $method $path")
     }
   }

@@ -343,6 +343,25 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
     * on this because at toy scale parquet footer overhead swamps any
     * byte-based comparison. */
   def totalEpochsRewritten: Long = totalEpochCoverage
+
+  /** Operator-facing store health — the numbers the probes assert,
+    * readable off /diag for an index-maintaining pipeline. Disk-
+    * derived facts (epoch ceiling, compaction frontier, live file/run
+    * counts, deepest tier) plus this instance's rewrite counters
+    * (zero on a pure reader). `lastCommittedEpoch`/`frontier` are -1
+    * before the first commit/compaction. */
+  def health: Map[String, Long] = {
+    val runs = recordedRuns(fs, dir)
+    val live = runs.filterNot(r => isSuperseded(r, runs))
+    Map(
+      "lastCommittedEpoch" -> math.max(committedEpochCeiling, -1L),
+      "compactionFrontier" -> frontier(runs),
+      "liveFiles" -> fileCount.toLong,
+      "liveRuns" -> live.size.toLong,
+      "maxLevel" -> live.map(_.level.toLong).foldLeft(0L)(math.max),
+      "rewriteBytesTotal" -> totalRewrite,
+      "epochsRewrittenTotal" -> totalEpochCoverage)
+  }
 }
 
 object EpochPartitionedStore {

@@ -284,4 +284,17 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
   /** The postings store, for probes and the /diag health surface —
     * telemetry reads only; all writes go through [[appendEpoch]]. */
   private[graft] def postingsStore: EpochPartitionedStore = store
+
+  /** Operator-facing index health: the store's numbers plus the
+    * serving corpus stats (docs indexed, average doc length) from the
+    * accumulator's latest SERVABLE row — exactly what BM25 scoring
+    * would use right now. Registered per pipeline on the management
+    * plane ([[PipelineManager.registerIndexHealth]]) and served on
+    * `/diag/{name}`. */
+  def health: Map[String, Double] =
+    store.health.map { case (k, v) => k -> v.toDouble } ++
+      latestServableStats().toList.flatMap { case (nd, sumDl) =>
+        List("docsIndexed" -> nd,
+          "avgDocLength" -> (if (nd > 0.0) sumDl / nd else 0.0))
+      }
 }

@@ -119,4 +119,10 @@ final class IncrementalVectorIndex(spark: SparkSession, dir: String,
   /** The cell store, for probes and the /diag health surface —
     * telemetry reads only; all writes go through [[appendEpoch]]. */
   private[graft] def cellStore: EpochPartitionedStore = store
+
+  /** Operator-facing index health ([[EpochPartitionedStore.health]]),
+    * registered per pipeline on the management plane and served on
+    * `/diag/{name}`. */
+  def health: Map[String, Double] =
+    store.health.map { case (k, v) => k -> v.toDouble }
 }

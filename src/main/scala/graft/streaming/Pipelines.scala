@@ -1737,6 +1737,39 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   def paused(name: String): Set[String] =
     pausedPartitions.get(name).map(_._2).getOrElse(Set.empty)
 
+  // ---- Index observability (A10 surface for index-maintaining
+  // pipelines): an ingest loop that maintains a durable index
+  // (IncrementalLexIndex / IncrementalVectorIndex / IncrementalPqIndex)
+  // registers its `health` here; /diag/{name} then serves the store's
+  // committed epoch, compaction frontier, live file/run counts,
+  // deepest tier, rewrite counters, and (lexical) corpus stats — the
+  // numbers the scale probes assert, available to operators live. ----
+  private val indexHealthProviders =
+    TrieMap.empty[String, () => Map[String, Double]]
+
+  /** Register (or replace) the index-health provider for `name`.
+    * The provider is invoked on each /diag read — it must be cheap
+    * (the store's health is FS metadata + in-memory counters, no
+    * Spark job) and exception-safe reads are the caller's problem
+    * only insofar as [[indexHealth]] surfaces the failure as an
+    * absent payload. */
+  def registerIndexHealth(name: String,
+      provider: () => Map[String, Double]): Unit =
+    indexHealthProviders.put(name, provider): Unit
+
+  /** Drop the provider (pipeline deleted / ingest stopped). */
+  def unregisterIndexHealth(name: String): Unit =
+    indexHealthProviders.remove(name): Unit
+
+  /** The registered index's current health, or None when the
+    * pipeline maintains no index or its provider failed (a dying
+    * provider must not take /diag down with it). */
+  def indexHealth(name: String): Option[Map[String, Double]] =
+    indexHealthProviders.get(name).flatMap { p =>
+      try Some(p())
+      catch { case _: Exception => None }
+    }
+
   /** Pause = stop the query; offsets stay in the checkpoint. */
   /** Authorize a mutating lifecycle call against the Authorizer hook
     * — the reference authorizes EVERY DMS mutation, not just
@@ -1954,6 +1987,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       rootFs.delete(new Path(holdbackPath(name)), true): Unit
       rootFs.delete(pausedStatePath(name), false): Unit
       pausedPartitions.remove(name): Unit
+      indexHealthProviders.remove(name): Unit
       // last member gone -> the remembered group run (and its captured
       // transform closure) has nothing left to restart
       prefix.filterNot(p => specs.values.exists(s =>

@@ -154,6 +154,88 @@ class ManagementServerSpec extends SparkTestBase {
     } finally { srv.stop(); pm.close() }
   }
 
+  test("diag surfaces durable-index health for an index-maintaining pipeline") {
+    // the operator view of the s24-class ingest: a pipeline whose
+    // foreachBatch maintains an IncrementalLexIndex registers the
+    // index's health provider; /diag/{name} then serves the store's
+    // committed epoch / compaction frontier / live file+run counts /
+    // deepest tier and the serving corpus stats — asserted here
+    // against a LIVE ingest (3 streaming epochs, compaction at e1)
+    // and against the same numbers computed directly off the corpus.
+    val pm = new PipelineManager(spark,
+      Files.createTempDirectory("graft-rest-idx-").toString)
+    val srv = new ManagementServer(pm).start()
+    val idxDir = Files.createTempDirectory("graft-rest-idx-store-").toString
+    val srcDir = Files.createTempDirectory("graft-rest-idx-src-").toString
+    val ckpt = Files.createTempDirectory("graft-rest-idx-ckpt-").toString
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      def field(body: String, k: String): Double = {
+        val m = (s""""$k":([-0-9.Ee+]+)""").r.findFirstMatchIn(body)
+        assert(m.nonEmpty, s"no $k in $body")
+        m.get.group(1).toDouble
+      }
+      val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+        .select(col("doc_id"), col("text")).limit(90)
+      req(base, "POST", "/pipelines", Some(
+        s"""{"name":"ix1","connector":"parquet","transport":"parquet",
+           |"sourceConnection":"$srcDir"}""".stripMargin.replace("\n", "")))
+        .statusCode() // registration only; the ingest below is the work
+      val ilx = new graft.streaming.IncrementalLexIndex(spark, idxDir,
+        name = "ix1", compactEvery = 2)
+      pm.registerIndexHealth("ix1", () => ilx.health)
+      // before any epoch: the index block is present with an empty
+      // store (ceiling -1) and no corpus stats
+      val before = req(base, "GET", "/diag/ix1").body()
+      assert(before.contains("\"index\""), s"no index block in $before")
+      assert(field(before, "lastCommittedEpoch") == -1.0)
+      assert(!before.contains("docsIndexed"))
+      // LIVE ingest: three one-file epochs through a real stream
+      (0 until 3).foreach { b =>
+        docs.filter(pmod(col("doc_id"), lit(3L)) === b)
+          .coalesce(1).write.mode(SaveMode.Append).parquet(srcDir)
+      }
+      val q = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, e: Long) =>
+          ilx.appendEpoch(batch, e)
+        }.start()
+      q.awaitTermination()
+      val body = req(base, "GET", "/diag/ix1").body()
+      assert(field(body, "lastCommittedEpoch") == 2.0,
+        s"3 epochs must read back as ceiling 2: $body")
+      assert(field(body, "compactionFrontier") == 1.0,
+        "the e1 cadence tick compacted [0,1]")
+      assert(field(body, "liveRuns") == 1.0 && field(body, "maxLevel") == 1.0)
+      assert(field(body, "liveFiles") >= 1.0)
+      assert(field(body, "epochsRewrittenTotal") == 2.0,
+        "one level-1 run covering two epochs")
+      // corpus stats must be the numbers BM25 serving would use
+      val want = docs
+        .select(graft.text.Text.tokens(col("text")).as("w"))
+        .agg(count(lit(1)).cast("double"),
+          avg(org.apache.spark.sql.functions.size(col("w")).cast("double")))
+        .head()
+      assert(field(body, "docsIndexed") == want.getDouble(0))
+      assert(math.abs(field(body, "avgDocLength") - want.getDouble(1)) < 1e-9)
+      // delete drops the provider with the pipeline
+      pm.delete("ix1")
+      assert(pm.indexHealth("ix1").isEmpty,
+        "delete must unregister the index-health provider")
+    } finally {
+      srv.stop(); pm.close()
+      Seq(idxDir, srcDir, ckpt).foreach { p =>
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(del)); f.delete(): Unit
+        }
+        del(new java.io.File(p))
+      }
+    }
+  }
+
   test("findGroup lists the task group formed by destination-reuse dedup") {
     val pm = new PipelineManager(spark,
       Files.createTempDirectory("graft-rest-grp-").toString)
