@@ -102,14 +102,14 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
   // Newest epoch the store (and therefore any fresh-read view)
   // already contains: a REPLAYED epoch (epoch <= this) must not
   // extend the view — its files are already in the view's fresh read,
-  // and a second union of the same rows would double every
-  // aggregate computed over the store.
-  private def storeCeiling: Long = {
-    val fr = frontier(recordedRuns(fs, dir))
-    allDataFiles(fs, dir, partCol, names)
-      .collect { case (RawKind, e, _) => e }
-      .foldLeft(fr)(math.max)
-  }
+  // and a second union of the same rows would double every aggregate
+  // computed over the store. MARKER-based (committedEpochCeiling),
+  // never file-name-based: fresh reads are marker-gated, so a crashed
+  // mid-publish epoch's markerless files must not raise the ceiling —
+  // a view built before that epoch's replay would otherwise skip the
+  // replay's extend (epoch <= ceiling) and permanently miss its rows.
+  private def storeCeiling: Long =
+    math.max(committedEpochCeiling, frontier(recordedRuns(fs, dir)))
   private var lastSeenEpoch: Long = storeCeiling
   // Serializes view creation/extension/reset between the maintenance
   // thread and concurrent reader threads: a reader-created fresh view
@@ -262,12 +262,12 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
     * Publish-before-delete: nothing is removed here — the inputs
     * stay until the NEXT tick's deferred sweep. */
   private def publishRun(level: Int, lo: Long, hi: Long,
-      inputs: Seq[FileStatus]): Run = {
+      inputs: Seq[FileStatus]): (Run, Seq[FileStatus]) = {
     val in = spark.read.option("basePath", dir)
       .parquet(inputs.map(_.getPath.toString): _*)
       .repartition(col(partCol))
-    PipelineManager.epochAppendPartitioned(
-      in, dir, partCol, hi, s"$name.g$level"): Unit
+    val published = PipelineManager.epochAppendPartitioned(
+      in, dir, partCol, hi, s"$name.g$level")
     val run = Run(level, lo, hi, legacy = false)
     val out = fs.create(stateFile(dir, run), false) // create-once: authority
     try out.write(s"$level-$lo-$hi".getBytes("UTF-8")) finally out.close()
@@ -275,7 +275,7 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
     lastTickRewrite += bytes
     totalRewrite += bytes
     totalEpochCoverage += hi - lo + 1
-    run
+    (run, published.map(p => fs.getFileStatus(new Path(p))))
   }
 
   /** One compaction tick at `epoch`: close the grace window (sweep
@@ -284,15 +284,27 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
     * live runs into the next level up. A replay of the epoch that
     * already triggered a recorded run is a no-op. */
   private def compact(epoch: Long): Unit = {
-    var runs = recordedRuns(fs, dir)
-    if (frontier(runs) >= epoch) return // replayed trigger
+    if (frontier(recordedRuns(fs, dir)) >= epoch) return // replayed trigger
     lastTickRewrite = 0L
     sweepSuperseded()
+    // ONE data-file listing serves the backlog selection AND every
+    // cascade level (an object store pays real metadata RPCs per
+    // glob): the sweep above already deleted everything it will, and
+    // runs published below enter the map from publishRun's return.
+    var runs = recordedRuns(fs, dir)
     val fr = frontier(runs)
-    val rawBacklog = allDataFiles(fs, dir, partCol, names)
+    val listing = allDataFiles(fs, dir, partCol, names)
+    var runFiles: Map[(Kind, Long), Seq[FileStatus]] = listing
+      .collect { case (k @ (LegacyKind | LevelKind(_)), e, st) =>
+        ((k, e), st) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rawBacklog = listing
       .collect { case (RawKind, e, st) if e > fr && e <= epoch => st }
-    if (rawBacklog.nonEmpty)
-      runs :+= publishRun(1, fr + 1, epoch, rawBacklog)
+    if (rawBacklog.nonEmpty) {
+      val (r, published) = publishRun(1, fr + 1, epoch, rawBacklog)
+      runs :+= r
+      runFiles += runKey(r) -> published
+    }
     // cascade: merge whole levels bottom-up. Runs at one level cover
     // contiguous, disjoint epoch ranges by construction (each new
     // level-1 run starts at the global frontier + 1; a merge spans
@@ -304,12 +316,14 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
         .keys.minOption match {
         case Some(l) =>
           val ins = live.filter(_.level == l)
-          val files = allDataFiles(fs, dir, partCol, names).collect {
-            case (k, e, st) if ins.exists(r =>
-              runKey(r) == ((k, e): (Kind, Long))) => st
+          val files = ins.flatMap(r => runFiles.getOrElse(runKey(r), Nil))
+          if (files.isEmpty) merged = false // defensive: nothing to merge
+          else {
+            val (r2, published) = publishRun(l + 1,
+              ins.map(_.lo).min, ins.map(_.hi).max, files)
+            runs :+= r2
+            runFiles += runKey(r2) -> published
           }
-          runs :+= publishRun(l + 1,
-            ins.map(_.lo).min, ins.map(_.hi).max, files)
         case None => merged = false
       }
     }
@@ -356,7 +370,7 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
     Map(
       "lastCommittedEpoch" -> math.max(committedEpochCeiling, -1L),
       "compactionFrontier" -> frontier(runs),
-      "liveFiles" -> fileCount.toLong,
+      "liveFiles" -> liveFiles(fs, dir, partCol, names, runs).size.toLong,
       "liveRuns" -> live.size.toLong,
       "maxLevel" -> live.map(_.level.toLong).foldLeft(0L)(math.max),
       "rewriteBytesTotal" -> totalRewrite,
@@ -444,11 +458,6 @@ object EpochPartitionedStore {
   private[streaming] def frontier(runs: Seq[Run]): Long =
     runs.map(_.hi).maxOption.getOrElse(-1L)
 
-  /** Epoch parsed from a committed file name
-    * `graft-<ns>-e<N>-p<i>.parquet` ('-' is structural: it never
-    * appears inside an encoded namespace or a number). */
-  private def fileEpoch(fileName: String): Long =
-    fileName.split('-')(2).drop(1).toLong
   private def fileNs(fileName: String): String = fileName.split('-')(1)
 
   /** Every committed-contract data file under the store, classified
@@ -462,7 +471,8 @@ object EpochPartitionedStore {
       .flatMap { st =>
         val n = st.getPath.getName
         if (!PipelineManager.isCommittedEpochFile(n)) None
-        else kindOf(fileNs(n), names).map(k => (k, fileEpoch(n), st))
+        else kindOf(fileNs(n), names).map(k =>
+          (k, PipelineManager.epochOfCommittedFile(n), st))
       }
 
   /** THE live-file computation every fresh read goes through.
@@ -474,8 +484,16 @@ object EpochPartitionedStore {
     * returned set is therefore always a committed, exactly-once
     * prefix of the ingest. */
   private[streaming] def liveFiles(fs: FileSystem, dir: String,
-      partCol: String, names: StoreNames): Seq[FileStatus] = {
-    val runs = recordedRuns(fs, dir)
+      partCol: String, names: StoreNames): Seq[FileStatus] =
+    liveFiles(fs, dir, partCol, names, recordedRuns(fs, dir))
+
+  /** [[liveFiles]] over an already-listed record set — callers that
+    * have just listed the records (health) avoid a second state-file
+    * glob. The records-BEFORE-files ordering contract then holds
+    * because the caller listed them first. */
+  private[streaming] def liveFiles(fs: FileSystem, dir: String,
+      partCol: String, names: StoreNames,
+      runs: Seq[Run]): Seq[FileStatus] = {
     val fr = frontier(runs)
     val liveKeys = runs.filterNot(r => isSuperseded(r, runs))
       .map(runKey).toSet

@@ -79,7 +79,8 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
       Option(fs.globStatus(new org.apache.hadoop.fs.Path(statsDir,
           s"graft-$statsNs-e*-p*.parquet")))
         .toSeq.flatten
-        .filter(st => st.getPath.getName.split('-')(2).drop(1).toLong < upTo)
+        .filter(st => PipelineManager.epochOfCommittedFile(
+          st.getPath.getName) < upTo)
         .foreach(st => fs.delete(st.getPath, false))
     })
 
@@ -183,17 +184,30 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
     *    cap makes stats and postings always describe the same
     *    prefix; the orphan row is simply reused when its epoch
     *    replays. */
+  // Cold-path cache keyed by the store ceiling it was read at: an
+  // instance that never ingests (a /diag standby polling health, a
+  // pure serving session) must not pay the one-file Spark read per
+  // poll — the ceiling check is FS metadata only, and a ceiling
+  // advance (another JVM committed an epoch) invalidates naturally.
+  private var servableCache: Option[(Long, Double, Double)] = None
+
   private def latestServableStats(): Option[(Double, Double)] =
     lastStats.map(t => (t._2, t._3)).orElse {
       val ceiling = store.committedEpochCeiling
-      PipelineManager.committedFiles(statsDir, conf)
-        .map(f => (PipelineManager.epochOfCommittedFile(f), f))
-        .filter(_._1 <= ceiling)
-        .sortBy(-_._1).headOption
-        .map { case (_, f) =>
-          val r = spark.read.parquet(f).head()
-          (r.getDouble(1), r.getDouble(2))
-        }
+      servableCache match {
+        case Some((c, n, s)) if c == ceiling => Some((n, s))
+        case _ =>
+          val read = PipelineManager.committedFiles(statsDir, conf)
+            .map(f => (PipelineManager.epochOfCommittedFile(f), f))
+            .filter(_._1 <= ceiling)
+            .sortBy(-_._1).headOption
+            .map { case (_, f) =>
+              val r = spark.read.parquet(f).head()
+              (r.getDouble(1), r.getDouble(2))
+            }
+          read.foreach { case (n, s) => servableCache = Some((ceiling, n, s)) }
+          read
+      }
     }
 
   def serve(terms: Seq[String], k: Int,

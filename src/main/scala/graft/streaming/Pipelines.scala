@@ -850,52 +850,107 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
 
   /** The update-side membership-change restart (q73) — see
     * [[update]]'s reassignment contract. Mirrors [[delete]]'s shape:
-    * marker migration BEFORE the restart, survivors flipped to
-    * Stopped (locks released) when the restart itself fails — the
-    * update stands either way, as the deletion does. */
+    * the old destination's exactly-once state moves UNCONDITIONALLY
+    * (all idempotent) — whether the shared query is live, stopped, or
+    * running under a sibling's handle after a per-member stop removed
+    * the updatee's own — and survivors flip to Stopped (locks
+    * released) when the restart itself fails; the update stands
+    * either way, as the deletion does. Old-destination state is two
+    * things: the epoch-marker namespace (migrates to the old
+    * destination's next leader when siblings still deliver there) and
+    * the durable group holdback (restamped to the NEW destination
+    * when nobody does — held epochs are the member's own undelivered
+    * data and must follow its stream, never strand: the pause
+    * contract's "never dropped"). */
   private def reassignUpdatedMember(updated: PipelineSpec,
       previous: PipelineSpec): Unit = {
     val name = updated.name
     val prefix = updated.metadata.getOrElse(PipelineManager.TaskPrefixKey,
       name)
     PipelineManager.membershipStripe(prefix).synchronized {
-      val runningShared = Option(queries.get(name)).exists(q =>
-        q.isActive && q.name == s"group-$prefix")
-      if (!runningShared) return
-      groupRuns.get(prefix).foreach { case (transform, trigger) =>
-        // stop the shared query FIRST so no further epoch marker can
-        // land under the old-destination namespace after migration
-        stopQueryOf(name)
-        // the updated member leaves its old destination's delivery
-        // group; if it led that group's marker namespace, hand the
-        // markers to the destination's next leader (idempotent
-        // empty-file copies) so a replayed in-flight epoch no-ops
-        val sharingOld = findGroup(name)
-          .filterNot(_.name == name)
+      val members = findGroup(name)
+      // the one shared query may be registered under ANY member's
+      // handle — a per-member-stopped updatee no longer holds one,
+      // but its update must still restart the live query (the frozen
+      // fan-out would deliver a later-resumed member to the OLD
+      // destination)
+      val sharedLive = members
+        .flatMap(m => Option(queries.get(m.name)))
+        .exists(q => q.isActive && q.name == s"group-$prefix")
+      def moveOldDestState(): Unit = {
+        val sharingOld = members.filterNot(_.name == name)
           .filter(_.destinationConnection == previous.destinationConnection)
         if (sharingOld.nonEmpty)
+          // siblings keep delivering to the old destination: if the
+          // updatee led its marker namespace, hand the markers to the
+          // next leader so a replayed in-flight epoch no-ops there
           migrateDestMarkers(previous.destinationConnection, name,
             destLeader(sharingOld).name)
-        try startGroup(name, transform, trigger,
-          reAdmitStopped = false): Unit
-        catch {
-          case e: Throwable =>
-            // the update stands; leave the group in the truthful
-            // Stopped state rather than Ready-with-no-query
-            findGroup(name).foreach { m =>
-              try {
-                releaseLock(m.name)
-                specs.updateWith(m.name)(
-                  _.map(_.copy(status = PipelineStatus.Stopped)))
-                specs.get(m.name).foreach(persistSpec)
-                hooks.onStateChange(m.name, PipelineStatus.Stopped)
-              } catch { case e2: Throwable => e.addSuppressed(e2) }
-            }
-            throw e
-        }
+        else
+          // nobody delivers to the old destination anymore: held
+          // epochs stamped for it could never drain — re-point them
+          // at the member's new destination
+          restampHoldbackDest(previous.destinationConnection,
+            updated.destinationConnection)
+      }
+      (sharedLive, groupRuns.get(prefix)) match {
+        case (true, Some((transform, trigger))) =>
+          // stop FIRST so no further epoch marker can land under the
+          // old-destination namespace after the state moves
+          members.foreach(m => stopQueryOf(m.name))
+          moveOldDestState()
+          try startGroup(name, transform, trigger,
+            reAdmitStopped = false): Unit
+          catch {
+            case e: Throwable =>
+              // the update stands; leave the group in the truthful
+              // Stopped state rather than Ready-with-no-query
+              members.foreach { m =>
+                try {
+                  releaseLock(m.name)
+                  specs.updateWith(m.name)(
+                    _.map(_.copy(status = PipelineStatus.Stopped)))
+                  specs.get(m.name).foreach(persistSpec)
+                  hooks.onStateChange(m.name, PipelineStatus.Stopped)
+                } catch { case e2: Throwable => e.addSuppressed(e2) }
+              }
+              throw e
+          }
+        case _ =>
+          // no running query to reassign (or no remembered run to
+          // restart it with): the durable state still moves, so the
+          // NEXT startGroup inherits a consistent old destination
+          moveOldDestState()
       }
     }
   }
+
+  /** Re-point every durable group-holdback directory stamped for
+    * `fromDest` at `toDest` (q73: the held epochs are the re-pointed
+    * member's own undelivered data — they follow its stream). The
+    * dir-owner namespace inside is untouched, so the eventual replay
+    * still dedups by the owner's markers at the destination.
+    * Serialized against concurrent drains of both destinations. */
+  private def restampHoldbackDest(fromDest: String, toDest: String): Unit =
+    if (fromDest != toDest && fromDest.nonEmpty)
+      PipelineManager.holdbackStripe(fromDest).synchronized {
+        val root = new Path(s"$checkpointRoot/group-holdback")
+        if (rootFs.exists(root))
+          rootFs.listStatus(root).toSeq.filter(_.isDirectory).foreach { d =>
+            val meta = new Path(d.getPath, PipelineManager.HoldbackMetaFile)
+            val stamp =
+              try {
+                val in = rootFs.open(meta)
+                try new String(in.readAllBytes(), "UTF-8").split("\n", 2)
+                finally in.close()
+              } catch { case _: java.io.IOException => Array.empty[String] }
+            if (stamp.length == 2 && stamp(1) == fromDest) {
+              val out = rootFs.create(meta, true)
+              try out.write(s"${stamp(0)}\n$toDest".getBytes("UTF-8"))
+              finally out.close()
+            }
+          }
+      }
 
   def get(name: String): Option[PipelineSpec] = specs.get(name)
   /** The live StreamingQuery for a started pipeline, if any. */

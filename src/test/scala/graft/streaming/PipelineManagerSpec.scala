@@ -1043,6 +1043,95 @@ class PipelineManagerSpec extends SparkTestBase {
     pm.close()
   }
 
+  test("update re-point: orphaned holdback follows the member; a handle-less member still restarts the live group") {
+    // Review-finding regression, part A: pb is the ONLY member
+    // delivering to db and is paused, so an epoch lands in the durable
+    // holdback stamped for db. update(pb -> dz) with no running query
+    // must re-stamp those held epochs at dz — they are pb's own
+    // undelivered data and follow its stream; left stamped for db (a
+    // destination no member serves anymore) they would never drain:
+    // silent data loss under the "never dropped" pause contract.
+    val root = Files.createTempDirectory("graft-upd-hb-").toString
+    val srcDir = Files.createTempDirectory("graft-upd-hb-src-").toString
+    val da = Files.createTempDirectory("graft-upd-da-").toString + "/d"
+    val db = Files.createTempDirectory("graft-upd-db-").toString + "/d"
+    val dz = Files.createTempDirectory("graft-upd-dz-").toString + "/d"
+    Seq((1L, "v1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    val pm = new PipelineManager(spark, root)
+    pm.create(PipelineSpec("pa", "parquet", "parquet", srcDir,
+      destinationConnection = da))
+    pm.create(PipelineSpec("pb", "parquet", "parquet", srcDir,
+      destinationConnection = db))
+    pm.startGroup("pa", identity).awaitTermination()
+    pm.pause("pb")
+    Seq((2L, "v2")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    pm.startGroup("pa", identity).awaitTermination()
+    assert(spark.read.parquet(da).count() == 2 &&
+      spark.read.parquet(db).count() == 1, "holdback setup broken")
+    pm.update("pb", PipelineSpec("pb", "parquet", "parquet", srcDir,
+      destinationConnection = dz)): Unit
+    pm.resume("pb", identity).awaitTermination()
+    assert(spark.read.parquet(db).count() == 1,
+      "old destination must stay frozen after the re-point")
+    assert(spark.read.parquet(dz).as[(Long, String)].collect().toSet ==
+      Set((2L, "v2")),
+      "the held epoch must follow the member to its NEW destination")
+    pm.close()
+
+    // Part B: a per-member-stopped member holds no query handle, but
+    // its delivery-relevant update must STILL restart the live shared
+    // query — the frozen fan-out would otherwise deliver the member
+    // to its OLD destination once resumed.
+    val root2 = Files.createTempDirectory("graft-upd-hl-").toString
+    val src2 = Files.createTempDirectory("graft-upd-hl-src-").toString
+    val d1 = Files.createTempDirectory("graft-upd-d1-").toString + "/d"
+    val d2 = Files.createTempDirectory("graft-upd-d2-").toString + "/d"
+    val d3 = Files.createTempDirectory("graft-upd-d3-").toString + "/d"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root2).getFileSystem(conf)
+    def commitDone(b: Long): Boolean = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root2/group-qa/commits/$b"))
+    def awaitTrue(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 60000L
+      while (!cond && System.currentTimeMillis() < deadline)
+        Thread.sleep(25L)
+      require(cond, s"upd-handle-less: timed out waiting for $what")
+    }
+    PipelineManager.epochAppend(
+      Seq((1L, "e0")).toDF("k", "v").coalesce(1), src2, 0, "updsrc")
+    val pm2 = new PipelineManager(spark, root2)
+    pm2.create(PipelineSpec("qa", "parquet", "parquet", src2,
+      destinationConnection = d1))
+    pm2.create(PipelineSpec("qb", "parquet", "parquet", src2,
+      destinationConnection = d2))
+    val q0 = pm2.startGroup("qa", identity,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+    awaitTrue("epoch 0 commit")(commitDone(0))
+    pm2.stop("qb") // handle removed; the shared query runs on under qa
+    assert(q0.isActive, "per-member stop must not stop the shared query")
+    pm2.update("qb", PipelineSpec("qb", "parquet", "parquet", src2,
+      destinationConnection = d3)): Unit
+    assert(!q0.isActive,
+      "a handle-less member's re-point must restart the live group")
+    assert(spark.streams.active.exists(q =>
+      q.name == "group-qa" && q.isActive), "no replacement query")
+    assert(pm2.get("qb").get.status == PipelineStatus.Stopped,
+      "the restart must not resurrect the stopped member")
+    pm2.resume("qb", identity): Unit
+    PipelineManager.epochAppend(
+      Seq((2L, "e1")).toDF("k", "v").coalesce(1), src2, 1, "updsrc")
+    awaitTrue("epoch 1 commit")(commitDone(1))
+    awaitTrue("post-resume delivery to the new destination")(
+      PipelineManager.committedFiles(d3, conf).nonEmpty)
+    pm2.stop("qa", force = true)
+    assert(spark.read.parquet(d3).as[(Long, String)].collect().toSet ==
+      Set((2L, "e1")),
+      "resumed member must deliver to the NEW destination only")
+    assert(PipelineManager.committedFiles(d2, conf).size == 1,
+      "the OLD destination must receive nothing after the update")
+    pm2.close()
+  }
+
   test("heartbeat timer self-demotes an expired manager: queries stop, locks stay, starts refuse") {
     val root = Files.createTempDirectory("graft-hb-").toString
     val lease = 600000L // expiry is SIMULATED by aging, never slept for
