@@ -139,7 +139,7 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
           fs.delete(st.getPath, false): Unit
       }
     }
-    sweepSuperseded()
+    sweepSuperseded(runs)
   }
 
   /** Marker directories of every RUN namespace (legacy and leveled;
@@ -162,9 +162,10 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
     * their markers and their state records — and fire the owner's
     * `onSweep` at the frontier. Runs at the START of a compaction
     * tick (and in recovery), so files superseded by tick T survive
-    * until tick T+1: the snapshot grace window. Idempotent. */
-  private def sweepSuperseded(): Unit = {
-    val runs = recordedRuns(fs, dir)
+    * until tick T+1: the snapshot grace window. Idempotent. `runs`
+    * is the caller's already-listed record set (one state-file glob
+    * serves the whole tick — object stores pay per listing). */
+  private def sweepSuperseded(runs: Seq[Run]): Unit = {
     if (runs.isEmpty) return
     val fr = frontier(runs)
     val dead = runs.filter(r => isSuperseded(r, runs))
@@ -284,14 +285,19 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
     * live runs into the next level up. A replay of the epoch that
     * already triggered a recorded run is a no-op. */
   private def compact(epoch: Long): Unit = {
-    if (frontier(recordedRuns(fs, dir)) >= epoch) return // replayed trigger
+    // ONE state-record listing and ONE data-file listing serve the
+    // whole tick — the replay guard, the sweep, the backlog selection
+    // and every cascade level (an object store pays real metadata
+    // RPCs per glob). The post-sweep record set is derived, not
+    // re-listed: the sweep deletes exactly the superseded records
+    // (supersession chains end in a live run, so filtering against
+    // the full set equals filtering against the survivors), and runs
+    // published below enter the map from publishRun's return.
+    val runs0 = recordedRuns(fs, dir)
+    if (frontier(runs0) >= epoch) return // replayed trigger
     lastTickRewrite = 0L
-    sweepSuperseded()
-    // ONE data-file listing serves the backlog selection AND every
-    // cascade level (an object store pays real metadata RPCs per
-    // glob): the sweep above already deleted everything it will, and
-    // runs published below enter the map from publishRun's return.
-    var runs = recordedRuns(fs, dir)
+    sweepSuperseded(runs0)
+    var runs = runs0.filterNot(r => isSuperseded(r, runs0))
     val fr = frontier(runs)
     val listing = allDataFiles(fs, dir, partCol, names)
     var runFiles: Map[(Kind, Long), Seq[FileStatus]] = listing

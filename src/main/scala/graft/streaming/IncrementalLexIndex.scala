@@ -53,7 +53,9 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
   // writer contract makes this cache exact, so the per-epoch hot path
   // never re-reads the stats store; fresh opens and replays of older
   // epochs fall back to the (compaction-swept, bounded) store read.
-  private var lastStats: Option[(Long, Double, Double)] = None
+  // Volatile: written by the maintenance thread, read by /diag health
+  // pollers and concurrent serve() callers.
+  @volatile private var lastStats: Option[(Long, Double, Double)] = None
 
   // Migration: builds prior to the EpochPartitionedStore extraction
   // kept the compaction state records at the INDEX root; the store
@@ -189,7 +191,10 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
   // pure serving session) must not pay the one-file Spark read per
   // poll — the ceiling check is FS metadata only, and a ceiling
   // advance (another JVM committed an epoch) invalidates naturally.
-  private var servableCache: Option[(Long, Double, Double)] = None
+  // Volatile for the same reader threads as lastStats (entries are
+  // ceiling-keyed, so a racy overwrite costs one re-read, never a
+  // wrong value).
+  @volatile private var servableCache: Option[(Long, Double, Double)] = None
 
   private def latestServableStats(): Option[(Double, Double)] =
     lastStats.map(t => (t._2, t._3)).orElse {

@@ -925,32 +925,77 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     }
   }
 
+  /** The owner/destination stamp of a group-holdback dir, shared by
+    * every reader ([[replayGroupHoldback]], [[restampHoldbackDest]])
+    * so the format has one spelling. Falls back to the restamp's
+    * staged `.next` file when the meta itself is missing or torn —
+    * the crash window of [[restampHoldbackDest]]'s
+    * write-next → delete → rename sequence, in which `.next` is the
+    * completed authority. Read-only: never repairs (cross-JVM readers
+    * must not mutate under the owner). */
+  private def readHoldbackStamp(hbDir: Path): Option[(String, String)] = {
+    def parse(p: Path): Option[(String, String)] =
+      try {
+        val in = rootFs.open(p)
+        val parts =
+          try new String(in.readAllBytes(), "UTF-8").split("\n", 2)
+          finally in.close()
+        if (parts.length == 2 && parts(0).nonEmpty && parts(1).nonEmpty)
+          Some((parts(0), parts(1)))
+        else None
+      } catch { case _: java.io.IOException => None }
+    val meta = new Path(hbDir, PipelineManager.HoldbackMetaFile)
+    parse(meta).orElse(parse(
+      new Path(hbDir, PipelineManager.HoldbackMetaFile + ".next")))
+  }
+
   /** Re-point every durable group-holdback directory stamped for
     * `fromDest` at `toDest` (q73: the held epochs are the re-pointed
     * member's own undelivered data — they follow its stream). The
     * dir-owner namespace inside is untouched, so the eventual replay
     * still dedups by the owner's markers at the destination.
-    * Serialized against concurrent drains of both destinations. */
+    *
+    * The stamp is an AUTHORITY file, so it is never overwritten in
+    * place (a truncating rewrite's crash window would leave a torn
+    * stamp no reader accepts and no writer repairs — the held epochs
+    * would strand forever): the new stamp is staged as `.next`, the
+    * old meta deleted, `.next` renamed into place. Every state is
+    * readable ([[readHoldbackStamp]]): meta valid → old or new stamp
+    * wins; meta gone → the completed `.next` is the stamp. Serialized
+    * against concurrent drains of BOTH destinations (stripes taken in
+    * ascending index order — two restamps can never deadlock). */
   private def restampHoldbackDest(fromDest: String, toDest: String): Unit =
-    if (fromDest != toDest && fromDest.nonEmpty)
-      PipelineManager.holdbackStripe(fromDest).synchronized {
+    if (fromDest != toDest && fromDest.nonEmpty) {
+      val stripes = Seq(PipelineManager.holdbackStripeIndex(fromDest),
+        PipelineManager.holdbackStripeIndex(toDest)).distinct.sorted
+      def locked(body: => Unit): Unit = stripes match {
+        case Seq(one) => PipelineManager.holdbackStripeAt(one)
+          .synchronized(body)
+        case Seq(a, b) => PipelineManager.holdbackStripeAt(a).synchronized(
+          PipelineManager.holdbackStripeAt(b).synchronized(body))
+        case _ => body // unreachable: 1 or 2 distinct stripes
+      }
+      locked {
         val root = new Path(s"$checkpointRoot/group-holdback")
         if (rootFs.exists(root))
           rootFs.listStatus(root).toSeq.filter(_.isDirectory).foreach { d =>
-            val meta = new Path(d.getPath, PipelineManager.HoldbackMetaFile)
-            val stamp =
-              try {
-                val in = rootFs.open(meta)
-                try new String(in.readAllBytes(), "UTF-8").split("\n", 2)
-                finally in.close()
-              } catch { case _: java.io.IOException => Array.empty[String] }
-            if (stamp.length == 2 && stamp(1) == fromDest) {
-              val out = rootFs.create(meta, true)
-              try out.write(s"${stamp(0)}\n$toDest".getBytes("UTF-8"))
-              finally out.close()
+            readHoldbackStamp(d.getPath).foreach { case (owner, dest) =>
+              if (dest == fromDest) {
+                val meta = new Path(d.getPath,
+                  PipelineManager.HoldbackMetaFile)
+                val next = new Path(d.getPath,
+                  PipelineManager.HoldbackMetaFile + ".next")
+                val out = rootFs.create(next, true)
+                try out.write(s"$owner\n$toDest".getBytes("UTF-8"))
+                finally out.close()
+                rootFs.delete(meta, false)
+                if (!rootFs.rename(next, meta))
+                  sys.error(s"holdback restamp rename failed under $d")
+              }
             }
           }
       }
+    }
 
   def get(name: String): Option[PipelineSpec] = specs.get(name)
   /** The live StreamingQuery for a started pipeline, if any. */
@@ -1454,13 +1499,16 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     * leadership moved to an earlier-named dedup'd member) still
     * drains — "never dropped" survives membership churn. */
   private def stampHoldbackOwner(dir: String, owner: String,
-      dest: String): Unit = {
-    val meta = new Path(dir, PipelineManager.HoldbackMetaFile)
-    if (!rootFs.exists(meta)) {
+      dest: String): Unit =
+    // write-once against the READABLE stamp, not bare meta existence:
+    // inside a crashed restamp's window (meta deleted, completed
+    // `.next` the authority) a bare-existence check would lay down a
+    // fresh OLD-destination stamp that outranks the restamped one
+    if (readHoldbackStamp(new Path(dir)).isEmpty) {
+      val meta = new Path(dir, PipelineManager.HoldbackMetaFile)
       val out = rootFs.create(meta, true)
       try out.write(s"$owner\n$dest".getBytes("UTF-8")) finally out.close()
     }
-  }
 
   /** Deliver (then remove) every held-back epoch of a dest group, in
     * epoch order — for parquet transports each replayed epoch
@@ -1494,15 +1542,9 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       val dirs = rootFs.listStatus(root).toSeq.filter(_.isDirectory)
         .map(_.getPath).sortBy(_.getName)
       dirs.foreach { hb =>
-        val meta = new Path(hb, PipelineManager.HoldbackMetaFile)
-        val stamp =
-          try {
-            val in = rootFs.open(meta)
-            try new String(in.readAllBytes(), "UTF-8").split("\n", 2)
-            finally in.close()
-          } catch { case _: java.io.IOException => Array.empty[String] }
-        if (stamp.length == 2 && stamp(1) == dest) {
-          val owner = stamp(0)
+        val stamp = readHoldbackStamp(hb)
+        if (stamp.exists(_._2 == dest)) {
+          val owner = stamp.get._1
           val ns = PipelineManager.namespaceOf(owner)
           val markers = new Path(hb, s"_graft_commits/$ns")
           if (rootFs.exists(markers)) {
@@ -2140,6 +2182,14 @@ object PipelineManager {
   private val holdbackStripes = Array.fill(64)(new Object)
   private[streaming] def holdbackStripe(path: String): Object =
     holdbackStripes(math.floorMod(path.hashCode, holdbackStripes.length))
+  /** Stripe INDEX for `path` — callers that must hold two holdback
+    * stripes at once (the q73 restamp: source and target destination)
+    * acquire them in ascending index order, so two such callers can
+    * never deadlock. */
+  private[streaming] def holdbackStripeIndex(path: String): Int =
+    math.floorMod(path.hashCode, holdbackStripes.length)
+  private[streaming] def holdbackStripeAt(i: Int): Object =
+    holdbackStripes(i)
 
   /** Name of the owner/destination stamp inside a group-holdback dir
     * (`owner\ndestination`) — lets replay enumerate dirs by

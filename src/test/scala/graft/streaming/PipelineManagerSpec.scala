@@ -1070,6 +1070,18 @@ class PipelineManagerSpec extends SparkTestBase {
       spark.read.parquet(db).count() == 1, "holdback setup broken")
     pm.update("pb", PipelineSpec("pb", "parquet", "parquet", srcDir,
       destinationConnection = dz)): Unit
+    // simulate the restamp's crash window: meta deleted, the staged
+    // `.next` is the completed authority — replay must read through
+    // the fallback, never skip the dir as unstamped
+    val hbRoot = new org.apache.hadoop.fs.Path(s"$root/group-holdback")
+    val fsA = hbRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsA.listStatus(hbRoot).filter(_.isDirectory).foreach { d =>
+      val meta = new org.apache.hadoop.fs.Path(d.getPath,
+        PipelineManager.HoldbackMetaFile)
+      if (fsA.exists(meta))
+        assert(fsA.rename(meta, new org.apache.hadoop.fs.Path(d.getPath,
+          PipelineManager.HoldbackMetaFile + ".next")))
+    }
     pm.resume("pb", identity).awaitTermination()
     assert(spark.read.parquet(db).count() == 1,
       "old destination must stay frozen after the re-point")
