@@ -126,7 +126,8 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
   private def recover(): Unit = {
     val runs = recordedRuns(fs, dir)
     val keys = runs.map(runKey).toSet
-    allDataFiles(fs, dir, partCol, names).foreach {
+    val listing = allDataFiles(fs, dir, partCol, names)
+    listing.foreach {
       case (k @ (LegacyKind | LevelKind(_)), e, st) =>
         if (!keys.contains((k, e))) fs.delete(st.getPath, false): Unit
       case _ => ()
@@ -139,7 +140,9 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
           fs.delete(st.getPath, false): Unit
       }
     }
-    sweepSuperseded(runs)
+    // the rollback above already deleted unrecorded entries from the
+    // listing's view of disk; re-deleting is a harmless false return
+    sweepSuperseded(runs, listing)
   }
 
   /** Marker directories of every RUN namespace (legacy and leveled;
@@ -163,14 +166,17 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
     * `onSweep` at the frontier. Runs at the START of a compaction
     * tick (and in recovery), so files superseded by tick T survive
     * until tick T+1: the snapshot grace window. Idempotent. `runs`
-    * is the caller's already-listed record set (one state-file glob
-    * serves the whole tick — object stores pay per listing). */
-  private def sweepSuperseded(runs: Seq[Run]): Unit = {
+    * and `files` are the caller's already-taken listings (ONE
+    * state-record glob and ONE data-file glob serve the whole tick —
+    * object stores pay real RPCs per listing; deleting an
+    * already-deleted entry is a harmless false return). */
+  private def sweepSuperseded(runs: Seq[Run],
+      files: Seq[(Kind, Long, FileStatus)]): Unit = {
     if (runs.isEmpty) return
     val fr = frontier(runs)
     val dead = runs.filter(r => isSuperseded(r, runs))
     val deadKeys = dead.map(runKey).toSet
-    allDataFiles(fs, dir, partCol, names).foreach {
+    files.foreach {
       case (RawKind, e, st) =>
         if (e <= fr) fs.delete(st.getPath, false): Unit
       case (k, e, st) =>
@@ -288,18 +294,20 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
     // ONE state-record listing and ONE data-file listing serve the
     // whole tick — the replay guard, the sweep, the backlog selection
     // and every cascade level (an object store pays real metadata
-    // RPCs per glob). The post-sweep record set is derived, not
-    // re-listed: the sweep deletes exactly the superseded records
+    // RPCs per glob). The post-sweep sets are derived, not re-listed:
+    // the sweep deletes exactly the superseded records/files
     // (supersession chains end in a live run, so filtering against
-    // the full set equals filtering against the survivors), and runs
-    // published below enter the map from publishRun's return.
+    // the full set equals filtering against the survivors; the
+    // backlog filter `e > fr` and the live-run key lookups never
+    // touch a swept entry), and runs published below enter the map
+    // from publishRun's return.
     val runs0 = recordedRuns(fs, dir)
     if (frontier(runs0) >= epoch) return // replayed trigger
     lastTickRewrite = 0L
-    sweepSuperseded(runs0)
+    val listing = allDataFiles(fs, dir, partCol, names)
+    sweepSuperseded(runs0, listing)
     var runs = runs0.filterNot(r => isSuperseded(r, runs0))
     val fr = frontier(runs)
-    val listing = allDataFiles(fs, dir, partCol, names)
     var runFiles: Map[(Kind, Long), Seq[FileStatus]] = listing
       .collect { case (k @ (LegacyKind | LevelKind(_)), e, st) =>
         ((k, e), st) }

@@ -896,12 +896,17 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       (sharedLive, groupRuns.get(prefix)) match {
         case (true, Some((transform, trigger))) =>
           // stop FIRST so no further epoch marker can land under the
-          // old-destination namespace after the state moves
+          // old-destination namespace after the state moves. The
+          // state move sits INSIDE the rollback scope: a restamp IO
+          // failure after the stop must flip the group to Stopped
+          // (locks released) exactly like a restart failure — never
+          // Ready-with-no-query members holding locks.
           members.foreach(m => stopQueryOf(m.name))
-          moveOldDestState()
-          try startGroup(name, transform, trigger,
-            reAdmitStopped = false): Unit
-          catch {
+          try {
+            moveOldDestState()
+            startGroup(name, transform, trigger,
+              reAdmitStopped = false): Unit
+          } catch {
             case e: Throwable =>
               // the update stands; leave the group in the truthful
               // Stopped state rather than Ready-with-no-query
@@ -980,11 +985,19 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         if (rootFs.exists(root))
           rootFs.listStatus(root).toSeq.filter(_.isDirectory).foreach { d =>
             readHoldbackStamp(d.getPath).foreach { case (owner, dest) =>
+              val meta = new Path(d.getPath,
+                PipelineManager.HoldbackMetaFile)
+              val next = new Path(d.getPath,
+                PipelineManager.HoldbackMetaFile + ".next")
+              // complete a crashed predecessor FIRST: meta absent with
+              // a parseable `.next` means `.next` IS the authority —
+              // promote it before anything stages over it (truncating
+              // the live authority in place would reopen the exact
+              // torn-write window this protocol closes)
+              if (!rootFs.exists(meta) && rootFs.exists(next) &&
+                  !rootFs.rename(next, meta))
+                sys.error(s"holdback stamp promotion failed under $d")
               if (dest == fromDest) {
-                val meta = new Path(d.getPath,
-                  PipelineManager.HoldbackMetaFile)
-                val next = new Path(d.getPath,
-                  PipelineManager.HoldbackMetaFile + ".next")
                 val out = rootFs.create(next, true)
                 try out.write(s"$owner\n$toDest".getBytes("UTF-8"))
                 finally out.close()
@@ -2180,16 +2193,17 @@ object PipelineManager {
     * for microsecond filesystem ops; sharing them would stall a
     * hash-colliding acquire/release for a replay's duration. */
   private val holdbackStripes = Array.fill(64)(new Object)
-  private[streaming] def holdbackStripe(path: String): Object =
-    holdbackStripes(math.floorMod(path.hashCode, holdbackStripes.length))
-  /** Stripe INDEX for `path` — callers that must hold two holdback
-    * stripes at once (the q73 restamp: source and target destination)
-    * acquire them in ascending index order, so two such callers can
-    * never deadlock. */
+  /** Stripe INDEX for `path` — the ONE spelling of the striping
+    * function: [[holdbackStripe]] is defined through it, and callers
+    * that must hold two holdback stripes at once (the q73 restamp:
+    * source and target destination) acquire them in ascending index
+    * order, so two such callers can never deadlock. */
   private[streaming] def holdbackStripeIndex(path: String): Int =
     math.floorMod(path.hashCode, holdbackStripes.length)
   private[streaming] def holdbackStripeAt(i: Int): Object =
     holdbackStripes(i)
+  private[streaming] def holdbackStripe(path: String): Object =
+    holdbackStripeAt(holdbackStripeIndex(path))
 
   /** Name of the owner/destination stamp inside a group-holdback dir
     * (`owner\ndestination`) — lets replay enumerate dirs by
