@@ -556,6 +556,89 @@ object StreamingQueries {
       out
     }),
 
+    // s15's admission semantics with the band index riding the
+    // HARDENED persistence core — the last stateful-ingest shape
+    // moved onto EpochPartitionedStore: s15's flat index appends one
+    // file per epoch FOREVER (its DurableIndexView bounds the plan,
+    // not the file count — a month-long ingest accumulates millions
+    // of files), while this store tier-compacts (file count flat in
+    // epoch count, O(N·log N) total rewrite bytes), recovers from
+    // any crash boundary, and serves snapshot-consistent reads. The
+    // bootstrap corpus is store epoch 0 (idempotent commit — a
+    // re-open re-issues it as a marker no-op); stream epoch e maps
+    // to store epoch e+1. Verdicts are BIT-IDENTICAL to s15 by
+    // construction, and the oracle is literally s15's.
+    "s30_stream_dedup_store" -> ((s, d) => {
+      val docs = Tables.t(s, d, "documents")
+      val bands = DataOpsQueries.sharedBands(s, d)
+      val rows = docs.select(col("doc_id").as("doc"))
+        .join(bands, Seq("doc"), "left")
+        .select(col("doc"), col("band").cast("long").as("band"), col("bh"))
+        .persist()
+      val srcDir = Files.createTempDirectory("graft-s30-src-").toString
+      val idxDir = Files.createTempDirectory("graft-s30-idx-").toString
+      val outDir = Files.createTempDirectory("graft-s30-out-").toString
+      val ckpt = Files.createTempDirectory("graft-s30-ckpt-").toString
+      // band rows get a stable 16-way partition column for the store
+      // (bucketing the DIRECTORY layout so compaction rewrites land
+      // ~one file per bucket; the dedup join itself is key-planned)
+      def withPb(df: DataFrame): DataFrame = df.withColumn("pb",
+        pmod(graft.functions.Portable.hash64(col("bh")), lit(16L)))
+      val boot = rows
+        .filter(pmod(col("doc"), lit(5L)) < 2 && col("band").isNotNull)
+      val schema = rows.schema
+      val stamped = scala.collection.mutable.Set[String]()
+      def writeBucket(b: Int): Unit = writeStampedBucket(srcDir, stamped, b,
+        rows.filter(pmod(col("doc"), lit(5L)) === b))
+      def runIngest(): Unit = {
+        val store = new graft.streaming.EpochPartitionedStore(s,
+          s"$idxDir/bands", "pb", "s30", compactEvery = 2)
+        // bootstrap = store epoch 0; idempotent across runs/replays
+        store.appendEpoch(withPb(boot).coalesce(1), 0L)
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            val bb = batch.filter(col("band").isNotNull)
+            val idxFrame = store.frameIfAny
+              .map(_.select(col("doc"), col("band"), col("bh")))
+              .getOrElse(bb.limit(0)) // unreachable: bootstrap committed
+            val verdictFrame = graft.dedup.Dedup.indexDedupBatch(
+              idxFrame, bb, batch.select(col("doc")).distinct())
+            val vFiles = PipelineManager.epochAppend(
+              verdictFrame.coalesce(1), outDir, epoch, "s30out")
+            val verdicts = if (vFiles.isEmpty) verdictFrame.limit(0)
+              else s.read.parquet(vFiles: _*)
+            store.appendEpoch(
+              withPb(graft.dedup.Dedup.admitBands(bb, verdicts)).coalesce(1),
+              epoch + 1)
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      try {
+        // two runs over one checkpoint: bucket 2 alone, then buckets
+        // 3+4 after a restart — the second run proves the STORE's
+        // crash recovery (constructor rollback/sweep + snapshot
+        // bootstrap read) under the same offsets-from-checkpoint
+        // replay as s15, with a compaction tick inside each run.
+        writeBucket(2); runIngest()
+        writeBucket(3); writeBucket(4); runIngest()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", before)
+        rows.unpersist(false)
+      }
+      val out = s.read.parquet(outDir).localCheckpoint()
+      deleteTree(srcDir, idxDir, outDir, ckpt)
+      out
+    }),
+
     // Streaming ANN admission — the embedding counterpart of s15: the
     // dedup key is the vector's random-hyperplane LSH signature, split
     // into two 12-bit BANDS of a 24-bit bucket (Ann.lshBucket), so an
@@ -2661,6 +2744,49 @@ object StreamingQueries {
         mode = "append")
     }))
 
+  /** Epoch-unrolled band-index admission closed form, shared by s15
+    * (flat durable index) and s30 (the same semantics riding the
+    * tiered EpochPartitionedStore — the storage layer is the ONLY
+    * difference, so one oracle pins both). Bootstrap corpus =
+    * MOD(doc, 5) < 2; streamed buckets 2..4; per epoch: verdicts
+    * against the index as of the epoch, admissions exclude index
+    * collisions AND intra-batch lower-id band collisions. */
+  private lazy val bandAdmissionOracle: String = {
+    val prefix =
+      s"""WITH ${DataOpsQueries.wordsCte}, ${DataOpsQueries.shinglesCte},
+         |${DataOpsQueries.minhashSigCte(16)}, ${DataOpsQueries.bandsCte(4)},
+         |corpus0 AS (SELECT doc AS corpus_doc, band, bh FROM bands
+         |WHERE MOD(doc, 5) < 2)""".stripMargin
+    val perBatch = (2 until 5).map { b =>
+      val i = b - 2
+      s""",
+         |b$b AS (SELECT doc, band, bh FROM bands WHERE MOD(doc, 5) = $b),
+         |d$b AS (SELECT doc_id AS doc FROM documents
+         |WHERE MOD(doc_id, 5) = $b),
+         |h$b AS (SELECT b.doc, COUNT(DISTINCT c.corpus_doc) AS n_dups,
+         |MIN(c.corpus_doc) AS first_dup
+         |FROM b$b b JOIN corpus$i c ON c.band = b.band AND c.bh = b.bh
+         |GROUP BY b.doc),
+         |v$b AS (SELECT d.doc, COALESCE(h.n_dups, 0) AS n_dups,
+         |COALESCE(h.first_dup, -1) AS first_dup
+         |FROM d$b d LEFT JOIN h$b h ON h.doc = d.doc),
+         |clean$b AS (SELECT b.doc, b.band, b.bh FROM b$b b
+         |JOIN v$b v ON v.doc = b.doc AND v.n_dups = 0),
+         |adm$b AS (SELECT doc AS corpus_doc, band, bh FROM clean$b
+         |WHERE doc NOT IN (SELECT DISTINCT a.doc FROM clean$b a
+         |JOIN clean$b e ON e.band = a.band AND e.bh = a.bh
+         |AND e.doc < a.doc)),
+         |corpus${i + 1} AS (SELECT * FROM corpus$i
+         |UNION ALL SELECT * FROM adm$b)""".stripMargin
+    }.mkString
+    val tail =
+      """
+        |SELECT doc, n_dups, first_dup FROM v2
+        |UNION ALL SELECT doc, n_dups, first_dup FROM v3
+        |UNION ALL SELECT doc, n_dups, first_dup FROM v4""".stripMargin
+    (prefix + perBatch + tail).replace("\n", " ")
+  }
+
   val oracles: Map[String, String] = Map(
     "s01_stream_mirror" -> BrooklinQueries.oracles("q02_mirror_translate"),
     "s02_stream_agg" ->
@@ -2807,41 +2933,11 @@ object StreamingQueries {
     // batch's verdicts are the d19 left-join, and admissions exclude
     // corpus dups AND intra-batch lower-id band collisions — exactly
     // Dedup.indexDedupBatch + admitBands per epoch.
-    "s15_stream_index_dedup" -> {
-      val prefix =
-        s"""WITH ${DataOpsQueries.wordsCte}, ${DataOpsQueries.shinglesCte},
-           |${DataOpsQueries.minhashSigCte(16)}, ${DataOpsQueries.bandsCte(4)},
-           |corpus0 AS (SELECT doc AS corpus_doc, band, bh FROM bands
-           |WHERE MOD(doc, 5) < 2)""".stripMargin
-      val perBatch = (2 until 5).map { b =>
-        val i = b - 2
-        s""",
-           |b$b AS (SELECT doc, band, bh FROM bands WHERE MOD(doc, 5) = $b),
-           |d$b AS (SELECT doc_id AS doc FROM documents
-           |WHERE MOD(doc_id, 5) = $b),
-           |h$b AS (SELECT b.doc, COUNT(DISTINCT c.corpus_doc) AS n_dups,
-           |MIN(c.corpus_doc) AS first_dup
-           |FROM b$b b JOIN corpus$i c ON c.band = b.band AND c.bh = b.bh
-           |GROUP BY b.doc),
-           |v$b AS (SELECT d.doc, COALESCE(h.n_dups, 0) AS n_dups,
-           |COALESCE(h.first_dup, -1) AS first_dup
-           |FROM d$b d LEFT JOIN h$b h ON h.doc = d.doc),
-           |clean$b AS (SELECT b.doc, b.band, b.bh FROM b$b b
-           |JOIN v$b v ON v.doc = b.doc AND v.n_dups = 0),
-           |adm$b AS (SELECT doc AS corpus_doc, band, bh FROM clean$b
-           |WHERE doc NOT IN (SELECT DISTINCT a.doc FROM clean$b a
-           |JOIN clean$b e ON e.band = a.band AND e.bh = a.bh
-           |AND e.doc < a.doc)),
-           |corpus${i + 1} AS (SELECT * FROM corpus$i
-           |UNION ALL SELECT * FROM adm$b)""".stripMargin
-      }.mkString
-      val tail =
-        """
-          |SELECT doc, n_dups, first_dup FROM v2
-          |UNION ALL SELECT doc, n_dups, first_dup FROM v3
-          |UNION ALL SELECT doc, n_dups, first_dup FROM v4""".stripMargin
-      (prefix + perBatch + tail).replace("\n", " ")
-    },
+    "s15_stream_index_dedup" -> bandAdmissionOracle,
+
+    // identical semantics on the tiered store — see the shared
+    // oracle's doc
+    "s30_stream_dedup_store" -> bandAdmissionOracle,
 
     // s15's replay with the bands swapped for two 12-bit halves of the
     // e03 random-hyperplane bucket at nBits=24 (1-based list_transform

@@ -173,6 +173,60 @@ object StreamScaleProbe {
       deleteAll(srcDir, idxDir, outDir, ckpt)
     }
 
+    // ---- s30 shape: the s15 admission loop on the TIERED store ----
+    // Same dedup semantics and per-epoch cost shape as s15; the axis
+    // this probe adds is the STORAGE layer: s15's flat index appends
+    // one file per epoch forever (the 8× run ends at bootstrap+N
+    // files), while the EpochPartitionedStore's tier merges keep the
+    // live file count flat and each epoch's bytes are rewritten once
+    // per level (epochsRewritten ≈ E·log_T E, vs Σe for a full
+    // rewrite on the same cadence).
+    def runStoreDedup(dir: String, label: String): Unit = {
+      val rows = bandRows(dir)
+      val srcDir = tmp("sscale30-src-"); val idxDir = tmp("sscale30-idx-")
+      val outDir = tmp("sscale30-out-"); val ckpt = tmp("sscale30-ckpt-")
+      def withPb(df: DataFrame): DataFrame = df.withColumn("pb",
+        pmod(graft.functions.Portable.hash64(col("bh")), lit(16L)))
+      val store = new graft.streaming.EpochPartitionedStore(spark,
+        s"$idxDir/bands", "pb", "sscale30", compactEvery = 8)
+      store.appendEpoch(withPb(
+        rows.filter(pmod(col("doc"), lit(2L)) === 0 && col("band").isNotNull))
+        .coalesce(1), 0L)
+      writeOddBatches(rows, srcDir): Unit
+      val files = scala.collection.mutable.ArrayBuffer.empty[Int]
+      drive("s30shape", label, srcDir, ckpt, rows.schema, identity) { (batch, epoch) =>
+        val bb = batch.filter(col("band").isNotNull)
+        val idxFrame = store.frameIfAny
+          .map(_.select(col("doc"), col("band"), col("bh")))
+          .getOrElse(bb.limit(0))
+        val verdictFrame = graft.dedup.Dedup.indexDedupBatch(idxFrame, bb,
+          batch.select(col("doc")).distinct())
+        val vFiles = PipelineManager.epochAppend(
+          verdictFrame.coalesce(1), outDir, epoch, "sscale30-out")
+        val verdicts = if (vFiles.isEmpty) verdictFrame.limit(0)
+          else spark.read.parquet(vFiles: _*)
+        store.appendEpoch(
+          withPb(graft.dedup.Dedup.admitBands(bb, verdicts)).coalesce(1),
+          epoch + 1)
+        files += store.fileCount
+      }
+      val n = files.size
+      println(s"[sscale] s30shape $label FILES first=${files.head} " +
+        s"max=${files.max} last=${files.last} n=$n")
+      println(s"[sscale] s30shape $label REWRITE " +
+        s"epochsRewritten=${store.totalEpochsRewritten} " +
+        s"fullRewriteAlt=${(n.toLong * n) / 16} " +
+        s"bytes=${store.totalRewriteBytes}")
+      rows.unpersist(true)
+      org.apache.spark.sql.GraftBridge.unloadStateStores()
+      DataOpsQueries.release(dir)
+      deleteAll(srcDir, idxDir, outDir, ckpt)
+    }
+
+    if (shapes("s30")) {
+      runStoreDedup(base, "1x"); runStoreDedup(scaled, s"${factor}x")
+    }
+
     // ---- s14 shape: watermark-bounded streaming dedup ----
     // Event time advances ONE HOUR per batch against a 30-minute
     // watermark delay, so each epoch's dedup state is evicted as soon
