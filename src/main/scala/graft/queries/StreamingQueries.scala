@@ -509,30 +509,13 @@ object StreamingQueries {
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (batch: DataFrame, epoch: Long) =>
-            // No batch checkpoint: the micro-batch is a deterministic
-            // one-file scan (maxFilesPerTrigger=1), so re-evaluating
-            // it per consumer is cheaper than a materialization job —
-            // and the old growing-index hazard is gone because the
-            // view's file listing never covers the current epoch.
-            val bb = batch.filter(col("band").isNotNull)
-            // One file per epoch commit: both frames are O(batch)
-            // small here, and a crash-restart re-lists the index dir
-            // — 8 shuffle-partition files per commit would make that
-            // recovery pay file-listing + task-per-file overhead.
-            // (At production batch sizes the caller sizes this by
-            // rows-per-file instead of pinning 1.)
-            val verdictFrame = graft.dedup.Dedup.indexDedupBatch(
-              idx.frame, bb, batch.select(col("doc")).distinct())
-            val vFiles = PipelineManager.epochAppend(
-              verdictFrame.coalesce(1), outDir, epoch, "s15out")
-            // An empty epoch commit (no part files) must not turn the
-            // read-back into an AnalysisException — fall back to the
-            // frame's own empty form (limit 0 folds to an empty local
-            // relation), symmetric with extend()'s nonEmpty guard.
-            val verdicts = if (vFiles.isEmpty) verdictFrame.limit(0)
-              else s.read.parquet(vFiles: _*)
+            // The shared admission-epoch body (verdicts against the
+            // index as of this epoch, committed one-file-per-epoch;
+            // PipelineManager.dedupAdmissionEpoch owns the loop —
+            // this gate's index layer is the flat dir + bounded view)
             idx.extend(PipelineManager.epochAppend(
-              graft.dedup.Dedup.admitBands(bb, verdicts).coalesce(1),
+              PipelineManager.dedupAdmissionEpoch(
+                idx.frame, batch, outDir, epoch, "s15out"),
               idxDir, epoch, "s15idx"))
           }
           .start()
@@ -603,18 +586,13 @@ object StreamingQueries {
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (batch: DataFrame, epoch: Long) =>
-            val bb = batch.filter(col("band").isNotNull)
             val idxFrame = store.frameIfAny
               .map(_.select(col("doc"), col("band"), col("bh")))
-              .getOrElse(bb.limit(0)) // unreachable: bootstrap committed
-            val verdictFrame = graft.dedup.Dedup.indexDedupBatch(
-              idxFrame, bb, batch.select(col("doc")).distinct())
-            val vFiles = PipelineManager.epochAppend(
-              verdictFrame.coalesce(1), outDir, epoch, "s30out")
-            val verdicts = if (vFiles.isEmpty) verdictFrame.limit(0)
-              else s.read.parquet(vFiles: _*)
+              .getOrElse(batch.limit(0) // unreachable: bootstrap committed
+                .select(col("doc"), col("band"), col("bh")))
             store.appendEpoch(
-              withPb(graft.dedup.Dedup.admitBands(bb, verdicts)).coalesce(1),
+              withPb(PipelineManager.dedupAdmissionEpoch(
+                idxFrame, batch, outDir, epoch, "s30out")),
               epoch + 1)
           }
           .start()

@@ -2510,6 +2510,31 @@ object PipelineManager {
           })
   }
 
+  /**
+   * One streaming band-admission epoch — THE loop body shared by the
+   * s15/s30 gates and the scale probe's shapes (previously four
+   * hand-synced copies; the s16 ANN form differs only in band
+   * construction): flag the batch against `index` as of this epoch
+   * (per-doc verdict emitted through the idempotent epoch commit —
+   * the commit doubles as the batch's materialization point), then
+   * return the admitted band rows for the CALLER's index layer to
+   * append (flat dir + view extend, or a partitioned store). The
+   * empty-commit guard keeps a data-free epoch from turning the
+   * read-back into an AnalysisException. Replay-safe end to end: a
+   * replayed epoch re-reads its own committed verdict files.
+   */
+  def dedupAdmissionEpoch(index: DataFrame, batch: DataFrame,
+      outDir: String, epoch: Long, outPipe: String): DataFrame = {
+    val spark = batch.sparkSession
+    val bb = batch.filter(col("band").isNotNull)
+    val verdictFrame = graft.dedup.Dedup.indexDedupBatch(
+      index, bb, batch.select(col("doc")).distinct())
+    val vFiles = epochAppend(verdictFrame.coalesce(1), outDir, epoch, outPipe)
+    val verdicts = if (vFiles.isEmpty) verdictFrame.limit(0)
+      else spark.read.parquet(vFiles: _*)
+    graft.dedup.Dedup.admitBands(bb, verdicts).coalesce(1)
+  }
+
   def applyDirectoryOps(batch: DataFrame, dest: String,
       orderCol: Option[String]): Unit = {
     val hasContent = batch.columns.contains("content")

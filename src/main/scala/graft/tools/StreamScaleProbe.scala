@@ -111,10 +111,14 @@ object StreamScaleProbe {
     }
 
     /** Drive a stream of `srcDir` files (one epoch each) through
-      * `body`, timing each epoch, then print the flatness summary. */
+      * `body`, timing each epoch, then print the flatness summary.
+      * `postEpoch` runs OUTSIDE the timed window — file-count
+      * sampling (a glob whose cost grows with on-disk file count)
+      * must not bias the late_over_early ratio it sits next to. */
     def drive(shape: String, label: String, srcDir: String, ckpt: String,
         schema: org.apache.spark.sql.types.StructType,
-        pre: DataFrame => DataFrame, docsLabel: Int = batchDocs)(
+        pre: DataFrame => DataFrame, docsLabel: Int = batchDocs,
+        postEpoch: () => Unit = () => ())(
         body: (DataFrame, Long) => Unit): Unit = {
       val epochSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
       val q = pre(spark.readStream.schema(schema)
@@ -130,6 +134,7 @@ object StreamScaleProbe {
           val dt = (System.nanoTime() - t0) / 1e9
           epochSecs += dt
           println(f"[sscale] $shape $label epoch=$epoch ${dt}%.2fs heap=${heapMb}MB")
+          postEpoch()
         }
         .start()
       q.awaitTermination()
@@ -156,15 +161,9 @@ object StreamScaleProbe {
         graft.streaming.DurableIndexView.DefaultRefreshEvery.toString).toInt
       val idx = new graft.streaming.DurableIndexView(spark, idxDir, refreshEvery)
       drive("s15shape", label, srcDir, ckpt, rows.schema, identity) { (batch, epoch) =>
-        val bb = batch.filter(col("band").isNotNull)
-        val verdictFrame = graft.dedup.Dedup.indexDedupBatch(idx.frame, bb,
-          batch.select(col("doc")).distinct())
-        val vFiles = PipelineManager.epochAppend(
-          verdictFrame.coalesce(1), outDir, epoch, "sscale-out")
-        val verdicts = if (vFiles.isEmpty) verdictFrame.limit(0)
-          else spark.read.parquet(vFiles: _*)
         idx.extend(PipelineManager.epochAppend(
-          graft.dedup.Dedup.admitBands(bb, verdicts).coalesce(1),
+          PipelineManager.dedupAdmissionEpoch(
+            idx.frame, batch, outDir, epoch, "sscale-out"),
           idxDir, epoch, "sscale-idx"))
       }
       rows.unpersist(true)
@@ -194,21 +193,16 @@ object StreamScaleProbe {
         .coalesce(1), 0L)
       writeOddBatches(rows, srcDir): Unit
       val files = scala.collection.mutable.ArrayBuffer.empty[Int]
-      drive("s30shape", label, srcDir, ckpt, rows.schema, identity) { (batch, epoch) =>
-        val bb = batch.filter(col("band").isNotNull)
+      drive("s30shape", label, srcDir, ckpt, rows.schema, identity,
+          postEpoch = () => files += store.fileCount) { (batch, epoch) =>
         val idxFrame = store.frameIfAny
           .map(_.select(col("doc"), col("band"), col("bh")))
-          .getOrElse(bb.limit(0))
-        val verdictFrame = graft.dedup.Dedup.indexDedupBatch(idxFrame, bb,
-          batch.select(col("doc")).distinct())
-        val vFiles = PipelineManager.epochAppend(
-          verdictFrame.coalesce(1), outDir, epoch, "sscale30-out")
-        val verdicts = if (vFiles.isEmpty) verdictFrame.limit(0)
-          else spark.read.parquet(vFiles: _*)
+          .getOrElse(batch.limit(0)
+            .select(col("doc"), col("band"), col("bh")))
         store.appendEpoch(
-          withPb(graft.dedup.Dedup.admitBands(bb, verdicts)).coalesce(1),
+          withPb(PipelineManager.dedupAdmissionEpoch(
+            idxFrame, batch, outDir, epoch, "sscale30-out")),
           epoch + 1)
-        files += store.fileCount
       }
       val n = files.size
       println(s"[sscale] s30shape $label FILES first=${files.head} " +
@@ -441,9 +435,9 @@ object StreamScaleProbe {
       val ilx = new graft.streaming.IncrementalLexIndex(spark, idxDir,
         name = "sscale24", compactEvery = 8)
       val files = scala.collection.mutable.ArrayBuffer.empty[Int]
-      drive("s24shape", label, srcDir, ckpt, rows.schema, identity) { (batch, epoch) =>
+      drive("s24shape", label, srcDir, ckpt, rows.schema, identity,
+          postEpoch = () => files += ilx.postingsFileCount()) { (batch, epoch) =>
         ilx.appendEpoch(batch.withColumnRenamed("doc", "doc_id"), epoch)
-        files += ilx.postingsFileCount()
         PipelineManager.epochAppend(
           ilx.serve(qTerms, 3).withColumn("epoch", lit(epoch)).coalesce(1),
           outDir, epoch, "sscale-lxv"): Unit
@@ -491,9 +485,9 @@ object StreamScaleProbe {
         cents, name = "sscale26", compactEvery = 8)
       val files = scala.collection.mutable.ArrayBuffer.empty[Int]
       drive("s26shape", label, srcDir, ckpt, emb.schema, identity,
-          docsLabel = effectiveDocs) { (batch, epoch) =>
+          docsLabel = effectiveDocs,
+          postEpoch = () => files += ivx.cellFileCount()) { (batch, epoch) =>
         ivx.appendEpoch(batch.withColumnRenamed("doc", "vec_id"), epoch)
-        files += ivx.cellFileCount()
         PipelineManager.epochAppend(
           ivx.serve(probes, k = 3, nprobe = 2)
             .withColumn("epoch", lit(epoch)).coalesce(1),
