@@ -103,15 +103,11 @@ object Bench {
         f"[bench] $name ${elapsed}%.2fs heap=${heapAfter(name)}MB")
       name -> elapsed
     }
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // stdout precision is DECIseconds: the harness keeps only a ~2000
     // char TAIL of stdout (BENCH_r09.json: tail len 2000, including
     // sbt's trailing "[success]" line), and round 9 proved an
-    // over-long line loses its HEAD and fails the driver's parse. At
-    // 142 queries a centisecond line runs ~1880 chars — too close; one
-    // decimal keeps ~260 chars of margin. bench_detail.json keeps full
-    // precision.
+    // over-long line loses its HEAD and fails the driver's parse.
+    // bench_detail.json keeps full precision.
     def fmt2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -189,9 +185,16 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
       s"""{"metric":"total","value":$pubTotal,"unit":"sec","queries":$pubJson,"first_run":$firstJson,"first_run_total":$firstTotal,"spill_build_s":${fmt2(spillBuildS)},"rerun_n":$rerunJson,"rerun_failed":$rerunFailedJson,"heap_after_mb":$heapJson,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
-    val qsPub = published.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v) }
+    // Per-gate stdout values are DECISECOND INTEGERS under the
+    // self-describing key `queries_ds` ("s15":59 = 5.9 s) — same 0.1 s
+    // precision as the old "%.1f" seconds form, 1-2 chars shorter per
+    // gate. At r16's 184 gates the old form ran 1965 of the ~2000-char
+    // driver tail; this form keeps 190+ gates parseable. Full-precision
+    // seconds stay in bench_detail.json.
+    val qsPub = published.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + math.round(v * 10) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(pubTotal)},"unit":"sec","queries":$qsPub,"spill_build":${fmt2(spillBuildS)},"failed":[${failedStdout.mkString(",")}],"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt2(pubTotal)},"unit":"sec","queries_ds":$qsPub,"spill_build":${fmt2(spillBuildS)},"failed":[${failedStdout.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 import graft.model.{PipelineSpec, PipelineStatus}
 import graft.operators.Translate
-import graft.streaming.{PipelineHooks, PipelineLockedException, PipelineManager, TwsCounterProcessor, TwsSessionProcessor}
+import graft.streaming.{CdcMerge, PipelineHooks, PipelineLockedException, PipelineManager, TwsCounterProcessor, TwsSessionProcessor}
 
 /**
  * Structured-Streaming forms of the data-plane operators, run
@@ -628,7 +628,13 @@ object StreamingQueries {
     // each batch equi-joins it on (band, bh), and nothing ever rescans
     // corpus vectors. Reuses Dedup.indexDedupBatch/admitBands
     // verbatim — band admission is band admission, whether the bands
-    // hash shingles or hyperplane signs.
+    // hash shingles or hyperplane signs. Since r17 the admission index
+    // rides EpochPartitionedStore (the s30 pattern): the former flat
+    // layout appended one index file per epoch FOREVER, while the
+    // store tier-compacts (file count flat in epoch count), recovers
+    // from any crash boundary, and serves snapshot-consistent reads.
+    // Bootstrap = store epoch 0; stream epoch e maps to store epoch
+    // e+1. Verdicts are bit-identical (same oracle).
     "s16_stream_ann_admission" -> ((s, d) => {
       val emb = Tables.t(s, d, "embeddings")
       val sig = emb.select(col("vec_id").as("doc"),
@@ -646,10 +652,13 @@ object StreamingQueries {
       val idxDir = Files.createTempDirectory("graft-s16-idx-").toString
       val outDir = Files.createTempDirectory("graft-s16-out-").toString
       val ckpt = Files.createTempDirectory("graft-s16-ckpt-").toString
-      // bootstrap: the pre-existing corpus index (buckets 0-1 of 5),
-      // compacted to one file — see s15.
-      rows.filter(pmod(col("doc"), lit(5L)) < 2)
-        .coalesce(1).write.mode("overwrite").parquet(idxDir)
+      // band rows get a stable 16-way partition column for the store
+      // (bucketing the DIRECTORY layout so compaction rewrites land
+      // ~one file per bucket; the dedup join itself is key-planned)
+      def withPb(df: DataFrame): DataFrame = df.withColumn("pb",
+        pmod(graft.functions.Portable.hash64(col("bh")), lit(16L)))
+      // bootstrap: the pre-existing corpus index (buckets 0-1 of 5)
+      val boot = rows.filter(pmod(col("doc"), lit(5L)) < 2)
       val schema = rows.schema
       // Forced mod-time bucket order + two-run recovery structure +
       // commit-as-materialization epochs — see s15 for the rationale
@@ -658,8 +667,10 @@ object StreamingQueries {
       def writeBucket(b: Int): Unit = writeStampedBucket(srcDir, stamped, b,
         rows.filter(pmod(col("doc"), lit(5L)) === b))
       def runIngest(): Unit = {
-        // Bounded-plan index view + empty-commit guard — see s15.
-        val idx = new graft.streaming.DurableIndexView(s, idxDir)
+        val store = new graft.streaming.EpochPartitionedStore(s,
+          s"$idxDir/bands", "pb", "s16", compactEvery = 2)
+        // bootstrap = store epoch 0; idempotent across runs/replays
+        store.appendEpoch(withPb(boot).coalesce(1), 0L)
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(srcDir)
@@ -668,16 +679,14 @@ object StreamingQueries {
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (batch: DataFrame, epoch: Long) =>
-            // No batch checkpoint — deterministic one-file scan; see s15.
-            val verdictFrame = graft.dedup.Dedup.indexDedupBatch(
-              idx.frame, batch, batch.select(col("doc")).distinct())
-            val vFiles = PipelineManager.epochAppend(
-              verdictFrame.coalesce(1), outDir, epoch, "s16out")
-            val verdicts = if (vFiles.isEmpty) verdictFrame.limit(0)
-              else s.read.parquet(vFiles: _*)
-            idx.extend(PipelineManager.epochAppend(
-              graft.dedup.Dedup.admitBands(batch, verdicts).coalesce(1),
-              idxDir, epoch, "s16idx"))
+            val idxFrame = store.frameIfAny
+              .map(_.select(col("doc"), col("band"), col("bh")))
+              .getOrElse(batch.limit(0) // unreachable: bootstrap committed
+                .select(col("doc"), col("band"), col("bh")))
+            store.appendEpoch(
+              withPb(PipelineManager.dedupAdmissionEpoch(
+                idxFrame, batch, outDir, epoch, "s16out")),
+              epoch + 1)
           }
           .start()
         q.awaitTermination()
@@ -1027,7 +1036,13 @@ object StreamingQueries {
     // verdicts epoch-ORDER-INDEPENDENT — the streaming machinery
     // contributes idempotent epoch commits and checkpoint recovery
     // (two runs over one checkpoint), and the oracle needs no
-    // epoch unrolling at all.
+    // epoch unrolling at all. Since r17 the QUARANTINE LOG (the one
+    // per-epoch-growing artifact of this gate — the benchmark index
+    // itself is static) rides EpochPartitionedStore: a month-long
+    // ingest's verdict log stays flat in file count under tiered
+    // compaction instead of accumulating one flat file per epoch,
+    // and the final read is the store's committed snapshot. Verdicts
+    // bit-identical (same oracle).
     "s20_stream_decontam" -> ((s, d) => {
       val docs = Tables.t(s, d, "documents")
       // Shared-spill band frame — see s14.
@@ -1050,6 +1065,10 @@ object StreamingQueries {
         streamed.filter(pmod(col("doc"), lit(3L)) === b))
       def runIngest(): Unit = {
         val bench = s.read.parquet(idxDir) // static; one read per run
+        // the verdict log's tiered store: partitioned 16-way by doc
+        // hash so compaction rewrites land ~one file per bucket
+        val store = new graft.streaming.EpochPartitionedStore(s,
+          s"$outDir/log", "pb", "s20", compactEvery = 2)
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(srcDir)
@@ -1062,13 +1081,15 @@ object StreamingQueries {
             // same collision machinery as the dedup loops, read as
             // contamination: n_hits colliding benchmark docs,
             // first_hit the smallest (-1 = clean)
-            PipelineManager.epochAppend(
+            store.appendEpoch(
               graft.dedup.Dedup.indexDedupBatch(bench, bb,
                 batch.select(col("doc")).distinct())
                 .select(col("doc"), col("n_dups").as("n_hits"),
                   col("first_dup").as("first_hit"))
+                .withColumn("pb", pmod(
+                  graft.functions.Portable.hash64(col("doc")), lit(16L)))
                 .coalesce(1),
-              outDir, epoch, "s20"): Unit
+              epoch)
           }
           .start()
         q.awaitTermination()
@@ -1082,7 +1103,10 @@ object StreamingQueries {
         s.conf.set("spark.sql.shuffle.partitions", before)
         rows.unpersist(false)
       }
-      val out = s.read.parquet(outDir).localCheckpoint()
+      val out = graft.streaming.EpochPartitionedStore
+        .readSnapshot(s, s"$outDir/log", "pb", "s20").get
+        .select(col("doc"), col("n_hits"), col("first_hit"))
+        .localCheckpoint()
       deleteTree(srcDir, idxDir, outDir, ckpt)
       out
     }),
@@ -2501,6 +2525,171 @@ object StreamingQueries {
       }
     }),
 
+    // RUNNING-SOLO UPDATE — the fourth membership-change direction
+    // (q71 create, q72 delete, q73 group-member update): a destination
+    // re-point of a pipeline started with plain start() restarts ITS
+    // OWN query from the per-name checkpoint (the reference reassigns
+    // EVERY datastream on update — DatastreamResources.java:410 →
+    // Coordinator.java:1680 — not only grouped ones; before q74 the
+    // solo query kept delivering to the OLD destination forever while
+    // the persisted spec claimed the new one). Contract under test:
+    // after update("q74a" -> destZ), the old handle is dead with a
+    // live replacement under the same name, the new destination
+    // receives from the first post-update epoch (nothing earlier),
+    // the old destination is frozen at its pre-update files, and the
+    // two destinations partition the corpus exactly once. All waits
+    // poll the engine's own commit log — never sleeps sized to work.
+    "q74_solo_update" -> ((s, d) => {
+      val ckptRoot = Files.createTempDirectory("graft-q74-pm-").toString
+      val srcDir = Files.createTempDirectory("graft-q74-src-").toString
+      val destX = Files.createTempDirectory("graft-q74-destX-").toString + "/d"
+      val destZ = Files.createTempDirectory("graft-q74-destZ-").toString + "/d"
+      var pms = List.empty[PipelineManager]
+      try {
+        val conf = s.sparkContext.hadoopConfiguration
+        val clicks = Tables.t(s, d, "events")
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"))
+        def epochOf(e: Long): DataFrame =
+          clicks.filter(pmod(col("event_id"), lit(2L)) === e)
+        val fs = new org.apache.hadoop.fs.Path(ckptRoot).getFileSystem(conf)
+        def commitDone(b: Long): Boolean = fs.exists(
+          new org.apache.hadoop.fs.Path(s"$ckptRoot/q74a/commits/$b"))
+        def awaitTrue(what: String)(cond: => Boolean): Unit = {
+          val deadline = System.currentTimeMillis() + 60000L
+          while (!cond && System.currentTimeMillis() < deadline)
+            Thread.sleep(25L)
+          require(cond, s"q74: timed out waiting for $what")
+        }
+        PipelineManager.epochAppend(epochOf(0).coalesce(1), srcDir, 0, "q74src")
+        val pm = new PipelineManager(s, ckptRoot)
+        pms ::= pm
+        pm.create(PipelineSpec("q74a", "parquet", "parquet", srcDir,
+          destinationConnection = destX))
+        val q0 = pm.start("q74a", identity,
+          Trigger.ProcessingTime("50 milliseconds"))
+        // epoch 0 fully COMMITTED before the update — the restart
+        // deterministically resumes at epoch 1, so the new
+        // destination can never replay epoch 0
+        awaitTrue("epoch 0 commit")(commitDone(0))
+        val xFilesAtUpdate = PipelineManager.committedFiles(destX, conf).size
+        pm.update("q74a", PipelineSpec("q74a", "parquet", "parquet", srcDir,
+          destinationConnection = destZ)): Unit
+        val restarted = (!q0.isActive).toString
+        val newLive = s.streams.active.exists(q =>
+          q.name == "q74a" && q.isActive).toString
+        val zAtUpdate = PipelineManager.committedFiles(destZ, conf).size.toString
+        PipelineManager.epochAppend(epochOf(1).coalesce(1), srcDir, 1, "q74src")
+        awaitTrue("epoch 1 commit + post-update delivery")(
+          commitDone(1) && PipelineManager.committedFiles(destZ, conf).nonEmpty)
+        val xFilesAfter = PipelineManager.committedFiles(destX, conf).size
+        pm.stop("q74a")
+        val x = s.read.parquet(destX)
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+          .head()
+        val z = s.read.parquet(destZ)
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+          .head()
+        pm.close()
+        import s.implicits._
+        Seq(
+          ("upd", "restarted", restarted),
+          ("upd", "new_query_live", newLive),
+          ("upd", "z_rows_at_update", zAtUpdate),
+          ("upd", "x_frozen", (xFilesAfter == xFilesAtUpdate).toString),
+          ("rows", "x_n", x.getLong(0).toString),
+          ("rows", "x_distinct", x.getLong(1).toString),
+          ("rows", "z_n", z.getLong(0).toString),
+          ("rows", "z_distinct", z.getLong(1).toString))
+          .toDF("kind", "k", "v")
+      } finally {
+        pms.foreach(p => try p.close() catch { case _: Throwable => () })
+        deleteTree(ckptRoot, srcDir, new java.io.File(destX).getParent,
+          new java.io.File(destZ).getParent)
+      }
+    }),
+
+    // DELIVERY-RELEVANT METADATA UPDATE (q75) — the update-reassign
+    // contract beyond the destination field: the cdc transport's
+    // delivery closure captures cdcKeyCols at start, so re-keying a
+    // RUNNING pipeline through update() must restart its query or the
+    // persisted spec and the live merge diverge silently (the
+    // reference validates and reassigns on ANY update). Discriminating
+    // assertion: epoch 0 merges under key (k1); after the mid-run
+    // re-key to (k1,k2), epoch 1's rows — same k1 values, different
+    // k2 — land as NEW rows (2N final state). Had the running query
+    // kept the old closure, they would have REPLACED the epoch-0 rows
+    // (N final). cdcBuckets is pinned to 1 in both specs: the bucket
+    // function must not change shape mid-table (a re-key changes row
+    // hashing; single-bucket state is layout-invariant under it).
+    "q75_metadata_update" -> ((s, d) => {
+      val ckptRoot = Files.createTempDirectory("graft-q75-pm-").toString
+      val srcDir = Files.createTempDirectory("graft-q75-src-").toString
+      val destDir = Files.createTempDirectory("graft-q75-dest-").toString + "/st"
+      var pms = List.empty[PipelineManager]
+      try {
+        val conf = s.sparkContext.hadoopConfiguration
+        val clicks = Tables.t(s, d, "events")
+          .filter(col("event_type") === "click")
+        def epochOf(e: Long): DataFrame = clicks.select(
+          col("event_id").as("k1"), lit(e).as("k2"),
+          lit(e + 1).as("scn"), lit("INSERT").as("op"),
+          col("user_id").as("v"))
+        val fs = new org.apache.hadoop.fs.Path(ckptRoot).getFileSystem(conf)
+        def commitDone(b: Long): Boolean = fs.exists(
+          new org.apache.hadoop.fs.Path(s"$ckptRoot/q75a/commits/$b"))
+        def awaitTrue(what: String)(cond: => Boolean): Unit = {
+          val deadline = System.currentTimeMillis() + 60000L
+          while (!cond && System.currentTimeMillis() < deadline)
+            Thread.sleep(25L)
+          require(cond, s"q75: timed out waiting for $what")
+        }
+        def stateCount(): Long =
+          CdcMerge.currentState(s, destDir).map(_.count()).getOrElse(0L)
+        val metaV1 = Map("cdcKeyCols" -> "k1", "cdcScnCol" -> "scn",
+          "cdcOpcodeCol" -> "op", "cdcBuckets" -> "1")
+        PipelineManager.epochAppend(epochOf(0).coalesce(1), srcDir, 0, "q75src")
+        val pm = new PipelineManager(s, ckptRoot)
+        pms ::= pm
+        pm.create(PipelineSpec("q75a", "parquet", "cdc", srcDir,
+          destinationConnection = destDir, metadata = metaV1))
+        val q0 = pm.start("q75a", identity,
+          Trigger.ProcessingTime("50 milliseconds"))
+        awaitTrue("epoch 0 commit")(commitDone(0))
+        val nAtUpdate = stateCount()
+        // re-key mid-run: (k1) -> (k1, k2). Same destination — no
+        // state moves, but the running query MUST restart to pick the
+        // new merge key up (q75's whole point).
+        pm.update("q75a", PipelineSpec("q75a", "parquet", "cdc", srcDir,
+          destinationConnection = destDir,
+          metadata = metaV1 + ("cdcKeyCols" -> "k1,k2"))): Unit
+        val restarted = (!q0.isActive).toString
+        val newLive = s.streams.active.exists(q =>
+          q.name == "q75a" && q.isActive).toString
+        PipelineManager.epochAppend(epochOf(1).coalesce(1), srcDir, 1, "q75src")
+        awaitTrue("epoch 1 commit")(commitDone(1))
+        // the merge runs inside the epoch's foreachBatch, so commit 1
+        // implies the post-update state is installed
+        val nFinal = stateCount()
+        val k2Final = CdcMerge.currentState(s, destDir)
+          .map(_.select(countDistinct(col("k2"))).head().getLong(0))
+          .getOrElse(0L)
+        pm.stop("q75a")
+        pm.close()
+        import s.implicits._
+        Seq(
+          ("upd", "restarted", restarted),
+          ("upd", "new_query_live", newLive),
+          ("state", "n_at_update", nAtUpdate.toString),
+          ("state", "n_final", nFinal.toString),
+          ("state", "k2_distinct_final", k2Final.toString))
+          .toDF("kind", "k", "v")
+      } finally {
+        pms.foreach(p => try p.close() catch { case _: Throwable => () })
+        deleteTree(ckptRoot, srcDir, new java.io.File(destDir).getParent)
+      }
+    }),
+
     // Heartbeat-driven self-demotion — the RUNTIME half of the q67
     // lease contract: nothing external tells the expired manager to
     // stand down; its OWN scheduled heartbeat (interval = lease/4)
@@ -3634,6 +3823,44 @@ object StreamingQueries {
         |UNION ALL SELECT 'rows', 'z_distinct',
         |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
         |FROM events WHERE event_type = 'click' AND event_id % 2 = 1"""
+        .stripMargin.replace("\n", " "),
+
+    // Solo-update closed form (q74): the update happens with epoch 0
+    // committed, so the old destination froze at the epoch-0 slice
+    // (event_id % 2 = 0), the new destination holds exactly the
+    // post-update epoch (event_id % 2 = 1), and nothing is delivered
+    // twice.
+    "q74_solo_update" ->
+      """SELECT 'upd' AS kind, 'restarted' AS k, 'true' AS v
+        |UNION ALL SELECT 'upd', 'new_query_live', 'true'
+        |UNION ALL SELECT 'upd', 'z_rows_at_update', '0'
+        |UNION ALL SELECT 'upd', 'x_frozen', 'true'
+        |UNION ALL SELECT 'rows', 'x_n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click' AND event_id % 2 = 0
+        |UNION ALL SELECT 'rows', 'x_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'click' AND event_id % 2 = 0
+        |UNION ALL SELECT 'rows', 'z_n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click' AND event_id % 2 = 1
+        |UNION ALL SELECT 'rows', 'z_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'click' AND event_id % 2 = 1"""
+        .stripMargin.replace("\n", " "),
+
+    // Metadata-update closed form (q75): epoch 0 merges one row per
+    // click under key (k1); the mid-run re-key to (k1,k2) makes
+    // epoch 1's rows (same k1, k2=1 vs 0) NEW keys, so the final
+    // state holds both epochs' images — 2N rows over 2 distinct k2
+    // values. A query that silently kept the old key would have
+    // replaced them (N rows, 1 k2 value).
+    "q75_metadata_update" ->
+      """SELECT 'upd' AS kind, 'restarted' AS k, 'true' AS v
+        |UNION ALL SELECT 'upd', 'new_query_live', 'true'
+        |UNION ALL SELECT 'state', 'n_at_update',
+        |CAST(COUNT(*) AS VARCHAR) FROM events WHERE event_type = 'click'
+        |UNION ALL SELECT 'state', 'n_final',
+        |CAST(2 * COUNT(*) AS VARCHAR) FROM events WHERE event_type = 'click'
+        |UNION ALL SELECT 'state', 'k2_distinct_final', '2'"""
         .stripMargin.replace("\n", " "),
 
     // Self-demotion closed form: every lease event is a literal (the

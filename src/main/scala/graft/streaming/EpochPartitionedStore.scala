@@ -326,18 +326,23 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
     var merged = true
     while (merged) {
       val live = runs.filterNot(r => isSuperseded(r, runs))
+      // candidate levels ascending; a level whose runs carry no files
+      // (unreachable today — runs publish only from non-empty input
+      // sets) is SKIPPED, never a cascade abort: aborting would
+      // re-select the same empty level every future tick and
+      // permanently block merges at all higher levels
       live.groupBy(_.level).filter(_._2.size >= tierFanIn)
-        .keys.minOption match {
-        case Some(l) =>
+        .keys.toSeq.sorted.iterator
+        .map { l =>
           val ins = live.filter(_.level == l)
-          val files = ins.flatMap(r => runFiles.getOrElse(runKey(r), Nil))
-          if (files.isEmpty) merged = false // defensive: nothing to merge
-          else {
-            val (r2, published) = publishRun(l + 1,
-              ins.map(_.lo).min, ins.map(_.hi).max, files)
-            runs :+= r2
-            runFiles += runKey(r2) -> published
-          }
+          (ins, ins.flatMap(r => runFiles.getOrElse(runKey(r), Nil)))
+        }
+        .find(_._2.nonEmpty) match {
+        case Some((ins, files)) =>
+          val (r2, published) = publishRun(ins.head.level + 1,
+            ins.map(_.lo).min, ins.map(_.hi).max, files)
+          runs :+= r2
+          runFiles += runKey(r2) -> published
         case None => merged = false
       }
     }
@@ -448,10 +453,16 @@ object EpochPartitionedStore {
     Option(fs.globStatus(new Path(dir, "_compact_state-*")))
       .toSeq.flatten
       .flatMap { st =>
+        // tolerate strays the same way arity mismatches fall through:
+        // recordedRuns sits on EVERY read path (snapshots, health,
+        // each tick), so one non-numeric temp/backup artifact must
+        // never brick readers with a NumberFormatException
         st.getPath.getName.stripPrefix("_compact_state-").split('-') match {
-          case Array(g) => Some(Run(1, 0L, g.toLong, legacy = true))
+          case Array(g) => g.toLongOption.map(Run(1, 0L, _, legacy = true))
           case Array(l, lo, hi) =>
-            Some(Run(l.toInt, lo.toLong, hi.toLong, legacy = false))
+            for (li <- l.toIntOption; loL <- lo.toLongOption;
+                 hiL <- hi.toLongOption)
+              yield Run(li, loL, hiL, legacy = false)
           case _ => None
         }
       }

@@ -127,7 +127,13 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
     PipelineManager.epochAppend(
       Seq((epoch, nd, sumDl)).toDF("epoch", "nd", "sum_dl").coalesce(1),
       statsDir, epoch, statsPipe): Unit
-    if (lastStats.forall(_._1 <= epoch)) lastStats = Some((epoch, nd, sumDl))
+    // NOTE: the in-memory lastStats cache is NOT written here — only
+    // after the postings commit in [[appendEpoch]]. Stats commit
+    // before postings (compaction's onSweep needs the row), so caching
+    // at this point would let a postings-commit failure leave a live
+    // instance serving stats for an epoch with no committed postings
+    // (the cold path's ceiling cap exists precisely to exclude that
+    // row; the hot cache must honor the same prefix).
     (nd, sumDl)
   }
 
@@ -158,9 +164,15 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
       // stats BEFORE the store append: the store's compaction cadence
       // fires inside appendEpoch and its onSweep must see this
       // epoch's stats row already committed
-      updateStats(btok.select(col("doc_id"),
-        size(col("w")).cast("double").as("dl")), epoch): Unit
+      val (nd, sumDl) = updateStats(btok.select(col("doc_id"),
+        size(col("w")).cast("double").as("dl")), epoch)
       store.appendEpoch(bpost, epoch)
+      // cache only AFTER the postings commit: a failure between the
+      // stats commit and here must leave the hot serving path on the
+      // previous epoch's stats (same committed prefix the cold path's
+      // ceiling cap enforces); the orphan stats row is reused when
+      // this epoch replays
+      if (lastStats.forall(_._1 <= epoch)) lastStats = Some((epoch, nd, sumDl))
     } finally btok.unpersist(false): Unit
   }
 

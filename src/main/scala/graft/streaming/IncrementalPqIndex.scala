@@ -32,6 +32,28 @@ import graft.ann.Ann
  * reshuffle. Persistence is the shared [[EpochPartitionedStore]]:
  * tiered compaction, snapshot reads, crash recovery — nothing new.
  *
+ * ==Codebook drift and the retrain-and-rebuild contract==
+ * Fixed codebooks mean a corpus whose distribution drifts away from
+ * the training sample degrades SILENTLY: cells stay balanced-looking
+ * and serves keep returning k rows, but the ADC ordering predicts the
+ * exact ordering less and less, so recall decays with no error
+ * anywhere. The observable symptom is rank DISAGREEMENT between the
+ * two scores the serve already computes: [[health]] surfaces
+ * `adcRankAgreement` — the fraction of the LAST served top-k whose
+ * ADC rank was in the front half of the re-rank window (≤ rerank/2).
+ * Near 1.0 the codes still rank like the exact metric; a sustained
+ * slide toward k/rerank (the value a RANDOM ADC ordering converges
+ * to) means the codebooks no longer describe the corpus. The remedy
+ * is retrain-and-rebuild, never in-place patching: train fresh
+ * codebooks from a current sample ([[Ann.pqTrainCodebook]] /
+ * [[Ann.kmeansFit]]), build a NEW index directory by re-ingesting
+ * from the raw corpus (cells and codes are derived data; the corpus
+ * is the source of truth), and cut serving over when it is caught
+ * up — the old store keeps serving reads throughout, exactly like a
+ * search-index reindex. Re-encoding in place would mix two code
+ * spaces inside one store, and ADC against a mixed space is silently
+ * wrong for every pre-retrain row.
+ *
  * Serving is MULTI-PROBE by construction (the s28 `serveMulti`
  * contract, which [[IncrementalVectorIndex.serve]] also honors): N
  * standing probes cost ONE pass per scan kind, pruned to the UNION
@@ -58,6 +80,12 @@ final class IncrementalPqIndex(spark: SparkSession, dir: String,
 
   private val store = new EpochPartitionedStore(spark, s"$dir/cells",
     "cell", name, refreshEvery, compactEvery)
+
+  // Drift telemetry: the Observation attached to the LAST serve's
+  // final frame (set when the CALLER runs an action on it — serving
+  // stays fully lazy and its plan unchanged; getOrEmpty never
+  // blocks). Volatile: /diag pollers read it from other threads.
+  @volatile private var driftObs: Option[(org.apache.spark.sql.Observation, Int, Int)] = None
 
   /** Fold one ingest batch (`vec_id`, `embedding`) into the index:
     * nearest-cell assignment + PQ encode against the fixed codebooks
@@ -131,9 +159,12 @@ final class IncrementalPqIndex(spark: SparkSession, dir: String,
             lit(0.0), (acc, x) => acc + x), 6).as("adc_dot"))
         val wa = Window.partitionBy(col("query_id"))
           .orderBy(col("adc_dot").desc, col("cand_id"))
+        // adc_rn rides into the re-rank join: the drift metric below
+        // compares it against the exact rank at zero extra scan cost
         val adcTop = scored.withColumn("rn", row_number().over(wa))
           .filter(col("rn") <= r)
-          .select(col("query_id"), col("cand_id"))
+          .select(col("query_id"), col("cand_id"),
+            col("rn").cast("long").as("adc_rn"))
         // pass 2 (re-rank): raw embeddings for the bounded ADC-top
         // set only — the scan stays cell-pruned, the candidate set
         // broadcasts
@@ -150,9 +181,22 @@ final class IncrementalPqIndex(spark: SparkSession, dir: String,
             round(Ann.cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("cand_id"))
-        exact.withColumn("rank", row_number().over(w).cast("long"))
+        // Codebook-drift telemetry (see the class doc's retrain
+        // contract): over the final top-k, how often was the ADC rank
+        // in the FRONT HALF of the re-rank window? Attached as an
+        // observe() so the metric is collected by whatever action the
+        // caller runs — serving stays lazy, the two scans' plans are
+        // untouched, and an unconsumed serve simply reports nothing.
+        val obs = org.apache.spark.sql.Observation()
+        val ranked = exact
+          .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= k)
-          .select(col("query_id"), col("cand_id"), col("rank"), col("cos"))
+          .observe(obs, count(lit(1)).as("n_topk"),
+            coalesce(sum((col("adc_rn") <= lit(math.max(1L, r / 2)))
+              .cast("long")), lit(0L)).as("adc_front"))
+        driftObs = Some((obs, k, r))
+        ranked.select(col("query_id"), col("cand_id"), col("rank"),
+          col("cos"))
     }
   }
 
@@ -164,9 +208,28 @@ final class IncrementalPqIndex(spark: SparkSession, dir: String,
     * telemetry reads only; all writes go through [[appendEpoch]]. */
   private[graft] def cellStore: EpochPartitionedStore = store
 
-  /** Operator-facing index health ([[EpochPartitionedStore.health]]),
-    * registered per pipeline on the management plane and served on
-    * `/diag/{name}`. */
-  def health: Map[String, Double] =
-    store.health.map { case (k, v) => k -> v.toDouble }
+  /** Operator-facing index health ([[EpochPartitionedStore.health]])
+    * plus codebook-drift telemetry from the last CONSUMED serve:
+    * `adcRankAgreement` (fraction of the final top-k whose ADC rank
+    * was ≤ rerank/2 — sliding toward k/rerank means the fixed
+    * codebooks no longer describe the corpus; see the class doc's
+    * retrain-and-rebuild contract) with its `driftTopK`/`driftRerank`
+    * window so the floor is computable by the reader. Registered per
+    * pipeline on the management plane and served on `/diag/{name}`;
+    * reads never block (getOrEmpty) and never run a Spark job. */
+  def health: Map[String, Double] = {
+    val base = store.health.map { case (k, v) => k -> v.toDouble }
+    val drift = driftObs.toSeq.flatMap { case (o, k, r) =>
+      // future.value: completed-or-nothing, never blocks a poller
+      o.future.value.flatMap(_.toOption).toSeq.flatMap { row =>
+        val n = row.getAs[Long]("n_topk")
+        if (n > 0)
+          Seq("adcRankAgreement" ->
+              row.getAs[Long]("adc_front").toDouble / n.toDouble,
+            "driftTopK" -> k.toDouble, "driftRerank" -> r.toDouble)
+        else Nil
+      }
+    }
+    base ++ drift
+  }
 }

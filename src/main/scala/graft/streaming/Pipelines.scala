@@ -549,6 +549,15 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   private val groupRuns =
     TrieMap.empty[String, (DataFrame => DataFrame, Trigger)]
 
+  // The transform/trigger of each pipeline's LAST solo start() — the
+  // solo analog of [[groupRuns]]: what a delivery-relevant update()
+  // of a RUNNING solo pipeline restarts with (q74). Without it the
+  // persisted spec and the running query diverge silently: the
+  // delivery closure captured the OLD spec at start. Dropped on
+  // stop/delete (closure-retention hygiene, same as groupRuns).
+  private val soloRuns =
+    TrieMap.empty[String, (DataFrame => DataFrame, Trigger)]
+
   // A6/A7: last observed per-epoch metrics per pipeline (fed by the
   // observe() aggregation through a StreamingQueryListener).
   private val lastMetrics = TrieMap.empty[String, Map[String, Long]]
@@ -579,6 +588,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     queries.values().asScala.foreach(q => if (q.isActive) q.stop())
     queries.clear()
     groupRuns.clear()
+    soloRuns.clear()
     spark.streams.removeListener(listener)
     // Session end (the reference's ZK session close/expiry): the
     // live-instance registration disappears, so every lock this
@@ -798,10 +808,15 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
    * and siblings see every epoch exactly once across the restart
    * (the updated member's old-destination markers migrate to that
    * destination's next leader first, so a delivered-but-uncommitted
-   * epoch's replay still no-ops there). Metadata-only updates (pause
-   * pins, labels) do NOT restart — the management plane persists pin
-   * tables through this path mid-run. A SOLO running pipeline keeps
-   * the old contract: the caller restarts it to pick up the spec.
+   * epoch's replay still no-ops there). A RUNNING SOLO pipeline gets
+   * the same treatment (q74): its own query restarts from the
+   * per-name checkpoint with the updated spec, so the new destination
+   * receives from the first post-update epoch — the reference
+   * reassigns every datastream on update, not only grouped ones.
+   * Metadata-only updates (pause pins, labels) do NOT restart — the
+   * management plane persists pin tables through this path mid-run;
+   * delivery-relevant METADATA (cdc shape, directory ordering, flow
+   * keys) DOES — see [[PipelineManager.DeliveryRelevantMetadataKeys]].
    */
   def update(name: String, newSpec: PipelineSpec,
       owner: String = "anonymous"): PipelineSpec = {
@@ -841,27 +856,41 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         else existing.destinationConnection)
     specs.put(name, updated)
     persistSpec(updated)
-    if (updated.destinationConnection != existing.destinationConnection) {
+    val destChanged =
+      updated.destinationConnection != existing.destinationConnection
+    // q75: delivery-relevant METADATA changes reassign exactly like a
+    // destination re-point — the running query's closures captured the
+    // old values at start, so only a restart makes the update take
+    // effect (the reference reassigns on any update). Server-managed
+    // and cosmetic metadata (pin tables, labels) never restart.
+    val deliveryMetaChanged =
+      (updated.metadata.keySet ++ existing.metadata.keySet).exists(k =>
+        PipelineManager.isDeliveryRelevantMetadataKey(k) &&
+          updated.metadata.get(k) != existing.metadata.get(k))
+    if (destChanged)
       provisionDestination(updated) // a re-point gets the same K7 layout
+    if (destChanged || deliveryMetaChanged)
       reassignUpdatedMember(updated, existing)
-    }
     updated
   }
 
-  /** The update-side membership-change restart (q73) — see
+  /** The update-side membership-change restart (q73 group member,
+    * q74 running solo, q75 delivery-relevant metadata) — see
     * [[update]]'s reassignment contract. Mirrors [[delete]]'s shape:
-    * the old destination's exactly-once state moves UNCONDITIONALLY
-    * (all idempotent) — whether the shared query is live, stopped, or
-    * running under a sibling's handle after a per-member stop removed
-    * the updatee's own — and survivors flip to Stopped (locks
-    * released) when the restart itself fails; the update stands
-    * either way, as the deletion does. Old-destination state is two
-    * things: the epoch-marker namespace (migrates to the old
-    * destination's next leader when siblings still deliver there) and
-    * the durable group holdback (restamped to the NEW destination
-    * when nobody does — held epochs are the member's own undelivered
-    * data and must follow its stream, never strand: the pause
-    * contract's "never dropped"). */
+    * on a destination re-point the old destination's exactly-once
+    * state moves UNCONDITIONALLY (all idempotent) — whether the
+    * shared query is live, stopped, or running under a sibling's
+    * handle after a per-member stop removed the updatee's own — and
+    * survivors flip to Stopped (locks released) when the restart
+    * itself fails; the update stands either way, as the deletion
+    * does. Old-destination state is two things: the epoch-marker
+    * namespace (migrates to the old destination's next leader when
+    * siblings still deliver there) and the durable group holdback
+    * (restamped to the NEW destination when nobody does — held epochs
+    * are the member's own undelivered data and must follow its
+    * stream, never strand: the pause contract's "never dropped").
+    * A metadata-only reassignment restarts the query but moves no
+    * state (same destination, same markers). */
   private def reassignUpdatedMember(updated: PipelineSpec,
       previous: PipelineSpec): Unit = {
     val name = updated.name
@@ -877,7 +906,12 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       val sharedLive = members
         .flatMap(m => Option(queries.get(m.name)))
         .exists(q => q.isActive && q.name == s"group-$prefix")
-      def moveOldDestState(): Unit = {
+      // Old-destination state moves ONLY on a destination re-point: a
+      // metadata-only reassignment (q75) keeps the member delivering
+      // to the same destination — migrating its markers or restamping
+      // its holdback would break the very dedup they exist for.
+      def moveOldDestState(): Unit = if (
+          updated.destinationConnection != previous.destinationConnection) {
         val sharingOld = members.filterNot(_.name == name)
           .filter(_.destinationConnection == previous.destinationConnection)
         if (sharingOld.nonEmpty)
@@ -922,10 +956,53 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
               throw e
           }
         case _ =>
-          // no running query to reassign (or no remembered run to
-          // restart it with): the durable state still moves, so the
-          // NEXT startGroup inherits a consistent old destination
-          moveOldDestState()
+          // q74: a RUNNING SOLO pipeline's re-point restarts its own
+          // query — the reference reassigns EVERY datastream on update
+          // (DatastreamResources.java:410 → Coordinator.java:1680
+          // handleLeaderDoAssignment), not only group members. The
+          // delivery closure captured the OLD spec at start
+          // ([[startLocked]]'s transportWriter), so without a restart
+          // the persisted spec and the running delivery diverge
+          // silently, forever. Memory-transport queries are excluded:
+          // the memory sink cannot recover from an existing checkpoint
+          // (and ignores the destination entirely).
+          val soloLive = Option(queries.get(name))
+            .exists(q => q.isActive && q.name == name) &&
+            !specs.get(name).map(_.transport).contains("memory")
+          (if (soloLive) soloRuns.get(name) else None) match {
+            case Some((transform, trigger)) =>
+              // stop FIRST so no further epoch marker can land under
+              // the old-destination namespace after the state moves;
+              // the state move sits INSIDE the rollback scope — same
+              // discipline as the group branch above
+              stopQueryOf(name)
+              try {
+                moveOldDestState()
+                // restart from the per-name checkpoint: committed
+                // epochs are never replayed; an uncommitted epoch
+                // replays into the NEW destination (the update's
+                // contract — the stream follows its spec)
+                start(name, transform, trigger): Unit
+              } catch {
+                case e: Throwable =>
+                  // the update stands; leave the member in the
+                  // truthful Stopped state rather than
+                  // Ready-with-no-query holding its lock
+                  try {
+                    releaseLock(name)
+                    specs.updateWith(name)(
+                      _.map(_.copy(status = PipelineStatus.Stopped)))
+                    specs.get(name).foreach(persistSpec)
+                    hooks.onStateChange(name, PipelineStatus.Stopped)
+                  } catch { case e2: Throwable => e.addSuppressed(e2) }
+                  throw e
+              }
+            case _ =>
+              // no running query to reassign (or no remembered run to
+              // restart it with): the durable state still moves, so
+              // the NEXT start inherits a consistent old destination
+              moveOldDestState()
+          }
       }
     }
   }
@@ -1270,8 +1347,14 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     // had already scoped its own jobs to a pool keeps that scope.
     val prevPool = spark.sparkContext.getLocalProperty("spark.scheduler.pool")
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-$name")
-    try startInPool(name, transform, trigger)
-    finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", prevPool)
+    try {
+      val q = startInPool(name, transform, trigger)
+      // remember the run shape only for a start that SUCCEEDED — the
+      // q74 update-restart must never restart from a shape that never
+      // produced a live query
+      soloRuns.put(name, (transform, trigger))
+      q
+    } finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", prevPool)
   }
 
   /**
@@ -1549,6 +1632,11 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     if (members.isEmpty) return
     val anchor = members.minBy(_.name)
     val dest = anchor.destinationConnection
+    // BEFORE the stripe lock (restampHoldbackDest takes its own
+    // stripes in ascending order; acquiring ours first could invert
+    // that order against a concurrent restamp): re-drive any crashed
+    // restamp whose held epochs belong to THIS destination's stream
+    repairStrandedHoldbackStamps(dest)
     PipelineManager.holdbackStripe(dest).synchronized {
       val root = new Path(s"$checkpointRoot/group-holdback")
       if (!rootFs.exists(root)) return
@@ -1592,6 +1680,32 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         }
       }
     }
+  }
+
+  /** Re-drive a crashed [[restampHoldbackDest]] from DURABLE state
+    * (its stage-then-delete-then-rename leaves one unrecoverable
+    * window: a crash after `create(.next)` but before `delete(meta)`
+    * keeps the OLD stamp authoritative, and re-running update() is a
+    * no-op because the spec already carries the new destination — the
+    * held epochs would strand forever). The detection replicates
+    * [[reassignUpdatedMember]]'s restamp branch exactly: a holdback
+    * stamped for a destination NO current member serves, whose owner's
+    * current spec destination is `dest`, is an interrupted re-point of
+    * the owner's stream — finish it. Runs at every drain of `dest`
+    * (idempotent; the common no-strand case is one stamp read per
+    * dir), so a strand heals at the latest when its new destination
+    * next drains. */
+  private def repairStrandedHoldbackStamps(dest: String): Unit = {
+    val root = new Path(s"$checkpointRoot/group-holdback")
+    if (rootFs.exists(root))
+      rootFs.listStatus(root).toSeq.filter(_.isDirectory).foreach { d =>
+        readHoldbackStamp(d.getPath).foreach { case (owner, stampDest) =>
+          if (stampDest != dest &&
+              specs.get(owner).exists(_.destinationConnection == dest) &&
+              !specs.values.exists(_.destinationConnection == stampDest))
+            restampHoldbackDest(stampDest, dest)
+        }
+      }
   }
 
   /** A6/A7: per-epoch throughput metrics ride the query itself via
@@ -1978,13 +2092,15 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
                 .foreach(groupRuns.remove(_): Unit)
             }
           }
-        } else
+        } else {
           // StreamingQuery.stop() cancels the query's in-flight jobs —
           // nothing of the pipeline's scheduler pool outlives it. For a
           // force group stop the first sweep stops the shared query;
           // every target still gets its transition and lock release
           // below — no member is left Ready with no running query.
           stopQueryOf(n)
+          soloRuns.remove(n): Unit
+        }
         // resources released ⇒ the task returns to the pool: another
         // live manager may now acquire it (contrast pause, which keeps
         // the assignment AND the lock)
@@ -2098,6 +2214,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       rootFs.delete(pausedStatePath(name), false): Unit
       pausedPartitions.remove(name): Unit
       indexHealthProviders.remove(name): Unit
+      soloRuns.remove(name): Unit
       // last member gone -> the remembered group run (and its captured
       // transform closure) has nothing left to restart
       prefix.filterNot(p => specs.values.exists(s =>
@@ -2252,6 +2369,30 @@ object PipelineManager {
     * state. Durable transports only (the memory sink has no
     * foreachBatch to ride). */
   val SketchColumnKey: String = "graft.sketchColumn"
+
+  /** Metadata keys a running query's SOURCE or DELIVERY closures
+    * capture at start time: the cdc merge shape (builtinTransport
+    * captures `cdcKeyCols`/`cdcScnCol`/`cdcOpcodeCol`/`cdcBuckets`),
+    * the directory sink's op mode and ordering, per-trigger flow
+    * control (source options), the Kafka assigned-partition list, and
+    * the sketch opt-in column. An update() that changes one of these
+    * on a RUNNING pipeline must restart the query (q75) or the
+    * persisted spec and the live delivery silently diverge — the
+    * reference validates and reassigns on ANY update
+    * (DatastreamResources.java:410 → Coordinator.java:1680).
+    * `kafka.`-prefixed consumer/producer passthrough is relevant too;
+    * membership is therefore tested via
+    * [[isDeliveryRelevantMetadataKey]], never this set alone. */
+  val DeliveryRelevantMetadataKeys: Set[String] = Set(
+    "cdcKeyCols", "cdcScnCol", "cdcOpcodeCol", "cdcBuckets",
+    "directoryOps", "directoryOrderCol",
+    "maxFilesPerTrigger", "maxOffsetsPerTrigger", "assign",
+    SketchColumnKey)
+
+  /** Is `k` a metadata key whose change must reassign a running
+    * query? (See [[DeliveryRelevantMetadataKeys]].) */
+  def isDeliveryRelevantMetadataKey(k: String): Boolean =
+    DeliveryRelevantMetadataKeys.contains(k) || k.startsWith("kafka.")
 
   /**
    * Injective filesystem-safe encoding of a pipeline name (see

@@ -179,7 +179,10 @@ object StreamScaleProbe {
     // files), while the EpochPartitionedStore's tier merges keep the
     // live file count flat and each epoch's bytes are rewritten once
     // per level (epochsRewritten ≈ E·log_T E, vs Σe for a full
-    // rewrite on the same cadence).
+    // rewrite on the same cadence). Since r17 this is ALSO the s16
+    // gate's storage form (its ANN band admission differs only in
+    // band construction — same store, same admission loop), so this
+    // shape's flatness evidence covers both gates.
     def runStoreDedup(dir: String, label: String): Unit = {
       val rows = bandRows(dir)
       val srcDir = tmp("sscale30-src-"); val idxDir = tmp("sscale30-idx-")
@@ -258,20 +261,37 @@ object StreamScaleProbe {
     // The SAME static benchmark index serves the 1× and 8× runs (built
     // once from the base corpus's even docs), so flat per-epoch cost at
     // 8× the epoch count shows the verdict join is O(batch) against an
-    // index whose plan and size never change.
+    // index whose plan and size never change. Since r17 the probe also
+    // matches the gate's storage form: the QUARANTINE LOG (this
+    // shape's one per-epoch-growing artifact) rides
+    // EpochPartitionedStore, and the sampled live file count must stay
+    // FLAT under tier merges — the flat-append alternative ends at one
+    // file per epoch, unbounded over a month of ingest.
     def runDecontam(dir: String, label: String, benchDir: String): Unit = {
       val rows = bandRows(dir)
       val srcDir = tmp("sscale20-src-"); val outDir = tmp("sscale20-out-")
       val ckpt = tmp("sscale20-ckpt-")
       writeOddBatches(rows, srcDir): Unit
       val bench = spark.read.parquet(benchDir) // static; one read per run
-      drive("s20shape", label, srcDir, ckpt, rows.schema, identity) { (batch, epoch) =>
+      val store = new graft.streaming.EpochPartitionedStore(spark,
+        s"$outDir/log", "pb", "sscale20", compactEvery = 8)
+      val files = scala.collection.mutable.ArrayBuffer.empty[Int]
+      drive("s20shape", label, srcDir, ckpt, rows.schema, identity,
+          postEpoch = () => files += store.fileCount) { (batch, epoch) =>
         val bb = batch.filter(col("band").isNotNull)
-        PipelineManager.epochAppend(
+        store.appendEpoch(
           graft.dedup.Dedup.indexDedupBatch(bench, bb,
-            batch.select(col("doc")).distinct()).coalesce(1),
-          outDir, epoch, "sscale-dc"): Unit
+            batch.select(col("doc")).distinct())
+            .withColumn("pb", pmod(
+              graft.functions.Portable.hash64(col("doc")), lit(16L)))
+            .coalesce(1),
+          epoch)
       }
+      println(s"[sscale] s20shape $label FILES first=${files.head} " +
+        s"max=${files.max} last=${files.last} n=${files.size}")
+      println(s"[sscale] s20shape $label REWRITE " +
+        s"epochsRewritten=${store.totalEpochsRewritten} " +
+        s"bytes=${store.totalRewriteBytes}")
       rows.unpersist(true)
       org.apache.spark.sql.GraftBridge.unloadStateStores()
       DataOpsQueries.release(dir)

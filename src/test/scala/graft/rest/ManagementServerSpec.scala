@@ -236,6 +236,67 @@ class ManagementServerSpec extends SparkTestBase {
     }
   }
 
+  test("diag surfaces PQ codebook-drift telemetry after a consumed serve") {
+    // Codebook drift is SILENT (fixed codebooks, no errors anywhere);
+    // the observable is ADC-vs-exact rank agreement over the last
+    // served top-k, surfaced on /diag so an operator sees a drifting
+    // corpus before recall decays. Contract: the field appears ONLY
+    // after a serve whose result was actually consumed (the metric
+    // rides the caller's action via observe(); an unconsumed serve
+    // reports nothing), lands in [0,1], and carries its
+    // driftTopK/driftRerank window so the k/rerank random-ordering
+    // floor is computable by the reader.
+    val pm = new PipelineManager(spark,
+      Files.createTempDirectory("graft-rest-pq-").toString)
+    val srv = new ManagementServer(pm).start()
+    val idxDir = Files.createTempDirectory("graft-rest-pq-store-").toString
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      def field(body: String, k: String): Double = {
+        val m = (s""""$k":([-0-9.Ee+]+)""").r.findFirstMatchIn(body)
+        assert(m.nonEmpty, s"no $k in $body")
+        m.get.group(1).toDouble
+      }
+      val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")).limit(64).localCheckpoint()
+      val cents = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cent_id"),
+          graft.ann.Ann.toDouble(col("embedding")).as("ce"))
+      val cb = graft.ann.Ann.pqCodebook(
+        graft.ann.Ann.pqSubvectors(emb, 8), 16).localCheckpoint()
+      val probes = emb.filter(col("vec_id") < 2).localCheckpoint()
+      req(base, "POST", "/pipelines", Some(
+        s"""{"name":"pq1","connector":"parquet","transport":"parquet",
+           |"sourceConnection":"$idxDir"}""".stripMargin.replace("\n", "")))
+        .statusCode(): Unit
+      val ipx = new graft.streaming.IncrementalPqIndex(spark, idxDir,
+        cents, cb, m = 8, name = "pq1", compactEvery = 2)
+      pm.registerIndexHealth("pq1", () => ipx.health)
+      ipx.appendEpoch(emb, 0L)
+      val b0 = req(base, "GET", "/diag/pq1").body()
+      assert(field(b0, "lastCommittedEpoch") == 0.0)
+      assert(!b0.contains("adcRankAgreement"),
+        s"drift metric must not exist before a consumed serve: $b0")
+      // an UNCONSUMED serve must still report nothing (lazy contract)
+      ipx.serve(probes, k = 3, nprobe = 2, rerank = 6): Unit
+      assert(!req(base, "GET", "/diag/pq1").body()
+        .contains("adcRankAgreement"),
+        "an unconsumed serve must not publish a drift metric")
+      val served = ipx.serve(probes, k = 3, nprobe = 2, rerank = 6)
+      assert(served.count() > 0, "serve returned no rows to measure")
+      val b1 = req(base, "GET", "/diag/pq1").body()
+      val agree = field(b1, "adcRankAgreement")
+      assert(agree >= 0.0 && agree <= 1.0, s"agreement out of range: $agree")
+      assert(field(b1, "driftTopK") == 3.0 && field(b1, "driftRerank") == 6.0)
+    } finally {
+      srv.stop(); pm.close()
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(del)); f.delete(): Unit
+      }
+      del(new java.io.File(idxDir))
+    }
+  }
+
   test("findGroup lists the task group formed by destination-reuse dedup") {
     val pm = new PipelineManager(spark,
       Files.createTempDirectory("graft-rest-grp-").toString)

@@ -1144,6 +1144,109 @@ class PipelineManagerSpec extends SparkTestBase {
     pm2.close()
   }
 
+  test("solo update: cosmetic metadata keeps the query; delivery-relevant metadata restarts it exactly-once") {
+    // q74/q75 unit halves: update() must NOT churn a running solo
+    // query for labels/pin tables (the management plane persists
+    // metadata through this path mid-run), and MUST restart it when a
+    // key the source/delivery closures captured changes.
+    val root = Files.createTempDirectory("graft-solo-upd-").toString
+    val srcDir = Files.createTempDirectory("graft-solo-upd-src-").toString
+    val d1 = Files.createTempDirectory("graft-solo-upd-d1-").toString + "/d"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    def commitDone(b: Long): Boolean = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/sa/commits/$b"))
+    def awaitTrue(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 60000L
+      while (!cond && System.currentTimeMillis() < deadline)
+        Thread.sleep(25L)
+      require(cond, s"solo-upd: timed out waiting for $what")
+    }
+    PipelineManager.epochAppend(
+      Seq((1L, "e0")).toDF("k", "v").coalesce(1), srcDir, 0, "sasrc")
+    val pm = new PipelineManager(spark, root)
+    pm.create(PipelineSpec("sa", "parquet", "parquet", srcDir,
+      destinationConnection = d1))
+    val q0 = pm.start("sa", identity,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+    awaitTrue("epoch 0 commit")(commitDone(0))
+    // cosmetic metadata: the SAME query keeps running
+    pm.update("sa", PipelineSpec("sa", "parquet", "parquet", srcDir,
+      destinationConnection = d1, metadata = Map("label" -> "x"))): Unit
+    assert(q0.isActive,
+      "a cosmetic metadata update must not restart the running query")
+    // delivery-relevant metadata (per-trigger flow control is captured
+    // by the source build): restart, same destination, exactly-once
+    pm.update("sa", PipelineSpec("sa", "parquet", "parquet", srcDir,
+      destinationConnection = d1,
+      metadata = Map("label" -> "x", "maxFilesPerTrigger" -> "1"))): Unit
+    assert(!q0.isActive,
+      "a delivery-relevant metadata update must restart the running query")
+    assert(spark.streams.active.exists(q => q.name == "sa" && q.isActive),
+      "no replacement query after the metadata reassignment")
+    PipelineManager.epochAppend(
+      Seq((2L, "e1")).toDF("k", "v").coalesce(1), srcDir, 1, "sasrc")
+    awaitTrue("epoch 1 commit")(commitDone(1))
+    pm.stop("sa")
+    assert(spark.read.parquet(d1).as[(Long, String)].collect().toSet ==
+      Set((1L, "e0"), (2L, "e1")),
+      "restart from the per-name checkpoint must deliver exactly once")
+    pm.close()
+  }
+
+  test("a crashed restamp with the OLD meta still authoritative is re-driven from durable state at drain time") {
+    // r16 ADVICE low #4: restampHoldbackDest's stage→delete→rename
+    // leaves one unrecoverable window — crash after create(.next) but
+    // BEFORE delete(meta) keeps the OLD stamp authoritative, and
+    // re-running update() is a no-op (the spec already carries the new
+    // destination). repairStrandedHoldbackStamps re-drives it from
+    // durable state: a holdback stamped for a destination no member
+    // serves, whose owner's spec now points at the draining
+    // destination, is an interrupted re-point — finished at drain.
+    val root = Files.createTempDirectory("graft-upd-hb2-").toString
+    val srcDir = Files.createTempDirectory("graft-upd-hb2-src-").toString
+    val da = Files.createTempDirectory("graft-upd2-da-").toString + "/d"
+    val db = Files.createTempDirectory("graft-upd2-db-").toString + "/d"
+    val dz = Files.createTempDirectory("graft-upd2-dz-").toString + "/d"
+    Seq((1L, "v1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    val pm = new PipelineManager(spark, root)
+    pm.create(PipelineSpec("pa", "parquet", "parquet", srcDir,
+      destinationConnection = da))
+    pm.create(PipelineSpec("pb", "parquet", "parquet", srcDir,
+      destinationConnection = db))
+    pm.startGroup("pa", identity).awaitTermination()
+    pm.pause("pb")
+    Seq((2L, "v2")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    pm.startGroup("pa", identity).awaitTermination()
+    assert(spark.read.parquet(db).count() == 1, "holdback setup broken")
+    pm.update("pb", PipelineSpec("pb", "parquet", "parquet", srcDir,
+      destinationConnection = dz)): Unit
+    // simulate the OTHER crash window than the e2e above: the new
+    // stamp reached `.next`, but the OLD meta was never deleted — the
+    // old stamp stays authoritative and nothing in the update path
+    // will ever retry
+    val hbRoot = new org.apache.hadoop.fs.Path(s"$root/group-holdback")
+    val fsA = hbRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsA.listStatus(hbRoot).filter(_.isDirectory).foreach { d =>
+      val meta = new org.apache.hadoop.fs.Path(d.getPath,
+        PipelineManager.HoldbackMetaFile)
+      val next = new org.apache.hadoop.fs.Path(d.getPath,
+        PipelineManager.HoldbackMetaFile + ".next")
+      if (fsA.exists(meta)) {
+        assert(fsA.rename(meta, next)) // the staged new stamp
+        val out = fsA.create(meta, true) // the surviving OLD stamp
+        try out.write(s"pb\n$db".getBytes("UTF-8")) finally out.close()
+      }
+    }
+    pm.resume("pb", identity).awaitTermination()
+    assert(spark.read.parquet(db).count() == 1,
+      "old destination must stay frozen after the re-point")
+    assert(spark.read.parquet(dz).as[(Long, String)].collect().toSet ==
+      Set((2L, "v2")),
+      "the stranded held epoch must be re-driven to the NEW destination")
+    pm.close()
+  }
+
   test("heartbeat timer self-demotes an expired manager: queries stop, locks stay, starts refuse") {
     val root = Files.createTempDirectory("graft-hb-").toString
     val lease = 600000L // expiry is SIMULATED by aging, never slept for

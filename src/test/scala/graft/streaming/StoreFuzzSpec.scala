@@ -147,6 +147,35 @@ class StoreFuzzSpec extends SparkTestBase {
     assert(got == 16L * perEpoch, s"row count $got after 16 epochs")
   }
 
+  test("a stray non-numeric _compact_state file never bricks readers") {
+    // recordedRuns sits on EVERY read path (snapshots, health, each
+    // compact tick): a temp/backup artifact matching the record glob
+    // must fall through like an arity mismatch, never throw
+    // NumberFormatException (r16 ADVICE).
+    val dir = Files.createTempDirectory("sfz-stray-").toString
+    val store = new EpochPartitionedStore(spark, dir, "pc", "fz",
+      refreshEvery = 2, compactEvery = 2, tierFanIn = 2)
+    val perEpoch = 4
+    def ep(e: Int) =
+      (0 until perEpoch).map(i => (e * 100L + i, s"v-$e-$i", i % 2))
+        .toDF("id", "v", "pc").coalesce(1)
+    (0 until 4).foreach(e => store.appendEpoch(ep(e), e.toLong))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // both malformed shapes: non-numeric single field, non-numeric arity-3
+    Seq("_compact_state-backup.tmp", "_compact_state-x-y-z").foreach { n =>
+      fs.create(new org.apache.hadoop.fs.Path(dir, n), true).close()
+    }
+    assert(store.health("lastCommittedEpoch") == 3L,
+      "health must read through the strays")
+    assert(store.frameIfAny.get.count() == 4L * perEpoch,
+      "snapshot must read through the strays")
+    // further ingest runs a compact tick over the strays too
+    store.appendEpoch(ep(4), 4L)
+    assert(store.frameIfAny.get.count() == 5L * perEpoch,
+      "ingest + compaction must survive the strays")
+  }
+
   test("a concurrent reader never races the sweep: snapshot reads during compaction") {
     val dir = Files.createTempDirectory("sfz-rd-").toString
     val store = new EpochPartitionedStore(spark, dir, "pc", "fz",
