@@ -1677,6 +1677,96 @@ object StreamingQueries {
       out
     }),
 
+    // STANDING MULTI-QUERY HYBRID SERVING — the s28 serveMulti
+    // contract lifted to the full hybrid pipeline (s27's production
+    // shape × N standing curation queries): Q (terms, probe) pairs
+    // are re-served per epoch with ONE postings pass (the union term
+    // set prunes one bucket-filtered read — IncrementalLexIndex
+    // .serveMulti) and ONE ADC pass + ONE re-rank pass (the union
+    // probed-cell set prunes each scan once — IncrementalPqIndex's
+    // multi-probe serve; the raw embedding column never enters the
+    // ADC scan), then per-query RRF fusion under per-query rank
+    // windows. Per query, rows are bit-identical to Q independent
+    // s27-style serves — the whole point: curation at scale runs many
+    // standing hybrid queries, and today each would pay its own
+    // serve. PlanSpec pins the one-scan-per-store-pass contract.
+    "s31_stream_hybrid_multi" -> ((s, d) => {
+      val hq = Seq(
+        "0" -> Seq("table", "stream"),
+        "1" -> Seq("window", "sort"),
+        "2" -> Seq("vector", "merge"))
+      val docs = Tables.t(s, d, "documents").select(col("doc_id"), col("text"))
+      val emb = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"),
+          graft.ann.Ann.toDouble(col("embedding")).as("ce"))
+      val cb = graft.ann.Ann.pqCodebook(
+        graft.ann.Ann.pqSubvectors(emb, 8), 16).localCheckpoint()
+      // probe vec i IS standing query i's vector half
+      val probes = emb.filter(col("vec_id") < 3).localCheckpoint()
+      val srcDir = Files.createTempDirectory("graft-s31-src-").toString
+      val lexDir = Files.createTempDirectory("graft-s31-lex-").toString
+      val vecDir = Files.createTempDirectory("graft-s31-vec-").toString
+      val outDir = Files.createTempDirectory("graft-s31-out-").toString
+      val ckpt = Files.createTempDirectory("graft-s31-ckpt-").toString
+      val schema = docs.schema
+      val stamped = scala.collection.mutable.Set[String]()
+      def writeBucket(b: Int): Unit = writeStampedBucket(srcDir, stamped, b,
+        docs.filter(pmod(col("doc_id"), lit(3L)) === b))
+      def runIngest(): Unit = {
+        val ilx = new graft.streaming.IncrementalLexIndex(s, lexDir,
+          name = "s31l", compactEvery = 2)
+        val ipx = new graft.streaming.IncrementalPqIndex(s, vecDir,
+          cents, cb, m = 8, name = "s31v", compactEvery = 2)
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            ilx.appendEpoch(batch, epoch)
+            ipx.appendEpoch(
+              emb.filter(pmod(col("vec_id"), lit(3L)) === epoch), epoch)
+            val lex = ilx.serveMulti(hq, 10)
+              .select(col("query_id"), col("doc_id"),
+                col("rank").as("lex_rank"))
+            val vec = ipx.serve(probes, k = 10, nprobe = 2, rerank = 20)
+              .select(col("query_id").cast("string").as("query_id"),
+                col("cand_id").as("doc_id"), col("rank").as("vec_rank"))
+            val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+              .withColumn("rrf", round(
+                coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+                  coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)),
+                6))
+            val rw = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id"))
+              .orderBy(col("rrf").desc, col("doc_id"))
+            val top = fused
+              .withColumn("rank", row_number().over(rw).cast("long"))
+              .filter(col("rank") <= 10)
+              .select(col("query_id"), col("doc_id"), col("rank"),
+                col("lex_rank"), col("vec_rank"), col("rrf"))
+            PipelineManager.epochAppend(
+              top.withColumn("epoch", lit(epoch)).coalesce(1),
+              outDir, epoch, "s31"): Unit
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      try {
+        writeBucket(0); runIngest()
+        writeBucket(1); writeBucket(2); runIngest()
+      } finally s.conf.set("spark.sql.shuffle.partitions", before)
+      val out = s.read.parquet(outDir).localCheckpoint()
+      deleteTree(srcDir, lexDir, vecDir, outDir, ckpt)
+      out
+    }),
+
     // Streaming CARDINALITY on ingest — a durable 256-row HyperLogLog
     // register table max-merged with each arriving epoch's registers,
     // emitting the running distinct-shingle estimate after every
@@ -3603,6 +3693,120 @@ object StreamingQueries {
         |SELECT epoch, query_id, cand_id, cos, ROW_NUMBER() OVER
         |(PARTITION BY epoch, query_id ORDER BY cos DESC, cand_id) AS rank
         |FROM rr) WHERE rank <= 3
+        |ORDER BY epoch, query_id, rank""".stripMargin.replace("\n", " "),
+
+    // Multi-query hybrid closed form: s27's lexical unroll lifted to
+    // a (query_id, term) table — df per (epoch, term) over the UNION
+    // term postings, per-query score = sum over its own terms — and
+    // s29's PQ/ADC unroll with probes 0-2, re-rank window 20, vector
+    // top-10; fused per (epoch, query_id) by RRF. Per query this IS
+    // the s27 form — the gate's one-pass serving must not change a
+    // single row of it.
+    "s31_stream_hybrid_multi" ->
+      """WITH ep(epoch) AS (VALUES (CAST(0 AS BIGINT)), (1), (2)),
+        |qt(query_id, term) AS (VALUES ('0', 'table'), ('0', 'stream'),
+        |('1', 'window'), ('1', 'sort'), ('2', 'vector'), ('2', 'merge')),
+        |tk AS (SELECT doc_id,
+        |list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |FROM documents),
+        |pre AS (SELECT ep.epoch, tk.doc_id, tk.w FROM tk
+        |JOIN ep ON MOD(tk.doc_id, 3) <= ep.epoch),
+        |dl AS (SELECT epoch, doc_id, CAST(len(w) AS DOUBLE) AS dl FROM pre),
+        |st AS (SELECT epoch, CAST(COUNT(*) AS DOUBLE) AS nd, AVG(dl) AS avgdl
+        |FROM dl GROUP BY 1),
+        |p AS (SELECT epoch, doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |FROM (SELECT epoch, doc_id, unnest(w) AS term FROM pre)
+        |WHERE term IN (SELECT term FROM qt)
+        |GROUP BY 1, 2, 3),
+        |f AS (SELECT epoch, term, CAST(COUNT(*) AS DOUBLE) AS df FROM p
+        |GROUP BY 1, 2),
+        |sc AS (SELECT p.epoch, qt.query_id, p.doc_id,
+        |round(SUM(ln((st.nd - f.df + 0.5) / (f.df + 0.5) + 1)
+        |* p.tf * 2.2
+        |/ (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS score
+        |FROM p JOIN qt USING (term)
+        |JOIN dl ON p.epoch = dl.epoch AND p.doc_id = dl.doc_id
+        |JOIN f ON p.epoch = f.epoch AND p.term = f.term
+        |JOIN st ON st.epoch = p.epoch GROUP BY 1, 2, 3),
+        |lex AS (SELECT epoch, query_id, doc_id, rank AS lex_rank FROM (
+        |SELECT epoch, query_id, doc_id, ROW_NUMBER() OVER
+        |(PARTITION BY epoch, query_id ORDER BY score DESC, doc_id) AS rank
+        |FROM sc) WHERE rank <= 10),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |sqrt(list_reduce(list_transform(e, (x, i) -> x * (e)[i]),
+        |(acc, u) -> acc + u)) AS nr FROM v),
+        |cents AS (SELECT vec_id AS cent_id, e AS ce, nr AS cnr FROM n
+        |WHERE vec_id < 8),
+        |sa AS (SELECT n.vec_id, c.cent_id,
+        |round(list_reduce(list_transform(n.e, (x, i) -> x * (c.ce)[i]),
+        |(acc, u) -> acc + u) / (n.nr * c.cnr), 6) AS acos
+        |FROM n CROSS JOIN cents c),
+        |casg AS (SELECT vec_id, cent_id FROM (
+        |SELECT vec_id, cent_id, ROW_NUMBER() OVER
+        |(PARTITION BY vec_id ORDER BY acos DESC, cent_id) AS rn FROM sa)
+        |WHERE rn = 1),
+        |pasg AS (SELECT vec_id, cent_id FROM (
+        |SELECT vec_id, cent_id, ROW_NUMBER() OVER
+        |(PARTITION BY vec_id ORDER BY acos DESC, cent_id) AS rn FROM sa)
+        |WHERE rn <= 2),
+        |sp AS (SELECT vec_id, r.range AS sub,
+        |e[(CAST(r.range AS INTEGER) * (len(e) / 8) + 1):
+        |((CAST(r.range AS INTEGER) + 1) * (len(e) // 8))] AS sv
+        |FROM v CROSS JOIN range(0, 8) r),
+        |cb AS (SELECT sub, CAST(vec_id AS INTEGER) AS code, sv AS cv
+        |FROM sp WHERE vec_id < 16),
+        |codes AS (SELECT vec_id AS cand_id, sub, code FROM (
+        |SELECT sp.vec_id, sp.sub, cb.code,
+        |ROW_NUMBER() OVER (PARTITION BY sp.vec_id, sp.sub ORDER BY
+        |round(list_reduce(list_transform(cb.cv, (x, i) -> x * (cb.cv)[i]),
+        |(acc, u) -> acc + u)
+        |- 2 * list_reduce(list_transform(sp.sv, (x, i) -> x * (cb.cv)[i]),
+        |(acc, u) -> acc + u), 6), cb.code) AS rn
+        |FROM sp JOIN cb USING (sub)) WHERE rn = 1),
+        |adc AS (SELECT q.vec_id AS query_id, q.sub, cb.code,
+        |round(list_reduce(list_transform(q.sv, (x, i) -> x * (cb.cv)[i]),
+        |(acc, u) -> acc + u), 6) AS part
+        |FROM sp q JOIN cb USING (sub) WHERE q.vec_id < 3),
+        |nbc AS (SELECT ep.epoch, a.vec_id, a.cent_id FROM casg a
+        |JOIN ep ON MOD(a.vec_id, 3) <= ep.epoch),
+        |pairs AS (SELECT c.epoch, p2.vec_id AS query_id, c.vec_id AS cand_id
+        |FROM pasg p2 JOIN nbc c ON c.cent_id = p2.cent_id
+        |WHERE p2.vec_id < 3 AND p2.vec_id <> c.vec_id),
+        |vsc AS (SELECT pr.epoch, pr.query_id, pr.cand_id,
+        |round(list_reduce(list(a.part ORDER BY a.sub),
+        |(acc, x) -> acc + x), 6) AS adc_dot
+        |FROM pairs pr JOIN codes co ON co.cand_id = pr.cand_id
+        |JOIN adc a ON a.query_id = pr.query_id AND a.sub = co.sub
+        |AND a.code = co.code
+        |GROUP BY 1, 2, 3),
+        |adctop AS (SELECT epoch, query_id, cand_id FROM (
+        |SELECT epoch, query_id, cand_id, ROW_NUMBER() OVER
+        |(PARTITION BY epoch, query_id ORDER BY adc_dot DESC, cand_id)
+        |AS rn FROM vsc) WHERE rn <= 20),
+        |rr AS (SELECT t.epoch, t.query_id, t.cand_id,
+        |round(list_reduce(list_transform(q.e, (x, i) -> x * (c.e)[i]),
+        |(acc, u) -> acc + u) / (q.nr * c.nr), 6) AS cos
+        |FROM adctop t JOIN n q ON q.vec_id = t.query_id
+        |JOIN n c ON c.vec_id = t.cand_id),
+        |vec AS (SELECT epoch, CAST(query_id AS VARCHAR) AS query_id,
+        |cand_id AS doc_id, rank AS vec_rank FROM (
+        |SELECT epoch, query_id, cand_id, ROW_NUMBER() OVER
+        |(PARTITION BY epoch, query_id ORDER BY cos DESC, cand_id) AS rank
+        |FROM rr) WHERE rank <= 10),
+        |fused AS (SELECT COALESCE(l.epoch, w2.epoch) AS epoch,
+        |COALESCE(l.query_id, w2.query_id) AS query_id,
+        |COALESCE(l.doc_id, w2.doc_id) AS doc_id, l.lex_rank, w2.vec_rank,
+        |round(COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rank), 0)
+        |+ COALESCE(CAST(1 AS DOUBLE) / (60 + w2.vec_rank), 0), 6) AS rrf
+        |FROM lex l FULL JOIN vec w2
+        |ON l.epoch = w2.epoch AND l.query_id = w2.query_id
+        |AND l.doc_id = w2.doc_id)
+        |SELECT epoch, query_id, doc_id, rank, lex_rank, vec_rank, rrf
+        |FROM (SELECT epoch, query_id, doc_id, lex_rank, vec_rank, rrf,
+        |ROW_NUMBER() OVER (PARTITION BY epoch, query_id
+        |ORDER BY rrf DESC, doc_id) AS rank FROM fused) WHERE rank <= 10
         |ORDER BY epoch, query_id, rank""".stripMargin.replace("\n", " "),
 
     // Epoch-unrolled HLL: the running register table after epoch e is

@@ -526,7 +526,9 @@ object EpochPartitionedStore {
     val committed: Set[Long] =
       if (!fs.exists(markerDir)) Set.empty
       else fs.listStatus(markerDir).toSeq
-        .map(_.getPath.getName.toLong).toSet
+        // same stray tolerance as recordedRuns: one non-numeric
+        // artifact must never brick every reader
+        .flatMap(_.getPath.getName.toLongOption).toSet
     allDataFiles(fs, dir, partCol, names).collect {
       case (RawKind, e, st) if e > fr && committed(e) => st
       case (k @ (LegacyKind | LevelKind(_)), e, st)
@@ -542,7 +544,13 @@ object EpochPartitionedStore {
    * must never run the owner's recovery (it could delete a
    * half-published run the owner is about to record). Safe against a
    * concurrent compaction tick for one full cadence (the deferred
-   * sweep); None before any committed data.
+   * sweep); None before any committed data. A reader whose JOB
+   * outlasts that grace window (a read slower than the owner's
+   * cadence) can still lose a swept file mid-job — the contract is
+   * retry-on-FileNotFound with a fresh readSnapshot call, never
+   * ignoreMissingFiles (which would silently serve a torn,
+   * non-prefix result). The forked-JVM reader test exercises exactly
+   * this loop against an owner ticking every epoch.
    */
   def readSnapshot(spark: SparkSession, dir: String, partCol: String,
       name: String): Option[DataFrame] = {
@@ -551,6 +559,20 @@ object EpochPartitionedStore {
     val files = liveFiles(fs, dir, partCol, StoreNames(name))
       .map(_.getPath.toString)
     if (files.isEmpty) None
-    else Some(spark.read.option("basePath", dir).parquet(files: _*))
+    else {
+      // Schema from ONE footer, applied to the whole set: schema
+      // inference over the full file list is both the slowest and the
+      // most sweep-exposed step of a cross-JVM read (every footer is
+      // a metadata RPC, and a footer vanishing to a concurrent sweep
+      // kills the read before any row is touched) — and at 100 TB an
+      // inference pass over thousands of files is an object-store RPC
+      // storm regardless. The store's schema is epoch-invariant by
+      // construction (appendEpoch commits one shape), so one footer
+      // plus the basePath partition inference IS the schema.
+      val schema = spark.read.option("basePath", dir)
+        .parquet(files.head).schema
+      Some(spark.read.option("basePath", dir).schema(schema)
+        .parquet(files: _*))
+    }
   }
 }

@@ -627,6 +627,73 @@ class PlanSpec extends SparkTestBase {
       "exactly one (re-rank) scan reads embeddings, without codes")
   }
 
+  test("s31 hybrid multi-query fusion: one postings scan, one ADC scan, one re-rank scan for N queries") {
+    // the s31 contract surviving to the FUSED physical plan: Q
+    // standing hybrid queries cost one bucket-pruned postings pass
+    // (union term set), one cell-pruned ADC pass and one cell-pruned
+    // re-rank pass (union probed cells) — never a per-query scan
+    // blow-up — with the ADC scan still never reading embeddings and
+    // every rank window partitioned.
+    val lexDir = java.nio.file.Files.createTempDirectory("plan-hyb-l-").toString
+    val vecDir = java.nio.file.Files.createTempDirectory("plan-hyb-v-").toString
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"),
+        graft.ann.Ann.toDouble(col("embedding")).as("ce"))
+    val cb = graft.ann.Ann.pqCodebook(graft.ann.Ann.pqSubvectors(emb, 8), 16)
+    val ilx = new graft.streaming.IncrementalLexIndex(spark, lexDir, name = "p")
+    val ipx = new graft.streaming.IncrementalPqIndex(spark, vecDir, cents, cb,
+      m = 8, name = "p")
+    ilx.appendEpoch(docs.limit(60), 0L)
+    ipx.appendEpoch(emb.limit(200), 0L)
+    val lex = ilx.serveMulti(Seq(
+        "0" -> Seq("table", "stream"), "1" -> Seq("window", "sort")), 10)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val vec = ipx.serve(emb.filter(col("vec_id") < 2), k = 10, nprobe = 2,
+        rerank = 20)
+      .select(col("query_id").cast("string").as("query_id"),
+        col("cand_id").as("doc_id"), col("rank").as("vec_rank"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id"))
+    val p = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= 10)
+      .queryExecution.executedPlan
+    val postingScans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("postings")) => s
+    }
+    assert(postingScans.size == 1,
+      s"expected ONE postings scan in the fused plan, got ${postingScans.size}")
+    postingScans.foreach(s => assert(s.partitionFilters.nonEmpty,
+      "the union term-bucket predicate must prune postings partitions"))
+    val cellScans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("cells")) => s
+    }
+    assert(cellScans.size == 2,
+      s"expected the ADC scan + the re-rank scan, got ${cellScans.size}")
+    cellScans.foreach(s => assert(s.partitionFilters.nonEmpty,
+      "every cell-store scan must carry the probed-cell partition filter"))
+    val (embScans, codeScans) = cellScans.partition(
+      _.schema.fieldNames.contains("embedding"))
+    assert(codeScans.size == 1 &&
+      !codeScans.head.schema.fieldNames.contains("embedding"),
+      "the fused plan's ADC scan must still score from codes alone")
+    assert(embScans.size == 1, "exactly one re-rank scan reads embeddings")
+    collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "every rank window in the fused plan must be partitioned"))
+  }
+
   test("e14/e15 IVF+PQ score through broadcast codebook/ADC equi-joins") {
     for (name <- Seq("e14_ivf_pq", "e15_ivf_pq_trained")) {
       val p = planOf(name)

@@ -147,6 +147,70 @@ class StoreFuzzSpec extends SparkTestBase {
     assert(got == 16L * perEpoch, s"row count $got after 16 epochs")
   }
 
+  test("a SECOND JVM's readSnapshot is committed-prefix-exact under live ingest + compaction") {
+    // The deployment shape the snapshot protocol exists for — a
+    // serving/diag JVM beside the ingest driver — which the same-JVM
+    // concurrent-reader fuzz cannot prove (it shares caches and view
+    // state with the owner). A real forked JVM runs
+    // graft.tools.SnapshotReaderProcess: its own SparkSession, only
+    // the filesystem protocol in common, polling readSnapshot while
+    // THIS JVM ingests with a compaction tick every epoch. The child
+    // asserts every count is a whole multiple of the per-epoch row
+    // count (committed-prefix-exact: no torn epochs, no
+    // swept-file reads, no double-counted runs) and never shrinks.
+    val dir = Files.createTempDirectory("sfz-xjvm-").toString
+    val store = new EpochPartitionedStore(spark, dir, "pc", "fz",
+      refreshEvery = 2, compactEvery = 1, tierFanIn = 2)
+    val perEpoch = 6
+    def ep(e: Int) =
+      (0 until perEpoch).map(i => (e * 100L + i, s"v-$e-$i", i % 2))
+        .toDF("id", "v", "pc").coalesce(1)
+    store.appendEpoch(ep(0), 0L)
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val outFile = Files.createTempFile("sfz-xjvm-out-", ".log").toFile
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g", "-cp",
+      System.getProperty("java.class.path"),
+      "graft.tools.SnapshotReaderProcess",
+      dir, "pc", "fz", perEpoch.toString, "20")).toList
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(outFile) // a full pipe must never stall the child
+    val proc = pb.start()
+    try {
+      // live ingest while the reader polls: every epoch runs a
+      // compaction tick (compactEvery=1, fan-in 2 cascades quickly),
+      // so the child observes the store across many sweep boundaries
+      (1 until 10).foreach { e =>
+        store.appendEpoch(ep(e), e.toLong)
+        Thread.sleep(50L)
+      }
+      assert(proc.waitFor(240, java.util.concurrent.TimeUnit.SECONDS),
+        "reader JVM did not exit in time")
+      val out = scala.io.Source.fromFile(outFile).mkString
+      assert(proc.exitValue() == 0,
+        s"cross-JVM reader failed (exit ${proc.exitValue()}):\n" +
+          out.takeRight(6000))
+      assert(out.contains("SNAPOK"), s"no SNAPOK in reader output")
+      // the reader's last count must be a prefix of what we committed
+      val last = out.linesIterator.collectFirst {
+        case l if l.startsWith("SNAPOK") => l.split(' ')(1).toLong
+      }.get
+      assert(last <= 10L * perEpoch && last % perEpoch == 0)
+    } finally {
+      if (proc.isAlive) proc.destroyForcibly(): Unit
+      outFile.delete(): Unit
+    }
+  }
+
   test("a stray non-numeric _compact_state file never bricks readers") {
     // recordedRuns sits on EVERY read path (snapshots, health, each
     // compact tick): a temp/backup artifact matching the record glob
