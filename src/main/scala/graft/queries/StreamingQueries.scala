@@ -88,6 +88,17 @@ object StreamingQueries {
 
   /** Recursively delete per-invocation temp dirs (src/out/checkpoint);
     * call only after the result is detached from the files. */
+  /** THE lifecycle-gate wait: poll `cond` up to 60 s in 25 ms steps —
+    * gates wait on the engine's own commit log, never on sleeps sized
+    * to the work. One implementation for every qNN gate (q71-q75 once
+    * carried five hand-synced copies). */
+  private def awaitCond(tag: String, what: String)(cond: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis() + 60000L
+    while (!cond && System.currentTimeMillis() < deadline)
+      Thread.sleep(25L)
+    require(cond, s"$tag: timed out waiting for $what")
+  }
+
   private def deleteTree(dirs: String*): Unit = dirs.foreach { d =>
     val root = java.nio.file.Paths.get(d)
     if (Files.exists(root)) {
@@ -2380,12 +2391,8 @@ object StreamingQueries {
           .getFileSystem(conf)
         def commitDone(b: Long): Boolean = fs.exists(
           new org.apache.hadoop.fs.Path(s"$ckptRoot/group-q71a/commits/$b"))
-        def awaitTrue(what: String)(cond: => Boolean): Unit = {
-          val deadline = System.currentTimeMillis() + 60000L
-          while (!cond && System.currentTimeMillis() < deadline)
-            Thread.sleep(25L)
-          require(cond, s"q71: timed out waiting for $what")
-        }
+        def awaitTrue(what: String)(cond: => Boolean): Unit =
+          awaitCond("q71", what)(cond)
         PipelineManager.epochAppend(epochOf(0).coalesce(1), srcDir, 0, "q71src")
         val pm = new PipelineManager(s, ckptRoot)
         pms ::= pm
@@ -2467,12 +2474,8 @@ object StreamingQueries {
         val fs = new org.apache.hadoop.fs.Path(ckptRoot).getFileSystem(conf)
         def commitDone(b: Long): Boolean = fs.exists(
           new org.apache.hadoop.fs.Path(s"$ckptRoot/group-q72a/commits/$b"))
-        def awaitTrue(what: String)(cond: => Boolean): Unit = {
-          val deadline = System.currentTimeMillis() + 60000L
-          while (!cond && System.currentTimeMillis() < deadline)
-            Thread.sleep(25L)
-          require(cond, s"q72: timed out waiting for $what")
-        }
+        def awaitTrue(what: String)(cond: => Boolean): Unit =
+          awaitCond("q72", what)(cond)
         PipelineManager.epochAppend(epochOf(0).coalesce(1), srcDir, 0, "q72src")
         val pm = new PipelineManager(s, ckptRoot)
         pms ::= pm
@@ -2551,12 +2554,8 @@ object StreamingQueries {
         val fs = new org.apache.hadoop.fs.Path(ckptRoot).getFileSystem(conf)
         def commitDone(b: Long): Boolean = fs.exists(
           new org.apache.hadoop.fs.Path(s"$ckptRoot/group-q73a/commits/$b"))
-        def awaitTrue(what: String)(cond: => Boolean): Unit = {
-          val deadline = System.currentTimeMillis() + 60000L
-          while (!cond && System.currentTimeMillis() < deadline)
-            Thread.sleep(25L)
-          require(cond, s"q73: timed out waiting for $what")
-        }
+        def awaitTrue(what: String)(cond: => Boolean): Unit =
+          awaitCond("q73", what)(cond)
         PipelineManager.epochAppend(epochOf(0).coalesce(1), srcDir, 0, "q73src")
         val pm = new PipelineManager(s, ckptRoot)
         pms ::= pm
@@ -2645,12 +2644,8 @@ object StreamingQueries {
         val fs = new org.apache.hadoop.fs.Path(ckptRoot).getFileSystem(conf)
         def commitDone(b: Long): Boolean = fs.exists(
           new org.apache.hadoop.fs.Path(s"$ckptRoot/q74a/commits/$b"))
-        def awaitTrue(what: String)(cond: => Boolean): Unit = {
-          val deadline = System.currentTimeMillis() + 60000L
-          while (!cond && System.currentTimeMillis() < deadline)
-            Thread.sleep(25L)
-          require(cond, s"q74: timed out waiting for $what")
-        }
+        def awaitTrue(what: String)(cond: => Boolean): Unit =
+          awaitCond("q74", what)(cond)
         PipelineManager.epochAppend(epochOf(0).coalesce(1), srcDir, 0, "q74src")
         val pm = new PipelineManager(s, ckptRoot)
         pms ::= pm
@@ -2728,12 +2723,8 @@ object StreamingQueries {
         val fs = new org.apache.hadoop.fs.Path(ckptRoot).getFileSystem(conf)
         def commitDone(b: Long): Boolean = fs.exists(
           new org.apache.hadoop.fs.Path(s"$ckptRoot/q75a/commits/$b"))
-        def awaitTrue(what: String)(cond: => Boolean): Unit = {
-          val deadline = System.currentTimeMillis() + 60000L
-          while (!cond && System.currentTimeMillis() < deadline)
-            Thread.sleep(25L)
-          require(cond, s"q75: timed out waiting for $what")
-        }
+        def awaitTrue(what: String)(cond: => Boolean): Unit =
+          awaitCond("q75", what)(cond)
         def stateCount(): Long =
           CdcMerge.currentState(s, destDir).map(_.count()).getOrElse(0L)
         val metaV1 = Map("cdcKeyCols" -> "k1", "cdcScnCol" -> "scn",
@@ -3752,7 +3743,7 @@ object StreamingQueries {
         |(PARTITION BY vec_id ORDER BY acos DESC, cent_id) AS rn FROM sa)
         |WHERE rn <= 2),
         |sp AS (SELECT vec_id, r.range AS sub,
-        |e[(CAST(r.range AS INTEGER) * (len(e) / 8) + 1):
+        |e[(CAST(r.range AS INTEGER) * (len(e) // 8) + 1):
         |((CAST(r.range AS INTEGER) + 1) * (len(e) // 8))] AS sv
         |FROM v CROSS JOIN range(0, 8) r),
         |cb AS (SELECT sub, CAST(vec_id AS INTEGER) AS code, sv AS cv

@@ -135,9 +135,12 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
     runMarkerDirs().foreach { md =>
       val k = kindOf(md.getPath.getName, names)
       fs.listStatus(md.getPath).toSeq.foreach { st =>
-        val e = st.getPath.getName.toLong
-        if (k.exists(kk => !keys.contains((kk, e))))
-          fs.delete(st.getPath, false): Unit
+        // stray tolerance (see recordedRuns): a non-numeric artifact
+        // is not ours to parse — or to delete
+        st.getPath.getName.toLongOption.foreach { e =>
+          if (k.exists(kk => !keys.contains((kk, e))))
+            fs.delete(st.getPath, false): Unit
+        }
       }
     }
     // the rollback above already deleted unrecorded entries from the
@@ -185,7 +188,8 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
     runMarkerDirs().foreach { md =>
       val k = kindOf(md.getPath.getName, names)
       fs.listStatus(md.getPath).toSeq.foreach { st =>
-        if (k.exists(kk => deadKeys.contains((kk, st.getPath.getName.toLong))))
+        if (st.getPath.getName.toLongOption.exists(e =>
+            k.exists(kk => deadKeys.contains((kk, e)))))
           fs.delete(st.getPath, false): Unit
       }
     }
@@ -212,7 +216,10 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
   def committedEpochCeiling: Long = {
     val markers = new Path(dir, s"_graft_commits/${names.dataNs}")
     val ms = if (fs.exists(markers))
-      fs.listStatus(markers).toSeq.map(_.getPath.getName.toLong) else Nil
+      // stray tolerance (see recordedRuns): this sits under every
+      // health() poll and the lex index's serving-ceiling cap
+      fs.listStatus(markers).toSeq.flatMap(_.getPath.getName.toLongOption)
+    else Nil
     ms.foldLeft(Long.MinValue)(math.max)
   }
 
@@ -569,6 +576,12 @@ object EpochPartitionedStore {
       // storm regardless. The store's schema is epoch-invariant by
       // construction (appendEpoch commits one shape), so one footer
       // plus the basePath partition inference IS the schema.
+      // CONTRACT on partCol values: one consistently-parseable type
+      // across the whole store (true for every store this engine
+      // writes — appendEpochPartitioned stamps a single column type),
+      // because the one sampled directory's inferred type is applied
+      // to all paths; a store mixing numeric and non-numeric
+      // partition values would need full-set inference back.
       val schema = spark.read.option("basePath", dir)
         .parquet(files.head).schema
       Some(spark.read.option("basePath", dir).schema(schema)

@@ -82,10 +82,29 @@ final class IncrementalPqIndex(spark: SparkSession, dir: String,
     "cell", name, refreshEvery, compactEvery)
 
   // Drift telemetry: the Observation attached to the LAST serve's
-  // final frame (set when the CALLER runs an action on it — serving
-  // stays fully lazy and its plan unchanged; getOrEmpty never
-  // blocks). Volatile: /diag pollers read it from other threads.
+  // final frame (completed when the CALLER runs an action on it —
+  // serving stays fully lazy and its plan unchanged; reads never
+  // block). A COMPLETED observation is folded into lastDrift before
+  // anything overwrites it (at the next serve and at every health
+  // read), so an unconsumed newer serve can never wipe the last
+  // consumed value off /diag — drift monitoring needs the sustained
+  // series, not a flapping field. Volatile: /diag pollers read from
+  // other threads.
   @volatile private var driftObs: Option[(org.apache.spark.sql.Observation, Int, Int)] = None
+  @volatile private var lastDrift: Option[(Double, Int, Int)] = None
+
+  /** Fold a completed drift observation into [[lastDrift]] (no-op
+    * while the serve is still unconsumed). */
+  private def foldDrift(): Unit =
+    driftObs.foreach { case (o, k, r) =>
+      o.future.value.flatMap(_.toOption).foreach { row =>
+        val n = row.getAs[Long]("n_topk")
+        if (n > 0)
+          lastDrift = Some(
+            (row.getAs[Long]("adc_front").toDouble / n.toDouble, k, r))
+        driftObs = None
+      }
+    }
 
   /** Fold one ingest batch (`vec_id`, `embedding`) into the index:
     * nearest-cell assignment + PQ encode against the fixed codebooks
@@ -187,6 +206,7 @@ final class IncrementalPqIndex(spark: SparkSession, dir: String,
         // observe() so the metric is collected by whatever action the
         // caller runs — serving stays lazy, the two scans' plans are
         // untouched, and an unconsumed serve simply reports nothing.
+        foldDrift() // a completed predecessor survives the overwrite
         val obs = org.apache.spark.sql.Observation()
         val ranked = exact
           .withColumn("rank", row_number().over(w).cast("long"))
@@ -219,17 +239,10 @@ final class IncrementalPqIndex(spark: SparkSession, dir: String,
     * reads never block (getOrEmpty) and never run a Spark job. */
   def health: Map[String, Double] = {
     val base = store.health.map { case (k, v) => k -> v.toDouble }
-    val drift = driftObs.toSeq.flatMap { case (o, k, r) =>
-      // future.value: completed-or-nothing, never blocks a poller
-      o.future.value.flatMap(_.toOption).toSeq.flatMap { row =>
-        val n = row.getAs[Long]("n_topk")
-        if (n > 0)
-          Seq("adcRankAgreement" ->
-              row.getAs[Long]("adc_front").toDouble / n.toDouble,
-            "driftTopK" -> k.toDouble, "driftRerank" -> r.toDouble)
-        else Nil
-      }
+    foldDrift() // never blocks: future.value is completed-or-nothing
+    base ++ lastDrift.toSeq.flatMap { case (a, k, r) =>
+      Seq("adcRankAgreement" -> a,
+        "driftTopK" -> k.toDouble, "driftRerank" -> r.toDouble)
     }
-    base ++ drift
   }
 }

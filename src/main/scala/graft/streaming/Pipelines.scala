@@ -841,6 +841,31 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       require(!inUse,
         s"destination ${newSpec.destinationConnection} already in use")
     }
+    // SOURCE IDENTITY (connector + sourceConnection) is immutable
+    // WHILE RUNNING: Spark's checkpoint binds the source — on restart
+    // the engine re-fetches the last batch from the source metadata
+    // log's OLD absolute paths, which a re-pointed file source cannot
+    // serve ("Wrong basePath"), and the SS migration guide calls any
+    // input-source parameter change across a checkpoint unsupported.
+    // Rejecting is the only truthful option (a silent persist
+    // diverges forever; a restart crashes the query): stop the
+    // pipeline first, then update — the reference likewise surfaces
+    // connector-rejected updates as 400s (Coordinator
+    // .validateDatastreamsUpdate → DatastreamValidationException,
+    // DatastreamResources.java:296-300). A STOPPED pipeline keeps the
+    // old contract: the spec persists and the CALLER owns making the
+    // next start's checkpoint consistent with it.
+    if (newSpec.connector != existing.connector ||
+        newSpec.sourceConnection != existing.sourceConnection) {
+      val prefix = existing.metadata.getOrElse(
+        PipelineManager.TaskPrefixKey, name)
+      val live = Option(queries.get(name)).exists(_.isActive) ||
+        findGroup(name).flatMap(m => Option(queries.get(m.name)))
+          .exists(q => q.isActive && q.name == s"group-$prefix")
+      require(!live, s"pipeline $name is running; its source identity " +
+        "(connector/sourceConnection) is bound to the running " +
+        "checkpoint — stop it before re-pointing the source")
+    }
     // Server-managed metadata (task prefix, applied partition pins)
     // survives a PUT that was not round-tripped from GET: when the
     // incoming spec omits one of these keys, the existing value is
@@ -867,9 +892,23 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       (updated.metadata.keySet ++ existing.metadata.keySet).exists(k =>
         PipelineManager.isDeliveryRelevantMetadataKey(k) &&
           updated.metadata.get(k) != existing.metadata.get(k))
+    // ... and so does ANY other first-class spec field the
+    // source/delivery closures capture at start: the transport, the
+    // source partition hint, and the serde fields (custom
+    // connector/transport hooks receive the whole spec at start).
+    // These leave the checkpointed SOURCE untouched, so a restart is
+    // safe — unlike source identity, which update() rejects while
+    // running (above). Without this, update(transport = ...) would
+    // persist the new shape while the live query kept the old one.
+    val specShapeChanged =
+      updated.transport != existing.transport ||
+      updated.sourcePartitions != existing.sourcePartitions ||
+      updated.keySerde != existing.keySerde ||
+      updated.payloadSerde != existing.payloadSerde ||
+      updated.envelopeSerde != existing.envelopeSerde
     if (destChanged)
       provisionDestination(updated) // a re-point gets the same K7 layout
-    if (destChanged || deliveryMetaChanged)
+    if (destChanged || deliveryMetaChanged || specShapeChanged)
       reassignUpdatedMember(updated, existing)
     updated
   }
@@ -963,12 +1002,18 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
           // delivery closure captured the OLD spec at start
           // ([[startLocked]]'s transportWriter), so without a restart
           // the persisted spec and the running delivery diverge
-          // silently, forever. Memory-transport queries are excluded:
+          // silently, forever. A RUNNING memory-transport query is
+          // excluded — judged from the PREVIOUS spec (the one the
+          // live query was built from, not the just-persisted update):
           // the memory sink cannot recover from an existing checkpoint
-          // (and ignores the destination entirely).
+          // (and ignores the destination entirely), so there is
+          // nothing restartable. An update FROM a durable transport
+          // TO memory still restarts — and fails truthfully into
+          // Stopped — rather than leaving the durable query delivering
+          // against a spec that claims a memory sink.
           val soloLive = Option(queries.get(name))
             .exists(q => q.isActive && q.name == name) &&
-            !specs.get(name).map(_.transport).contains("memory")
+            previous.transport != "memory"
           (if (soloLive) soloRuns.get(name) else None) match {
             case Some((transform, trigger)) =>
               // stop FIRST so no further epoch marker can land under

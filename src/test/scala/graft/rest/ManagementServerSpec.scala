@@ -288,6 +288,13 @@ class ManagementServerSpec extends SparkTestBase {
       val agree = field(b1, "adcRankAgreement")
       assert(agree >= 0.0 && agree <= 1.0, s"agreement out of range: $agree")
       assert(field(b1, "driftTopK") == 3.0 && field(b1, "driftRerank") == 6.0)
+      // stickiness: building a NEWER serve that is never consumed must
+      // not wipe the last consumed value off /diag — drift monitoring
+      // needs the sustained series, not a flapping field
+      ipx.serve(probes, k = 3, nprobe = 2, rerank = 6): Unit
+      assert(field(req(base, "GET", "/diag/pq1").body(),
+        "adcRankAgreement") == agree,
+        "an unconsumed newer serve wiped the last consumed drift value")
     } finally {
       srv.stop(); pm.close()
       def del(f: java.io.File): Unit = {

@@ -1187,10 +1187,47 @@ class PipelineManagerSpec extends SparkTestBase {
     PipelineManager.epochAppend(
       Seq((2L, "e1")).toDF("k", "v").coalesce(1), srcDir, 1, "sasrc")
     awaitTrue("epoch 1 commit")(commitDone(1))
+    // Source identity is immutable WHILE RUNNING (review finding):
+    // Spark's checkpoint binds the file source's path — recovery
+    // re-fetches the last batch from the logged OLD paths, which a
+    // re-pointed basePath cannot serve — so update() must REJECT the
+    // change (never silently persist a spec the live query ignores,
+    // never restart into a crash), leaving query and spec untouched.
+    val q1 = spark.streams.active.find(q => q.name == "sa").get
+    val src2 = Files.createTempDirectory("graft-solo-upd-src2-").toString
+    PipelineManager.epochAppend(
+      Seq((3L, "e2")).toDF("k", "v").coalesce(1), src2, 0, "sasrc2")
+    intercept[IllegalArgumentException] {
+      pm.update("sa", PipelineSpec("sa", "parquet", "parquet", src2,
+        destinationConnection = d1,
+        metadata = Map("label" -> "x", "maxFilesPerTrigger" -> "1")))
+    }
+    assert(q1.isActive,
+      "a rejected source re-point must leave the running query untouched")
+    assert(pm.get("sa").get.sourceConnection == srcDir,
+      "a rejected source re-point must not persist the new spec")
     pm.stop("sa")
     assert(spark.read.parquet(d1).as[(Long, String)].collect().toSet ==
       Set((1L, "e0"), (2L, "e1")),
       "restart from the per-name checkpoint must deliver exactly once")
+    // stopped: the old contract — the spec persists, the caller owns
+    // making the next start's checkpoint consistent with it
+    pm.update("sa", PipelineSpec("sa", "parquet", "parquet", src2,
+      destinationConnection = d1,
+      metadata = Map("label" -> "x", "maxFilesPerTrigger" -> "1"))): Unit
+    assert(pm.get("sa").get.sourceConnection == src2,
+      "a stopped pipeline's source update must persist")
+    // a RUNNING memory-transport query has nothing restartable (the
+    // memory sink cannot recover from a checkpoint): its re-point
+    // keeps the old contract — spec persists, query keeps running
+    pm.create(PipelineSpec("sm", "rate", "memory", "ignored"))
+    val qm = pm.start("sm", identity,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+    pm.update("sm", PipelineSpec("sm", "rate", "memory", "ignored",
+      destinationConnection = "dest-sm-2")): Unit
+    assert(qm.isActive,
+      "a running memory-transport query must not be restarted by update")
+    pm.stop("sm")
     pm.close()
   }
 
