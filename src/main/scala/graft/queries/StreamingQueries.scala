@@ -86,8 +86,6 @@ object StreamingQueries {
     spark.table(name)
   }
 
-  /** Recursively delete per-invocation temp dirs (src/out/checkpoint);
-    * call only after the result is detached from the files. */
   /** THE lifecycle-gate wait: poll `cond` up to 60 s in 25 ms steps —
     * gates wait on the engine's own commit log, never on sleeps sized
     * to the work. One implementation for every qNN gate (q71-q75 once
@@ -99,6 +97,8 @@ object StreamingQueries {
     require(cond, s"$tag: timed out waiting for $what")
   }
 
+  /** Recursively delete per-invocation temp dirs (src/out/checkpoint);
+    * call only after the result is detached from the files. */
   private def deleteTree(dirs: String*): Unit = dirs.foreach { d =>
     val root = java.nio.file.Paths.get(d)
     if (Files.exists(root)) {

@@ -92,10 +92,14 @@ final class IncrementalPqIndex(spark: SparkSession, dir: String,
   // other threads.
   @volatile private var driftObs: Option[(org.apache.spark.sql.Observation, Int, Int)] = None
   @volatile private var lastDrift: Option[(Double, Int, Int)] = None
+  // serializes fold-and-clear against serve's install: an unlocked
+  // poller's stale "driftObs = None" could land AFTER a newer serve
+  // installed its observation and silently discard it
+  private val driftLock = new Object
 
   /** Fold a completed drift observation into [[lastDrift]] (no-op
     * while the serve is still unconsumed). */
-  private def foldDrift(): Unit =
+  private def foldDrift(): Unit = driftLock.synchronized {
     driftObs.foreach { case (o, k, r) =>
       o.future.value.flatMap(_.toOption).foreach { row =>
         val n = row.getAs[Long]("n_topk")
@@ -105,6 +109,7 @@ final class IncrementalPqIndex(spark: SparkSession, dir: String,
         driftObs = None
       }
     }
+  }
 
   /** Fold one ingest batch (`vec_id`, `embedding`) into the index:
     * nearest-cell assignment + PQ encode against the fixed codebooks
@@ -206,7 +211,6 @@ final class IncrementalPqIndex(spark: SparkSession, dir: String,
         // observe() so the metric is collected by whatever action the
         // caller runs — serving stays lazy, the two scans' plans are
         // untouched, and an unconsumed serve simply reports nothing.
-        foldDrift() // a completed predecessor survives the overwrite
         val obs = org.apache.spark.sql.Observation()
         val ranked = exact
           .withColumn("rank", row_number().over(w).cast("long"))
@@ -214,7 +218,10 @@ final class IncrementalPqIndex(spark: SparkSession, dir: String,
           .observe(obs, count(lit(1)).as("n_topk"),
             coalesce(sum((col("adc_rn") <= lit(math.max(1L, r / 2)))
               .cast("long")), lit(0L)).as("adc_front"))
-        driftObs = Some((obs, k, r))
+        driftLock.synchronized {
+          foldDrift() // a completed predecessor survives the overwrite
+          driftObs = Some((obs, k, r))
+        }
         ranked.select(col("query_id"), col("cand_id"), col("rank"),
           col("cos"))
     }

@@ -842,29 +842,38 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         s"destination ${newSpec.destinationConnection} already in use")
     }
     // SOURCE IDENTITY (connector + sourceConnection) is immutable
-    // WHILE RUNNING: Spark's checkpoint binds the source — on restart
-    // the engine re-fetches the last batch from the source metadata
-    // log's OLD absolute paths, which a re-pointed file source cannot
-    // serve ("Wrong basePath"), and the SS migration guide calls any
-    // input-source parameter change across a checkpoint unsupported.
-    // Rejecting is the only truthful option (a silent persist
-    // diverges forever; a restart crashes the query): stop the
-    // pipeline first, then update — the reference likewise surfaces
-    // connector-rejected updates as 400s (Coordinator
-    // .validateDatastreamsUpdate → DatastreamValidationException,
-    // DatastreamResources.java:296-300). A STOPPED pipeline keeps the
-    // old contract: the spec persists and the CALLER owns making the
-    // next start's checkpoint consistent with it.
+    // WHILE THE PIPELINE'S EXECUTION LOCK IS HELD: Spark's checkpoint
+    // binds the source — on restart the engine re-fetches the last
+    // batch from the source metadata log's OLD absolute paths, which
+    // a re-pointed file source cannot serve ("Wrong basePath"), and
+    // the SS migration guide calls any input-source parameter change
+    // across a checkpoint unsupported. Rejecting is the only truthful
+    // option (a silent persist diverges forever; a restart crashes
+    // the query): stop the pipeline first, then update — the
+    // reference likewise surfaces connector-rejected updates as 400s
+    // (Coordinator.validateDatastreamsUpdate →
+    // DatastreamValidationException, DatastreamResources.java:
+    // 296-300). The DURABLE LOCK is the liveness signal, not this
+    // manager's queries map: it covers a query running under ANOTHER
+    // live manager (the spec store is shared), every member of a
+    // running group (startGroup locks each member), and a PAUSED
+    // pipeline (pause keeps the lock AND the checkpoint — a resume
+    // after a source re-point would hit the same crash). A STOPPED
+    // pipeline released its lock and keeps the old contract: the
+    // spec persists and the CALLER owns making the next start's
+    // checkpoint consistent with it. (Residual cross-JVM window: a
+    // start that read the spec and acquires the lock exactly between
+    // this check and the persist below — startInPool re-reads the
+    // spec after acquiring, so only a sub-RPC interleaving can still
+    // pair an old-source query with a new-source spec.)
     if (newSpec.connector != existing.connector ||
         newSpec.sourceConnection != existing.sourceConnection) {
-      val prefix = existing.metadata.getOrElse(
-        PipelineManager.TaskPrefixKey, name)
-      val live = Option(queries.get(name)).exists(_.isActive) ||
-        findGroup(name).flatMap(m => Option(queries.get(m.name)))
-          .exists(q => q.isActive && q.name == s"group-$prefix")
-      require(!live, s"pipeline $name is running; its source identity " +
-        "(connector/sourceConnection) is bound to the running " +
-        "checkpoint — stop it before re-pointing the source")
+      val o = lockOwner(lockPath(name))
+      require(o.isEmpty || (o != instanceId && !instanceLive(o)),
+        s"pipeline $name is running or paused (execution lock held by " +
+          s"${if (o == instanceId) "this manager" else o}); its source " +
+          "identity (connector/sourceConnection) is bound to the " +
+          "retained checkpoint — stop it before re-pointing the source")
     }
     // Server-managed metadata (task prefix, applied partition pins)
     // survives a PUT that was not round-tripped from GET: when the
@@ -1002,18 +1011,21 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
           // delivery closure captured the OLD spec at start
           // ([[startLocked]]'s transportWriter), so without a restart
           // the persisted spec and the running delivery diverge
-          // silently, forever. A RUNNING memory-transport query is
-          // excluded — judged from the PREVIOUS spec (the one the
-          // live query was built from, not the just-persisted update):
-          // the memory sink cannot recover from an existing checkpoint
-          // (and ignores the destination entirely), so there is
-          // nothing restartable. An update FROM a durable transport
-          // TO memory still restarts — and fails truthfully into
-          // Stopped — rather than leaving the durable query delivering
-          // against a spec that claims a memory sink.
+          // silently, forever. Excluded ONLY when both sides are
+          // memory: a memory sink cannot be (re)started on an
+          // existing checkpoint, so a memory→memory delivery-relevant
+          // update has nothing restartable (old contract: spec
+          // persists, caller owns the cycle). memory→durable DOES
+          // restart — the foreachBatch sink recovers from the memory
+          // run's checkpoint fine; epochs that were delivered only to
+          // the ephemeral table are forfeited, the stop contract's
+          // released-resources semantics. durable→memory restarts and
+          // fails truthfully into Stopped (never a live durable query
+          // under a spec that claims a memory sink).
           val soloLive = Option(queries.get(name))
             .exists(q => q.isActive && q.name == name) &&
-            previous.transport != "memory"
+            !(previous.transport == "memory" &&
+              updated.transport == "memory")
           (if (soloLive) soloRuns.get(name) else None) match {
             case Some((transform, trigger)) =>
               // stop FIRST so no further epoch marker can land under
@@ -1784,8 +1796,15 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     // build, .start()) releases a lock this call newly took — an
     // instance must never sit on a lock while running no query.
     val newlyLocked = acquireLock(name)
-    try startLocked(name, spec, transform, trigger)
-    catch { case e: Throwable => if (newlyLocked) releaseLock(name); throw e }
+    try {
+      // RE-READ the spec now that the lock is held: an update() that
+      // persisted between the entry read above and the acquire must
+      // win (its source-identity guard saw our lock only if our
+      // create landed first — whichever side lost re-reads/rejects,
+      // so a running query and the persisted spec agree)
+      val current = specs.getOrElse(name, spec)
+      startLocked(name, current, transform, trigger)
+    } catch { case e: Throwable => if (newlyLocked) releaseLock(name); throw e }
   }
 
   private def sketchDir(name: String): String =
