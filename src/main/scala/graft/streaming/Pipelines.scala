@@ -868,7 +868,30 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     // pair an old-source query with a new-source spec.)
     if (newSpec.connector != existing.connector ||
         newSpec.sourceConnection != existing.sourceConnection) {
-      val o = lockOwner(lockPath(name))
+      // A GROUPED spec never re-points its source at all: the task
+      // group exists because its members share one source (create's
+      // dedup), startGroup requires exactly one, and the reference
+      // rejects inconsistent sources within an update outright
+      // (DatastreamResources.java:268-274 "Sources must be
+      // consistent"). Accepting it would leave a group no startGroup
+      // can ever run again — and a per-member-stopped member's
+      // released lock would otherwise sneak it past the lock check
+      // below while the siblings' shared query still runs.
+      val prefix = existing.metadata.getOrElse(
+        PipelineManager.TaskPrefixKey, name)
+      require(!specs.values.exists(s => s.name != name &&
+          s.metadata.getOrElse(PipelineManager.TaskPrefixKey, s.name)
+            == prefix),
+        s"pipeline $name belongs to task group '$prefix'; group " +
+          "sources must stay consistent — delete and recreate to " +
+          "re-point the source")
+      // FileNotFound inside lockOwner's exists-then-open pair means a
+      // concurrent release just freed the lock — that IS the free
+      // case, not an error; any other IO failure propagates (reading
+      // a hiccup as "free" could accept an update a live query makes
+      // wrong).
+      val o = try lockOwner(lockPath(name))
+        catch { case _: java.io.FileNotFoundException => "" }
       require(o.isEmpty || (o != instanceId && !instanceLive(o)),
         s"pipeline $name is running or paused (execution lock held by " +
           s"${if (o == instanceId) "this manager" else o}); its source " +
@@ -1797,12 +1820,19 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     // instance must never sit on a lock while running no query.
     val newlyLocked = acquireLock(name)
     try {
-      // RE-READ the spec now that the lock is held: an update() that
-      // persisted between the entry read above and the acquire must
-      // win (its source-identity guard saw our lock only if our
-      // create landed first — whichever side lost re-reads/rejects,
-      // so a running query and the persisted spec agree)
-      val current = specs.getOrElse(name, spec)
+      // RE-READ the spec now that the lock is held: a SAME-JVM
+      // update() that persisted between the entry read above and the
+      // acquire must win (its source-identity guard saw our lock only
+      // if our create landed first — whichever side lost
+      // re-reads/rejects, so a running query and the persisted spec
+      // agree), and a concurrent delete() must fail this start, not
+      // be resurrected from the stale entry-time read. Cross-JVM
+      // updates are NOT seen here (specs is this manager's in-memory
+      // store): the deployment contract is leader-routed mutations
+      // (the lease/demotion machinery exists to keep one writer), so
+      // a non-leader manager should not be mutating at all.
+      val current = specs.getOrElse(name,
+        sys.error(s"unknown pipeline $name"))
       startLocked(name, current, transform, trigger)
     } catch { case e: Throwable => if (newlyLocked) releaseLock(name); throw e }
   }

@@ -42,6 +42,15 @@ class PipelineManagerSpec extends SparkTestBase {
     }
     // paging over specs
     assert(pm.list(0, 2).map(_.name) == Seq("a", "b"))
+    // group sources must stay consistent (the reference rejects
+    // inconsistent-source updates outright): a grouped member can
+    // never re-point its source, running or not — the group exists
+    // because of the shared source
+    intercept[IllegalArgumentException] {
+      pm.update("b", PipelineSpec("b", "parquet", "memory", "/src/other"))
+    }
+    assert(pm.get("b").get.sourceConnection == "/src/one",
+      "a rejected group source re-point must not persist")
   }
 
   test("SPI hooks: authorizer gates create, validateUpdate gates update, state changes observed") {
