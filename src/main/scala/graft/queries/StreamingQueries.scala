@@ -1612,6 +1612,96 @@ object StreamingQueries {
       out
     }),
 
+    // CODEBOOK RETRAIN-AND-REBUILD WITH SERVE CUTOVER — the remedy
+    // the PQ index's drift telemetry exists to trigger
+    // (IncrementalPqIndex's class doc): when adcRankAgreement slides,
+    // you retrain the codebooks and REBUILD a NEW index from the raw
+    // corpus (cells and codes are derived data), keep the OLD index
+    // serving throughout the backfill, and cut reads over only when
+    // the new store's committed ceiling covers the corpus — a search
+    // reindex with zero serving downtime, never an in-place re-encode
+    // (mixing two code spaces inside one store makes ADC silently
+    // wrong for every pre-retrain row). Phases emitted as rows:
+    // 'pre' (old index, old codebook), 'during' (old index serving
+    // UNCHANGED while the new store backfills beside it — the
+    // operational claim), 'post' (new index, new codebook). The
+    // oracle computes both codebooks' closed forms over the full
+    // corpus; 'pre' must equal 'during' bit for bit.
+    "s32_pq_rebuild_cutover" -> ((s, d) => {
+      val emb = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"),
+          graft.ann.Ann.toDouble(col("embedding")).as("ce"))
+      // old codebook: the deterministic first-16 (e11/e14 form); the
+      // "retrained" codebook: vectors 16-31's subvectors re-coded
+      // 0-15 — deterministically DIFFERENT codewords standing in for
+      // a pqTrainCodebook refit on a drifted corpus
+      val subs = graft.ann.Ann.pqSubvectors(emb, 8)
+      val cbOld = graft.ann.Ann.pqCodebook(subs, 16).localCheckpoint()
+      val cbNew = subs.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+        .select(col("sub"), (col("vec_id") - 16).cast("int").as("code"),
+          col("sv").as("cv")).localCheckpoint()
+      val probes = emb.filter(col("vec_id") < 2).localCheckpoint()
+      val srcDir = Files.createTempDirectory("graft-s32-src-").toString
+      val idxA = Files.createTempDirectory("graft-s32-idxA-").toString
+      val idxB = Files.createTempDirectory("graft-s32-idxB-").toString
+      val outDir = Files.createTempDirectory("graft-s32-out-").toString
+      val ckpt = Files.createTempDirectory("graft-s32-ckpt-").toString
+      val schema = emb.schema
+      val stamped = scala.collection.mutable.Set[String]()
+      def writeBucket(b: Int): Unit = writeStampedBucket(srcDir, stamped, b,
+        emb.filter(pmod(col("vec_id"), lit(3L)) === b))
+      def phased(phase: String, df: DataFrame): DataFrame =
+        df.withColumn("phase", lit(phase))
+          .select(col("phase"), col("query_id"), col("cand_id"),
+            col("rank"), col("cos"))
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      try {
+        // the LIVE index: streaming ingest of the whole corpus under
+        // the old codebook (3 one-file epochs, compaction tick)
+        val ipxA = new graft.streaming.IncrementalPqIndex(s, idxA,
+          cents, cbOld, m = 8, name = "s32a", compactEvery = 2)
+        writeBucket(0); writeBucket(1); writeBucket(2)
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            ipxA.appendEpoch(batch, epoch)
+          }
+          .start()
+        q.awaitTermination()
+        def serveOf(ipx: graft.streaming.IncrementalPqIndex): DataFrame =
+          ipx.serve(probes, k = 3, nprobe = 2, rerank = 6)
+        PipelineManager.epochAppend(
+          phased("pre", serveOf(ipxA)).coalesce(1), outDir, 0, "s32"): Unit
+        // REBUILD beside it: a fresh store under the new codebook,
+        // backfilled from the RAW corpus (the source of truth) in two
+        // epochs with a compaction tick; the old index serves
+        // UNCHANGED in the middle of the backfill
+        val ipxB = new graft.streaming.IncrementalPqIndex(s, idxB,
+          cents, cbNew, m = 8, name = "s32b", compactEvery = 2)
+        ipxB.appendEpoch(emb.filter(pmod(col("vec_id"), lit(2L)) === 0), 0L)
+        PipelineManager.epochAppend(
+          phased("during", serveOf(ipxA)).coalesce(1), outDir, 1, "s32"): Unit
+        ipxB.appendEpoch(emb.filter(pmod(col("vec_id"), lit(2L)) === 1), 1L)
+        // cutover gate: reads move only when the rebuild's committed
+        // ceiling covers its backfill plan
+        require(ipxB.cellStore.committedEpochCeiling == 1L,
+          "rebuild incomplete; refusing cutover")
+        PipelineManager.epochAppend(
+          phased("post", serveOf(ipxB)).coalesce(1), outDir, 2, "s32"): Unit
+      } finally s.conf.set("spark.sql.shuffle.partitions", before)
+      val out = s.read.parquet(outDir).localCheckpoint()
+      deleteTree(srcDir, idxA, idxB, outDir, ckpt)
+      out
+    }),
+
     // HYBRID RETRIEVAL FROM TWO INGEST-MAINTAINED INDEXES — the
     // production shape s25 approximates: the lexical list comes from
     // the full-vocab incremental inverted index (s24) and the vector
@@ -3685,6 +3775,113 @@ object StreamingQueries {
         |(PARTITION BY epoch, query_id ORDER BY cos DESC, cand_id) AS rank
         |FROM rr) WHERE rank <= 3
         |ORDER BY epoch, query_id, rank""".stripMargin.replace("\n", " "),
+
+    // Rebuild-and-cutover closed form: the s29 PQ/ADC form evaluated
+    // over the FULL corpus (every serve happens after its index's
+    // complete ingest — no epoch unrolling), once per codebook. The
+    // old codebook is the deterministic first-16; the "retrained" one
+    // is vectors 16-31 re-coded 0-15. 'pre' and 'during' are both
+    // the old form (the old index must serve unchanged while the new
+    // store backfills beside it); 'post' is the new form.
+    "s32_pq_rebuild_cutover" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |sqrt(list_reduce(list_transform(e, (x, i) -> x * (e)[i]),
+        |(acc, u) -> acc + u)) AS nr FROM v),
+        |cents AS (SELECT vec_id AS cent_id, e AS ce, nr AS cnr FROM n
+        |WHERE vec_id < 8),
+        |sa AS (SELECT n.vec_id, c.cent_id,
+        |round(list_reduce(list_transform(n.e, (x, i) -> x * (c.ce)[i]),
+        |(acc, u) -> acc + u) / (n.nr * c.cnr), 6) AS acos
+        |FROM n CROSS JOIN cents c),
+        |casg AS (SELECT vec_id, cent_id FROM (
+        |SELECT vec_id, cent_id, ROW_NUMBER() OVER
+        |(PARTITION BY vec_id ORDER BY acos DESC, cent_id) AS rn FROM sa)
+        |WHERE rn = 1),
+        |pasg AS (SELECT vec_id, cent_id FROM (
+        |SELECT vec_id, cent_id, ROW_NUMBER() OVER
+        |(PARTITION BY vec_id ORDER BY acos DESC, cent_id) AS rn FROM sa)
+        |WHERE rn <= 2),
+        |sp AS (SELECT vec_id, r.range AS sub,
+        |e[(CAST(r.range AS INTEGER) * (len(e) // 8) + 1):
+        |((CAST(r.range AS INTEGER) + 1) * (len(e) // 8))] AS sv
+        |FROM v CROSS JOIN range(0, 8) r),
+        |cbo AS (SELECT sub, CAST(vec_id AS INTEGER) AS code, sv AS cv
+        |FROM sp WHERE vec_id < 16),
+        |cbn AS (SELECT sub, CAST(vec_id - 16 AS INTEGER) AS code,
+        |sv AS cv FROM sp WHERE vec_id >= 16 AND vec_id < 32),
+        |pairs AS (SELECT p2.vec_id AS query_id, c.vec_id AS cand_id
+        |FROM pasg p2 JOIN casg c ON c.cent_id = p2.cent_id
+        |WHERE p2.vec_id < 2 AND p2.vec_id <> c.vec_id),
+        |codeso AS (SELECT vec_id AS cand_id, sub, code FROM (
+        |SELECT sp.vec_id, sp.sub, cbo.code,
+        |ROW_NUMBER() OVER (PARTITION BY sp.vec_id, sp.sub ORDER BY
+        |round(list_reduce(list_transform(cbo.cv, (x, i) -> x * (cbo.cv)[i]),
+        |(acc, u) -> acc + u)
+        |- 2 * list_reduce(list_transform(sp.sv, (x, i) -> x * (cbo.cv)[i]),
+        |(acc, u) -> acc + u), 6), cbo.code) AS rn
+        |FROM sp JOIN cbo USING (sub)) WHERE rn = 1),
+        |adco AS (SELECT q.vec_id AS query_id, q.sub, cbo.code,
+        |round(list_reduce(list_transform(q.sv, (x, i) -> x * (cbo.cv)[i]),
+        |(acc, u) -> acc + u), 6) AS part
+        |FROM sp q JOIN cbo USING (sub) WHERE q.vec_id < 2),
+        |sco AS (SELECT pr.query_id, pr.cand_id,
+        |round(list_reduce(list(a.part ORDER BY a.sub),
+        |(acc, x) -> acc + x), 6) AS adc_dot
+        |FROM pairs pr JOIN codeso co ON co.cand_id = pr.cand_id
+        |JOIN adco a ON a.query_id = pr.query_id AND a.sub = co.sub
+        |AND a.code = co.code
+        |GROUP BY 1, 2),
+        |adctopo AS (SELECT query_id, cand_id FROM (
+        |SELECT query_id, cand_id, ROW_NUMBER() OVER
+        |(PARTITION BY query_id ORDER BY adc_dot DESC, cand_id)
+        |AS rn FROM sco) WHERE rn <= 6),
+        |rro AS (SELECT t.query_id, t.cand_id,
+        |round(list_reduce(list_transform(q.e, (x, i) -> x * (c.e)[i]),
+        |(acc, u) -> acc + u) / (q.nr * c.nr), 6) AS cos
+        |FROM adctopo t JOIN n q ON q.vec_id = t.query_id
+        |JOIN n c ON c.vec_id = t.cand_id),
+        |fino AS (SELECT query_id, cand_id, rank, cos FROM (
+        |SELECT query_id, cand_id, cos, ROW_NUMBER() OVER
+        |(PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+        |FROM rro) WHERE rank <= 3),
+        |codesn AS (SELECT vec_id AS cand_id, sub, code FROM (
+        |SELECT sp.vec_id, sp.sub, cbn.code,
+        |ROW_NUMBER() OVER (PARTITION BY sp.vec_id, sp.sub ORDER BY
+        |round(list_reduce(list_transform(cbn.cv, (x, i) -> x * (cbn.cv)[i]),
+        |(acc, u) -> acc + u)
+        |- 2 * list_reduce(list_transform(sp.sv, (x, i) -> x * (cbn.cv)[i]),
+        |(acc, u) -> acc + u), 6), cbn.code) AS rn
+        |FROM sp JOIN cbn USING (sub)) WHERE rn = 1),
+        |adcn AS (SELECT q.vec_id AS query_id, q.sub, cbn.code,
+        |round(list_reduce(list_transform(q.sv, (x, i) -> x * (cbn.cv)[i]),
+        |(acc, u) -> acc + u), 6) AS part
+        |FROM sp q JOIN cbn USING (sub) WHERE q.vec_id < 2),
+        |scn AS (SELECT pr.query_id, pr.cand_id,
+        |round(list_reduce(list(a.part ORDER BY a.sub),
+        |(acc, x) -> acc + x), 6) AS adc_dot
+        |FROM pairs pr JOIN codesn co ON co.cand_id = pr.cand_id
+        |JOIN adcn a ON a.query_id = pr.query_id AND a.sub = co.sub
+        |AND a.code = co.code
+        |GROUP BY 1, 2),
+        |adctopn AS (SELECT query_id, cand_id FROM (
+        |SELECT query_id, cand_id, ROW_NUMBER() OVER
+        |(PARTITION BY query_id ORDER BY adc_dot DESC, cand_id)
+        |AS rn FROM scn) WHERE rn <= 6),
+        |rrn AS (SELECT t.query_id, t.cand_id,
+        |round(list_reduce(list_transform(q.e, (x, i) -> x * (c.e)[i]),
+        |(acc, u) -> acc + u) / (q.nr * c.nr), 6) AS cos
+        |FROM adctopn t JOIN n q ON q.vec_id = t.query_id
+        |JOIN n c ON c.vec_id = t.cand_id),
+        |finn AS (SELECT query_id, cand_id, rank, cos FROM (
+        |SELECT query_id, cand_id, cos, ROW_NUMBER() OVER
+        |(PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+        |FROM rrn) WHERE rank <= 3)
+        |SELECT 'pre' AS phase, query_id, cand_id, rank, cos FROM fino
+        |UNION ALL SELECT 'during', query_id, cand_id, rank, cos FROM fino
+        |UNION ALL SELECT 'post', query_id, cand_id, rank, cos FROM finn
+        |ORDER BY phase, query_id, rank""".stripMargin.replace("\n", " "),
 
     // Multi-query hybrid closed form: s27's lexical unroll lifted to
     // a (query_id, term) table — df per (epoch, term) over the UNION
