@@ -86,6 +86,29 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
         .foreach(st => fs.delete(st.getPath, false))
     })
 
+  /** Sweep-race guard for the ONE-FILE stats reads: the stats sweep
+    * (onSweep above) trails the postings compaction frontier, so a
+    * reader that LISTED before newer epochs committed can pick a file
+    * a concurrent tick deletes between the listing and the read —
+    * observed in-suite as a transient FAILED_READ_FILE.FILE_NOT_EXIST.
+    * A fresh attempt re-lists and converges (the store commits a
+    * newer row before the sweep ever deletes an older one); anything
+    * that is not the FileNotFound shape propagates. */
+  private def retryingSweepRace[T](attempts: Int = 3)(body: => T): T =
+    try body catch {
+      case t: Throwable if attempts > 1 && isSweepRace(t) =>
+        retryingSweepRace(attempts - 1)(body)
+    }
+
+  private def isSweepRace(t: Throwable): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+      .exists { c =>
+        val m = Option(c.getMessage).getOrElse("")
+        c.isInstanceOf[java.io.FileNotFoundException] ||
+          m.contains("FileNotFoundException") ||
+          m.contains("FILE_NOT_EXIST") || m.contains("does not exist")
+      }
+
   /** Cumulative (nd, sum_dl) after folding `epoch`'s batch in — the
     * committed row for THIS epoch wins (crash replay), else the
     * previous cumulative plus this batch's 1-row aggregate. The hot
@@ -98,7 +121,7 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
         coalesce(sum(col("dl")), lit(0.0))).head()
       (b.getDouble(0), b.getDouble(1))
     }
-    val (nd, sumDl) = lastStats match {
+    val (nd, sumDl) = retryingSweepRace()(lastStats match {
       case Some((e, n, s)) if epoch == e => (n, s) // in-run replay
       case Some((e, n, s)) if epoch > e =>
         val (bn, bs) = batchAgg()
@@ -122,7 +145,7 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
             (prior.map(_.getDouble(1)).getOrElse(0.0) + bn,
               prior.map(_.getDouble(2)).getOrElse(0.0) + bs)
         }
-    }
+    })
     import spark.implicits._
     PipelineManager.epochAppend(
       Seq((epoch, nd, sumDl)).toDF("epoch", "nd", "sum_dl").coalesce(1),
@@ -209,7 +232,7 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
   @volatile private var servableCache: Option[(Long, Double, Double)] = None
 
   private def latestServableStats(): Option[(Double, Double)] =
-    lastStats.map(t => (t._2, t._3)).orElse {
+    lastStats.map(t => (t._2, t._3)).orElse(retryingSweepRace() {
       val ceiling = store.committedEpochCeiling
       servableCache match {
         case Some((c, n, s)) if c == ceiling => Some((n, s))
@@ -225,7 +248,7 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
           read.foreach { case (n, s) => servableCache = Some((ceiling, n, s)) }
           read
       }
-    }
+    })
 
   def serve(terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
