@@ -191,7 +191,10 @@ object Bench {
     // gate. At r16's 184 gates the old form ran 1965 of the ~2000-char
     // driver tail; this form keeps 190+ gates parseable. Full-precision
     // seconds stay in bench_detail.json.
-    val qsPub = published.map { case (k, v) =>
+    // Failed gates (elapsed -1) are OMITTED here — they are already
+    // named under "failed", and a -10 decisecond entry would corrupt
+    // any consumer summing or averaging the map.
+    val qsPub = published.filter(_._2 >= 0).map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + math.round(v * 10) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt2(pubTotal)},"unit":"sec","queries_ds":$qsPub,"spill_build":${fmt2(spillBuildS)},"failed":[${failedStdout.mkString(",")}],"sf":"$sfDir"}""")

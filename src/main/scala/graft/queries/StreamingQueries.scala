@@ -2861,6 +2861,109 @@ object StreamingQueries {
       }
     }),
 
+    // CROSS-MANAGER UPDATE REASSIGNMENT (q76) — the fifth
+    // membership-change direction (q71 create, q72 delete, q73 group
+    // update, q74 solo update): a delivery-relevant update() made on
+    // a manager that does NOT run the query (B) must reach the LIVE
+    // manager that does (A). The reference reassigns via ZK watches
+    // on every instance (Coordinator.java:824 onAssignmentChange ←
+    // handleLeaderDoAssignment :1680); here B's update persists the
+    // spec and writes a durable reassign-request that A's heartbeat
+    // tick consumes — B restarts nothing and moves NO old-destination
+    // state (doing so would migrate destX's epoch markers away while
+    // A still delivers there, eroding the replay dedup). Contract
+    // under test: after B.update, A's query is untouched and the
+    // request is pending; B's own tick refuses it (A is live); A
+    // consumes exactly one request, restarts its own query from the
+    // shared checkpoint onto the new destination exactly-once; the
+    // two destinations partition the corpus; a second consume is a
+    // no-op. All waits poll the engine's own commit log.
+    "q76_cross_manager_update" -> ((s, d) => {
+      val ckptRoot = Files.createTempDirectory("graft-q76-pm-").toString
+      val srcDir = Files.createTempDirectory("graft-q76-src-").toString
+      val destX = Files.createTempDirectory("graft-q76-destX-").toString + "/d"
+      val destZ = Files.createTempDirectory("graft-q76-destZ-").toString + "/d"
+      var pms = List.empty[PipelineManager]
+      try {
+        val conf = s.sparkContext.hadoopConfiguration
+        val clicks = Tables.t(s, d, "events")
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"))
+        def epochOf(e: Long): DataFrame =
+          clicks.filter(pmod(col("event_id"), lit(2L)) === e)
+        val fs = new org.apache.hadoop.fs.Path(ckptRoot).getFileSystem(conf)
+        def commitDone(b: Long): Boolean = fs.exists(
+          new org.apache.hadoop.fs.Path(s"$ckptRoot/q76a/commits/$b"))
+        def requestPending: Boolean = {
+          val dir = new org.apache.hadoop.fs.Path(
+            s"$ckptRoot/reassign-requests")
+          fs.exists(dir) && fs.listStatus(dir).nonEmpty
+        }
+        def awaitTrue(what: String)(cond: => Boolean): Unit =
+          awaitCond("q76", what)(cond)
+        PipelineManager.epochAppend(epochOf(0).coalesce(1), srcDir, 0, "q76src")
+        val mA = new PipelineManager(s, ckptRoot, instance = "mgrA")
+        pms ::= mA
+        mA.create(PipelineSpec("q76a", "parquet", "parquet", srcDir,
+          destinationConnection = destX))
+        val q0 = mA.start("q76a", identity,
+          Trigger.ProcessingTime("50 milliseconds"))
+        // epoch 0 fully COMMITTED before the update — the owner's
+        // restart deterministically resumes at epoch 1, so the new
+        // destination can never replay epoch 0
+        awaitTrue("epoch 0 commit")(commitDone(0))
+        val xFilesAtUpdate = PipelineManager.committedFiles(destX, conf).size
+        // manager B shares the durable root but runs nothing
+        val mB = new PipelineManager(s, ckptRoot, instance = "mgrB")
+        pms ::= mB
+        mB.update("q76a", PipelineSpec("q76a", "parquet", "parquet", srcDir,
+          destinationConnection = destZ)): Unit
+        val peerUntouched = q0.isActive.toString
+        val pending = requestPending.toString
+        // B's own tick must refuse the request — A's lock is live
+        val bConsume = mB.consumeReassignRequests().toString
+        val zAtUpdate = PipelineManager.committedFiles(destZ, conf).size.toString
+        // the owner's tick (driven directly — same method the
+        // autoHeartbeat timer calls) consumes it and restarts
+        val consumed = mA.consumeReassignRequests().toString
+        val restarted = (!q0.isActive).toString
+        val newLive = s.streams.active.exists(q =>
+          q.name == "q76a" && q.isActive).toString
+        val reconsumed = mA.consumeReassignRequests().toString
+        PipelineManager.epochAppend(epochOf(1).coalesce(1), srcDir, 1, "q76src")
+        awaitTrue("epoch 1 commit + post-update delivery")(
+          commitDone(1) && PipelineManager.committedFiles(destZ, conf).nonEmpty)
+        val xFilesAfter = PipelineManager.committedFiles(destX, conf).size
+        mA.stop("q76a")
+        val x = s.read.parquet(destX)
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+          .head()
+        val z = s.read.parquet(destZ)
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+          .head()
+        import s.implicits._
+        Seq(
+          ("req", "peer_query_untouched", peerUntouched),
+          ("req", "request_pending", pending),
+          ("req", "b_consume_noop", bConsume),
+          ("req", "z_rows_at_update", zAtUpdate),
+          ("req", "consumed", consumed),
+          ("req", "reconsumed", reconsumed),
+          ("upd", "restarted", restarted),
+          ("upd", "new_query_live", newLive),
+          ("upd", "x_frozen", (xFilesAfter == xFilesAtUpdate).toString),
+          ("rows", "x_n", x.getLong(0).toString),
+          ("rows", "x_distinct", x.getLong(1).toString),
+          ("rows", "z_n", z.getLong(0).toString),
+          ("rows", "z_distinct", z.getLong(1).toString))
+          .toDF("kind", "k", "v")
+      } finally {
+        pms.foreach(p => try p.close() catch { case _: Throwable => () })
+        deleteTree(ckptRoot, srcDir, new java.io.File(destX).getParent,
+          new java.io.File(destZ).getParent)
+      }
+    }),
+
     // Heartbeat-driven self-demotion — the RUNTIME half of the q67
     // lease contract: nothing external tells the expired manager to
     // stand down; its OWN scheduled heartbeat (interval = lease/4)
@@ -4226,6 +4329,34 @@ object StreamingQueries {
       """SELECT 'upd' AS kind, 'restarted' AS k, 'true' AS v
         |UNION ALL SELECT 'upd', 'new_query_live', 'true'
         |UNION ALL SELECT 'upd', 'z_rows_at_update', '0'
+        |UNION ALL SELECT 'upd', 'x_frozen', 'true'
+        |UNION ALL SELECT 'rows', 'x_n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click' AND event_id % 2 = 0
+        |UNION ALL SELECT 'rows', 'x_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'click' AND event_id % 2 = 0
+        |UNION ALL SELECT 'rows', 'z_n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click' AND event_id % 2 = 1
+        |UNION ALL SELECT 'rows', 'z_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'click' AND event_id % 2 = 1"""
+        .stripMargin.replace("\n", " "),
+
+    // Cross-manager update closed form (q76): every request-protocol
+    // event is a literal (peer untouched, request pending, non-owner
+    // consume refused, owner consumes exactly one, replay consumes
+    // zero), and the exactly-once split across the owner's restart is
+    // the q74 closed form — old destination froze at the epoch-0
+    // slice, new destination holds exactly the post-update epoch.
+    "q76_cross_manager_update" ->
+      """SELECT 'req' AS kind, 'peer_query_untouched' AS k, 'true' AS v
+        |UNION ALL SELECT 'req', 'request_pending', 'true'
+        |UNION ALL SELECT 'req', 'b_consume_noop', '0'
+        |UNION ALL SELECT 'req', 'z_rows_at_update', '0'
+        |UNION ALL SELECT 'req', 'consumed', '1'
+        |UNION ALL SELECT 'req', 'reconsumed', '0'
+        |UNION ALL SELECT 'upd', 'restarted', 'true'
+        |UNION ALL SELECT 'upd', 'new_query_live', 'true'
         |UNION ALL SELECT 'upd', 'x_frozen', 'true'
         |UNION ALL SELECT 'rows', 'x_n', CAST(COUNT(*) AS VARCHAR)
         |FROM events WHERE event_type = 'click' AND event_id % 2 = 0

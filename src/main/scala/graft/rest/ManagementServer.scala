@@ -79,6 +79,18 @@ final class ManagementServer(pm: PipelineManager,
 
   private def specToJson(s: PipelineSpec): JValue = PipelineSpecJson.toJson(s)
 
+  private def rebuildToJson(name: String,
+      p: graft.streaming.RebuildProgress): JValue =
+    JObject(List[(String, JValue)](
+      "name" -> JString(name),
+      "state" -> JString(p.state),
+      "planEpochs" -> JLong(p.planEpochs),
+      "epochsDone" -> JLong(p.epochsDone),
+      "oldCeiling" -> JLong(p.oldCeiling),
+      "newCeiling" -> JLong(p.newCeiling)) ++
+      (if (p.error.nonEmpty) List("error" -> (JString(p.error): JValue))
+       else Nil))
+
   private def specFromJson(j: JValue): PipelineSpec =
     PipelineSpecJson.fromJson(j).copy(status = PipelineStatus.Initializing)
 
@@ -319,6 +331,27 @@ final class ManagementServer(pm: PipelineManager,
             "pausedPartitions" -> JArray(
               pm.paused(name).toList.sorted.map(JString(_): JValue))))
         }
+      // Managed index rebuild (the s32 retrain-and-rebuild protocol
+      // as a REST verb — the reference routes destination
+      // re-provisioning through the management plane too,
+      // KafkaTransportProviderAdmin.createTopic:285): POST starts the
+      // background backfill beside the live store (?await=true runs
+      // it inline), GET polls progress — state, epochs done vs plan,
+      // both stores' committed ceilings. Serving stays on the old
+      // index until the cutover gate passes; a rebuild with no
+      // registered rebuilder is a 404-shaped error, a concurrent one
+      // a 409-shaped require.
+      case ("POST", List("pipelines", name, "rebuildIndex")) =>
+        pm.get(name).getOrElse(sys.error(s"unknown pipeline $name"))
+        val p = pm.startIndexRebuild(name, owner = owner(ex),
+          await = queryParams(ex).get("await").contains("true"))
+        respond(ex, 202, rebuildToJson(name,
+          pm.rebuildProgress(name).getOrElse(p)))
+      case ("GET", List("pipelines", name, "rebuildIndex")) =>
+        pm.rebuildProgress(name) match {
+          case Some(p) => respond(ex, 200, rebuildToJson(name, p))
+          case None => error(ex, 404, s"no rebuild recorded for $name")
+        }
       // stop (DatastreamResources.java:462-546): STOPPING → STOPPED,
       // releases execution resources; ?force=true stops the whole
       // task group. Already-STOPPED is a no-op (200), as reference.
@@ -464,13 +497,20 @@ final class ManagementServer(pm: PipelineManager,
           List("index" -> (JObject(h.toList.sortBy(_._1).map {
             case (k, v) => k -> (JDouble(v): JValue) }): JValue))
         }.getOrElse(Nil)
+        // live rebuild progress (backfill epochs + BOTH stores'
+        // committed ceilings) rides the same diag read an operator
+        // already polls for adcRankAgreement — the trigger and the
+        // remedy's progress on one surface
+        val rebuild = pm.rebuildProgress(name).map { p =>
+          List("rebuild" -> rebuildToJson(name, p))
+        }.getOrElse(Nil)
         respond(ex, 200, JObject(List[(String, JValue)](
           "name" -> JString(name),
           "metrics" -> JObject(pm.metrics(name).toList.map {
             case (k, v) => k -> (JLong(v): JValue) }),
           "pausedPartitions" -> JArray(
             pm.paused(name).toList.sorted.map(JString(_): JValue)))
-          ++ sketch ++ index))
+          ++ sketch ++ index ++ rebuild))
       case _ => error(ex, 404, s"no route $method $path")
     }
   }

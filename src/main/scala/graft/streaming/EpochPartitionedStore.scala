@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
 
 /**
  * Durable hive-partitioned, epoch-committed parquet store with a
@@ -252,10 +253,43 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
     else Some(spark.read.option("basePath", dir).parquet(files: _*))
   }
 
+  // The store's one committed schema, for the write-side
+  // epoch-invariance guard below. Lazily seeded: from the first
+  // append on an empty store, or from the existing view's resolved
+  // schema (one footer, already paid by the view) when a fresh
+  // instance appends to a dir with data.
+  private var recordedShape: Option[Seq[(String, String)]] = None
+  // name+type, partCol excluded (directory-encoded on disk), sorted
+  // by name, nullability normalized away (parquet roundtrips may
+  // tighten containsNull and must not trip the guard)
+  private def dataShape(s: StructType): Seq[(String, String)] =
+    s.fields.toSeq.filterNot(_.name == partCol)
+      .map(f => (f.name, f.dataType.sql)).sortBy(_._1)
+
   /** Commit one epoch's rows (which must carry `partCol`), extend the
     * view by exactly this epoch's files (replays never double-extend),
-    * and compact when the cadence lands. Idempotent per epoch. */
+    * and compact when the cadence lands. Idempotent per epoch.
+    *
+    * Schema epoch-invariance is ENFORCED here, not assumed:
+    * [[EpochPartitionedStore.readSnapshot]] applies one footer's
+    * schema to the whole file set, so a drifting append (column
+    * added/retyped in a later epoch) would be silently masked at read
+    * time — missing columns read as null — instead of failing. The
+    * guard makes the drift fail loudly at the write. */
   def appendEpoch(frame: DataFrame, epoch: Long): Unit = {
+    val incoming = dataShape(frame.schema)
+    viewLock.synchronized {
+      val existing = recordedShape.orElse(
+        if (hasData) Some(dataShape(ensureView().frame.schema)) else None)
+      existing.foreach { e =>
+        require(e == incoming, s"store $name at $dir: epoch $epoch " +
+          s"schema ${incoming.mkString(",")} drifts from the store's " +
+          s"committed schema ${e.mkString(",")} — an epoch-partitioned " +
+          "store has ONE schema for its lifetime (readSnapshot applies " +
+          "one footer to every file)")
+      }
+      recordedShape = Some(incoming)
+    }
     val files = PipelineManager.epochAppendPartitioned(
       frame, dir, partCol, epoch, names.dataPipe)
     viewLock.synchronized {

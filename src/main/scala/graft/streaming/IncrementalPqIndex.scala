@@ -81,34 +81,47 @@ final class IncrementalPqIndex(spark: SparkSession, dir: String,
   private val store = new EpochPartitionedStore(spark, s"$dir/cells",
     "cell", name, refreshEvery, compactEvery)
 
-  // Drift telemetry: the Observation attached to the LAST serve's
-  // final frame (completed when the CALLER runs an action on it —
-  // serving stays fully lazy and its plan unchanged; reads never
-  // block). A COMPLETED observation is folded into lastDrift before
-  // anything overwrites it (at the next serve and at every health
-  // read), so an unconsumed newer serve can never wipe the last
-  // consumed value off /diag — drift monitoring needs the sustained
-  // series, not a flapping field. Volatile: /diag pollers read from
-  // other threads.
-  @volatile private var driftObs: Option[(org.apache.spark.sql.Observation, Int, Int)] = None
+  // Drift telemetry: the Observations attached to recent serves'
+  // final frames (each completed when the CALLER runs an action on
+  // it — serving stays fully lazy and its plan unchanged; reads never
+  // block). Pending observations live in a small install-ordered
+  // QUEUE, not a single slot: serves can be installed faster than
+  // they are consumed (standing multi-query serving builds several
+  // frames, then acts on them), and a single slot would lose serve
+  // A's metric whenever B installed before A was consumed. Every
+  // COMPLETED observation folds into lastDrift (newest-installed
+  // completed wins) at the next serve and at every health read, so
+  // any consumed serve's metric lands regardless of install order —
+  // drift monitoring needs the sustained series, not a flapping
+  // field. Abandoned serves (never acted on) age out past
+  // DriftQueueCap. Volatile: /diag pollers read from other threads.
+  private var driftObs: List[(org.apache.spark.sql.Observation, Int, Int)] =
+    Nil
   @volatile private var lastDrift: Option[(Double, Int, Int)] = None
-  // serializes fold-and-clear against serve's install: an unlocked
-  // poller's stale "driftObs = None" could land AFTER a newer serve
+  // serializes fold-and-retain against serve's install: an unlocked
+  // poller's stale queue write could land AFTER a newer serve
   // installed its observation and silently discard it
   private val driftLock = new Object
+  private val DriftQueueCap = 8
 
-  /** Fold a completed drift observation into [[lastDrift]] (no-op
-    * while the serve is still unconsumed). */
+  /** Fold every completed drift observation into [[lastDrift]]
+    * (incomplete ones stay queued; never blocks — future.value is
+    * completed-or-nothing). */
   private def foldDrift(): Unit = driftLock.synchronized {
-    driftObs.foreach { case (o, k, r) =>
+    val (done, pending) = driftObs.partition {
+      case (o, _, _) => o.future.value.isDefined
+    }
+    // driftObs is newest-first; fold oldest-to-newest so the most
+    // recently INSTALLED completed serve ends up on /diag
+    done.reverse.foreach { case (o, k, r) =>
       o.future.value.flatMap(_.toOption).foreach { row =>
         val n = row.getAs[Long]("n_topk")
         if (n > 0)
           lastDrift = Some(
             (row.getAs[Long]("adc_front").toDouble / n.toDouble, k, r))
-        driftObs = None
       }
     }
+    driftObs = pending.take(DriftQueueCap)
   }
 
   /** Fold one ingest batch (`vec_id`, `embedding`) into the index:
@@ -219,8 +232,8 @@ final class IncrementalPqIndex(spark: SparkSession, dir: String,
             coalesce(sum((col("adc_rn") <= lit(math.max(1L, r / 2)))
               .cast("long")), lit(0L)).as("adc_front"))
         driftLock.synchronized {
-          foldDrift() // a completed predecessor survives the overwrite
-          driftObs = Some((obs, k, r))
+          foldDrift() // completed predecessors land before enqueueing
+          driftObs = ((obs, k, r)) :: driftObs
         }
         ranked.select(col("query_id"), col("cand_id"), col("rank"),
           col("cos"))

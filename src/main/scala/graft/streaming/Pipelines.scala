@@ -56,6 +56,36 @@ final case class PipelineHooks(
   * (DatastreamTask acquire/release, DatastreamTaskImpl.java:126-139;
   * lock paths ZkAdapter.java:123) and a second live instance's
   * acquire times out rather than double-running the task. */
+/** Domain steps of one managed index rebuild (the s32 protocol): the
+  * implementation owns the new store's location, the raw-corpus
+  * backfill plan, and the serving swap; [[PipelineManager
+  * .startIndexRebuild]] owns sequencing, progress, and the cutover
+  * gate. The live index must keep serving bit-identically until
+  * [[cutover]] — implementations build the new store BESIDE it,
+  * never re-encode in place. */
+trait IndexRebuilder {
+  /** Backfill epochs the plan commits (cutover requires the new
+    * store's committed ceiling to reach `planEpochs - 1`). */
+  def planEpochs: Long
+  /** Commit raw-corpus epoch `epoch` into the NEW store. Idempotent
+    * per epoch (the stores' append contract). */
+  def backfillEpoch(epoch: Long): Unit
+  /** The live (old) store's committed ceiling — progress telemetry. */
+  def oldCeiling: Long
+  /** The new store's committed ceiling — the cutover gate input. */
+  def newCeiling: Long
+  /** Swap serving to the new store and sweep the old one. Runs only
+    * after the ceiling gate passed. */
+  def cutover(): Unit
+}
+
+/** One rebuild's observable state (`/diag/{name}` + GET
+  * /pipelines/{name}/rebuildIndex): `state` is backfilling →
+  * complete | failed. */
+final case class RebuildProgress(state: String, planEpochs: Long,
+    epochsDone: Long, oldCeiling: Long, newCeiling: Long,
+    error: String = "")
+
 final case class PipelineLockedException(pipeline: String, lockedBy: String)
   extends IllegalStateException(s"pipeline $pipeline locked by live instance $lockedBy")
 
@@ -299,7 +329,16 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
           t.setDaemon(true); t
         })
       ex.scheduleWithFixedDelay(
-        () => if (!heartbeat()) { demote(); ex.shutdown() },
+        () => if (!heartbeat()) { demote(); ex.shutdown() }
+          else
+            // q76: the owner's tick consumes cross-manager
+            // reassign-requests AFTER refreshing its lease. A consumed
+            // reassign restarts a query inline, so deployments must
+            // size livenessLeaseMs over heartbeatIntervalMs plus a
+            // restart (the same envelope any slow owner operation
+            // already needs); a failure here must never kill the tick.
+            try consumeReassignRequests(): Unit
+            catch { case scala.util.control.NonFatal(_) => () },
         interval, interval, java.util.concurrent.TimeUnit.MILLISECONDS): Unit
       Some(ex)
     }
@@ -919,30 +958,153 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     // destination re-point — the running query's closures captured the
     // old values at start, so only a restart makes the update take
     // effect (the reference reassigns on any update). Server-managed
-    // and cosmetic metadata (pin tables, labels) never restart.
-    val deliveryMetaChanged =
-      (updated.metadata.keySet ++ existing.metadata.keySet).exists(k =>
-        PipelineManager.isDeliveryRelevantMetadataKey(k) &&
-          updated.metadata.get(k) != existing.metadata.get(k))
-    // ... and so does ANY other first-class spec field the
-    // source/delivery closures capture at start: the transport, the
-    // source partition hint, and the serde fields (custom
-    // connector/transport hooks receive the whole spec at start).
-    // These leave the checkpointed SOURCE untouched, so a restart is
-    // safe — unlike source identity, which update() rejects while
-    // running (above). Without this, update(transport = ...) would
-    // persist the new shape while the live query kept the old one.
-    val specShapeChanged =
-      updated.transport != existing.transport ||
-      updated.sourcePartitions != existing.sourcePartitions ||
-      updated.keySerde != existing.keySerde ||
-      updated.payloadSerde != existing.payloadSerde ||
-      updated.envelopeSerde != existing.envelopeSerde
+    // and cosmetic metadata (pin tables, labels) never restart. The
+    // same holds for ANY first-class spec field the source/delivery
+    // closures capture at start (transport, source partition hint,
+    // serde fields — custom connector/transport hooks receive the
+    // whole spec); these leave the checkpointed SOURCE untouched, so
+    // a restart is safe — unlike source identity, which update()
+    // rejects while running (above). One shared predicate
+    // ([[deliveryRelevantChange]]) serves this path and the q76
+    // cross-manager consumer so the two can never diverge.
     if (destChanged)
       provisionDestination(updated) // a re-point gets the same K7 layout
-    if (destChanged || deliveryMetaChanged || specShapeChanged)
+    if (destChanged || deliveryRelevantChange(updated, existing))
       reassignUpdatedMember(updated, existing)
     updated
+  }
+
+  // ---- q76: cross-manager update reassignment. A delivery-relevant
+  // update() made on a manager that does NOT run the pipeline's query
+  // must still reach the manager that does: the reference reassigns
+  // via ZK watches on every instance (Coordinator.java:824
+  // onAssignmentChange ← handleLeaderDoAssignment :1680). Here the
+  // durable store carries a REASSIGN-REQUEST record the OWNING
+  // manager consumes on its heartbeat tick: re-read the persisted
+  // spec (the requestor already wrote it), then the same
+  // stop → move state → restart discipline as a local update. The
+  // requestor must NOT run the state move itself — moveOldDestState
+  // would migrate the old destination's epoch markers away while the
+  // owner still delivers there, eroding the replay dedup they
+  // provide. ----
+
+  private def reassignRequestDir = new Path(s"$checkpointRoot/reassign-requests")
+  private def reassignRequestPath(name: String) =
+    new Path(reassignRequestDir, s"${PipelineManager.namespaceOf(name)}.req")
+
+  /** The live manager (not this one) whose locks run `name`'s query,
+    * if any. Checks every group member's lock, not just the updatee's
+    * own: a per-member-stopped member holds no lock while the shared
+    * query still runs under its siblings'. */
+  private def liveForeignExecutor(name: String): Option[String] = {
+    val memberNames =
+      (try findGroup(name).map(_.name) catch { case _: Throwable => Nil }) match {
+        case Nil => Seq(name)
+        case ms => ms
+      }
+    memberNames.iterator
+      .map(n => try lockOwner(lockPath(n))
+        catch { case _: java.io.FileNotFoundException => "" })
+      .find(o => o.nonEmpty && o != instanceId && instanceLive(o))
+  }
+
+  /** Durable reassign-request: name inside (the file name is the
+    * sanitized namespace, not the authority), requestor for
+    * diagnostics. Overwrite semantics: a second update before
+    * consumption just re-requests — the consumer re-reads the
+    * persisted spec, so the latest update wins. */
+  private def writeReassignRequest(name: String): Unit = {
+    rootFs.mkdirs(reassignRequestDir)
+    val out = rootFs.create(reassignRequestPath(name), true)
+    try out.write(s"$name\n$instanceId".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readPersistedSpec(name: String): Option[PipelineSpec] = {
+    val p = specFilePath(name)
+    if (!rootFs.exists(p)) None
+    else
+      try {
+        val in = rootFs.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        Some(PipelineSpecJson.read(text))
+      } catch { case _: java.io.IOException => None }
+  }
+
+  /** Consume pending reassign-requests this manager is entitled to
+    * act on: those for pipelines it knows whose queries no LIVE PEER
+    * owns (normally: this manager holds the lock; after an owner
+    * crash: whichever live manager's tick sees the orphan first —
+    * every step below is idempotent). For each, the persisted spec
+    * (written by the requestor's update()) replaces the in-memory
+    * one — status kept from the LOCAL view, which is what the running
+    * query truthfully reflects — and the standard update-reassign
+    * discipline runs ([[reassignUpdatedMember]]: stop → move old-dest
+    * state → restart from the shared checkpoint, exactly-once across
+    * the restart). The request is deleted whether the restart
+    * succeeds or not — the update stands either way, exactly as on
+    * the local path (a failed restart leaves truthful Stopped
+    * members). Wired to the heartbeat tick; public so deployments
+    * with their own timers (and gates) can drive it directly.
+    * Returns the number of requests consumed. */
+  def consumeReassignRequests(): Int = {
+    requireNotDemoted()
+    if (!rootFs.exists(reassignRequestDir)) return 0
+    var consumed = 0
+    rootFs.listStatus(reassignRequestDir).toSeq.filter(_.isFile).foreach { st =>
+      val name =
+        try {
+          val in = rootFs.open(st.getPath)
+          try new String(in.readAllBytes(), "UTF-8").split("\n", 2)(0)
+          finally in.close()
+        } catch { case _: java.io.IOException => "" }
+      if (name.nonEmpty) specs.get(name) match {
+        case None =>
+          // not this manager's pipeline to judge — unless the spec
+          // itself is gone (deleted mid-flight): then the request is
+          // stale for everyone
+          if (readPersistedSpec(name).isEmpty)
+            rootFs.delete(st.getPath, false): Unit
+        case Some(previous) if liveForeignExecutor(name).isEmpty =>
+          readPersistedSpec(name) match {
+            case None => rootFs.delete(st.getPath, false): Unit
+            case Some(persisted) =>
+              val updated = persisted.copy(status = previous.status)
+              specs.put(name, updated)
+              val destChanged = updated.destinationConnection !=
+                previous.destinationConnection
+              try {
+                if (destChanged) provisionDestination(updated)
+                if (destChanged ||
+                    deliveryRelevantChange(updated, previous))
+                  reassignUpdatedMember(updated, previous)
+              } finally {
+                rootFs.delete(st.getPath, false): Unit
+                consumed += 1
+              }
+          }
+        case _ => () // a live peer owns it; their tick consumes
+      }
+    }
+    consumed
+  }
+
+  /** Delivery-relevant difference beyond the destination field —
+    * shared by [[update]] and [[consumeReassignRequests]] so the two
+    * paths can never diverge on what restarts a query. */
+  private def deliveryRelevantChange(updated: PipelineSpec,
+      previous: PipelineSpec): Boolean = {
+    val deliveryMetaChanged =
+      (updated.metadata.keySet ++ previous.metadata.keySet).exists(k =>
+        PipelineManager.isDeliveryRelevantMetadataKey(k) &&
+          updated.metadata.get(k) != previous.metadata.get(k))
+    deliveryMetaChanged ||
+      updated.transport != previous.transport ||
+      updated.sourcePartitions != previous.sourcePartitions ||
+      updated.keySerde != previous.keySerde ||
+      updated.payloadSerde != previous.payloadSerde ||
+      updated.envelopeSerde != previous.envelopeSerde
   }
 
   /** The update-side membership-change restart (q73 group member,
@@ -965,6 +1127,18 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   private def reassignUpdatedMember(updated: PipelineSpec,
       previous: PipelineSpec): Unit = {
     val name = updated.name
+    // q76: the query runs under ANOTHER LIVE manager — this manager
+    // can restart nothing there, and running moveOldDestState here
+    // would migrate the old destination's markers away while the
+    // peer still delivers to it. Hand the whole reassignment to the
+    // owner via a durable request its heartbeat tick consumes; the
+    // spec is already persisted, so the owner re-reads it and runs
+    // this very method with locks it actually holds.
+    val foreignOwner = liveForeignExecutor(name)
+    if (foreignOwner.isDefined) {
+      writeReassignRequest(name)
+      return
+    }
     val prefix = updated.metadata.getOrElse(PipelineManager.TaskPrefixKey,
       name)
     PipelineManager.membershipStripe(prefix).synchronized {
@@ -1125,7 +1299,14 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     * readable ([[readHoldbackStamp]]): meta valid → old or new stamp
     * wins; meta gone → the completed `.next` is the stamp. Serialized
     * against concurrent drains of BOTH destinations (stripes taken in
-    * ascending index order — two restamps can never deadlock). */
+    * ascending index order — two restamps can never deadlock).
+    *
+    * Only dirs whose OWNER's current spec points at `toDest` move:
+    * the holdback root is global, so two owners' crashed re-points can
+    * strand holdbacks at the same old destination with DIFFERENT new
+    * destinations — an unfiltered restamp would ship one owner's held
+    * epochs to the other's destination. (Both call sites persist the
+    * updatee's spec before restamping, so the filter admits it.) */
   private def restampHoldbackDest(fromDest: String, toDest: String): Unit =
     if (fromDest != toDest && fromDest.nonEmpty) {
       val stripes = Seq(PipelineManager.holdbackStripeIndex(fromDest),
@@ -1154,7 +1335,9 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
               if (!rootFs.exists(meta) && rootFs.exists(next) &&
                   !rootFs.rename(next, meta))
                 sys.error(s"holdback stamp promotion failed under $d")
-              if (dest == fromDest) {
+              if (dest == fromDest &&
+                  specs.get(owner)
+                    .exists(_.destinationConnection == toDest)) {
                 val out = rootFs.create(next, true)
                 try out.write(s"$owner\n$toDest".getBytes("UTF-8"))
                 finally out.close()
@@ -1724,7 +1907,20 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         .map(_.getPath).sortBy(_.getName)
       dirs.foreach { hb =>
         val stamp = readHoldbackStamp(hb)
-        if (stamp.exists(_._2 == dest)) {
+        // The stamp must be CURRENT — its owner's spec still pointing
+        // at this destination — not merely addressed here. A crashed
+        // re-point leaves the OLD stamp authoritative; if that old
+        // destination is later reclaimed by a DIFFERENT pipeline, its
+        // drain would otherwise deliver the stranded owner's held
+        // epochs into the new tenant's stream (cross-stream leakage).
+        // The stale dir is skipped, not dropped: the owner's own
+        // destination's next drain repairs the stamp
+        // ([[repairStrandedHoldbackStamps]]) and delivers there. A
+        // dir whose owner no longer exists is likewise never
+        // delivered into someone else's destination.
+        if (stamp.exists(_._2 == dest) &&
+            stamp.exists(st =>
+              specs.get(st._1).exists(_.destinationConnection == dest))) {
           val owner = stamp.get._1
           val ns = PipelineManager.namespaceOf(owner)
           val markers = new Path(hb, s"_graft_commits/$ns")
@@ -2087,6 +2283,99 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       try Some(p())
       catch { case _: Exception => None }
     }
+
+  // ---- Managed index rebuild (the s32 retrain-and-rebuild protocol
+  // as a management-plane operation — the reference likewise routes
+  // destination re-provisioning through the management plane,
+  // KafkaTransportProviderAdmin.createTopic:285 called from the
+  // coordinator, never by hand). A pipeline that maintains a durable
+  // index registers an [[IndexRebuilder]]; POST
+  // /pipelines/{name}/rebuildIndex then drives: backfill a NEW store
+  // from the raw corpus BESIDE the live one (the old index serves
+  // bit-identically throughout), gate the cutover on the new store's
+  // committed ceiling covering the backfill plan, then swap serving
+  // and sweep the old store. Never an in-place re-encode — mixed
+  // code spaces make ADC silently wrong for every pre-retrain row. ----
+
+  private val rebuilders = TrieMap.empty[String, IndexRebuilder]
+  private val rebuilds = TrieMap.empty[String, RebuildProgress]
+
+  /** Register (or replace) the rebuild protocol for `name`'s index.
+    * The rebuilder owns the domain steps (new store location, raw
+    * corpus plan, the serving swap); the manager owns sequencing,
+    * progress, and the cutover gate. */
+  def registerIndexRebuilder(name: String, r: IndexRebuilder): Unit =
+    rebuilders.put(name, r): Unit
+
+  def unregisterIndexRebuilder(name: String): Unit = {
+    rebuilders.remove(name): Unit
+    rebuilds.remove(name): Unit
+  }
+
+  /** Rebuild progress for /diag and GET rebuildIndex — live ceilings
+    * come from the rebuilder so pollers see the backfill advance. */
+  def rebuildProgress(name: String): Option[RebuildProgress] =
+    rebuilds.get(name).map { p =>
+      rebuilders.get(name) match {
+        case Some(r) if p.state == "backfilling" =>
+          p.copy(oldCeiling = r.oldCeiling, newCeiling = r.newCeiling)
+        case _ => p
+      }
+    }
+
+  /** Start (or run, with `await = true`) the registered rebuild.
+    * Rejected while one is already backfilling — two concurrent
+    * backfills of the same index would interleave epoch commits. A
+    * completed/failed record is replaced by the new run. */
+  def startIndexRebuild(name: String, owner: String = "anonymous",
+      await: Boolean = false): RebuildProgress = {
+    authorizeLifecycle(name, owner): Unit
+    val r = rebuilders.getOrElse(name,
+      sys.error(s"pipeline $name has no registered index rebuilder"))
+    val start = RebuildProgress("backfilling", r.planEpochs, 0L,
+      r.oldCeiling, r.newCeiling)
+    val prior = rebuilds.putIfAbsent(name, start)
+    prior.foreach { p =>
+      require(p.state != "backfilling",
+        s"index rebuild already running for $name")
+      require(rebuilds.replace(name, p, start),
+        s"index rebuild already running for $name")
+    }
+    def drive(): Unit = {
+      try {
+        var e = 0L
+        while (e < r.planEpochs) {
+          r.backfillEpoch(e)
+          rebuilds.put(name, RebuildProgress("backfilling", r.planEpochs,
+            e + 1, r.oldCeiling, r.newCeiling)): Unit
+          e += 1
+        }
+        // THE CUTOVER GATE (s32's require): reads move only when the
+        // new store's durable ceiling covers the backfill plan — a
+        // lost epoch must fail the rebuild, never serve a hole
+        require(r.newCeiling >= r.planEpochs - 1,
+          s"rebuild of $name incomplete (ceiling ${r.newCeiling} < " +
+            s"plan ${r.planEpochs}); refusing cutover")
+        r.cutover()
+        rebuilds.put(name, RebuildProgress("complete", r.planEpochs,
+          r.planEpochs, r.oldCeiling, r.newCeiling)): Unit
+      } catch {
+        case e: Throwable =>
+          rebuilds.put(name, RebuildProgress("failed", r.planEpochs,
+            rebuilds.get(name).map(_.epochsDone).getOrElse(0L),
+            r.oldCeiling, r.newCeiling,
+            Option(e.getMessage).getOrElse(e.getClass.getName))): Unit
+          if (await) throw e
+      }
+    }
+    if (await) drive()
+    else {
+      val t = new Thread(() => drive(), s"graft-rebuild-$name")
+      t.setDaemon(true)
+      t.start()
+    }
+    rebuildProgress(name).getOrElse(start)
+  }
 
   /** Pause = stop the query; offsets stay in the checkpoint. */
   /** Authorize a mutating lifecycle call against the Authorizer hook

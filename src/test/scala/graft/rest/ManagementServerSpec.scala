@@ -750,6 +750,127 @@ class ManagementServerSpec extends SparkTestBase {
     } finally { srvA.stop(); pmA.close() }
   }
 
+  test("managed index rebuild: three REST calls drive the s32 cutover with zero-downtime serving") {
+    // The s32 retrain-and-rebuild protocol as a MANAGED operation:
+    // POST /pipelines/{name}/rebuildIndex starts the background
+    // backfill beside the live store, GET polls progress (state,
+    // epochs done vs plan, both stores' committed ceilings — also on
+    // /diag/{name} next to the adcRankAgreement that triggers the
+    // remedy), serving stays bit-identical on the OLD index until the
+    // ceiling-gated cutover, then reads swap and the old store is
+    // swept. Epoch 1 of the backfill is held on a latch so the
+    // mid-backfill serve is deterministic, never timing-lucky.
+    val pm = new PipelineManager(spark,
+      Files.createTempDirectory("graft-rest-rb-").toString)
+    val srv = new ManagementServer(pm).start()
+    val idxA = Files.createTempDirectory("graft-rest-rb-a-").toString
+    val idxB = Files.createTempDirectory("graft-rest-rb-b-").toString
+    try {
+      val base = s"http://localhost:${srv.boundPort}"
+      def field(body: String, k: String): Double = {
+        val m = (s""""$k":([-0-9.Ee+]+)""").r.findFirstMatchIn(body)
+        assert(m.nonEmpty, s"no $k in $body")
+        m.get.group(1).toDouble
+      }
+      val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")).limit(64).localCheckpoint()
+      val cents = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cent_id"),
+          graft.ann.Ann.toDouble(col("embedding")).as("ce"))
+      val subs = graft.ann.Ann.pqSubvectors(emb, 8)
+      val cbOld = graft.ann.Ann.pqCodebook(subs, 16).localCheckpoint()
+      // the "retrained" codebook: s32's deterministic stand-in for a
+      // refit on a drifted corpus
+      val cbNew = subs.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+        .select(col("sub"), (col("vec_id") - 16).cast("int").as("code"),
+          col("sv").as("cv")).localCheckpoint()
+      val probes = emb.filter(col("vec_id") < 2).localCheckpoint()
+      req(base, "POST", "/pipelines", Some(
+        s"""{"name":"pqr","connector":"parquet","transport":"parquet",
+           |"sourceConnection":"$idxA"}""".stripMargin.replace("\n", "")))
+        .statusCode(): Unit
+      val ipxA = new graft.streaming.IncrementalPqIndex(spark, idxA,
+        cents, cbOld, m = 8, name = "pqrA", compactEvery = 2)
+      ipxA.appendEpoch(emb, 0L)
+      // serving goes through a swappable slot; health follows it
+      val slot = new java.util.concurrent.atomic.AtomicReference(ipxA)
+      pm.registerIndexHealth("pqr", () => slot.get().health)
+      def serveSet() = slot.get().serve(probes, k = 3, nprobe = 2,
+        rerank = 6).collect().map(_.toString).toSet
+      val epoch1Gate = new java.util.concurrent.CountDownLatch(1)
+      val ipxB = new graft.streaming.IncrementalPqIndex(spark, idxB,
+        cents, cbNew, m = 8, name = "pqrB", compactEvery = 2)
+      pm.registerIndexRebuilder("pqr", new graft.streaming.IndexRebuilder {
+        def planEpochs: Long = 2L
+        def backfillEpoch(epoch: Long): Unit = {
+          if (epoch == 1L) epoch1Gate.await()
+          ipxB.appendEpoch(
+            emb.filter(pmod(col("vec_id"), lit(2L)) === epoch), epoch)
+        }
+        def oldCeiling: Long = ipxA.cellStore.committedEpochCeiling
+        def newCeiling: Long = ipxB.cellStore.committedEpochCeiling
+        def cutover(): Unit = {
+          slot.set(ipxB)
+          def del(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(del)); f.delete(): Unit
+          }
+          del(new java.io.File(idxA))
+        }
+      })
+      val pre = serveSet()
+      assert(pre.nonEmpty)
+      // REST call 1: start the rebuild (background)
+      val posted = req(base, "POST", "/pipelines/pqr/rebuildIndex")
+      assert(posted.statusCode() == 202, posted.body())
+      // a second POST while backfilling is refused
+      assert(req(base, "POST", "/pipelines/pqr/rebuildIndex")
+        .statusCode() >= 400)
+      // REST call 2: poll progress to the deterministic mid-point
+      // (epoch 0 committed, epoch 1 held on the latch)
+      val deadline = System.currentTimeMillis() + 90000L
+      def progress() = req(base, "GET", "/pipelines/pqr/rebuildIndex").body()
+      while (field(progress(), "epochsDone") < 1.0 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(20L)
+      val mid = progress()
+      assert(field(mid, "epochsDone") == 1.0, mid)
+      assert(mid.contains("\"state\":\"backfilling\""), mid)
+      assert(field(mid, "oldCeiling") == 0.0, mid)
+      assert(field(mid, "newCeiling") == 0.0, mid)
+      // /diag carries the same progress beside the index health
+      val diag = req(base, "GET", "/diag/pqr").body()
+      assert(diag.contains("\"rebuild\""), diag)
+      assert(diag.contains("\"state\":\"backfilling\""), diag)
+      // THE OPERATIONAL CLAIM: old index serves bit-identically
+      // mid-backfill
+      assert(serveSet() == pre,
+        "serving changed while the rebuild was backfilling")
+      // REST call 3: release the backfill, poll to completion
+      epoch1Gate.countDown()
+      while (!progress().contains("\"state\":\"complete\"") &&
+          System.currentTimeMillis() < deadline) Thread.sleep(20L)
+      val fin = progress()
+      assert(fin.contains("\"state\":\"complete\""), fin)
+      assert(field(fin, "epochsDone") == 2.0, fin)
+      assert(field(fin, "newCeiling") == 1.0, fin)
+      // reads cut over (new codebook's index now serves)...
+      assert(serveSet().nonEmpty)
+      // ...health follows the slot...
+      assert(req(base, "GET", "/diag/pqr").body()
+        .contains("lastCommittedEpoch"))
+      // ...and the old store was swept
+      assert(!new java.io.File(idxA).exists(),
+        "cutover must sweep the superseded store")
+    } finally {
+      srv.stop(); pm.close()
+      Seq(idxA, idxB).foreach { p =>
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(del)); f.delete(): Unit
+        }
+        del(new java.io.File(p))
+      }
+    }
+  }
+
   test("path segments with '/', space, and '?' round-trip encoded") {
     // The client percent-encodes interpolated path segments and the
     // server splits the RAW path before decoding — so a hostile name

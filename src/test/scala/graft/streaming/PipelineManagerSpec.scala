@@ -1293,6 +1293,140 @@ class PipelineManagerSpec extends SparkTestBase {
     pm.close()
   }
 
+  test("two owners stranded at the SAME old destination repair to their OWN destinations") {
+    // r17 ADVICE low #1: repairStrandedHoldbackStamps validated the
+    // triggering dir's owner but restamped EVERY dir stamped for the
+    // old destination — two owners' crashed re-points stranded at the
+    // same old destination with different new destinations would ship
+    // one owner's held epochs to the other's destination. The restamp
+    // now moves only dirs whose owner's spec points at the target.
+    val root = Files.createTempDirectory("graft-upd-hb3-").toString
+    val src1 = Files.createTempDirectory("graft-hb3-src1-").toString
+    val src2 = Files.createTempDirectory("graft-hb3-src2-").toString
+    val da = Files.createTempDirectory("graft-hb3-da-").toString + "/d"
+    val db = Files.createTempDirectory("graft-hb3-db-").toString + "/d"
+    val dc = Files.createTempDirectory("graft-hb3-dc-").toString + "/d"
+    val dz = Files.createTempDirectory("graft-hb3-dz-").toString + "/d"
+    val dw = Files.createTempDirectory("graft-hb3-dw-").toString + "/d"
+    val fsA = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // crash simulation shared with the single-owner test above: the
+    // staged new stamp reached `.next` but the OLD meta survived
+    def crashRestampOf(owner: String, oldDest: String): Unit = {
+      val hbRoot = new org.apache.hadoop.fs.Path(s"$root/group-holdback")
+      fsA.listStatus(hbRoot).filter(_.isDirectory).foreach { d =>
+        val meta = new org.apache.hadoop.fs.Path(d.getPath,
+          PipelineManager.HoldbackMetaFile)
+        if (fsA.exists(meta)) {
+          val in = fsA.open(meta)
+          val head = try new String(in.readAllBytes(), "UTF-8")
+            .split("\n", 2)(0) finally in.close()
+          if (head == owner) {
+            val next = new org.apache.hadoop.fs.Path(d.getPath,
+              PipelineManager.HoldbackMetaFile + ".next")
+            assert(fsA.rename(meta, next))
+            val out = fsA.create(meta, true)
+            try out.write(s"$owner\n$oldDest".getBytes("UTF-8"))
+            finally out.close()
+          }
+        }
+      }
+    }
+    val pm = new PipelineManager(spark, root)
+    // group 1: pb pauses, holds an epoch stamped for db, re-points to
+    // dz with the restamp crashed — stamp still says db
+    Seq((1L, "g1e0")).toDF("k", "v").write.mode(SaveMode.Append).parquet(src1)
+    pm.create(PipelineSpec("pa", "parquet", "parquet", src1,
+      destinationConnection = da))
+    pm.create(PipelineSpec("pb", "parquet", "parquet", src1,
+      destinationConnection = db))
+    pm.startGroup("pa", identity).awaitTermination()
+    pm.pause("pb")
+    Seq((2L, "g1e1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(src1)
+    pm.startGroup("pa", identity).awaitTermination()
+    pm.update("pb", PipelineSpec("pb", "parquet", "parquet", src1,
+      destinationConnection = dz)): Unit
+    crashRestampOf("pb", db)
+    // group 2: db is free now (pb's spec moved off it), so p2b may
+    // claim it — then strands its OWN held epoch at db the same way,
+    // re-pointed to dw
+    Seq((10L, "g2e0")).toDF("k", "v").write.mode(SaveMode.Append).parquet(src2)
+    pm.create(PipelineSpec("p2a", "parquet", "parquet", src2,
+      destinationConnection = dc))
+    pm.create(PipelineSpec("p2b", "parquet", "parquet", src2,
+      destinationConnection = db))
+    pm.startGroup("p2a", identity).awaitTermination()
+    pm.pause("p2b")
+    Seq((20L, "g2e1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(src2)
+    pm.startGroup("p2a", identity).awaitTermination()
+    pm.update("p2b", PipelineSpec("p2b", "parquet", "parquet", src2,
+      destinationConnection = dw)): Unit
+    crashRestampOf("p2b", db)
+    // drain dz: the repair must finish pb's crashed re-point ONLY —
+    // p2b's spec points at dw, not dz
+    pm.resume("pb", identity).awaitTermination()
+    assert(spark.read.parquet(dz).as[(Long, String)].collect().toSet ==
+      Set((2L, "g1e1")), "pb's held epoch must reach pb's destination")
+    // p2b's held epoch must NOT have been shipped to dz
+    pm.resume("p2b", identity).awaitTermination()
+    assert(spark.read.parquet(dw).as[(Long, String)].collect().toSet ==
+      Set((20L, "g2e1")),
+      "p2b's held epoch must reach p2b's OWN destination, not pb's")
+    // db served two tenant eras (pb's epoch 0, then p2b's epoch 0) —
+    // and must hold EXACTLY those: neither owner's stranded held
+    // epoch may have leaked into it
+    assert(spark.read.parquet(db).as[(Long, String)].collect().toSet ==
+      Set((1L, "g1e0"), (10L, "g2e0")),
+      "the old shared destination must hold exactly the two tenants' " +
+        "delivered epochs, never a stranded holdback")
+    pm.close()
+  }
+
+  test("the autoHeartbeat tick consumes a peer's reassign request and restarts the query") {
+    // q76's runtime half: the gate drives consumeReassignRequests()
+    // directly; this pins the TIMER wiring — a live owner with
+    // autoHeartbeat picks a cross-manager update up on its own.
+    val root = Files.createTempDirectory("graft-q76t-").toString
+    val srcDir = Files.createTempDirectory("graft-q76t-src-").toString
+    val dx = Files.createTempDirectory("graft-q76t-dx-").toString + "/d"
+    val dz = Files.createTempDirectory("graft-q76t-dz-").toString + "/d"
+    Seq((1L, "v1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    val lease = 600000L
+    val pmA = new PipelineManager(spark, root, instance = "A",
+      livenessLeaseMs = lease, autoHeartbeat = true,
+      heartbeatIntervalMs = 50L)
+    pmA.create(PipelineSpec("xm", "parquet", "parquet", srcDir,
+      destinationConnection = dx))
+    val q0 = pmA.start("xm", identity,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+    val pmB = new PipelineManager(spark, root, instance = "B")
+    pmB.update("xm", PipelineSpec("xm", "parquet", "parquet", srcDir,
+      destinationConnection = dz)): Unit
+    assert(q0.isActive,
+      "the non-owner's update must not touch the owner's query")
+    val deadline = System.currentTimeMillis() + 90000L
+    while ((q0.isActive || !pmA.queryOf("xm").exists(_.isActive)) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20L)
+    assert(!q0.isActive, "the owner's tick never restarted the query")
+    assert(pmA.queryOf("xm").exists(_.isActive))
+    assert(pmA.get("xm").get.destinationConnection == dz,
+      "the owner must serve the persisted updated spec")
+    Seq((2L, "v2")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    val dl2 = System.currentTimeMillis() + 90000L
+    val fsB = new org.apache.hadoop.fs.Path(dz).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    while (!fsB.exists(new org.apache.hadoop.fs.Path(dz)) &&
+        System.currentTimeMillis() < dl2) Thread.sleep(20L)
+    val dl3 = System.currentTimeMillis() + 90000L
+    while (PipelineManager.committedFiles(dz,
+        spark.sparkContext.hadoopConfiguration).isEmpty &&
+        System.currentTimeMillis() < dl3) Thread.sleep(20L)
+    pmA.stop("xm")
+    assert(spark.read.parquet(dz).as[(Long, String)].collect().toSet ==
+      Set((2L, "v2")), "post-update epochs must reach the new destination")
+    pmA.close(); pmB.close()
+  }
+
   test("heartbeat timer self-demotes an expired manager: queries stop, locks stay, starts refuse") {
     val root = Files.createTempDirectory("graft-hb-").toString
     val lease = 600000L // expiry is SIMULATED by aging, never slept for
