@@ -1702,6 +1702,202 @@ object StreamingQueries {
       out
     }),
 
+    // DRIFT TELEMETRY, VALUE-PINNED (s34): adcRankAgreement stops
+    // being advisory and becomes load-bearing. Construction makes the
+    // matched-prefix value EXACTLY 1.0 by design, not by luck: the
+    // corpus is L2-NORMALIZED (ADC's dot ordering == the re-rank's
+    // cosine ordering, both rounded 6 dp) and the first 16 vectors
+    // ARE the codebook's codewords (PQ reconstruction is exact, so
+    // ADC == exact for every matched candidate → the final top-k's
+    // ADC ranks are 1..k ≤ rerank/2). Ingesting the OFF-codebook
+    // second half then quantizes with error, and the published
+    // agreement must fall below the matched value — the slide the
+    // metric exists to expose, with its k/rerank window published so
+    // the random-ordering floor is computable. The remedy this
+    // triggers is the s32/s33 rebuild.
+    "s34_drift_telemetry" -> ((s, d) => {
+      val emb = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val embN = emb
+        .withColumn("nr", graft.ann.Ann.norm(
+          graft.ann.Ann.toDouble(col("embedding"))))
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => x.cast("double") / col("nr")).as("embedding"))
+        .localCheckpoint()
+      val cents = embN.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val cbOld = graft.ann.Ann.pqCodebook(
+        graft.ann.Ann.pqSubvectors(embN, 8), 16).localCheckpoint()
+      val probes = embN.filter(col("vec_id") < 2).localCheckpoint()
+      val idxDir = Files.createTempDirectory("graft-s34-idx-").toString
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      try {
+        val ipx = new graft.streaming.IncrementalPqIndex(s, idxDir,
+          cents, cbOld, m = 8, name = "s34", compactEvery = 2)
+        def servedAgreement(nth: Long): Double = {
+          require(ipx.serve(probes, k = 3, nprobe = 2, rerank = 6)
+            .count() > 0, "serve returned no rows to measure")
+          // the observation completes on the listener bus,
+          // asynchronously after count() — poll the consumed-serve
+          // counter, never a sleep sized to the bus
+          val deadline = System.currentTimeMillis() + 60000L
+          while (ipx.health.getOrElse("driftConsumedServes", 0.0) < nth &&
+              System.currentTimeMillis() < deadline) Thread.sleep(10L)
+          ipx.health.getOrElse("adcRankAgreement",
+            sys.error("no drift metric after a consumed serve"))
+        }
+        // epoch 0: the matched prefix — every vector reconstructs
+        // exactly under the codebook
+        ipx.appendEpoch(embN.filter(col("vec_id") < 16), 0L)
+        val matched = servedAgreement(1L)
+        // epoch 1: the drifted half — off-codebook vectors quantize
+        // with error
+        ipx.appendEpoch(embN.filter(col("vec_id") >= 16), 1L)
+        val drifted = servedAgreement(2L)
+        val h = ipx.health
+        import s.implicits._
+        Seq(
+          ("matched", "agreement", f"$matched%.6f"),
+          ("drifted", "below_matched",
+            (drifted < matched - 1e-9).toString),
+          ("window", "topk", h("driftTopK").toLong.toString),
+          ("window", "rerank", h("driftRerank").toLong.toString))
+          .toDF("kind", "k", "v")
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", before)
+        deleteTree(idxDir)
+      }
+    }),
+
+    // THE MANAGED REBUILD VERB (s33) — s32's protocol with the WHOLE
+    // dance driven by three REST calls against the management plane:
+    // POST /pipelines/{name}/rebuildIndex starts the background
+    // backfill beside the live store, GET .../rebuildIndex (and
+    // /diag/{name}) polls state/epochs/both-ceilings, and the
+    // ceiling-gated cutover swaps serving and sweeps the old store.
+    // Same corpus plan, serves, and phases as s32, so the oracle is
+    // s32's closed form verbatim — 'pre' = 'during' bit for bit is
+    // still the operational claim; what this gate adds is that no
+    // hand-rolled orchestration remains (the reference routes
+    // re-provisioning through the management plane the same way,
+    // KafkaTransportProviderAdmin.createTopic:285). Every protocol
+    // invariant (202 accepted, 409 while running, backfilling state
+    // visible on /diag, old store swept) is require()d — a violation
+    // errs the gate. Epoch 1 of the backfill is latch-held so the
+    // mid-backfill serve is deterministic.
+    "s33_rebuild_verb" -> ((s, d) => {
+      val emb = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"),
+          graft.ann.Ann.toDouble(col("embedding")).as("ce"))
+      val subs = graft.ann.Ann.pqSubvectors(emb, 8)
+      val cbOld = graft.ann.Ann.pqCodebook(subs, 16).localCheckpoint()
+      val cbNew = subs.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+        .select(col("sub"), (col("vec_id") - 16).cast("int").as("code"),
+          col("sv").as("cv")).localCheckpoint()
+      val probes = emb.filter(col("vec_id") < 2).localCheckpoint()
+      val ckptRoot = Files.createTempDirectory("graft-s33-pm-").toString
+      val idxA = Files.createTempDirectory("graft-s33-idxA-").toString
+      val idxB = Files.createTempDirectory("graft-s33-idxB-").toString
+      val outDir = Files.createTempDirectory("graft-s33-out-").toString
+      def phased(phase: String, df: DataFrame): DataFrame =
+        df.withColumn("phase", lit(phase))
+          .select(col("phase"), col("query_id"), col("cand_id"),
+            col("rank"), col("cos"))
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      val pm = new PipelineManager(s, ckptRoot)
+      val srv = new graft.rest.ManagementServer(pm).start()
+      try {
+        val base = s"http://localhost:${srv.boundPort}"
+        val client = java.net.http.HttpClient.newHttpClient()
+        def http(method: String, path: String): java.net.http.HttpResponse[String] =
+          client.send(java.net.http.HttpRequest.newBuilder(
+              java.net.URI.create(base + path)).header("X-Owner", "ops")
+              .method(method, java.net.http.HttpRequest.BodyPublishers
+                .noBody()).build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+        pm.create(PipelineSpec("s33a", "parquet", "parquet", idxA))
+        // the LIVE index: full corpus under the old codebook, three
+        // epochs with a compaction tick (s32's content, direct form)
+        val ipxA = new graft.streaming.IncrementalPqIndex(s, idxA,
+          cents, cbOld, m = 8, name = "s33a", compactEvery = 2)
+        (0L to 2L).foreach(e => ipxA.appendEpoch(
+          emb.filter(pmod(col("vec_id"), lit(3L)) === e), e))
+        val slot = new java.util.concurrent.atomic.AtomicReference(ipxA)
+        pm.registerIndexHealth("s33a", () => slot.get().health)
+        val epoch1Gate = new java.util.concurrent.CountDownLatch(1)
+        val ipxB = new graft.streaming.IncrementalPqIndex(s, idxB,
+          cents, cbNew, m = 8, name = "s33b", compactEvery = 2)
+        pm.registerIndexRebuilder("s33a",
+          new graft.streaming.IndexRebuilder {
+            def planEpochs: Long = 2L
+            def backfillEpoch(epoch: Long): Unit = {
+              if (epoch == 1L) epoch1Gate.await()
+              ipxB.appendEpoch(
+                emb.filter(pmod(col("vec_id"), lit(2L)) === epoch), epoch)
+            }
+            def oldCeiling: Long = ipxA.cellStore.committedEpochCeiling
+            def newCeiling: Long = ipxB.cellStore.committedEpochCeiling
+            def cutover(): Unit = {
+              slot.set(ipxB)
+              def del(f: java.io.File): Unit = {
+                Option(f.listFiles()).foreach(_.foreach(del))
+                f.delete(): Unit
+              }
+              del(new java.io.File(idxA))
+            }
+          })
+        def serveOf(): DataFrame =
+          slot.get().serve(probes, k = 3, nprobe = 2, rerank = 6)
+        PipelineManager.epochAppend(
+          phased("pre", serveOf()).coalesce(1), outDir, 0, "s33"): Unit
+        // REST call 1: start the rebuild
+        val posted = http("POST", "/pipelines/s33a/rebuildIndex")
+        require(posted.statusCode() == 202, s"rebuild POST: ${posted.body()}")
+        require(http("POST", "/pipelines/s33a/rebuildIndex")
+          .statusCode() >= 400, "concurrent rebuild must be refused")
+        // REST call 2: poll to the deterministic mid-point
+        def progress(): String =
+          http("GET", "/pipelines/s33a/rebuildIndex").body()
+        val deadline = System.currentTimeMillis() + 120000L
+        while (!progress().contains("\"epochsDone\":1") &&
+            System.currentTimeMillis() < deadline) Thread.sleep(20L)
+        val mid = progress()
+        require(mid.contains("\"state\":\"backfilling\"") &&
+          mid.contains("\"epochsDone\":1"), s"mid progress: $mid")
+        val diag = http("GET", "/diag/s33a").body()
+        require(diag.contains("\"rebuild\"") &&
+          diag.contains("\"backfilling\"") &&
+          diag.contains("\"oldCeiling\":2") &&
+          diag.contains("\"newCeiling\":0"), s"diag mid-rebuild: $diag")
+        // the old index serves UNCHANGED mid-backfill (oracle pins it)
+        PipelineManager.epochAppend(
+          phased("during", serveOf()).coalesce(1), outDir, 1, "s33"): Unit
+        // REST call 3: release and poll to completion (the cutover
+        // gate is the manager's, not the gate's)
+        epoch1Gate.countDown()
+        while (!progress().contains("\"state\":\"complete\"") &&
+            System.currentTimeMillis() < deadline) Thread.sleep(20L)
+        val fin = progress()
+        require(fin.contains("\"state\":\"complete\"") &&
+          fin.contains("\"newCeiling\":1"), s"final progress: $fin")
+        require(!new java.io.File(idxA).exists(),
+          "cutover must sweep the superseded store")
+        PipelineManager.epochAppend(
+          phased("post", serveOf()).coalesce(1), outDir, 2, "s33"): Unit
+      } finally {
+        srv.stop(); pm.close()
+        s.conf.set("spark.sql.shuffle.partitions", before)
+      }
+      val out = s.read.parquet(outDir).localCheckpoint()
+      deleteTree(ckptRoot, idxA, idxB, outDir)
+      out
+    }),
+
     // HYBRID RETRIEVAL FROM TWO INGEST-MAINTAINED INDEXES — the
     // production shape s25 approximates: the lexical list comes from
     // the full-vocab incremental inverted index (s24) and the vector
@@ -3228,7 +3424,7 @@ object StreamingQueries {
     (prefix + perBatch + tail).replace("\n", " ")
   }
 
-  val oracles: Map[String, String] = Map(
+  private val oracles0: Map[String, String] = Map(
     "s01_stream_mirror" -> BrooklinQueries.oracles("q02_mirror_translate"),
     "s02_stream_agg" ->
       """SELECT event_type, COUNT(*) AS n,
@@ -3878,6 +4074,18 @@ object StreamingQueries {
         |(PARTITION BY epoch, query_id ORDER BY cos DESC, cand_id) AS rank
         |FROM rr) WHERE rank <= 3
         |ORDER BY epoch, query_id, rank""".stripMargin.replace("\n", " "),
+
+    // Drift-telemetry closed form: all literals — the matched-prefix
+    // agreement is EXACTLY 1.0 by construction (normalized corpus +
+    // codeword prefix: ADC == exact for every candidate), the drifted
+    // value must fall below it, and the window rides along so the
+    // floor is computable.
+    "s34_drift_telemetry" ->
+      """SELECT 'matched' AS kind, 'agreement' AS k, '1.000000' AS v
+        |UNION ALL SELECT 'drifted', 'below_matched', 'true'
+        |UNION ALL SELECT 'window', 'topk', '3'
+        |UNION ALL SELECT 'window', 'rerank', '6'"""
+        .stripMargin.replace("\n", " "),
 
     // Rebuild-and-cutover closed form: the s29 PQ/ADC form evaluated
     // over the FULL corpus (every serve happens after its index's
@@ -4536,4 +4744,12 @@ object StreamingQueries {
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <=
         |(SELECT MAX(m.mx) FROM m) - INTERVAL 30 MINUTE
         |GROUP BY 1, 2""".stripMargin.replace("\n", " "))
+
+  // The managed rebuild verb (s33) shares s32's closed form VERBATIM:
+  // corpus plan, codebooks, probes, serves, and phases are identical —
+  // the gate changes WHO drives the dance (three REST calls against
+  // the management plane), which the oracle cannot see and must not
+  // change a single row of.
+  val oracles: Map[String, String] = oracles0 +
+    ("s33_rebuild_verb" -> oracles0("s32_pq_rebuild_cutover"))
 }

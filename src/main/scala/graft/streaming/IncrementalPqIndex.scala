@@ -98,6 +98,10 @@ final class IncrementalPqIndex(spark: SparkSession, dir: String,
   private var driftObs: List[(org.apache.spark.sql.Observation, Int, Int)] =
     Nil
   @volatile private var lastDrift: Option[(Double, Int, Int)] = None
+  // serves whose metric has LANDED (the observation completes on the
+  // listener bus, asynchronously after the caller's action returns —
+  // pollers watch this counter instead of guessing at that timing)
+  @volatile private var driftConsumed: Long = 0L
   // serializes fold-and-retain against serve's install: an unlocked
   // poller's stale queue write could land AFTER a newer serve
   // installed its observation and silently discard it
@@ -120,6 +124,7 @@ final class IncrementalPqIndex(spark: SparkSession, dir: String,
           lastDrift = Some(
             (row.getAs[Long]("adc_front").toDouble / n.toDouble, k, r))
       }
+      driftConsumed += 1
     }
     driftObs = pending.take(DriftQueueCap)
   }
@@ -260,9 +265,10 @@ final class IncrementalPqIndex(spark: SparkSession, dir: String,
   def health: Map[String, Double] = {
     val base = store.health.map { case (k, v) => k -> v.toDouble }
     foldDrift() // never blocks: future.value is completed-or-nothing
-    base ++ lastDrift.toSeq.flatMap { case (a, k, r) =>
-      Seq("adcRankAgreement" -> a,
-        "driftTopK" -> k.toDouble, "driftRerank" -> r.toDouble)
-    }
+    base ++ Seq("driftConsumedServes" -> driftConsumed.toDouble) ++
+      lastDrift.toSeq.flatMap { case (a, k, r) =>
+        Seq("adcRankAgreement" -> a,
+          "driftTopK" -> k.toDouble, "driftRerank" -> r.toDouble)
+      }
   }
 }

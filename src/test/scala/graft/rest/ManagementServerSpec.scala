@@ -284,6 +284,12 @@ class ManagementServerSpec extends SparkTestBase {
         "an unconsumed serve must not publish a drift metric")
       val served = ipx.serve(probes, k = 3, nprobe = 2, rerank = 6)
       assert(served.count() > 0, "serve returned no rows to measure")
+      // the observation completes on the listener bus, asynchronously
+      // after count() — poll the consumed-serve counter
+      val dl = System.currentTimeMillis() + 60000L
+      while (field(req(base, "GET", "/diag/pq1").body(),
+          "driftConsumedServes") < 1.0 &&
+          System.currentTimeMillis() < dl) Thread.sleep(10L)
       val b1 = req(base, "GET", "/diag/pq1").body()
       val agree = field(b1, "adcRankAgreement")
       assert(agree >= 0.0 && agree <= 1.0, s"agreement out of range: $agree")

@@ -29,11 +29,20 @@ import graft.model.PipelineSpec
  *    handle (it was stopped per-member) resume restarts the whole
  *    group, which also rejoins the other Stopped members;
  *  - per-destination delivery is exactly-once throughout (epoch
- *    commit markers), no matter how often holdback replays run.
+ *    commit markers), no matter how often holdback replays run;
+ *  - a destination RE-POINT (update) freezes the old destination at
+ *    what it had, moves the member's held epochs to the new
+ *    destination (the q73 restamp), and delivers everything later
+ *    only there — and a re-point whose restamp CRASHED mid-protocol
+ *    (old stamp left authoritative) heals at the member's next
+ *    drain (repairStrandedHoldbackStamps) with the same outcome,
+ *    never a strand and never another member's drain stealing it.
  *
  * Invariants per destination at every quiescent point: the delivered
- * epoch set equals the model's, and the row count is exactly
- * rowsPerEpoch x |epochs| (no duplicate and no partial delivery).
+ * epoch set equals the model's, the row count is exactly
+ * rowsPerEpoch x |epochs| (no duplicate and no partial delivery),
+ * and every ABANDONED destination stays frozen at its re-point-time
+ * contents forever.
  * Fixed seeds; sequential ops (interleaving at the operation level —
  * the thread-level lock races live in [[LockFuzzSpec]]).
  */
@@ -50,8 +59,8 @@ class GroupLifecycleFuzzSpec extends SparkTestBase {
   private def runFuzz(seed: Long): Unit = {
     val root = Files.createTempDirectory(s"graft-gfz-$seed-").toString
     val srcDir = Files.createTempDirectory(s"graft-gfz-src-$seed-").toString
-    val destRoots = Members.map(m =>
-      Files.createTempDirectory(s"graft-gfz-$m-$seed-").toString)
+    val destRoots = mutable.ArrayBuffer(Members.map(m =>
+      Files.createTempDirectory(s"graft-gfz-$m-$seed-").toString): _*)
     val dests = destRoots.map(_ + "/d")
     val pm = new PipelineManager(spark, root)
     try {
@@ -66,6 +75,9 @@ class GroupLifecycleFuzzSpec extends SparkTestBase {
       val hasHandle = mutable.Map(Members.map(_ -> false): _*)
       val delivered = mutable.Map(Members.map(_ -> Set.empty[Long]): _*)
       val holdback = mutable.Map(Members.map(_ -> Set.empty[Long]): _*)
+      val destOf = mutable.Map(Members.zip(dests): _*)
+      // abandoned destinations stay frozen at re-point-time contents
+      val frozen = mutable.Map.empty[String, Set[Long]]
 
       def append(): Unit = {
         val e = nextEp; nextEp += 1
@@ -108,12 +120,15 @@ class GroupLifecycleFuzzSpec extends SparkTestBase {
         delivered(m) ++= holdback(m); holdback(m) = Set.empty
         if (willStart) modelDeliver()
       }
-      def check(where: String): Unit =
-        Members.zip(dests).foreach { case (m, dst) =>
-          val rows = Try(spark.read.parquet(dst)).toOption
-          val eps = rows.map(_.select($"ep").distinct().as[Long].collect().toSet)
-            .getOrElse(Set.empty)
-          val n = rows.map(_.count()).getOrElse(0L)
+      def destEpochs(dst: String): (Set[Long], Long) = {
+        val rows = Try(spark.read.parquet(dst)).toOption
+        (rows.map(_.select($"ep").distinct().as[Long].collect().toSet)
+          .getOrElse(Set.empty),
+          rows.map(_.count()).getOrElse(0L))
+      }
+      def check(where: String): Unit = {
+        Members.foreach { m =>
+          val (eps, n) = destEpochs(destOf(m))
           assert(eps == delivered(m),
             s"seed=$seed $where $m: delivered $eps, model ${delivered(m)}")
           assert(n == delivered(m).size.toLong * RowsPerEpoch,
@@ -122,11 +137,59 @@ class GroupLifecycleFuzzSpec extends SparkTestBase {
           assert(pm.get(m).get.status.toString == status(m),
             s"seed=$seed $where $m: status")
         }
+        frozen.foreach { case (dst, eps0) =>
+          val (eps, n) = destEpochs(dst)
+          assert(eps == eps0 && n == eps0.size.toLong * RowsPerEpoch,
+            s"seed=$seed $where: abandoned destination $dst moved " +
+              s"($eps vs frozen $eps0)")
+        }
+      }
+
+      // destination re-point mid-lifecycle (q73's restamp), with the
+      // restamp optionally CRASHED mid-protocol (the staged `.next`
+      // landed, the old meta survived — the exact window
+      // repairStrandedHoldbackStamps exists for). Model: the old
+      // destination freezes, held epochs follow the member, pending
+      // epochs deliver only to the new destination on later drains.
+      def repoint(m: String, crashRestamp: Boolean): Unit = {
+        val old = destOf(m)
+        val newRoot = Files.createTempDirectory(
+          s"graft-gfz-rp-$m-$seed-").toString
+        destRoots += newRoot
+        val nd = newRoot + "/d"
+        pm.update(m, PipelineSpec(m, "parquet", "parquet", srcDir,
+          destinationConnection = nd)): Unit
+        if (crashRestamp) {
+          val hbRoot = new org.apache.hadoop.fs.Path(s"$root/group-holdback")
+          val fs = hbRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(hbRoot))
+            fs.listStatus(hbRoot).filter(_.isDirectory).foreach { d =>
+              val meta = new org.apache.hadoop.fs.Path(d.getPath,
+                PipelineManager.HoldbackMetaFile)
+              if (fs.exists(meta)) {
+                val in = fs.open(meta)
+                val head = try new String(in.readAllBytes(), "UTF-8")
+                  .split("\n", 2)(0) finally in.close()
+                if (head == m) {
+                  val next = new org.apache.hadoop.fs.Path(d.getPath,
+                    PipelineManager.HoldbackMetaFile + ".next")
+                  assert(fs.rename(meta, next))
+                  val out = fs.create(meta, true)
+                  try out.write(s"$m\n$old".getBytes("UTF-8"))
+                  finally out.close()
+                }
+              }
+            }
+        }
+        frozen(old) = delivered(m)
+        destOf(m) = nd
+        delivered(m) = Set.empty
+      }
 
       drain() // establish the group run before per-member verbs
       def pick(): String = Members(rng.nextInt(Members.size))
       (0 until 18).foreach { _ =>
-        rng.nextInt(6) match {
+        rng.nextInt(8) match {
           case 0 => append()
           case 1 =>
             val m = pick(); pm.pause(m); status(m) = "Paused"
@@ -136,6 +199,8 @@ class GroupLifecycleFuzzSpec extends SparkTestBase {
               pm.stop(m); status(m) = "Stopped"; hasHandle(m) = false
             } else pm.stop(m) // no-op on both sides
           case 3 => doResume(pick())
+          case 4 => repoint(pick(), crashRestamp = false)
+          case 5 => repoint(pick(), crashRestamp = true)
           case _ => drain()
         }
       }

@@ -62,6 +62,61 @@ class IncrementalLexIndexSpec extends SparkTestBase {
       "stats store must not grow one file per epoch across compactions")
   }
 
+  test("serves and stats reads survive a racing sweep (seeded stress)") {
+    // The r17 tip hardening (retryingSweepRace) under an actual race,
+    // not a hand-built one: compaction ticks EVERY epoch (grace
+    // window = one epoch) while a reader thread hammers serve+health.
+    // Contract under stress: a read may fail transiently with the
+    // sweep-race shape (FileNotFound lineage — the retry inside
+    // converges, and a caller-level retry is the documented fallback);
+    // NOTHING ELSE may escape, reads must keep succeeding between
+    // races, and the final serve equals the batch closed form.
+    for (seed <- Seq(7L, 23L)) {
+      val dir = tmp(s"ilx-race-$seed-")
+      val ilx = new IncrementalLexIndex(spark, dir, name = "rz",
+        compactEvery = 1)
+      def isSweepRaceShape(t: Throwable): Boolean =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+          .exists { c =>
+            val m = Option(c.getMessage).getOrElse("")
+            c.isInstanceOf[java.io.FileNotFoundException] ||
+              m.contains("FileNotFoundException") ||
+              m.contains("FILE_NOT_EXIST") || m.contains("does not exist")
+          }
+      @volatile var stop = false
+      val hardFailures =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val okReads = new java.util.concurrent.atomic.AtomicLong(0L)
+      val racedReads = new java.util.concurrent.atomic.AtomicLong(0L)
+      ilx.appendEpoch(docs.filter(pmod(col("doc_id"), lit(10L)) === 0), 0L)
+      val reader = new Thread(() => {
+        while (!stop) {
+          try {
+            ilx.serve(qTerms, 5).count(): Unit
+            ilx.health: Unit
+            okReads.incrementAndGet(): Unit
+          } catch {
+            case t: Throwable if isSweepRaceShape(t) =>
+              racedReads.incrementAndGet(): Unit // caller retries
+            case t: Throwable => hardFailures.add(t): Unit; stop = true
+          }
+        }
+      }, s"ilx-race-reader-$seed")
+      reader.start()
+      try (1 until 10).foreach { e =>
+        ilx.appendEpoch(
+          docs.filter(pmod(col("doc_id"), lit(10L)) === e), e.toLong)
+      } finally { stop = true; reader.join(120000L) }
+      assert(hardFailures.isEmpty,
+        s"seed=$seed: non-sweep-race failure escaped: ${hardFailures.peek()}")
+      assert(okReads.get() > 0,
+        s"seed=$seed: no concurrent read ever succeeded")
+      assert(serveRows(ilx) == oracleRows(docs),
+        s"seed=$seed: final serve diverged after the race " +
+          s"(ok=${okReads.get()}, raced=${racedReads.get()})")
+    }
+  }
+
   test("an index with no documents yet serves an empty result, not a crash") {
     val dir = tmp("ilx-empty-")
     // compactEvery=1: every data-free epoch also ticks the compaction
