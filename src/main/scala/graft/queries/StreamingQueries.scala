@@ -1842,14 +1842,7 @@ object StreamingQueries {
             }
             def oldCeiling: Long = ipxA.cellStore.committedEpochCeiling
             def newCeiling: Long = ipxB.cellStore.committedEpochCeiling
-            def cutover(): Unit = {
-              slot.set(ipxB)
-              def del(f: java.io.File): Unit = {
-                Option(f.listFiles()).foreach(_.foreach(del))
-                f.delete(): Unit
-              }
-              del(new java.io.File(idxA))
-            }
+            def cutover(): Unit = { slot.set(ipxB); deleteTree(idxA) }
           })
         def serveOf(): DataFrame =
           slot.get().serve(probes, k = 3, nprobe = 2, rerank = 6)
@@ -1859,7 +1852,8 @@ object StreamingQueries {
         val posted = http("POST", "/pipelines/s33a/rebuildIndex")
         require(posted.statusCode() == 202, s"rebuild POST: ${posted.body()}")
         require(http("POST", "/pipelines/s33a/rebuildIndex")
-          .statusCode() >= 400, "concurrent rebuild must be refused")
+          .statusCode() == 409,
+          "concurrent rebuild must be refused with the house 409 shape")
         // REST call 2: poll to the deterministic mid-point
         def progress(): String =
           http("GET", "/pipelines/s33a/rebuildIndex").body()

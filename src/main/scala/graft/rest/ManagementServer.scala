@@ -339,8 +339,9 @@ final class ManagementServer(pm: PipelineManager,
       // it inline), GET polls progress — state, epochs done vs plan,
       // both stores' committed ceilings. Serving stays on the old
       // index until the cutover gate passes; a rebuild with no
-      // registered rebuilder is a 404-shaped error, a concurrent one
-      // a 409-shaped require.
+      // registered rebuilder is a 404 ("unknown" message shape), a
+      // concurrent one a 409 (PipelineLockedException — the running
+      // rebuild owns the index like a live instance owns a lock).
       case ("POST", List("pipelines", name, "rebuildIndex")) =>
         pm.get(name).getOrElse(sys.error(s"unknown pipeline $name"))
         val p = pm.startIndexRebuild(name, owner = owner(ex),

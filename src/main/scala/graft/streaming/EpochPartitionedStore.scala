@@ -288,10 +288,13 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
           "store has ONE schema for its lifetime (readSnapshot applies " +
           "one footer to every file)")
       }
-      recordedShape = Some(incoming)
     }
     val files = PipelineManager.epochAppendPartitioned(
       frame, dir, partCol, epoch, names.dataPipe)
+    // recorded only AFTER the write committed: a failed FIRST append
+    // on an empty store must not poison the guard against a corrected
+    // retry (nothing was committed, so nothing constrains the shape)
+    viewLock.synchronized { recordedShape = Some(incoming) }
     viewLock.synchronized {
       if (epoch > lastSeenEpoch) {
         if (view.isEmpty) { if (files.nonEmpty) ensureView(): Unit }

@@ -1010,15 +1010,42 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
 
   /** Durable reassign-request: name inside (the file name is the
     * sanitized namespace, not the authority), requestor for
-    * diagnostics. Overwrite semantics: a second update before
-    * consumption just re-requests — the consumer re-reads the
-    * persisted spec, so the latest update wins. */
-  private def writeReassignRequest(name: String): Unit = {
+    * diagnostics, and the PREVIOUS destination — the one piece of
+    * state a crashed owner takes with it. A surviving manager that
+    * consumes the orphan has the persisted NEW spec in its own map
+    * too (it may even be the requestor), so without the recorded old
+    * destination it would see nothing changed and skip the state
+    * move, stranding the old destination's holdback. Overwrite
+    * semantics: a second update before consumption just re-requests —
+    * the consumer re-reads the persisted spec, so the latest update
+    * wins (the oldest recorded previous destination still governs the
+    * state move; intermediate destinations never received a lock
+    * owner's delivery). */
+  private def writeReassignRequest(name: String, prevDest: String): Unit = {
     rootFs.mkdirs(reassignRequestDir)
+    // keep the FIRST request's previous destination across overwrites:
+    // the owner has been running against it the whole time
+    val existing = readReassignRequest(name)
+    val oldDest = existing.map(_._2).filter(_.nonEmpty).getOrElse(prevDest)
     val out = rootFs.create(reassignRequestPath(name), true)
-    try out.write(s"$name\n$instanceId".getBytes("UTF-8"))
+    try out.write(s"$name\n$instanceId\n$oldDest".getBytes("UTF-8"))
     finally out.close()
   }
+
+  /** (name, previousDestination) of a pending request, if readable. */
+  private def readReassignRequest(name: String): Option[(String, String)] =
+    try {
+      val p = reassignRequestPath(name)
+      if (!rootFs.exists(p)) None
+      else {
+        val in = rootFs.open(p)
+        val parts = try new String(in.readAllBytes(), "UTF-8").split("\n", 3)
+          finally in.close()
+        if (parts.length >= 1 && parts(0).nonEmpty)
+          Some((parts(0), if (parts.length >= 3) parts(2) else ""))
+        else None
+      }
+    } catch { case _: java.io.IOException => None }
 
   private def readPersistedSpec(name: String): Option[PipelineSpec] = {
     val p = specFilePath(name)
@@ -1053,12 +1080,16 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     if (!rootFs.exists(reassignRequestDir)) return 0
     var consumed = 0
     rootFs.listStatus(reassignRequestDir).toSeq.filter(_.isFile).foreach { st =>
-      val name =
+      val parsed =
         try {
           val in = rootFs.open(st.getPath)
-          try new String(in.readAllBytes(), "UTF-8").split("\n", 2)(0)
-          finally in.close()
-        } catch { case _: java.io.IOException => "" }
+          val parts = try new String(in.readAllBytes(), "UTF-8")
+            .split("\n", 3) finally in.close()
+          if (parts(0).nonEmpty)
+            Some((parts(0), if (parts.length >= 3) parts(2) else ""))
+          else None
+        } catch { case _: java.io.IOException => None }
+      val name = parsed.map(_._1).getOrElse("")
       if (name.nonEmpty) specs.get(name) match {
         case None =>
           // not this manager's pipeline to judge — unless the spec
@@ -1066,10 +1097,25 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
           // stale for everyone
           if (readPersistedSpec(name).isEmpty)
             rootFs.delete(st.getPath, false): Unit
-        case Some(previous) if liveForeignExecutor(name).isEmpty =>
+        case Some(local) if liveForeignExecutor(name).isEmpty =>
           readPersistedSpec(name) match {
             case None => rootFs.delete(st.getPath, false): Unit
             case Some(persisted) =>
+              // `previous` must describe what the OWNER's query was
+              // delivering with. Normally that is this manager's
+              // in-memory spec — but when the owner crashed and a
+              // NON-owner (possibly the requestor, whose map already
+              // carries the new spec) consumes the orphan, the only
+              // truthful record of the old destination is the one the
+              // request carries; without it the consume would no-op
+              // and strand the old destination's holdback.
+              val recordedOld = parsed.map(_._2).getOrElse("")
+              val previous =
+                if (recordedOld.nonEmpty &&
+                    local.destinationConnection ==
+                      persisted.destinationConnection)
+                  local.copy(destinationConnection = recordedOld)
+                else local
               val updated = persisted.copy(status = previous.status)
               specs.put(name, updated)
               val destChanged = updated.destinationConnection !=
@@ -1136,7 +1182,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     // this very method with locks it actually holds.
     val foreignOwner = liveForeignExecutor(name)
     if (foreignOwner.isDefined) {
-      writeReassignRequest(name)
+      writeReassignRequest(name, previous.destinationConnection)
       return
     }
     val prefix = updated.metadata.getOrElse(PipelineManager.TaskPrefixKey,
@@ -1301,12 +1347,16 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     * against concurrent drains of BOTH destinations (stripes taken in
     * ascending index order — two restamps can never deadlock).
     *
-    * Only dirs whose OWNER's current spec points at `toDest` move:
-    * the holdback root is global, so two owners' crashed re-points can
-    * strand holdbacks at the same old destination with DIFFERENT new
-    * destinations — an unfiltered restamp would ship one owner's held
-    * epochs to the other's destination. (Both call sites persist the
-    * updatee's spec before restamping, so the filter admits it.) */
+    * Only dirs whose OWNER's current spec points at `toDest` move —
+    * or whose owner no longer exists (a deleted past leader's dir
+    * carries the DEST GROUP's held epochs, which follow the surviving
+    * member's re-point; the stamp contract's membership-churn
+    * clause). The filter exists because the holdback root is global:
+    * two LIVE owners' crashed re-points can strand holdbacks at the
+    * same old destination with DIFFERENT new destinations, and an
+    * unfiltered restamp would ship one owner's held epochs to the
+    * other's destination. (Both call sites persist the updatee's
+    * spec before restamping, so the filter admits it.) */
   private def restampHoldbackDest(fromDest: String, toDest: String): Unit =
     if (fromDest != toDest && fromDest.nonEmpty) {
       val stripes = Seq(PipelineManager.holdbackStripeIndex(fromDest),
@@ -1337,7 +1387,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
                 sys.error(s"holdback stamp promotion failed under $d")
               if (dest == fromDest &&
                   specs.get(owner)
-                    .exists(_.destinationConnection == toDest)) {
+                    .forall(_.destinationConnection == toDest)) {
                 val out = rootFs.create(next, true)
                 try out.write(s"$owner\n$toDest".getBytes("UTF-8"))
                 finally out.close()
@@ -1907,20 +1957,23 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         .map(_.getPath).sortBy(_.getName)
       dirs.foreach { hb =>
         val stamp = readHoldbackStamp(hb)
-        // The stamp must be CURRENT — its owner's spec still pointing
-        // at this destination — not merely addressed here. A crashed
-        // re-point leaves the OLD stamp authoritative; if that old
-        // destination is later reclaimed by a DIFFERENT pipeline, its
-        // drain would otherwise deliver the stranded owner's held
-        // epochs into the new tenant's stream (cross-stream leakage).
-        // The stale dir is skipped, not dropped: the owner's own
-        // destination's next drain repairs the stamp
+        // The stamp must not be a STRAND awaiting repair: an owner
+        // whose spec points at a DIFFERENT destination re-pointed
+        // away with the restamp crashed (old stamp authoritative) —
+        // if this old destination was since reclaimed by another
+        // pipeline, draining the dir here would deliver the stranded
+        // owner's held epochs into the new tenant's stream
+        // (cross-stream leakage). Skipped, not dropped: the owner's
+        // own destination's next drain repairs the stamp
         // ([[repairStrandedHoldbackStamps]]) and delivers there. A
-        // dir whose owner no longer exists is likewise never
-        // delivered into someone else's destination.
+        // dir whose owner no longer EXISTS still drains — the stamp
+        // contract's membership-churn clause ("never dropped"
+        // survives leadership drift and leader deletion); delete()
+        // forfeits such dirs when their destination goes out of
+        // service, so a later tenant can never inherit them.
         if (stamp.exists(_._2 == dest) &&
-            stamp.exists(st =>
-              specs.get(st._1).exists(_.destinationConnection == dest))) {
+            stamp.forall(st =>
+              specs.get(st._1).forall(_.destinationConnection == dest))) {
           val owner = stamp.get._1
           val ns = PipelineManager.namespaceOf(owner)
           val markers = new Path(hb, s"_graft_commits/$ns")
@@ -2313,12 +2366,16 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   }
 
   /** Rebuild progress for /diag and GET rebuildIndex — live ceilings
-    * come from the rebuilder so pollers see the backfill advance. */
+    * come from the rebuilder so pollers see the backfill advance. A
+    * throwing ceiling getter (often the same root cause as a backfill
+    * failure) degrades to the last recorded values: a diag poll must
+    * never 500 because the store under rebuild is sick. */
   def rebuildProgress(name: String): Option[RebuildProgress] =
     rebuilds.get(name).map { p =>
       rebuilders.get(name) match {
         case Some(r) if p.state == "backfilling" =>
-          p.copy(oldCeiling = r.oldCeiling, newCeiling = r.newCeiling)
+          try p.copy(oldCeiling = r.oldCeiling, newCeiling = r.newCeiling)
+          catch { case scala.util.control.NonFatal(_) => p }
         case _ => p
       }
     }
@@ -2330,24 +2387,36 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   def startIndexRebuild(name: String, owner: String = "anonymous",
       await: Boolean = false): RebuildProgress = {
     authorizeLifecycle(name, owner): Unit
-    val r = rebuilders.getOrElse(name,
-      sys.error(s"pipeline $name has no registered index rebuilder"))
-    val start = RebuildProgress("backfilling", r.planEpochs, 0L,
-      r.oldCeiling, r.newCeiling)
+    val r = rebuilders.getOrElse(name, sys.error(
+      s"unknown index rebuilder for pipeline $name (none registered)"))
+    // ceiling getters can throw with a sick store; every read below
+    // degrades to the last recorded value rather than killing the
+    // driver thread or a poll (a rebuild must always end in a
+    // RECORDED complete/failed state — a thread that dies before
+    // writing one wedges every later POST behind the running-check)
+    def ceilings(fallback: RebuildProgress): (Long, Long) =
+      try (r.oldCeiling, r.newCeiling)
+      catch { case scala.util.control.NonFatal(_) =>
+        (fallback.oldCeiling, fallback.newCeiling) }
+    val seed = RebuildProgress("backfilling", r.planEpochs, 0L,
+      Long.MinValue, Long.MinValue)
+    val (oc0, nc0) = ceilings(seed)
+    val start = seed.copy(oldCeiling = oc0, newCeiling = nc0)
     val prior = rebuilds.putIfAbsent(name, start)
     prior.foreach { p =>
-      require(p.state != "backfilling",
-        s"index rebuild already running for $name")
-      require(rebuilds.replace(name, p, start),
-        s"index rebuild already running for $name")
+      if (p.state == "backfilling" || !rebuilds.replace(name, p, start))
+        // the house 409 shape: the running rebuild owns the index
+        // exactly as a live instance owns an execution lock
+        throw PipelineLockedException(name, "index-rebuild")
     }
     def drive(): Unit = {
       try {
         var e = 0L
         while (e < r.planEpochs) {
           r.backfillEpoch(e)
+          val (oc, nc) = ceilings(start)
           rebuilds.put(name, RebuildProgress("backfilling", r.planEpochs,
-            e + 1, r.oldCeiling, r.newCeiling)): Unit
+            e + 1, oc, nc)): Unit
           e += 1
         }
         // THE CUTOVER GATE (s32's require): reads move only when the
@@ -2357,13 +2426,15 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
           s"rebuild of $name incomplete (ceiling ${r.newCeiling} < " +
             s"plan ${r.planEpochs}); refusing cutover")
         r.cutover()
+        val (oc, nc) = ceilings(start)
         rebuilds.put(name, RebuildProgress("complete", r.planEpochs,
-          r.planEpochs, r.oldCeiling, r.newCeiling)): Unit
+          r.planEpochs, oc, nc)): Unit
       } catch {
         case e: Throwable =>
+          val last = rebuilds.get(name).getOrElse(start)
+          val (oc, nc) = ceilings(last)
           rebuilds.put(name, RebuildProgress("failed", r.planEpochs,
-            rebuilds.get(name).map(_.epochsDone).getOrElse(0L),
-            r.oldCeiling, r.newCeiling,
+            last.epochsDone, oc, nc,
             Option(e.getMessage).getOrElse(e.getClass.getName))): Unit
           if (await) throw e
       }
@@ -2594,6 +2665,27 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       // pause set from this incarnation
       rootFs.delete(new Path(s"$checkpointRoot/$name"), true): Unit
       rootFs.delete(new Path(holdbackPath(name)), true): Unit
+      // Group-holdback dirs STAMPED by the deleted member: while
+      // survivors still serve the stamped destination the dir stays
+      // (replay enumerates by destination, and an owner-missing dir
+      // still drains — the stamp contract's membership-churn clause),
+      // but when nobody serves that destination anymore the held
+      // epochs are this stream's own undelivered data — forfeited
+      // with the rest of its resources (q72's "nothing further for
+      // the deleted member's destination"). The dir must not outlive
+      // the spec: a later tenant reclaiming the freed destination
+      // would otherwise drain another stream's data into its own.
+      locally {
+        val hbRoot = new Path(s"$checkpointRoot/group-holdback")
+        if (rootFs.exists(hbRoot))
+          rootFs.listStatus(hbRoot).toSeq.filter(_.isDirectory).foreach { d =>
+            readHoldbackStamp(d.getPath).foreach { case (o, dst) =>
+              if (o == name &&
+                  !specs.values.exists(_.destinationConnection == dst))
+                rootFs.delete(d.getPath, true): Unit
+            }
+          }
+      }
       rootFs.delete(pausedStatePath(name), false): Unit
       pausedPartitions.remove(name): Unit
       indexHealthProviders.remove(name): Unit

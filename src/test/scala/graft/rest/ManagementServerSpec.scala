@@ -825,12 +825,23 @@ class ManagementServerSpec extends SparkTestBase {
       })
       val pre = serveSet()
       assert(pre.nonEmpty)
+      // no rebuild recorded yet → 404; and a pipeline with no
+      // registered rebuilder 404s the POST ("unknown" shape)
+      assert(req(base, "GET", "/pipelines/pqr/rebuildIndex")
+        .statusCode() == 404)
+      req(base, "POST", "/pipelines", Some(
+        """{"name":"norb","connector":"parquet","transport":"memory",
+          |"sourceConnection":"x"}""".stripMargin.replace("\n", "")))
+        .statusCode(): Unit
+      assert(req(base, "POST", "/pipelines/norb/rebuildIndex")
+        .statusCode() == 404)
       // REST call 1: start the rebuild (background)
       val posted = req(base, "POST", "/pipelines/pqr/rebuildIndex")
       assert(posted.statusCode() == 202, posted.body())
-      // a second POST while backfilling is refused
+      // a second POST while backfilling is a 409 (the house
+      // locked shape — the running rebuild owns the index)
       assert(req(base, "POST", "/pipelines/pqr/rebuildIndex")
-        .statusCode() >= 400)
+        .statusCode() == 409)
       // REST call 2: poll progress to the deterministic mid-point
       // (epoch 0 committed, epoch 1 held on the latch)
       val deadline = System.currentTimeMillis() + 90000L

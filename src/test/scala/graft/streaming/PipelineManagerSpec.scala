@@ -1382,6 +1382,143 @@ class PipelineManagerSpec extends SparkTestBase {
     pm.close()
   }
 
+  test("a deleted leader's holdback dir still drains for the surviving destination sharers") {
+    // The stamp contract's membership-churn clause ("never dropped"
+    // survives leader deletion): held epochs live in a dir stamped by
+    // the dest-group LEADER; deleting that leader while a sibling
+    // still serves the destination must not strand them — the replay
+    // guard skips only STRANDS (owner exists, points elsewhere),
+    // never owner-missing dirs.
+    val root = Files.createTempDirectory("graft-dlh-").toString
+    val srcDir = Files.createTempDirectory("graft-dlh-src-").toString
+    val dD = Files.createTempDirectory("graft-dlh-d-").toString + "/d"
+    Seq((1L, "e0")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    val pm = new PipelineManager(spark, root)
+    pm.create(PipelineSpec("la", "parquet", "parquet", srcDir,
+      destinationConnection = dD))
+    // same source, empty destination → dedup joins the group AND
+    // shares la's destination: dest group {la, lb} at dD, leader la
+    pm.create(PipelineSpec("lb", "parquet", "parquet", srcDir))
+    assert(pm.get("lb").get.destinationConnection == dD)
+    pm.startGroup("la", identity).awaitTermination()
+    pm.pause("la"); pm.pause("lb")
+    Seq((2L, "e1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    pm.startGroup("la", identity).awaitTermination()
+    assert(spark.read.parquet(dD).count() == 1, "holdback setup broken")
+    // delete the LEADER; lb still serves dD, so the dir must survive
+    pm.delete("la")
+    pm.resume("lb", identity).awaitTermination()
+    assert(spark.read.parquet(dD).as[(Long, String)].collect().toSet ==
+      Set((1L, "e0"), (2L, "e1")),
+      "the deleted leader's held epoch must still drain for the survivor")
+    pm.close()
+  }
+
+  test("a survivor's re-point moves a deleted leader's holdback with it") {
+    // restampHoldbackDest admits owner-MISSING dirs (the dest group's
+    // held epochs follow the surviving member's stream); only live
+    // owners pointing elsewhere are excluded (the two-strands case
+    // above). Without this, deleting the leader then re-pointing the
+    // survivor would strand the group's held epochs forever.
+    val root = Files.createTempDirectory("graft-dlr-").toString
+    val srcDir = Files.createTempDirectory("graft-dlr-src-").toString
+    val dD = Files.createTempDirectory("graft-dlr-d-").toString + "/d"
+    val dZ = Files.createTempDirectory("graft-dlr-z-").toString + "/d"
+    Seq((1L, "e0")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    val pm = new PipelineManager(spark, root)
+    pm.create(PipelineSpec("ra", "parquet", "parquet", srcDir,
+      destinationConnection = dD))
+    pm.create(PipelineSpec("rb", "parquet", "parquet", srcDir))
+    assert(pm.get("rb").get.destinationConnection == dD)
+    pm.startGroup("ra", identity).awaitTermination()
+    pm.pause("ra"); pm.pause("rb")
+    Seq((2L, "e1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    pm.startGroup("ra", identity).awaitTermination()
+    pm.delete("ra") // rb survives at dD → dir (owner ra) stays
+    pm.update("rb", PipelineSpec("rb", "parquet", "parquet", srcDir,
+      destinationConnection = dZ)): Unit // nobody left at dD → restamp
+    pm.resume("rb", identity).awaitTermination()
+    assert(spark.read.parquet(dZ).as[(Long, String)].collect().toSet ==
+      Set((2L, "e1")),
+      "the group's held epoch must follow the survivor's re-point")
+    assert(spark.read.parquet(dD).count() == 1,
+      "the abandoned destination stays frozen")
+    pm.close()
+  }
+
+  test("deleting the last destination sharer forfeits its holdback dir (no leak to a later tenant)") {
+    // the delete-side half of the churn contract: when NOBODY serves
+    // the stamped destination anymore, the held epochs are the
+    // deleted stream's own undelivered data — forfeited, so a later
+    // tenant reclaiming the destination can never drain them.
+    val root = Files.createTempDirectory("graft-dlf-").toString
+    val srcDir = Files.createTempDirectory("graft-dlf-src-").toString
+    val src2 = Files.createTempDirectory("graft-dlf-src2-").toString
+    val dD = Files.createTempDirectory("graft-dlf-d-").toString + "/d"
+    Seq((1L, "e0")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    val pm = new PipelineManager(spark, root)
+    pm.create(PipelineSpec("fa", "parquet", "parquet", srcDir,
+      destinationConnection = dD))
+    pm.create(PipelineSpec("fb", "parquet", "parquet", srcDir))
+    pm.startGroup("fa", identity).awaitTermination()
+    pm.pause("fa"); pm.pause("fb")
+    Seq((2L, "e1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    pm.startGroup("fa", identity).awaitTermination()
+    pm.delete("fb")
+    pm.delete("fa") // last sharer of dD → the dir must die with it
+    val hbRoot = new org.apache.hadoop.fs.Path(s"$root/group-holdback")
+    val fs = hbRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(hbRoot) || fs.listStatus(hbRoot).isEmpty,
+      "a fully-deleted group's holdback must not outlive its specs")
+    // a NEW tenant claims dD: nothing of the old stream may drain
+    Seq((9L, "t0")).toDF("k", "v").write.mode(SaveMode.Append).parquet(src2)
+    pm.create(PipelineSpec("nt", "parquet", "parquet", src2,
+      destinationConnection = dD))
+    pm.start("nt", identity).awaitTermination()
+    assert(spark.read.parquet(dD).as[(Long, String)].collect().toSet ==
+      Set((1L, "e0"), (9L, "t0")),
+      "the old stream's forfeited epoch must never reach the new tenant")
+    pm.close()
+  }
+
+  test("a crashed owner's reassign request is consumed by a surviving manager with the recorded old destination") {
+    // q76's orphan path: the requestor's own map already carries the
+    // NEW spec, so only the request's recorded previous destination
+    // tells the survivor what state to move — without it the consume
+    // would no-op and strand the holdback at the old destination.
+    val root = Files.createTempDirectory("graft-orph-").toString
+    val srcDir = Files.createTempDirectory("graft-orph-src-").toString
+    val dA = Files.createTempDirectory("graft-orph-da-").toString + "/d"
+    val dB = Files.createTempDirectory("graft-orph-db-").toString + "/d"
+    val dZ = Files.createTempDirectory("graft-orph-dz-").toString + "/d"
+    Seq((1L, "e0")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    val mA = new PipelineManager(spark, root, instance = "ownA")
+    mA.create(PipelineSpec("oa", "parquet", "parquet", srcDir,
+      destinationConnection = dA))
+    mA.create(PipelineSpec("ob", "parquet", "parquet", srcDir,
+      destinationConnection = dB))
+    mA.startGroup("oa", identity).awaitTermination()
+    mA.pause("ob")
+    Seq((2L, "e1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    mA.startGroup("oa", identity).awaitTermination() // ob's e1 held at dB
+    val mB = new PipelineManager(spark, root, instance = "reqB")
+    mB.update("ob", PipelineSpec("ob", "parquet", "parquet", srcDir,
+      destinationConnection = dZ)): Unit
+    // A is live → B only requested; nothing moved yet
+    assert(mB.consumeReassignRequests() == 0,
+      "a live owner's request must not be consumed by the requestor")
+    mA.close() // the owner crashes (registration gone, locks orphaned)
+    assert(mB.consumeReassignRequests() == 1,
+      "the surviving requestor must consume the orphaned request")
+    mB.resume("ob", identity).awaitTermination()
+    assert(spark.read.parquet(dZ).as[(Long, String)].collect().toSet ==
+      Set((2L, "e1")),
+      "the orphan consume must restamp the holdback to the new destination")
+    assert(spark.read.parquet(dB).count() == 1,
+      "the old destination stays frozen")
+    mB.close()
+  }
+
   test("the autoHeartbeat tick consumes a peer's reassign request and restarts the query") {
     // q76's runtime half: the gate drives consumeReassignRequests()
     // directly; this pins the TIMER wiring — a live owner with
