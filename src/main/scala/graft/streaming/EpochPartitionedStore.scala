@@ -278,7 +278,12 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
     * guard makes the drift fail loudly at the write. */
   def appendEpoch(frame: DataFrame, epoch: Long): Unit = {
     val incoming = dataShape(frame.schema)
-    viewLock.synchronized {
+    // check AND record under one lock hold (two concurrent first
+    // appends with different shapes must not both pass the guard);
+    // a failed write ROLLS the provisional record back when nothing
+    // is committed, so a corrected retry on an empty store is not
+    // poisoned by the failed attempt's phantom shape
+    val provisional = viewLock.synchronized {
       val existing = recordedShape.orElse(
         if (hasData) Some(dataShape(ensureView().frame.schema)) else None)
       existing.foreach { e =>
@@ -288,13 +293,21 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
           "store has ONE schema for its lifetime (readSnapshot applies " +
           "one footer to every file)")
       }
+      val first = existing.isEmpty
+      recordedShape = Some(incoming)
+      first
     }
-    val files = PipelineManager.epochAppendPartitioned(
-      frame, dir, partCol, epoch, names.dataPipe)
-    // recorded only AFTER the write committed: a failed FIRST append
-    // on an empty store must not poison the guard against a corrected
-    // retry (nothing was committed, so nothing constrains the shape)
-    viewLock.synchronized { recordedShape = Some(incoming) }
+    val files =
+      try PipelineManager.epochAppendPartitioned(
+        frame, dir, partCol, epoch, names.dataPipe)
+      catch {
+        case t: Throwable =>
+          if (provisional) viewLock.synchronized {
+            if (recordedShape.contains(incoming) && !hasData)
+              recordedShape = None
+          }
+          throw t
+      }
     viewLock.synchronized {
       if (epoch > lastSeenEpoch) {
         if (view.isEmpty) { if (files.nonEmpty) ensureView(): Unit }

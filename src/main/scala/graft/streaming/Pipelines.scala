@@ -950,6 +950,17 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       destinationConnection =
         if (newSpec.destinationConnection.nonEmpty) newSpec.destinationConnection
         else existing.destinationConnection)
+    // the last-PERSISTED destination, captured before this update
+    // overwrites it: `existing` is THIS manager's map, which can be
+    // stale when the query runs under a peer that updated since our
+    // loadSpecs(); the durable store carries the truth every manager
+    // agreed on. Feeds the reassign (and, on the q76 path, the
+    // request record) so old-destination state moves from where
+    // delivery actually was, not from a stale local memory.
+    val persistedPrevDest = readPersistedSpec(name)
+      .map(_.destinationConnection)
+      .filter(_.nonEmpty)
+      .getOrElse(existing.destinationConnection)
     specs.put(name, updated)
     persistSpec(updated)
     val destChanged =
@@ -970,7 +981,8 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     if (destChanged)
       provisionDestination(updated) // a re-point gets the same K7 layout
     if (destChanged || deliveryRelevantChange(updated, existing))
-      reassignUpdatedMember(updated, existing)
+      reassignUpdatedMember(updated,
+        existing.copy(destinationConnection = persistedPrevDest))
     updated
   }
 
@@ -1032,10 +1044,11 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     finally out.close()
   }
 
-  /** (name, previousDestination) of a pending request, if readable. */
-  private def readReassignRequest(name: String): Option[(String, String)] =
+  /** (name, previousDestination) parsed from a request file — the
+    * ONE spelling of the wire format, shared by the writer's
+    * keep-first-prev read and the consumer's listing walk. */
+  private def parseReassignRequest(p: Path): Option[(String, String)] =
     try {
-      val p = reassignRequestPath(name)
       if (!rootFs.exists(p)) None
       else {
         val in = rootFs.open(p)
@@ -1046,6 +1059,38 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         else None
       }
     } catch { case _: java.io.IOException => None }
+
+  private def readReassignRequest(name: String): Option[(String, String)] =
+    parseReassignRequest(reassignRequestPath(name))
+
+  /** The owner's spec from the LOCAL map, falling back to the shared
+    * durable store: the holdback churn guards below use "owner
+    * exists?" as a safety oracle, and a pipeline created by ANOTHER
+    * manager after this one's loadSpecs() is invisible locally — a
+    * local-only lookup would misread a live peer's strand as a
+    * deleted owner's dir and drain it into the wrong stream. Local
+    * hit costs nothing; the durable read only runs on a miss. */
+  private def specAnywhere(name: String): Option[PipelineSpec] =
+    specs.get(name).orElse(readPersistedSpec(name))
+
+  /** Is `dest` served by ANY current pipeline — this manager's or a
+    * peer's (durable store scan on local miss)? Guards that forfeit
+    * or re-point holdback state keyed by a destination must not
+    * treat a peer's live destination as out-of-service. */
+  private def destinationServedAnywhere(dest: String): Boolean =
+    specs.values.exists(_.destinationConnection == dest) || {
+      val dir = new Path(s"$checkpointRoot/specs")
+      rootFs.exists(dir) && rootFs.listStatus(dir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+        .exists { st =>
+          try {
+            val in = rootFs.open(st.getPath)
+            val text = try scala.io.Source.fromInputStream(in, "UTF-8")
+              .mkString finally in.close()
+            PipelineSpecJson.read(text).destinationConnection == dest
+          } catch { case _: Exception => false }
+        }
+    }
 
   private def readPersistedSpec(name: String): Option[PipelineSpec] = {
     val p = specFilePath(name)
@@ -1080,15 +1125,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     if (!rootFs.exists(reassignRequestDir)) return 0
     var consumed = 0
     rootFs.listStatus(reassignRequestDir).toSeq.filter(_.isFile).foreach { st =>
-      val parsed =
-        try {
-          val in = rootFs.open(st.getPath)
-          val parts = try new String(in.readAllBytes(), "UTF-8")
-            .split("\n", 3) finally in.close()
-          if (parts(0).nonEmpty)
-            Some((parts(0), if (parts.length >= 3) parts(2) else ""))
-          else None
-        } catch { case _: java.io.IOException => None }
+      val parsed = parseReassignRequest(st.getPath)
       val name = parsed.map(_._1).getOrElse("")
       if (name.nonEmpty) specs.get(name) match {
         case None =>
@@ -1102,18 +1139,18 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
             case None => rootFs.delete(st.getPath, false): Unit
             case Some(persisted) =>
               // `previous` must describe what the OWNER's query was
-              // delivering with. Normally that is this manager's
-              // in-memory spec — but when the owner crashed and a
-              // NON-owner (possibly the requestor, whose map already
-              // carries the new spec) consumes the orphan, the only
-              // truthful record of the old destination is the one the
-              // request carries; without it the consume would no-op
-              // and strand the old destination's holdback.
+              // delivering with. The request RECORDS that destination
+              // at request time (kept across overwrites), and it
+              // always wins over this manager's map: the requestor's
+              // map already carries the new spec (a local read would
+              // no-op the consume), and a third manager's map can be
+              // arbitrarily stale (a local read would move state from
+              // a destination the owner left long ago, stranding the
+              // true old destination's holdback). The local spec only
+              // fills in for a request that predates the field.
               val recordedOld = parsed.map(_._2).getOrElse("")
               val previous =
-                if (recordedOld.nonEmpty &&
-                    local.destinationConnection ==
-                      persisted.destinationConnection)
+                if (recordedOld.nonEmpty)
                   local.copy(destinationConnection = recordedOld)
                 else local
               val updated = persisted.copy(status = previous.status)
@@ -1386,7 +1423,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
                   !rootFs.rename(next, meta))
                 sys.error(s"holdback stamp promotion failed under $d")
               if (dest == fromDest &&
-                  specs.get(owner)
+                  specAnywhere(owner)
                     .forall(_.destinationConnection == toDest)) {
                 val out = rootFs.create(next, true)
                 try out.write(s"$owner\n$toDest".getBytes("UTF-8"))
@@ -1973,7 +2010,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         // service, so a later tenant can never inherit them.
         if (stamp.exists(_._2 == dest) &&
             stamp.forall(st =>
-              specs.get(st._1).forall(_.destinationConnection == dest))) {
+              specAnywhere(st._1).forall(_.destinationConnection == dest))) {
           val owner = stamp.get._1
           val ns = PipelineManager.namespaceOf(owner)
           val markers = new Path(hb, s"_graft_commits/$ns")
@@ -2030,8 +2067,8 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       rootFs.listStatus(root).toSeq.filter(_.isDirectory).foreach { d =>
         readHoldbackStamp(d.getPath).foreach { case (owner, stampDest) =>
           if (stampDest != dest &&
-              specs.get(owner).exists(_.destinationConnection == dest) &&
-              !specs.values.exists(_.destinationConnection == stampDest))
+              specAnywhere(owner).exists(_.destinationConnection == dest) &&
+              !destinationServedAnywhere(stampDest))
             restampHoldbackDest(stampDest, dest)
         }
       }
@@ -2409,31 +2446,40 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         // exactly as a live instance owns an execution lock
         throw PipelineLockedException(name, "index-rebuild")
     }
+    // plan captured ONCE (it fed `start` above): drive's loop bound
+    // and BOTH terminal records reuse the captured value, so a
+    // planEpochs getter that starts throwing mid-rebuild (open def —
+    // an implementation may compute it from a now-sick store) can
+    // never escape the catch before the terminal state is recorded
+    val plan = start.planEpochs
     def drive(): Unit = {
       try {
         var e = 0L
-        while (e < r.planEpochs) {
+        while (e < plan) {
           r.backfillEpoch(e)
-          val (oc, nc) = ceilings(start)
-          rebuilds.put(name, RebuildProgress("backfilling", r.planEpochs,
+          // fallback = the LAST RECORDED progress, not the seed: a
+          // getter failing mid-backfill must not make the published
+          // ceilings jump backward while epochsDone advances
+          val (oc, nc) = ceilings(rebuilds.get(name).getOrElse(start))
+          rebuilds.put(name, RebuildProgress("backfilling", plan,
             e + 1, oc, nc)): Unit
           e += 1
         }
         // THE CUTOVER GATE (s32's require): reads move only when the
         // new store's durable ceiling covers the backfill plan — a
         // lost epoch must fail the rebuild, never serve a hole
-        require(r.newCeiling >= r.planEpochs - 1,
+        require(r.newCeiling >= plan - 1,
           s"rebuild of $name incomplete (ceiling ${r.newCeiling} < " +
-            s"plan ${r.planEpochs}); refusing cutover")
+            s"plan $plan); refusing cutover")
         r.cutover()
-        val (oc, nc) = ceilings(start)
-        rebuilds.put(name, RebuildProgress("complete", r.planEpochs,
-          r.planEpochs, oc, nc)): Unit
+        val (oc, nc) = ceilings(rebuilds.get(name).getOrElse(start))
+        rebuilds.put(name, RebuildProgress("complete", plan,
+          plan, oc, nc)): Unit
       } catch {
         case e: Throwable =>
           val last = rebuilds.get(name).getOrElse(start)
           val (oc, nc) = ceilings(last)
-          rebuilds.put(name, RebuildProgress("failed", r.planEpochs,
+          rebuilds.put(name, RebuildProgress("failed", plan,
             last.epochsDone, oc, nc,
             Option(e.getMessage).getOrElse(e.getClass.getName))): Unit
           if (await) throw e
@@ -2665,23 +2711,27 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       // pause set from this incarnation
       rootFs.delete(new Path(s"$checkpointRoot/$name"), true): Unit
       rootFs.delete(new Path(holdbackPath(name)), true): Unit
-      // Group-holdback dirs STAMPED by the deleted member: while
-      // survivors still serve the stamped destination the dir stays
-      // (replay enumerates by destination, and an owner-missing dir
-      // still drains — the stamp contract's membership-churn clause),
-      // but when nobody serves that destination anymore the held
-      // epochs are this stream's own undelivered data — forfeited
-      // with the rest of its resources (q72's "nothing further for
-      // the deleted member's destination"). The dir must not outlive
-      // the spec: a later tenant reclaiming the freed destination
-      // would otherwise drain another stream's data into its own.
+      // Group-holdback dirs whose stamped destination this deletion
+      // takes OUT OF SERVICE: while survivors still serve it the dirs
+      // stay (replay enumerates by destination, and an owner-missing
+      // dir still drains — the stamp contract's membership-churn
+      // clause), but once nobody serves it the held epochs are
+      // forfeited stream data (q72's "nothing further for the deleted
+      // member's destination") and the dirs must not outlive the
+      // group: a later tenant reclaiming the freed destination would
+      // otherwise drain another stream's data into its own. Keyed on
+      // OWNER-GONE + DEST-UNSERVED, not on o == name — deleting
+      // sharers leader-first leaves the last deletion holding a dir
+      // stamped by an EARLIER-deleted leader, which must die here
+      // too. Live owners pointing elsewhere (strands) are untouched:
+      // their own destination's drain repairs them.
       locally {
         val hbRoot = new Path(s"$checkpointRoot/group-holdback")
         if (rootFs.exists(hbRoot))
           rootFs.listStatus(hbRoot).toSeq.filter(_.isDirectory).foreach { d =>
             readHoldbackStamp(d.getPath).foreach { case (o, dst) =>
-              if (o == name &&
-                  !specs.values.exists(_.destinationConnection == dst))
+              if ((o == name || specAnywhere(o).isEmpty) &&
+                  !destinationServedAnywhere(dst))
                 rootFs.delete(d.getPath, true): Unit
             }
           }

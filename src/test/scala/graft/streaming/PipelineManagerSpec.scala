@@ -1481,6 +1481,41 @@ class PipelineManagerSpec extends SparkTestBase {
     pm.close()
   }
 
+  test("leader-first deletion order still forfeits the dead leader's holdback with the last sharer") {
+    // the order the o == name check alone would miss: delete the
+    // LEADER (dir survives for the sharer), then the last sharer —
+    // the dir is stamped by the earlier-deleted leader, but the
+    // second delete takes its destination out of service, so the dir
+    // must die with it (owner-gone + dest-unserved, not stamp==name).
+    val root = Files.createTempDirectory("graft-dlf2-").toString
+    val srcDir = Files.createTempDirectory("graft-dlf2-src-").toString
+    val src2 = Files.createTempDirectory("graft-dlf2-src2-").toString
+    val dD = Files.createTempDirectory("graft-dlf2-d-").toString + "/d"
+    Seq((1L, "e0")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    val pm = new PipelineManager(spark, root)
+    pm.create(PipelineSpec("ga", "parquet", "parquet", srcDir,
+      destinationConnection = dD))
+    pm.create(PipelineSpec("gb", "parquet", "parquet", srcDir))
+    pm.startGroup("ga", identity).awaitTermination()
+    pm.pause("ga"); pm.pause("gb")
+    Seq((2L, "e1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    pm.startGroup("ga", identity).awaitTermination()
+    pm.delete("ga") // leader first: gb still serves dD → dir stays
+    pm.delete("gb") // last sharer: dD out of service → dir must die
+    val hbRoot = new org.apache.hadoop.fs.Path(s"$root/group-holdback")
+    val fs = hbRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(hbRoot) || fs.listStatus(hbRoot).isEmpty,
+      "leader-first deletion left the dead leader's holdback behind")
+    Seq((9L, "t0")).toDF("k", "v").write.mode(SaveMode.Append).parquet(src2)
+    pm.create(PipelineSpec("gt", "parquet", "parquet", src2,
+      destinationConnection = dD))
+    pm.start("gt", identity).awaitTermination()
+    assert(spark.read.parquet(dD).as[(Long, String)].collect().toSet ==
+      Set((1L, "e0"), (9L, "t0")),
+      "the forfeited epoch must never reach the reclaiming tenant")
+    pm.close()
+  }
+
   test("a crashed owner's reassign request is consumed by a surviving manager with the recorded old destination") {
     // q76's orphan path: the requestor's own map already carries the
     // NEW spec, so only the request's recorded previous destination
@@ -1536,6 +1571,15 @@ class PipelineManagerSpec extends SparkTestBase {
       destinationConnection = dx))
     val q0 = pmA.start("xm", identity,
       org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+    // epoch 0 fully committed BEFORE the update: the owner's restart
+    // then deterministically resumes at epoch 1 (an uncommitted
+    // epoch would legitimately replay into the NEW destination)
+    val fsC = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val dl0 = System.currentTimeMillis() + 90000L
+    while (!fsC.exists(new org.apache.hadoop.fs.Path(s"$root/xm/commits/0")) &&
+        System.currentTimeMillis() < dl0) Thread.sleep(20L)
+    assert(fsC.exists(new org.apache.hadoop.fs.Path(s"$root/xm/commits/0")))
     val pmB = new PipelineManager(spark, root, instance = "B")
     pmB.update("xm", PipelineSpec("xm", "parquet", "parquet", srcDir,
       destinationConnection = dz)): Unit
