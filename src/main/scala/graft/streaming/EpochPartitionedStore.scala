@@ -259,6 +259,9 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
   // schema (one footer, already paid by the view) when a fresh
   // instance appends to a dir with data.
   private var recordedShape: Option[Seq[(String, String)]] = None
+  // appends between guard-pass and write-outcome; a failed first
+  // append only rolls its provisional shape back when this is zero
+  private var appendsInFlight = 0
   // name+type, partCol excluded (directory-encoded on disk), sorted
   // by name, nullability normalized away (parquet roundtrips may
   // tighten containsNull and must not trip the guard)
@@ -280,9 +283,12 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
     val incoming = dataShape(frame.schema)
     // check AND record under one lock hold (two concurrent first
     // appends with different shapes must not both pass the guard);
-    // a failed write ROLLS the provisional record back when nothing
-    // is committed, so a corrected retry on an empty store is not
-    // poisoned by the failed attempt's phantom shape
+    // a failed FIRST write rolls the provisional record back when
+    // nothing is committed AND no other append is mid-flight (an
+    // in-flight sibling passed the guard on this very shape — a
+    // rollback under it would reopen the two-schema window), so a
+    // corrected retry on an empty store is not poisoned by the
+    // failed attempt's phantom shape
     val provisional = viewLock.synchronized {
       val existing = recordedShape.orElse(
         if (hasData) Some(dataShape(ensureView().frame.schema)) else None)
@@ -295,6 +301,7 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
       }
       val first = existing.isEmpty
       recordedShape = Some(incoming)
+      appendsInFlight += 1
       first
     }
     val files =
@@ -302,12 +309,15 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
         frame, dir, partCol, epoch, names.dataPipe)
       catch {
         case t: Throwable =>
-          if (provisional) viewLock.synchronized {
-            if (recordedShape.contains(incoming) && !hasData)
+          viewLock.synchronized {
+            appendsInFlight -= 1
+            if (provisional && appendsInFlight == 0 &&
+                recordedShape.contains(incoming) && !hasData)
               recordedShape = None
           }
           throw t
       }
+    viewLock.synchronized { appendsInFlight -= 1 }
     viewLock.synchronized {
       if (epoch > lastSeenEpoch) {
         if (view.isEmpty) { if (files.nonEmpty) ensureView(): Unit }

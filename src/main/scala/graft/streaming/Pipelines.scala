@@ -861,20 +861,30 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       owner: String = "anonymous"): PipelineSpec = {
     requireNotDemoted()
     val existing = specs.getOrElse(name, sys.error(s"unknown pipeline $name"))
+    // EVERY judgment below compares against the last-PERSISTED spec,
+    // not this manager's map: the map is loaded once at construction
+    // and goes stale the moment a peer mutates (q76 opened exactly
+    // that door). A stale baseline would (a) skip the reassign when
+    // the client's PUT happens to match the stale view while the
+    // durable truth differs, and (b) silently REVERT a peer's
+    // re-point through the empty-destination carry-over. The local
+    // spec only fills in when the durable read fails — in which case
+    // it is also the best available truth.
+    val baseline = readPersistedSpec(name).getOrElse(existing)
     require(newSpec.name == name, "pipeline name is immutable")
     require(newSpec.sourceConnection.nonEmpty, "source connection required")
     // same authorize-before-mutate ordering as create (the reference
     // authorizes every mutating call, Coordinator.java:2371-2393)
     require(hooks.authorize(newSpec, owner),
       s"owner $owner not authorized to update $name")
-    hooks.validateUpdate(existing, newSpec)
+    hooks.validateUpdate(baseline, newSpec)
     // BYOT conflict (D2) holds on the update path too: re-pointing a
     // pipeline at a destination another pipeline already uses would
     // silently interleave two streams into one sink. The reference
     // validates updates as strictly as creates (DatastreamResources
     // update :410 → validateDatastreamsUpdate).
     if (newSpec.destinationConnection.nonEmpty &&
-        newSpec.destinationConnection != existing.destinationConnection) {
+        newSpec.destinationConnection != baseline.destinationConnection) {
       val inUse = specs.values
         .exists(_.destinationConnection == newSpec.destinationConnection)
       require(!inUse,
@@ -905,8 +915,8 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     // this check and the persist below — startInPool re-reads the
     // spec after acquiring, so only a sub-RPC interleaving can still
     // pair an old-source query with a new-source spec.)
-    if (newSpec.connector != existing.connector ||
-        newSpec.sourceConnection != existing.sourceConnection) {
+    if (newSpec.connector != baseline.connector ||
+        newSpec.sourceConnection != baseline.sourceConnection) {
       // A GROUPED spec never re-points its source at all: the task
       // group exists because its members share one source (create's
       // dedup), startGroup requires exactly one, and the reference
@@ -916,7 +926,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       // can ever run again — and a per-member-stopped member's
       // released lock would otherwise sneak it past the lock check
       // below while the siblings' shared query still runs.
-      val prefix = existing.metadata.getOrElse(
+      val prefix = baseline.metadata.getOrElse(
         PipelineManager.TaskPrefixKey, name)
       require(!specs.values.exists(s => s.name != name &&
           s.metadata.getOrElse(PipelineManager.TaskPrefixKey, s.name)
@@ -944,27 +954,16 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     // carried); a spec that DOES carry the key — e.g. movePartitions
     // persisting a new pin table through this path — keeps its value.
     val managed = PipelineManager.ServerManagedMetadataKeys.iterator
-      .flatMap(k => existing.metadata.get(k).map(k -> _)).toMap
-    val updated = newSpec.copy(status = existing.status,
+      .flatMap(k => baseline.metadata.get(k).map(k -> _)).toMap
+    val updated = newSpec.copy(status = baseline.status,
       metadata = managed ++ newSpec.metadata,
       destinationConnection =
         if (newSpec.destinationConnection.nonEmpty) newSpec.destinationConnection
-        else existing.destinationConnection)
-    // the last-PERSISTED destination, captured before this update
-    // overwrites it: `existing` is THIS manager's map, which can be
-    // stale when the query runs under a peer that updated since our
-    // loadSpecs(); the durable store carries the truth every manager
-    // agreed on. Feeds the reassign (and, on the q76 path, the
-    // request record) so old-destination state moves from where
-    // delivery actually was, not from a stale local memory.
-    val persistedPrevDest = readPersistedSpec(name)
-      .map(_.destinationConnection)
-      .filter(_.nonEmpty)
-      .getOrElse(existing.destinationConnection)
+        else baseline.destinationConnection)
     specs.put(name, updated)
     persistSpec(updated)
     val destChanged =
-      updated.destinationConnection != existing.destinationConnection
+      updated.destinationConnection != baseline.destinationConnection
     // q75: delivery-relevant METADATA changes reassign exactly like a
     // destination re-point — the running query's closures captured the
     // old values at start, so only a restart makes the update take
@@ -980,9 +979,8 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     // cross-manager consumer so the two can never diverge.
     if (destChanged)
       provisionDestination(updated) // a re-point gets the same K7 layout
-    if (destChanged || deliveryRelevantChange(updated, existing))
-      reassignUpdatedMember(updated,
-        existing.copy(destinationConnection = persistedPrevDest))
+    if (destChanged || deliveryRelevantChange(updated, baseline))
+      reassignUpdatedMember(updated, baseline)
     updated
   }
 
@@ -1049,48 +1047,80 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     * keep-first-prev read and the consumer's listing walk. */
   private def parseReassignRequest(p: Path): Option[(String, String)] =
     try {
-      if (!rootFs.exists(p)) None
-      else {
-        val in = rootFs.open(p)
-        val parts = try new String(in.readAllBytes(), "UTF-8").split("\n", 3)
-          finally in.close()
-        if (parts.length >= 1 && parts(0).nonEmpty)
-          Some((parts(0), if (parts.length >= 3) parts(2) else ""))
-        else None
-      }
+      // no exists() pre-check: absent-file opens throw
+      // FileNotFoundException ⊂ IOException → None, same semantics
+      // one RPC cheaper (the consumer walks paths fresh from a
+      // listing anyway)
+      val in = rootFs.open(p)
+      val parts = try new String(in.readAllBytes(), "UTF-8").split("\n", 3)
+        finally in.close()
+      if (parts.length >= 1 && parts(0).nonEmpty)
+        Some((parts(0), if (parts.length >= 3) parts(2) else ""))
+      else None
     } catch { case _: java.io.IOException => None }
 
   private def readReassignRequest(name: String): Option[(String, String)] =
     parseReassignRequest(reassignRequestPath(name))
 
-  /** The owner's spec from the LOCAL map, falling back to the shared
-    * durable store: the holdback churn guards below use "owner
-    * exists?" as a safety oracle, and a pipeline created by ANOTHER
-    * manager after this one's loadSpecs() is invisible locally — a
-    * local-only lookup would misread a live peer's strand as a
-    * deleted owner's dir and drain it into the wrong stream. Local
-    * hit costs nothing; the durable read only runs on a miss. */
-  private def specAnywhere(name: String): Option[PipelineSpec] =
-    specs.get(name).orElse(readPersistedSpec(name))
-
-  /** Is `dest` served by ANY current pipeline — this manager's or a
-    * peer's (durable store scan on local miss)? Guards that forfeit
-    * or re-point holdback state keyed by a destination must not
-    * treat a peer's live destination as out-of-service. */
-  private def destinationServedAnywhere(dest: String): Boolean =
-    specs.values.exists(_.destinationConnection == dest) || {
-      val dir = new Path(s"$checkpointRoot/specs")
-      rootFs.exists(dir) && rootFs.listStatus(dir).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
-        .exists { st =>
-          try {
-            val in = rootFs.open(st.getPath)
+  /** Tri-state owner lookup for the holdback churn guards: local map
+    * first (a hit costs nothing), then the shared durable store — a
+    * pipeline created by ANOTHER manager after this one's loadSpecs()
+    * is invisible locally, and a local-only lookup would misread a
+    * live peer's strand as a deleted owner's dir and drain it into
+    * the wrong stream. The three states matter because every caller
+    * makes a DESTRUCTIVE decision: `Some(Some(s))` = found,
+    * `Some(None)` = POSITIVELY absent (the spec file does not exist),
+    * `None` = unreadable (IO hiccup) — callers must fail toward
+    * "keep" on None, never toward forfeit/drain/restamp. */
+  private def specAnywhereKnown(name: String): Option[Option[PipelineSpec]] =
+    specs.get(name) match {
+      case Some(s) => Some(Some(s))
+      case None =>
+        try {
+          val p = specFilePath(name)
+          if (!rootFs.exists(p)) Some(None)
+          else {
+            val in = rootFs.open(p)
             val text = try scala.io.Source.fromInputStream(in, "UTF-8")
               .mkString finally in.close()
-            PipelineSpecJson.read(text).destinationConnection == dest
-          } catch { case _: Exception => false }
-        }
+            Some(Some(PipelineSpecJson.read(text)))
+          }
+        } catch { case _: Exception => None }
     }
+
+  /** Every persisted spec, read in ONE pass — or None when ANYTHING
+    * was unreadable (listing or any file): guards that forfeit or
+    * re-point holdback state keyed by "destination out of service"
+    * must not treat a throttled store as an empty one. Callers doing
+    * per-dir checks take this snapshot once, not once per dir. */
+  private def readAllPersistedSpecs(): Option[Seq[PipelineSpec]] =
+    try {
+      val dir = new Path(s"$checkpointRoot/specs")
+      if (!rootFs.exists(dir)) Some(Nil)
+      else {
+        val parsed = rootFs.listStatus(dir).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+          .map { st =>
+            try {
+              val in = rootFs.open(st.getPath)
+              val text = try scala.io.Source.fromInputStream(in, "UTF-8")
+                .mkString finally in.close()
+              Some(PipelineSpecJson.read(text))
+            } catch { case _: Exception => None }
+          }
+        if (parsed.contains(None)) None else Some(parsed.flatten)
+      }
+    } catch { case _: Exception => None }
+
+  /** Is `dest` POSITIVELY out of service — no local spec and a fully
+    * readable durable snapshot with no match? Unreadable → false
+    * (not known unserved; the destructive caller keeps its hands
+    * off). Callers with several destinations to judge pass one
+    * shared snapshot. */
+  private def destinationKnownUnserved(dest: String,
+      durable: Option[Seq[PipelineSpec]]): Boolean =
+    !specs.values.exists(_.destinationConnection == dest) &&
+      durable.exists(!_.exists(_.destinationConnection == dest))
 
   private def readPersistedSpec(name: String): Option[PipelineSpec] = {
     val p = specFilePath(name)
@@ -1423,8 +1453,11 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
                   !rootFs.rename(next, meta))
                 sys.error(s"holdback stamp promotion failed under $d")
               if (dest == fromDest &&
-                  specAnywhere(owner)
-                    .forall(_.destinationConnection == toDest)) {
+                  // positive knowledge only: found-pointing-at-toDest
+                  // or positively absent; unreadable → leave the dir
+                  // (repair re-runs at the next drain)
+                  specAnywhereKnown(owner)
+                    .exists(_.forall(_.destinationConnection == toDest))) {
                 val out = rootFs.create(next, true)
                 try out.write(s"$owner\n$toDest".getBytes("UTF-8"))
                 finally out.close()
@@ -2008,9 +2041,14 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         // survives leadership drift and leader deletion); delete()
         // forfeits such dirs when their destination goes out of
         // service, so a later tenant can never inherit them.
+        // POSITIVE knowledge required to deliver: owner found with a
+        // spec pointing here, or owner positively absent (deleted
+        // leader — the churn clause). An unreadable spec store skips
+        // the dir THIS tick (retried next drain); it must never
+        // default into delivering a live strand owner's epochs.
         if (stamp.exists(_._2 == dest) &&
-            stamp.forall(st =>
-              specAnywhere(st._1).forall(_.destinationConnection == dest))) {
+            stamp.forall(st => specAnywhereKnown(st._1)
+              .exists(_.forall(_.destinationConnection == dest)))) {
           val owner = stamp.get._1
           val ns = PipelineManager.namespaceOf(owner)
           val markers = new Path(hb, s"_graft_commits/$ns")
@@ -2063,15 +2101,25 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     * next drains. */
   private def repairStrandedHoldbackStamps(dest: String): Unit = {
     val root = new Path(s"$checkpointRoot/group-holdback")
-    if (rootFs.exists(root))
-      rootFs.listStatus(root).toSeq.filter(_.isDirectory).foreach { d =>
+    if (rootFs.exists(root)) {
+      val dirs = rootFs.listStatus(root).toSeq.filter(_.isDirectory)
+      // ONE durable snapshot serves every dir's out-of-service check
+      // (an object store pays a real RPC per spec read), taken lazily
+      // — the common no-strand case never pays it
+      lazy val durable = readAllPersistedSpecs()
+      dirs.foreach { d =>
         readHoldbackStamp(d.getPath).foreach { case (owner, stampDest) =>
           if (stampDest != dest &&
-              specAnywhere(owner).exists(_.destinationConnection == dest) &&
-              !destinationServedAnywhere(stampDest))
+              // both checks need POSITIVE knowledge — an unreadable
+              // store must not look like a strand (the re-drive
+              // re-runs at every later drain)
+              specAnywhereKnown(owner)
+                .exists(_.exists(_.destinationConnection == dest)) &&
+              destinationKnownUnserved(stampDest, durable))
             restampHoldbackDest(stampDest, dest)
         }
       }
+    }
   }
 
   /** A6/A7: per-epoch throughput metrics ride the query itself via
@@ -2727,14 +2775,22 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       // their own destination's drain repairs them.
       locally {
         val hbRoot = new Path(s"$checkpointRoot/group-holdback")
-        if (rootFs.exists(hbRoot))
-          rootFs.listStatus(hbRoot).toSeq.filter(_.isDirectory).foreach { d =>
+        if (rootFs.exists(hbRoot)) {
+          val dirs = rootFs.listStatus(hbRoot).toSeq.filter(_.isDirectory)
+          // one durable snapshot for all dirs; forfeiting is
+          // DESTRUCTIVE, so both legs demand POSITIVE knowledge — an
+          // unreadable store keeps every dir (a live peer's held
+          // epochs must never be forfeited on an IO hiccup)
+          lazy val durable = readAllPersistedSpecs()
+          dirs.foreach { d =>
             readHoldbackStamp(d.getPath).foreach { case (o, dst) =>
-              if ((o == name || specAnywhere(o).isEmpty) &&
-                  !destinationServedAnywhere(dst))
+              if ((o == name ||
+                    specAnywhereKnown(o).exists(_.isEmpty)) &&
+                  destinationKnownUnserved(dst, durable))
                 rootFs.delete(d.getPath, true): Unit
             }
           }
+        }
       }
       rootFs.delete(pausedStatePath(name), false): Unit
       pausedPartitions.remove(name): Unit
