@@ -283,13 +283,10 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
     val incoming = dataShape(frame.schema)
     // check AND record under one lock hold (two concurrent first
     // appends with different shapes must not both pass the guard);
-    // a failed FIRST write rolls the provisional record back when
-    // nothing is committed AND no other append is mid-flight (an
-    // in-flight sibling passed the guard on this very shape — a
-    // rollback under it would reopen the two-schema window), so a
-    // corrected retry on an empty store is not poisoned by the
-    // failed attempt's phantom shape
-    val provisional = viewLock.synchronized {
+    // the LAST append out of a failed flight rolls the phantom shape
+    // back when nothing was committed, so a corrected retry on an
+    // empty store is not poisoned by the failed attempt
+    viewLock.synchronized {
       val existing = recordedShape.orElse(
         if (hasData) Some(dataShape(ensureView().frame.schema)) else None)
       existing.foreach { e =>
@@ -299,10 +296,8 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
           "store has ONE schema for its lifetime (readSnapshot applies " +
           "one footer to every file)")
       }
-      val first = existing.isEmpty
       recordedShape = Some(incoming)
       appendsInFlight += 1
-      first
     }
     val files =
       try PipelineManager.epochAppendPartitioned(
@@ -311,14 +306,20 @@ final class EpochPartitionedStore(spark: SparkSession, val dir: String,
         case t: Throwable =>
           viewLock.synchronized {
             appendsInFlight -= 1
-            if (provisional && appendsInFlight == 0 &&
+            // NOT gated on `provisional`: when the provisional append
+            // fails first (sibling in flight, rollback skipped) and
+            // the SIBLING then also fails, the sibling is the last
+            // one out and must do the rollback — the remaining
+            // conjuncts (no one in flight, this very shape, nothing
+            // committed) already confine it to the phantom case
+            if (appendsInFlight == 0 &&
                 recordedShape.contains(incoming) && !hasData)
               recordedShape = None
           }
           throw t
       }
-    viewLock.synchronized { appendsInFlight -= 1 }
     viewLock.synchronized {
+      appendsInFlight -= 1
       if (epoch > lastSeenEpoch) {
         if (view.isEmpty) { if (files.nonEmpty) ensureView(): Unit }
         else view.get.extend(files)

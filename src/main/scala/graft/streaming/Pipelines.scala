@@ -885,8 +885,19 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     // update :410 → validateDatastreamsUpdate).
     if (newSpec.destinationConnection.nonEmpty &&
         newSpec.destinationConnection != baseline.destinationConnection) {
-      val inUse = specs.values
-        .exists(_.destinationConnection == newSpec.destinationConnection)
+      // judged against the DURABLE population, not just this
+      // manager's map — a peer-created pipeline's destination is
+      // invisible locally, and accepting it would interleave two
+      // streams into one sink. FAIL-CLOSED on an unreadable store:
+      // rejecting is a retryable error; accepting a conflict is
+      // silent data corruption.
+      val durable = readAllPersistedSpecs()
+      require(durable.isDefined, "spec store unreadable; cannot " +
+        s"validate destination ${newSpec.destinationConnection} for " +
+        "conflicts — retry the update")
+      val inUse = (specs.values ++ durable.get).exists(s =>
+        s.name != name &&
+          s.destinationConnection == newSpec.destinationConnection)
       require(!inUse,
         s"destination ${newSpec.destinationConnection} already in use")
     }
@@ -928,7 +939,15 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       // below while the siblings' shared query still runs.
       val prefix = baseline.metadata.getOrElse(
         PipelineManager.TaskPrefixKey, name)
-      require(!specs.values.exists(s => s.name != name &&
+      // sibling scan over the DURABLE population too (a peer-created
+      // group member is invisible in this manager's map), fail-closed
+      // on an unreadable store — wrongly accepting a grouped source
+      // re-point leaves a group startGroup can never run again
+      val durableForGroup = readAllPersistedSpecs()
+      require(durableForGroup.isDefined, "spec store unreadable; " +
+        s"cannot validate $name's task-group membership — retry")
+      require(!(specs.values ++ durableForGroup.get).exists(s =>
+          s.name != name &&
           s.metadata.getOrElse(PipelineManager.TaskPrefixKey, s.name)
             == prefix),
         s"pipeline $name belongs to task group '$prefix'; group " +
@@ -1072,21 +1091,34 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     * `Some(None)` = POSITIVELY absent (the spec file does not exist),
     * `None` = unreadable (IO hiccup) — callers must fail toward
     * "keep" on None, never toward forfeit/drain/restamp. */
+  /** Read-and-parse one spec file; throws on anything (the ONE
+    * spelling of the read — each caller wraps its own error policy). */
+  private def readSpecFile(p: Path): PipelineSpec = {
+    val in = rootFs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    PipelineSpecJson.read(text)
+  }
+
   private def specAnywhereKnown(name: String): Option[Option[PipelineSpec]] =
     specs.get(name) match {
       case Some(s) => Some(Some(s))
-      case None =>
-        try {
-          val p = specFilePath(name)
-          if (!rootFs.exists(p)) Some(None)
-          else {
-            val in = rootFs.open(p)
-            val text = try scala.io.Source.fromInputStream(in, "UTF-8")
-              .mkString finally in.close()
-            Some(Some(PipelineSpecJson.read(text)))
-          }
-        } catch { case _: Exception => None }
+      case None => specDurablyKnown(name)
     }
+
+  /** Durable-FIRST tri-state lookup for control-plane guards whose
+    * local map may itself be stale (restamp and repair can run on
+    * whichever manager took the verb, long after a peer re-pointed
+    * the owner): the persisted spec is the truth every manager wrote
+    * through, so a durable hit outranks local memory; an unreadable
+    * store is `None` and the destructive caller keeps its hands off
+    * rather than acting on a possibly-stale local view. */
+  private def specDurablyKnown(name: String): Option[Option[PipelineSpec]] =
+    try {
+      val p = specFilePath(name)
+      if (!rootFs.exists(p)) Some(None)
+      else Some(Some(readSpecFile(p)))
+    } catch { case _: Exception => None }
 
   /** Every persisted spec, read in ONE pass — or None when ANYTHING
     * was unreadable (listing or any file): guards that forfeit or
@@ -1101,12 +1133,18 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         val parsed = rootFs.listStatus(dir).toSeq
           .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
           .map { st =>
-            try {
-              val in = rootFs.open(st.getPath)
-              val text = try scala.io.Source.fromInputStream(in, "UTF-8")
-                .mkString finally in.close()
-              Some(PipelineSpecJson.read(text))
-            } catch { case _: Exception => None }
+            try Some(readSpecFile(st.getPath))
+            catch {
+              case _: Exception =>
+                // loud, because the consequence is invisible: while
+                // ANY file is unreadable, every forfeit/repair guard
+                // holds off (correctly — fail toward keep), so a
+                // PERMANENTLY torn file silently disables them all
+                Console.err.println(s"[graft] spec snapshot: unreadable " +
+                  s"${st.getPath} — holdback forfeit/repair suspended " +
+                  "until it is fixed or removed")
+                None
+            }
           }
         if (parsed.contains(None)) None else Some(parsed.flatten)
       }
@@ -1122,17 +1160,15 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     !specs.values.exists(_.destinationConnection == dest) &&
       durable.exists(!_.exists(_.destinationConnection == dest))
 
-  private def readPersistedSpec(name: String): Option[PipelineSpec] = {
-    val p = specFilePath(name)
-    if (!rootFs.exists(p)) None
-    else
-      try {
-        val in = rootFs.open(p)
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        Some(PipelineSpecJson.read(text))
-      } catch { case _: java.io.IOException => None }
-  }
+  private def readPersistedSpec(name: String): Option[PipelineSpec] =
+    // catches EVERYTHING (exists-hiccups, torn-file parse errors):
+    // every caller documents "fall back to the local view when the
+    // durable read fails", and a propagating parse exception would
+    // abort the caller instead
+    try {
+      val p = specFilePath(name)
+      if (!rootFs.exists(p)) None else Some(readSpecFile(p))
+    } catch { case _: Exception => None }
 
   /** Consume pending reassign-requests this manager is entitled to
     * act on: those for pipelines it knows whose queries no LIVE PEER
@@ -1453,10 +1489,11 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
                   !rootFs.rename(next, meta))
                 sys.error(s"holdback stamp promotion failed under $d")
               if (dest == fromDest &&
-                  // positive knowledge only: found-pointing-at-toDest
-                  // or positively absent; unreadable → leave the dir
-                  // (repair re-runs at the next drain)
-                  specAnywhereKnown(owner)
+                  // positive DURABLE knowledge only (this can run on
+                  // a manager whose own map is stale): found pointing
+                  // at toDest, or positively absent; unreadable →
+                  // leave the dir (repair re-runs at the next drain)
+                  specDurablyKnown(owner)
                     .exists(_.forall(_.destinationConnection == toDest))) {
                 val out = rootFs.create(next, true)
                 try out.write(s"$owner\n$toDest".getBytes("UTF-8"))
@@ -2046,6 +2083,11 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         // leader — the churn clause). An unreadable spec store skips
         // the dir THIS tick (retried next drain); it must never
         // default into delivering a live strand owner's epochs.
+        // Local-FIRST lookup is sound on this hot path: the draining
+        // manager holds the group's locks, so every reassignment of a
+        // member delivering here was consumed by THIS manager (its
+        // map saw it); the durable fallback covers owners it never
+        // loaded.
         if (stamp.exists(_._2 == dest) &&
             stamp.forall(st => specAnywhereKnown(st._1)
               .exists(_.forall(_.destinationConnection == dest)))) {
@@ -2110,11 +2152,13 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       dirs.foreach { d =>
         readHoldbackStamp(d.getPath).foreach { case (owner, stampDest) =>
           if (stampDest != dest &&
-              // both checks need POSITIVE knowledge — an unreadable
-              // store must not look like a strand (the re-drive
-              // re-runs at every later drain)
-              specAnywhereKnown(owner)
-                .exists(_.exists(_.destinationConnection == dest)) &&
+              // both checks answered from the DURABLE snapshot (this
+              // manager's map may be stale, and the snapshot is
+              // already paid for): positive knowledge only — an
+              // unreadable store must not look like a strand (the
+              // re-drive re-runs at every later drain)
+              durable.exists(_.exists(s => s.name == owner &&
+                s.destinationConnection == dest)) &&
               destinationKnownUnserved(stampDest, durable))
             restampHoldbackDest(stampDest, dest)
         }
@@ -2784,8 +2828,9 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
           lazy val durable = readAllPersistedSpecs()
           dirs.foreach { d =>
             readHoldbackStamp(d.getPath).foreach { case (o, dst) =>
-              if ((o == name ||
-                    specAnywhereKnown(o).exists(_.isEmpty)) &&
+              // owner-gone answered from the snapshot too (one read
+              // serves every dir, and it IS the durable truth)
+              if ((o == name || durable.exists(!_.exists(_.name == o))) &&
                   destinationKnownUnserved(dst, durable))
                 rootFs.delete(d.getPath, true): Unit
             }
