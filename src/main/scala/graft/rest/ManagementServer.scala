@@ -27,7 +27,14 @@ import graft.streaming.PipelineManager
  *   GET    /pipelines?start=&count=   list (paged, O4)
  *   GET    /pipelines/{name}          get
  *   POST   /pipelines                 create (spec JSON; X-Owner header)
- *   PUT    /pipelines/{name}          update
+ *   PUT    /pipelines/{name}          update (a delivery-relevant
+ *     change restarts the running query exactly-once onto the new
+ *     spec — or hands it to the owning manager via a durable
+ *     reassign-request when the query runs elsewhere. ONE carve-out:
+ *     a RUNNING memory→memory pipeline keeps the old contract —
+ *     spec persists, query keeps running, the caller owns the next
+ *     stop/start cycle — because a memory sink cannot recover a
+ *     checkpoint, so there is nothing restartable)
  *   POST   /pipelines/{name}/start    start (transform by name; ?await=true)
  *   POST   /pipelines/{name}/pause    pause (assignment retained)
  *   POST   /pipelines/{name}/stop     stop (?force=true → whole group)
