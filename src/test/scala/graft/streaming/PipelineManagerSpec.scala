@@ -1516,6 +1516,92 @@ class PipelineManagerSpec extends SparkTestBase {
     pm.close()
   }
 
+  test("update validates destination conflicts against the DURABLE population, fail-closed on unreadable") {
+    // A peer-created pipeline's destination is invisible in this
+    // manager's once-loaded map; accepting a re-point onto it would
+    // interleave two streams into one sink. And when the spec store
+    // cannot be read, the update is REJECTED (retryable) rather than
+    // validated against a blind spot.
+    val root = Files.createTempDirectory("graft-byot-").toString
+    val srcDir = Files.createTempDirectory("graft-byot-src-").toString
+    val src2 = Files.createTempDirectory("graft-byot-src2-").toString
+    val dA = Files.createTempDirectory("graft-byot-da-").toString + "/d"
+    val dP = Files.createTempDirectory("graft-byot-dp-").toString + "/d"
+    val dZ = Files.createTempDirectory("graft-byot-dz-").toString + "/d"
+    Seq((1L, "v")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    Seq((2L, "w")).toDF("k", "v").write.mode(SaveMode.Append).parquet(src2)
+    val m1 = new PipelineManager(spark, root, instance = "m1")
+    m1.create(PipelineSpec("bp", "parquet", "parquet", srcDir,
+      destinationConnection = dA))
+    // peer joins AFTER m1 loaded and claims dP durably
+    val m2 = new PipelineManager(spark, root, instance = "m2")
+    m2.create(PipelineSpec("peer", "parquet", "parquet", src2,
+      destinationConnection = dP))
+    assert(m1.get("peer").isEmpty, "test setup: peer must be invisible to m1")
+    val e = intercept[IllegalArgumentException] {
+      m1.update("bp", PipelineSpec("bp", "parquet", "parquet", srcDir,
+        destinationConnection = dP))
+    }
+    assert(e.getMessage.contains("already in use"), e.getMessage)
+    // unreadable store → fail-closed reject, not blind acceptance
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val torn = new org.apache.hadoop.fs.Path(s"$root/specs/torn.json")
+    val out = fs.create(torn, true)
+    out.write("{not json".getBytes("UTF-8")); out.close()
+    val e2 = intercept[IllegalArgumentException] {
+      m1.update("bp", PipelineSpec("bp", "parquet", "parquet", srcDir,
+        destinationConnection = dZ))
+    }
+    assert(e2.getMessage.contains("unreadable"), e2.getMessage)
+    // store repaired → the same legitimate update goes through
+    fs.delete(torn, false)
+    m1.update("bp", PipelineSpec("bp", "parquet", "parquet", srcDir,
+      destinationConnection = dZ)): Unit
+    assert(m1.get("bp").get.destinationConnection == dZ)
+    m1.close(); m2.close()
+  }
+
+  test("a torn spec file suspends holdback forfeit instead of enabling it") {
+    // the destructive guards' fail-toward-KEEP contract under an
+    // unreadable store: delete() must NOT forfeit a holdback dir
+    // while any spec file is unreadable (the 'owner gone' and 'dest
+    // unserved' answers are unknowable), and must forfeit once the
+    // store is readable again.
+    val root = Files.createTempDirectory("graft-torn-").toString
+    val srcDir = Files.createTempDirectory("graft-torn-src-").toString
+    Seq((1L, "e0")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    val pm = new PipelineManager(spark, root)
+    pm.create(PipelineSpec("ta", "parquet", "parquet", srcDir,
+      destinationConnection =
+        Files.createTempDirectory("graft-torn-d-").toString + "/d"))
+    pm.create(PipelineSpec("tb", "parquet", "parquet", srcDir))
+    pm.startGroup("ta", identity).awaitTermination()
+    pm.pause("ta"); pm.pause("tb")
+    Seq((2L, "e1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    pm.startGroup("ta", identity).awaitTermination()
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val hbRoot = new org.apache.hadoop.fs.Path(s"$root/group-holdback")
+    assert(fs.exists(hbRoot) && fs.listStatus(hbRoot).nonEmpty,
+      "holdback setup broken")
+    val torn = new org.apache.hadoop.fs.Path(s"$root/specs/torn.json")
+    val out = fs.create(torn, true)
+    out.write("{not json".getBytes("UTF-8")); out.close()
+    pm.delete("tb")
+    pm.delete("ta") // last sharer — but the snapshot is unreadable
+    assert(fs.exists(hbRoot) && fs.listStatus(hbRoot).nonEmpty,
+      "an unreadable spec store must suspend forfeit, never enable it")
+    // store readable again: a later delete-time sweep isn't re-run
+    // automatically, but the replay guard must STILL refuse to drain
+    // the orphan into a reclaiming tenant (owner positively absent +
+    // dest unserved is the forfeit key, and nothing serves it here;
+    // the dir simply waits for an operator or the next delete at
+    // that destination)
+    fs.delete(torn, false)
+    pm.close()
+  }
+
   test("a crashed owner's reassign request is consumed by a surviving manager with the recorded old destination") {
     // q76's orphan path: the requestor's own map already carries the
     // NEW spec, so only the request's recorded previous destination
