@@ -3154,6 +3154,246 @@ object StreamingQueries {
       }
     }),
 
+    // CROSS-MANAGER PAUSE + RESUME (q77) — the lifecycle-verb
+    // extension of q76's routing: a pause issued on a manager that
+    // does NOT run the query (B) must reach the LIVE manager that
+    // does (A), and must mutate NOTHING until A enacts it — a local
+    // status flip would lie (A's query keeps delivering against a
+    // spec that reads Paused). The reference routes every datastream
+    // state transition through the coordinator via ZK
+    // (DatastreamResources.java:355-439 → Coordinator.java:824).
+    // Contract under test: after B.pause the durable status still
+    // reads Ready and A's query is untouched; B's own tick refuses
+    // the request (A is live); A's tick enacts it — query stopped,
+    // durable status Paused, the LOCK KEPT (pause keeps the
+    // assignment); B's requestResume routes back the same way and A
+    // restarts from its remembered run; delivery across the whole
+    // round trip is exactly-once.
+    "q77_cross_manager_pause" -> ((s, d) => {
+      val ckptRoot = Files.createTempDirectory("graft-q77-pm-").toString
+      val srcDir = Files.createTempDirectory("graft-q77-src-").toString
+      val destD = Files.createTempDirectory("graft-q77-dest-").toString + "/d"
+      var pms = List.empty[PipelineManager]
+      try {
+        val conf = s.sparkContext.hadoopConfiguration
+        val clicks = Tables.t(s, d, "events")
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"))
+        def epochOf(e: Long): DataFrame =
+          clicks.filter(pmod(col("event_id"), lit(2L)) === e)
+        val fs = new org.apache.hadoop.fs.Path(ckptRoot).getFileSystem(conf)
+        def commitDone(b: Long): Boolean = fs.exists(
+          new org.apache.hadoop.fs.Path(s"$ckptRoot/q77a/commits/$b"))
+        def durableStatus(v: String): Boolean = {
+          val p = new org.apache.hadoop.fs.Path(s"$ckptRoot/specs/q77a.json")
+          val in = fs.open(p)
+          val txt = try new String(in.readAllBytes(), "UTF-8")
+            finally in.close()
+          txt.contains(s""""status":"$v"""")
+        }
+        def requestPending: Boolean = {
+          val dir = new org.apache.hadoop.fs.Path(
+            s"$ckptRoot/lifecycle-requests")
+          fs.exists(dir) && fs.listStatus(dir).nonEmpty
+        }
+        PipelineManager.epochAppend(epochOf(0).coalesce(1), srcDir, 0, "q77src")
+        val mA = new PipelineManager(s, ckptRoot, instance = "mgrA")
+        pms ::= mA
+        mA.create(PipelineSpec("q77a", "parquet", "parquet", srcDir,
+          destinationConnection = destD))
+        val q0 = mA.start("q77a", identity,
+          Trigger.ProcessingTime("50 milliseconds"))
+        awaitCond("q77", "epoch 0 commit")(commitDone(0))
+        val mB = new PipelineManager(s, ckptRoot, instance = "mgrB")
+        pms ::= mB
+        mB.pause("q77a")
+        // routed verb mutated NOTHING: truthful status, live query
+        val peerActive = q0.isActive.toString
+        val statusTruthful = durableStatus("Ready").toString
+        val pending = requestPending.toString
+        val bConsume = mB.consumeLifecycleRequests().toString
+        val aConsume = mA.consumeLifecycleRequests().toString
+        val pausedStopped = (!q0.isActive).toString
+        val pausedDurable = durableStatus("Paused").toString
+        // pause keeps the assignment AND the lock with the owner
+        val lockKept = fs.exists(new org.apache.hadoop.fs.Path(
+          s"$ckptRoot/locks/q77a.lock")).toString
+        PipelineManager.epochAppend(epochOf(1).coalesce(1), srcDir, 1, "q77src")
+        // the return leg: resume routed from B, enacted by A from its
+        // remembered run (no transform crosses managers)
+        mB.requestResume("q77a")
+        val resumePending = requestPending.toString
+        val aConsume2 = mB.queryOf("q77a").isEmpty &&
+          mA.consumeLifecycleRequests() == 1
+        awaitCond("q77", "epoch 1 commit after resume")(commitDone(1) &&
+          PipelineManager.committedFiles(destD, conf).nonEmpty)
+        val resumedLive = mA.queryOf("q77a").exists(_.isActive).toString
+        val readyDurable = durableStatus("Ready").toString
+        mA.stop("q77a")
+        val r = s.read.parquet(destD)
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+          .head()
+        import s.implicits._
+        Seq(
+          ("req", "peer_query_untouched", peerActive),
+          ("req", "status_truthful_until_enacted", statusTruthful),
+          ("req", "request_pending", pending),
+          ("req", "b_consume_noop", bConsume),
+          ("req", "a_consumed", aConsume),
+          ("pause", "query_stopped", pausedStopped),
+          ("pause", "status_paused_durable", pausedDurable),
+          ("pause", "lock_kept", lockKept),
+          ("resume", "request_pending", resumePending),
+          ("resume", "owner_enacted", aConsume2.toString),
+          ("resume", "query_live", resumedLive),
+          ("resume", "status_ready_durable", readyDurable),
+          ("rows", "n", r.getLong(0).toString),
+          ("rows", "n_distinct", r.getLong(1).toString))
+          .toDF("kind", "k", "v")
+      } finally {
+        pms.foreach(p => try p.close() catch { case _: Throwable => () })
+        deleteTree(ckptRoot, srcDir, new java.io.File(destD).getParent)
+      }
+    }),
+
+    // CROSS-MANAGER STOP + TAKEOVER (q78) — stop routed like q77's
+    // pause, but stop RELEASES the lock (the reference's
+    // STOPPING→STOPPED frees the task assignment,
+    // DatastreamResources.java:462-546): once the owner enacts it,
+    // the requestor itself may acquire the freed task and continue
+    // from the SHARED checkpoint — exactly-once across the handoff.
+    "q78_cross_manager_stop" -> ((s, d) => {
+      val ckptRoot = Files.createTempDirectory("graft-q78-pm-").toString
+      val srcDir = Files.createTempDirectory("graft-q78-src-").toString
+      val destD = Files.createTempDirectory("graft-q78-dest-").toString + "/d"
+      var pms = List.empty[PipelineManager]
+      try {
+        val conf = s.sparkContext.hadoopConfiguration
+        val clicks = Tables.t(s, d, "events")
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"))
+        def epochOf(e: Long): DataFrame =
+          clicks.filter(pmod(col("event_id"), lit(2L)) === e)
+        val fs = new org.apache.hadoop.fs.Path(ckptRoot).getFileSystem(conf)
+        def commitDone(b: Long): Boolean = fs.exists(
+          new org.apache.hadoop.fs.Path(s"$ckptRoot/q78a/commits/$b"))
+        PipelineManager.epochAppend(epochOf(0).coalesce(1), srcDir, 0, "q78src")
+        val mA = new PipelineManager(s, ckptRoot, instance = "mgrA")
+        pms ::= mA
+        mA.create(PipelineSpec("q78a", "parquet", "parquet", srcDir,
+          destinationConnection = destD))
+        val q0 = mA.start("q78a", identity,
+          Trigger.ProcessingTime("50 milliseconds"))
+        awaitCond("q78", "epoch 0 commit")(commitDone(0))
+        val mB = new PipelineManager(s, ckptRoot, instance = "mgrB")
+        pms ::= mB
+        mB.stop("q78a")
+        val peerActive = q0.isActive.toString
+        val bConsume = mB.consumeLifecycleRequests().toString
+        val aConsume = mA.consumeLifecycleRequests().toString
+        val stopped = (!q0.isActive).toString
+        // stop releases the task back to the pool: the lock is GONE
+        val lockReleased = (!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$ckptRoot/locks/q78a.lock"))).toString
+        PipelineManager.epochAppend(epochOf(1).coalesce(1), srcDir, 1, "q78src")
+        // the freed task moves: B acquires it and resumes from the
+        // SHARED checkpoint — epoch 0 never replays, epoch 1 delivers
+        mB.resume("q78a", identity).awaitTermination()
+        val takenOver = mB.queryOf("q78a").isDefined.toString
+        val r = s.read.parquet(destD)
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+          .head()
+        import s.implicits._
+        Seq(
+          ("req", "peer_query_untouched", peerActive),
+          ("req", "b_consume_noop", bConsume),
+          ("req", "a_consumed", aConsume),
+          ("stop", "query_stopped", stopped),
+          ("stop", "lock_released", lockReleased),
+          ("stop", "taken_over_by_requestor", takenOver),
+          ("rows", "n", r.getLong(0).toString),
+          ("rows", "n_distinct", r.getLong(1).toString))
+          .toDF("kind", "k", "v")
+      } finally {
+        pms.foreach(p => try p.close() catch { case _: Throwable => () })
+        deleteTree(ckptRoot, srcDir, new java.io.File(destD).getParent)
+      }
+    }),
+
+    // CROSS-MANAGER DELETE (q79) — the one routed verb that is
+    // outright DESTRUCTIVE when mis-enacted: the local delete body
+    // removes the per-name checkpoint directory, and before this
+    // routing a non-owner delete removed it out from under the
+    // peer's LIVE query. Contract under test: after B.delete NOTHING
+    // is destroyed (A's query live, checkpoint and spec file intact,
+    // request pending); A's tick enacts the full deletion — query
+    // stopped, spec gone, checkpoint gone — while the DELIVERED data
+    // at the destination is untouched; a second consume is a no-op.
+    "q79_cross_manager_delete" -> ((s, d) => {
+      val ckptRoot = Files.createTempDirectory("graft-q79-pm-").toString
+      val srcDir = Files.createTempDirectory("graft-q79-src-").toString
+      val destD = Files.createTempDirectory("graft-q79-dest-").toString + "/d"
+      var pms = List.empty[PipelineManager]
+      try {
+        val conf = s.sparkContext.hadoopConfiguration
+        val clicks = Tables.t(s, d, "events")
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"))
+        val epoch0 = clicks.filter(pmod(col("event_id"), lit(2L)) === 0L)
+        val fs = new org.apache.hadoop.fs.Path(ckptRoot).getFileSystem(conf)
+        def commitDone(b: Long): Boolean = fs.exists(
+          new org.apache.hadoop.fs.Path(s"$ckptRoot/q79a/commits/$b"))
+        def ckptExists: Boolean = fs.exists(
+          new org.apache.hadoop.fs.Path(s"$ckptRoot/q79a"))
+        def specExists: Boolean = fs.exists(
+          new org.apache.hadoop.fs.Path(s"$ckptRoot/specs/q79a.json"))
+        PipelineManager.epochAppend(epoch0.coalesce(1), srcDir, 0, "q79src")
+        val mA = new PipelineManager(s, ckptRoot, instance = "mgrA")
+        pms ::= mA
+        mA.create(PipelineSpec("q79a", "parquet", "parquet", srcDir,
+          destinationConnection = destD))
+        val q0 = mA.start("q79a", identity,
+          Trigger.ProcessingTime("50 milliseconds"))
+        awaitCond("q79", "epoch 0 commit")(commitDone(0) &&
+          PipelineManager.committedFiles(destD, conf).nonEmpty)
+        val mB = new PipelineManager(s, ckptRoot, instance = "mgrB")
+        pms ::= mB
+        mB.delete("q79a")
+        // nothing destroyed until the OWNER enacts
+        val peerActive = q0.isActive.toString
+        val ckptIntact = ckptExists.toString
+        val specIntact = specExists.toString
+        val bConsume = mB.consumeLifecycleRequests().toString
+        val aConsume = mA.consumeLifecycleRequests().toString
+        val stopped = (!q0.isActive).toString
+        val specGone = (!specExists).toString
+        val ckptGone = (!ckptExists).toString
+        val reconsumed = mA.consumeLifecycleRequests().toString
+        // the DELIVERED data outlives the pipeline (delete removes
+        // engine state, never the destination's committed output)
+        val r = s.read.parquet(destD)
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+          .head()
+        import s.implicits._
+        Seq(
+          ("req", "peer_query_untouched", peerActive),
+          ("req", "ckpt_intact_until_enacted", ckptIntact),
+          ("req", "spec_intact_until_enacted", specIntact),
+          ("req", "b_consume_noop", bConsume),
+          ("req", "a_consumed", aConsume),
+          ("del", "query_stopped", stopped),
+          ("del", "spec_gone", specGone),
+          ("del", "ckpt_gone", ckptGone),
+          ("del", "reconsumed_noop", reconsumed),
+          ("rows", "n", r.getLong(0).toString),
+          ("rows", "n_distinct", r.getLong(1).toString))
+          .toDF("kind", "k", "v")
+      } finally {
+        pms.foreach(p => try p.close() catch { case _: Throwable => () })
+        deleteTree(ckptRoot, srcDir, new java.io.File(destD).getParent)
+      }
+    }),
+
     // Heartbeat-driven self-demotion — the RUNTIME half of the q67
     // lease contract: nothing external tells the expired manager to
     // stand down; its OWN scheduled heartbeat (interval = lease/4)
@@ -4570,6 +4810,73 @@ object StreamingQueries {
         |UNION ALL SELECT 'rows', 'z_distinct',
         |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
         |FROM events WHERE event_type = 'click' AND event_id % 2 = 1"""
+        .stripMargin.replace("\n", " "),
+
+    // Cross-manager pause/resume closed form (q77): every routed-verb
+    // protocol event is a literal (peer untouched, durable status
+    // truthful until enacted, non-owner consume refused, owner
+    // consumes exactly one in each direction, lock kept across the
+    // pause), and exactly-once delivery across the whole
+    // pause→resume round trip means the destination equals the
+    // corpus.
+    "q77_cross_manager_pause" ->
+      """SELECT 'req' AS kind, 'peer_query_untouched' AS k, 'true' AS v
+        |UNION ALL SELECT 'req', 'status_truthful_until_enacted', 'true'
+        |UNION ALL SELECT 'req', 'request_pending', 'true'
+        |UNION ALL SELECT 'req', 'b_consume_noop', '0'
+        |UNION ALL SELECT 'req', 'a_consumed', '1'
+        |UNION ALL SELECT 'pause', 'query_stopped', 'true'
+        |UNION ALL SELECT 'pause', 'status_paused_durable', 'true'
+        |UNION ALL SELECT 'pause', 'lock_kept', 'true'
+        |UNION ALL SELECT 'resume', 'request_pending', 'true'
+        |UNION ALL SELECT 'resume', 'owner_enacted', 'true'
+        |UNION ALL SELECT 'resume', 'query_live', 'true'
+        |UNION ALL SELECT 'resume', 'status_ready_durable', 'true'
+        |UNION ALL SELECT 'rows', 'n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL SELECT 'rows', 'n_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'"""
+        .stripMargin.replace("\n", " "),
+
+    // Cross-manager stop closed form (q78): the routed stop frees the
+    // task (lock released at enactment), the requestor takes it over,
+    // and exactly-once across the handoff means the destination
+    // equals the corpus.
+    "q78_cross_manager_stop" ->
+      """SELECT 'req' AS kind, 'peer_query_untouched' AS k, 'true' AS v
+        |UNION ALL SELECT 'req', 'b_consume_noop', '0'
+        |UNION ALL SELECT 'req', 'a_consumed', '1'
+        |UNION ALL SELECT 'stop', 'query_stopped', 'true'
+        |UNION ALL SELECT 'stop', 'lock_released', 'true'
+        |UNION ALL SELECT 'stop', 'taken_over_by_requestor', 'true'
+        |UNION ALL SELECT 'rows', 'n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL SELECT 'rows', 'n_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'"""
+        .stripMargin.replace("\n", " "),
+
+    // Cross-manager delete closed form (q79): nothing destroyed until
+    // the owner enacts (checkpoint/spec intact literals), the
+    // enactment is complete and idempotent (spec and checkpoint gone,
+    // re-consume 0), and the delivered epoch-0 slice outlives the
+    // pipeline.
+    "q79_cross_manager_delete" ->
+      """SELECT 'req' AS kind, 'peer_query_untouched' AS k, 'true' AS v
+        |UNION ALL SELECT 'req', 'ckpt_intact_until_enacted', 'true'
+        |UNION ALL SELECT 'req', 'spec_intact_until_enacted', 'true'
+        |UNION ALL SELECT 'req', 'b_consume_noop', '0'
+        |UNION ALL SELECT 'req', 'a_consumed', '1'
+        |UNION ALL SELECT 'del', 'query_stopped', 'true'
+        |UNION ALL SELECT 'del', 'spec_gone', 'true'
+        |UNION ALL SELECT 'del', 'ckpt_gone', 'true'
+        |UNION ALL SELECT 'del', 'reconsumed_noop', '0'
+        |UNION ALL SELECT 'rows', 'n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click' AND event_id % 2 = 0
+        |UNION ALL SELECT 'rows', 'n_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'click' AND event_id % 2 = 0"""
         .stripMargin.replace("\n", " "),
 
     // Metadata-update closed form (q75): epoch 0 merges one row per

@@ -40,6 +40,19 @@ import graft.streaming.PipelineManager
  *   POST   /pipelines/{name}/stop     stop (?force=true → whole group)
  *   POST   /pipelines/{name}/resume   resume (?await=true)
  *   DELETE /pipelines/{name}          delete
+ *
+ * pause/stop/delete on a pipeline whose query runs under a DIFFERENT
+ * live manager are ACCEPTED, not enacted: the verb writes a durable
+ * lifecycle-request the owning manager's heartbeat tick consumes
+ * (q77–q79 — the reference's coordinator-routed state transitions,
+ * DatastreamResources.java:355-546 → Coordinator.java:824), and
+ * NOTHING mutates until then — the spec status stays truthful to
+ * what the owner's query is actually doing, and delete destroys no
+ * checkpoint under a live query. The 200 therefore means "accepted";
+ * poll GET /pipelines/{name} for the enacted transition. resume over
+ * REST stays owner-side (the restart needs the owner's lock and
+ * remembered transform; PipelineManager.requestResume is the routed
+ * API form).
  *   GET    /health                   instance health (per-connector tasks)
  *   GET    /diag                      per-query status scatter-gather (A10)
  *   GET    /diag/{name}               metrics + paused partitions

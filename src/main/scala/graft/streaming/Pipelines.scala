@@ -25,6 +25,17 @@ import graft.model.{PipelineSpec, PipelineSpecJson, PipelineStatus}
  * destination-reuse dedup (SourceBasedDeduper.java:66) + lifecycle
  * (pause = stop query keeping checkpoints; resume = restart from them —
  * Spark's native replay contract).
+ *
+ * Every lifecycle mutation of a pipeline whose query runs under a
+ * DIFFERENT live manager is ROUTED to that owner through a durable
+ * request its heartbeat tick consumes — update via reassign-requests
+ * (q76), pause/stop/resume/delete via lifecycle-requests (q77–q79) —
+ * the Spark-native stand-in for the reference's ZK-watch fan-out
+ * (every instance observes coordinator state transitions,
+ * Coordinator.java:824). A routed verb mutates NOTHING at the
+ * requestor: the request file is the durable intent, statuses flip
+ * where and when the verb is ENACTED, so reads stay truthful to what
+ * the owning query is actually doing.
  */
 /**
  * Pluggable control-plane hooks — the engine's SPI surface (SURVEY.md
@@ -338,7 +349,12 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
             // restart (the same envelope any slow owner operation
             // already needs); a failure here must never kill the tick.
             try consumeReassignRequests(): Unit
-            catch { case scala.util.control.NonFatal(_) => () },
+            catch { case scala.util.control.NonFatal(_) => () }
+            finally
+              // q77–q79: lifecycle verbs routed from non-owner
+              // managers, consumed with the same owner entitlement
+              try consumeLifecycleRequests(): Unit
+              catch { case scala.util.control.NonFatal(_) => () },
         interval, interval, java.util.concurrent.TimeUnit.MILLISECONDS): Unit
       Some(ex)
     }
@@ -1234,6 +1250,123 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
               }
           }
         case _ => () // a live peer owns it; their tick consumes
+      }
+    }
+    consumed
+  }
+
+  // ---- Cross-manager lifecycle routing (q77–q79): pause / stop /
+  // resume / delete of a pipeline whose query runs under a DIFFERENT
+  // live manager. The reference routes every datastream state
+  // transition through the coordinator — a REST verb on any instance
+  // writes ZK state that the owning instance's watch enacts
+  // (DatastreamResources.java:355-546 pause/stop/resume →
+  // Coordinator.java:824 onAssignmentChange). Here the verb writes a
+  // durable lifecycle-request that the owner's heartbeat tick
+  // consumes — the same routing q76 gave update(). Without it a
+  // non-owner pause/stop flipped the durable status while the peer's
+  // query kept delivering (status lies, delivery diverges), and a
+  // non-owner DELETE destroyed the checkpoint out from under the
+  // peer's LIVE query. Contract: the routed verb mutates NOTHING —
+  // the request file is the durable intent, and statuses flip only
+  // where (and when) the verb is enacted, so reads stay truthful
+  // everywhere. Latest verb wins (a pause overwritten by a stop
+  // before consumption enacts only the stop). ----
+
+  private def lifecycleRequestDir = new Path(s"$checkpointRoot/lifecycle-requests")
+  private def lifecycleRequestPath(name: String) =
+    new Path(lifecycleRequestDir, s"${PipelineManager.namespaceOf(name)}.req")
+
+  /** Durable lifecycle-request: name (the file name is the sanitized
+    * namespace, not the authority), requestor for diagnostics, verb,
+    * force flag. Overwrite semantics — unlike the reassign-request
+    * there is no previous-destination to preserve, so latest wins. */
+  private def writeLifecycleRequest(name: String, verb: String,
+      force: Boolean): Unit = {
+    rootFs.mkdirs(lifecycleRequestDir)
+    val out = rootFs.create(lifecycleRequestPath(name), true)
+    try out.write(s"$name\n$instanceId\n$verb\n$force".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** (name, verb, force) parsed from a request file — the ONE
+    * spelling of the wire format. Torn/unreadable → None (the file is
+    * left in place; the writer's create is a single small write, so a
+    * re-list sees it whole). */
+  private def parseLifecycleRequest(p: Path): Option[(String, String, Boolean)] =
+    try {
+      val in = rootFs.open(p)
+      val parts = try new String(in.readAllBytes(), "UTF-8").split("\n", 4)
+        finally in.close()
+      if (parts.length == 4 && parts(0).nonEmpty && parts(2).nonEmpty)
+        Some((parts(0), parts(2), parts(3).trim == "true"))
+      else None
+    } catch { case _: java.io.IOException => None }
+
+  /** Consume pending lifecycle-requests this manager is entitled to
+    * act on — the same entitlement rule as
+    * [[consumeReassignRequests]]: pipelines it knows whose queries no
+    * LIVE PEER owns (normally the owner; after an owner crash,
+    * whichever live manager's tick sees the orphan first — every verb
+    * body is idempotent). Enactment runs the very same local verb
+    * core a direct call runs, with locks this manager actually holds;
+    * the request is deleted whether the enactment succeeds or not —
+    * exactly the reassign-request's the-update-stands discipline (a
+    * failed group-restart inside delete leaves truthful Stopped
+    * survivors, and the deletion itself completed). A resume-request
+    * with no remembered run to restart from is dropped LOUDLY and
+    * enacts nothing: restarting needs the transform closure only an
+    * owner that ran the pipeline remembers; resume locally with
+    * [[resume]] (bring-your-own-transform) instead. Wired to the
+    * heartbeat tick beside the reassign consume; public so
+    * deployments with their own timers (and gates) can drive it
+    * directly. Returns the number of requests consumed. */
+  def consumeLifecycleRequests(): Int = {
+    requireNotDemoted()
+    if (!rootFs.exists(lifecycleRequestDir)) return 0
+    var consumed = 0
+    rootFs.listStatus(lifecycleRequestDir).toSeq.filter(_.isFile).foreach { st =>
+      parseLifecycleRequest(st.getPath).foreach { case (name, verb, force) =>
+        specs.get(name) match {
+          case None =>
+            // not this manager's pipeline to judge — unless the spec
+            // is POSITIVELY gone durably (deleted mid-flight; an
+            // unreadable store must not look like deletion): then the
+            // request is stale for everyone
+            if (specDurablyKnown(name).contains(None))
+              rootFs.delete(st.getPath, false): Unit
+          case Some(_) if liveForeignExecutor(name).isEmpty =>
+            specDurablyKnown(name) match {
+              case Some(None) =>
+                // the spec is POSITIVELY gone durably (deleted after
+                // the request was written) while THIS manager's map
+                // is stale: enacting would RESURRECT the deleted spec
+                // (pause/stop persist a status flip). Stale for
+                // everyone — drop without enacting.
+                rootFs.delete(st.getPath, false): Unit
+              case None => () // unreadable store: judge on a later tick
+              case Some(Some(_)) =>
+                try verb match {
+                  case "pause" => pauseLocal(name, force)
+                  case "stop" => stopLocal(name, force)
+                  case "resume" =>
+                    try resumeRemembered(name, force)
+                    catch {
+                      case e: IllegalStateException =>
+                        Console.err.println(s"[graft] lifecycle-request " +
+                          s"resume($name) dropped: ${e.getMessage}")
+                    }
+                  case "delete" => deleteLocal(name)
+                  case other =>
+                    Console.err.println(s"[graft] lifecycle-request " +
+                      s"$other($name) dropped: unknown verb")
+                } finally {
+                  rootFs.delete(st.getPath, false): Unit
+                  consumed += 1
+                }
+            }
+          case _ => () // a live peer owns it; their tick consumes
+        }
       }
     }
     consumed
@@ -2627,6 +2760,19 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   def pause(name: String, force: Boolean = false,
       owner: String = "anonymous"): Unit = {
     authorizeLifecycle(name, owner)
+    // q77: the query runs under ANOTHER LIVE manager — this manager
+    // can stop nothing there, and flipping the durable status here
+    // would lie (the peer's query keeps delivering against a spec
+    // that reads Paused). Route the verb to the owner; statuses flip
+    // where the pause is ENACTED.
+    if (liveForeignExecutor(name).isDefined)
+      writeLifecycleRequest(name, "pause", force)
+    else pauseLocal(name, force)
+  }
+
+  /** The enacting pause body — runs only where no live peer owns the
+    * query ([[pause]] routed everything else away). */
+  private def pauseLocal(name: String, force: Boolean): Unit = {
     val groupRun = isGroupRun(name)
     val targets = if (force) findGroup(name).map(_.name) else Seq(name)
     // per-member group pause keeps the shared query running; every
@@ -2655,6 +2801,17 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   def stop(name: String, force: Boolean = false,
       owner: String = "anonymous"): Unit = {
     authorizeLifecycle(name, owner)
+    // q78: routed to the live owner exactly as [[pause]] — a local
+    // flip-to-Stopped would lie while the peer keeps delivering, and
+    // the lock release belongs to the manager that holds it
+    if (liveForeignExecutor(name).isDefined)
+      writeLifecycleRequest(name, "stop", force)
+    else stopLocal(name, force)
+  }
+
+  /** The enacting stop body — runs only where no live peer owns the
+    * query ([[stop]] routed everything else away). */
+  private def stopLocal(name: String, force: Boolean): Unit = {
     val groupRun = isGroupRun(name)
     val targets =
       if (force) findGroup(name).map(_.name)
@@ -2750,6 +2907,76 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     }
   }
 
+  /** Cross-manager-safe resume (q77's return leg): no transform — a
+    * needed restart uses the run the ENACTING manager remembers from
+    * having started the pipeline ([[soloRuns]]/[[groupRuns]]), the
+    * same remembered-run machinery every reassignment restart uses.
+    * Routed to the live owner when a peer holds the execution lock (a
+    * paused solo pipeline's lock stays with its owner — the
+    * BYO-transform [[resume]] is correctly REFUSED there, so this
+    * verb is how a non-owner resumes it: the reference's
+    * resume-from-any-instance, DatastreamResources.java:393-439);
+    * enacted immediately when this manager owns the lock or nobody
+    * live does. Enacting locally with no remembered run throws
+    * IllegalStateException (a STOPPED pipeline dropped its run on
+    * stop — resume it with [[resume]]'s explicit transform). */
+  def requestResume(name: String, force: Boolean = false,
+      owner: String = "anonymous"): Unit = {
+    authorizeLifecycle(name, owner)
+    if (liveForeignExecutor(name).isDefined)
+      writeLifecycleRequest(name, "resume", force)
+    else resumeRemembered(name, force)
+  }
+
+  /** The enacting resume body for [[requestResume]] — [[resume]]'s
+    * status-flip/holdback-replay discipline with the remembered run
+    * in place of a caller transform. Statuses flip only when the
+    * enactment can actually proceed (solo: a remembered run exists),
+    * so a failed resume never leaves Ready-with-no-query. */
+  private def resumeRemembered(name: String, force: Boolean): Unit =
+    if (isGroupRun(name)) {
+      val targets = if (force) findGroup(name).map(_.name).toSet else Set(name)
+      targets.foreach { n =>
+        specs.updateWith(n)(_.map(_.copy(status = PipelineStatus.Ready)))
+        specs.get(n).foreach(persistSpec)
+        hooks.onStateChange(n, PipelineStatus.Ready)
+      }
+      findGroup(name).groupBy(_.destinationConnection).values
+        .filter(ms => ms.exists(m => targets.contains(m.name)) &&
+          ms.exists(m =>
+            specs.get(m.name).exists(_.status == PipelineStatus.Ready)))
+        .foreach(replayGroupHoldback)
+      if (Option(queries.get(name)).isEmpty) {
+        val prefix = specs.get(name)
+          .map(s => s.metadata.getOrElse(PipelineManager.TaskPrefixKey, s.name))
+          .getOrElse(name)
+        groupRuns.get(prefix) match {
+          case Some((transform, trigger)) =>
+            startGroup(name, transform, trigger): Unit
+          case None => throw new IllegalStateException(
+            s"no remembered group run for $name on this manager; " +
+              "resume with an explicit transform")
+        }
+      }
+    } else if (Option(queries.get(name)).exists(_.isActive)) {
+      // already running (a resume-request that raced the owner's own
+      // restart, or one issued against a live pipeline): the resume
+      // is the Ready flip alone — starting a second query on the
+      // same checkpoint is never the answer
+      specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Ready)))
+      specs.get(name).foreach(persistSpec)
+      hooks.onStateChange(name, PipelineStatus.Ready)
+    } else soloRuns.get(name) match {
+      case Some((transform, trigger)) =>
+        specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Ready)))
+        specs.get(name).foreach(persistSpec)
+        hooks.onStateChange(name, PipelineStatus.Ready)
+        start(name, transform, trigger): Unit
+      case None => throw new IllegalStateException(
+        s"no remembered solo run for $name on this manager; " +
+          "resume with an explicit transform")
+    }
+
   /** Unregister a pipeline. Deleting a member of a task group whose
     * shared query is RUNNING triggers the membership-change
     * reassignment (q72 — the remove-side mirror of
@@ -2779,6 +3006,19 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     * serialize on [[PipelineManager.membershipStripe]]. */
   def delete(name: String, owner: String = "anonymous"): Unit = {
     authorizeLifecycle(name, owner)
+    // q79: deleting under a LIVE peer's running query is the one
+    // routed verb that is outright DESTRUCTIVE when mis-enacted — the
+    // local body removes the per-name checkpoint directory the peer's
+    // query is actively committing into. Nothing is destroyed until
+    // the owner enacts; the request file is the durable intent.
+    if (liveForeignExecutor(name).isDefined)
+      writeLifecycleRequest(name, "delete", force = false)
+    else deleteLocal(name)
+  }
+
+  /** The enacting delete body — runs only where no live peer owns the
+    * query ([[delete]] routed everything else away). */
+  private def deleteLocal(name: String): Unit = {
     val deletedSpec = specs.get(name)
     val prefix = deletedSpec
       .map(s => s.metadata.getOrElse(PipelineManager.TaskPrefixKey, s.name))

@@ -43,6 +43,13 @@ import graft.model.PipelineSpec
  * rowsPerEpoch x |epochs| (no duplicate and no partial delivery),
  * and every ABANDONED destination stays frozen at its re-point-time
  * contents forever.
+ *
+ * Every pause/stop/resume op randomly runs either LOCALLY on the
+ * owning manager or ROUTED through a second live manager (q77–q79:
+ * the non-owner writes a durable lifecycle-request, the owner's tick
+ * enacts it) whenever the owner holds at least one member lock — the
+ * model is IDENTICAL for both paths, which is exactly the routed
+ * contract under test.
  * Fixed seeds; sequential ops (interleaving at the operation level —
  * the thread-level lock races live in [[LockFuzzSpec]]).
  */
@@ -63,16 +70,27 @@ class GroupLifecycleFuzzSpec extends SparkTestBase {
       Files.createTempDirectory(s"graft-gfz-$m-$seed-").toString): _*)
     val dests = destRoots.map(_ + "/d")
     val pm = new PipelineManager(spark, root)
+    var pmB: PipelineManager = null
     try {
       Members.zip(dests).foreach { case (m, dst) =>
         pm.create(PipelineSpec(m, "parquet", "parquet", srcDir,
           destinationConnection = dst))
       }
+      // the non-owner peer every routed verb goes through (it shares
+      // the durable root and loaded the specs, but runs no query);
+      // constructed AFTER the creates so its loadSpecs sees them
+      pmB = new PipelineManager(spark, root, instance = s"gfzB-$seed")
       val rng = new Random(seed)
       var nextEp = 0L
       var pending = Set.empty[Long]
       val status = mutable.Map(Members.map(_ -> "Ready"): _*)
       val hasHandle = mutable.Map(Members.map(_ -> false): _*)
+      // which members' execution locks pm currently holds (all of
+      // them after any group start; a per-member stop releases one):
+      // a routed verb needs at least one held lock, else the peer
+      // would legitimately enact it ITSELF (no live owner) and the
+      // model below — which asserts through pm's view — would skew
+      val locked = mutable.Map(Members.map(_ -> false): _*)
       val delivered = mutable.Map(Members.map(_ -> Set.empty[Long]): _*)
       val holdback = mutable.Map(Members.map(_ -> Set.empty[Long]): _*)
       val destOf = mutable.Map(Members.zip(dests): _*)
@@ -107,15 +125,24 @@ class GroupLifecycleFuzzSpec extends SparkTestBase {
         Members.filter(status(_) == "Stopped")
           .foreach(status(_) = "Ready") // explicit group start rejoins
         pm.startGroup("fz0", identity).awaitTermination()
+        Members.foreach(locked(_) = true)
         modelDeliver()
       }
-      def doResume(m: String): Unit = {
+      def routable: Boolean = locked.values.exists(identity)
+      def doResume(m: String, routed: Boolean): Unit = {
         val willStart = !hasHandle(m)
         if (willStart && pending.isEmpty) append()
         status(m) = "Ready"
         if (willStart)
           Members.filter(status(_) == "Stopped").foreach(status(_) = "Ready")
-        pm.resume(m, identity).awaitTermination()
+        if (routed) {
+          // the routed form restarts from the OWNER's remembered run
+          pmB.requestResume(m)
+          assert(pm.consumeLifecycleRequests() == 1,
+            s"seed=$seed: owner failed to consume the resume request")
+          pm.queryOf(m).foreach(_.awaitTermination())
+        } else pm.resume(m, identity).awaitTermination()
+        if (willStart) Members.foreach(locked(_) = true)
         // resume replays the member's destination holdback directly
         delivered(m) ++= holdback(m); holdback(m) = Set.empty
         if (willStart) modelDeliver()
@@ -188,17 +215,31 @@ class GroupLifecycleFuzzSpec extends SparkTestBase {
 
       drain() // establish the group run before per-member verbs
       def pick(): String = Members(rng.nextInt(Members.size))
+      def route(): Boolean = routable && rng.nextBoolean()
       (0 until 18).foreach { _ =>
         rng.nextInt(8) match {
           case 0 => append()
           case 1 =>
-            val m = pick(); pm.pause(m); status(m) = "Paused"
+            val m = pick()
+            if (route()) {
+              pmB.pause(m)
+              assert(pm.consumeLifecycleRequests() == 1,
+                s"seed=$seed: owner failed to consume the pause request")
+            } else pm.pause(m)
+            status(m) = "Paused"
           case 2 =>
             val m = pick()
+            val doStop: String => Unit = n =>
+              if (route()) {
+                pmB.stop(n)
+                assert(pm.consumeLifecycleRequests() == 1,
+                  s"seed=$seed: owner failed to consume the stop request")
+              } else pm.stop(n)
             if (status(m) != "Stopped") {
-              pm.stop(m); status(m) = "Stopped"; hasHandle(m) = false
-            } else pm.stop(m) // no-op on both sides
-          case 3 => doResume(pick())
+              doStop(m); status(m) = "Stopped"; hasHandle(m) = false
+              locked(m) = false
+            } else doStop(m) // no-op on both sides
+          case 3 => doResume(pick(), route())
           case 4 => repoint(pick(), crashRestamp = false)
           case 5 => repoint(pick(), crashRestamp = true)
           case _ => drain()
@@ -207,11 +248,12 @@ class GroupLifecycleFuzzSpec extends SparkTestBase {
       check("mid")
       // close out: everyone resumed, one final drain — holdbacks must
       // fully flush and every destination must converge on its model
-      Members.foreach(doResume)
+      Members.foreach(doResume(_, routed = false))
       drain()
       assert(Members.forall(m => holdback(m).isEmpty))
       check("final")
     } finally {
+      if (pmB != null) { try pmB.close() catch { case _: Throwable => () } }
       try pm.close() catch { case _: Throwable => () }
       (root +: srcDir +: destRoots).foreach { p =>
         def rm(f: java.io.File): Unit = {

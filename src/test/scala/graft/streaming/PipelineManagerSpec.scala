@@ -1694,6 +1694,131 @@ class PipelineManagerSpec extends SparkTestBase {
     pmA.close(); pmB.close()
   }
 
+  test("group-member lifecycle routed cross-manager: pause diverts to holdback, requestResume replays exactly once") {
+    // q77's GROUP shape (the gate pins the solo round trip): the
+    // member's locks are held by A even BETWEEN availableNow drains,
+    // so B's pause/resume must route — and the enactment is what
+    // makes A's own batch-admission check see the flip.
+    val root = Files.createTempDirectory("graft-xgp-").toString
+    val srcDir = Files.createTempDirectory("graft-xgp-src-").toString
+    Seq((1L, "v1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    val da = Files.createTempDirectory("graft-xgp-da-").toString + "/d"
+    val db = Files.createTempDirectory("graft-xgp-db-").toString + "/d"
+    val pmA = new PipelineManager(spark, root, instance = "A")
+    pmA.create(PipelineSpec("ga", "parquet", "parquet", srcDir,
+      destinationConnection = da))
+    pmA.create(PipelineSpec("gb", "parquet", "parquet", srcDir,
+      destinationConnection = db))
+    pmA.startGroup("ga", identity).awaitTermination()
+    val pmB = new PipelineManager(spark, root, instance = "B")
+    pmB.pause("gb")
+    // routed: nothing flips anywhere until the OWNER enacts
+    assert(pmA.get("gb").get.status == PipelineStatus.Ready,
+      "non-owner pause must not flip the owner's status")
+    assert(pmB.consumeLifecycleRequests() == 0,
+      "the requestor must refuse to enact while the owner is live")
+    assert(pmA.consumeLifecycleRequests() == 1)
+    assert(pmA.get("gb").get.status == PipelineStatus.Paused)
+    // the enacted flip is what the batch admission reads: gb diverts
+    Seq((2L, "v2")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    pmA.startGroup("ga", identity).awaitTermination()
+    assert(spark.read.parquet(da).count() == 2, "sibling delivery stalled")
+    assert(spark.read.parquet(db).count() == 1, "paused member kept receiving")
+    // the return leg: requestResume routes to A, which replays the
+    // held epoch exactly once through its own leader transport
+    pmB.requestResume("gb")
+    assert(pmA.get("gb").get.status == PipelineStatus.Paused,
+      "non-owner requestResume must not flip the owner's status")
+    assert(pmA.consumeLifecycleRequests() == 1)
+    assert(pmA.get("gb").get.status == PipelineStatus.Ready)
+    assert(spark.read.parquet(db).as[(Long, String)].collect().toSet ==
+      Set((1L, "v1"), (2L, "v2")), "holdback replay lost or duplicated rows")
+    pmB.close(); pmA.close()
+  }
+
+  test("lifecycle requests: latest verb wins, stale requests drop, dead-owner orphans enact anywhere") {
+    val root = Files.createTempDirectory("graft-xlc-").toString
+    val srcDir = Files.createTempDirectory("graft-xlc-src-").toString
+    Seq((1L, "v1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    val d1 = Files.createTempDirectory("graft-xlc-d1-").toString + "/d"
+    val d2 = Files.createTempDirectory("graft-xlc-d2-").toString + "/d"
+    val lease = 600000L
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val pmA = new PipelineManager(spark, root, instance = "A",
+      livenessLeaseMs = lease)
+    pmA.create(PipelineSpec("l1", "parquet", "parquet", srcDir,
+      destinationConnection = d1))
+    pmA.create(PipelineSpec("l2", "parquet", "parquet", freshSrcDir(),
+      destinationConnection = d2))
+    pmA.start("l1", identity,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+    pmA.start("l2", identity,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+    assert(pmA.heartbeat(), "A's lease lapsed during setup")
+    val pmB = new PipelineManager(spark, root, instance = "B",
+      livenessLeaseMs = lease)
+    assert(pmB.heartbeat(), "B's lease lapsed during setup")
+    // LATEST VERB WINS: a pause overwritten by a stop enacts only the
+    // stop — status Stopped (never Paused) and the lock RELEASED
+    pmB.pause("l1")
+    pmB.stop("l1")
+    assert(pmA.consumeLifecycleRequests() == 1)
+    assert(pmA.get("l1").get.status == PipelineStatus.Stopped)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/locks/l1.lock")),
+      "the enacted stop must release the lock")
+    // STALE REQUEST: a verb routed for a spec that is then DELETED
+    // durably must drop without enacting — a stale-mapped manager
+    // enacting pause would persistSpec() the deleted spec back
+    pmB.pause("l2")
+    pmA.delete("l2") // owner-side local delete: spec durably gone
+    assert(pmB.consumeLifecycleRequests() == 0,
+      "a stale request must not enact (resurrecting the deleted spec)")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/specs/l2.json")),
+      "the dropped request must not have resurrected the spec")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/lifecycle-requests/l2.req")), "the stale request must be swept")
+    pmB.close(); pmA.close()
+
+    // DEAD-OWNER ORPHAN: the verb outlives the owner — whichever live
+    // manager's tick sees it enacts (here: delete, the destructive
+    // one, completing against durable state with the owner gone)
+    val root2 = Files.createTempDirectory("graft-xlc2-").toString
+    val pmC = new PipelineManager(spark, root2, instance = "C",
+      livenessLeaseMs = lease)
+    pmC.create(PipelineSpec("l3", "parquet", "parquet", srcDir,
+      destinationConnection = d1 + "3"))
+    pmC.start("l3", identity,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+    assert(pmC.heartbeat(), "C's lease lapsed during setup")
+    val pmD = new PipelineManager(spark, root2, instance = "D",
+      livenessLeaseMs = lease)
+    assert(pmD.heartbeat(), "D's lease lapsed during setup")
+    pmD.delete("l3")
+    assert(pmD.consumeLifecycleRequests() == 0, "C is live and owns l3")
+    // C "crashes": demote stops its queries (the lease contract's
+    // self-demotion — in production the JVM is simply gone), then age
+    // its registration past the lease so peers see it dead
+    pmC.demote()
+    val fs2 = new org.apache.hadoop.fs.Path(root2).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs2.setTimes(new org.apache.hadoop.fs.Path(s"$root2/instances/C"),
+      System.currentTimeMillis() - lease - 1000L, -1)
+    assert(pmD.consumeLifecycleRequests() == 1,
+      "a dead owner's orphaned verb must enact on a surviving manager")
+    assert(!fs2.exists(new org.apache.hadoop.fs.Path(s"$root2/specs/l3.json")),
+      "the orphan delete must complete durably")
+    pmD.close(); pmC.close()
+  }
+
+  // a distinct source per pipeline keeps l2 out of l1's task group
+  // (group membership is keyed on the shared source)
+  private def freshSrcDir(): String = {
+    val d = Files.createTempDirectory("graft-xlc-src2-").toString
+    Seq((9L, "w")).toDF("k", "v").write.mode(SaveMode.Append).parquet(d)
+    d
+  }
+
   test("heartbeat timer self-demotes an expired manager: queries stop, locks stay, starts refuse") {
     val root = Files.createTempDirectory("graft-hb-").toString
     val lease = 600000L // expiry is SIMULATED by aging, never slept for
