@@ -1270,23 +1270,55 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   // peer's LIVE query. Contract: the routed verb mutates NOTHING —
   // the request file is the durable intent, and statuses flip only
   // where (and when) the verb is enacted, so reads stay truthful
-  // everywhere. Latest verb wins (a pause overwritten by a stop
-  // before consumption enacts only the stop). ----
+  // everywhere.
+  //
+  // The queue is APPEND-ONLY (create-once unique files, enacted in
+  // write order), NOT one overwritten file per pipeline: the verb IS
+  // the intent here, and with overwrite semantics a verb written
+  // between the consumer's parse and its delete would be silently
+  // LOST (a stop overwriting a pause mid-consume never enacts — the
+  // exact lost-update a ZK versioned znode would have rejected;
+  // plain filesystems have no compare-and-swap, so the queue removes
+  // the race instead of narrowing it). The reassign-request keeps
+  // its documented overwrite semantics because ITS authority is the
+  // persisted spec, re-read at consume time — nothing is lost with
+  // the file overwritten. ----
 
   private def lifecycleRequestDir = new Path(s"$checkpointRoot/lifecycle-requests")
-  private def lifecycleRequestPath(name: String) =
-    new Path(lifecycleRequestDir, s"${PipelineManager.namespaceOf(name)}.req")
 
-  /** Durable lifecycle-request: name (the file name is the sanitized
-    * namespace, not the authority), requestor for diagnostics, verb,
-    * force flag. Overwrite semantics — unlike the reassign-request
-    * there is no previous-destination to preserve, so latest wins. */
+  private val lifecycleSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Durable lifecycle-request: name (the file name is uniqueness
+    * plus intra-requestor order, never the authority), requestor for
+    * diagnostics, verb, force flag. Create-once: a burst of verbs
+    * from one requestor lands as distinct files whose zero-padded
+    * sequence (within the requestor's prefix) preserves issue order;
+    * cross-requestor order follows file modification time, the same
+    * approximation any two uncoordinated writers already have. */
   private def writeLifecycleRequest(name: String, verb: String,
       force: Boolean): Unit = {
     rootFs.mkdirs(lifecycleRequestDir)
-    val out = rootFs.create(lifecycleRequestPath(name), true)
-    try out.write(s"$name\n$instanceId\n$verb\n$force".getBytes("UTF-8"))
-    finally out.close()
+    // exclusive create, advancing the sequence past any collision: a
+    // RESTARTED manager's in-memory sequence starts over, and an
+    // overwriting create would destroy a predecessor's still-pending
+    // request under the same name
+    var written = false
+    while (!written) {
+      val file = s"${PipelineManager.namespaceOf(name)}." +
+        s"${PipelineManager.namespaceOf(instanceId)}." +
+        f"${lifecycleSeq.getAndIncrement()}%012d.req"
+      val p = new Path(lifecycleRequestDir, file)
+      try {
+        val out = rootFs.create(p, false)
+        try out.write(s"$name\n$instanceId\n$verb\n$force".getBytes("UTF-8"))
+        finally out.close()
+        written = true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+        case e: java.io.IOException
+            if rootFs.exists(p) => () // local-FS spelling of the same
+      }
+    }
   }
 
   /** (name, verb, force) parsed from a request file — the ONE
@@ -1308,24 +1340,29 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     * [[consumeReassignRequests]]: pipelines it knows whose queries no
     * LIVE PEER owns (normally the owner; after an owner crash,
     * whichever live manager's tick sees the orphan first — every verb
-    * body is idempotent). Enactment runs the very same local verb
-    * core a direct call runs, with locks this manager actually holds;
-    * the request is deleted whether the enactment succeeds or not —
-    * exactly the reassign-request's the-update-stands discipline (a
-    * failed group-restart inside delete leaves truthful Stopped
-    * survivors, and the deletion itself completed). A resume-request
-    * with no remembered run to restart from is dropped LOUDLY and
-    * enacts nothing: restarting needs the transform closure only an
-    * owner that ran the pipeline remembers; resume locally with
-    * [[resume]] (bring-your-own-transform) instead. Wired to the
-    * heartbeat tick beside the reassign consume; public so
-    * deployments with their own timers (and gates) can drive it
-    * directly. Returns the number of requests consumed. */
+    * body is idempotent). Requests enact in WRITE ORDER (mod-time,
+    * then file name — intra-requestor bursts carry an exact sequence
+    * in the name), so "pause then stop" enacts both, finishing
+    * Stopped. Enactment runs the very same local verb core a direct
+    * call runs, with locks this manager actually holds; the request
+    * is deleted whether the enactment succeeds or not — exactly the
+    * reassign-request's the-update-stands discipline (a failed
+    * group-restart inside delete leaves truthful Stopped survivors,
+    * and the deletion itself completed). A resume-request with no
+    * remembered run to restart from is dropped LOUDLY and enacts
+    * nothing: restarting needs the transform closure only an owner
+    * that ran the pipeline remembers; resume locally with [[resume]]
+    * (bring-your-own-transform) instead. Wired to the heartbeat tick
+    * beside the reassign consume; public so deployments with their
+    * own timers (and gates) can drive it directly. Returns the
+    * number of requests consumed. */
   def consumeLifecycleRequests(): Int = {
     requireNotDemoted()
     if (!rootFs.exists(lifecycleRequestDir)) return 0
     var consumed = 0
-    rootFs.listStatus(lifecycleRequestDir).toSeq.filter(_.isFile).foreach { st =>
+    rootFs.listStatus(lifecycleRequestDir).toSeq.filter(_.isFile)
+      .sortBy(st => (st.getModificationTime, st.getPath.getName))
+      .foreach { st =>
       parseLifecycleRequest(st.getPath).foreach { case (name, verb, force) =>
         specs.get(name) match {
           case None =>

@@ -1736,7 +1736,7 @@ class PipelineManagerSpec extends SparkTestBase {
     pmB.close(); pmA.close()
   }
 
-  test("lifecycle requests: latest verb wins, stale requests drop, dead-owner orphans enact anywhere") {
+  test("lifecycle requests: verbs enact in order, stale requests drop, dead-owner orphans enact anywhere") {
     val root = Files.createTempDirectory("graft-xlc-").toString
     val srcDir = Files.createTempDirectory("graft-xlc-src-").toString
     Seq((1L, "v1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
@@ -1759,11 +1759,14 @@ class PipelineManagerSpec extends SparkTestBase {
     val pmB = new PipelineManager(spark, root, instance = "B",
       livenessLeaseMs = lease)
     assert(pmB.heartbeat(), "B's lease lapsed during setup")
-    // LATEST VERB WINS: a pause overwritten by a stop enacts only the
-    // stop — status Stopped (never Paused) and the lock RELEASED
+    // IN-ORDER QUEUE: pause-then-stop are two create-once requests
+    // (overwrite semantics would lose a verb written mid-consume);
+    // both enact in issue order, finishing Stopped with the lock
+    // RELEASED — never a lost stop
     pmB.pause("l1")
     pmB.stop("l1")
-    assert(pmA.consumeLifecycleRequests() == 1)
+    assert(pmA.consumeLifecycleRequests() == 2,
+      "both queued verbs must enact, in order")
     assert(pmA.get("l1").get.status == PipelineStatus.Stopped)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/locks/l1.lock")),
       "the enacted stop must release the lock")
@@ -1776,8 +1779,10 @@ class PipelineManagerSpec extends SparkTestBase {
       "a stale request must not enact (resurrecting the deleted spec)")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/specs/l2.json")),
       "the dropped request must not have resurrected the spec")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(
-      s"$root/lifecycle-requests/l2.req")), "the stale request must be swept")
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$root/lifecycle-requests")).exists(
+        _.getPath.getName.startsWith("l2.")),
+      "the stale request must be swept")
     pmB.close(); pmA.close()
 
     // DEAD-OWNER ORPHAN: the verb outlives the owner — whichever live
