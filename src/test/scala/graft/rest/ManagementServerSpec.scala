@@ -912,4 +912,56 @@ class ManagementServerSpec extends SparkTestBase {
       assert(mc.get(name).isEmpty)
     } finally { srv.stop(); pm.close() }
   }
+
+  test("routed lifecycle verbs over REST: accepted on the non-owner, enacted by the owner's tick") {
+    // q77/q79 at the REST layer: a pause/delete POSTed to a server
+    // whose manager does NOT run the query returns 200 = ACCEPTED
+    // (the durable lifecycle-request), and the OWNING manager's
+    // autoHeartbeat tick enacts it — the reference's coordinator
+    // routing, observed end-to-end through real HTTP
+    val root = Files.createTempDirectory("graft-xrest-").toString
+    val srcDir = Files.createTempDirectory("graft-xrest-src-").toString
+    Seq((1L, "x")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    val dest = Files.createTempDirectory("graft-xrest-dest-").toString + "/d"
+    val lease = 600000L
+    val pmA = new PipelineManager(spark, root, instance = "A",
+      livenessLeaseMs = lease, autoHeartbeat = true,
+      heartbeatIntervalMs = 50L)
+    pmA.create(graft.model.PipelineSpec("xr", "parquet", "parquet", srcDir,
+      destinationConnection = dest))
+    val q0 = pmA.start("xr", identity,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+    val pmB = new PipelineManager(spark, root, instance = "B",
+      livenessLeaseMs = lease)
+    val srvB = new ManagementServer(pmB).start()
+    try {
+      assert(pmA.heartbeat(), "A's lease lapsed during setup")
+      val base = s"http://localhost:${srvB.boundPort}"
+      val resp = req(base, "POST", "/pipelines/xr/pause")
+      assert(resp.statusCode() == 200, resp.body())
+      // wait for the status flip, not just the query stop — the
+      // enacting pause stops the query BEFORE flipping the status
+      val deadline = System.currentTimeMillis() + 90000L
+      while ((q0.isActive ||
+          pmA.get("xr").get.status != graft.model.PipelineStatus.Paused) &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(20L)
+      assert(!q0.isActive, "the owner's tick never enacted the routed pause")
+      assert(pmA.get("xr").get.status == graft.model.PipelineStatus.Paused)
+      // delete on the non-owner (the lock is still A's — pause keeps
+      // it): accepted, then the owner's tick runs the DESTRUCTIVE
+      // body with locks it actually holds
+      val del = req(base, "DELETE", "/pipelines/xr")
+      assert(del.statusCode() == 200, del.body())
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val dl2 = System.currentTimeMillis() + 90000L
+      while (fs.exists(new org.apache.hadoop.fs.Path(s"$root/specs/xr.json")) &&
+          System.currentTimeMillis() < dl2) Thread.sleep(20L)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/specs/xr.json")),
+        "the owner's tick never enacted the routed delete")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/xr")),
+        "the enacted delete must sweep the checkpoint")
+    } finally { srvB.stop(); pmB.close(); pmA.close() }
+  }
 }
