@@ -41,18 +41,18 @@ import graft.streaming.PipelineManager
  *   POST   /pipelines/{name}/resume   resume (?await=true)
  *   DELETE /pipelines/{name}          delete
  *
- * pause/stop/delete on a pipeline whose query runs under a DIFFERENT
- * live manager are ACCEPTED, not enacted: the verb writes a durable
- * lifecycle-request the owning manager's heartbeat tick consumes
- * (q77–q79 — the reference's coordinator-routed state transitions,
- * DatastreamResources.java:355-546 → Coordinator.java:824), and
- * NOTHING mutates until then — the spec status stays truthful to
- * what the owner's query is actually doing, and delete destroys no
- * checkpoint under a live query. The 200 therefore means "accepted";
- * poll GET /pipelines/{name} for the enacted transition. resume over
- * REST stays owner-side (the restart needs the owner's lock and
- * remembered transform; PipelineManager.requestResume is the routed
- * API form).
+ * pause/stop/resume/delete on a pipeline whose query runs under a
+ * DIFFERENT live manager are ACCEPTED, not enacted: the verb writes
+ * a durable lifecycle-request the owning manager's heartbeat tick
+ * consumes (q77–q79 — the reference's coordinator-routed state
+ * transitions, DatastreamResources.java:355-546 →
+ * Coordinator.java:824), and NOTHING mutates until then — the spec
+ * status stays truthful to what the owner's query is actually doing,
+ * and delete destroys no checkpoint under a live query. The 200
+ * therefore means "accepted"; poll GET /pipelines/{name} for the
+ * enacted transition (every manager's view converges via its tick's
+ * spec reconciliation). A routed resume restarts from the OWNER's
+ * remembered run; ?await=true awaits only locally-enacted resumes.
  *   GET    /health                   instance health (per-connector tasks)
  *   GET    /diag                      per-query status scatter-gather (A10)
  *   GET    /diag/{name}               metrics + paused partitions
@@ -400,10 +400,23 @@ final class ManagementServer(pm: PipelineManager,
                 m.status == PipelineStatus.Paused ||
                   m.status == PipelineStatus.Stopped)
             else Seq(spec)
-          val qs = targets.map(m =>
-            pm.resume(m.name, transformOf(m), owner = owner(ex)))
+          // a PAUSED pipeline's lock stays with the live manager that
+          // paused it: resume there must ROUTE (the owner restarts
+          // from its remembered run — q77's return leg), judged
+          // BEFORE acting so the non-owner applies no partial local
+          // effects. Only the paused case routes: stop releases the
+          // lock, so resume-after-stop always enacts locally.
+          val enacted = targets.filter { m =>
+            if (pm.liveForeignExecutor(m.name).isDefined) {
+              pm.requestResume(m.name, owner = owner(ex)); false
+            } else {
+              pm.resume(m.name, transformOf(m), owner = owner(ex)): Unit
+              true
+            }
+          }
           if (queryParams(ex).get("await").contains("true"))
-            qs.foreach(_.awaitTermination())
+            enacted.foreach(m =>
+              pm.queryOf(m.name).foreach(_.awaitTermination()))
           respond(ex, 200, specToJson(pm.get(name).get))
         }
       case ("DELETE", List("pipelines", name)) =>

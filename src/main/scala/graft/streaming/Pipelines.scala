@@ -350,11 +350,18 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
             // already needs); a failure here must never kill the tick.
             try consumeReassignRequests(): Unit
             catch { case scala.util.control.NonFatal(_) => () }
-            finally
+            finally {
               // q77–q79: lifecycle verbs routed from non-owner
               // managers, consumed with the same owner entitlement
               try consumeLifecycleRequests(): Unit
-              catch { case scala.util.control.NonFatal(_) => () },
+              catch { case scala.util.control.NonFatal(_) => () }
+              // peer-created/deleted specs become visible (the
+              // ZK-watch stand-in; discovery is what lets a routed
+              // verb target a pipeline created after this manager
+              // loaded)
+              try reconcileSpecs()
+              catch { case scala.util.control.NonFatal(_) => () }
+            },
         interval, interval, java.util.concurrent.TimeUnit.MILLISECONDS): Unit
       Some(ex)
     }
@@ -1038,10 +1045,12 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     new Path(reassignRequestDir, s"${PipelineManager.namespaceOf(name)}.req")
 
   /** The live manager (not this one) whose locks run `name`'s query,
-    * if any. Checks every group member's lock, not just the updatee's
+    * if any — public so control planes (REST) can choose the routed
+    * verb BEFORE acting, instead of unwinding a half-applied local
+    * one. Checks every group member's lock, not just the updatee's
     * own: a per-member-stopped member holds no lock while the shared
     * query still runs under its siblings'. */
-  private def liveForeignExecutor(name: String): Option[String] = {
+  def liveForeignExecutor(name: String): Option[String] = {
     val memberNames =
       (try findGroup(name).map(_.name) catch { case _: Throwable => Nil }) match {
         case Nil => Seq(name)
@@ -1407,6 +1416,105 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       }
     }
     consumed
+  }
+
+  // names positively absent durably on the PREVIOUS reconcile tick —
+  // the two-tick sweep grace (see [[reconcileSpecs]])
+  private val sweepCandidates =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  // last spec-file modification time each reconcile acted on, by
+  // namespace: refresh reads a file only when the listing (already
+  // paid for) shows a newer mod-time — zero extra RPCs on quiet ticks
+  private val specModSeen = TrieMap.empty[String, Long]
+
+  /** Eventually-consistent local-map hygiene for the multi-manager
+    * deployment — the reference's ZK watches keep every instance's
+    * datastream view current (ZkAdapter children watches feeding
+    * Coordinator.java:824); with no watch primitive on a plain
+    * filesystem, the heartbeat tick reconciles instead:
+    *
+    *  - DISCOVER + REFRESH: durable specs this manager has never seen
+    *    (created by a peer after this manager's constructor load)
+    *    enter the map via putIfAbsent, and existing UNOWNED entries —
+    *    no local query handle, lock not this manager's — re-adopt the
+    *    durable copy when its file mod-time moved (the owner persists
+    *    every status flip, so the durable spec IS the truth for a
+    *    pipeline someone else runs; without the refresh a peer's
+    *    enacted pause left this manager's list()/get() saying Ready
+    *    forever). OWNED entries are never touched — the local map is
+    *    what this manager's own query truthfully reflects. A
+    *    READY/STOPPING spec whose lock no LIVE peer holds collapses
+    *    to STOPPED (its query died with its owner — the
+    *    constructor-load rule); one a live peer executes is adopted
+    *    verbatim; a Deleting one is skipped (the file vanishes next;
+    *    the sweep handles it). Reads are MOD-TIME GATED against the
+    *    listing already paid for: quiet ticks cost one listing, no
+    *    per-file RPCs. Without discovery a routed verb (q77–q79)
+    *    could never target a peer-created pipeline at all —
+    *    authorizeLifecycle would say "unknown pipeline".
+    *  - SWEEP: local entries whose spec file is POSITIVELY absent on
+    *    TWO CONSECUTIVE ticks, while this manager runs no query and
+    *    holds no lock for them, leave the map (a peer's delete
+    *    completed; this manager must stop offering the ghost in
+    *    list()/get()). The two-tick grace plus the per-name re-check
+    *    exists because create() registers in-memory BEFORE its
+    *    persistSpec lands — a single-pass sweep could remove a
+    *    mid-create entry. An unreadable store sweeps nothing (the
+    *    tri-state discipline every destructive guard here follows).
+    *
+    * Local-only: never writes durable state, never fires hooks (those
+    * fire where a verb is ENACTED). Wired to the heartbeat tick;
+    * public for deployments with their own timers (and tests). */
+  def reconcileSpecs(): Unit = {
+    if (demotedFlag) return
+    val dir = new Path(s"$checkpointRoot/specs")
+    val listing: Seq[(String, Long)] =
+      try {
+        if (!rootFs.exists(dir)) Nil
+        else rootFs.listStatus(dir).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+          .map(s => (s.getPath.getName.stripSuffix(".json"),
+            s.getModificationTime))
+      } catch { case _: java.io.IOException => return } // judge later
+    val durableNs = listing.map(_._1).toSet
+    def ownedLocally(name: String): Boolean =
+      Option(queries.get(name)).isDefined ||
+        (try lockOwner(lockPath(name)) == instanceId
+         catch { case _: java.io.IOException => true }) // unsure → hands off
+    // DISCOVER + REFRESH (mod-time gated)
+    listing.foreach { case (ns, modTime) =>
+      if (!specModSeen.get(ns).contains(modTime)) {
+        try {
+          val spec = readSpecFile(new Path(dir, s"$ns.json"))
+          val restored = spec.status match {
+            case PipelineStatus.Ready | PipelineStatus.Stopping
+                if liveForeignExecutor(spec.name).isEmpty =>
+              spec.copy(status = PipelineStatus.Stopped)
+            case _ => spec
+          }
+          if (spec.status != PipelineStatus.Deleting) {
+            if (specs.putIfAbsent(spec.name, restored).isDefined &&
+                !ownedLocally(spec.name))
+              specs.put(spec.name, restored): Unit
+          }
+          // recorded only after a successful read, so a torn/mid-write
+          // file is retried next tick
+          specModSeen.put(ns, modTime): Unit
+        } catch { case _: Exception => () } // torn/mid-write: next tick
+      }
+    }
+    // SWEEP (two-tick grace)
+    specs.keys.foreach { n =>
+      val absentNow = !durableNs.contains(PipelineManager.namespaceOf(n)) &&
+        specDurablyKnown(n).contains(None) // positive re-check, fresh RPC
+      if (!ownedLocally(n) && absentNow) {
+        if (sweepCandidates.remove(n)) {
+          specs.remove(n): Unit
+          specModSeen.remove(PipelineManager.namespaceOf(n)): Unit
+        } else sweepCandidates.add(n): Unit
+      } else sweepCandidates.remove(n): Unit
+    }
   }
 
   /** Delivery-relevant difference beyond the destination field —

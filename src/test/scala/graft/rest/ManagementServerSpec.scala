@@ -948,9 +948,21 @@ class ManagementServerSpec extends SparkTestBase {
         Thread.sleep(20L)
       assert(!q0.isActive, "the owner's tick never enacted the routed pause")
       assert(pmA.get("xr").get.status == graft.model.PipelineStatus.Paused)
-      // delete on the non-owner (the lock is still A's — pause keeps
-      // it): accepted, then the owner's tick runs the DESTRUCTIVE
-      // body with locks it actually holds
+      // resume on the non-owner: the lock is still A's (pause keeps
+      // it), so the handler must ROUTE — the owner restarts from its
+      // remembered run, never a second query from B
+      val res = req(base, "POST", "/pipelines/xr/resume")
+      assert(res.statusCode() == 200, res.body())
+      assert(pmB.queryOf("xr").isEmpty, "the non-owner must start nothing")
+      val dl1 = System.currentTimeMillis() + 90000L
+      while (!pmA.queryOf("xr").exists(_.isActive) &&
+          System.currentTimeMillis() < dl1) Thread.sleep(20L)
+      assert(pmA.queryOf("xr").exists(_.isActive),
+        "the owner's tick never enacted the routed resume")
+      assert(pmA.get("xr").get.status == graft.model.PipelineStatus.Ready)
+      // delete on the non-owner (the lock is still A's): accepted,
+      // then the owner's tick runs the DESTRUCTIVE body with locks it
+      // actually holds — stopping the resumed query first
       val del = req(base, "DELETE", "/pipelines/xr")
       assert(del.statusCode() == 200, del.body())
       val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(

@@ -1816,6 +1816,42 @@ class PipelineManagerSpec extends SparkTestBase {
     pmD.close(); pmC.close()
   }
 
+  test("spec reconciliation: peers discover later-created specs and sweep deleted ones (two-tick grace)") {
+    val root = Files.createTempDirectory("graft-xrec-").toString
+    val srcDir = Files.createTempDirectory("graft-xrec-src-").toString
+    Seq((1L, "v1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    val dest = Files.createTempDirectory("graft-xrec-dest-").toString + "/d"
+    val pmB = new PipelineManager(spark, root, instance = "B")
+    val pmA = new PipelineManager(spark, root, instance = "A")
+    // created AFTER B's constructor load: invisible to B until a
+    // reconcile tick — and so unreachable by any verb on B
+    pmA.create(PipelineSpec("rc", "parquet", "parquet", srcDir,
+      destinationConnection = dest))
+    pmA.start("rc", identity,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+    assert(pmB.get("rc").isEmpty, "not yet discovered")
+    intercept[RuntimeException] { pmB.pause("rc") }
+    pmB.reconcileSpecs()
+    // a live peer executes it: the durable Ready status is adopted
+    // verbatim (truthful — A's query IS running)
+    assert(pmB.get("rc").exists(_.status == PipelineStatus.Ready),
+      "discovery must adopt a live peer's running spec")
+    // ...and the routed verb can now target it end-to-end
+    pmB.pause("rc")
+    assert(pmA.consumeLifecycleRequests() == 1)
+    assert(pmA.get("rc").get.status == PipelineStatus.Paused)
+    // owner-side delete, then B's reconcile sweeps the ghost — but
+    // only on the SECOND consecutive absent tick (create() registers
+    // in-memory before its persist lands; a one-tick sweep could
+    // remove a mid-create entry)
+    pmA.delete("rc")
+    pmB.reconcileSpecs()
+    assert(pmB.get("rc").isDefined, "first absent tick must only mark")
+    pmB.reconcileSpecs()
+    assert(pmB.get("rc").isEmpty, "second absent tick must sweep")
+    pmB.close(); pmA.close()
+  }
+
   // a distinct source per pipeline keeps l2 out of l1's task group
   // (group membership is keyed on the shared source)
   private def freshSrcDir(): String = {
