@@ -402,18 +402,14 @@ final class ManagementServer(pm: PipelineManager,
             else Seq(spec)
           // a PAUSED pipeline's lock stays with the live manager that
           // paused it: resume there must ROUTE (the owner restarts
-          // from its remembered run — q77's return leg), judged
-          // BEFORE acting so the non-owner applies no partial local
-          // effects. Only the paused case routes: stop releases the
-          // lock, so resume-after-stop always enacts locally.
-          val enacted = targets.filter { m =>
-            if (pm.liveForeignExecutor(m.name).isDefined) {
-              pm.requestResume(m.name, owner = owner(ex)); false
-            } else {
-              pm.resume(m.name, transformOf(m), owner = owner(ex)): Unit
-              true
-            }
-          }
+          // from its remembered run — q77's return leg). The
+          // ownership judgment and the act are ONE manager call, so
+          // an owner dying (or appearing) in between degrades into
+          // the other form instead of failing. Only the paused case
+          // routes: stop releases the lock, so resume-after-stop
+          // always enacts locally.
+          val enacted = targets.filter(m =>
+            pm.resumeOrRoute(m.name, transformOf(m), owner = owner(ex)))
           if (queryParams(ex).get("await").contains("true"))
             enacted.foreach(m =>
               pm.queryOf(m.name).foreach(_.awaitTermination()))
@@ -426,8 +422,15 @@ final class ManagementServer(pm: PipelineManager,
         // whether the spec is actually gone, not on a clean return —
         // a recreate after a 500'd-but-completed delete must still
         // start with no assignment table or staged moves
+        // a ROUTED delete (live peer owns the query) leaves the spec
+        // present until the owner enacts — judged BEFORE the call so
+        // this server's caches still drop now: between accept and
+        // enactment a reader recomputes them fresh, and a later
+        // recreate must not inherit the dead pipeline's table either
+        // way (the stated invariant below)
+        val routed = pm.liveForeignExecutor(name).isDefined
         try pm.delete(name, owner(ex))
-        finally if (pm.get(name).isEmpty) {
+        finally if (routed || pm.get(name).isEmpty) {
           assignments.remove(name)
           stagedMoves.remove(name): Unit
         }

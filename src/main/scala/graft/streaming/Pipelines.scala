@@ -1310,22 +1310,37 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     // exclusive create, advancing the sequence past any collision: a
     // RESTARTED manager's in-memory sequence starts over, and an
     // overwriting create would destroy a predecessor's still-pending
-    // request under the same name
+    // request under the same name. ONLY the create call itself may
+    // read an exception as a collision — a failure AFTER a successful
+    // create (disk full mid-write) must propagate, not loop forever
+    // spawning torn files; the partial file is best-effort removed so
+    // it cannot linger unparseable in the queue.
     var written = false
     while (!written) {
       val file = s"${PipelineManager.namespaceOf(name)}." +
         s"${PipelineManager.namespaceOf(instanceId)}." +
         f"${lifecycleSeq.getAndIncrement()}%012d.req"
       val p = new Path(lifecycleRequestDir, file)
-      try {
-        val out = rootFs.create(p, false)
-        try out.write(s"$name\n$instanceId\n$verb\n$force".getBytes("UTF-8"))
-        finally out.close()
+      val created =
+        try Some(rootFs.create(p, false))
+        catch {
+          // both spellings of the exclusive-create collision; any
+          // OTHER create failure (permissions, quota) propagates —
+          // retrying it with the next sequence would loop forever
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
+          case e: java.io.IOException if rootFs.exists(p) => None
+        }
+      created.foreach { out =>
+        try {
+          try out.write(s"$name\n$instanceId\n$verb\n$force".getBytes("UTF-8"))
+          finally out.close()
+        } catch {
+          case e: Throwable =>
+            try rootFs.delete(p, false): Unit
+            catch { case e2: Throwable => e.addSuppressed(e2) }
+            throw e
+        }
         written = true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
-        case e: java.io.IOException
-            if rootFs.exists(p) => () // local-FS spelling of the same
       }
     }
   }
@@ -1423,10 +1438,19 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   private val sweepCandidates =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  // last spec-file modification time each reconcile acted on, by
-  // namespace: refresh reads a file only when the listing (already
-  // paid for) shows a newer mod-time — zero extra RPCs on quiet ticks
-  private val specModSeen = TrieMap.empty[String, Long]
+  // names judged owner-dead-while-Ready on the PREVIOUS reconcile
+  // tick — the liveness collapse's own two-tick grace (separate from
+  // sweepCandidates: a raw pipeline name could collide with any
+  // prefix-encoded key)
+  private val collapseCandidates =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  // last spec-file (modification time, length) each reconcile acted
+  // on, by namespace: refresh reads a file only when the listing
+  // (already paid for) shows either moved — zero extra RPCs on quiet
+  // ticks; the length disambiguates two writes inside one mod-time
+  // granule
+  private val specModSeen = TrieMap.empty[String, (Long, Long)]
 
   /** Eventually-consistent local-map hygiene for the multi-manager
     * deployment — the reference's ZK watches keep every instance's
@@ -1469,22 +1493,22 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   def reconcileSpecs(): Unit = {
     if (demotedFlag) return
     val dir = new Path(s"$checkpointRoot/specs")
-    val listing: Seq[(String, Long)] =
+    val listing: Seq[(String, (Long, Long))] =
       try {
         if (!rootFs.exists(dir)) Nil
         else rootFs.listStatus(dir).toSeq
           .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
           .map(s => (s.getPath.getName.stripSuffix(".json"),
-            s.getModificationTime))
+            (s.getModificationTime, s.getLen)))
       } catch { case _: java.io.IOException => return } // judge later
     val durableNs = listing.map(_._1).toSet
     def ownedLocally(name: String): Boolean =
       Option(queries.get(name)).isDefined ||
         (try lockOwner(lockPath(name)) == instanceId
          catch { case _: java.io.IOException => true }) // unsure → hands off
-    // DISCOVER + REFRESH (mod-time gated)
-    listing.foreach { case (ns, modTime) =>
-      if (!specModSeen.get(ns).contains(modTime)) {
+    // DISCOVER + REFRESH (gated on (mod-time, length) from the listing)
+    listing.foreach { case (ns, stamp) =>
+      if (!specModSeen.get(ns).contains(stamp)) {
         try {
           val spec = readSpecFile(new Path(dir, s"$ns.json"))
           val restored = spec.status match {
@@ -1500,9 +1524,30 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
           }
           // recorded only after a successful read, so a torn/mid-write
           // file is retried next tick
-          specModSeen.put(ns, modTime): Unit
+          specModSeen.put(ns, stamp): Unit
         } catch { case _: Exception => () } // torn/mid-write: next tick
       }
+    }
+    // LIVENESS COLLAPSE, re-judged EVERY tick (an owner's death moves
+    // no file, so it can never be mod-time-gated): an unowned local
+    // entry claiming Ready/Stopping whose lock no LIVE peer holds has
+    // no query behind it anywhere — its query died with its owner.
+    // Local-only collapse to the truthful Stopped (the constructor
+    // load's rule); the durable flip belongs to whoever reclaims the
+    // pipeline. TWO-TICK grace, like the sweep: a freshly-created
+    // pipeline is momentarily Ready with no lock (create → start gap
+    // on its own manager), and a one-tick collapse could flip it mid
+    // start — start() flips it back, but the grace avoids the flap.
+    // Cost: one lock read + one registration read per foreign-RUN
+    // pipeline per tick — quiet deployments have few.
+    specs.foreach { case (n, s) =>
+      if ((s.status == PipelineStatus.Ready ||
+            s.status == PipelineStatus.Stopping) &&
+          !ownedLocally(n) && liveForeignExecutor(n).isEmpty) {
+        if (collapseCandidates.remove(n))
+          specs.replace(n, s, s.copy(status = PipelineStatus.Stopped)): Unit
+        else collapseCandidates.add(n): Unit
+      } else collapseCandidates.remove(n): Unit
     }
     // SWEEP (two-tick grace)
     specs.keys.foreach { n =>
@@ -2051,6 +2096,15 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       // q74 update-restart must never restart from a shape that never
       // produced a live query
       soloRuns.put(name, (transform, trigger))
+      // a successful start IS the pipeline running: a status restored
+      // or collapsed to Stopped (constructor load, reconcile liveness)
+      // flips back to the truthful Ready. No hook when already Ready —
+      // the create→start path must not fire a duplicate transition.
+      if (!specs.get(name).map(_.status).contains(PipelineStatus.Ready)) {
+        specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Ready)))
+        specs.get(name).foreach(persistSpec)
+        hooks.onStateChange(name, PipelineStatus.Ready)
+      }
       q
     } finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", prevPool)
   }
@@ -3026,23 +3080,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       force: Boolean = false, owner: String = "anonymous"): StreamingQuery = {
     authorizeLifecycle(name, owner)
     if (isGroupRun(name)) {
-      val targets = if (force) findGroup(name).map(_.name).toSet else Set(name)
-      targets.foreach { n =>
-        specs.updateWith(n)(_.map(_.copy(status = PipelineStatus.Ready)))
-        specs.get(n).foreach(persistSpec)
-        hooks.onStateChange(n, PipelineStatus.Ready)
-      }
-      // Drain the holdback of every dest group that now has a Ready
-      // member. Leaders are computed exactly as startGroup computes
-      // them (lexicographically-first member per destination), so the
-      // replay lands in the namespace live delivery uses. The batch
-      // loop's own self-healing drain covers a resume that races an
-      // in-flight epoch (both paths serialize per leader).
-      findGroup(name).groupBy(_.destinationConnection).values
-        .filter(ms => ms.exists(m => targets.contains(m.name)) &&
-          ms.exists(m =>
-            specs.get(m.name).exists(_.status == PipelineStatus.Ready)))
-        .foreach(replayGroupHoldback)
+      resumeGroupFlipAndReplay(name, force)
       Option(queries.get(name)).getOrElse(startGroup(name, transform))
     } else {
       specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Ready)))
@@ -3073,36 +3111,77 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     else resumeRemembered(name, force)
   }
 
+  /** Check-before-act resume for control planes holding a caller
+    * transform (REST): enact [[resume]] locally when this manager
+    * can, route to the live owner otherwise — one method, so the
+    * ownership judgment and the act cannot be split by an owner
+    * dying (or appearing) in between: a lock acquired by a peer
+    * between the check and the start degrades into the routed form
+    * instead of surfacing the race as a failure. Returns true when
+    * enacted locally (the caller may await the registered query),
+    * false when routed (the owner's tick enacts; nothing to await
+    * here). */
+  def resumeOrRoute(name: String, transform: DataFrame => DataFrame,
+      force: Boolean = false, owner: String = "anonymous"): Boolean = {
+    authorizeLifecycle(name, owner)
+    if (liveForeignExecutor(name).isDefined) {
+      writeLifecycleRequest(name, "resume", force); false
+    } else
+      try { resume(name, transform, force, owner): Unit; true }
+      catch {
+        case _: PipelineLockedException =>
+          writeLifecycleRequest(name, "resume", force); false
+      }
+  }
+
+  /** [[resume]]'s group-path status flip + holdback drain, shared
+    * with [[resumeRemembered]] so the direct and routed paths can
+    * never diverge. Drains the holdback of every dest group that now
+    * has a Ready member. Leaders are computed exactly as startGroup
+    * computes them (lexicographically-first member per destination),
+    * so the replay lands in the namespace live delivery uses. The
+    * batch loop's own self-healing drain covers a resume that races
+    * an in-flight epoch (both paths serialize per leader). */
+  private def resumeGroupFlipAndReplay(name: String, force: Boolean): Unit = {
+    val targets = if (force) findGroup(name).map(_.name).toSet else Set(name)
+    targets.foreach { n =>
+      specs.updateWith(n)(_.map(_.copy(status = PipelineStatus.Ready)))
+      specs.get(n).foreach(persistSpec)
+      hooks.onStateChange(n, PipelineStatus.Ready)
+    }
+    findGroup(name).groupBy(_.destinationConnection).values
+      .filter(ms => ms.exists(m => targets.contains(m.name)) &&
+        ms.exists(m =>
+          specs.get(m.name).exists(_.status == PipelineStatus.Ready)))
+      .foreach(replayGroupHoldback)
+  }
+
   /** The enacting resume body for [[requestResume]] — [[resume]]'s
     * status-flip/holdback-replay discipline with the remembered run
     * in place of a caller transform. Statuses flip only when the
-    * enactment can actually proceed (solo: a remembered run exists),
-    * so a failed resume never leaves Ready-with-no-query. */
+    * enactment can actually proceed (a query is registered or a run
+    * is remembered), so a failed resume never leaves
+    * Ready-with-no-query — in EITHER branch. */
   private def resumeRemembered(name: String, force: Boolean): Unit =
     if (isGroupRun(name)) {
-      val targets = if (force) findGroup(name).map(_.name).toSet else Set(name)
-      targets.foreach { n =>
-        specs.updateWith(n)(_.map(_.copy(status = PipelineStatus.Ready)))
-        specs.get(n).foreach(persistSpec)
-        hooks.onStateChange(n, PipelineStatus.Ready)
-      }
-      findGroup(name).groupBy(_.destinationConnection).values
-        .filter(ms => ms.exists(m => targets.contains(m.name)) &&
-          ms.exists(m =>
-            specs.get(m.name).exists(_.status == PipelineStatus.Ready)))
-        .foreach(replayGroupHoldback)
-      if (Option(queries.get(name)).isEmpty) {
-        val prefix = specs.get(name)
-          .map(s => s.metadata.getOrElse(PipelineManager.TaskPrefixKey, s.name))
-          .getOrElse(name)
-        groupRuns.get(prefix) match {
-          case Some((transform, trigger)) =>
-            startGroup(name, transform, trigger): Unit
-          case None => throw new IllegalStateException(
-            s"no remembered group run for $name on this manager; " +
-              "resume with an explicit transform")
+      val prefix = specs.get(name)
+        .map(s => s.metadata.getOrElse(PipelineManager.TaskPrefixKey, s.name))
+        .getOrElse(name)
+      // judged BEFORE any flip/persist/replay: an enactment that
+      // cannot proceed (crashed owner emptied groupRuns; no query
+      // handle survives) must mutate NOTHING — flipping first would
+      // persist Ready-with-no-query, the status lie this whole
+      // routing exists to prevent
+      val restartable = Option(queries.get(name)).isDefined ||
+        groupRuns.contains(prefix)
+      if (!restartable) throw new IllegalStateException(
+        s"no remembered group run for $name on this manager; " +
+          "resume with an explicit transform")
+      resumeGroupFlipAndReplay(name, force)
+      if (Option(queries.get(name)).isEmpty)
+        groupRuns.get(prefix).foreach { case (transform, trigger) =>
+          startGroup(name, transform, trigger): Unit
         }
-      }
     } else if (Option(queries.get(name)).exists(_.isActive)) {
       // already running (a resume-request that raced the owner's own
       // restart, or one issued against a live pipeline): the resume

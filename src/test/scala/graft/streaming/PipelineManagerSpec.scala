@@ -1852,6 +1852,35 @@ class PipelineManagerSpec extends SparkTestBase {
     pmB.close(); pmA.close()
   }
 
+  test("a remembered-run resume that cannot proceed mutates nothing (no Ready-with-no-query)") {
+    // the routed resume's enacting body must judge restartability
+    // BEFORE any flip/persist/replay: a restarted manager has no
+    // remembered group run, and flipping first would persist the
+    // exact Ready-with-no-query status lie the routing exists to
+    // prevent
+    val root = Files.createTempDirectory("graft-xnr-").toString
+    val srcDir = Files.createTempDirectory("graft-xnr-src-").toString
+    Seq((1L, "v1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    val da = Files.createTempDirectory("graft-xnr-da-").toString + "/d"
+    val db = Files.createTempDirectory("graft-xnr-db-").toString + "/d"
+    val pm1 = new PipelineManager(spark, root, instance = "A")
+    pm1.create(PipelineSpec("na", "parquet", "parquet", srcDir,
+      destinationConnection = da))
+    pm1.create(PipelineSpec("nb", "parquet", "parquet", srcDir,
+      destinationConnection = db))
+    pm1.startGroup("na", identity).awaitTermination()
+    pm1.close() // the owner is gone, and its remembered runs with it
+    val pm2 = new PipelineManager(spark, root, instance = "A2")
+    assert(pm2.get("na").get.status == PipelineStatus.Stopped)
+    intercept[IllegalStateException] { pm2.requestResume("na") }
+    assert(pm2.get("na").get.status == PipelineStatus.Stopped,
+      "a failed remembered-run resume must not flip the status")
+    // the explicit-transform resume still works — it IS the remedy
+    pm2.resume("na", identity).awaitTermination()
+    assert(pm2.get("na").get.status == PipelineStatus.Ready)
+    pm2.close()
+  }
+
   // a distinct source per pipeline keeps l2 out of l1's task group
   // (group membership is keyed on the shared source)
   private def freshSrcDir(): String = {
