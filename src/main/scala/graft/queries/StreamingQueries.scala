@@ -3394,6 +3394,94 @@ object StreamingQueries {
       }
     }),
 
+    // SPEC RECONCILIATION (q80) — the ZK-watch stand-in that makes
+    // the routed verbs (q77–q79) USABLE in a multi-manager
+    // deployment: a manager constructed BEFORE a peer's create must
+    // DISCOVER the spec on its reconcile tick (else authorizeLifecycle
+    // says unknown pipeline and no verb can target it), must REFRESH
+    // an unowned entry when the owner's enacted flip moves the spec
+    // file (else its list()/get() lie forever), and must SWEEP the
+    // entry once the spec is positively gone durably — on the SECOND
+    // consecutive absent tick, never the first (create() registers
+    // in-memory before its persist lands). Reference: every instance
+    // observes datastream changes via ZK watches
+    // (Coordinator.java:824); here the heartbeat tick reconciles.
+    "q80_spec_reconcile" -> ((s, d) => {
+      val ckptRoot = Files.createTempDirectory("graft-q80-pm-").toString
+      val srcDir = Files.createTempDirectory("graft-q80-src-").toString
+      val destD = Files.createTempDirectory("graft-q80-dest-").toString + "/d"
+      var pms = List.empty[PipelineManager]
+      try {
+        val conf = s.sparkContext.hadoopConfiguration
+        val clicks = Tables.t(s, d, "events")
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"))
+        def epochOf(e: Long): DataFrame =
+          clicks.filter(pmod(col("event_id"), lit(2L)) === e)
+        val fs = new org.apache.hadoop.fs.Path(ckptRoot).getFileSystem(conf)
+        def commitDone(b: Long): Boolean = fs.exists(
+          new org.apache.hadoop.fs.Path(s"$ckptRoot/q80a/commits/$b"))
+        PipelineManager.epochAppend(epochOf(0).coalesce(1), srcDir, 0, "q80src")
+        // B exists FIRST: the later create is invisible to it until
+        // its reconcile tick discovers the durable spec
+        val mB = new PipelineManager(s, ckptRoot, instance = "mgrB")
+        pms ::= mB
+        val mA = new PipelineManager(s, ckptRoot, instance = "mgrA")
+        pms ::= mA
+        mA.create(PipelineSpec("q80a", "parquet", "parquet", srcDir,
+          destinationConnection = destD))
+        val q0 = mA.start("q80a", identity,
+          Trigger.ProcessingTime("50 milliseconds"))
+        awaitCond("q80", "epoch 0 commit")(commitDone(0))
+        val invisible = mB.get("q80a").isEmpty.toString
+        mB.reconcileSpecs()
+        // a live peer executes it: adopted verbatim as Ready
+        val discovered = mB.get("q80a")
+          .exists(_.status == PipelineStatus.Ready).toString
+        // the discovery is what makes the routed verb reachable at all
+        mB.pause("q80a")
+        val aConsumed = mA.consumeLifecycleRequests().toString
+        val enacted = (!q0.isActive).toString
+        // the owner's enacted flip moved the spec file: B's next tick
+        // refreshes the unowned entry to the truthful Paused
+        mB.reconcileSpecs()
+        val refreshed = mB.get("q80a")
+          .exists(_.status == PipelineStatus.Paused).toString
+        // the return leg, then drain the corpus for the closed form
+        PipelineManager.epochAppend(epochOf(1).coalesce(1), srcDir, 1, "q80src")
+        mB.requestResume("q80a")
+        val resumed = (mA.consumeLifecycleRequests() == 1).toString
+        awaitCond("q80", "epoch 1 commit after resume")(commitDone(1) &&
+          PipelineManager.committedFiles(destD, conf).nonEmpty)
+        mA.stop("q80a")
+        mA.delete("q80a")
+        // the sweep needs TWO consecutive positively-absent ticks
+        mB.reconcileSpecs()
+        val gracedFirstTick = mB.get("q80a").isDefined.toString
+        mB.reconcileSpecs()
+        val sweptSecondTick = mB.get("q80a").isEmpty.toString
+        val r = s.read.parquet(destD)
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+          .head()
+        import s.implicits._
+        Seq(
+          ("rec", "invisible_before_tick", invisible),
+          ("rec", "discovered_ready", discovered),
+          ("req", "routed_verb_reachable", aConsumed),
+          ("req", "enacted", enacted),
+          ("rec", "refreshed_to_paused", refreshed),
+          ("req", "resume_consumed", resumed),
+          ("rec", "sweep_graced_first_tick", gracedFirstTick),
+          ("rec", "swept_second_tick", sweptSecondTick),
+          ("rows", "n", r.getLong(0).toString),
+          ("rows", "n_distinct", r.getLong(1).toString))
+          .toDF("kind", "k", "v")
+      } finally {
+        pms.foreach(p => try p.close() catch { case _: Throwable => () })
+        deleteTree(ckptRoot, srcDir, new java.io.File(destD).getParent)
+      }
+    }),
+
     // Heartbeat-driven self-demotion — the RUNTIME half of the q67
     // lease contract: nothing external tells the expired manager to
     // stand down; its OWN scheduled heartbeat (interval = lease/4)
@@ -4877,6 +4965,28 @@ object StreamingQueries {
         |UNION ALL SELECT 'rows', 'n_distinct',
         |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
         |FROM events WHERE event_type = 'click' AND event_id % 2 = 0"""
+        .stripMargin.replace("\n", " "),
+
+    // Spec-reconciliation closed form (q80): every watch-analog event
+    // is a literal (invisible before the tick, discovered Ready,
+    // routed verb reachable and enacted, refreshed to the enacted
+    // Paused, sweep graced on the first absent tick and done on the
+    // second), and exactly-once across the routed round trip means
+    // the destination equals the corpus.
+    "q80_spec_reconcile" ->
+      """SELECT 'rec' AS kind, 'invisible_before_tick' AS k, 'true' AS v
+        |UNION ALL SELECT 'rec', 'discovered_ready', 'true'
+        |UNION ALL SELECT 'req', 'routed_verb_reachable', '1'
+        |UNION ALL SELECT 'req', 'enacted', 'true'
+        |UNION ALL SELECT 'rec', 'refreshed_to_paused', 'true'
+        |UNION ALL SELECT 'req', 'resume_consumed', 'true'
+        |UNION ALL SELECT 'rec', 'sweep_graced_first_tick', 'true'
+        |UNION ALL SELECT 'rec', 'swept_second_tick', 'true'
+        |UNION ALL SELECT 'rows', 'n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL SELECT 'rows', 'n_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'click'"""
         .stripMargin.replace("\n", " "),
 
     // Metadata-update closed form (q75): epoch 0 merges one row per
