@@ -1881,6 +1881,59 @@ class PipelineManagerSpec extends SparkTestBase {
     pm2.close()
   }
 
+  test("two survivors racing a dead owner's orphaned delete enact it idempotently") {
+    // the orphan-consume entitlement is deliberately not exclusive
+    // (whichever live manager's tick sees it first), so two ticks CAN
+    // run the destructive body concurrently — every step must be
+    // idempotent: fs deletes, map removals, lock releases. Pin that
+    // the race ends in exactly the deleted state with no exception
+    // escaping either consumer.
+    val root = Files.createTempDirectory("graft-xrace-").toString
+    val srcDir = Files.createTempDirectory("graft-xrace-src-").toString
+    Seq((1L, "v1")).toDF("k", "v").write.mode(SaveMode.Append).parquet(srcDir)
+    val dest = Files.createTempDirectory("graft-xrace-dest-").toString + "/d"
+    val lease = 600000L
+    val pmA = new PipelineManager(spark, root, instance = "A",
+      livenessLeaseMs = lease)
+    pmA.create(PipelineSpec("rx", "parquet", "parquet", srcDir,
+      destinationConnection = dest))
+    pmA.start("rx", identity).awaitTermination()
+    assert(pmA.heartbeat(), "A's lease lapsed during setup")
+    val pmB = new PipelineManager(spark, root, instance = "B",
+      livenessLeaseMs = lease)
+    val pmC = new PipelineManager(spark, root, instance = "C",
+      livenessLeaseMs = lease)
+    assert(pmB.heartbeat() && pmC.heartbeat())
+    pmB.delete("rx") // routed: A is live and owns the lock
+    // A hard-crashes: stop its work, age its registration past the lease
+    pmA.demote()
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$root/instances/A"),
+      System.currentTimeMillis() - lease - 1000L, -1)
+    // both survivors' ticks race the orphan
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val counts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ts = Seq(pmB, pmC).map { pm =>
+      new Thread(() =>
+        try counts.addAndGet(pm.consumeLifecycleRequests()): Unit
+        catch { case t: Throwable => errs.add(t): Unit })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join(60000))
+    assert(errs.isEmpty, s"a racing consumer threw: ${errs.peek()}")
+    assert(counts.get() >= 1, "nobody enacted the orphaned delete")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/specs/rx.json")),
+      "the delete must complete durably")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/rx")),
+      "the checkpoint must be swept")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/lifecycle-requests")) ||
+      fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$root/lifecycle-requests")).isEmpty,
+      "the request must be consumed")
+    pmC.close(); pmB.close(); pmA.close()
+  }
+
   // a distinct source per pipeline keeps l2 out of l1's task group
   // (group membership is keyed on the shared source)
   private def freshSrcDir(): String = {
