@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Durable per-test reporting for full-battery runs: every test's name,
+// duration, and failure lands in target/test-reports/*.xml (plus
+// durations on stdout), so a once-per-battery flake identifies ITSELF
+// instead of needing a re-run to chase it.
+Test / testOptions ++= Seq(
+  Tests.Argument(TestFrameworks.ScalaTest, "-oD"),
+  Tests.Argument(TestFrameworks.ScalaTest, "-u", "target/test-reports"),
+)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
