@@ -194,10 +194,15 @@ object Bench {
     // Failed gates (elapsed -1) are OMITTED here — they are already
     // named under "failed", and a -10 decisecond entry would corrupt
     // any consumer summing or averaging the map.
+    // Line-compression step 1 (r18 headroom plan): "spill_build" and
+    // "unit" dropped from stdout — both stay in bench_detail.json
+    // (the driver reads only metric/value/queries_ds/failed/sf; the
+    // unit is seconds by the metric's contract). -30 chars ≈ 3 gates
+    // of headroom at the ~2000-char driver tail.
     val qsPub = published.filter(_._2 >= 0).map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + math.round(v * 10) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt2(pubTotal)},"unit":"sec","queries_ds":$qsPub,"spill_build":${fmt2(spillBuildS)},"failed":[${failedStdout.mkString(",")}],"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt2(pubTotal)},"queries_ds":$qsPub,"failed":[${failedStdout.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -138,5 +138,30 @@ object PipelineSpecJson {
 
   def write(s: PipelineSpec): String =
     JsonMethods.compact(JsonMethods.render(toJson(s)))
+
+  /** Storage form: the wire JSON plus a STORE-OWNED monotonic write
+    * counter (`specVersion`). The counter is not part of
+    * [[PipelineSpec]] — it versions the durable FILE, not the spec
+    * (the reference stores the same distinction in the ZK znode's
+    * version, never in the Datastream record). Omitted when 0 so the
+    * wire form and old files stay readable unchanged. */
+  def writeVersioned(s: PipelineSpec, specVersion: Long): String =
+    JsonMethods.compact(JsonMethods.render(
+      if (specVersion <= 0L) toJson(s)
+      else toJson(s) match {
+        case JObject(fields) =>
+          JObject(fields :+ ("specVersion" -> (JInt(specVersion): JValue)))
+        case other => other
+      }))
+
+  /** The stored `specVersion` of a persisted spec file's JSON; 0 for
+    * wire-form/legacy files that never carried one. */
+  def versionOf(json: String): Long =
+    JsonMethods.parse(json) \ "specVersion" match {
+      case JInt(v) => v.toLong
+      case JLong(v) => v
+      case _ => 0L
+    }
+
   def read(json: String): PipelineSpec = fromJson(JsonMethods.parse(json))
 }

@@ -3482,6 +3482,119 @@ object StreamingQueries {
       }
     }),
 
+    // ROUTED RESUME SURVIVES THE OWNER'S CRASH (q81) — the one
+    // lifecycle verb q77-q79 could not route across a DEAD owner:
+    // restarting needs the transform, and a closure dies with the
+    // owner's JVM. With the transform declared IN THE SPEC (catalog
+    // name + params in metadata, trigger in metadata — the
+    // reference's the-spec-is-data property: any instance
+    // materializes an assigned task from the ZK-stored Datastream,
+    // Coordinator.java:920 → AbstractKafkaConnector.java:152), a
+    // surviving manager that never saw the owner's run enacts the
+    // orphaned resume-request from the spec alone and continues from
+    // the SHARED checkpoint exactly-once. Contract under test: the
+    // catalog resolves the spec on both managers; the resume routes
+    // (not enacts) while the owner lives; the owner's crash (lease
+    // expiry) entitles the survivor, whose tick consumes the SAME
+    // request file and restarts with the catalog transform + declared
+    // trigger, reclaiming the orphan lock; epoch 0 (delivered by the
+    // owner) is not redelivered.
+    "q81_catalog_resume_after_crash" -> ((s, d) => {
+      val ckptRoot = Files.createTempDirectory("graft-q81-pm-").toString
+      val srcDir = Files.createTempDirectory("graft-q81-src-").toString
+      val destD = Files.createTempDirectory("graft-q81-dest-").toString + "/d"
+      var pms = List.empty[PipelineManager]
+      try {
+        val conf = s.sparkContext.hadoopConfiguration
+        val clicks = Tables.t(s, d, "events")
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"))
+        def epochOf(e: Long): DataFrame =
+          clicks.filter(pmod(col("event_id"), lit(2L)) === e)
+        val fs = new org.apache.hadoop.fs.Path(ckptRoot).getFileSystem(conf)
+        def commitDone(b: Long): Boolean = fs.exists(
+          new org.apache.hadoop.fs.Path(s"$ckptRoot/q81a/commits/$b"))
+        // the shared catalog: one PARAMETERIZED transform both
+        // managers' hooks carry — params ride the spec's metadata
+        val catalog = PipelineHooks(transforms = Map(
+          "userMod" -> (md => df =>
+            df.filter(pmod(col("user_id"),
+              lit(md("userMod.mod").toLong)) === 0))))
+        PipelineManager.epochAppend(epochOf(0).coalesce(1), srcDir, 0, "q81src")
+        val lease = 600000L // expiry below is SIMULATED, never slept for
+        val mA = new PipelineManager(s, ckptRoot, catalog, instance = "mgrA",
+          livenessLeaseMs = lease)
+        pms ::= mA
+        val spec = mA.create(PipelineSpec("q81a", "parquet", "parquet", srcDir,
+          destinationConnection = destD,
+          metadata = Map(
+            PipelineManager.TransformKey -> "userMod",
+            "userMod.mod" -> "2",
+            PipelineManager.TriggerKey -> "processingTime:50")))
+        // the owner itself materializes from the spec — no BYO closure
+        // anywhere in this gate
+        val resolved = mA.resolveTransform(spec).isDefined.toString
+        mA.start("q81a", mA.resolveTransform(spec).get,
+          PipelineManager.specTrigger(spec))
+        awaitCond("q81", "epoch 0 commit")(commitDone(0))
+        mA.pause("q81a") // query stopped, durable Paused, lock KEPT by A
+        val mB = new PipelineManager(s, ckptRoot, catalog, instance = "mgrB",
+          livenessLeaseMs = lease)
+        pms ::= mB
+        // resume from B while A LIVES: must route, not enact — A holds
+        // the lock and only A could restart cheaply from its memory
+        mB.requestResume("q81a")
+        val lcDir = new org.apache.hadoop.fs.Path(
+          s"$ckptRoot/lifecycle-requests")
+        val routed = (fs.exists(lcDir) && fs.listStatus(lcDir).nonEmpty)
+          .toString
+        val bNoopWhileLive = mB.consumeLifecycleRequests().toString
+        // HARD CRASH of the owner: no close(); age the registration
+        // one lease past its last heartbeat (q67's simulation)
+        fs.setTimes(new org.apache.hadoop.fs.Path(
+          s"$ckptRoot/instances/mgrA"),
+          System.currentTimeMillis() - lease - 60000L, -1)
+        val ownerExpired = (!mA.heartbeat()).toString
+        PipelineManager.epochAppend(epochOf(1).coalesce(1), srcDir, 1, "q81src")
+        // the survivor never ran the pipeline: nothing remembered
+        val noRunRemembered = mB.queryOf("q81a").isEmpty.toString
+        // its tick consumes the ORPHANED request and restarts from the
+        // spec alone (catalog transform, declared trigger), from the
+        // shared checkpoint
+        val consumed = mB.consumeLifecycleRequests().toString
+        val restarted = mB.queryOf("q81a").exists(_.isActive).toString
+        awaitCond("q81", "epoch 1 commit after catalog resume")(
+          commitDone(1) &&
+            PipelineManager.committedFiles(destD, conf).nonEmpty)
+        // the restart reclaimed the dead owner's lock
+        val lockIn = fs.open(new org.apache.hadoop.fs.Path(
+          s"$ckptRoot/locks/q81a.lock"))
+        val lockTxt = try new String(lockIn.readAllBytes(), "UTF-8")
+          finally lockIn.close()
+        val relocked = lockTxt.contains("mgrB").toString
+        mB.stop("q81a")
+        val r = s.read.parquet(destD)
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+          .head()
+        import s.implicits._
+        Seq(
+          ("cat", "catalog_resolves_spec", resolved),
+          ("req", "routed_while_owner_live", routed),
+          ("req", "b_consume_noop_while_live", bNoopWhileLive),
+          ("crash", "owner_lease_expired", ownerExpired),
+          ("res", "no_run_remembered_on_survivor", noRunRemembered),
+          ("res", "survivor_consumed", consumed),
+          ("res", "restarted_from_spec_alone", restarted),
+          ("res", "relocked_by_survivor", relocked),
+          ("rows", "n", r.getLong(0).toString),
+          ("rows", "n_distinct", r.getLong(1).toString))
+          .toDF("kind", "k", "v")
+      } finally {
+        pms.foreach(p => try p.close() catch { case _: Throwable => () })
+        deleteTree(ckptRoot, srcDir, new java.io.File(destD).getParent)
+      }
+    }),
+
     // Heartbeat-driven self-demotion — the RUNTIME half of the q67
     // lease contract: nothing external tells the expired manager to
     // stand down; its OWN scheduled heartbeat (interval = lease/4)
@@ -4987,6 +5100,30 @@ object StreamingQueries {
         |UNION ALL SELECT 'rows', 'n_distinct',
         |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
         |FROM events WHERE event_type = 'click'"""
+        .stripMargin.replace("\n", " "),
+
+    // Catalog-resume-after-crash closed form (q81): every protocol
+    // event is a literal (catalog resolves on both managers, the verb
+    // routes while the owner lives, the survivor is entitled only
+    // after the lease expiry, the restart came from the spec alone
+    // and re-took the orphan lock), and exactly-once across the
+    // owner's crash means the destination equals the TRANSFORMED
+    // corpus — the catalog filter (user_id mod 2 = 0) applied by two
+    // different managers' materializations of one spec.
+    "q81_catalog_resume_after_crash" ->
+      """SELECT 'cat' AS kind, 'catalog_resolves_spec' AS k, 'true' AS v
+        |UNION ALL SELECT 'req', 'routed_while_owner_live', 'true'
+        |UNION ALL SELECT 'req', 'b_consume_noop_while_live', '0'
+        |UNION ALL SELECT 'crash', 'owner_lease_expired', 'true'
+        |UNION ALL SELECT 'res', 'no_run_remembered_on_survivor', 'true'
+        |UNION ALL SELECT 'res', 'survivor_consumed', '1'
+        |UNION ALL SELECT 'res', 'restarted_from_spec_alone', 'true'
+        |UNION ALL SELECT 'res', 'relocked_by_survivor', 'true'
+        |UNION ALL SELECT 'rows', 'n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click' AND user_id % 2 = 0
+        |UNION ALL SELECT 'rows', 'n_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'click' AND user_id % 2 = 0"""
         .stripMargin.replace("\n", " "),
 
     // Metadata-update closed form (q75): epoch 0 merges one row per

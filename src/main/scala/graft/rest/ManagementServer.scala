@@ -195,8 +195,13 @@ final class ManagementServer(pm: PipelineManager,
     })
 
   private def transformOf(spec: PipelineSpec): DataFrame => DataFrame = {
-    val name = spec.metadata.getOrElse("transform", "identity")
-    registry.getOrElse(name,
+    val name = spec.metadata.getOrElse(
+      graft.streaming.PipelineManager.TransformKey, "identity")
+    // server registry first, then the manager's shared catalog
+    // (PipelineHooks.transforms — the one routed resumes also use),
+    // so the two surfaces can never resolve one name differently
+    // when only one of them defines it
+    registry.get(name).orElse(pm.resolveTransform(spec)).getOrElse(
       sys.error(s"unknown transform $name (registered: ${registry.keys.mkString(",")})"))
   }
 

@@ -59,7 +59,19 @@ final case class PipelineHooks(
     connectors: Map[String, (SparkSession, PipelineSpec) => DataFrame] = Map.empty,
     transports: Map[String, PipelineSpec => (DataFrame, Long) => Unit] = Map.empty,
     dedupe: (PipelineSpec, Iterable[PipelineSpec]) => Option[PipelineSpec] =
-      (spec, existing) => existing.find(_.sourceConnection == spec.sourceConnection))
+      (spec, existing) => existing.find(_.sourceConnection == spec.sourceConnection),
+    // Declarative transform catalog (q81): name → factory taking the
+    // spec's metadata (the transform's params live there as plain
+    // strings). A spec that names its transform
+    // (metadata("transform")) is a COMPLETE materialization recipe —
+    // any manager sharing the hooks can restart the pipeline from the
+    // shared checkpoint without the owner's closure, the reference's
+    // the-spec-is-data property (Coordinator.java:920
+    // handleAssignmentChange materializes an assigned task from the
+    // ZK-stored Datastream; AbstractKafkaConnector.java:152). BYO
+    // closures still work everywhere; they just aren't routable.
+    transforms: Map[String, Map[String, String] => DataFrame => DataFrame] =
+      Map.empty)
 
 /** Thrown when a LIVE manager instance already owns a pipeline's
   * execution lock — the reference's failed task acquire: a
@@ -125,6 +137,12 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   // otherwise a restart would deliver fresh paused-partition rows
   // while earlier ones sit in holdback.
   private val pausedPartitions = TrieMap.empty[String, (String, Set[String])]
+  // Highest specVersion this manager has written OR read per
+  // pipeline — the write counter [[persistSpec]] continues. Advanced
+  // by every successful spec read (constructor load, [[readSpecFile]]),
+  // so a manager that adopted a peer's file extends the peer's
+  // sequence instead of restarting it.
+  private val specVersions = TrieMap.empty[String, Long]
   loadSpecs()
   loadPausedState()
 
@@ -530,13 +548,30 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   private def specFilePath(name: String) =
     new Path(s"$checkpointRoot/specs/${PipelineManager.namespaceOf(name)}.json")
 
+  /** Persist `spec` with a MONOTONIC write counter, reflected into the
+    * file's modification time (`setTimes(version)`): the
+    * (mtime, length) stamp [[reconcileSpecs]]'s listing already pays
+    * for becomes an EXACT version compare, closing the blind spot
+    * where two writes inside one wall-clock mtime granule that leave
+    * the file the same length were invisible until a later write
+    * moved the stamp. Equality-compared only — nothing anywhere reads
+    * a spec file's mtime as a wall-clock time. Cross-WRITER races
+    * remain what they were (two uncoordinated managers persisting one
+    * name can mint the same version — enactments are already
+    * serialized by the execution lock); the intra-writer window is
+    * gone. A filesystem refusing setTimes degrades to the wall-clock
+    * stamp this method replaced. */
   private def persistSpec(spec: PipelineSpec): Unit = {
     val p = specFilePath(spec.name)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(p.getParent)
+    val v = specVersions.updateWith(spec.name)(o =>
+      Some(o.getOrElse(0L) + 1L)).get
     val out = fs.create(p, true)
-    try out.write(PipelineSpecJson.write(spec).getBytes("UTF-8"))
+    try out.write(PipelineSpecJson.writeVersioned(spec, v).getBytes("UTF-8"))
     finally out.close()
+    try fs.setTimes(p, v, -1)
+    catch { case _: java.io.IOException => () }
   }
 
   private def removeSpecFile(name: String): Unit = {
@@ -556,6 +591,8 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
           val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
             finally in.close()
           val spec = PipelineSpecJson.read(text)
+          val v = PipelineSpecJson.versionOf(text)
+          if (v > 0L) specVersions.put(spec.name, v): Unit
           spec.status match {
             // a mid-flight delete finishes now
             case PipelineStatus.Deleting => fs.delete(st.getPath, false): Unit
@@ -1082,29 +1119,40 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     val existing = readReassignRequest(name)
     val oldDest = existing.map(_._2).filter(_.nonEmpty).getOrElse(prevDest)
     val out = rootFs.create(reassignRequestPath(name), true)
-    try out.write(s"$name\n$instanceId\n$oldDest".getBytes("UTF-8"))
+    try out.write(s"$name\n$instanceId\n$oldDest\n${PipelineManager.FrameEnd}"
+      .getBytes("UTF-8"))
     finally out.close()
   }
 
   /** (name, previousDestination) parsed from a request file — the
     * ONE spelling of the wire format, shared by the writer's
-    * keep-first-prev read and the consumer's listing walk. */
-  private def parseReassignRequest(p: Path): Option[(String, String)] =
+    * keep-first-prev read and the consumer's listing walk. Tri-state,
+    * like every destructive guard here: `Some(Some(req))` = a
+    * COMPLETE frame (the [[PipelineManager.FrameEnd]] sentinel closes
+    * it, so EVERY truncation point reads as torn — without it a
+    * mid-write read could hand the consumer a destination PREFIX and
+    * move state against a path that never existed);
+    * `Some(None)` = read whole but torn (a crashed writer's partial —
+    * the consumer GCs it after the create-to-write grace);
+    * `None` = IO failure (transient; judge on a later tick). */
+  private def parseReassignRequest(p: Path): Option[Option[(String, String)]] =
     try {
       // no exists() pre-check: absent-file opens throw
       // FileNotFoundException ⊂ IOException → None, same semantics
       // one RPC cheaper (the consumer walks paths fresh from a
       // listing anyway)
       val in = rootFs.open(p)
-      val parts = try new String(in.readAllBytes(), "UTF-8").split("\n", 3)
+      val parts = try new String(in.readAllBytes(), "UTF-8").split("\n", 4)
         finally in.close()
-      if (parts.length >= 1 && parts(0).nonEmpty)
-        Some((parts(0), if (parts.length >= 3) parts(2) else ""))
-      else None
+      Some(
+        if (parts.length == 4 && parts(3) == PipelineManager.FrameEnd &&
+            parts(0).nonEmpty)
+          Some((parts(0), parts(2)))
+        else None)
     } catch { case _: java.io.IOException => None }
 
   private def readReassignRequest(name: String): Option[(String, String)] =
-    parseReassignRequest(reassignRequestPath(name))
+    parseReassignRequest(reassignRequestPath(name)).flatten
 
   /** Tri-state owner lookup for the holdback churn guards: local map
     * first (a hit costs nothing), then the shared durable store — a
@@ -1117,12 +1165,19 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     * `None` = unreadable (IO hiccup) — callers must fail toward
     * "keep" on None, never toward forfeit/drain/restamp. */
   /** Read-and-parse one spec file; throws on anything (the ONE
-    * spelling of the read — each caller wraps its own error policy). */
+    * spelling of the read — each caller wraps its own error policy).
+    * Every successful read also advances this manager's
+    * [[specVersions]] watermark, so a later [[persistSpec]] continues
+    * the file's write sequence instead of restarting it. */
   private def readSpecFile(p: Path): PipelineSpec = {
     val in = rootFs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    PipelineSpecJson.read(text)
+    val spec = PipelineSpecJson.read(text)
+    val v = PipelineSpecJson.versionOf(text)
+    if (v > 0L) specVersions.updateWith(spec.name)(o =>
+      Some(math.max(o.getOrElse(0L), v))): Unit
+    spec
   }
 
   private def specAnywhereKnown(name: String): Option[Option[PipelineSpec]] =
@@ -1216,7 +1271,18 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     if (!rootFs.exists(reassignRequestDir)) return 0
     var consumed = 0
     rootFs.listStatus(reassignRequestDir).toSeq.filter(_.isFile).foreach { st =>
-      val parsed = parseReassignRequest(st.getPath)
+      val tri = parseReassignRequest(st.getPath)
+      // read whole but torn = a crashed writer's partial frame. The
+      // recorded previous destination is LOST with the crash; GC the
+      // partial after the create-to-write grace (younger may still be
+      // mid-write) — the spec change it carried already stands
+      // durably, and a stamp stranded by the skipped state move heals
+      // at the member's next drain (repairStrandedHoldbackStamps).
+      if (tri.contains(None) &&
+          System.currentTimeMillis() - st.getModificationTime >
+            PipelineManager.AcquireGraceMs)
+        rootFs.delete(st.getPath, false): Unit
+      val parsed = tri.flatten
       val name = parsed.map(_._1).getOrElse("")
       if (name.nonEmpty) specs.get(name) match {
         case None =>
@@ -1332,7 +1398,9 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         }
       created.foreach { out =>
         try {
-          try out.write(s"$name\n$instanceId\n$verb\n$force".getBytes("UTF-8"))
+          try out.write(
+            s"$name\n$instanceId\n$verb\n$force\n${PipelineManager.FrameEnd}"
+              .getBytes("UTF-8"))
           finally out.close()
         } catch {
           case e: Throwable =>
@@ -1346,17 +1414,28 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   }
 
   /** (name, verb, force) parsed from a request file — the ONE
-    * spelling of the wire format. Torn/unreadable → None (the file is
-    * left in place; the writer's create is a single small write, so a
-    * re-list sees it whole). */
-  private def parseLifecycleRequest(p: Path): Option[(String, String, Boolean)] =
+    * spelling of the wire format. Tri-state: `Some(Some(req))` = a
+    * COMPLETE frame (closed by the [[PipelineManager.FrameEnd]]
+    * sentinel, so EVERY truncation point reads as torn — without it a
+    * frame cut inside the force line parsed as force=false and a
+    * routed force-verb silently narrowed its scope);
+    * `Some(None)` = read whole but torn (a writer crashed between
+    * create and write — its own failure path deletes partials, so
+    * only a hard crash leaves one; the consumer GCs it after the
+    * create-to-write grace instead of re-parsing it every tick
+    * forever); `None` = IO failure (transient; retried whole on a
+    * later tick). */
+  private def parseLifecycleRequest(p: Path)
+      : Option[Option[(String, String, Boolean)]] =
     try {
       val in = rootFs.open(p)
-      val parts = try new String(in.readAllBytes(), "UTF-8").split("\n", 4)
+      val parts = try new String(in.readAllBytes(), "UTF-8").split("\n", 5)
         finally in.close()
-      if (parts.length == 4 && parts(0).nonEmpty && parts(2).nonEmpty)
-        Some((parts(0), parts(2), parts(3).trim == "true"))
-      else None
+      Some(
+        if (parts.length == 5 && parts(4) == PipelineManager.FrameEnd &&
+            parts(0).nonEmpty && parts(2).nonEmpty)
+          Some((parts(0), parts(2), parts(3) == "true"))
+        else None)
     } catch { case _: java.io.IOException => None }
 
   /** Consume pending lifecycle-requests this manager is entitled to
@@ -1372,10 +1451,12 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     * is deleted whether the enactment succeeds or not — exactly the
     * reassign-request's the-update-stands discipline (a failed
     * group-restart inside delete leaves truthful Stopped survivors,
-    * and the deletion itself completed). A resume-request with no
-    * remembered run to restart from is dropped LOUDLY and enacts
-    * nothing: restarting needs the transform closure only an owner
-    * that ran the pipeline remembers; resume locally with [[resume]]
+    * and the deletion itself completed). A resume-request restarts
+    * from the remembered run when this manager has one, else from
+    * the spec's CATALOG transform ([[catalogRun]], q81 — how a resume
+    * survives the owner's crash: the spec is data any manager can
+    * materialize); only when NEITHER exists is it dropped LOUDLY,
+    * enacting nothing — resume locally with [[resume]]
     * (bring-your-own-transform) instead. Wired to the heartbeat tick
     * beside the reassign consume; public so deployments with their
     * own timers (and gates) can drive it directly. Returns the
@@ -1387,7 +1468,14 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     rootFs.listStatus(lifecycleRequestDir).toSeq.filter(_.isFile)
       .sortBy(st => (st.getModificationTime, st.getPath.getName))
       .foreach { st =>
-      parseLifecycleRequest(st.getPath).foreach { case (name, verb, force) =>
+      val tri = parseLifecycleRequest(st.getPath)
+      // a torn frame (crashed writer) is GC'd after the
+      // create-to-write grace — younger may still be mid-write
+      if (tri.contains(None) &&
+          System.currentTimeMillis() - st.getModificationTime >
+            PipelineManager.AcquireGraceMs)
+        rootFs.delete(st.getPath, false): Unit
+      tri.flatten.foreach { case (name, verb, force) =>
         specs.get(name) match {
           case None =>
             // not this manager's pipeline to judge — unless the spec
@@ -1448,8 +1536,10 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   // last spec-file (modification time, length) each reconcile acted
   // on, by namespace: refresh reads a file only when the listing
   // (already paid for) shows either moved — zero extra RPCs on quiet
-  // ticks; the length disambiguates two writes inside one mod-time
-  // granule
+  // ticks. [[persistSpec]] writes its monotonic specVersion INTO the
+  // mtime, so this stamp is an exact per-write version compare, not a
+  // wall-clock approximation: two writes inside one clock granule
+  // that leave the length equal still differ here
   private val specModSeen = TrieMap.empty[String, (Long, Long)]
 
   /** Eventually-consistent local-map hygiene for the multi-manager
@@ -3156,11 +3246,40 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       .foreach(replayGroupHoldback)
   }
 
+  /** The run shape materialized from the SPEC ALONE (q81): a named
+    * catalog transform ([[PipelineHooks.transforms]], params = the
+    * spec's metadata) plus the spec-declared trigger. This is what
+    * makes a routed resume survive the owner's CRASH: the enacting
+    * manager never saw the owner's closure, but the spec is data any
+    * manager can materialize — the reference's property that a
+    * datastream spec stored in ZK is enough for ANY instance to run
+    * its task (Coordinator.java:920 handleAssignmentChange →
+    * AbstractKafkaConnector.java:152 createKafkaConnectorTask).
+    * None when the spec names no transform or names one this
+    * manager's catalog lacks (then only a remembered run or an
+    * explicit transform can restart it). */
+  private def catalogRun(name: String)
+      : Option[(DataFrame => DataFrame, Trigger)] =
+    specs.get(name).flatMap(s =>
+      resolveTransform(s).map(t => (t, PipelineManager.specTrigger(s))))
+
+  /** Resolve `spec`'s declared transform (`metadata("transform")`)
+    * from the shared catalog — "identity" is always available; a
+    * registered factory is applied to the spec's metadata (its
+    * params). None when the spec declares nothing or the name is not
+    * in THIS manager's catalog. */
+  def resolveTransform(spec: PipelineSpec): Option[DataFrame => DataFrame] =
+    spec.metadata.get(PipelineManager.TransformKey).flatMap {
+      case "identity" => Some(identity[DataFrame] _)
+      case n => hooks.transforms.get(n).map(f => f(spec.metadata))
+    }
+
   /** The enacting resume body for [[requestResume]] — [[resume]]'s
     * status-flip/holdback-replay discipline with the remembered run
     * in place of a caller transform. Statuses flip only when the
-    * enactment can actually proceed (a query is registered or a run
-    * is remembered), so a failed resume never leaves
+    * enactment can actually proceed (a query is registered, a run is
+    * remembered, or the spec names a catalog transform —
+    * [[catalogRun]]), so a failed resume never leaves
     * Ready-with-no-query — in EITHER branch. */
   private def resumeRemembered(name: String, force: Boolean): Unit =
     if (isGroupRun(name)) {
@@ -3168,18 +3287,20 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         .map(s => s.metadata.getOrElse(PipelineManager.TaskPrefixKey, s.name))
         .getOrElse(name)
       // judged BEFORE any flip/persist/replay: an enactment that
-      // cannot proceed (crashed owner emptied groupRuns; no query
-      // handle survives) must mutate NOTHING — flipping first would
-      // persist Ready-with-no-query, the status lie this whole
-      // routing exists to prevent
-      val restartable = Option(queries.get(name)).isDefined ||
-        groupRuns.contains(prefix)
+      // cannot proceed (crashed owner emptied groupRuns and the spec
+      // declares no catalog transform; no query handle survives) must
+      // mutate NOTHING — flipping first would persist
+      // Ready-with-no-query, the status lie this whole routing exists
+      // to prevent
+      val run = groupRuns.get(prefix).orElse(catalogRun(name))
+      val restartable = Option(queries.get(name)).isDefined || run.isDefined
       if (!restartable) throw new IllegalStateException(
-        s"no remembered group run for $name on this manager; " +
-          "resume with an explicit transform")
+        s"no remembered group run for $name on this manager and its " +
+          "spec names no catalog transform; resume with an explicit " +
+          "transform")
       resumeGroupFlipAndReplay(name, force)
       if (Option(queries.get(name)).isEmpty)
-        groupRuns.get(prefix).foreach { case (transform, trigger) =>
+        run.foreach { case (transform, trigger) =>
           startGroup(name, transform, trigger): Unit
         }
     } else if (Option(queries.get(name)).exists(_.isActive)) {
@@ -3190,15 +3311,16 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Ready)))
       specs.get(name).foreach(persistSpec)
       hooks.onStateChange(name, PipelineStatus.Ready)
-    } else soloRuns.get(name) match {
+    } else soloRuns.get(name).orElse(catalogRun(name)) match {
       case Some((transform, trigger)) =>
         specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Ready)))
         specs.get(name).foreach(persistSpec)
         hooks.onStateChange(name, PipelineStatus.Ready)
         start(name, transform, trigger): Unit
       case None => throw new IllegalStateException(
-        s"no remembered solo run for $name on this manager; " +
-          "resume with an explicit transform")
+        s"no remembered solo run for $name on this manager and its " +
+          "spec names no catalog transform; resume with an explicit " +
+          "transform")
     }
 
   /** Unregister a pipeline. Deleting a member of a task group whose
@@ -3383,6 +3505,12 @@ object PipelineManager {
     * acquire's create-to-write window, not an orphan (acquireLock). */
   val AcquireGraceMs: Long = 5000L
 
+  /** Closing sentinel line of every durable request frame
+    * (reassign/lifecycle requests): a frame without it was truncated
+    * by a crashed writer — EVERY truncation point reads as torn, so a
+    * partial can never parse as a (different) complete request. */
+  private[streaming] val FrameEnd: String = "."
+
   /** Fixed pool of monitors serializing IN-PROCESS lock operations —
     * the local-filesystem complement of HDFS's atomic exclusive
     * create (acquireLock's cross-process primitive). A fixed array
@@ -3441,6 +3569,35 @@ object PipelineManager {
     * DatastreamMetadataConstants.java:46): streams sharing it form one
     * task group — set at create, inherited on destination-reuse. */
   val TaskPrefixKey: String = "taskPrefix"
+
+  /** Metadata key naming a spec's declarative transform, resolved
+    * from the shared catalog ([[PipelineHooks.transforms]]; the REST
+    * layer's registry uses the SAME key) — the reference's
+    * connector-name-in-the-spec property: behavior is named in data,
+    * resolved by whichever instance materializes the task. */
+  val TransformKey: String = "transform"
+
+  /** Metadata key declaring a spec's trigger for catalog-materialized
+    * (re)starts: `processingTime:<ms>` or `availableNow` (the default
+    * when absent). Any other value is a misconfiguration and throws
+    * at materialization — a silent default there would turn a typo
+    * into a one-shot run of a standing pipeline. */
+  val TriggerKey: String = "graft.trigger"
+
+  /** `spec`'s declared trigger ([[TriggerKey]]). */
+  def specTrigger(spec: PipelineSpec): Trigger =
+    spec.metadata.get(TriggerKey) match {
+      case None | Some("availableNow") => Trigger.AvailableNow()
+      case Some(v) if v.startsWith("processingTime:") =>
+        val ms = v.stripPrefix("processingTime:").trim
+        if (ms.isEmpty || !ms.forall(_.isDigit))
+          throw new IllegalStateException(
+            s"bad $TriggerKey value '$v' (want processingTime:<ms>)")
+        Trigger.ProcessingTime(ms.toLong)
+      case Some(other) => throw new IllegalStateException(
+        s"bad $TriggerKey value '$other' " +
+          "(want availableNow or processingTime:<ms>)")
+    }
 
   /** Metadata keys the SERVER owns: preserved across [[PipelineManager
     * .update]] even when the client's PUT body omits them (the

@@ -285,8 +285,13 @@ class ManagementServerSpec extends SparkTestBase {
       val served = ipx.serve(probes, k = 3, nprobe = 2, rerank = 6)
       assert(served.count() > 0, "serve returned no rows to measure")
       // the observation completes on the listener bus, asynchronously
-      // after count() — poll the consumed-serve counter
-      val dl = System.currentTimeMillis() + 60000L
+      // after count() — poll the consumed-serve counter. 120 s: a
+      // loaded full battery (the r18 flake condition) can starve the
+      // bus for a while; the capacity bump in SparkTestBase prevents
+      // outright drops, and a timeout here now fails into the field()
+      // asserts below whose messages carry the full /diag body (the
+      // counter stuck at 0 = the SQLExecutionEnd event never arrived)
+      val dl = System.currentTimeMillis() + 120000L
       while (field(req(base, "GET", "/diag/pq1").body(),
           "driftConsumedServes") < 1.0 &&
           System.currentTimeMillis() < dl) Thread.sleep(10L)

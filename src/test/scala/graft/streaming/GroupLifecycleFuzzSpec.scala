@@ -50,6 +50,24 @@ import graft.model.PipelineSpec
  * enacts it) whenever the owner holds at least one member lock — the
  * model is IDENTICAL for both paths, which is exactly the routed
  * contract under test.
+ *
+ * Four chaos ops target the protocol's crash/race windows directly:
+ *  - equal-length double spec write (the r18 reconcile blind spot):
+ *    two updates inside one wall-clock mtime granule that leave the
+ *    file the same length — the observer's single tick must still
+ *    see the second (persistSpec's monotonic specVersion stamp);
+ *  - same-granule cross-requestor verb CONFLICT: two managers issue
+ *    opposing pause/stop and the request mtimes are forced equal, so
+ *    the owner's consume orders by file name alone — the terminal
+ *    state must be the truthful enactment of that serialization,
+ *    never a half-applied mix;
+ *  - crash-between-enact-and-delete: the consumed request file is
+ *    re-planted (the enactor "crashed" before its delete) — the
+ *    re-enactment must be idempotent;
+ *  - torn request frame (writer crashed mid-create, every truncation
+ *    point): never enacts, never parses as a different request,
+ *    never blocks the queue, GC'd once aged past the grace.
+ *
  * Fixed seeds; sequential ops (interleaving at the operation level —
  * the thread-level lock races live in [[LockFuzzSpec]]).
  */
@@ -71,6 +89,7 @@ class GroupLifecycleFuzzSpec extends SparkTestBase {
     val dests = destRoots.map(_ + "/d")
     val pm = new PipelineManager(spark, root)
     var pmB: PipelineManager = null
+    var pmC: PipelineManager = null
     try {
       Members.zip(dests).foreach { case (m, dst) =>
         pm.create(PipelineSpec(m, "parquet", "parquet", srcDir,
@@ -80,6 +99,10 @@ class GroupLifecycleFuzzSpec extends SparkTestBase {
       // the durable root and loaded the specs, but runs no query);
       // constructed AFTER the creates so its loadSpecs sees them
       pmB = new PipelineManager(spark, root, instance = s"gfzB-$seed")
+      // second non-owner requestor for the cross-requestor conflict
+      // op (its instance id sorts AFTER pmB's, so a same-granule
+      // conflict always enacts pmB's verb first — deterministic)
+      pmC = new PipelineManager(spark, root, instance = s"gfzC-$seed")
       val rng = new Random(seed)
       var nextEp = 0L
       var pending = Set.empty[Long]
@@ -200,6 +223,12 @@ class GroupLifecycleFuzzSpec extends SparkTestBase {
                 if (head == m) {
                   val next = new org.apache.hadoop.fs.Path(d.getPath,
                     PipelineManager.HoldbackMetaFile + ".next")
+                  // a second crashed restamp over an unrepaired first
+                  // replaces the staged .next (the real protocol's
+                  // stage write is a create-overwrite); local-fs
+                  // rename refuses an existing destination, so clear
+                  // it first
+                  if (fs.exists(next)) fs.delete(next, false): Unit
                   assert(fs.rename(meta, next))
                   val out = fs.create(meta, true)
                   try out.write(s"$m\n$old".getBytes("UTF-8"))
@@ -216,8 +245,11 @@ class GroupLifecycleFuzzSpec extends SparkTestBase {
       drain() // establish the group run before per-member verbs
       def pick(): String = Members(rng.nextInt(Members.size))
       def route(): Boolean = routable && rng.nextBoolean()
+      val hfs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val lcDir = new org.apache.hadoop.fs.Path(s"$root/lifecycle-requests")
       (0 until 18).foreach { _ =>
-        rng.nextInt(8) match {
+        rng.nextInt(12) match {
           case 0 => append()
           case 1 =>
             val m = pick()
@@ -242,6 +274,97 @@ class GroupLifecycleFuzzSpec extends SparkTestBase {
           case 3 => doResume(pick(), route())
           case 4 => repoint(pick(), crashRestamp = false)
           case 5 => repoint(pick(), crashRestamp = true)
+          case 6 =>
+            // the r18 reconcile blind spot: two EQUAL-LENGTH spec
+            // writes (metadata flip), typically inside one wall-clock
+            // mtime granule, after the observer pinned its stamp on
+            // the previous write — the observer's single tick must
+            // still see the SECOND write (persistSpec's monotonic
+            // specVersion rides the stamp, so the compare is exact,
+            // never wall-clock-gated)
+            val m = pick()
+            val v1 = "f" + rng.nextInt(10)
+            val v2 = "g" + rng.nextInt(10) // same length, different value
+            def withFlip(v: String): PipelineSpec = {
+              val s0 = pm.get(m).get
+              s0.copy(metadata = s0.metadata + ("gfz.flip" -> v))
+            }
+            pmB.reconcileSpecs() // pin the observer's stamp pre-flip
+            pm.update(m, withFlip(v1)): Unit
+            pm.update(m, withFlip(v2)): Unit
+            pmB.reconcileSpecs()
+            assert(pmB.get(m).exists(
+              _.metadata.get("gfz.flip").contains(v2)),
+              s"seed=$seed: observer missed the second equal-length " +
+                s"spec write of $m (saw ${pmB.get(m).map(_.metadata)})")
+          case 7 if routable =>
+            // same-granule cross-requestor verb CONFLICT: opposing
+            // pause/stop from two non-owners, request mtimes forced
+            // equal, so the owner's consume orders by file name alone
+            // — pmB's verb enacts first, so the terminal state is the
+            // SECOND requestor's verb, truthfully applied
+            val m = pick()
+            val pauseFromB = rng.nextBoolean()
+            if (pauseFromB) { pmB.pause(m); pmC.stop(m) }
+            else { pmC.pause(m); pmB.stop(m) }
+            hfs.listStatus(lcDir).filter(_.isFile)
+              .foreach(st => hfs.setTimes(st.getPath, 424242L, -1))
+            assert(pm.consumeLifecycleRequests() == 2,
+              s"seed=$seed: owner must consume both conflicting verbs")
+            val expected = if (pauseFromB) "Stopped" else "Paused"
+            val actual = pm.get(m).get.status.toString
+            assert(actual == expected,
+              s"seed=$seed: conflict on $m converged to $actual, " +
+                s"expected $expected (pauseFromB=$pauseFromB)")
+            status(m) = actual
+            hasHandle(m) = false // stop dropped the handle in EITHER order
+            locked(m) = false // ...and released the lock in either order
+          case 8 if routable =>
+            // crash-between-enact-and-delete: the owner enacts a
+            // routed pause but "crashes" before deleting the request
+            // (simulated by re-planting the consumed file's bytes) —
+            // the successor's re-enactment must be idempotent
+            val m = pick()
+            pmB.pause(m)
+            val reqs = hfs.listStatus(lcDir).filter(_.isFile)
+            assert(reqs.length == 1,
+              s"seed=$seed: queue should hold exactly the routed pause")
+            val reqPath = reqs.head.getPath
+            val in = hfs.open(reqPath)
+            val bytes = try in.readAllBytes() finally in.close()
+            assert(pm.consumeLifecycleRequests() == 1)
+            status(m) = "Paused"
+            val out = hfs.create(reqPath, false)
+            try out.write(bytes) finally out.close()
+            assert(pm.consumeLifecycleRequests() == 1,
+              s"seed=$seed: replayed request must be re-enacted (idempotent)")
+            assert(pm.get(m).get.status.toString == "Paused",
+              s"seed=$seed: re-enacted pause changed the terminal state")
+          case 9 =>
+            // a crashed writer's TORN frame, cut at a random point —
+            // must never enact, never parse as a different request
+            // (the frame sentinel), never block the queue, and be
+            // GC'd once aged past the create-to-write grace
+            val torn = new org.apache.hadoop.fs.Path(lcDir,
+              f"fz0.gfztorn.${rng.nextInt(1000000)}%012d.req")
+            hfs.mkdirs(lcDir)
+            val full = "fz0\ngfz-torn\npause\ntrue\n."
+            val cut = 1 + rng.nextInt(full.length - 1)
+            val out = hfs.create(torn, true)
+            try out.write(full.substring(0, cut).getBytes("UTF-8"))
+            finally out.close()
+            val before = Members.map(m => pm.get(m).get.status.toString)
+            assert(pm.consumeLifecycleRequests() == 0,
+              s"seed=$seed: torn frame (cut=$cut) must not enact")
+            assert(Members.map(m => pm.get(m).get.status.toString) == before,
+              s"seed=$seed: torn frame (cut=$cut) changed a status")
+            assert(hfs.exists(torn),
+              s"seed=$seed: young torn frame must survive the grace")
+            hfs.setTimes(torn, System.currentTimeMillis() -
+              PipelineManager.AcquireGraceMs - 60000L, -1)
+            assert(pm.consumeLifecycleRequests() == 0)
+            assert(!hfs.exists(torn),
+              s"seed=$seed: aged torn frame must be GC'd")
           case _ => drain()
         }
       }
@@ -253,6 +376,7 @@ class GroupLifecycleFuzzSpec extends SparkTestBase {
       assert(Members.forall(m => holdback(m).isEmpty))
       check("final")
     } finally {
+      if (pmC != null) { try pmC.close() catch { case _: Throwable => () } }
       if (pmB != null) { try pmB.close() catch { case _: Throwable => () } }
       try pm.close() catch { case _: Throwable => () }
       (root +: srcDir +: destRoots).foreach { p =>

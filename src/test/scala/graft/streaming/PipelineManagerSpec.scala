@@ -2135,4 +2135,91 @@ class PipelineManagerSpec extends SparkTestBase {
     assert(destState() == (30L, Set(0L, 1L, 2L)))
     pm.close()
   }
+
+  test("transform catalog: spec-named transforms resolve with params; trigger declared in metadata") {
+    val root = Files.createTempDirectory("graft-pm-cat-").toString
+    val pm = new PipelineManager(spark, root, PipelineHooks(transforms = Map(
+      "tagWith" -> (md => df =>
+        df.withColumn("tag", lit(md.getOrElse("tagWith.value", "?")))))))
+    try {
+      // the catalog name + params + trigger all live in the spec
+      val s1 = pm.create(PipelineSpec("ct1", "parquet", "memory", "/src/ct1",
+        metadata = Map(PipelineManager.TransformKey -> "tagWith",
+          "tagWith.value" -> "T", PipelineManager.TriggerKey ->
+            "processingTime:250")))
+      val t = pm.resolveTransform(s1)
+      assert(t.isDefined, "catalog name must resolve")
+      val out = t.get(Seq((1L, "x")).toDF("k", "v"))
+      assert(out.columns.toSeq == Seq("k", "v", "tag"))
+      assert(out.select(col("tag")).head().getString(0) == "T",
+        "params must ride the spec's metadata into the factory")
+      assert(PipelineManager.specTrigger(s1) ==
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L))
+      // identity is always available; no declaration resolves nothing
+      val s2 = pm.create(PipelineSpec("ct2", "parquet", "memory", "/src/ct2",
+        metadata = Map(PipelineManager.TransformKey -> "identity")))
+      assert(pm.resolveTransform(s2).isDefined)
+      assert(PipelineManager.specTrigger(s2) ==
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      val s3 = pm.create(PipelineSpec("ct3", "parquet", "memory", "/src/ct3"))
+      assert(pm.resolveTransform(s3).isEmpty,
+        "a spec that names nothing must resolve nothing")
+      // a name this catalog lacks resolves nothing (the enacting
+      // manager drops the routed resume loudly instead of guessing)
+      val s4 = pm.create(PipelineSpec("ct4", "parquet", "memory", "/src/ct4",
+        metadata = Map(PipelineManager.TransformKey -> "absent")))
+      assert(pm.resolveTransform(s4).isEmpty)
+      // a trigger typo throws instead of silently one-shotting a
+      // standing pipeline
+      intercept[IllegalStateException] {
+        PipelineManager.specTrigger(s1.copy(metadata =
+          Map(PipelineManager.TriggerKey -> "every5s")))
+      }
+      intercept[IllegalStateException] {
+        PipelineManager.specTrigger(s1.copy(metadata =
+          Map(PipelineManager.TriggerKey -> "processingTime:5s")))
+      }
+    } finally pm.close()
+  }
+
+  test("persistSpec stamps a monotonic specVersion: equal-length same-granule writes stay visible") {
+    val root = Files.createTempDirectory("graft-pm-ver-").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stamp(): (Long, Long) = {
+      val st = fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$root/specs/vp.json"))
+      (st.getModificationTime, st.getLen)
+    }
+    val pmA = new PipelineManager(spark, root, instance = "verA")
+    val pmB = new PipelineManager(spark, root, instance = "verB")
+    try {
+      pmA.create(PipelineSpec("vp", "parquet", "memory", "/src/vp",
+        metadata = Map("flip" -> "aa")))
+      val st1 = stamp()
+      assert(st1._1 == 1L, s"first persist must stamp version 1: $st1")
+      pmB.reconcileSpecs() // observer pins (1, L)
+      assert(pmB.get("vp").exists(_.metadata("flip") == "aa"))
+      // two EQUAL-LENGTH writes, same wall-clock granule: versions 2,3
+      pmA.update("vp", PipelineSpec("vp", "parquet", "memory", "/src/vp",
+        metadata = Map("flip" -> "bb")))
+      pmA.update("vp", PipelineSpec("vp", "parquet", "memory", "/src/vp",
+        metadata = Map("flip" -> "cc")))
+      val st3 = stamp()
+      assert(st3._1 == 3L && st3._2 == st1._2,
+        s"equal-length writes must advance ONLY the version: $st1 -> $st3")
+      pmB.reconcileSpecs()
+      assert(pmB.get("vp").exists(_.metadata("flip") == "cc"),
+        "the observer's single tick must see the second same-length write")
+      // a manager that READ version 3 continues the sequence at 4 —
+      // never restarts it (pmB adopted the file in its reconcile)
+      pmB.pause("vp")
+      assert(stamp()._1 == 4L,
+        "a reader's next persist must extend the writer's sequence")
+      // the stored JSON carries the same counter the stamp shows
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$root/specs/vp.json"))
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      assert(txt.contains("\"specVersion\":4"), txt)
+    } finally { pmB.close(); pmA.close() }
+  }
 }
