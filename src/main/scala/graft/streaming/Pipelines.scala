@@ -357,8 +357,18 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
           val t = new Thread(r, s"graft-heartbeat-$instanceId")
           t.setDaemon(true); t
         })
+      // The WHOLE tick body is exception-proofed: a Runnable that
+      // throws CANCELS every future execution of a scheduled task, so
+      // one unexpected non-IO throw (heartbeat itself never throws,
+      // but demote() stops real queries and the consumes walk real
+      // filesystems) would silently kill the timer — the owner then
+      // never enacts another routed verb, which reads as a hung
+      // deadline-poll in whatever test (or deployment) waits on the
+      // tick. Log and keep ticking; a demote that failed halfway
+      // re-runs on the next tick (idempotent).
       ex.scheduleWithFixedDelay(
-        () => if (!heartbeat()) { demote(); ex.shutdown() }
+        () => try {
+          if (!heartbeat()) { demote(); ex.shutdown() }
           else
             // q76: the owner's tick consumes cross-manager
             // reassign-requests AFTER refreshing its lease. A consumed
@@ -379,7 +389,13 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
               // loaded)
               try reconcileSpecs()
               catch { case scala.util.control.NonFatal(_) => () }
-            },
+            }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Console.err.println(
+              s"[graft] heartbeat tick of $instanceId failed " +
+                s"(timer keeps ticking): $e")
+        },
         interval, interval, java.util.concurrent.TimeUnit.MILLISECONDS): Unit
       Some(ex)
     }
