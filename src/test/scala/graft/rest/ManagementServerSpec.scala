@@ -33,6 +33,7 @@ class ManagementServerSpec extends SparkTestBase {
   test("full pipeline lifecycle over REST") {
     val pm = new PipelineManager(spark,
       Files.createTempDirectory("graft-rest-").toString)
+    var pmAuthOpt: Option[PipelineManager] = None
     val srv = new ManagementServer(pm,
       transforms = Map("tag" -> (df => df.withColumn("tag", lit("t"))))).start()
     try {
@@ -79,6 +80,7 @@ class ManagementServerSpec extends SparkTestBase {
       val pmAuth = new PipelineManager(spark,
         Files.createTempDirectory("graft-rest-auth-").toString,
         graft.streaming.PipelineHooks(authorize = (_, o) => o != "mallory"))
+      pmAuthOpt = Some(pmAuth)
       val srv2 = new ManagementServer(pmAuth).start()
       try {
         val base2 = s"http://localhost:${srv2.boundPort}"
@@ -93,7 +95,13 @@ class ManagementServerSpec extends SparkTestBase {
       // delete
       assert(req(base, "DELETE", "/pipelines/r1").statusCode() == 200)
       assert(req(base, "GET", "/pipelines/r1").statusCode() == 404)
-    } finally srv.stop()
+    } finally {
+      srv.stop()
+      // close both managers: a leaked manager keeps its listener on
+      // the SHARED session for the rest of the battery
+      pmAuthOpt.foreach(p => try p.close() catch { case _: Throwable => () })
+      pm.close()
+    }
   }
 
   test("diag surfaces the delivered-corpus cardinality sketch") {
@@ -349,7 +357,7 @@ class ManagementServerSpec extends SparkTestBase {
       assert(soloGrp.body().contains("\"name\":\"solo\"") &&
         !soloGrp.body().contains("\"name\":\"g1\""))
       assert(req(base, "GET", "/pipelines/nope/group").statusCode() == 404)
-    } finally srv.stop()
+    } finally { srv.stop(); pm.close() }
   }
 
   test("diag fans out to peers and reduces both managers into one payload") {

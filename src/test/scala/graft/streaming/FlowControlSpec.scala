@@ -117,6 +117,7 @@ class FlowControlSpec extends SparkTestBase {
     assert(spark.read.parquet(spec.destinationConnection)
       .select("k").as[Long].collect().toSet == Set(1L, 2L))
     pm.delete("fcpm")
+    pm.close()
   }
 
   test("a mixed pause+resume decision batch costs exactly one restart") {
@@ -157,7 +158,7 @@ class FlowControlSpec extends SparkTestBase {
         Thread.sleep(50)
       assert(starts.get() == 1,
         s"mixed batch must restart exactly once, saw ${starts.get()}")
-    } finally spark.streams.removeListener(listener)
+    } finally { spark.streams.removeListener(listener); pm.close() }
 
     // and the admission state reflects the whole batch: p1 paused going
     // forward, p0's held-back record replayed (k=2 was delivered in the

@@ -90,5 +90,6 @@ class KafkaContractSpec extends SparkTestBase {
       "origin-partition" -> "3",
       "origin-offset" -> "10",
       "checkpoint" -> "click-3-10"))
+    pm.close()
   }
 }
