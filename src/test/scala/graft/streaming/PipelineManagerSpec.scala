@@ -2136,6 +2136,65 @@ class PipelineManagerSpec extends SparkTestBase {
     pm.close()
   }
 
+  test("catalog resume restarts a crashed owner's GROUP from the spec alone") {
+    // the group-branch twin of the q81 gate (which pins the solo
+    // path): a routed force-resume for a paused GROUP whose owner
+    // hard-crashed is enacted by a survivor that never ran the group,
+    // materializing the transform from the specs' catalog name and
+    // restarting from the shared group checkpoint exactly-once
+    val root = Files.createTempDirectory("graft-pm-gcat-").toString
+    val srcDir = Files.createTempDirectory("graft-pm-gcat-src-").toString
+    val da = Files.createTempDirectory("graft-pm-gcat-da-").toString + "/d"
+    val db = Files.createTempDirectory("graft-pm-gcat-db-").toString + "/d"
+    val lease = 600000L // expiry SIMULATED by aging, never slept for
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mA = new PipelineManager(spark, root, instance = "gcatA",
+      livenessLeaseMs = lease)
+    var mBOpt: Option[PipelineManager] = None
+    try {
+      val md = Map(PipelineManager.TransformKey -> "identity")
+      mA.create(PipelineSpec("gca", "parquet", "parquet", srcDir,
+        destinationConnection = da, metadata = md))
+      mA.create(PipelineSpec("gcb", "parquet", "parquet", srcDir,
+        destinationConnection = db, metadata = md))
+      PipelineManager.epochAppend(
+        Seq((1L, "e0")).toDF("k", "v").coalesce(1), srcDir, 0L, "gcatsrc")
+      mA.startGroup("gca", identity).awaitTermination()
+      assert(spark.read.parquet(da).count() == 1 &&
+        spark.read.parquet(db).count() == 1)
+      mA.pause("gca", force = true) // whole group held, locks KEPT
+      val mB = new PipelineManager(spark, root, instance = "gcatB",
+        livenessLeaseMs = lease)
+      mBOpt = Some(mB)
+      // routed while the owner lives (locks are A's, A registered)
+      mB.requestResume("gca", force = true)
+      assert(mB.queryOf("gca") == None && mB.consumeLifecycleRequests() == 0)
+      // HARD CRASH: age A's registration one lease past
+      fs.setTimes(new org.apache.hadoop.fs.Path(s"$root/instances/gcatA"),
+        System.currentTimeMillis() - lease - 60000L, -1)
+      assert(!mA.heartbeat())
+      PipelineManager.epochAppend(
+        Seq((2L, "e1")).toDF("k", "v").coalesce(1), srcDir, 1L, "gcatsrc")
+      // the survivor's tick enacts the orphaned force-resume from the
+      // CATALOG (no remembered group run on B), reclaiming A's locks
+      assert(mB.consumeLifecycleRequests() == 1,
+        "survivor did not consume the orphaned group resume")
+      mB.queryOf("gca").foreach(_.awaitTermination())
+      assert(mB.get("gca").exists(_.status == PipelineStatus.Ready))
+      assert(mB.get("gcb").exists(_.status == PipelineStatus.Ready))
+      // exactly-once across the crash: epoch 0 not redelivered, the
+      // held epoch 1 lands once at BOTH destinations
+      assert(spark.read.parquet(da).as[(Long, String)].collect().toSet ==
+        Set((1L, "e0"), (2L, "e1")))
+      assert(spark.read.parquet(db).as[(Long, String)].collect().toSet ==
+        Set((1L, "e0"), (2L, "e1")))
+    } finally {
+      mBOpt.foreach(m => try m.close() catch { case _: Throwable => () })
+      try mA.close() catch { case _: Throwable => () }
+    }
+  }
+
   test("transform catalog: spec-named transforms resolve with params; trigger declared in metadata") {
     val root = Files.createTempDirectory("graft-pm-cat-").toString
     val pm = new PipelineManager(spark, root, PipelineHooks(transforms = Map(
