@@ -499,6 +499,12 @@ final class ManagementServer(pm: PipelineManager,
         respond(ex, 200, JObject(
           "instanceName" -> JString(instances.head),
           "clusterName" -> JString(clusterName),
+          // every transform name a spec on this instance can resolve:
+          // the server's own registry plus the manager catalog (the
+          // names routed restarts materialize — q81)
+          "transforms" -> JArray(
+            (registry.keySet ++ pm.catalogTransformNames).toList.sorted
+              .map(JString(_): JValue)),
           "connectors" -> JArray(byConnector.toList.sortBy(_._1).map {
             case (c, specs) =>
               JObject("connectorName" -> JString(c),

@@ -3279,6 +3279,13 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     specs.get(name).flatMap(s =>
       resolveTransform(s).map(t => (t, PipelineManager.specTrigger(s))))
 
+  /** Names this manager's transform catalog can materialize (plus
+    * the always-available "identity") — listed on the management
+    * plane's /health so an operator authoring a spec sees what a
+    * routed restart could resolve. */
+  def catalogTransformNames: Seq[String] =
+    ("identity" +: hooks.transforms.keys.toSeq).distinct.sorted
+
   /** Resolve `spec`'s declared transform (`metadata("transform")`)
     * from the shared catalog — "identity" is always available; a
     * registered factory is applied to the spec's metadata (its

@@ -560,10 +560,13 @@ class ManagementServerSpec extends SparkTestBase {
       assert(req(base, "POST", "/pipelines/nope/stop").statusCode() == 404)
 
       // health rollup: cluster + instance identity, per-connector
-      // tasks with status and source/destination facts
+      // tasks with status and source/destination facts, resolvable
+      // transform names
       val health = req(base, "GET", "/health")
       assert(health.statusCode() == 200, health.body())
       assert(health.body().contains("\"clusterName\":\"graft\""))
+      assert(health.body().contains("\"transforms\":[\"identity\"]"),
+        health.body())
       assert(health.body().contains("\"connectorName\":\"parquet\""))
       assert(health.body().contains("\"g1\"") &&
         health.body().contains("\"g2\""))
