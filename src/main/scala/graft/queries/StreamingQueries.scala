@@ -1814,9 +1814,12 @@ object StreamingQueries {
       try {
         val base = s"http://localhost:${srv.boundPort}"
         val client = java.net.http.HttpClient.newHttpClient()
+        // timeout on every request: a handler that dies without
+        // responding must fail the gate loudly, never park send()
         def http(method: String, path: String): java.net.http.HttpResponse[String] =
           client.send(java.net.http.HttpRequest.newBuilder(
               java.net.URI.create(base + path)).header("X-Owner", "ops")
+              .timeout(java.time.Duration.ofSeconds(180))
               .method(method, java.net.http.HttpRequest.BodyPublishers
                 .noBody()).build(),
             java.net.http.HttpResponse.BodyHandlers.ofString())

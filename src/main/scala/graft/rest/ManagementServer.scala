@@ -249,6 +249,18 @@ final class ManagementServer(pm: PipelineManager,
       case e: RuntimeException if e.getMessage != null &&
           e.getMessage.startsWith("unknown") => error(ex, 404, e.getMessage)
       case e: Exception => error(ex, 500, String.valueOf(e.getMessage))
+      // An ERROR (OOME, StackOverflow, linkage) escaping the handler
+      // would kill the pool thread with the exchange OPEN and NO
+      // response — the JDK server leaves the connection alive, so a
+      // client without a request timeout parks FOREVER (observed in a
+      // full-battery run: one handler died on an Error and the
+      // suite's untimed send() hung the whole battery). Answer 500
+      // first — the one thing a management plane must never do is go
+      // silent — then rethrow so the JVM-level condition stays loud.
+      case e: Throwable =>
+        try error(ex, 500, s"${e.getClass.getName}: ${e.getMessage}")
+        catch { case e2: Throwable => e.addSuppressed(e2) }
+        throw e
     }
   })
 

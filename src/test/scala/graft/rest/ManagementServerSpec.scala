@@ -22,7 +22,12 @@ class ManagementServerSpec extends SparkTestBase {
 
   private def req(base: String, method: String, path: String,
       body: Option[String] = None, owner: String = "alice") = {
-    val b = HttpRequest.newBuilder(URI.create(base + path)).header("X-Owner", owner)
+    // Always a timeout: a handler that dies without responding (the
+    // Throwable path the server now answers 500 for) must fail THIS
+    // test loudly, never park send() forever and wedge the battery.
+    // 180 s dominates any await=true delivery under full-battery load.
+    val b = HttpRequest.newBuilder(URI.create(base + path))
+      .timeout(java.time.Duration.ofSeconds(180)).header("X-Owner", owner)
     val r = (body match {
       case Some(json) => b.method(method, HttpRequest.BodyPublishers.ofString(json))
       case None => b.method(method, HttpRequest.BodyPublishers.noBody())
