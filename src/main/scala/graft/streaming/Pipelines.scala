@@ -3402,16 +3402,23 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       releaseLock(name)
       specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Deleting)))
       specs.remove(name)
-      removeSpecFile(name)
       PipelineManager.sketchStripe(sketchDir(name)).synchronized {
         Seq("", ".old", ".staging").foreach(sfx =>
           rootFs.delete(new Path(sketchDir(name) + sfx), true): Unit)
       }
-      // per-name durable state dies with the pipeline: a recreated
+      // Per-name durable state dies with the pipeline: a recreated
       // same-name pipeline must not inherit offsets, holdback, or a
-      // pause set from this incarnation
+      // pause set from this incarnation. Swept BEFORE the spec file
+      // goes: the spec file is the pipeline's durable existence
+      // marker, so removing it LAST means (a) a crash mid-delete
+      // leaves a restorable spec over already-clean state — never an
+      // ORPHANED checkpoint no owner can ever sweep (the old order's
+      // crash window), and (b) an observer that saw the spec vanish
+      // may rely on the per-name state being gone too (a routed
+      // delete's requestor polls exactly that).
       rootFs.delete(new Path(s"$checkpointRoot/$name"), true): Unit
       rootFs.delete(new Path(holdbackPath(name)), true): Unit
+      removeSpecFile(name)
       // Group-holdback dirs whose stamped destination this deletion
       // takes OUT OF SERVICE: while survivors still serve it the dirs
       // stay (replay enumerates by destination, and an owner-missing

@@ -988,8 +988,13 @@ class ManagementServerSpec extends SparkTestBase {
       assert(del.statusCode() == 200, del.body())
       val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
+      // poll BOTH artifacts: the enactment sweeps the checkpoint and
+      // then removes the spec file, but the tick is asynchronous to
+      // this thread — polling only one and asserting the other raced
+      // the enactment's last steps under battery load
       val dl2 = System.currentTimeMillis() + 90000L
-      while (fs.exists(new org.apache.hadoop.fs.Path(s"$root/specs/xr.json")) &&
+      while ((fs.exists(new org.apache.hadoop.fs.Path(s"$root/specs/xr.json")) ||
+          fs.exists(new org.apache.hadoop.fs.Path(s"$root/xr"))) &&
           System.currentTimeMillis() < dl2) Thread.sleep(20L)
       assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/specs/xr.json")),
         "the owner's tick never enacted the routed delete")
