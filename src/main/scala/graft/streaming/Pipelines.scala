@@ -2319,6 +2319,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       val prevPool = spark.sparkContext.getLocalProperty("spark.scheduler.pool")
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-$prefix")
       try {
+        sweepCheckpointTemps(groupCkpt)
         // metrics ride the shared query (observed under the group query
         // name "group-<prefix>": one scan → one set of counters)
         val q = observed(transform(source(members.head))).writeStream
@@ -2766,6 +2767,37 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         .orElse(tryRead(sketchDir(name) + ".old"))
     }
 
+  /** Remove orphan atomic-write temp files (`.<name>.<uuid>.tmp`)
+    * from a checkpoint's METADATA-LOG dirs before (re)starting a
+    * query on it. Spark's CheckpointFileManager commits each log
+    * entry by temp-write + rename, so a query stopped BETWEEN the two
+    * — a pause/stop racing batch 0's initialization, observed in a
+    * full-battery run — strands a temp file; the logs themselves
+    * ignore it, but Spark 4's fresh-checkpoint verification
+    * (MicroBatchExecution.verifyNewCheckpointDirectory) refuses to
+    * start batch 0 over a non-empty offsets dir, so the RESTART dies
+    * with STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY even though every
+    * real entry is absent. Swept only in the metadata-log dirs
+    * (offsets/commits, plus the sources log one level down) — never
+    * the state stores, whose own files are large and self-managed —
+    * and only from start paths, which hold the execution lock with
+    * the previous query stopped. */
+  private def sweepCheckpointTemps(ckpt: Path): Unit = {
+    def sweepFlat(dir: Path): Unit =
+      if (rootFs.exists(dir))
+        rootFs.listStatus(dir).foreach { st =>
+          if (st.isFile && st.getPath.getName.startsWith(".") &&
+              st.getPath.getName.endsWith(".tmp"))
+            rootFs.delete(st.getPath, false): Unit
+        }
+    sweepFlat(new Path(ckpt, "offsets"))
+    sweepFlat(new Path(ckpt, "commits"))
+    val sources = new Path(ckpt, "sources")
+    if (rootFs.exists(sources))
+      rootFs.listStatus(sources).filter(_.isDirectory)
+        .foreach(d => sweepFlat(d.getPath))
+  }
+
   private def startLocked(name: String, spec: PipelineSpec,
       transform: DataFrame => DataFrame, trigger: Trigger): StreamingQuery = {
     // A member whose last run was group-scoped has its offsets in the
@@ -2779,6 +2811,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
         !rootFs.exists(new Path(s"$checkpointRoot/$name")))
       throw new IllegalStateException(s"pipeline $name last ran as part of " +
         s"task group '$prefix' (shared checkpoint); restart it with startGroup")
+    sweepCheckpointTemps(new Path(s"$checkpointRoot/$name"))
     val out = observed(transform(source(spec)))
     val writer = out.writeStream
       .queryName(name)

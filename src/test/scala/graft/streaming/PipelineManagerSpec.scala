@@ -2136,6 +2136,39 @@ class PipelineManagerSpec extends SparkTestBase {
     pm.close()
   }
 
+  test("restart survives an orphan metadata-log temp file (stop racing batch 0)") {
+    // Reproduces a battery-caught failure deterministically: a
+    // pause/stop that lands while batch 0 is initializing kills the
+    // query between CheckpointFileManager's temp-write and rename,
+    // stranding `.0.<uuid>.tmp` in offsets/ — and Spark 4's
+    // fresh-checkpoint verification then refuses the RESTART with
+    // STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY. The start path's
+    // sweep removes the uncommitted temp (rename is the commit, so a
+    // temp is garbage by construction) and the restart proceeds.
+    val root = Files.createTempDirectory("graft-pm-otmp-").toString
+    val pm = new PipelineManager(spark, root)
+    try {
+      val srcDir = Files.createTempDirectory("graft-pm-otmp-src-").toString
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+        .write.mode(SaveMode.Append).parquet(srcDir)
+      val spec = pm.create(PipelineSpec("otmp", "parquet", "parquet", srcDir))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // the stop-racing-batch-0 residue, planted exactly as
+      // CheckpointFileManager names it
+      val off = new org.apache.hadoop.fs.Path(s"$root/otmp/offsets")
+      fs.mkdirs(off)
+      val tmp = new org.apache.hadoop.fs.Path(off,
+        ".0.e69b0ae0-dead-beef-866c-3abbc9a5e0cd.tmp")
+      val out = fs.create(tmp, true)
+      try out.write("partial".getBytes("UTF-8")) finally out.close()
+      pm.start("otmp", identity).awaitTermination()
+      assert(!fs.exists(tmp), "the start must sweep the orphan temp")
+      assert(spark.read.parquet(spec.destinationConnection).count() == 2,
+        "the restart over the swept checkpoint must deliver")
+    } finally pm.close()
+  }
+
   test("catalog resume restarts a crashed owner's GROUP from the spec alone") {
     // the group-branch twin of the q81 gate (which pins the solo
     // path): a routed force-resume for a paused GROUP whose owner
