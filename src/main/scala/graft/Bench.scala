@@ -7,10 +7,10 @@ import org.apache.spark.sql.SparkSession
   * sink (count() alone would let column pruning skip the work), and
   * prints ONE JSON line.
   *
-  * The printed line keys each query by its short id (the prefix before
-  * the first underscore: q15, s10, d09 — unique across the suite) with
-  * decisecond precision, keeping the whole line ~1.5 KB at 144
-  * queries: the harness capturing stdout keeps only a ~2000-char tail
+  * The printed line carries per-gate deciseconds as one positional
+  * array per family (`q_ds` — see the step-2 compression note at the
+  * bottom of main), keeping the whole line well under 1 KB at ~200
+  * gates: the harness capturing stdout keeps only a ~2000-char tail
   * (including sbt's trailing success line), and rounds 3-5 proved a
   * full-name/full-precision line (~4 KB at 80 queries) gets its head
   * truncated and fails to parse. The full-name, full-precision
@@ -185,24 +185,35 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
       s"""{"metric":"total","value":$pubTotal,"unit":"sec","queries":$pubJson,"first_run":$firstJson,"first_run_total":$firstTotal,"spill_build_s":${fmt2(spillBuildS)},"rerun_n":$rerunJson,"rerun_failed":$rerunFailedJson,"heap_after_mb":$heapJson,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
-    // Per-gate stdout values are DECISECOND INTEGERS under the
-    // self-describing key `queries_ds` ("s15":59 = 5.9 s) — same 0.1 s
-    // precision as the old "%.1f" seconds form, 1-2 chars shorter per
-    // gate. At r16's 184 gates the old form ran 1965 of the ~2000-char
-    // driver tail; this form keeps 190+ gates parseable. Full-precision
-    // seconds stay in bench_detail.json.
+    // Per-gate stdout values are DECISECOND INTEGERS (59 = 5.9 s) —
+    // same 0.1 s precision as the old "%.1f" seconds form. Full-name,
+    // full-precision seconds stay in bench_detail.json.
     // Failed gates (elapsed -1) are OMITTED here — they are already
     // named under "failed", and a -10 decisecond entry would corrupt
-    // any consumer summing or averaging the map.
+    // any consumer summing or averaging the values.
     // Line-compression step 1 (r18 headroom plan): "spill_build" and
     // "unit" dropped from stdout — both stay in bench_detail.json
-    // (the driver reads only metric/value/queries_ds/failed/sf; the
-    // unit is seconds by the metric's contract). -30 chars ≈ 3 gates
-    // of headroom at the ~2000-char driver tail.
-    val qsPub = published.filter(_._2 >= 0).map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + math.round(v * 10) }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt2(pubTotal)},"queries_ds":$qsPub,"failed":[${failedStdout.mkString(",")}],"sf":"$sfDir"}""")
+    // (the unit is seconds by the metric's contract).
+    // Line-compression step 2 (r18 plan, landed r20 at 197 gates):
+    // `q_ds` replaces the flat `queries_ds` map with one POSITIONAL
+    // array per family — {"d":[4,10,...],"e":[...],...}: families in
+    // ascending key order, values in ascending short-id order within
+    // the family (short ids are zero-padded, so short-id order ==
+    // full-name order). The k-th value belongs to the k-th name in
+    // the ascending sorted list of that family's NON-FAILED gates —
+    // the exact inventory every consumer already has from
+    // CORRECTNESS_r{N}.json, and bench_detail.json carries the
+    // self-describing full map. ~5 chars/gate saved (~950 at 197
+    // gates) keeps the whole line deep inside the ~2000-char stdout
+    // tail the harness captures, with room for 100+ more gates.
+    val qsFam = published.filter(_._2 >= 0)
+      .map { case (k, v) => (k.head, k.takeWhile(_ != '_'), v) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (fam, gs) =>
+        "\"" + fam + "\":" + gs.sortBy(_._2).map(g => math.round(g._3 * 10))
+          .mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt2(pubTotal)},"q_ds":$qsFam,"failed":[${failedStdout.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3522,7 +3522,7 @@ object StreamingQueries {
         val catalog = PipelineHooks(transforms = Map(
           "userMod" -> (md => df =>
             df.filter(pmod(col("user_id"),
-              lit(md("userMod.mod").toLong)) === 0))))
+              lit(md("transform.mod").toLong)) === 0))))
         PipelineManager.epochAppend(epochOf(0).coalesce(1), srcDir, 0, "q81src")
         val lease = 600000L // expiry below is SIMULATED, never slept for
         val mA = new PipelineManager(s, ckptRoot, catalog, instance = "mgrA",
@@ -3532,7 +3532,7 @@ object StreamingQueries {
           destinationConnection = destD,
           metadata = Map(
             PipelineManager.TransformKey -> "userMod",
-            "userMod.mod" -> "2",
+            "transform.mod" -> "2",
             PipelineManager.TriggerKey -> "processingTime:50")))
         // the owner itself materializes from the spec — no BYO closure
         // anywhere in this gate
@@ -3589,6 +3589,136 @@ object StreamingQueries {
           ("res", "survivor_consumed", consumed),
           ("res", "restarted_from_spec_alone", restarted),
           ("res", "relocked_by_survivor", relocked),
+          ("rows", "n", r.getLong(0).toString),
+          ("rows", "n_distinct", r.getLong(1).toString))
+          .toDF("kind", "k", "v")
+      } finally {
+        pms.foreach(p => try p.close() catch { case _: Throwable => () })
+        deleteTree(ckptRoot, srcDir, new java.io.File(destD).getParent)
+      }
+    }),
+
+    // CATALOG UPDATE-REASSIGN (q82) — closes the contract hole q81
+    // opened: the transform recipe (metadata "transform", the
+    // reserved "transform.*" params slice, "graft.trigger") is
+    // delivery-relevant (DeliveryRelevantMetadataKeys +
+    // TransformParamsPrefix), so updating a RUNNING catalog
+    // pipeline's params restarts its query with the NEW recipe
+    // re-materialized from the UPDATED spec — never the remembered
+    // closure that captured the old params (reassignUpdatedMember's
+    // runThunk). Reference analog: the coordinator reassigns every
+    // datastream on update, re-materializing the task from the new
+    // ZK spec (Coordinator.java:920 handleAssignmentChange,
+    // AbstractKafkaConnector.java:152). Four recipes partition the
+    // corpus by epoch: mod 2 at create, mod 3 by a local owner
+    // update, mod 5 by a cross-manager update (the q76 routed path,
+    // which shares the same predicate and restart), mod 7 persisted
+    // while PAUSED and enacted by a survivor's routed resume after
+    // the owner's CRASH — the fuzz half: the resume must enact the
+    // PERSISTED recipe, with no silent switch to any earlier one.
+    // Exactly-once throughout: each event delivered by exactly the
+    // recipe live at its epoch.
+    "q82_catalog_update_reassign" -> ((s, d) => {
+      val ckptRoot = Files.createTempDirectory("graft-q82-pm-").toString
+      val srcDir = Files.createTempDirectory("graft-q82-src-").toString
+      val destD = Files.createTempDirectory("graft-q82-dest-").toString + "/d"
+      var pms = List.empty[PipelineManager]
+      try {
+        val conf = s.sparkContext.hadoopConfiguration
+        val clicks = Tables.t(s, d, "events")
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"))
+        val mods = Array(2L, 3L, 5L, 7L)
+        def epochOf(e: Int): DataFrame =
+          clicks.filter(pmod(col("event_id"), lit(4L)) === e.toLong)
+        // expected cumulative delivery through epoch e — each epoch
+        // filtered by the recipe live when it was delivered
+        val expAt = mods.indices.map(e =>
+          epochOf(e).filter(pmod(col("user_id"), lit(mods(e))) === 0)
+            .count()).scanLeft(0L)(_ + _).tail
+        def delivered(): Long =
+          try s.read.parquet(destD).count()
+          catch { case _: Throwable => 0L }
+        val catalog = PipelineHooks(transforms = Map(
+          "userMod" -> (md => df =>
+            df.filter(pmod(col("user_id"),
+              lit(md("transform.mod").toLong)) === 0))))
+        def specWith(mod: Long) = PipelineSpec("q82a", "parquet", "parquet",
+          srcDir, destinationConnection = destD,
+          metadata = Map(
+            PipelineManager.TransformKey -> "userMod",
+            "transform.mod" -> mod.toString,
+            PipelineManager.TriggerKey -> "processingTime:50"))
+        val fs = new org.apache.hadoop.fs.Path(ckptRoot).getFileSystem(conf)
+        val lease = 600000L // expiry below is SIMULATED, never slept for
+        PipelineManager.epochAppend(epochOf(0).coalesce(1), srcDir, 0, "q82src")
+        val mA = new PipelineManager(s, ckptRoot, catalog, instance = "mgrA",
+          livenessLeaseMs = lease)
+        pms ::= mA
+        val spec0 = mA.create(specWith(2))
+        val q0 = mA.start("q82a", mA.resolveTransform(spec0).get,
+          PipelineManager.specTrigger(spec0))
+        awaitCond("q82", "epoch 0 delivered")(delivered() == expAt(0))
+        // ---- local owner update: params change restarts the query
+        // with the recipe re-materialized from the UPDATED spec ----
+        mA.update("q82a", specWith(3)): Unit
+        val localRestart = (!q0.isActive).toString
+        val localNewLive = mA.queryOf("q82a").exists(_.isActive).toString
+        PipelineManager.epochAppend(epochOf(1).coalesce(1), srcDir, 1, "q82src")
+        awaitCond("q82", "epoch 1 delivered by updated recipe")(
+          delivered() == expAt(1))
+        // ---- cross-manager update (q76 path, same predicate): B
+        // persists the new recipe and routes; A's tick enacts ----
+        val mB = new PipelineManager(s, ckptRoot, catalog, instance = "mgrB",
+          livenessLeaseMs = lease)
+        pms ::= mB
+        mB.update("q82a", specWith(5)): Unit
+        val reqDir = new org.apache.hadoop.fs.Path(
+          s"$ckptRoot/reassign-requests")
+        val routed = (fs.exists(reqDir) && fs.listStatus(reqDir).nonEmpty)
+          .toString
+        val bNoopWhileLive = mB.consumeReassignRequests().toString
+        val ownerConsumed = mA.consumeReassignRequests().toString
+        PipelineManager.epochAppend(epochOf(2).coalesce(1), srcDir, 2, "q82src")
+        awaitCond("q82", "epoch 2 delivered by routed recipe")(
+          delivered() == expAt(2))
+        // ---- the fuzz half: persist a NEW recipe while PAUSED, then
+        // CRASH the owner — the survivor's routed resume must enact
+        // the PERSISTED recipe (mod 7), never a remembered one ----
+        mA.pause("q82a") // query stopped, durable Paused, lock KEPT by A
+        mB.reconcileSpecs() // B adopts the truthful Paused baseline
+        mB.update("q82a", specWith(7)): Unit
+        val pausedRouted = (fs.exists(reqDir) && fs.listStatus(reqDir)
+          .nonEmpty).toString
+        // HARD CRASH of the owner: no close(); age the registration
+        // one lease past its last heartbeat (q67's simulation)
+        fs.setTimes(new org.apache.hadoop.fs.Path(
+          s"$ckptRoot/instances/mgrA"),
+          System.currentTimeMillis() - lease - 60000L, -1)
+        val ownerExpired = (!mA.heartbeat()).toString
+        // the orphaned reassign-request is consumable now (paused: no
+        // query to restart; the persisted recipe already stands)
+        val orphanConsumed = mB.consumeReassignRequests().toString
+        PipelineManager.epochAppend(epochOf(3).coalesce(1), srcDir, 3, "q82src")
+        mB.requestResume("q82a")
+        val resumed = mB.queryOf("q82a").exists(_.isActive).toString
+        awaitCond("q82", "epoch 3 delivered by persisted recipe")(
+          delivered() == expAt(3))
+        mB.stop("q82a")
+        val r = s.read.parquet(destD)
+          .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+          .head()
+        import s.implicits._
+        Seq(
+          ("upd", "local_param_restart", localRestart),
+          ("upd", "local_new_query_live", localNewLive),
+          ("upd", "cross_manager_routed", routed),
+          ("upd", "b_consume_noop_while_owner_live", bNoopWhileLive),
+          ("upd", "owner_consumed", ownerConsumed),
+          ("upd", "paused_update_routed", pausedRouted),
+          ("crash", "owner_lease_expired", ownerExpired),
+          ("res", "orphan_reassign_consumed", orphanConsumed),
+          ("res", "survivor_resumed_persisted_recipe", resumed),
           ("rows", "n", r.getLong(0).toString),
           ("rows", "n_distinct", r.getLong(1).toString))
           .toDF("kind", "k", "v")
@@ -5127,6 +5257,40 @@ object StreamingQueries {
         |UNION ALL SELECT 'rows', 'n_distinct',
         |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
         |FROM events WHERE event_type = 'click' AND user_id % 2 = 0"""
+        .stripMargin.replace("\n", " "),
+
+    // Catalog update-reassign closed form (q82): every protocol event
+    // is a literal (the local update restarted the query, the
+    // cross-manager update routed and only the owner consumed it, the
+    // paused-update routed, the crash expired the lease, the survivor
+    // consumed the orphan and resumed), and exactly-once across four
+    // recipes means the destination equals the epoch-partitioned
+    // corpus, each epoch filtered by the recipe LIVE when it was
+    // delivered — mod 2, then 3, then 5, then the crash-surviving
+    // persisted mod 7.
+    "q82_catalog_update_reassign" ->
+      """SELECT 'upd' AS kind, 'local_param_restart' AS k, 'true' AS v
+        |UNION ALL SELECT 'upd', 'local_new_query_live', 'true'
+        |UNION ALL SELECT 'upd', 'cross_manager_routed', 'true'
+        |UNION ALL SELECT 'upd', 'b_consume_noop_while_owner_live', '0'
+        |UNION ALL SELECT 'upd', 'owner_consumed', '1'
+        |UNION ALL SELECT 'upd', 'paused_update_routed', 'true'
+        |UNION ALL SELECT 'crash', 'owner_lease_expired', 'true'
+        |UNION ALL SELECT 'res', 'orphan_reassign_consumed', '1'
+        |UNION ALL SELECT 'res', 'survivor_resumed_persisted_recipe', 'true'
+        |UNION ALL SELECT 'rows', 'n', CAST(COUNT(*) AS VARCHAR)
+        |FROM events WHERE event_type = 'click' AND (
+        |(event_id % 4 = 0 AND user_id % 2 = 0) OR
+        |(event_id % 4 = 1 AND user_id % 3 = 0) OR
+        |(event_id % 4 = 2 AND user_id % 5 = 0) OR
+        |(event_id % 4 = 3 AND user_id % 7 = 0))
+        |UNION ALL SELECT 'rows', 'n_distinct',
+        |CAST(COUNT(DISTINCT event_id) AS VARCHAR)
+        |FROM events WHERE event_type = 'click' AND (
+        |(event_id % 4 = 0 AND user_id % 2 = 0) OR
+        |(event_id % 4 = 1 AND user_id % 3 = 0) OR
+        |(event_id % 4 = 2 AND user_id % 5 = 0) OR
+        |(event_id % 4 = 3 AND user_id % 7 = 0))"""
         .stripMargin.replace("\n", " "),
 
     // Metadata-update closed form (q75): epoch 0 merges one row per

@@ -61,8 +61,11 @@ final case class PipelineHooks(
     dedupe: (PipelineSpec, Iterable[PipelineSpec]) => Option[PipelineSpec] =
       (spec, existing) => existing.find(_.sourceConnection == spec.sourceConnection),
     // Declarative transform catalog (q81): name → factory taking the
-    // spec's metadata (the transform's params live there as plain
-    // strings). A spec that names its transform
+    // RESERVED `transform.*` slice of the spec's metadata (the
+    // transform's params live there as plain strings —
+    // PipelineManager.TransformParamsPrefix; every key a factory can
+    // see is delivery-relevant, so a param update reassigns a
+    // running query, q82). A spec that names its transform
     // (metadata("transform")) is a COMPLETE materialization recipe —
     // any manager sharing the hooks can restart the pipeline from the
     // shared checkpoint without the owner's closure, the reference's
@@ -576,18 +579,33 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     * name can mint the same version — enactments are already
     * serialized by the execution lock); the intra-writer window is
     * gone. A filesystem refusing setTimes degrades to the wall-clock
-    * stamp this method replaced. */
+    * stamp this method replaced (NonFatal: object stores and viewfs
+    * wrappers throw UnsupportedOperationException, not IOException —
+    * either way the JSON body still carries the exact specVersion).
+    * Cross-writer: the counter is maxed against the version already
+    * IN the file before minting, so two managers that both last
+    * observed version N can no longer both mint N+1 — the second
+    * writer reads the first's N+1 and mints N+2, keeping a third
+    * observer's (mtime, length) stamp distinguishing. (Two writers
+    * racing INSIDE this read-then-write window can still tie; their
+    * enactments were already serialized by the execution lock.) */
   private def persistSpec(spec: PipelineSpec): Unit = {
     val p = specFilePath(spec.name)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(p.getParent)
+    val onDisk = try {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      PipelineSpecJson.versionOf(text)
+    } catch { case scala.util.control.NonFatal(_) => 0L }
     val v = specVersions.updateWith(spec.name)(o =>
-      Some(o.getOrElse(0L) + 1L)).get
+      Some(math.max(o.getOrElse(0L), onDisk) + 1L)).get
     val out = fs.create(p, true)
     try out.write(PipelineSpecJson.writeVersioned(spec, v).getBytes("UTF-8"))
     finally out.close()
     try fs.setTimes(p, v, -1)
-    catch { case _: java.io.IOException => () }
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 
   private def removeSpecFile(name: String): Unit = {
@@ -1440,7 +1458,14 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     * only a hard crash leaves one; the consumer GCs it after the
     * create-to-write grace instead of re-parsing it every tick
     * forever); `None` = IO failure (transient; retried whole on a
-    * later tick). */
+    * later tick). DELIBERATE: a pre-sentinel writer's 4-line frame
+    * also reads as torn and is GC'd — accepting sentinel-less frames
+    * by part count would reopen the truncation hole the sentinel
+    * closed (a frame cut exactly after the force line is
+    * indistinguishable from a legacy frame). Mixed-version rolling
+    * restarts over one checkpoint root must drain the request queue
+    * before upgrading writers; in-flight verbs are re-issuable, the
+    * spec store (the authority) is unaffected. */
   private def parseLifecycleRequest(p: Path)
       : Option[Option[(String, String, Boolean)]] =
     try {
@@ -1558,6 +1583,60 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
   // that leave the length equal still differ here
   private val specModSeen = TrieMap.empty[String, (Long, Long)]
 
+  // last lock-file (mtime, length) stamp and content per namespace —
+  // the locks-dir analog of [[specModSeen]], feeding the tick-scoped
+  // owner snapshot below so quiet ticks re-read no lock contents
+  private val lockContentSeen = TrieMap.empty[String, ((Long, Long), String)]
+
+  /** One locks-dir listing → namespace → owner (the tick-scoped lock
+    * snapshot; round 20's control-plane scale fix): the collapse and
+    * sweep hygiene in [[reconcileSpecs]] would otherwise read every
+    * foreign-Ready pipeline's lock file — and its owner's
+    * registration — EVERY tick: O(pipelines) small-file RPCs per tick
+    * per manager at fleet scale, where the reference pays nothing (ZK
+    * watches push; Coordinator.java:572 onDatastreamAddOrDrop).
+    * Content reads are (mtime, length)-gated against the cache, with
+    * one guard the spec store doesn't need: two same-length owner
+    * writes inside one mtime granule are indistinguishable by stamp
+    * (instance ids often share a length; a release-and-reclaim can
+    * complete in under a millisecond), so only stamps older than
+    * [[PipelineManager.AcquireGraceMs]] — which no in-granule write
+    * can still move — are cached across ticks; younger locks are
+    * re-read while young. Inner value None = content unreadable this
+    * tick (callers treat it conservatively); outer None = the listing
+    * itself failed (callers fall back to the direct per-name reads
+    * this snapshot replaced). */
+  private def snapshotLockOwners(): Option[Map[String, Option[String]]] =
+    try {
+      val ldir = new Path(s"$checkpointRoot/locks")
+      if (!rootFs.exists(ldir)) Some(Map.empty)
+      else {
+        val now = System.currentTimeMillis()
+        val m = rootFs.listStatus(ldir).iterator
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".lock"))
+          .map { st =>
+            val ns = st.getPath.getName.stripSuffix(".lock")
+            val stamp = (st.getModificationTime, st.getLen)
+            val owner = lockContentSeen.get(ns) match {
+              case Some((s, o)) if s == stamp => Some(o)
+              case _ =>
+                try {
+                  val o = lockOwner(st.getPath)
+                  if (now - st.getModificationTime >
+                      PipelineManager.AcquireGraceMs)
+                    lockContentSeen.put(ns, (stamp, o)): Unit
+                  Some(o)
+                } catch { case _: java.io.IOException => None }
+            }
+            ns -> owner
+          }.toMap
+        // released locks leave the cache with their files
+        lockContentSeen.keys.foreach(k =>
+          if (!m.contains(k)) lockContentSeen.remove(k): Unit)
+        Some(m)
+      }
+    } catch { case _: java.io.IOException => None }
+
   /** Eventually-consistent local-map hygiene for the multi-manager
     * deployment — the reference's ZK watches keep every instance's
     * datastream view current (ZkAdapter children watches feeding
@@ -1608,6 +1687,53 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
             (s.getModificationTime, s.getLen)))
       } catch { case _: java.io.IOException => return } // judge later
     val durableNs = listing.map(_._1).toSet
+    // ---- tick-scoped read bounding (round 20, the control-plane
+    // scale pass): lock owners come from ONE locks-dir listing
+    // ([[snapshotLockOwners]]), instance liveness is memoized for the
+    // tick (liveness is lease-granular; sub-tick staleness is
+    // immaterial), and group membership is indexed once (findGroup is
+    // O(specs) per call — per-spec calls made the loops below
+    // O(specs²)). The snapshot SCREENS; every DESTRUCTIVE act
+    // (collapse flip, sweep removal) re-confirms with the direct
+    // reads this replaced, so act-time semantics are exactly the old
+    // ones — quiet ticks just stop paying O(pipelines) RPCs for them.
+    val lockSnap = snapshotLockOwners()
+    val liveMemo = scala.collection.mutable.HashMap.empty[String, Boolean]
+    def liveNow(id: String): Boolean =
+      liveMemo.getOrElseUpdate(id, instanceLive(id))
+    def snapOwner(name: String): Option[String] = lockSnap match {
+      case Some(m) =>
+        m.getOrElse(PipelineManager.namespaceOf(name), Some(""))
+      case None => // listing failed: the direct read this replaced
+        try Some(lockOwner(lockPath(name)))
+        catch { case _: java.io.IOException => None }
+    }
+    val byPrefix: Map[String, Seq[String]] =
+      specs.values.toSeq
+        .groupBy(s => s.metadata.getOrElse(PipelineManager.TaskPrefixKey,
+          s.name))
+        .map { case (p, ms) => p -> ms.map(_.name) }
+    def membersOf(name: String): Seq[String] =
+      specs.get(name)
+        .flatMap(_.metadata.get(PipelineManager.TaskPrefixKey))
+        .map(p => byPrefix.getOrElse(p, Seq(name)))
+        .getOrElse(Seq(name))
+    // snapshot twin of [[liveForeignExecutor]]; an unreadable lock
+    // reads as foreign-live (unsure → never collapse on a hiccup)
+    def foreignLiveNow(name: String): Boolean =
+      membersOf(name).exists(m => snapOwner(m) match {
+        case Some(o) => o.nonEmpty && o != instanceId && liveNow(o)
+        case None => true
+      })
+    def ownedLocallySnap(name: String): Boolean =
+      Option(queries.get(name)).isDefined ||
+        (snapOwner(name) match {
+          case Some(o) => o == instanceId
+          case None => true // unsure → hands off
+        })
+    // act-time confirmation: direct reads, exactly the pre-snapshot
+    // judgment — paid only for entries a destructive act is about to
+    // touch (normally none)
     def ownedLocally(name: String): Boolean =
       Option(queries.get(name)).isDefined ||
         (try lockOwner(lockPath(name)) == instanceId
@@ -1619,13 +1745,17 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
           val spec = readSpecFile(new Path(dir, s"$ns.json"))
           val restored = spec.status match {
             case PipelineStatus.Ready | PipelineStatus.Stopping
-                if liveForeignExecutor(spec.name).isEmpty =>
+                if !foreignLiveNow(spec.name) =>
               spec.copy(status = PipelineStatus.Stopped)
             case _ => spec
           }
           if (spec.status != PipelineStatus.Deleting) {
+            // snapshot screens, direct read confirms (changed files
+            // only — a lock this manager acquired AFTER the snapshot
+            // listing must still block the overwrite, exactly as the
+            // per-name read it replaced did)
             if (specs.putIfAbsent(spec.name, restored).isDefined &&
-                !ownedLocally(spec.name))
+                !ownedLocallySnap(spec.name) && !ownedLocally(spec.name))
               specs.put(spec.name, restored): Unit
           }
           // recorded only after a successful read, so a torn/mid-write
@@ -1644,25 +1774,35 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     // pipeline is momentarily Ready with no lock (create → start gap
     // on its own manager), and a one-tick collapse could flip it mid
     // start — start() flips it back, but the grace avoids the flap.
-    // Cost: one lock read + one registration read per foreign-RUN
-    // pipeline per tick — quiet deployments have few.
+    // Cost (round 20): judged from the tick's lock snapshot + the
+    // per-tick liveness memo — zero per-pipeline RPCs on quiet ticks
+    // (ControlPlaneScaleProbe measured the pre-snapshot form at
+    // O(pipelines) lock+registration reads per tick per manager);
+    // only an entry about to FLIP pays the act-time direct reads.
     specs.foreach { case (n, s) =>
       if ((s.status == PipelineStatus.Ready ||
             s.status == PipelineStatus.Stopping) &&
-          !ownedLocally(n) && liveForeignExecutor(n).isEmpty) {
-        if (collapseCandidates.remove(n))
-          specs.replace(n, s, s.copy(status = PipelineStatus.Stopped)): Unit
-        else collapseCandidates.add(n): Unit
+          !ownedLocallySnap(n) && !foreignLiveNow(n)) {
+        if (collapseCandidates.remove(n)) {
+          // act-time confirmation at direct-read exactness (the
+          // snapshot is one listing old; a flip on stale evidence
+          // would be the status lie this hygiene exists to fix)
+          if (!ownedLocally(n) && liveForeignExecutor(n).isEmpty)
+            specs.replace(n, s, s.copy(status = PipelineStatus.Stopped)): Unit
+        } else collapseCandidates.add(n): Unit
       } else collapseCandidates.remove(n): Unit
     }
-    // SWEEP (two-tick grace)
+    // SWEEP (two-tick grace; the in-memory listing-membership test
+    // runs FIRST so quiet ticks read no locks at all)
     specs.keys.foreach { n =>
       val absentNow = !durableNs.contains(PipelineManager.namespaceOf(n)) &&
         specDurablyKnown(n).contains(None) // positive re-check, fresh RPC
-      if (!ownedLocally(n) && absentNow) {
+      if (absentNow && !ownedLocallySnap(n)) {
         if (sweepCandidates.remove(n)) {
-          specs.remove(n): Unit
-          specModSeen.remove(PipelineManager.namespaceOf(n)): Unit
+          if (!ownedLocally(n)) { // act-time confirmation, direct read
+            specs.remove(n): Unit
+            specModSeen.remove(PipelineManager.namespaceOf(n)): Unit
+          }
         } else sweepCandidates.add(n): Unit
       } else sweepCandidates.remove(n): Unit
     }
@@ -1719,6 +1859,40 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     }
     val prefix = updated.metadata.getOrElse(PipelineManager.TaskPrefixKey,
       name)
+    // q82: a catalog-named pipeline's reassignment restart must
+    // materialize the UPDATED spec's recipe — the remembered closure
+    // captured the OLD params at the last start, so restarting it
+    // would persist the new recipe while delivering the old one, the
+    // exact silent divergence this reassignment exists to prevent.
+    // Resolution is DEFERRED into the stop-rollback scope (a thunk):
+    // a recipe this manager cannot materialize (unregistered name, a
+    // throwing factory, a bad trigger) fails AFTER the stop, into the
+    // truthful Stopped state with locks released — never a live old
+    // closure under a spec claiming the new recipe. Only an UNCHANGED
+    // recipe may keep the remembered run when the name no longer
+    // resolves here (the closure captured the same recipe). For a
+    // GROUP, the updated member's recipe is this update's authority
+    // (most-recent-write-wins); sibling specs now diverge durably,
+    // so a crash-time routed resume drops loudly (catalogGroupRun)
+    // until the operator aligns them — loud and recoverable, never
+    // silent.
+    val recipeChanged = recipeOf(updated) != recipeOf(previous)
+    val declared = updated.metadata.get(PipelineManager.TransformKey)
+    val resolvable = declared.exists(n =>
+      n == "identity" || hooks.transforms.contains(n))
+    def runThunk(remembered: Option[(DataFrame => DataFrame, Trigger)])
+        : Option[() => (DataFrame => DataFrame, Trigger)] =
+      if (declared.isEmpty) remembered.map(r => () => r)
+      else if (resolvable) Some(() => catalogRun(name).getOrElse(
+        throw new IllegalStateException(
+          s"catalog recipe for $name vanished between judgment and " +
+            "materialization")))
+      else if (recipeChanged) Some(() => throw new IllegalStateException(
+        s"update changed $name's transform recipe to " +
+          s"'${declared.get}', which this manager's catalog cannot " +
+          "materialize; restart refused — register the transform or " +
+          "revert the spec"))
+      else remembered.map(r => () => r)
     PipelineManager.membershipStripe(prefix).synchronized {
       val members = findGroup(name)
       // the one shared query may be registered under ANY member's
@@ -1750,8 +1924,8 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
           restampHoldbackDest(previous.destinationConnection,
             updated.destinationConnection)
       }
-      (sharedLive, groupRuns.get(prefix)) match {
-        case (true, Some((transform, trigger))) =>
+      (sharedLive, runThunk(groupRuns.get(prefix))) match {
+        case (true, Some(thunk)) =>
           // stop FIRST so no further epoch marker can land under the
           // old-destination namespace after the state moves. The
           // state move sits INSIDE the rollback scope: a restamp IO
@@ -1760,6 +1934,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
           // Ready-with-no-query members holding locks.
           members.foreach(m => stopQueryOf(m.name))
           try {
+            val (transform, trigger) = thunk()
             moveOldDestState()
             startGroup(name, transform, trigger,
               reAdmitStopped = false): Unit
@@ -1801,14 +1976,15 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
             .exists(q => q.isActive && q.name == name) &&
             !(previous.transport == "memory" &&
               updated.transport == "memory")
-          (if (soloLive) soloRuns.get(name) else None) match {
-            case Some((transform, trigger)) =>
+          (if (soloLive) runThunk(soloRuns.get(name)) else None) match {
+            case Some(thunk) =>
               // stop FIRST so no further epoch marker can land under
               // the old-destination namespace after the state moves;
               // the state move sits INSIDE the rollback scope — same
               // discipline as the group branch above
               stopQueryOf(name)
               try {
+                val (transform, trigger) = thunk()
                 moveOldDestState()
                 // restart from the per-name checkpoint: committed
                 // epochs are never replayed; an uncommitted epoch
@@ -3312,6 +3488,45 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     specs.get(name).flatMap(s =>
       resolveTransform(s).map(t => (t, PipelineManager.specTrigger(s))))
 
+  /** A spec's declarative RECIPE — the (transform name, reserved
+    * params slice, trigger) triple a catalog materialization is a
+    * pure function of. Two specs with equal recipes materialize the
+    * same run; a recipe CHANGE is what makes an update
+    * delivery-relevant for catalog pipelines (q82). */
+  private def recipeOf(s: PipelineSpec)
+      : (Option[String], Map[String, String], Option[String]) = (
+    s.metadata.get(PipelineManager.TransformKey),
+    s.metadata.filter {
+      case (k, _) => k.startsWith(PipelineManager.TransformParamsPrefix) },
+    s.metadata.get(PipelineManager.TriggerKey))
+
+  /** [[catalogRun]] for a GROUP materialization: the ONE shared query
+    * runs ONE transform for every member, yet the recipe lives in
+    * per-member metadata — so a materialization from the NAMED
+    * member's spec is only honest when every member declares the
+    * same recipe. Divergent members (a half-applied group recipe
+    * update, or independent authors) throw IllegalStateException —
+    * the routed-resume consumer drops the request LOUDLY instead of
+    * silently running one member's transform over the whole group's
+    * checkpoint. Agreement is judged over the DURABLE population
+    * this manager's map reflects ([[findGroup]]), the same members a
+    * restart would fan out to. */
+  private def catalogGroupRun(name: String)
+      : Option[(DataFrame => DataFrame, Trigger)] =
+    specs.get(name).flatMap { s =>
+      if (resolveTransform(s).isEmpty) None
+      else {
+        val want = recipeOf(s)
+        val diverged = findGroup(name).filter(m => recipeOf(m) != want)
+        if (diverged.nonEmpty) throw new IllegalStateException(
+          s"group members ${diverged.map(_.name).sorted.mkString(",")} " +
+            s"declare a transform/trigger recipe divergent from $name's; " +
+            "align the specs before a catalog materialization can " +
+            "restart the shared query")
+        catalogRun(name)
+      }
+    }
+
   /** Names this manager's transform catalog can materialize (plus
     * the always-available "identity") — listed on the management
     * plane's /health so an operator authoring a spec sees what a
@@ -3321,13 +3536,20 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
 
   /** Resolve `spec`'s declared transform (`metadata("transform")`)
     * from the shared catalog — "identity" is always available; a
-    * registered factory is applied to the spec's metadata (its
-    * params). None when the spec declares nothing or the name is not
-    * in THIS manager's catalog. */
+    * registered factory is applied to the RESERVED params slice of
+    * the spec's metadata (`transform.*` keys only,
+    * [[PipelineManager.TransformParamsPrefix]]) — so everything a
+    * factory can read is delivery-relevant by construction (q82): a
+    * param change reassigns a running query, while free-form
+    * metadata a factory never sees stays cosmetic. None when the
+    * spec declares nothing or the name is not in THIS manager's
+    * catalog. */
   def resolveTransform(spec: PipelineSpec): Option[DataFrame => DataFrame] =
     spec.metadata.get(PipelineManager.TransformKey).flatMap {
       case "identity" => Some(identity[DataFrame] _)
-      case n => hooks.transforms.get(n).map(f => f(spec.metadata))
+      case n => hooks.transforms.get(n).map(f => f(spec.metadata.filter {
+        case (k, _) => k.startsWith(PipelineManager.TransformParamsPrefix)
+      }))
     }
 
   /** The enacting resume body for [[requestResume]] — [[resume]]'s
@@ -3336,7 +3558,16 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
     * enactment can actually proceed (a query is registered, a run is
     * remembered, or the spec names a catalog transform —
     * [[catalogRun]]), so a failed resume never leaves
-    * Ready-with-no-query — in EITHER branch. */
+    * Ready-with-no-query — in EITHER branch.
+    *
+    * Precedence: a RESOLVABLE catalog recipe beats the remembered
+    * run (q82) — the persisted spec is the authority, and the
+    * remembered closure may have captured params an update-while-
+    * paused has since replaced; running it would silently switch the
+    * checkpoint back to the OLD semantics. A declared-but-
+    * unresolvable name (this manager's catalog lacks it) falls back
+    * to the remembered run, which captured the recipe of the last
+    * actual start. */
   private def resumeRemembered(name: String, force: Boolean): Unit =
     if (isGroupRun(name)) {
       val prefix = specs.get(name)
@@ -3347,8 +3578,10 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       // declares no catalog transform; no query handle survives) must
       // mutate NOTHING — flipping first would persist
       // Ready-with-no-query, the status lie this whole routing exists
-      // to prevent
-      val run = groupRuns.get(prefix).orElse(catalogRun(name))
+      // to prevent. A group catalog materialization additionally
+      // requires member-recipe AGREEMENT ([[catalogGroupRun]] throws
+      // on divergence — dropped loudly upstream, mutating nothing).
+      val run = catalogGroupRun(name).orElse(groupRuns.get(prefix))
       val restartable = Option(queries.get(name)).isDefined || run.isDefined
       if (!restartable) throw new IllegalStateException(
         s"no remembered group run for $name on this manager and its " +
@@ -3367,7 +3600,7 @@ final class PipelineManager(spark: SparkSession, checkpointRoot: String,
       specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Ready)))
       specs.get(name).foreach(persistSpec)
       hooks.onStateChange(name, PipelineStatus.Ready)
-    } else soloRuns.get(name).orElse(catalogRun(name)) match {
+    } else catalogRun(name).orElse(soloRuns.get(name)) match {
       case Some((transform, trigger)) =>
         specs.updateWith(name)(_.map(_.copy(status = PipelineStatus.Ready)))
         specs.get(name).foreach(persistSpec)
@@ -3640,6 +3873,17 @@ object PipelineManager {
     * resolved by whichever instance materializes the task. */
   val TransformKey: String = "transform"
 
+  /** RESERVED metadata namespace for a catalog transform's params:
+    * factories receive ONLY this slice of the spec's metadata
+    * ([[PipelineManager.resolveTransform]]), and every key under it
+    * is delivery-relevant by construction
+    * ([[isDeliveryRelevantMetadataKey]]) — so a param change on a
+    * RUNNING pipeline reassigns exactly like a destination re-point,
+    * while free-form metadata (labels, pins) stays cosmetic. Without
+    * the reserved slice, either every metadata key restarts queries
+    * or a param key silently doesn't — the q82 contract hole. */
+  val TransformParamsPrefix: String = "transform."
+
   /** Metadata key declaring a spec's trigger for catalog-materialized
     * (re)starts: `processingTime:<ms>` or `availableNow` (the default
     * when absent). Any other value is a misconfiguration and throws
@@ -3653,10 +3897,16 @@ object PipelineManager {
       case None | Some("availableNow") => Trigger.AvailableNow()
       case Some(v) if v.startsWith("processingTime:") =>
         val ms = v.stripPrefix("processingTime:").trim
-        if (ms.isEmpty || !ms.forall(_.isDigit))
-          throw new IllegalStateException(
+        // parse-based validation, not isDigit: a Unicode digit or an
+        // overflowing (20+ digit) value must land in the SAME
+        // IllegalStateException the routed-resume consumer drops
+        // loudly — a NumberFormatException here would re-throw into
+        // the heartbeat tick and retry the doomed request forever
+        scala.util.Try(ms.toLong).toOption.filter(_ >= 0L) match {
+          case Some(n) => Trigger.ProcessingTime(n)
+          case None => throw new IllegalStateException(
             s"bad $TriggerKey value '$v' (want processingTime:<ms>)")
-        Trigger.ProcessingTime(ms.toLong)
+        }
       case Some(other) => throw new IllegalStateException(
         s"bad $TriggerKey value '$other' " +
           "(want availableNow or processingTime:<ms>)")
@@ -3690,19 +3940,27 @@ object PipelineManager {
     * persisted spec and the live delivery silently diverge — the
     * reference validates and reassigns on ANY update
     * (DatastreamResources.java:410 → Coordinator.java:1680).
-    * `kafka.`-prefixed consumer/producer passthrough is relevant too;
-    * membership is therefore tested via
-    * [[isDeliveryRelevantMetadataKey]], never this set alone. */
+    * `kafka.`-prefixed consumer/producer passthrough is relevant too,
+    * as is the declarative-transform recipe — [[TransformKey]],
+    * [[TriggerKey]], and the reserved [[TransformParamsPrefix]]
+    * params slice (q82): a catalog pipeline's running query IS its
+    * materialized recipe, so persisting a new recipe without a
+    * restart would let a later routed resume (q81's catalogRun)
+    * silently switch semantics mid-checkpoint. Membership is
+    * therefore tested via [[isDeliveryRelevantMetadataKey]], never
+    * this set alone. */
   val DeliveryRelevantMetadataKeys: Set[String] = Set(
     "cdcKeyCols", "cdcScnCol", "cdcOpcodeCol", "cdcBuckets",
     "directoryOps", "directoryOrderCol",
     "maxFilesPerTrigger", "maxOffsetsPerTrigger", "assign",
+    TransformKey, TriggerKey,
     SketchColumnKey)
 
   /** Is `k` a metadata key whose change must reassign a running
     * query? (See [[DeliveryRelevantMetadataKeys]].) */
   def isDeliveryRelevantMetadataKey(k: String): Boolean =
-    DeliveryRelevantMetadataKeys.contains(k) || k.startsWith("kafka.")
+    DeliveryRelevantMetadataKeys.contains(k) || k.startsWith("kafka.") ||
+      k.startsWith(TransformParamsPrefix)
 
   /**
    * Injective filesystem-safe encoding of a pipeline name (see

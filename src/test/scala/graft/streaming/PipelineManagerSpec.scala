@@ -2232,12 +2232,12 @@ class PipelineManagerSpec extends SparkTestBase {
     val root = Files.createTempDirectory("graft-pm-cat-").toString
     val pm = new PipelineManager(spark, root, PipelineHooks(transforms = Map(
       "tagWith" -> (md => df =>
-        df.withColumn("tag", lit(md.getOrElse("tagWith.value", "?")))))))
+        df.withColumn("tag", lit(md.getOrElse("transform.value", "?")))))))
     try {
       // the catalog name + params + trigger all live in the spec
       val s1 = pm.create(PipelineSpec("ct1", "parquet", "memory", "/src/ct1",
         metadata = Map(PipelineManager.TransformKey -> "tagWith",
-          "tagWith.value" -> "T", PipelineManager.TriggerKey ->
+          "transform.value" -> "T", PipelineManager.TriggerKey ->
             "processingTime:250")))
       val t = pm.resolveTransform(s1)
       assert(t.isDefined, "catalog name must resolve")
@@ -2271,7 +2271,100 @@ class PipelineManagerSpec extends SparkTestBase {
         PipelineManager.specTrigger(s1.copy(metadata =
           Map(PipelineManager.TriggerKey -> "processingTime:5s")))
       }
+      // an overflowing (20-digit) value lands in the SAME
+      // IllegalStateException the routed-resume consumer drops
+      // loudly — a NumberFormatException would retry the doomed
+      // request every heartbeat tick forever. (A Unicode-digit value
+      // like ١٢ parses: Long.parseLong accepts any Character.digit.)
+      intercept[IllegalStateException] {
+        PipelineManager.specTrigger(s1.copy(metadata =
+          Map(PipelineManager.TriggerKey ->
+            "processingTime:99999999999999999999")))
+      }
+      assert(PipelineManager.specTrigger(s1.copy(metadata =
+        Map(PipelineManager.TriggerKey -> "processingTime:١٢"))) ==
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(12L))
+      // factories receive ONLY the reserved transform.* slice of the
+      // metadata — everything a factory can read is delivery-relevant
+      // by construction (q82); free-form keys stay invisible to it
+      val s5 = s1.copy(metadata = s1.metadata +
+        ("label" -> "cosmetic") - "transform.value")
+      val out5 = pm.resolveTransform(s5).get(Seq((1L, "x")).toDF("k", "v"))
+      assert(out5.select(col("tag")).head().getString(0) == "?",
+        "a free-form key must never reach a catalog factory")
+      // the recipe keys are delivery-relevant: changing any of name /
+      // params / trigger must reassign a running query; free-form
+      // metadata must not
+      assert(PipelineManager.isDeliveryRelevantMetadataKey(
+        PipelineManager.TransformKey))
+      assert(PipelineManager.isDeliveryRelevantMetadataKey(
+        PipelineManager.TriggerKey))
+      assert(PipelineManager.isDeliveryRelevantMetadataKey("transform.mod"))
+      assert(!PipelineManager.isDeliveryRelevantMetadataKey("label"))
     } finally pm.close()
+  }
+
+  test("group catalog materialization requires member-recipe agreement: a routed resume of a diverged group drops loudly, mutating nothing") {
+    val root = Files.createTempDirectory("graft-pm-gdiv-").toString
+    val srcDir = Files.createTempDirectory("graft-pm-gdiv-src-").toString
+    val da = Files.createTempDirectory("graft-pm-gdiv-da-").toString + "/d"
+    val db = Files.createTempDirectory("graft-pm-gdiv-db-").toString + "/d"
+    val lease = 600000L // expiry SIMULATED by aging, never slept for
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val catalog = PipelineHooks(transforms = Map(
+      "tagWith" -> (md => df =>
+        df.withColumn("tag", lit(md.getOrElse("transform.value", "?"))))))
+    val mA = new PipelineManager(spark, root, catalog, instance = "gdivA",
+      livenessLeaseMs = lease)
+    var mBOpt: Option[PipelineManager] = None
+    try {
+      // two members, same source (one task group) — but DIVERGENT
+      // recipes: one query cannot honestly run both
+      mA.create(PipelineSpec("gda", "parquet", "parquet", srcDir,
+        destinationConnection = da, metadata = Map(
+          PipelineManager.TransformKey -> "tagWith",
+          "transform.value" -> "A")))
+      mA.create(PipelineSpec("gdb", "parquet", "parquet", srcDir,
+        destinationConnection = db, metadata = Map(
+          PipelineManager.TransformKey -> "tagWith",
+          "transform.value" -> "B")))
+      PipelineManager.epochAppend(
+        Seq((1L, "e0")).toDF("k", "v").coalesce(1), srcDir, 0L, "gdivsrc")
+      mA.startGroup("gda",
+        mA.resolveTransform(mA.get("gda").get).get).awaitTermination()
+      mA.pause("gda", force = true)
+      val mB = new PipelineManager(spark, root, catalog, instance = "gdivB",
+        livenessLeaseMs = lease)
+      mBOpt = Some(mB)
+      mB.requestResume("gda", force = true) // routed: A holds the locks
+      fs.setTimes(new org.apache.hadoop.fs.Path(s"$root/instances/gdivA"),
+        System.currentTimeMillis() - lease - 60000L, -1)
+      assert(!mA.heartbeat())
+      // the survivor consumes the orphaned request but must DROP it
+      // loudly (catalogGroupRun throws on divergence) — no restart,
+      // no status flip: a silent materialization of gda's recipe
+      // would run transform A over gdb's checkpointed stream
+      assert(mB.consumeLifecycleRequests() == 1,
+        "the orphaned request must be consumed (dropped), not retried")
+      assert(mB.queryOf("gda").isEmpty && mB.queryOf("gdb").isEmpty,
+        "a diverged group must not be restarted from the catalog")
+      assert(mB.get("gda").exists(_.status == PipelineStatus.Paused),
+        "a dropped resume must mutate nothing")
+      // aligning the recipes makes the SAME verb enactable
+      val aligned = mB.get("gdb").get
+      mB.update("gdb", aligned.copy(metadata = aligned.metadata +
+        ("transform.value" -> "A"))): Unit
+      mB.requestResume("gda", force = true)
+      assert(mB.queryOf("gda").nonEmpty,
+        "an aligned group must resume from the catalog")
+      mB.queryOf("gda").foreach(_.awaitTermination())
+      assert(mB.get("gda").exists(_.status == PipelineStatus.Ready))
+      mB.stop("gda", force = true)
+    } finally {
+      mBOpt.foreach(m => try m.close() catch { case _: Throwable => () })
+      try mA.close() catch { case _: Throwable => () }
+    }
   }
 
   test("persistSpec stamps a monotonic specVersion: equal-length same-granule writes stay visible") {
@@ -2312,6 +2405,15 @@ class PipelineManagerSpec extends SparkTestBase {
       val in = fs.open(new org.apache.hadoop.fs.Path(s"$root/specs/vp.json"))
       val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
       assert(txt.contains("\"specVersion\":4"), txt)
+      // cross-writer: pmA's LOCAL counter still reads 3 (it never saw
+      // pmB's pause-write), so a blind mint would re-issue 4 — two
+      // equal-length writes under one stamp, the exact blind spot the
+      // feature closes intra-writer. The persist maxes against the
+      // version already IN the file instead.
+      pmA.update("vp", PipelineSpec("vp", "parquet", "memory", "/src/vp",
+        metadata = Map("flip" -> "dd")))
+      assert(stamp()._1 == 5L,
+        "a stale writer must extend the on-disk sequence, not re-mint it")
     } finally { pmB.close(); pmA.close() }
   }
 }
