@@ -2367,6 +2367,75 @@ class PipelineManagerSpec extends SparkTestBase {
     }
   }
 
+  test("reconcile's lock snapshot tracks an owner handover: the (mtime,len)-gated cache never pins a stale owner") {
+    // The round-20 tick-read bounding caches lock CONTENTS keyed by
+    // the locks-dir listing's (mtime, length) stamp. A handover
+    // rewrites the lock file (delete + exclusive create), moving the
+    // stamp — so a cached owner read on tick T must be replaced on
+    // the first tick after the swap, and the liveness-collapse
+    // judgment must follow the NEW owner's liveness, not the cached
+    // old one's. Locks are aged past AcquireGraceMs so the cached
+    // (not the re-read-while-young) path is the one under test.
+    val root = Files.createTempDirectory("graft-pm-locksnap-").toString
+    val lease = 600000L
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mA = new PipelineManager(spark, root, instance = "lsA",
+      livenessLeaseMs = lease)
+    val mB = new PipelineManager(spark, root, instance = "lsB",
+      livenessLeaseMs = lease)
+    val obs = new PipelineManager(spark, root, instance = "lsObs",
+      livenessLeaseMs = lease)
+    try {
+      mA.create(PipelineSpec("lsp", "parquet", "memory", "/src/lsp")): Unit
+      // simulate A running lsp: lock content = instance id (the
+      // acquireLockUnsynced format), spec persisted Ready
+      val lockP = new org.apache.hadoop.fs.Path(
+        s"$root/locks/${PipelineManager.namespaceOf("lsp")}.lock")
+      fs.mkdirs(lockP.getParent)
+      val o1 = fs.create(lockP, false)
+      try o1.write("lsA".getBytes("UTF-8")) finally o1.close()
+      val mAspec = mA.get("lsp").get
+      mA.update("lsp", mAspec.copy(metadata =
+        mAspec.metadata + ("note" -> "r"))): Unit // persist a stamp move
+      // age the lock past the cache-trust margin, then let the
+      // observer cache it over two ticks
+      fs.setTimes(lockP, System.currentTimeMillis() - 60000L, -1)
+      obs.reconcileSpecs()
+      obs.reconcileSpecs()
+      assert(obs.get("lsp").exists(_.status == PipelineStatus.Ready),
+        "a foreign-Ready pipeline under a LIVE owner's lock must stay Ready")
+      // HANDOVER: the lock is rewritten for lsB (same length — the
+      // stamp must move via mtime alone), and lsA "crashes" (aged
+      // registration). The pipeline must STAY Ready: either the
+      // snapshot refreshed to lsB (live), or — belt and braces — the
+      // act-time direct-read confirmation vetoes a collapse screened
+      // from any stale evidence. Both layers are what this pins.
+      fs.delete(lockP, false): Unit
+      val o2 = fs.create(lockP, false)
+      try o2.write("lsB".getBytes("UTF-8")) finally o2.close()
+      // a DIFFERENT aged mtime than the first write: same content
+      // length, so the stamp's mtime component alone must carry the
+      // cache invalidation
+      fs.setTimes(lockP, System.currentTimeMillis() - 50000L, -1)
+      fs.setTimes(new org.apache.hadoop.fs.Path(s"$root/instances/lsA"),
+        System.currentTimeMillis() - lease - 60000L, -1)
+      obs.reconcileSpecs()
+      obs.reconcileSpecs()
+      obs.reconcileSpecs()
+      assert(obs.get("lsp").exists(_.status == PipelineStatus.Ready),
+        "the snapshot cache must follow the handover to the live owner")
+      // and when the NEW owner also dies, the collapse fires from the
+      // refreshed cache (two-tick grace)
+      fs.setTimes(new org.apache.hadoop.fs.Path(s"$root/instances/lsB"),
+        System.currentTimeMillis() - lease - 60000L, -1)
+      obs.reconcileSpecs()
+      obs.reconcileSpecs()
+      assert(obs.get("lsp").exists(_.status == PipelineStatus.Stopped),
+        "a dead owner's foreign-Ready entry must collapse from the cached snapshot")
+    } finally { obs.close(); mB.close(); mA.close() }
+  }
+
   test("persistSpec stamps a monotonic specVersion: equal-length same-granule writes stay visible") {
     val root = Files.createTempDirectory("graft-pm-ver-").toString
     val fs = new org.apache.hadoop.fs.Path(root)
