@@ -33,6 +33,23 @@ object Ann {
   /** Cast float vectors to double once, up front. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /**
+   * Pin a PROVABLY-TINY frame (a codebook, a centroid table, a probe
+   * set — tens to hundreds of rows by construction) as a driver-local
+   * relation: ONE collect job now, then every broadcast of it is
+   * built driver-side with NO Spark job — unlike `localCheckpoint()`,
+   * whose cached-RDD frame pays a collect job per BroadcastExchange
+   * (one per serve call per epoch in the incremental-index loops).
+   * Row values are identical to the input's; row ORDER is the collect
+   * order, which no consumer may depend on (the same contract the
+   * localCheckpoint form had — partition order was arbitrary there
+   * too). Do NOT use on anything data-sized: the rows embed in the
+   * plan (and in task binaries for non-broadcast uses).
+   */
+  def pinTiny(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
   def norm(v: Column): Column = sqrt(dot(v, v))
 
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =

@@ -1375,7 +1375,7 @@ object StreamingQueries {
       val docs = Tables.t(s, d, "documents").select(col("doc_id"), col("text"))
       val emb = Tables.t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val probe = emb.filter(col("vec_id") === 0).localCheckpoint()
+      val probe = graft.ann.Ann.pinTiny(emb.filter(col("vec_id") === 0))
       val srcDir = Files.createTempDirectory("graft-s25-src-").toString
       val idxDir = Files.createTempDirectory("graft-s25-idx-").toString
       val vecDir = Files.createTempDirectory("graft-s25-vec-").toString + "/v"
@@ -1512,7 +1512,7 @@ object StreamingQueries {
       val cents = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cent_id"),
           graft.ann.Ann.toDouble(col("embedding")).as("ce"))
-      val probes = emb.filter(col("vec_id") < 4).localCheckpoint()
+      val probes = graft.ann.Ann.pinTiny(emb.filter(col("vec_id") < 4))
       val srcDir = Files.createTempDirectory("graft-s26-src-").toString
       val idxDir = Files.createTempDirectory("graft-s26-idx-").toString
       val outDir = Files.createTempDirectory("graft-s26-out-").toString
@@ -1570,9 +1570,9 @@ object StreamingQueries {
       val cents = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cent_id"),
           graft.ann.Ann.toDouble(col("embedding")).as("ce"))
-      val cb = graft.ann.Ann.pqCodebook(
-        graft.ann.Ann.pqSubvectors(emb, 8), 16).localCheckpoint()
-      val probes = emb.filter(col("vec_id") < 4).localCheckpoint()
+      val cb = graft.ann.Ann.pinTiny(graft.ann.Ann.pqCodebook(
+        graft.ann.Ann.pqSubvectors(emb, 8), 16))
+      val probes = graft.ann.Ann.pinTiny(emb.filter(col("vec_id") < 4))
       val srcDir = Files.createTempDirectory("graft-s29-src-").toString
       val idxDir = Files.createTempDirectory("graft-s29-idx-").toString
       val outDir = Files.createTempDirectory("graft-s29-out-").toString
@@ -1638,11 +1638,12 @@ object StreamingQueries {
       // 0-15 — deterministically DIFFERENT codewords standing in for
       // a pqTrainCodebook refit on a drifted corpus
       val subs = graft.ann.Ann.pqSubvectors(emb, 8)
-      val cbOld = graft.ann.Ann.pqCodebook(subs, 16).localCheckpoint()
-      val cbNew = subs.filter(col("vec_id") >= 16 && col("vec_id") < 32)
-        .select(col("sub"), (col("vec_id") - 16).cast("int").as("code"),
-          col("sv").as("cv")).localCheckpoint()
-      val probes = emb.filter(col("vec_id") < 2).localCheckpoint()
+      val cbOld = graft.ann.Ann.pinTiny(graft.ann.Ann.pqCodebook(subs, 16))
+      val cbNew = graft.ann.Ann.pinTiny(
+        subs.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+          .select(col("sub"), (col("vec_id") - 16).cast("int").as("code"),
+            col("sv").as("cv")))
+      val probes = graft.ann.Ann.pinTiny(emb.filter(col("vec_id") < 2))
       val srcDir = Files.createTempDirectory("graft-s32-src-").toString
       val idxA = Files.createTempDirectory("graft-s32-idxA-").toString
       val idxB = Files.createTempDirectory("graft-s32-idxB-").toString
@@ -1727,9 +1728,9 @@ object StreamingQueries {
         .localCheckpoint()
       val cents = embN.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-      val cbOld = graft.ann.Ann.pqCodebook(
-        graft.ann.Ann.pqSubvectors(embN, 8), 16).localCheckpoint()
-      val probes = embN.filter(col("vec_id") < 2).localCheckpoint()
+      val cbOld = graft.ann.Ann.pinTiny(graft.ann.Ann.pqCodebook(
+        graft.ann.Ann.pqSubvectors(embN, 8), 16))
+      val probes = graft.ann.Ann.pinTiny(embN.filter(col("vec_id") < 2))
       val idxDir = Files.createTempDirectory("graft-s34-idx-").toString
       val before = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", 4)
@@ -1794,11 +1795,12 @@ object StreamingQueries {
         .select(col("vec_id").as("cent_id"),
           graft.ann.Ann.toDouble(col("embedding")).as("ce"))
       val subs = graft.ann.Ann.pqSubvectors(emb, 8)
-      val cbOld = graft.ann.Ann.pqCodebook(subs, 16).localCheckpoint()
-      val cbNew = subs.filter(col("vec_id") >= 16 && col("vec_id") < 32)
-        .select(col("sub"), (col("vec_id") - 16).cast("int").as("code"),
-          col("sv").as("cv")).localCheckpoint()
-      val probes = emb.filter(col("vec_id") < 2).localCheckpoint()
+      val cbOld = graft.ann.Ann.pinTiny(graft.ann.Ann.pqCodebook(subs, 16))
+      val cbNew = graft.ann.Ann.pinTiny(
+        subs.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+          .select(col("sub"), (col("vec_id") - 16).cast("int").as("code"),
+            col("sv").as("cv")))
+      val probes = graft.ann.Ann.pinTiny(emb.filter(col("vec_id") < 2))
       val ckptRoot = Files.createTempDirectory("graft-s33-pm-").toString
       val idxA = Files.createTempDirectory("graft-s33-idxA-").toString
       val idxB = Files.createTempDirectory("graft-s33-idxB-").toString
@@ -1912,7 +1914,7 @@ object StreamingQueries {
       val cents = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cent_id"),
           graft.ann.Ann.toDouble(col("embedding")).as("ce"))
-      val probe = emb.filter(col("vec_id") === 0).localCheckpoint()
+      val probe = graft.ann.Ann.pinTiny(emb.filter(col("vec_id") === 0))
       val srcDir = Files.createTempDirectory("graft-s27-src-").toString
       val lexDir = Files.createTempDirectory("graft-s27-lex-").toString
       val vecDir = Files.createTempDirectory("graft-s27-vec-").toString
@@ -1995,10 +1997,10 @@ object StreamingQueries {
       val cents = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cent_id"),
           graft.ann.Ann.toDouble(col("embedding")).as("ce"))
-      val cb = graft.ann.Ann.pqCodebook(
-        graft.ann.Ann.pqSubvectors(emb, 8), 16).localCheckpoint()
+      val cb = graft.ann.Ann.pinTiny(graft.ann.Ann.pqCodebook(
+        graft.ann.Ann.pqSubvectors(emb, 8), 16))
       // probe vec i IS standing query i's vector half
-      val probes = emb.filter(col("vec_id") < 3).localCheckpoint()
+      val probes = graft.ann.Ann.pinTiny(emb.filter(col("vec_id") < 3))
       val srcDir = Files.createTempDirectory("graft-s31-src-").toString
       val lexDir = Files.createTempDirectory("graft-s31-lex-").toString
       val vecDir = Files.createTempDirectory("graft-s31-vec-").toString

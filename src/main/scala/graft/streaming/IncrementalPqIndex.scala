@@ -70,13 +70,14 @@ final class IncrementalPqIndex(spark: SparkSession, dir: String,
     refreshEvery: Int = DurableIndexView.DefaultRefreshEvery,
     compactEvery: Int = 0) {
   require(m >= 1, s"m must be >= 1, got $m")
-  // the two tiny fixed codebooks, pinned so every epoch's encode and
-  // every serve reuse one materialization
-  private val cents = centroids.select(col("cent_id"), col("ce"))
-    .withColumn("cnr", Ann.norm(col("ce")))
-    .localCheckpoint()
-  private val cb = codebook.select(col("sub"), col("code"), col("cv"))
-    .localCheckpoint()
+  // the two tiny fixed codebooks, pinned DRIVER-LOCAL so every epoch's
+  // encode and every serve broadcast them without a per-use collect
+  // job (Ann.pinTiny vs the old localCheckpoint: one collect here,
+  // zero jobs per BroadcastExchange after)
+  private val cents = Ann.pinTiny(centroids.select(col("cent_id"), col("ce"))
+    .withColumn("cnr", Ann.norm(col("ce"))))
+  private val cb = Ann.pinTiny(
+    codebook.select(col("sub"), col("code"), col("cv")))
 
   private val store = new EpochPartitionedStore(spark, s"$dir/cells",
     "cell", name, refreshEvery, compactEvery)
@@ -165,14 +166,18 @@ final class IncrementalPqIndex(spark: SparkSession, dir: String,
         Seq.empty[(Long, Long, Long, Double)]
           .toDF("query_id", "cand_id", "rank", "cos")
       case Some(fr) =>
-        // bounded at |probes|·nprobe rows; materialized once and
-        // reused for the cell collect AND the pairs broadcast
-        val pAssign = Ann.cellAssign(cents, probes, nprobe)
+        // bounded at |probes|·nprobe rows; ONE collect job serves both
+        // the cell set below and (as a driver-local relation) the
+        // pairs broadcast — the old localCheckpoint + distinct-collect
+        // pair paid two jobs plus a collect per broadcast
+        val pFrame = Ann.cellAssign(cents, probes, nprobe)
           .select(col("vec_id").as("query_id"), col("cent_id"))
-          .localCheckpoint()
-        val pc = pAssign.select(col("cent_id")).distinct()
+        val pRows = pFrame
           .collect() // ≤ |probes|·nprobe rows — bounded by construction
-          .map(_.get(0).asInstanceOf[Number].longValue()).toSeq.sorted
+        val pAssign = spark.createDataFrame(
+          java.util.Arrays.asList(pRows: _*), pFrame.schema)
+        val pc = pRows.map(_.get(1).asInstanceOf[Number].longValue())
+          .distinct.toSeq.sorted
         val gated = fr.filter(col("cell").isin(pc: _*))
         // pass 1 (ADC): ONE scan reading (vec_id, codes, cell) — the
         // cell rides the code rows into the probe pairs join, and the

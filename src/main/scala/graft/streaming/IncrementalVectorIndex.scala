@@ -42,11 +42,11 @@ final class IncrementalVectorIndex(spark: SparkSession, dir: String,
     centroids: DataFrame, name: String = "vecidx",
     refreshEvery: Int = DurableIndexView.DefaultRefreshEvery,
     compactEvery: Int = 0) {
-  // the tiny fixed codebook, norms precomputed, pinned so every
-  // epoch's assignment and every serve reuse one materialization
-  private val cents = centroids.select(col("cent_id"), col("ce"))
-    .withColumn("cnr", Ann.norm(col("ce")))
-    .localCheckpoint()
+  // the tiny fixed codebook, norms precomputed, pinned DRIVER-LOCAL
+  // so every epoch's assignment and every serve broadcast it without
+  // a per-use collect job (Ann.pinTiny vs the old localCheckpoint)
+  private val cents = Ann.pinTiny(centroids.select(col("cent_id"), col("ce"))
+    .withColumn("cnr", Ann.norm(col("ce"))))
 
   private val store = new EpochPartitionedStore(spark, s"$dir/cells",
     "cell", name, refreshEvery, compactEvery)
@@ -84,16 +84,20 @@ final class IncrementalVectorIndex(spark: SparkSession, dir: String,
         Seq.empty[(Long, Long, Long, Long, Double)]
           .toDF("query_id", "cent_id", "cand_id", "rank", "cos")
       case Some(fr) =>
-        // materialized once (bounded at |probes|·nprobe rows): the
-        // cell collect below and the broadcast join share one
-        // assignment job instead of running it twice per serve
-        val p = Ann.cellAssign(cents, probes, nprobe)
+        // ONE collect job (bounded at |probes|·nprobe rows) serves
+        // both the cell set below and — as a driver-local relation —
+        // the broadcast join, with no per-broadcast collect job (the
+        // old localCheckpoint + distinct-collect pair paid two jobs
+        // plus a collect per broadcast)
+        val pFrame = Ann.cellAssign(cents, probes, nprobe)
           .withColumnRenamed("vec_id", "query_id")
           .withColumnRenamed("v", "qv").withColumnRenamed("nr", "qn")
-          .localCheckpoint()
-        val probeCells = p.select(col("cent_id")).distinct()
+        val pRows = pFrame
           .collect() // ≤ |probes|·nprobe rows — bounded by construction
-          .map(_.get(0).asInstanceOf[Number].longValue()).toSeq.sorted
+        val p = spark.createDataFrame(
+          java.util.Arrays.asList(pRows: _*), pFrame.schema)
+        val probeCells = pRows
+          .map(_.getAs[Number]("cent_id").longValue()).distinct.toSeq.sorted
         val cand = fr.filter(col("cell").isin(probeCells: _*))
           .select(col("vec_id").as("cand_id"),
             Ann.toDouble(col("embedding")).as("cv"), col("cell"))
