@@ -446,8 +446,16 @@ object Dedup {
   /** [[minHashQuality]] over a shared [[SignatureSet]]: the estimate
     * joins the persisted signature frame, the truth joins the persisted
     * shingle frame — zero corpus re-scans per audit. */
-  def minHashQualityFrom(sigs: SignatureSet, k: Int, r: Int): DataFrame = {
-    val cand = lshCandidatesFromBands(sigs.bands)
+  def minHashQualityFrom(sigs: SignatureSet, k: Int, r: Int): DataFrame =
+    minHashQualityFromCandidates(sigs, k, lshCandidatesFromBands(sigs.bands))
+
+  /** [[minHashQualityFrom]] over an ALREADY-MATERIALIZED candidate
+    * set — the shape a production audit runs, where candidates were
+    * generated once and spilled (the r parameter is implied by how
+    * the candidates were banded). */
+  def minHashQualityFromCandidates(sigs: SignatureSet, k: Int,
+      candidates: DataFrame): DataFrame = {
+    val cand = candidates
       .select(col("doc_a"), col("doc_b"))
     val sig = sigs.minhash
     val est = cand

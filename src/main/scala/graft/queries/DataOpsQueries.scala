@@ -211,6 +211,25 @@ object DataOpsQueries {
     s.read.parquet(path)
   }
 
+  /** Materialize-once LSH candidate pairs (doc_a, doc_b, n_bands):
+    * candidate generation runs ONCE per corpus — the production shape
+    * (generate candidates once; every verifier, auditor and grouper
+    * consumes them) — spilled with the same scratch/release contract
+    * as the signature frames. Previously each of d03/d04/d07/d09/d16/
+    * d18/d24/d26/d28 re-ran the bands self-join per gate. */
+  private def cands(s: SparkSession, d: String): DataFrame =
+    winSpill(s, d, "cands")(Dedup.lshCandidatesFromBands(sigs(s, d).bands))
+
+  /** Materialize-once dedup groups (doc, group_id): connected
+    * components over the candidate graph, computed ONCE per corpus —
+    * d07 emits them, d09 picks canonicals, d26 hashes them into
+    * leakage-safe splits. Previously each gate re-ran the iterative
+    * min-label propagation (and its localCheckpoint chain). */
+  private def dupGroups(s: SparkSession, d: String): DataFrame =
+    winSpill(s, d, "groups")(Dedup.connectedComponents(
+      t(s, d, "documents").select(col("doc_id").as("doc")),
+      cands(s, d).select(col("doc_a"), col("doc_b")), "doc_a", "doc_b"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content digest.
     "d01_dedup_exact" -> ((s, d) =>
@@ -222,29 +241,22 @@ object DataOpsQueries {
         .withColumn("i", col("i").cast("long"))),
 
     // MinHash + LSH banding: near-dup candidate pairs.
-    "d03_lsh_candidates" -> ((s, d) =>
-      Dedup.lshCandidatesFromBands(sigs(s, d).bands)),
+    "d03_lsh_candidates" -> ((s, d) => cands(s, d)),
 
     // Exact n-gram Jaccard verification, gated by LSH candidates —
     // the production near-dup pipeline shape (candidate gen → verify),
     // both stages equi-joins over the shared persisted signature set.
-    "d04_jaccard_pairs" -> ((s, d) => {
-      val sg = sigs(s, d)
-      Dedup.jaccardForShingles(sg.shingles,
-          Dedup.lshCandidatesFromBands(sg.bands))
-        .filter(col("jaccard") >= 0.5)
-    }),
+    "d04_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardForShingles(sigs(s, d).shingles, cands(s, d))
+        .filter(col("jaccard") >= 0.5)),
 
     // Asymmetric containment on the same candidates: flags
     // quote-inclusion supersets (small doc contained in a big one)
     // that the symmetric-Jaccard threshold dilutes — the
     // Broder-containment variant, candidate-gated like d04.
-    "d28_containment" -> ((s, d) => {
-      val sg = sigs(s, d)
-      Dedup.containmentForShingles(sg.shingles,
-          Dedup.lshCandidatesFromBands(sg.bands))
-        .filter(col("containment_a") >= 0.8 || col("containment_b") >= 0.8)
-    }),
+    "d28_containment" -> ((s, d) =>
+      Dedup.containmentForShingles(sigs(s, d).shingles, cands(s, d))
+        .filter(col("containment_a") >= 0.8 || col("containment_b") >= 0.8)),
 
     // 63-bit SimHash fingerprints (from the shared signature set).
     "d05_simhash" -> ((s, d) => sigs(s, d).simhash),
@@ -256,13 +268,7 @@ object DataOpsQueries {
 
     // Dedup groups: connected components over the LSH candidate graph
     // (pairs → duplicate groups; canonical id = min member).
-    "d07_dedup_groups" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val pairs = Dedup.lshCandidatesFromBands(sigs(s, d).bands)
-        .select(col("doc_a"), col("doc_b"))
-      Dedup.connectedComponents(
-        docs.select(col("doc_id").as("doc")), pairs, "doc_a", "doc_b")
-    }),
+    "d07_dedup_groups" -> ((s, d) => dupGroups(s, d)),
 
     // Canonical document per dedup group: within each connected
     // component keep the longest doc (ties → lowest id) — the "which
@@ -270,10 +276,7 @@ object DataOpsQueries {
     // dedup pipeline.
     "d09_canonical" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val pairs = Dedup.lshCandidatesFromBands(sigs(s, d).bands)
-        .select(col("doc_a"), col("doc_b"))
-      val groups = Dedup.connectedComponents(
-        docs.select(col("doc_id").as("doc")), pairs, "doc_a", "doc_b")
+      val groups = dupGroups(s, d)
       val joined = groups.join(docs, col("doc") === col("doc_id"))
       val byGroup = Window.partitionBy(col("group_id"))
       joined
@@ -293,11 +296,7 @@ object DataOpsQueries {
     // component pass with one hash expression — no shuffle beyond
     // connected components itself; 80/10/10 by group-hash decile.
     "d26_leakage_safe_split" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val pairs = Dedup.lshCandidatesFromBands(sigs(s, d).bands)
-        .select(col("doc_a"), col("doc_b"))
-      val groups = Dedup.connectedComponents(
-        docs.select(col("doc_id").as("doc")), pairs, "doc_a", "doc_b")
+      val groups = dupGroups(s, d)
       val bucket = pmod(Portable.hash64(col("group_id")), lit(10L))
       groups.select(col("doc"), col("group_id"),
         when(bucket < 8, "train").when(bucket === 8, "val")
@@ -372,9 +371,8 @@ object DataOpsQueries {
     // matrix is triangular; every stage is an equi-join over the
     // shared signature frames plus two broadcast-size id→source joins.
     "d24_source_dup_matrix" -> ((s, d) => {
-      val sg = sigs(s, d)
-      val verified = Dedup.jaccardForShingles(sg.shingles,
-          Dedup.lshCandidatesFromBands(sg.bands))
+      val verified = Dedup.jaccardForShingles(sigs(s, d).shingles,
+          cands(s, d))
         .filter(col("jaccard") >= 0.5)
       val src = t(s, d, "documents").select(col("doc_id"), col("source"))
       verified
@@ -614,7 +612,8 @@ object DataOpsQueries {
     // that validates k/r settings before a production dedup run. Both
     // sides read the shared persisted signature set: no corpus rescan.
     "d16_minhash_quality" -> ((s, d) =>
-      Dedup.minHashQualityFrom(sigs(s, d), k = MinHashK, r = LshRows)),
+      Dedup.minHashQualityFromCandidates(sigs(s, d), k = MinHashK,
+        cands(s, d))),
 
     // Multi-signal dedup audit: the MinHash-LSH and SimHash candidate
     // sets full-outer joined (which signal fired per pair) with the
@@ -623,7 +622,7 @@ object DataOpsQueries {
     // a new corpus. Everything stays candidate-gated equi-joins.
     "d18_signal_agreement" -> ((s, d) => {
       val sg = sigs(s, d)
-      val lsh = Dedup.lshCandidatesFromBands(sg.bands)
+      val lsh = cands(s, d)
         .select(col("doc_a"), col("doc_b")).withColumn("mh", lit(1L))
       val sim = Dedup.simHashPairs(sg.simhash, maxHamming = SimHamming)
         .select(col("doc_a"), col("doc_b")).withColumn("sh", lit(1L))

@@ -733,9 +733,18 @@ object StreamingQueries {
       val before = s.conf.get("spark.sql.shuffle.partitions")
       val provKey = "spark.sql.streaming.stateStore.providerClass"
       val provBefore = s.conf.get(provKey)
+      // Changelog checkpointing: commit the per-batch CHANGELOG
+      // instead of a full RocksDB snapshot upload — the production
+      // setting for large state; here it cuts the 8-partition x
+      // 3-run x per-batch snapshot overhead of trivially-small state.
+      // Checkpoint format only; state content and results unchanged.
+      val clKey =
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      val clBefore = s.conf.getOption(clKey)
       s.conf.set("spark.sql.shuffle.partitions", 8)
       s.conf.set(provKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s.conf.set(clKey, "true")
       try {
         (0 until 3).foreach { b =>
           base.filter(pmod(col("event_id"), lit(3L)) === b)
@@ -761,6 +770,10 @@ object StreamingQueries {
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", before)
         s.conf.set(provKey, provBefore)
+        clBefore match {
+          case Some(v) => s.conf.set(clKey, v)
+          case None => s.conf.unset(clKey)
+        }
       }
       val out = s.read.parquet(outDir).localCheckpoint()
       deleteTree(srcDir, outDir, ckpt)
@@ -804,9 +817,15 @@ object StreamingQueries {
       val before = s.conf.get("spark.sql.shuffle.partitions")
       val provKey = "spark.sql.streaming.stateStore.providerClass"
       val provBefore = s.conf.get(provKey)
+      // changelog checkpointing: see the s11 comment — commit format
+      // only, results unchanged
+      val clKey =
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      val clBefore = s.conf.getOption(clKey)
       s.conf.set("spark.sql.shuffle.partitions", 8)
       s.conf.set(provKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s.conf.set(clKey, "true")
       try {
         (0 until 3).foreach { b =>
           base.filter(col("b") === b).drop("b")
@@ -834,6 +853,10 @@ object StreamingQueries {
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", before)
         s.conf.set(provKey, provBefore)
+        clBefore match {
+          case Some(v) => s.conf.set(clKey, v)
+          case None => s.conf.unset(clKey)
+        }
       }
       val out = s.read.parquet(outDir).localCheckpoint()
       deleteTree(srcDir, outDir, ckpt)
