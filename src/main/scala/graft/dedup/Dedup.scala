@@ -367,9 +367,17 @@ object Dedup {
   /** The same verify kernel over an already-computed (doc, shingle)
     * frame — what a production pipeline runs, with `sh` persisted by
     * [[signatures]] so no candidate generator re-scans the corpus. */
-  def jaccardForShingles(sh: DataFrame, pairs: DataFrame): DataFrame = {
+  def jaccardForShingles(sh: DataFrame, pairs: DataFrame): DataFrame =
+    jaccardForShingles(sh, pairs,
+      sh.groupBy(col("doc")).agg(count(lit(1)).as("n")))
+
+  /** [[jaccardForShingles]] with the per-doc shingle sizes handed in
+    * (spilled once per corpus by the caller): `sizes` is referenced
+    * TWICE below (the na and nb joins), so as a lazy plan the
+    * corpus-sized shingle aggregate ran twice per verify call. */
+  def jaccardForShingles(sh: DataFrame, pairs: DataFrame,
+      sizes: DataFrame): DataFrame = {
     val cand = pairs.select(col("doc_a"), col("doc_b"))
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("a"), col("doc_a") === col("a.doc"))
       .join(sh.as("b"), col("doc_b") === col("b.doc") && col("a.s") === col("b.s"))
@@ -402,9 +410,15 @@ object Dedup {
    * aggregate, two broadcast-size size joins; nothing pairwise beyond
    * the LSH candidates.
    */
-  def containmentForShingles(sh: DataFrame, pairs: DataFrame): DataFrame = {
+  def containmentForShingles(sh: DataFrame, pairs: DataFrame): DataFrame =
+    containmentForShingles(sh, pairs,
+      sh.groupBy(col("doc")).agg(count(lit(1)).as("n")))
+
+  /** [[containmentForShingles]] with pre-materialized per-doc shingle
+    * sizes — same double-reference rationale as the jaccard form. */
+  def containmentForShingles(sh: DataFrame, pairs: DataFrame,
+      sizes: DataFrame): DataFrame = {
     val cand = pairs.select(col("doc_a"), col("doc_b"))
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("a"), col("doc_a") === col("a.doc"))
       .join(sh.as("b"), col("doc_b") === col("b.doc") && col("a.s") === col("b.s"))
@@ -454,7 +468,14 @@ object Dedup {
     * generated once and spilled (the r parameter is implied by how
     * the candidates were banded). */
   def minHashQualityFromCandidates(sigs: SignatureSet, k: Int,
-      candidates: DataFrame): DataFrame = {
+      candidates: DataFrame): DataFrame =
+    minHashQualityFromCandidates(sigs, k, candidates,
+      sigs.shingles.groupBy(col("doc")).agg(count(lit(1)).as("n")))
+
+  /** [[minHashQualityFromCandidates]] with pre-materialized per-doc
+    * shingle sizes for the exact-Jaccard half. */
+  def minHashQualityFromCandidates(sigs: SignatureSet, k: Int,
+      candidates: DataFrame, sizes: DataFrame): DataFrame = {
     val cand = candidates
       .select(col("doc_a"), col("doc_b"))
     val sig = sigs.minhash
@@ -464,7 +485,8 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg((sum(when(col("sa.sig") === col("sb.sig"), 1L).otherwise(0L))
         .cast("double") / k).as("jaccard_est"))
-    est.join(jaccardForShingles(sigs.shingles, cand), Seq("doc_a", "doc_b"))
+    est.join(jaccardForShingles(sigs.shingles, cand, sizes),
+        Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"), col("jaccard_est"), col("jaccard"))
   }
 

@@ -230,6 +230,27 @@ object DataOpsQueries {
       t(s, d, "documents").select(col("doc_id").as("doc")),
       cands(s, d).select(col("doc_a"), col("doc_b")), "doc_a", "doc_b"))
 
+  /** Materialize-once per-doc shingle sizes (doc, n) — referenced
+    * TWICE inside every jaccard/containment verify (the na/nb joins),
+    * so as a lazy plan the corpus-sized shingle aggregate ran twice
+    * per consuming gate (d04/d16/d18/d20/d24/d28). */
+  private def shSizes(s: SparkSession, d: String): DataFrame =
+    winSpill(s, d, "shsizes")(sigs(s, d).shingles
+      .groupBy(col("doc")).agg(count(lit(1)).as("n")))
+
+  /** Force-build every MULTI-CONSUMER dedup artifact for `d` (the
+    * signature spill via [[sharedBands]], plus the candidate, group,
+    * and shingle-size spills) — the rest of the itemized setup step
+    * Bench times as `spill_build`: whichever gate runs first would
+    * otherwise absorb each build into its own number (the round-13
+    * attribution problem the itemized step exists to prevent).
+    * Single-consumer spills (t11/t24) stay inside their gates. */
+  def prebuildSharedArtifacts(s: SparkSession, d: String): Unit = {
+    cands(s, d)
+    dupGroups(s, d)
+    shSizes(s, d): Unit
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content digest.
     "d01_dedup_exact" -> ((s, d) =>
@@ -247,7 +268,8 @@ object DataOpsQueries {
     // the production near-dup pipeline shape (candidate gen → verify),
     // both stages equi-joins over the shared persisted signature set.
     "d04_jaccard_pairs" -> ((s, d) =>
-      Dedup.jaccardForShingles(sigs(s, d).shingles, cands(s, d))
+      Dedup.jaccardForShingles(sigs(s, d).shingles, cands(s, d),
+          shSizes(s, d))
         .filter(col("jaccard") >= 0.5)),
 
     // Asymmetric containment on the same candidates: flags
@@ -255,7 +277,8 @@ object DataOpsQueries {
     // that the symmetric-Jaccard threshold dilutes — the
     // Broder-containment variant, candidate-gated like d04.
     "d28_containment" -> ((s, d) =>
-      Dedup.containmentForShingles(sigs(s, d).shingles, cands(s, d))
+      Dedup.containmentForShingles(sigs(s, d).shingles, cands(s, d),
+          shSizes(s, d))
         .filter(col("containment_a") >= 0.8 || col("containment_b") >= 0.8)),
 
     // 63-bit SimHash fingerprints (from the shared signature set).
@@ -372,7 +395,7 @@ object DataOpsQueries {
     // shared signature frames plus two broadcast-size id→source joins.
     "d24_source_dup_matrix" -> ((s, d) => {
       val verified = Dedup.jaccardForShingles(sigs(s, d).shingles,
-          cands(s, d))
+          cands(s, d), shSizes(s, d))
         .filter(col("jaccard") >= 0.5)
       val src = t(s, d, "documents").select(col("doc_id"), col("source"))
       verified
@@ -613,7 +636,7 @@ object DataOpsQueries {
     // sides read the shared persisted signature set: no corpus rescan.
     "d16_minhash_quality" -> ((s, d) =>
       Dedup.minHashQualityFromCandidates(sigs(s, d), k = MinHashK,
-        cands(s, d))),
+        cands(s, d), shSizes(s, d))),
 
     // Multi-signal dedup audit: the MinHash-LSH and SimHash candidate
     // sets full-outer joined (which signal fired per pair) with the
@@ -626,11 +649,16 @@ object DataOpsQueries {
         .select(col("doc_a"), col("doc_b")).withColumn("mh", lit(1L))
       val sim = Dedup.simHashPairs(sg.simhash, maxHamming = SimHamming)
         .select(col("doc_a"), col("doc_b")).withColumn("sh", lit(1L))
+      // pairs feeds BOTH sides of the final join AND the verify's
+      // two internal references — materialize once (bounded at
+      // |candidates| + |simhash pairs| rows) instead of re-running
+      // the full-outer candidate join four times in one plan
       val pairs = lsh.join(sim, Seq("doc_a", "doc_b"), "full_outer")
         .select(col("doc_a"), col("doc_b"),
           coalesce(col("mh"), lit(0L)).as("minhash_hit"),
           coalesce(col("sh"), lit(0L)).as("simhash_hit"))
-      pairs.join(Dedup.jaccardForShingles(sg.shingles, pairs),
+        .localCheckpoint()
+      pairs.join(Dedup.jaccardForShingles(sg.shingles, pairs, shSizes(s, d)),
           Seq("doc_a", "doc_b"))
         .select(col("doc_a"), col("doc_b"), col("minhash_hit"),
           col("simhash_hit"), col("jaccard"))
@@ -665,7 +693,7 @@ object DataOpsQueries {
           col("e.band") === col("tr.band") && col("e.bh") === col("tr.bh"))
         .select(col("e.doc").as("doc_a"), col("tr.doc").as("doc_b"))
         .distinct()
-      Dedup.jaccardForShingles(sg.shingles, cand)
+      Dedup.jaccardForShingles(sg.shingles, cand, shSizes(s, d))
         .filter(col("jaccard") >= 0.5)
         .groupBy(col("doc_a").as("eval_doc"))
         .agg(count(lit(1)).as("n_train_dups"),
@@ -696,8 +724,12 @@ object DataOpsQueries {
       val emb = t(s, d, "embeddings")
       val cents = codebook(s, d)
         .select(col("cluster").as("cent_id"), col("c").as("ce"))
-      Ann.ivfPqTopK(cents, emb.filter(col("vec_id") < 10), emb,
-          m = 8, kCode = 16, k = 3, nprobe = 2)
+      // the 128-row PQ codebook is referenced by BOTH the candidate
+      // encode and the per-probe ADC table — pin it driver-local so
+      // the codebook subtree runs once, not once per reference
+      val cb = Ann.pinTiny(Ann.pqCodebook(Ann.pqSubvectors(emb, 8), 16))
+      Ann.ivfPqTopKWith(cents, cb, emb.filter(col("vec_id") < 10), emb,
+          m = 8, k = 3, nprobe = 2)
         .withColumn("rank", col("rank").cast("long"))
     }),
 
@@ -710,7 +742,11 @@ object DataOpsQueries {
       val emb = t(s, d, "embeddings")
       val cents = codebook(s, d)
         .select(col("cluster").as("cent_id"), col("c").as("ce"))
-      val cb = Ann.pqTrainCodebook(Ann.pqSubvectors(emb, 8), k = 16)
+      // the trained codebook is a whole Lloyd-refit SUBTREE; as a lazy
+      // plan it re-ran once per reference (encode + ADC) — pin the
+      // 128-row result driver-local so training runs exactly once
+      val cb = Ann.pinTiny(
+        Ann.pqTrainCodebook(Ann.pqSubvectors(emb, 8), k = 16))
       Ann.ivfPqTopKWith(cents, cb, emb.filter(col("vec_id") < 10), emb,
           m = 8, k = 3, nprobe = 2)
         .withColumn("rank", col("rank").cast("long"))
@@ -890,9 +926,12 @@ object DataOpsQueries {
     // the measured estimate error, sitting inside the ±6.5% standard
     // error of m=256.
     "t24_hll_distinct" -> ((s, d) => {
-      val sh = t(s, d, "documents")
+      // referenced three times below (register build + both exact
+      // branches) — spill once so the corpus tokenize+shingle pass
+      // runs once, not per reference
+      val sh = winSpill(s, d, "t24sh")(t(s, d, "documents")
         .select(col("source"), Text.tokens(col("text")).as("w"))
-        .select(col("source"), explode(Text.shinglesOf(col("w"))).as("sh"))
+        .select(col("source"), explode(Text.shinglesOf(col("w"))).as("sh")))
       val perSrc = Sketch.hllRegisters(sh, col("sh"), Seq(col("source")))
       val merged = perSrc.groupBy(col("reg"))
         .agg(max(col("mj")).as("mj")).withColumn("source", lit("*"))
@@ -1103,8 +1142,10 @@ object DataOpsQueries {
     // next to the truth (CMS never undercounts — the gap IS the
     // collision overcount). Mergeable across partitions/days.
     "t11_cms_freq" -> ((s, d) => {
-      val tok = t(s, d, "documents")
-        .select(explode(Text.tokens(col("text"))).as("t"))
+      // referenced twice (sketch build + exact truth) — spill once so
+      // the corpus tokenize pass runs once, not per reference
+      val tok = winSpill(s, d, "t11tok")(t(s, d, "documents")
+        .select(explode(Text.tokens(col("text"))).as("t")))
       val sketch = Sketch.countMinBuild(tok, col("t"), d = CmsD, w = CmsW)
       val top = tok.groupBy(col("t")).agg(count(lit(1)).as("true_n"))
         .orderBy(col("true_n").desc, col("t")).limit(50)

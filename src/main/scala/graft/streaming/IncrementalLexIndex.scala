@@ -146,10 +146,10 @@ final class IncrementalLexIndex(spark: SparkSession, dir: String,
               prior.map(_.getDouble(2)).getOrElse(0.0) + bs)
         }
     })
-    import spark.implicits._
-    PipelineManager.epochAppend(
-      Seq((epoch, nd, sumDl)).toDF("epoch", "nd", "sum_dl").coalesce(1),
-      statsDir, epoch, statsPipe): Unit
+    // driver-side 1-row commit: same protocol/naming as epochAppend,
+    // without the per-epoch Spark job a LocalRelation write costs
+    PipelineManager.epochAppendLocalRow(spark, statsDir, epoch, statsPipe,
+      Seq(("epoch", epoch), ("nd", nd), ("sum_dl", sumDl))): Unit
     // NOTE: the in-memory lastStats cache is NOT written here — only
     // after the postings commit in [[appendEpoch]]. Stats commit
     // before postings (compaction's onSweep needs the row), so caching

@@ -4135,6 +4135,67 @@ object PipelineManager {
         renameStagedParts(fs, staging, destPath, ns, epoch))
   }
 
+  /**
+   * [[epochAppend]] for ONE DRIVER-KNOWN row of long/double/string
+   * columns — the incremental indexes' per-epoch cumulative-stats
+   * commit. The staged parquet file is written DRIVER-SIDE through
+   * parquet-hadoop (no Spark job: a 1-row LocalRelation write still
+   * pays a full job + task launch per epoch), then published through
+   * the exact marker-check → clear → rename → marker protocol of
+   * [[epochAppend]], so replay semantics and file naming are
+   * identical. Readers (spark.read.parquet) see the same column
+   * names/types/values a DataFrame write would have produced.
+   */
+  def epochAppendLocalRow(spark: org.apache.spark.sql.SparkSession,
+      dest: String, epoch: Long, pipeline: String,
+      cols: Seq[(String, Any)]): Seq[String] = {
+    require(epoch >= 0, "epochAppendLocalRow is epoch-committed only")
+    import org.apache.parquet.schema.{PrimitiveType, Types => PTypes}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val fields = cols.map {
+      case (n, _: Long) =>
+        PTypes.required(INT64).named(n)
+      case (n, _: Double) =>
+        PTypes.required(DOUBLE).named(n)
+      case (n, _: String) =>
+        PTypes.required(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(n)
+      case (n, v) => sys.error(
+        s"epochAppendLocalRow: unsupported column $n type ${v.getClass}")
+    }
+    val schema = new org.apache.parquet.schema.MessageType(
+      "spark_schema", fields: _*)
+    epochCommitCore(null, dest, epoch, pipeline,
+      stage = (_, stagingDir) => {
+        val conf = spark.sparkContext.hadoopConfiguration
+        org.apache.parquet.hadoop.example.GroupWriteSupport
+          .setSchema(schema, conf)
+        val file = new Path(stagingDir, "part-00000")
+        val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+          .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+            .fromPath(file, conf))
+          .withConf(conf)
+          .withCompressionCodec(
+            org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+          .build()
+        try {
+          val g = new org.apache.parquet.example.data.simple.SimpleGroup(schema)
+          cols.foreach {
+            case (n, v: Long) => g.add(n, v)
+            case (n, v: Double) => g.add(n, v)
+            case (n, v: String) => g.add(n, v)
+            case _ => () // unreachable: rejected while building fields
+          }
+          w.write(g)
+        } finally w.close()
+      },
+      relativeGlob = ns => epochFileGlob(ns, epoch),
+      publish = (fs, staging, destPath, ns) =>
+        renameStagedParts(fs, staging, destPath, ns, epoch),
+      hadoopConf = Some(spark.sparkContext.hadoopConfiguration))
+  }
+
   /** One spelling of the exactly-once redo protocol shared by
     * [[epochAppend]] and [[epochAppendPartitioned]]: marker check →
     * stage → clear the previous attempt's published files → rename
@@ -4144,12 +4205,15 @@ object PipelineManager {
       pipeline: String,
       stage: (DataFrame, String) => Unit,
       relativeGlob: String => String,
-      publish: (org.apache.hadoop.fs.FileSystem, Path, Path, String) => Unit)
+      publish: (org.apache.hadoop.fs.FileSystem, Path, Path, String) => Unit,
+      // driver-side stagers (epochAppendLocalRow) have no batch frame
+      // to derive the FS from; they pass the session's conf instead
+      hadoopConf: Option[org.apache.hadoop.conf.Configuration] = None)
       : Seq[String] = {
     val ns = namespaceOf(pipeline)
     val destPath = new Path(dest)
-    val fs = destPath.getFileSystem(
-      batch.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = destPath.getFileSystem(hadoopConf.getOrElse(
+      batch.sparkSession.sparkContext.hadoopConfiguration))
     def committedFiles: Seq[String] =
       Option(fs.globStatus(new Path(destPath, relativeGlob(ns))))
         .toSeq.flatten.map(_.getPath.toString).sorted
