@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout must reach the caller UNPREFIXED: the bench
+// harness captures `sbt "runMain graft.Bench"` stdout and parses the
+// final JSON line, and sbt's default logger turns every forked stdout
+// line into "[info] {...}", which breaks that parse (BENCH_r01–r21 all
+// carry "parsed": null for exactly this reason). StdoutOutput inherits
+// the parent's stdout/stderr directly — the JSON line lands verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Durable per-test reporting for full-battery runs: every test's name,
 // duration, and failure lands in target/test-reports/*.xml (plus
 // durations on stdout), so a once-per-battery flake identifies ITSELF

@@ -7,15 +7,15 @@ import org.apache.spark.sql.SparkSession
   * sink (count() alone would let column pruning skip the work), and
   * prints ONE JSON line.
   *
-  * The printed line carries per-gate deciseconds as one positional
-  * array per family (`q_ds` — see the step-2 compression note at the
-  * bottom of main), keeping the whole line well under 1 KB at ~200
-  * gates: the harness capturing stdout keeps only a ~2000-char tail
-  * (including sbt's trailing success line), and rounds 3-5 proved a
-  * full-name/full-precision line (~4 KB at 80 queries) gets its head
-  * truncated and fails to parse. The full-name, full-precision
-  * per-query map is written to bench_detail.json in the working
-  * directory for offline reading. */
+  * The printed line carries the documented driver contract — a
+  * full-name `queries` map of seconds — PLUS the compact positional
+  * `q_ds` decisecond arrays at the line's tail end (see the contract
+  * note at the bottom of main): the r01–r21 parse failures were sbt's
+  * "[info] " prefix on forked stdout (fixed via run/outputStrategy in
+  * build.sbt), and the stored ~2000-char stdout tail still keeps the
+  * self-contained q_ds block even if the long line's head is cut.
+  * The full-precision per-query map is written to bench_detail.json
+  * in the working directory for offline reading. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -189,27 +189,30 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
       s"""{"metric":"total","value":$pubTotal,"unit":"sec","queries":$pubJson,"first_run":$firstJson,"first_run_total":$firstTotal,"spill_build_s":${fmt2(spillBuildS)},"rerun_n":$rerunJson,"rerun_failed":$rerunFailedJson,"heap_after_mb":$heapJson,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
-    // Per-gate stdout values are DECISECOND INTEGERS (59 = 5.9 s) —
-    // same 0.1 s precision as the old "%.1f" seconds form. Full-name,
-    // full-precision seconds stay in bench_detail.json.
-    // Failed gates (elapsed -1) are OMITTED here — they are already
-    // named under "failed", and a -10 decisecond entry would corrupt
-    // any consumer summing or averaging the values.
-    // Line-compression step 1 (r18 headroom plan): "spill_build" and
-    // "unit" dropped from stdout — both stay in bench_detail.json
-    // (the unit is seconds by the metric's contract).
-    // Line-compression step 2 (r18 plan, landed r20 at 197 gates):
-    // `q_ds` replaces the flat `queries_ds` map with one POSITIONAL
-    // array per family — {"d":[4,10,...],"e":[...],...}: families in
-    // ascending key order, values in ascending short-id order within
-    // the family (short ids are zero-padded, so short-id order ==
-    // full-name order). The k-th value belongs to the k-th name in
-    // the ascending sorted list of that family's NON-FAILED gates —
-    // the exact inventory every consumer already has from
-    // CORRECTNESS_r{N}.json, and bench_detail.json carries the
-    // self-describing full map. ~5 chars/gate saved (~950 at 197
-    // gates) keeps the whole line deep inside the ~2000-char stdout
-    // tail the harness captures, with room for 100+ more gates.
+    // r22 MEASUREMENT-CONTRACT RESTORATION (r21 verdict items 1+2,
+    // disclosed in OPTIMIZATION_r22.md): the stdout line again carries
+    // the documented driver contract — a full-name `queries` map of
+    // SECONDS ({"metric","value","unit","queries","sf"}) — which the
+    // r20 line-compression had replaced with the positional `q_ds`
+    // arrays no external consumer can decode. The r01–r21 parse
+    // failures were sbt's "[info] " prefix on forked stdout (fixed in
+    // build.sbt via run/outputStrategy := StdoutOutput), not line
+    // length; with the prefix gone the full line is parseable again.
+    // Defensive layering for the ~2000-char stored tail: the big
+    // `queries` map goes FIRST and the compact q_ds/spill_ds/failed/sf
+    // block LAST, so even a head-truncated tail still carries the
+    // self-contained compressed form (decoder: tools/local_check.py
+    // --decode-bench). Values are CENTISECOND-rounded seconds (full
+    // precision stays in bench_detail.json); failed gates (elapsed -1)
+    // are omitted from both maps and named under "failed". "spill_ds"
+    // is the itemized setup cost in deciseconds — on stdout so the
+    // driver-visible total can never silently shed work into the
+    // setup step.
+    def fmtS(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qJson = published.filter(_._2 >= 0)
+      .map { case (k, v) => "\"" + k + "\":" + fmtS(v) }
+      .mkString("{", ",", "}")
     val qsFam = published.filter(_._2 >= 0)
       .map { case (k, v) => (k.head, k.takeWhile(_ != '_'), v) }
       .groupBy(_._1).toSeq.sortBy(_._1)
@@ -217,7 +220,7 @@ object Bench {
         "\"" + fam + "\":" + gs.sortBy(_._2).map(g => math.round(g._3 * 10))
           .mkString("[", ",", "]")
       }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt2(pubTotal)},"q_ds":$qsFam,"failed":[${failedStdout.mkString(",")}],"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt2(pubTotal)},"unit":"sec","queries":$qJson,"spill_ds":${math.round(spillBuildS * 10)},"q_ds":$qsFam,"failed":[${failedStdout.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

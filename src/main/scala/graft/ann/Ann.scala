@@ -46,9 +46,24 @@ object Ann {
    * too). Do NOT use on anything data-sized: the rows embed in the
    * plan (and in task binaries for non-broadcast uses).
    */
-  def pinTiny(df: DataFrame): DataFrame =
+  /** Hard cap enforcing pinTiny's PROVABLY-TINY contract: every
+    * current caller pins 8–128 rows (codebooks, centroids, probes);
+    * 16k rows is ~100× headroom while still failing fast long before
+    * a data-sized frame could OOM the driver or bloat task binaries. */
+  val MaxPinRows = 16384
+
+  def pinTiny(df: DataFrame): DataFrame = {
+    // limit(cap+1) bounds the collect itself — a misuse on a
+    // billions-row frame pulls at most cap+1 rows before the require
+    // fires, instead of collecting the whole frame and then failing.
+    val rows = df.limit(MaxPinRows + 1).collect()
+    require(rows.length <= MaxPinRows,
+      s"pinTiny is for provably-tiny frames (<= $MaxPinRows rows); " +
+        "this frame has more — use localCheckpoint()/a parquet spill " +
+        "for anything data-sized")
     df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(df.collect(): _*), df.schema)
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 

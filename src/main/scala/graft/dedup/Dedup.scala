@@ -519,15 +519,19 @@ object Dedup {
       val neighborMin = sym
         .join(labels, sym("src") === labels("doc"))
         .groupBy(col("dst")).agg(min(col("group_id")).as("nmin"))
+      // carry the previous label through the checkpoint so the
+      // convergence probe is a filter over the materialized frame —
+      // not a second join job against the previous checkpoint
       val updated = labels
         .join(neighborMin, labels("doc") === neighborMin("dst"), "left")
         .select(labels("doc"),
           least(col("group_id"), coalesce(col("nmin"), col("group_id")))
-            .as("group_id"))
+            .as("group_id"),
+          labels("group_id").as("prev_group_id"))
         .localCheckpoint()
-      converged = updated.join(labels.withColumnRenamed("group_id", "old"), "doc")
-        .filter(col("group_id") =!= col("old")).isEmpty
-      labels = updated
+      converged = updated
+        .filter(col("group_id") =!= col("prev_group_id")).isEmpty
+      labels = updated.select(col("doc"), col("group_id"))
       i += 1
     }
     // Fail loudly instead of returning partially-propagated labels —

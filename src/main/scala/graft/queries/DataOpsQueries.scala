@@ -225,10 +225,18 @@ object DataOpsQueries {
     * d07 emits them, d09 picks canonicals, d26 hashes them into
     * leakage-safe splits. Previously each gate re-ran the iterative
     * min-label propagation (and its localCheckpoint chain). */
-  private def dupGroups(s: SparkSession, d: String): DataFrame =
+  private def dupGroups(s: SparkSession, d: String): DataFrame = {
+    // Hoist the candidate spill OUT of winSpill's by-name build block:
+    // winSpill evaluates the block inside winSpillCache.compute, and
+    // cands() computes ANOTHER key of the SAME map — a nested update
+    // CHM.compute forbids ("Recursive update" IllegalStateException
+    // when the two keys share a bin). Resolving `c` first makes the
+    // nested compute happen before, not inside, the groups compute.
+    val c = cands(s, d)
     winSpill(s, d, "groups")(Dedup.connectedComponents(
       t(s, d, "documents").select(col("doc_id").as("doc")),
-      cands(s, d).select(col("doc_a"), col("doc_b")), "doc_a", "doc_b"))
+      c.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b"))
+  }
 
   /** Materialize-once per-doc shingle sizes (doc, n) — referenced
     * TWICE inside every jaccard/containment verify (the na/nb joins),
@@ -652,12 +660,17 @@ object DataOpsQueries {
       // pairs feeds BOTH sides of the final join AND the verify's
       // two internal references — materialize once (bounded at
       // |candidates| + |simhash pairs| rows) instead of re-running
-      // the full-outer candidate join four times in one plan
-      val pairs = lsh.join(sim, Seq("doc_a", "doc_b"), "full_outer")
-        .select(col("doc_a"), col("doc_b"),
-          coalesce(col("mh"), lit(0L)).as("minhash_hit"),
-          coalesce(col("sh"), lit(0L)).as("simhash_hit"))
-        .localCheckpoint()
+      // the full-outer candidate join four times in one plan. A
+      // PARQUET spill, not localCheckpoint: checkpoint blocks are
+      // unreplicated executor memory/disk, so on a real cluster one
+      // executor loss makes the whole gate unrecoverable (lineage is
+      // truncated); the spill re-reads from storage like every other
+      // multi-referenced artifact here (r21 verdict item 6).
+      val pairs = winSpill(s, d, "d18pairs")(
+        lsh.join(sim, Seq("doc_a", "doc_b"), "full_outer")
+          .select(col("doc_a"), col("doc_b"),
+            coalesce(col("mh"), lit(0L)).as("minhash_hit"),
+            coalesce(col("sh"), lit(0L)).as("simhash_hit")))
       pairs.join(Dedup.jaccardForShingles(sg.shingles, pairs, shSizes(s, d)),
           Seq("doc_a", "doc_b"))
         .select(col("doc_a"), col("doc_b"), col("minhash_hit"),

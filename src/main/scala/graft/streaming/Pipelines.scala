@@ -4168,7 +4168,13 @@ object PipelineManager {
       "spark_schema", fields: _*)
     epochCommitCore(null, dest, epoch, pipeline,
       stage = (_, stagingDir) => {
-        val conf = spark.sparkContext.hadoopConfiguration
+        // COPY of the session conf: setSchema mutates the
+        // 'parquet.example.schema' key as a side channel to the
+        // writer, and two concurrent committers (or any future caller
+        // with different columns) would race on the session-global
+        // Configuration — each stage call gets its own.
+        val conf = new org.apache.hadoop.conf.Configuration(
+          spark.sparkContext.hadoopConfiguration)
         org.apache.parquet.hadoop.example.GroupWriteSupport
           .setSchema(schema, conf)
         val file = new Path(stagingDir, "part-00000")

@@ -18,7 +18,13 @@ object ConfBench {
     val names = args.drop(1).toSeq
     val extra = sys.env.getOrElse("SPARK_GRAFT_CONF", "")
       .split(';').toSeq.map(_.trim).filter(_.nonEmpty)
-      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+      .map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => (k, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_CONF token '$kv' is not k=v (tokens are ';'-separated)")
+        }
+      }
     var b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -45,8 +51,13 @@ object ConfBench {
     }
     results.foreach { case (name, ts) =>
       val fmt = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      // true median: middle sample for odd n, mean of the two middle
+      // samples for even n (ts is sorted)
+      val med =
+        if (ts.size % 2 == 1) ts(ts.size / 2)
+        else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
       println(f"""{"query":"$name","n":$n,"min":${ts.head}%.3f,""" +
-        f""""median":${ts(ts.size / 2)}%.3f,"max":${ts.last}%.3f,"times":$fmt}""")
+        f""""median":$med%.3f,"max":${ts.last}%.3f,"times":$fmt}""")
     }
     graft.queries.DataOpsQueries.release(sfDir)
     spark.stop()

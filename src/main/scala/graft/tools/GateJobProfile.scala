@@ -54,16 +54,24 @@ object GateJobProfile {
       org.apache.spark.sql.GraftBridge.unloadStateStores()
       rows.clear()
     }
+    // whole-stage-codegen compile census: how many Janino compiles the
+    // timed run triggers (a per-epoch-varying literal defeats the
+    // generated-source cache and recompiles the stage every epoch)
+    val cgMetric =
+      org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME
+    val cg0 = cgMetric.getCount
     val t0 = System.nanoTime()
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     val wall = (System.nanoTime() - t0) / 1e9
+    val cgN = cgMetric.getCount - cg0
+    val cgMeanMs = cgMetric.getSnapshot.getMean
     Thread.sleep(500) // let the listener queue drain
     import scala.jdk.CollectionConverters._
     val all = rows.asScala.toSeq
     val bySite = all.groupBy(_._4).map { case (s, xs) =>
       (xs.map(_._3).sum / 1e9, xs.size, s)
     }.toSeq.sortBy(-_._1)
-    System.err.println(f"[prof] $name wall=${wall}%.2fs jobs=${all.size} jobTimeSum=${all.map(_._3).sum / 1e9}%.2fs")
+    System.err.println(f"[prof] $name wall=${wall}%.2fs jobs=${all.size} jobTimeSum=${all.map(_._3).sum / 1e9}%.2fs codegenCompiles=$cgN (~${cgN * cgMeanMs / 1000}%.2fs at reservoir-mean ${cgMeanMs}%.0fms)")
     bySite.take(40).foreach { case (sec, n, site) =>
       System.err.println(f"[prof]   ${sec}%7.2fs n=${n}%-4d $site")
     }

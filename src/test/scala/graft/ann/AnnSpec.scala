@@ -214,4 +214,16 @@ class AnnSpec extends SparkTestBase {
     assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-9)
     assert(math.abs(got.values.map(_._4).sum / 3.0 - 1.0) < 1e-9)
   }
+
+  test("pinTiny keeps values/schema for tiny frames and rejects big ones") {
+    val tiny = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val pinned = Ann.pinTiny(tiny)
+    assert(pinned.schema == tiny.schema)
+    assert(pinned.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // the guard must fire BEFORE a full collect (limit-bounded): a
+    // frame over the cap throws instead of pinning driver-side
+    val big = spark.range(Ann.MaxPinRows + 1L).toDF("id")
+    val e = intercept[IllegalArgumentException](Ann.pinTiny(big))
+    assert(e.getMessage.contains("provably-tiny"))
+  }
 }

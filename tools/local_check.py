@@ -4,8 +4,44 @@ in DuckDB against the sf tables and compare against the parquet dumped
 by graft.Verify (columns sorted by name, rows sorted, values hashed).
 
 Usage: local_check.py <sfDir> <verifyOutDir>
+       local_check.py --decode-bench <BENCH_rNN.json|bench_line.json> <CORRECTNESS_rNN.json>
 """
 import sys, json, glob, math
+
+def decode_bench(bench_path, correctness_path):
+    """Decode the bench stdout's compact `q_ds` per-family decisecond
+    arrays back to {query_name: seconds}. Contract: families in
+    ascending key order; the k-th value belongs to the k-th name in the
+    ascending sorted list of that family's NON-FAILED gates (the gate
+    inventory is CORRECTNESS_rNN.json's key set)."""
+    raw = open(bench_path).read()
+    # accept either the driver's BENCH artifact (tail field) or a raw line
+    try:
+        doc = json.loads(raw)
+        text = doc.get("tail", raw) if isinstance(doc, dict) and "tail" in doc else raw
+    except json.JSONDecodeError:
+        text = raw
+    line = next(l for l in reversed(text.splitlines())
+                if '"q_ds"' in l or '"queries"' in l)
+    obj = json.loads(line[line.index("{"):])
+    if "queries" in obj:                       # full-name map present
+        return {k: float(v) for k, v in obj["queries"].items()}
+    failed = set(obj.get("failed", []))
+    names = sorted(k for k in json.load(open(correctness_path))
+                   if k not in failed)
+    out = {}
+    for fam, vals in sorted(obj["q_ds"].items()):
+        fam_names = [n for n in names if n[0] == fam]
+        assert len(fam_names) == len(vals), (fam, len(fam_names), len(vals))
+        out.update({n: v / 10.0 for n, v in zip(fam_names, vals)})
+    return out
+
+if len(sys.argv) > 1 and sys.argv[1] == "--decode-bench":
+    dec = decode_bench(sys.argv[2], sys.argv[3])
+    print(json.dumps(dec, indent=1, sort_keys=True))
+    print(f"# {len(dec)} gates, total {sum(dec.values()):.1f}s", file=sys.stderr)
+    sys.exit(0)
+
 import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
