@@ -26,6 +26,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Generated-class cache sized to the workload, not the 100-entry
+      // default: this suite compiles thousands of whole-stage sources
+      // (197 gates; the incremental-serve loops re-plan per epoch), and
+      // at 100 entries the JVM-global cache thrashes — a single warmed
+      // s31 run showed 531 Janino compiles (~5 s). Scale-neutral (the
+      // cache is driver/executor-local and bounded; ~tens of KB per
+      // entry), measured −29..−40 % on s29/s30/s31 same-window n=3.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -90,6 +90,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same workload-sized generated-class cache as Bench (static
+      // conf, set at session build; see Bench.scala for the numbers)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     run(spark, sfDir, outDir, parseOnly(sys.env.get("SPARK_GRAFT_ONLY")))
